@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a count() (full plan execution, no driver-side
+collect of payloads). A warmup pass on sf0.001 primes the JVM/codegen so
+the measured numbers reflect steady-state plan execution, not JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datatools_spark.queries import QUERIES  # noqa: E402
+from datatools_spark.session import get_spark  # noqa: E402
+
+# headline set: the flagship kernels + one per operator family
+BENCH_QUERIES = [
+    "ts_velocity_grid",        # §2.9 grid-median velocity kernel
+    "ts_diurnal_extrema_18h",  # A4 extrema with follow-up window
+    "ts_rolling_center_mean_2h",   # W1 centered rolling
+    "ts_rolling_median_6h",    # A2 windowed median
+    "ts_asof_align",           # J1 as-of join
+    "ts_interp_linear",        # F12 linear interpolation
+    "ts_detrend_linear",       # regr detrend
+    "ss_pricing_summary",      # TPC-H Q1 style
+    "ss_region_revenue",       # star join
+    "ss_top_customers_per_nation",  # top-k per group
+    "doc_minhash",             # MinHash signatures
+    "doc_ngram_pairs",         # inverted-index Jaccard
+    "doc_simhash",             # SimHash
+    "doc_quality",             # text quality scoring
+    "emb_knn_brute",           # brute-force ANN baseline
+    "emb_centroid_assign",     # IVF assignment
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("datatools-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: tiny sf to JIT/codegen-prime every plan shape
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in BENCH_QUERIES:
+            try:
+                QUERIES[name](spark, warm_dir).count()
+            except Exception:  # noqa: BLE001
+                pass
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""Deduplication operators for training-data pipelines (driver-mandated).
+
+All variants follow the scalable shape: per-doc signature → band/bucket →
+shuffle ONLY on bucket keys → candidate pairs → exact verify. No O(n²)
+cross join anywhere; Python never touches row data (JVM expressions only).
+
+- exact: canonical md5 fingerprint, keep-first per group (one hash agg)
+- minhash + LSH: word-shingle → k seeded 32-bit min-hashes (md5-based,
+  engine-portable) → bands → bucket join → verified Jaccard
+- simhash: 16-bit sign-aggregated signature (bit arithmetic, groupBy sum)
+- n-gram Jaccard: inverted-index join on shared shingles → exact Jaccard
+- embedding near-dup: cosine ≥ τ via normalized dot product (see
+  similarity.py for the ANN path)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint_col, word_shingles
+
+__all__ = [
+    "exact_dedup", "minhash_signature", "minhash_lsh_pairs",
+    "simhash_col", "ngram_jaccard_pairs", "embedding_dup_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per canonical-text fingerprint.
+
+    One shuffle on the 128-bit fingerprint; at 100 TB this is the cheapest
+    possible exact dedup (no sort, map-side partial row_number via
+    min-aggregation semantics).
+    """
+    fp = fingerprint_col(text_col)
+    w = Window.partitionBy(F.col("_fp")).orderBy(F.col(id_col))
+    return (df.withColumn("_fp", fp)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_fp", "_rn"))
+
+
+def _hash32(col: Column, seed: int) -> Column:
+    """Portable seeded 32-bit hash: first 8 hex chars of md5(seed||x).
+    Identical in any engine with md5 — the key to oracle-checkable
+    MinHash (Spark's murmur ``hash()`` differs across engines)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(str(seed) + ":"), col)), 1, 8),
+                  16, 10).cast("bigint")
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 16,
+                      shingle_n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: explode distinct shingles, one groupBy
+    computing all k min-hashes (single shuffle, map-side combinable mins).
+
+    Output: ``id_col, mh_0 .. mh_{k-1}`` (docs with no shingles dropped).
+    """
+    sh = (df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_sh")))
+    aggs = [F.min(_hash32(F.col("_sh"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 16,
+                      bands: int = 4, shingle_n: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with estimated Jaccard
+    (fraction of agreeing minhashes).
+
+    Plan: signatures → explode into ``bands`` band-keys (concat of the
+    band's rows) → self-equi-join on (band, key) → distinct pairs →
+    verify. Shuffles scale with data size × bands, never n².
+    Output: ``a_id, b_id, jaccard_est`` with a<b.
+    """
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[c.cast("string") for c in cols]).alias("key")))
+    exploded = sig.select(
+        F.col(id_col), *[F.col(f"mh_{i}") for i in range(num_hashes)],
+        F.explode(F.array(*band_structs)).alias("_b"))
+    left = exploded.select(
+        F.col(id_col).alias("a_id"), F.col("_b").alias("_ab"),
+        *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(num_hashes)])
+    right = exploded.select(
+        F.col(id_col).alias("b_id"), F.col("_b").alias("_bb"),
+        *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(num_hashes)])
+    cand = (left.join(right, on=(left["_ab"] == right["_bb"]) & (left["a_id"] < right["b_id"]))
+            .select("a_id", "b_id",
+                    *[F.col(f"a_mh_{i}") for i in range(num_hashes)],
+                    *[F.col(f"b_mh_{i}") for i in range(num_hashes)])
+            .dropDuplicates(["a_id", "b_id"]))
+    agree = None
+    for i in range(num_hashes):
+        m = F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0)
+        agree = m if agree is None else agree + m
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (cand.withColumn("jaccard_est", est)
+            .where(F.col("jaccard_est") >= threshold)
+            .select("a_id", "b_id", "jaccard_est"))
+
+
+def simhash_col(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                bits: int = 16) -> DataFrame:
+    """SimHash signature: per word-token 32-bit hash; signature bit j = sign
+    of Σ_tokens (2·bit_j(h) − 1). One explode + one groupBy with ``bits``
+    conditional sums — map-side combinable, engine-portable.
+
+    Output: ``id_col, simhash`` (bigint in [0, 2^bits)).
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok = df.select(F.col(id_col), F.explode(words).alias("_w"))
+    h = _hash32(F.col("_w"), 7)
+    sums = [F.sum(F.when(((h / F.lit(1 << j)).cast("bigint") % 2) == 1, 1)
+                  .otherwise(-1)).alias(f"_s{j}") for j in range(bits)]
+    agg = tok.groupBy(id_col).agg(*sums)
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"_s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return agg.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    docs → distinct shingles (explode) → self-join on shingle (the
+    inverted index: only docs sharing ≥1 shingle ever meet) → per-pair
+    intersection count → Jaccard with |A|+|B| from per-doc counts.
+    Output: ``a_id, b_id, jaccard`` with a<b.
+    """
+    sh = (df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_sh"))
+          .dropDuplicates([id_col, "_sh"]))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    a = sh.select(F.col(id_col).alias("a_id"), F.col("_sh"))
+    b = sh.select(F.col(id_col).alias("b_id"), F.col("_sh"))
+    inter = (a.join(b, on=["_sh"])
+             .where(F.col("a_id") < F.col("b_id"))
+             .groupBy("a_id", "b_id").agg(F.count("*").alias("_inter")))
+    na = sizes.select(F.col(id_col).alias("a_id"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("b_id"), F.col("_n").alias("_nb"))
+    j = (inter.join(na, "a_id").join(nb, "b_id")
+         .withColumn("jaccard", F.col("_inter").cast("double")
+                     / (F.col("_na") + F.col("_nb") - F.col("_inter"))))
+    return (j.where(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "jaccard"))
+
+
+def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id", threshold: float = 0.95,
+                        bucket_hyperplanes: int = 0) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ τ.
+
+    ``bucket_hyperplanes=0``: exact all-pairs (testing / small n).
+    ``>0``: random-hyperplane LSH pre-bucketing (deterministic sin-based
+    planes, see similarity.py) so only same-sign-bucket pairs join —
+    the 100 TB path.
+    Output: ``a_id, b_id, cosine``.
+    """
+    from .similarity import cosine_expr, hyperplane_bucket_col
+    work = df.select(F.col(id_col), F.col(vec_col))
+    if bucket_hyperplanes > 0:
+        work = work.withColumn("_bkt", hyperplane_bucket_col(vec_col, bucket_hyperplanes))
+        cond_extra = ["_bkt"]
+    else:
+        work = work.withColumn("_bkt", F.lit(0))
+        cond_extra = ["_bkt"]
+    a = work.select(F.col("_bkt"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"))
+    b = work.select(F.col("_bkt"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"))
+    pairs = a.join(b, on=cond_extra).where(F.col("a_id") < F.col("b_id"))
+    cos = cosine_expr(F.col("_va"), F.col("_vb"))
+    return (pairs.withColumn("cosine", cos)
+            .where(F.col("cosine") >= threshold)
+            .select("a_id", "b_id", "cosine"))

@@ -1,0 +1,187 @@
+"""Diurnal extrema picking (reference: diurnal.py ``DiurnalExtrema``).
+
+Re-founds the per-day Python loop (diurnal.py:301-346) as set-based Spark:
+
+1. per-day min pick — one hash aggregate (``min(struct(value, ts))`` pins
+   pandas' first-occurrence tie-break: diurnal.py idxmin semantics);
+2. max pick either same-day, or — ``min_first & max_next_day`` — within
+   ``(min_time, min_time + max_window]`` (18 h default, diurnal.py:325-333):
+   an equi-join on day ∈ {min_day, min_day+1} followed by the interval
+   filter, NOT a general range join — at scale this shuffles on the day key
+   with ≤2 candidate days per pick, so the join fan-out is bounded;
+3. sanity drop ``min_val > max_val`` (diurnal.py:336-337) and amplitude
+   threshold (diurnal.py:369-373);
+4. manual corrections as an immutable overlay join (diurnal.py:375-427) —
+   MERGE-style ``coalesce(override, computed)``.
+
+Output schema (flat form, diurnal.py:338-344):
+``(day, min_val, min_time, max_val, max_time)`` plus derived
+``amplitude`` / decimal-hour projections on request.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.timeutils import parse_duration_seconds
+
+__all__ = [
+    "daily_extrema",
+    "apply_threshold",
+    "with_amplitude",
+    "with_decimal_hours",
+    "to_multi_indexed",
+    "apply_corrections",
+]
+
+# tie-pinned argmin/argmax: pandas idxmin/idxmax return the FIRST occurrence;
+# min(struct(v, ts)) / min(struct(-v, ts)) order by (value, time) so equal
+# values resolve to the earliest timestamp.
+def _argmin(v, ts):
+    s = F.min(F.struct(F.col(v).alias("v"), F.col(ts).alias("t")))
+    return s["v"], s["t"]
+
+
+def _argmax(v, ts):
+    s = F.min(F.struct((-F.col(v)).alias("nv"), F.col(ts).alias("t")))
+    return -s["nv"], s["t"]
+
+
+def daily_extrema(df: DataFrame, value_col: str = "value", ts_col: str = "ts",
+                  partition_by: Sequence[str] = (),
+                  min_first: bool = False, max_next_day: bool = False,
+                  max_window="18h") -> DataFrame:
+    """Per-day extrema picks (diurnal.py:301-346 ``find_diurnal_extrema``).
+
+    Returns ``partition_by + (day, min_val, min_time, max_val, max_time)``.
+    Days where ``min_val > max_val`` are dropped (diurnal.py:336-337).
+    """
+    p = [F.col(c) for c in partition_by]
+    day = F.date_trunc("DAY", F.col(ts_col)).alias("day")
+    base = df.where(F.col(value_col).isNotNull())
+
+    min_v, min_t = _argmin(value_col, ts_col)
+    if not (min_first and max_next_day):
+        max_v, max_t = _argmax(value_col, ts_col)
+        out = (base.groupBy(*p, day)
+               .agg(min_v.alias("min_val"), min_t.alias("min_time"),
+                    max_v.alias("max_val"), max_t.alias("max_time")))
+        return out.where(F.col("min_val") <= F.col("max_val"))
+
+    # min-first mode: max is searched in (min_time, min_time + max_window]
+    win_sec = parse_duration_seconds(max_window)
+    mins = (base.groupBy(*p, day)
+            .agg(min_v.alias("min_val"), min_t.alias("min_time")))
+    # candidate rows live on the pick's day or the next: join on an exploded
+    # day key (bounded fan-out = 2), then apply the exact interval predicate.
+    cand = base.select(
+        *p, F.col(ts_col).alias("_cts"), F.col(value_col).alias("_cv"),
+        F.explode(F.array(
+            F.date_trunc("DAY", F.col(ts_col)),
+            F.date_trunc("DAY", F.col(ts_col) - F.expr("INTERVAL 1 DAY")),
+        )).alias("day"))
+    join_keys = list(partition_by) + ["day"]
+    upper = F.col("min_time") + F.make_dt_interval(secs=F.lit(win_sec))
+    s = F.min(F.struct((-F.col("_cv")).alias("nv"), F.col("_cts").alias("t")))
+    picked = (mins.join(cand, on=join_keys)
+              .where((F.col("_cts") > F.col("min_time")) & (F.col("_cts") <= upper))
+              .groupBy(*[F.col(c) for c in join_keys],
+                       F.col("min_val"), F.col("min_time"))
+              .agg((-s["nv"]).alias("max_val"), s["t"].alias("max_time")))
+    return (picked.select(*join_keys, "min_val", "min_time", "max_val", "max_time")
+            .where(F.col("min_val") <= F.col("max_val")))
+
+
+def apply_threshold(extrema: DataFrame, threshold: float) -> DataFrame:
+    """Drop days whose amplitude is below ``threshold`` (diurnal.py:369-373)."""
+    return extrema.where((F.col("max_val") - F.col("min_val")) >= threshold)
+
+
+def with_amplitude(extrema: DataFrame, out_col: str = "amplitude") -> DataFrame:
+    """diurnal.py:296-299."""
+    return extrema.withColumn(out_col, F.col("max_val") - F.col("min_val"))
+
+
+def with_decimal_hours(extrema: DataFrame) -> DataFrame:
+    """Add ``min_hrs`` / ``max_hrs`` — hours after day start of each pick
+    (diurnal.py:257-264)."""
+    day_s = F.col("day").cast("double")
+    return (extrema
+            .withColumn("min_hrs", (F.col("min_time").cast("double") - day_s) / 3600.0)
+            .withColumn("max_hrs", (F.col("max_time").cast("double") - day_s) / 3600.0))
+
+
+def to_multi_indexed(extrema: DataFrame) -> DataFrame:
+    """Struct reshape mirroring the two-level (minima/maxima × value/time/hrs)
+    columns (diurnal.py:348-367)."""
+    e = with_decimal_hours(extrema)
+    return e.select(
+        "day",
+        F.struct(F.col("min_val").alias("value"), F.col("min_time").alias("time"),
+                 F.col("min_hrs").alias("hrs")).alias("minima"),
+        F.struct(F.col("max_val").alias("value"), F.col("max_time").alias("time"),
+                 F.col("max_hrs").alias("hrs")).alias("maxima"),
+    )
+
+
+def apply_corrections(extrema: DataFrame, corrections: DataFrame,
+                      series: DataFrame | None = None,
+                      value_col: str = "value", ts_col: str = "ts") -> DataFrame:
+    """Immutable overlay for manual pick corrections (diurnal.py:375-451).
+
+    ``corrections`` schema (FIXTURES.md §7): ``day, which ('min'|'max'|'both'),
+    new_value, new_time, find_between_start_hrs, find_between_end_hrs``.
+
+    Two correction kinds:
+    - explicit ``new_value``/``new_time`` → coalesce over the computed pick;
+    - re-search window (hrs after day start) → re-pick the extremum from
+      ``series`` inside the window (diurnal.py:407-420, 429-442).
+    The corrections table is tiny → broadcast joins throughout.
+    """
+    c = F.broadcast(corrections)
+    if series is not None:
+        # re-search: rows of the series inside [day+start_hrs, day+end_hrs]
+        sec = F.col("day").cast("double")
+        win = (c.where(F.col("find_between_start_hrs").isNotNull())
+               .select("day", "which",
+                       (sec + F.col("find_between_start_hrs") * 3600).cast("timestamp").alias("_ws"),
+                       (sec + F.col("find_between_end_hrs") * 3600).cast("timestamp").alias("_we")))
+        day_key = F.date_trunc("DAY", F.col(ts_col))
+        hits = (series.join(F.broadcast(win), on=day_key == win["day"])
+                .where(F.col(ts_col).between(F.col("_ws"), F.col("_we"))))
+        smin = F.min(F.struct(F.col(value_col).alias("v"), F.col(ts_col).alias("t")))
+        smax = F.min(F.struct((-F.col(value_col)).alias("nv"), F.col(ts_col).alias("t")))
+        research = (hits.groupBy(win["day"].alias("day"), "which")
+                    .agg(smin["v"].alias("_rs_min_val"), smin["t"].alias("_rs_min_time"),
+                         (-smax["nv"]).alias("_rs_max_val"), smax["t"].alias("_rs_max_time")))
+        extrema = (extrema.join(F.broadcast(research), on="day", how="left")
+                   .withColumn("min_val", F.when(F.col("which").isin("min", "both"),
+                                                 F.coalesce("_rs_min_val", "min_val"))
+                               .otherwise(F.col("min_val")))
+                   .withColumn("min_time", F.when(F.col("which").isin("min", "both"),
+                                                  F.coalesce("_rs_min_time", "min_time"))
+                               .otherwise(F.col("min_time")))
+                   .withColumn("max_val", F.when(F.col("which").isin("max", "both"),
+                                                 F.coalesce("_rs_max_val", "max_val"))
+                               .otherwise(F.col("max_val")))
+                   .withColumn("max_time", F.when(F.col("which").isin("max", "both"),
+                                                  F.coalesce("_rs_max_time", "max_time"))
+                               .otherwise(F.col("max_time")))
+                   .drop("which", "_rs_min_val", "_rs_min_time", "_rs_max_val", "_rs_max_time"))
+    explicit = (c.where(F.col("new_value").isNotNull() | F.col("new_time").isNotNull())
+                .select("day", "which",
+                        F.col("new_value").alias("_nv"), F.col("new_time").alias("_nt")))
+    out = (extrema.join(F.broadcast(explicit), on="day", how="left")
+           .withColumn("min_val", F.when(F.col("which").isin("min", "both"),
+                                         F.coalesce("_nv", "min_val")).otherwise(F.col("min_val")))
+           .withColumn("min_time", F.when(F.col("which").isin("min", "both"),
+                                          F.coalesce("_nt", "min_time")).otherwise(F.col("min_time")))
+           .withColumn("max_val", F.when(F.col("which").isin("max", "both"),
+                                         F.coalesce("_nv", "max_val")).otherwise(F.col("max_val")))
+           .withColumn("max_time", F.when(F.col("which").isin("max", "both"),
+                                          F.coalesce("_nt", "max_time")).otherwise(F.col("max_time")))
+           .drop("which", "_nv", "_nt"))
+    return out

@@ -1,0 +1,161 @@
+"""Time-window subsetting, interval-lookup joins, and as-of alignment.
+
+Covers SURVEY §2.2 F3-F9 (window clipping with ``closed`` endpoint
+semantics, union-of-windows selection/anti-selection) and §2.3 J1/J2
+(as-of pressure alignment hydrotools.py:369, 546; piecewise sensor-height
+assignment hydrotools.py:351-366, 449-463, 533-543).
+
+Scale notes: interval lookup sides are tiny hand-maintained schedules →
+always broadcast; the as-of join avoids a range join entirely via the
+union + last-non-null-window trick (one shuffle on the series key, sorted
+merge within partitions) which scales to arbitrarily large both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "clip_to_window",
+    "between_with_closed",
+    "subset_from_windows",
+    "drop_windows",
+    "drop_timestamps",
+    "interval_lookup_join",
+    "asof_join",
+    "union_keep_first",
+]
+
+
+def between_with_closed(ts: Column, start, end, closed: str = "both") -> Column:
+    """Range predicate with pandas-style ``closed ∈ {both,left,right,neither}``
+    endpoint semantics (gpstools.py:729-739, 895-915)."""
+    lo = ts >= F.lit(start) if closed in ("both", "left") else ts > F.lit(start)
+    hi = ts <= F.lit(end) if closed in ("both", "right") else ts < F.lit(end)
+    return lo & hi
+
+
+def clip_to_window(df: DataFrame, start, end, ts_col: str = "ts",
+                   closed: str = "both") -> DataFrame:
+    """gpstools.py:829-844 ``clip_to_window`` / :729-739 ``subset_from_bounds``."""
+    return df.where(between_with_closed(F.col(ts_col), start, end, closed))
+
+
+def subset_from_windows(df: DataFrame, windows: Sequence[tuple],
+                        ts_col: str = "ts", closed: str = "both") -> DataFrame:
+    """Union of multiple time slices (gpstools.py:746-753) as one OR predicate
+    — a single scan, no self-union."""
+    pred = None
+    for start, end in windows:
+        p = between_with_closed(F.col(ts_col), start, end, closed)
+        pred = p if pred is None else (pred | p)
+    return df.where(pred if pred is not None else F.lit(False))
+
+
+def drop_windows(df: DataFrame, windows: Sequence[tuple],
+                 ts_col: str = "ts", closed: str = "both") -> DataFrame:
+    """Anti-selection (gpstools.py:411-415 ``drop_positions``;
+    hydrotools.py:388 fixed-range excision)."""
+    pred = None
+    for start, end in windows:
+        p = between_with_closed(F.col(ts_col), start, end, closed)
+        pred = p if pred is None else (pred | p)
+    return df if pred is None else df.where(~pred)
+
+
+def drop_timestamps(df: DataFrame, timestamps: Sequence, ts_col: str = "ts",
+                    null_cols: Sequence[str] | None = None) -> DataFrame:
+    """Delete rows by exact timestamp (gpstools.py:431-441) or — if
+    ``null_cols`` given — null out those columns instead (hydrotools.py:295-307
+    drop-list semantics)."""
+    isin = F.col(ts_col).isin(list(timestamps))
+    if null_cols is None:
+        return df.where(~isin)
+    out = df
+    for c in null_cols:
+        out = out.withColumn(c, F.when(isin, F.lit(None)).otherwise(F.col(c)))
+    return out
+
+
+def interval_lookup_join(df: DataFrame, schedule: DataFrame,
+                         ts_col: str = "ts",
+                         start_col: str = "start_ts", end_col: str = "end_ts",
+                         on: Sequence[str] = (),
+                         closed: str = "both") -> DataFrame:
+    """Piecewise-constant assignment from a tiny ``(start, end, value...)``
+    schedule (J2: hydrotools.py:351-366, 449-463, 533-543 — the positional
+    slices re-expressed as explicit time intervals, SURVEY §7 hard-list (a)).
+
+    Broadcast range join: the schedule is hand-maintained and tiny, so the
+    big side never shuffles.
+    """
+    lo = F.col(ts_col) >= F.col(start_col) if closed in ("both", "left") \
+        else F.col(ts_col) > F.col(start_col)
+    hi = F.col(ts_col) <= F.col(end_col) if closed in ("both", "right") \
+        else F.col(ts_col) < F.col(end_col)
+    cond = lo & hi
+    for k in on:
+        cond = cond & (df[k] == schedule[k])
+    sched = F.broadcast(schedule.drop(*on) if on else schedule)
+    return df.join(sched, on=cond, how="left").drop(start_col, end_col)
+
+
+def asof_join(left: DataFrame, right: DataFrame, ts_col: str = "ts",
+              by: Sequence[str] = (), value_cols: Sequence[str] | None = None,
+              direction: str = "backward", tolerance=None) -> DataFrame:
+    """As-of join: for each left row, the most recent right row at or before
+    it (J1: atmospheric-pressure alignment hydrotools.py:369, 546).
+
+    Union + window implementation (no range join): tag sides, union, one
+    window per value column carrying the last non-null right value forward
+    over ``(by) ORDER BY ts``. One shuffle on ``by``; both sides may be
+    arbitrarily large — this is the scale path a broadcast range join
+    cannot give. ``direction='forward'`` mirrors with the following value;
+    ``tolerance`` (seconds) nulls matches older than the bound.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c != ts_col and c not in by]
+    b = list(by)
+    lhs = left.withColumn("_side", F.lit(1))
+    rhs = right.select(*b, ts_col, *value_cols).withColumn("_side", F.lit(0))
+    for c in value_cols:
+        lhs = lhs.withColumn(c, F.lit(None).cast(rhs.schema[c].dataType))
+    missing = [c for c in lhs.columns if c not in rhs.columns]
+    for c in missing:
+        rhs = rhs.withColumn(c, F.lit(None).cast(lhs.schema[c].dataType))
+    rhs = rhs.select(*lhs.columns)
+    u = lhs.unionByName(rhs)
+
+    asc = direction == "backward"
+    order = [F.col(ts_col).asc(), F.col("_side").asc()] if asc else \
+        [F.col(ts_col).desc(), F.col("_side").asc()]
+    w = (Window.partitionBy(*[F.col(c) for c in b]).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = u
+    for c in value_cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    if tolerance is not None:
+        src_ts = F.when(F.col("_side") == 0, F.col(ts_col))
+        out = out.withColumn("_src_ts", F.last(src_ts, ignorenulls=True).over(w))
+        gap = F.abs(F.col(ts_col).cast("double") - F.col("_src_ts").cast("double"))
+        for c in value_cols:
+            out = out.withColumn(c, F.when(gap <= tolerance, F.col(c)))
+        out = out.drop("_src_ts")
+    return out.where(F.col("_side") == 1).drop("_side")
+
+
+def union_keep_first(dfs: Sequence[DataFrame], key_cols: Sequence[str],
+                     priority_col: str = "_src") -> DataFrame:
+    """``pd.concat`` + ``~index.duplicated(keep='first')`` parity
+    (J6: hydrotools.py:197-199, 467): union frames in priority order,
+    keep the first source's row per key."""
+    tagged = [d.withColumn(priority_col, F.lit(i)) for i, d in enumerate(dfs)]
+    u = tagged[0]
+    for d in tagged[1:]:
+        u = u.unionByName(d, allowMissingColumns=True)
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(F.col(priority_col))
+    return (u.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn", priority_col))

@@ -1,0 +1,130 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Not present in the reference (its strings are column names only —
+SURVEY §2.8); these are the driver-mandated LLM-data-pipeline extensions,
+built entirely from JVM-side string expressions (no Python UDFs) so they
+whole-stage-codegen over 100 TB of documents:
+
+- language ID: stopword-marker n-gram heuristic
+- quality scoring: length / punctuation / stopword / word-length ratios
+- token counting: whitespace tokens + a BPE-ish subword estimate
+- fingerprinting: md5 canonical fingerprint + shingle set
+
+Every function returns Columns expressible 1:1 in ANSI SQL so each op has
+a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "occurrences", "lang_scores", "lang_id_col", "token_count_col",
+    "quality_score_cols", "fingerprint_col", "word_shingles",
+]
+
+# tiny marker lists keep the expression tree small; the point is the
+# pattern (counting occurrences JVM-side), not linguistic accuracy.
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " de "],
+    "fr": [" le ", " et ", " les "],
+    "de": [" der ", " und ", " die "],
+}
+
+
+def occurrences(col: Column, needle: str) -> Column:
+    """Count of non-overlapping occurrences of ``needle`` — implemented as
+    (len(s) − len(replace(s, needle, ''))) / len(needle): pure codegen,
+    identical semantics in any SQL engine."""
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / F.lit(len(needle))
+
+
+def _padded(text_col: str) -> Column:
+    return F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    p = _padded(text_col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            o = occurrences(p, m)
+            s = o if s is None else s + o
+        out[lang] = s
+    return out
+
+
+def lang_id_col(text_col: str = "text") -> Column:
+    """argmax over language marker scores; ties resolve in the fixed
+    iteration order of LANG_MARKERS ('und' when all scores are 0)."""
+    scores = lang_scores(text_col)
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    # forward order + strict '>' ⇒ the earliest language keeps ties
+    # (matches the oracle's '>=' CASE chain)
+    for lang in scores:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best
+
+
+def token_count_col(text_col: str = "text") -> Column:
+    """Whitespace token count (0 for blank text)."""
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))).cast("bigint")
+
+
+def quality_score_cols(text_col: str = "text") -> dict[str, Column]:
+    """Quality features + a composite score in [0, 1].
+
+    n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+    quality_score. All SQL-expressible (oracle parity).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("bigint")
+    n_tokens = token_count_col(text_col)
+    avg_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    p = _padded(text_col)
+    stop_hits = None
+    for m in (" the ", " a ", " and ", " of ", " to "):
+        o = occurrences(p, m)
+        stop_hits = o if stop_hits is None else stop_hits + o
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    # composite: length factor × (1 − excess punctuation) × stopword presence
+    len_f = F.least(n_chars.cast("double") / F.lit(200.0), F.lit(1.0))
+    score = len_f * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) \
+        * F.least(stop_ratio * 10 + F.lit(0.2), F.lit(1.0))
+    return {
+        "n_chars": n_chars, "n_tokens": n_tokens, "avg_token_len": avg_tok,
+        "punct_ratio": punct_ratio, "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def fingerprint_col(text_col: str = "text") -> Column:
+    """Canonical document fingerprint: md5 of lowercased,
+    whitespace-collapsed text — the exact-dedup key."""
+    canon = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return F.md5(canon)
+
+
+def word_shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram array (the near-dup unit). Built with
+    ``transform(sequence(...))`` over the split word array — JVM-side."""
+    w = f"split(trim(lower({text_col})), '\\\\s+')"
+    k = f"(size({w}) - {n - 1})"
+    parts = ", ".join(f"element_at({w}, CAST(i AS INT) + {j})" for j in range(n))
+    # guard: sequence(1, 0) in Spark is DESCENDING [1, 0], not empty —
+    # short docs must yield an empty shingle set explicitly.
+    sh = F.expr(
+        f"CASE WHEN {k} >= 1 THEN "
+        f"array_distinct(transform(sequence(1, {k}), i -> concat_ws(' ', {parts}))) "
+        f"ELSE CAST(array() AS array<string>) END")
+    return sh

@@ -1,0 +1,114 @@
+"""GPS velocity kernel (reference: ``OnIce.calc_velocity`` gpstools.py:524-608,
+helpers :895-967) — the flagship composite operator.
+
+Reference semantics (SURVEY §2.9): build a regular grid from
+``first+sep`` to ``last−sep`` stepped by ``stat_window``; at each grid
+point ``t`` take two stat windows ``[t∓sep/2 − stat/2, t∓sep/2 + stat/2)``
+(closed='left', gpstools.py:907-915); guard both windows having > min_obs
+rows (:875-892); velocity = ``(median(w1) − median(w0)) / sep_days`` in
+m/day (:955-967, 870-872).
+
+Physical design — the reference loops over grid points in Python, slicing
+pandas per point (O(grid·log n) with huge constants). Here: because the
+grid step EQUALS the stat-window width (gpstools.py:582-585 uses
+``freq=stat_window``), the per-offset windows exactly tile the timeline,
+so window assignment is pure arithmetic:
+
+    k = floor((ts − offset − (t0 − stat/2)) / stat)
+
+Each input row lands in exactly one bucket per offset → one ``explode``
+into 2 rows, ONE hash aggregate (median+count per (k, side)), one slim
+pivot join. No range join, no per-point scan. At 100 TB the only full-data
+shuffle is the per-bucket median (inherent to exact medians);
+``approx=True`` switches to ``percentile_approx`` which is partially
+aggregatable and cuts the shuffle to sketch size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.timeutils import parse_duration_seconds
+from .rolling import rolling_agg_col
+
+__all__ = ["calc_velocity"]
+
+
+def calc_velocity(df: DataFrame, value_cols: Sequence[str],
+                  stat_window="3T", separation_window="2H",
+                  smoothing=None, min_obs: int = 3,
+                  ts_col: str = "ts", partition_by: Sequence[str] = (),
+                  approx: bool = False,
+                  grid_start=None, grid_end=None) -> DataFrame:
+    """Grid-median differenced velocity, m/day per component.
+
+    Returns ``partition_by + (date, <col>_vel ...)`` where ``date`` is the
+    grid timestamp. ``grid_start``/``grid_end`` override the data-derived
+    grid bounds (needed to keep the plan fully distributed when the caller
+    already knows them; otherwise a 1-row aggregate supplies them).
+    """
+    stat = parse_duration_seconds(stat_window)
+    sep = parse_duration_seconds(separation_window)
+    half_sep = sep / 2.0
+    p = list(partition_by)
+
+    work = df
+    if smoothing is not None:
+        for c in value_cols:
+            work = work.withColumn(c, rolling_agg_col(
+                c, smoothing, "mean", ts_col, p))
+
+    es = F.col(ts_col).cast("double")
+    if grid_start is None or grid_end is None:
+        # grid anchored at per-series first/last (gpstools.py:582-585);
+        # tiny agg, broadcast back onto the series.
+        bounds = work.groupBy(*[F.col(c) for c in p]).agg(
+            F.min(es).alias("_tmin"), F.max(es).alias("_tmax"))
+        work = work.join(F.broadcast(bounds), on=p) if p else \
+            work.crossJoin(F.broadcast(bounds))
+        t0 = F.col("_tmin") + F.lit(sep)
+        t_end = F.col("_tmax") - F.lit(sep)
+    else:
+        t0 = F.lit(float(grid_start))
+        t_end = F.lit(float(grid_end))
+
+    # per-offset tiling bucket; closed='left' ⇒ [lo, hi) ⇒ plain floor
+    def bucket(offset):
+        return F.floor((es - F.lit(offset) - (t0 - F.lit(stat / 2.0))) / F.lit(stat))
+
+    k_max = F.floor((t_end - t0) / F.lit(stat))
+    sides = F.array(
+        F.struct(F.lit(0).alias("side"), bucket(-half_sep).alias("k")),
+        F.struct(F.lit(1).alias("side"), bucket(+half_sep).alias("k")),
+    )
+    exploded = (work
+                .withColumn("_t0", t0)
+                .withColumn("_kmax", k_max)
+                .select(*p, "_t0", "_kmax", *value_cols,
+                        F.explode(sides).alias("_s"))
+                .select(*p, "_t0", "_kmax", *value_cols,
+                        F.col("_s.side").alias("_side"), F.col("_s.k").alias("_k"))
+                .where((F.col("_k") >= 0) & (F.col("_k") <= F.col("_kmax"))))
+
+    med = (lambda c: F.percentile_approx(F.col(c), 0.5)) if approx else \
+        (lambda c: F.median(F.col(c)))
+    aggs = [med(c).alias(f"_m_{c}") for c in value_cols]
+    aggs.append(F.count(F.col(value_cols[0])).alias("_n"))
+    per_side = exploded.groupBy(*[F.col(c) for c in p], "_t0", "_k", "_side").agg(*aggs)
+
+    left = per_side.where(F.col("_side") == 0).drop("_side")
+    right = per_side.where(F.col("_side") == 1).drop("_side")
+    keys = p + ["_t0", "_k"]
+    rn = {f"_m_{c}": f"_r_{c}" for c in value_cols}
+    right = right.withColumnsRenamed({**rn, "_n": "_rn"})
+    joined = (left.join(right, on=keys)
+              .where((F.col("_n") > min_obs) & (F.col("_rn") > min_obs)))
+
+    dt_days = sep / 86400.0
+    vel_cols = [((F.col(f"_r_{c}") - F.col(f"_m_{c}")) / F.lit(dt_days)).alias(f"{c}_vel")
+                for c in value_cols]
+    date = (F.col("_t0") + F.col("_k") * F.lit(stat)).cast("timestamp").alias("date")
+    return joined.select(*p, date, *vel_cols)

@@ -1,0 +1,923 @@
+"""The declared query inventory (SURVEY §2 coverage) + DuckDB oracles.
+
+Every operator the engine claims is exposed here twice:
+- a Spark implementation (``QUERIES[name](spark, sf_dir) -> DataFrame``)
+  built from the ``datatools_spark`` operator modules, and
+- an ANSI-SQL oracle (``ORACLE[name]``) DuckDB runs on the same parquet
+  tables (views: region nation customer supplier part orders lineitem
+  events documents embeddings).
+
+Conventions for engine-vs-oracle hash parity:
+- every computed float column is ``round(x, 6)`` (or 4 for large sums) on
+  BOTH sides — double arithmetic order differs between engines;
+- every tie-sensitive pick (argmin/argmax, top-k, mode, keep-first) is
+  explicitly tie-broken by a key column on BOTH sides;
+- portable hashing only (md5-derived), never engine-native ``hash()``.
+
+The reference operator each query re-expresses is cited inline
+(SURVEY §2 row → /root/reference file:line).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import detrend as DT
+from .operators import extrema as E
+from .operators import fillna as FN
+from .operators import intervals as IV
+from .operators import resample as RS
+from .operators import rolling as RL
+from .operators import similarity as SIM
+from .operators import text as TX
+from .operators import velocity as V
+from .functions import timeutils as TU
+from .functions.physics import add_in_quadrature, melt_expr
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects outright; read nanos as long (legacy conf, safe to
+        # set at runtime — the driver's session may not have it) and
+        # truncate to microseconds, matching DuckDB's ns→us cast.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# The oracle views see events.ts at nanosecond precision; shadow the view
+# with a micros-truncated CTE so both engines compute on identical values.
+_EV_CTE = "events AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM main.events)"
+
+
+def _patch_events_sql(sql: str) -> str:
+    if "events" not in sql:
+        return sql
+    s = sql.strip()
+    if s.upper().startswith("WITH"):
+        return "WITH " + _EV_CTE + ", " + s[4:].lstrip()
+    return "WITH " + _EV_CTE + " " + s
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = _patch_events_sql(sql)
+        return fn
+    return deco
+
+
+def _r(c, n: int = 6):
+    return F.round(c, n)
+
+
+# --------------------------------------------------------------------------
+# Time-series operators over `events` (ts, user_id, event_type, value)
+# --------------------------------------------------------------------------
+
+@query("ts_resample_daily_mean", sql="""
+SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+       round(avg(value), 6) AS mean_value, count(*) AS n
+FROM events GROUP BY 1, 2
+""")
+def ts_resample_daily_mean(spark, sf_dir):
+    """A1: per-day resample mean (gpstools.py:350-351)."""
+    ev = _t(spark, sf_dir, "events")
+    out = RS.resample_agg(ev, "1D", {"value": "mean"}, partition_by=["event_type"])
+    n = (ev.groupBy("event_type", F.date_trunc("DAY", "ts").alias("day"))
+         .agg(F.count("*").alias("n")))
+    return (out.withColumnRenamed("ts", "day")
+            .join(n, ["event_type", "day"])
+            .select("event_type", "day", _r(F.col("value")).alias("mean_value"), "n"))
+
+
+@query("ts_rolling_center_mean_2h", sql="""
+SELECT event_id,
+       round(avg(value) OVER (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                       AND INTERVAL 1 HOUR FOLLOWING), 6) AS roll_mean
+FROM events
+""")
+def ts_rolling_center_mean_2h(spark, sf_dir):
+    """W1: centered time-rolling mean (utils.py:32-56 c_rolling)."""
+    ev = _t(spark, sf_dir, "events")
+    out = RL.c_rolling(ev, "value", "2h", "mean", partition_by=["event_type"],
+                       out_col="roll_mean")
+    return out.select("event_id", _r(F.col("roll_mean")).alias("roll_mean"))
+
+
+@query("ts_rolling_median_6h", sql="""
+SELECT event_id,
+       round(median(value) OVER (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 3 HOUR PRECEDING
+                       AND INTERVAL 3 HOUR FOLLOWING), 6) AS roll_median
+FROM events
+""")
+def ts_rolling_median_6h(spark, sf_dir):
+    """A2/W1: centered rolling median (gpstools.py:955-967 median stat)."""
+    ev = _t(spark, sf_dir, "events")
+    out = RL.c_rolling(ev, "value", "6h", "median", partition_by=["event_type"],
+                       out_col="roll_median")
+    return out.select("event_id", _r(F.col("roll_median")).alias("roll_median"))
+
+
+_EXTREMA_RANKED = """
+ranked AS (
+  SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day, value, ts,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY value ASC, ts ASC) AS rn_min,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY value DESC, ts ASC) AS rn_max
+  FROM events WHERE value IS NOT NULL)
+"""
+
+@query("ts_daily_extrema", sql=f"""
+WITH {_EXTREMA_RANKED}
+SELECT event_type, day,
+       max(CASE WHEN rn_min = 1 THEN value END) AS min_val,
+       max(CASE WHEN rn_min = 1 THEN ts END)    AS min_time,
+       max(CASE WHEN rn_max = 1 THEN value END) AS max_val,
+       max(CASE WHEN rn_max = 1 THEN ts END)    AS max_time
+FROM ranked GROUP BY 1, 2
+""")
+def ts_daily_extrema(spark, sf_dir):
+    """A3/A4 same-day mode: per-day extrema with arg-times, first-occurrence
+    tie-break (diurnal.py:301-346, idxmin/idxmax semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    return E.daily_extrema(ev, partition_by=["event_type"]) \
+        .select("event_type", "day", "min_val", "min_time", "max_val", "max_time")
+
+
+@query("ts_diurnal_extrema_18h", sql=f"""
+WITH {_EXTREMA_RANKED},
+mins AS (
+  SELECT event_type, day,
+         max(CASE WHEN rn_min = 1 THEN value END) AS min_val,
+         max(CASE WHEN rn_min = 1 THEN ts END)    AS min_time
+  FROM ranked GROUP BY 1, 2),
+cand AS (
+  SELECT m.event_type, m.day, m.min_val, m.min_time, e.value, e.ts,
+         row_number() OVER (PARTITION BY m.event_type, m.day
+                            ORDER BY e.value DESC, e.ts ASC) AS rn
+  FROM mins m JOIN events e
+    ON e.event_type = m.event_type
+   AND e.ts > m.min_time AND e.ts <= m.min_time + INTERVAL 18 HOUR)
+SELECT event_type, day, min_val, min_time,
+       value AS max_val, ts AS max_time
+FROM cand WHERE rn = 1 AND min_val <= value
+""")
+def ts_diurnal_extrema_18h(spark, sf_dir):
+    """A4 min-first mode: max searched in (min_time, min_time+18h]
+    (diurnal.py:325-333)."""
+    ev = _t(spark, sf_dir, "events")
+    return E.daily_extrema(ev, partition_by=["event_type"],
+                           min_first=True, max_next_day=True) \
+        .select("event_type", "day", "min_val", "min_time", "max_val", "max_time")
+
+
+@query("ts_extrema_amplitude", sql=f"""
+WITH {_EXTREMA_RANKED},
+ex AS (
+  SELECT event_type, day,
+         max(CASE WHEN rn_min = 1 THEN value END) AS min_val,
+         max(CASE WHEN rn_min = 1 THEN ts END)    AS min_time,
+         max(CASE WHEN rn_max = 1 THEN value END) AS max_val,
+         max(CASE WHEN rn_max = 1 THEN ts END)    AS max_time
+  FROM ranked GROUP BY 1, 2)
+SELECT event_type, day,
+       round(max_val - min_val, 6) AS amplitude,
+       round((epoch(min_time) - epoch(day)) / 3600.0, 6) AS min_hrs,
+       round((epoch(max_time) - epoch(day)) / 3600.0, 6) AS max_hrs
+FROM ex WHERE max_val - min_val >= 1.0
+""")
+def ts_extrema_amplitude(spark, sf_dir):
+    """A8/A9/F11: amplitude + decimal-hour projections + threshold
+    (diurnal.py:296-299, 257-264, 369-373)."""
+    ev = _t(spark, sf_dir, "events")
+    ex = E.daily_extrema(ev, partition_by=["event_type"])
+    ex = E.apply_threshold(ex, 1.0)
+    ex = E.with_decimal_hours(E.with_amplitude(ex))
+    return ex.select("event_type", "day", _r("amplitude").alias("amplitude"),
+                     _r("min_hrs").alias("min_hrs"), _r("max_hrs").alias("max_hrs"))
+
+
+_VEL_STAT, _VEL_SEP = 6 * 3600, 24 * 3600
+
+@query("ts_velocity_grid", sql=f"""
+WITH b AS (SELECT min(epoch(ts)) + {_VEL_SEP} AS t0,
+                  max(epoch(ts)) - {_VEL_SEP} AS tend FROM events),
+sides AS (
+  SELECT floor((epoch(e.ts) + {_VEL_SEP / 2} - (b.t0 - {_VEL_STAT / 2})) / {_VEL_STAT}) AS k,
+         0 AS side, e.value, b.t0, b.tend FROM events e, b
+  UNION ALL
+  SELECT floor((epoch(e.ts) - {_VEL_SEP / 2} - (b.t0 - {_VEL_STAT / 2})) / {_VEL_STAT}),
+         1, e.value, b.t0, b.tend FROM events e, b),
+f AS (SELECT * FROM sides WHERE k >= 0 AND k <= floor((tend - t0) / {_VEL_STAT})),
+agg AS (SELECT k, side, median(value) AS m, count(value) AS n FROM f GROUP BY 1, 2)
+SELECT l.k::BIGINT AS k,
+       round((r.m - l.m) / ({_VEL_SEP} / 86400.0), 6) AS value_vel
+FROM agg l JOIN agg r ON l.k = r.k AND l.side = 0 AND r.side = 1
+WHERE l.n > 3 AND r.n > 3
+""")
+def ts_velocity_grid(spark, sf_dir):
+    """§2.9 velocity kernel (gpstools.py:524-608): grid-median differenced
+    velocity, bucket-tiling physical plan. Output keyed by grid index k
+    (engine-portable; the timestamp is t0 + k·stat)."""
+    ev = _t(spark, sf_dir, "events")
+    vel = V.calc_velocity(ev, ["value"], stat_window=_VEL_STAT,
+                          separation_window=_VEL_SEP, min_obs=3)
+    # recover k from date for the portable key: handled inside calc via _k,
+    # but the public output exposes `date`; rebuild k deterministically.
+    b = ev.agg((F.min(F.col("ts").cast("double")) + _VEL_SEP).alias("t0")).collect()[0]
+    return vel.select(
+        F.round((F.col("date").cast("double") - b["t0"]) / _VEL_STAT).cast("bigint").alias("k"),
+        _r(F.col("value_vel")).alias("value_vel"))
+
+
+@query("ts_asof_align", sql="""
+SELECT l.event_id, l.value, r.value AS p_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.ts >= r.ts
+""")
+def ts_asof_align(spark, sf_dir):
+    """J1: as-of alignment (pressure-series alignment hydrotools.py:369,546);
+    union+last-non-null window plan — no range join, both sides scale."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+        .select("ts", F.col("value").alias("p_value"))
+    out = IV.asof_join(clicks, purchases, value_cols=["p_value"])
+    return out.select("event_id", "value", "p_value")
+
+
+_SCHED_SQL = """
+(VALUES (TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-10', 1.0),
+        (TIMESTAMP '2024-01-10', TIMESTAMP '2024-01-20', 2.0),
+        (TIMESTAMP '2024-01-20', TIMESTAMP '2024-02-01', 3.0))
+  AS s(start_ts, end_ts, height)
+"""
+
+@query("ts_interval_lookup", sql=f"""
+SELECT e.event_id, s.height
+FROM events e LEFT JOIN {_SCHED_SQL}
+  ON e.ts >= s.start_ts AND e.ts < s.end_ts
+""")
+def ts_interval_lookup(spark, sf_dir):
+    """J2: piecewise sensor-height assignment via broadcast interval join
+    (hydrotools.py:351-366, 449-463 re-expressed as a time schedule)."""
+    ev = _t(spark, sf_dir, "events")
+    sched = spark.createDataFrame(
+        [("2024-01-01", "2024-01-10", 1.0),
+         ("2024-01-10", "2024-01-20", 2.0),
+         ("2024-01-20", "2024-02-01", 3.0)],
+        "start_ts string, end_ts string, height double") \
+        .select(F.col("start_ts").cast("timestamp"),
+                F.col("end_ts").cast("timestamp"), "height")
+    out = IV.interval_lookup_join(ev, sched, closed="left")
+    return out.select("event_id", "height")
+
+
+@query("ts_union_keep_first", sql="""
+WITH u AS (
+  SELECT *, 0 AS src FROM events WHERE ts < TIMESTAMP '2024-01-20'
+  UNION ALL
+  SELECT event_id, ts, user_id, event_type, value * 2 AS value, props, 1 AS src
+  FROM events WHERE ts >= TIMESTAMP '2024-01-10'),
+r AS (SELECT event_id, value,
+             row_number() OVER (PARTITION BY event_id ORDER BY src) AS rn
+      FROM u)
+SELECT event_id, value FROM r WHERE rn = 1
+""")
+def ts_union_keep_first(spark, sf_dir):
+    """J6/§2.7: append + duplicate-key elimination keep='first'
+    (hydrotools.py:197-199, 467)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("ts") < "2024-01-20")
+    b = ev.where(F.col("ts") >= "2024-01-10") \
+        .withColumn("value", F.col("value") * 2)
+    out = IV.union_keep_first([a, b], ["event_id"])
+    return out.select("event_id", "value")
+
+
+@query("ts_ffill", sql="""
+SELECT event_id,
+       last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+FROM events
+""")
+def ts_ffill(spark, sf_dir):
+    """F12 ffill (melt_model.py:434-436): error readings nulled then carried
+    forward per user series."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("event_type") != "error", F.col("value")))
+    out = FN.ffill(ev, ["value"], partition_by=["user_id"])
+    return out.select("event_id", F.col("value").alias("value_filled"))
+
+
+@query("ts_interp_linear", sql="""
+WITH base AS (
+  SELECT event_id, user_id, ts, epoch(ts) AS es,
+         CASE WHEN event_type <> 'error' THEN value END AS v
+  FROM events),
+w AS (
+  SELECT event_id, v, es,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN es END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+    last_value(CASE WHEN v IS NOT NULL THEN es END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY ts DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt
+  FROM base)
+SELECT event_id,
+  round(CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (es - pt) / (nt - pt)
+             WHEN pv IS NOT NULL AND nv IS NULL THEN pv
+        END, 6) AS value_interp
+FROM w
+""")
+def ts_interp_linear(spark, sf_dir):
+    """F12/W4 time-weighted linear interpolation (melt_model.py:403-404),
+    SURVEY §4 custom helper (3)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("event_type") != "error", F.col("value")))
+    out = FN.interpolate_linear(ev, ["value"], partition_by=["user_id"])
+    return out.select("event_id", _r(F.col("value")).alias("value_interp"))
+
+
+@query("ts_detrend_linear", sql="""
+WITH fit AS (
+  SELECT event_type,
+         regr_slope(value, epoch(ts)) AS b, regr_intercept(value, epoch(ts)) AS a
+  FROM events GROUP BY 1)
+SELECT e.event_id,
+       round(e.value - (f.a + f.b * epoch(e.ts)), 6) AS resid
+FROM events e JOIN fit f ON e.event_type = f.event_type
+""")
+def ts_detrend_linear(spark, sf_dir):
+    """E1 linear detrend (gpstools.py:462-496) via regr_slope/regr_intercept,
+    x = epoch seconds, per event_type series."""
+    ev = _t(spark, sf_dir, "events").withColumn("_es", F.col("ts").cast("double"))
+    out = DT.linear_detrend(ev, "value", partition_by=["event_type"],
+                            x_col="_es", out_col="resid")
+    return out.select("event_id", _r(F.col("resid")).alias("resid"))
+
+
+@query("ts_mode_gap", sql="""
+WITH gaps AS (
+  SELECT user_id,
+         round(epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))::BIGINT AS gap_s
+  FROM events),
+cnt AS (SELECT user_id, gap_s, count(*) AS n FROM gaps
+        WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT user_id, gap_s, n,
+             row_number() OVER (PARTITION BY user_id ORDER BY n DESC, gap_s ASC) AS rn
+      FROM cnt)
+SELECT user_id, gap_s AS modal_gap_s, n FROM r WHERE rn = 1
+""")
+def ts_mode_gap(spark, sf_dir):
+    """A17 infer_sampling (gpstools.py:804-826): modal index delta per
+    series; full-seconds semantics (the reference's `.seconds` truncation
+    bug is NOT replicated — SURVEY §5). Deterministic mode: count desc,
+    gap asc."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = (ev.withColumn(
+        "gap_s", F.round(F.col("ts").cast("double")
+                         - F.lag(F.col("ts")).over(w).cast("double")).cast("bigint"))
+        .where(F.col("gap_s").isNotNull()))
+    cnt = gaps.groupBy("user_id", "gap_s").agg(F.count("*").alias("n"))
+    r = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("gap_s").asc())
+    return (cnt.withColumn("rn", F.row_number().over(r)).where(F.col("rn") == 1)
+            .select("user_id", F.col("gap_s").alias("modal_gap_s"), "n"))
+
+
+@query("ts_decimal_hours", sql="""
+SELECT event_id,
+       round((epoch(ts) - epoch(date_trunc('day', ts))) / 3600.0, 6) AS dec_hour,
+       round(dayofyear(ts) + (epoch(ts) - epoch(date_trunc('day', ts))) / 86400.0, 6) AS doy
+FROM events
+""")
+def ts_decimal_hours(spark, sf_dir):
+    """W6/A9 decimal-hour + decimal-doy projections (diurnal.py:29-51,
+    utils.py:66-68)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        _r(TU.decimal_hours("ts")).alias("dec_hour"),
+        _r(TU.decimal_doy("ts")).alias("doy"))
+
+
+@query("ts_quadrature", sql="""
+SELECT user_id, round(sqrt(sum(value * value)), 6) AS quad
+FROM events GROUP BY 1
+""")
+def ts_quadrature(spark, sf_dir):
+    """A16 add_in_quadrature (utils.py:59-63) as a grouped aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(_r(F.sqrt(F.sum(F.col("value") * F.col("value")))).alias("quad")))
+
+
+@query("ts_melt_expr", sql="""
+SELECT event_id,
+       round(CASE WHEN value > 10.0
+                  THEN 0.05 * value + 0.0094 * (1.0 - 0.3) * (100.0 - value)
+                  ELSE 0.0 END, 6) AS melt
+FROM events
+""")
+def ts_melt_expr(spark, sf_dir):
+    """A12 temperature-index melt equation (melt_model.py:576-610,
+    gate :522-523): T=value, G=100−value, α=0.3, TT=10."""
+    ev = _t(spark, sf_dir, "events")
+    m = melt_expr(F.col("value"), F.lit(100.0) - F.col("value"), F.lit(0.3),
+                  threshold_temp=10.0)
+    return ev.select("event_id", _r(m).alias("melt"))
+
+
+@query("ts_albedo_daily", sql="""
+WITH b AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS day, value AS incoming,
+         value * (0.5 + 0.3 * sin(event_id)) AS outgoing, ts
+  FROM events),
+r AS (SELECT day, incoming, outgoing,
+             row_number() OVER (PARTITION BY day ORDER BY incoming DESC, ts ASC) AS rn
+      FROM b),
+d AS (SELECT day,
+             max(CASE WHEN rn = 1 THEN outgoing END) AS out_at_max,
+             max(incoming) AS max_in
+      FROM r GROUP BY 1)
+SELECT day,
+       round(CASE WHEN out_at_max / max_in >= 1.0 THEN NULL
+                  ELSE out_at_max / max_in END, 6) AS albedo
+FROM d
+""")
+def ts_albedo_daily(spark, sf_dir):
+    """A10 daily albedo at solar max (melt_model.py:408-446, key :423-427):
+    outgoing[argmax(incoming)] / max(incoming), ≥1 masked. The max_by
+    showcase with pinned first-occurrence ties."""
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("incoming", F.col("value"))
+          .withColumn("outgoing", F.col("value") * (F.lit(0.5) + F.lit(0.3) * F.sin(F.col("event_id")))))
+    s = F.min(F.struct((-F.col("incoming")).alias("ni"), F.col("ts").alias("t"),
+                       F.col("outgoing").alias("o")))
+    d = (ev.groupBy(F.date_trunc("DAY", "ts").alias("day"))
+         .agg(s["o"].alias("out_at_max"), F.max("incoming").alias("max_in")))
+    alb = F.col("out_at_max") / F.col("max_in")
+    return d.select("day", _r(F.when(alb >= 1.0, F.lit(None)).otherwise(alb)).alias("albedo"))
+
+
+@query("ts_rotate_flow", sql="""
+SELECT event_id,
+       round(cos(0.6) * value + sin(0.6) * (value * 0.3 + 2.0), 6) AS xflow,
+       round(-sin(0.6) * value + cos(0.6) * (value * 0.3 + 2.0), 6) AS xtran
+FROM events
+""")
+def ts_rotate_flow(spark, sf_dir):
+    """E1 rotation to flow direction (gpstools.py:370-376): east=value,
+    north=0.3·value+2, α=0.6 rad."""
+    import math
+    ev = _t(spark, sf_dir, "events")
+    e, n = F.col("value"), F.col("value") * 0.3 + 2.0
+    ca, sa = math.cos(0.6), math.sin(0.6)
+    return ev.select(
+        "event_id",
+        _r(F.lit(ca) * e + F.lit(sa) * n).alias("xflow"),
+        _r(F.lit(-sa) * e + F.lit(ca) * n).alias("xtran"))
+
+
+# --------------------------------------------------------------------------
+# Star-schema analytics (Catalyst-native: joins, aggs, top-k)
+# --------------------------------------------------------------------------
+
+@query("ss_pricing_summary", sql="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)      AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 6)      AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6)      AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+""")
+def ss_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: partial-agg friendly, filter pushed
+    to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(_r(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 _r(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 _r(F.sum(disc), 4).alias("sum_disc_price"),
+                 _r(F.sum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+                 _r(F.avg("l_quantity")).alias("avg_qty"),
+                 _r(F.avg("l_extendedprice")).alias("avg_price"),
+                 _r(F.avg("l_discount")).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+@query("ss_region_revenue", sql="""
+SELECT r.r_name, year(o.o_orderdate) AS yr,
+       round(sum(o.o_totalprice), 4) AS revenue, count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""")
+def ss_region_revenue(spark, sf_dir):
+    """Star join with broadcast dims (customer/nation/region are small →
+    broadcast hash joins, no shuffle of the fact side beyond the agg)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("r_name", F.year("o_orderdate").alias("yr"))
+            .agg(_r(F.sum("o_totalprice"), 4).alias("revenue"),
+                 F.count("*").alias("n_orders")))
+
+
+@query("ss_top_customers_per_nation", sql="""
+WITH rev AS (
+  SELECT n.n_name, c.c_custkey, round(sum(o.o_totalprice), 4) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY n_name
+                                   ORDER BY revenue DESC, c_custkey ASC) AS rnk
+      FROM rev)
+SELECT n_name, c_custkey, revenue, rnk FROM r WHERE rnk <= 5
+""")
+def ss_top_customers_per_nation(spark, sf_dir):
+    """§2.6 top-k per group via row_number (the general form of the
+    reference's max_by/top-1)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+           .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+           .groupBy("n_name", "c_custkey")
+           .agg(_r(F.sum("o_totalprice"), 4).alias("revenue")))
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (rev.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 5))
+
+
+@query("ss_priority_month", sql="""
+SELECT o_orderpriority, date_trunc('month', o_orderdate)::TIMESTAMP AS month, count(*) AS n
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY 1, 2
+""")
+def ss_priority_month(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.where(F.col("o_orderstatus") == "F")
+            .groupBy("o_orderpriority", F.date_trunc("MONTH", "o_orderdate").alias("month"))
+            .agg(F.count("*").alias("n")))
+
+
+@query("ss_part_brand_stats", sql="""
+SELECT p_brand, round(avg(p_retailprice), 6) AS avg_price,
+       max(p_size) AS max_size, count(*) AS n
+FROM part WHERE p_size < 30 GROUP BY 1
+""")
+def ss_part_brand_stats(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (p.where(F.col("p_size") < 30)
+            .groupBy("p_brand")
+            .agg(_r(F.avg("p_retailprice")).alias("avg_price"),
+                 F.max("p_size").alias("max_size"), F.count("*").alias("n")))
+
+
+@query("ss_segment_stats", sql="""
+SELECT c_mktsegment, round(avg(c_acctbal), 6) AS avg_bal,
+       count(*) AS n, count(DISTINCT c_nationkey) AS n_nations
+FROM customer GROUP BY 1
+""")
+def ss_segment_stats(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (c.groupBy("c_mktsegment")
+            .agg(_r(F.avg("c_acctbal")).alias("avg_bal"),
+                 F.count("*").alias("n"),
+                 F.countDistinct("c_nationkey").alias("n_nations")))
+
+
+@query("ss_window_counts", sql="""
+SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def ss_window_counts(spark, sf_dir):
+    """§2.10 streaming-compatible tumbling event-time aggregation (batch
+    form; the identical plan runs under Structured Streaming with a
+    watermark — see streaming/demo.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), _r(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"))
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: text analysis / dedup / similarity
+# --------------------------------------------------------------------------
+
+def _lang_score_sql(markers: list[str]) -> str:
+    p = "' ' || lower(text) || ' '"
+    terms = [
+        f"(length({p}) - length(replace({p}, '{m}', ''))) / {len(m)}.0"
+        for m in markers
+    ]
+    return " + ".join(terms)
+
+
+_LANG_SQL_CASE = """
+CASE
+  WHEN {en} >= {es} AND {en} >= {fr} AND {en} >= {de} AND {en} > 0 THEN 'en'
+  WHEN {es} >= {fr} AND {es} >= {de} AND {es} > 0 THEN 'es'
+  WHEN {fr} >= {de} AND {fr} > 0 THEN 'fr'
+  WHEN {de} > 0 THEN 'de'
+  ELSE 'und'
+END
+""".format(
+    en=_lang_score_sql(TX.LANG_MARKERS["en"]),
+    es=_lang_score_sql(TX.LANG_MARKERS["es"]),
+    fr=_lang_score_sql(TX.LANG_MARKERS["fr"]),
+    de=_lang_score_sql(TX.LANG_MARKERS["de"]),
+)
+
+@query("doc_lang_id", sql=f"SELECT doc_id, {_LANG_SQL_CASE} AS lang_pred FROM documents")
+def doc_lang_id(spark, sf_dir):
+    """Language ID: stopword-marker heuristic, earlier language wins ties
+    (matches the SQL >= chain)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id_col("text").alias("lang_pred"))
+
+
+@query("doc_token_count", sql="""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens
+FROM documents
+""")
+def doc_token_count(spark, sf_dir):
+    """Token counting (whitespace tokens), JVM-side split."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.token_count_col("text").alias("n_tokens"))
+
+
+_QUAL_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_tokens,
+         (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE AS n_punct,
+         ((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5.0
+        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3.0
+        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5.0
+        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4.0
+        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' to ', ''))) / 4.0) AS stop_hits
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+  round(CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
+  round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+  round(CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+  round(least(n_chars::DOUBLE / 200.0, 1.0)
+        * (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5, 1.0))
+        * least(CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END * 10 + 0.2, 1.0), 6)
+    AS quality_score
+FROM f
+"""
+
+@query("doc_quality", sql=_QUAL_SQL)
+def doc_quality(spark, sf_dir):
+    """Quality scoring: length/punct/stopword features + composite score."""
+    d = _t(spark, sf_dir, "documents")
+    cols = TX.quality_score_cols("text")
+    return d.select(
+        "doc_id", cols["n_chars"].alias("n_chars"), cols["n_tokens"].alias("n_tokens"),
+        _r(cols["avg_token_len"]).alias("avg_token_len"),
+        _r(cols["punct_ratio"]).alias("punct_ratio"),
+        _r(cols["stopword_ratio"]).alias("stopword_ratio"),
+        _r(cols["quality_score"]).alias("quality_score"))
+
+
+@query("doc_fingerprint_dedup", sql="""
+WITH f AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents),
+r AS (SELECT doc_id, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
+SELECT doc_id, fp, (rn = 1)::INT AS is_canonical FROM r
+""")
+def doc_fingerprint_dedup(spark, sf_dir):
+    """Exact dedup: canonical md5 fingerprint + keep-first flag (the
+    dropDuplicates decision column, engine-portable)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (d.withColumn("fp", TX.fingerprint_col("text"))
+            .withColumn("is_canonical",
+                        (F.row_number().over(w) == 1).cast("int"))
+            .select("doc_id", "fp", "is_canonical"))
+
+
+_SHINGLE_SQL = """
+w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+      FROM documents),
+sh AS (SELECT doc_id, unnest(
+         CASE WHEN len(ws) - 2 >= 1
+              THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+              ELSE []::VARCHAR[] END) AS s
+      FROM w)
+"""
+
+_MINHASH_AGGS = ",\n       ".join(
+    f"min(('0x' || substr(md5('{i}:' || s), 1, 8))::BIGINT) AS mh_{i}"
+    for i in range(8))
+
+@query("doc_minhash", sql=f"""
+WITH {_SHINGLE_SQL}
+SELECT doc_id,
+       {_MINHASH_AGGS}
+FROM sh GROUP BY 1
+""")
+def doc_minhash(spark, sf_dir):
+    """MinHash signatures (8 portable md5-seeded 32-bit hashes over distinct
+    word trigrams) — the LSH building block."""
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_signature(d, num_hashes=8)
+
+
+@query("doc_ngram_pairs", sql=f"""
+WITH {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.a_id, i.b_id,
+       round(i.i::DOUBLE / (na.n + nb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.a_id
+JOIN sizes nb ON nb.doc_id = i.b_id
+WHERE i.i::DOUBLE / (na.n + nb.n - i.i) >= 0.05
+""")
+def doc_ngram_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join
+    (no n² cross join)."""
+    d = _t(spark, sf_dir, "documents")
+    out = D.ngram_jaccard_pairs(d, threshold=0.05)
+    return out.select("a_id", "b_id", _r(F.col("jaccard")).alias("jaccard"))
+
+
+_SIMHASH_BITS = 16
+_SIMHASH_SUMS = ",\n       ".join(
+    f"sum(CASE WHEN (hv // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+    for j in range(_SIMHASH_BITS))
+_SIMHASH_VAL = " + ".join(
+    f"CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SIMHASH_BITS))
+
+@query("doc_simhash", sql=f"""
+WITH t AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+           FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5('7:' || w), 1, 8))::BIGINT AS hv FROM t),
+s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY 1)
+SELECT doc_id, ({_SIMHASH_VAL})::BIGINT AS simhash FROM s
+""")
+def doc_simhash(spark, sf_dir):
+    """SimHash 16-bit signatures (sign-aggregated token hashes)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_col(d, bits=_SIMHASH_BITS)
+
+
+_COS_SQL = """
+list_sum(list_transform(range(1, array_length({a}) + 1),
+         i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+/ (sqrt(list_sum(list_transform(range(1, array_length({a}) + 1),
+         i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+ * sqrt(list_sum(list_transform(range(1, array_length({b}) + 1),
+         i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))
+"""
+
+@query("emb_knn_brute", sql=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+s AS (SELECT q.query_id, e.vec_id,
+             {_COS_SQL.format(a='e.embedding', b='q.qv')} AS cos
+      FROM embeddings e, q),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
+FROM r WHERE rank <= 10
+""")
+def emb_knn_brute(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline): broadcast query
+    vectors, one corpus scan, row_number cut."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.where(F.col("vec_id").isin(0, 1, 2)) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.knn_brute_force(e, q, k=10)
+    return out.select("query_id", "vec_id", _r(F.col("cosine")).alias("cosine"), "rank")
+
+
+def _bucket_sql(col: str, planes: int = 4) -> str:
+    terms = []
+    for h in range(planes):
+        proj = (f"list_sum(list_transform(range(1, array_length({col}) + 1), "
+                f"i -> {col}[i]::DOUBLE * sin({h * 97}.0 + (i - 1) * 31.0)))")
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << h} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")::INT"
+
+@query("emb_hyperplane_bucket", sql=f"""
+SELECT vec_id, {_bucket_sql('embedding')} AS bucket FROM embeddings
+""")
+def emb_hyperplane_bucket(spark, sf_dir):
+    """Hyperplane-LSH bucket assignment (deterministic sin-based planes) —
+    the ANN scale path's partitioning key."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select("vec_id",
+                    SIM.hyperplane_bucket_col("embedding", 4).alias("bucket"))
+
+
+@query("emb_dup_pairs", sql=f"""
+WITH s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                  {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos
+           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+SELECT a_id, b_id, round(cos, 6) AS cosine FROM s WHERE cos >= 0.4
+""")
+def emb_dup_pairs(spark, sf_dir):
+    """Embedding near-duplicate pairs (cosine ≥ 0.4 on this corpus)."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    out = D.embedding_dup_pairs(e, threshold=0.4)
+    return out.select("a_id", "b_id", _r(F.col("cosine")).alias("cosine"))
+
+
+@query("emb_centroid_assign", sql=f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+           FROM embeddings WHERE vec_id < 8),
+s AS (SELECT e.vec_id, c.centroid_id,
+             {_COS_SQL.format(a='e.embedding', b='c.cv')} AS cos
+      FROM embeddings e, c),
+r AS (SELECT vec_id, centroid_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, centroid_id ASC) AS rn
+      FROM s)
+SELECT vec_id, centroid_id, round(cos, 6) AS cosine FROM r WHERE rn = 1
+""")
+def emb_centroid_assign(spark, sf_dir):
+    """IVF coarse assignment: nearest of 8 centroid vectors per row —
+    the partition-pruned ANN layout step."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cent = e.where(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    out = SIM.ivf_assign(e, cent)
+    return out.select("vec_id", "centroid_id", _r(F.col("cosine")).alias("cosine"))
+
+
+# --- non-SQL-expressible ops (driver records rows-only checks) -------------
+
+@query("mm_extract_features")
+def mm_extract_features(spark, sf_dir):
+    """Multimodal plumbing: documents' text bytes as stand-in binary
+    payloads → Arrow-batched feature extraction via mapInPandas
+    (decode step stubbed — see operators/multimodal.py)."""
+    from .operators import multimodal as MM
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"))
+    feats = MM.extract_features(d, dim=8)
+    return feats.select("media_id",
+                        F.round(F.element_at("features", 1), 6).alias("f0"),
+                        F.size("features").alias("dim"))

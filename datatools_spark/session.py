@@ -1,0 +1,66 @@
+"""SparkSession factory for datatools_spark.
+
+Centralizes the engine's session configuration so every entry point —
+tests, bench, the driver's ``__spark_entry__`` — runs with the same
+scale-oriented defaults:
+
+- AQE on (runtime re-planning: coalesced shuffles, skew-join splitting,
+  broadcast demotion/promotion) — required at 100 TB where static stats lie.
+- ``spark.sql.session.timeZone=UTC`` — the reference strips/normalizes tz
+  (gpstools.py:698, diurnal.py:233-234); we pin UTC so timestamp semantics
+  are deterministic across engines (DuckDB oracle reads naive timestamps).
+- Arrow enabled for the few pandas-interop boundaries (multimodal UDFs,
+  ``toPandas`` at viz sinks) — never on the parity hot path.
+- ``shuffle.partitions`` defaults sized for local test runs; on a real
+  cluster AQE coalescing makes the static number mostly irrelevant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "DEFAULT_SHUFFLE_PARTITIONS"]
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "datatools-spark", master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    Parameters
+    ----------
+    master:
+        Defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) when no
+        active session/master is configured. On a cluster, leave ``None``
+        and let spark-submit supply the master.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        # Parquet scans: vectorized reader + pushdown are on by default;
+        # keep file split size at default 128m — right for the 100 TB target.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark's
+        # reader rejects; read as long and convert (see queries._t)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,179 @@
+"""Unit tests for the core time-series operators on synthetic frames,
+including pandas-oracle differential checks (SURVEY §5 test plan #2:
+the reference algorithm re-run faithfully in pandas vs the Spark operator)."""
+
+import datetime as dt
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datatools_spark.operators.extrema import (
+    apply_threshold, daily_extrema, with_amplitude, with_decimal_hours,
+)
+from datatools_spark.operators.fillna import bfill, ffill, interpolate_linear
+from datatools_spark.operators.intervals import (
+    asof_join, clip_to_window, drop_windows, interval_lookup_join,
+    union_keep_first,
+)
+from datatools_spark.operators.resample import resample_agg
+from datatools_spark.operators.rolling import c_rolling
+from datatools_spark.operators.velocity import calc_velocity
+
+
+def _series(spark, n=4 * 96, step_min=15, f=None):
+    t0 = dt.datetime(2024, 1, 1)
+    f = f or (lambda i: math.sin(2 * math.pi * i / 96.0) + 2.5)
+    rows = [(t0 + dt.timedelta(minutes=step_min * i), float(f(i))) for i in range(n)]
+    return spark.createDataFrame(rows, "ts timestamp, value double"), rows
+
+
+def test_c_rolling_matches_pandas_centered(spark):
+    df, rows = _series(spark)
+    out = {r["ts"]: r["value_roll"]
+           for r in c_rolling(df, "value", "2h", "mean").collect()}
+    pdf = pd.DataFrame(rows, columns=["ts", "value"]).set_index("ts")
+    # pandas trailing 2h window shifted back 1h = centered [t-1h, t+1h];
+    # direct check: mean of values within [t-1h, t+1h] inclusive
+    for t, v in list(out.items())[::17]:
+        lo, hi = t - dt.timedelta(hours=1), t + dt.timedelta(hours=1)
+        expect = pdf.loc[lo:hi, "value"].mean()
+        assert v == pytest.approx(expect, abs=1e-12)
+
+
+def test_c_rolling_min_periods(spark):
+    df, _ = _series(spark, n=10)
+    out = c_rolling(df, "value", "2h", "mean", min_periods=6).orderBy("ts").collect()
+    # first rows have < 6 obs in their centered window → null
+    assert out[0]["value_roll"] is None
+    assert out[5]["value_roll"] is not None
+
+
+def test_resample_matches_pandas(spark):
+    df, rows = _series(spark)
+    got = {r["ts"]: r["value"]
+           for r in resample_agg(df, "1D", {"value": "mean"}).collect()}
+    pdf = pd.DataFrame(rows, columns=["ts", "value"]).set_index("ts")
+    exp = pdf.resample("1D").mean()
+    for t, row in exp.iterrows():
+        assert got[t.to_pydatetime()] == pytest.approx(row["value"], abs=1e-12)
+
+
+def test_daily_extrema_matches_pandas_loop(spark):
+    """Differential vs the reference algorithm (diurnal.py:301-346,
+    same-day mode): per-day idxmin/idxmax with first-occurrence ties."""
+    df, rows = _series(spark)
+    got = {r["day"].date(): r for r in daily_extrema(df).collect()}
+    pdf = pd.DataFrame(rows, columns=["ts", "value"]).set_index("ts")["value"]
+    for day, grp in pdf.groupby(pdf.index.date):
+        g = got[day]
+        assert g["min_val"] == pytest.approx(grp.min())
+        assert g["min_time"] == grp.idxmin().to_pydatetime()
+        assert g["max_val"] == pytest.approx(grp.max())
+        assert g["max_time"] == grp.idxmax().to_pydatetime()
+
+
+def test_daily_extrema_min_first_18h_window(spark):
+    # series whose max follows the min on the next day within 18 h
+    df, _ = _series(spark, f=lambda i: -math.cos(2 * math.pi * (i - 48) / 96.0))
+    out = daily_extrema(df, min_first=True, max_next_day=True).orderBy("day").collect()
+    for r in out:
+        assert r["max_time"] > r["min_time"]
+        assert r["max_time"] <= r["min_time"] + dt.timedelta(hours=18)
+        assert r["min_val"] <= r["max_val"]
+
+
+def test_extrema_threshold_and_amplitude(spark):
+    df, _ = _series(spark, f=lambda i: 0.1 * math.sin(2 * math.pi * i / 96.0))
+    ex = with_amplitude(daily_extrema(df))
+    assert apply_threshold(ex, 0.5).count() == 0
+    assert apply_threshold(ex, 0.05).count() > 0
+    hrs = with_decimal_hours(ex).first()
+    assert 0 <= hrs["min_hrs"] < 24
+
+
+def test_velocity_linear_motion(spark):
+    """On pure linear motion (v m/day), the kernel must recover v exactly
+    (medians of both windows sit on the line)."""
+    v_per_day = 3.0
+    df, _ = _series(spark, n=6 * 96,
+                    f=lambda i: v_per_day * (i * 15 / (24 * 60.0)))
+    out = calc_velocity(df, ["value"], stat_window="1h",
+                        separation_window="6h").collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["value_vel"] == pytest.approx(v_per_day, rel=1e-9)
+
+
+def test_velocity_guard_drops_sparse_windows(spark):
+    # 30-min cadence → 1h stat window holds ≤2 samples < min_obs+1 → no rows
+    df, _ = _series(spark, n=200, step_min=30)
+    out = calc_velocity(df, ["value"], stat_window="1h", separation_window="6h")
+    assert out.count() == 0
+
+
+def test_ffill_bfill_interpolate(spark):
+    rows = [(dt.datetime(2024, 1, 1, h), v) for h, v in
+            [(0, 1.0), (1, None), (2, None), (3, 4.0), (4, None)]]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    f = {r["ts"].hour: r["value"] for r in ffill(df, ["value"]).collect()}
+    assert f[1] == 1.0 and f[2] == 1.0 and f[4] == 4.0
+    b = {r["ts"].hour: r["value"] for r in bfill(df, ["value"]).collect()}
+    assert b[1] == 4.0 and b[4] is None
+    i = {r["ts"].hour: r["value"]
+         for r in interpolate_linear(df, ["value"]).collect()}
+    assert i[1] == pytest.approx(2.0) and i[2] == pytest.approx(3.0)
+    assert i[4] == 4.0  # pandas-parity trailing fill
+
+
+def test_interpolate_time_weighted_irregular(spark):
+    rows = [(dt.datetime(2024, 1, 1, 0, 0), 0.0),
+            (dt.datetime(2024, 1, 1, 0, 10), None),
+            (dt.datetime(2024, 1, 1, 1, 0), 6.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["ts"]: r["value"] for r in interpolate_linear(df, ["value"]).collect()}
+    assert out[dt.datetime(2024, 1, 1, 0, 10)] == pytest.approx(1.0)  # 10/60 * 6
+
+
+def test_clip_closed_semantics(spark):
+    df, _ = _series(spark, n=10)
+    start, end = dt.datetime(2024, 1, 1, 0, 15), dt.datetime(2024, 1, 1, 1, 0)
+    assert clip_to_window(df, start, end, closed="both").count() == 4
+    assert clip_to_window(df, start, end, closed="left").count() == 3
+    assert clip_to_window(df, start, end, closed="right").count() == 3
+    assert clip_to_window(df, start, end, closed="neither").count() == 2
+    assert drop_windows(df, [(start, end)]).count() == 6
+
+
+def test_interval_lookup_join(spark):
+    df, _ = _series(spark, n=8, step_min=60)
+    sched = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0), dt.datetime(2024, 1, 1, 3), 1.0),
+         (dt.datetime(2024, 1, 1, 3), dt.datetime(2024, 1, 1, 9), 2.0)],
+        "start_ts timestamp, end_ts timestamp, height double")
+    out = {r["ts"].hour: r["height"]
+           for r in interval_lookup_join(df, sched, closed="left").collect()}
+    assert out[0] == 1.0 and out[2] == 1.0 and out[3] == 2.0 and out[7] == 2.0
+
+
+def test_asof_join_backward_tolerance(spark):
+    left = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0, h) if h < 60 else dt.datetime(2024, 1, 1, 1, 0), h)
+         for h in (10, 30, 60)], "ts timestamp, lid int")
+    right = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0, 5), 100.0),
+         (dt.datetime(2024, 1, 1, 0, 30), 200.0)],
+        "ts timestamp, p double")
+    out = {r["lid"]: r["p"] for r in asof_join(left, right).collect()}
+    assert out[10] == 100.0 and out[30] == 200.0 and out[60] == 200.0
+    tol = {r["lid"]: r["p"]
+           for r in asof_join(left, right, tolerance=600).collect()}
+    assert tol[10] == 100.0 and tol[30] == 200.0 and tol[60] is None
+
+
+def test_union_keep_first(spark):
+    a = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    b = spark.createDataFrame([(2, 99.0), (3, 30.0)], "k int, v double")
+    out = {r["k"]: r["v"] for r in union_keep_first([a, b], ["k"]).collect()}
+    assert out == {1: 10.0, 2: 20.0, 3: 30.0}

@@ -1,0 +1,107 @@
+"""Temperature-index melt pipeline (reference melt_model.py — E3).
+
+The reference runs per-day Python loops for shadow correction
+(:395-398) and albedo (:423-427); here both are set-based:
+
+- shadow correction: per-day band extrema via window functions + the
+  time-weighted interpolation helper;
+- daily albedo: ``outgoing[argmax(incoming)] / max(incoming)`` — one
+  hash aggregate with a tie-pinned argmax (SURVEY A10, the max_by
+  showcase);
+- melt: pure column expression (functions.physics.melt_expr).
+
+No Python UDFs anywhere; every step whole-stage-codegens.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions.physics import melt_expr
+from .operators.fillna import ffill, interpolate_linear
+from .operators.rolling import rolling_agg_col
+
+__all__ = ["apply_shadow_correction", "calc_daily_albedo", "calc_melt"]
+
+
+def apply_shadow_correction(df: DataFrame, solar_col: str = "Solar_incoming",
+                            band: tuple[int, int] = (14, 17),
+                            ts_col: str = "ts",
+                            partition_by: Sequence[str] = ()) -> DataFrame:
+    """W4 (melt_model.py:366-406): within a fixed clock band each day, a
+    topographic shadow notches the solar curve. Flag in-band samples below
+    ``min(first, last)`` of the band, null them, linearly interpolate.
+
+    Set-based: per-(day) band endpoints via min_by/max_by aggregation,
+    broadcast back; interpolation via the window helper. Adds
+    ``{solar_col}_corrected``.
+    """
+    p = list(partition_by)
+    day = F.date_trunc("DAY", F.col(ts_col))
+    in_band = (F.hour(F.col(ts_col)) >= band[0]) & (F.hour(F.col(ts_col)) < band[1])
+    # band endpoints per day: first/last in-band values (min_by/max_by ts)
+    band_rows = df.where(in_band)
+    ends = (band_rows.groupBy(*[F.col(c) for c in p], day.alias("_day"))
+            .agg(F.min_by(F.col(solar_col), F.col(ts_col)).alias("_first_v"),
+                 F.max_by(F.col(solar_col), F.col(ts_col)).alias("_last_v")))
+    thresh = F.least(F.col("_first_v"), F.col("_last_v"))
+    work = df.withColumn("_day", day).join(
+        F.broadcast(ends), on=p + ["_day"], how="left")
+    corrected = F.when(
+        in_band & (F.col(solar_col) < thresh), F.lit(None)
+    ).otherwise(F.col(solar_col))
+    out_col = f"{solar_col}_corrected"
+    work = work.withColumn(out_col, corrected).drop("_day", "_first_v", "_last_v")
+    return interpolate_linear(work, [out_col], ts_col, p)
+
+
+def calc_daily_albedo(df: DataFrame, incoming_col: str = "Solar_incoming",
+                      reflected_col: str = "Solar_reflected",
+                      ts_col: str = "ts", smoothing: str = "2h",
+                      partition_by: Sequence[str] = ()) -> DataFrame:
+    """A10 (melt_model.py:408-446): 2-h centered rolling means of both
+    channels; daily albedo = reflected[argmax(incoming)] / max(incoming);
+    values ≥ 1 masked; output one row per day:
+    ``partition_by + (day, albedo)``."""
+    p = list(partition_by)
+    sm_in = rolling_agg_col(incoming_col, smoothing, "mean", ts_col, p)
+    sm_out = rolling_agg_col(reflected_col, smoothing, "mean", ts_col, p)
+    work = (df.withColumn("_in", sm_in).withColumn("_out", sm_out)
+            .where(F.col("_in").isNotNull()))
+    # tie-pinned argmax: max incoming, earliest ts (pandas idxmax parity)
+    s = F.min(F.struct((-F.col("_in")).alias("ni"), F.col(ts_col).alias("t"),
+                       F.col("_out").alias("o")))
+    daily = (work.groupBy(*[F.col(c) for c in p],
+                          F.date_trunc("DAY", F.col(ts_col)).alias("day"))
+             .agg(s["o"].alias("_out_at_max"), F.max("_in").alias("_max_in")))
+    alb = F.col("_out_at_max") / F.col("_max_in")
+    return daily.select(
+        *p, "day",
+        F.when(alb >= 1.0, F.lit(None)).otherwise(alb).alias("albedo"))
+
+
+def calc_melt(df: DataFrame, temp_col: str = "Temp",
+              incoming_col: str = "Solar_incoming",
+              reflected_col: str = "Solar_reflected",
+              ts_col: str = "ts", threshold_temp: float = 0.0,
+              partition_by: Sequence[str] = ()) -> DataFrame:
+    """E3 end-to-end (melt_model.py:448-543): smoothed incoming solar,
+    daily albedo joined back on the day key (J3 — the reference joins on
+    each day's first timestamp then ffills :531-537; the day-key join +
+    ffill is the cleaner equivalent-intended plan), melt expression with
+    the temperature gate, nulls→0 (:541). Adds ``melt_rate``."""
+    p = list(partition_by)
+    albedo = calc_daily_albedo(df, incoming_col, reflected_col, ts_col,
+                               partition_by=p)
+    work = (df.withColumn("_in_sm",
+                          rolling_agg_col(incoming_col, "2h", "mean", ts_col, p))
+            .withColumn("day", F.date_trunc("DAY", F.col(ts_col)))
+            .join(F.broadcast(albedo), on=p + ["day"], how="left"))
+    work = ffill(work, ["albedo"], ts_col, p)
+    m = melt_expr(F.col(temp_col), F.col("_in_sm"), F.col("albedo"),
+                  threshold_temp=threshold_temp)
+    return (work.withColumn("melt_rate", F.coalesce(m, F.lit(0.0)))
+            .drop("_in_sm", "day"))

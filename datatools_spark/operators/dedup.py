@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import fingerprint_col, word_shingles
+from .text import fingerprint_col, word_shingles, words_col
 
 __all__ = [
     "exact_dedup", "minhash_signature", "minhash_lsh_pairs",
@@ -50,6 +50,16 @@ def _hash32(col: Column, seed: int) -> Column:
                   16, 10).cast("bigint")
 
 
+def _hash32_chunked(col: Column, i: int) -> Column:
+    """Hash family member i, 4 per md5 digest: one 128-bit md5 of
+    ``(i//4):x`` yields four independent 32-bit chunks (hex chars 8k+1..).
+    4× fewer digest computations than seed-per-hash on the hot path;
+    reproducible in any engine with md5+substr."""
+    group, chunk = divmod(i, 4)
+    digest = F.md5(F.concat(F.lit(f"{group}:"), col))
+    return F.conv(F.substring(digest, chunk * 8 + 1, 8), 16, 10).cast("bigint")
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
                       shingle_n: int = 3) -> DataFrame:
@@ -58,8 +68,12 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
 
     Output: ``id_col, mh_0 .. mh_{k-1}`` (docs with no shingles dropped).
     """
-    sh = (df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_sh")))
-    aggs = [F.min(_hash32(F.col("_sh"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    sh = (df.withColumn("_words", words_col(text_col))
+          .select(F.col(id_col),
+                  F.explode(word_shingles(text_col, shingle_n,
+                                          from_words_col="_words")).alias("_sh")))
+    aggs = [F.min(_hash32_chunked(F.col("_sh"), i)).alias(f"mh_{i}")
+            for i in range(num_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -115,8 +129,7 @@ def simhash_col(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Output: ``id_col, simhash`` (bigint in [0, 2^bits)).
     """
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    tok = df.select(F.col(id_col), F.explode(words).alias("_w"))
+    tok = df.select(F.col(id_col), F.explode(words_col(text_col)).alias("_w"))
     h = _hash32(F.col("_w"), 7)
     sums = [F.sum(F.when(((h / F.lit(1 << j)).cast("bigint") % 2) == 1, 1)
                   .otherwise(-1)).alias(f"_s{j}") for j in range(bits)]
@@ -138,7 +151,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     intersection count → Jaccard with |A|+|B| from per-doc counts.
     Output: ``a_id, b_id, jaccard`` with a<b.
     """
-    sh = (df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_sh"))
+    sh = (df.withColumn("_words", words_col(text_col))
+          .select(F.col(id_col),
+                  F.explode(word_shingles(text_col, shingle_n,
+                                          from_words_col="_words")).alias("_sh"))
           .dropDuplicates([id_col, "_sh"]))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
     a = sh.select(F.col(id_col).alias("a_id"), F.col("_sh"))

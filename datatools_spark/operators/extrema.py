@@ -35,6 +35,8 @@ __all__ = [
     "with_decimal_hours",
     "to_multi_indexed",
     "apply_corrections",
+    "validate_boundary_picks",
+    "calibrated_extrema",
 ]
 
 # tie-pinned argmin/argmax: pandas idxmin/idxmax return the FIRST occurrence;
@@ -185,3 +187,130 @@ def apply_corrections(extrema: DataFrame, corrections: DataFrame,
                                           F.coalesce("_nt", "max_time")).otherwise(F.col("max_time")))
            .drop("which", "_nv", "_nt"))
     return out
+
+
+def validate_boundary_picks(extrema: DataFrame, series: DataFrame,
+                            value_col: str = "value", ts_col: str = "ts",
+                            partition_by: Sequence[str] = (),
+                            n_samples: int = 5) -> DataFrame:
+    """A5 boundary re-validation (diurnal.py:654-714): a pick sitting on
+    its day's first/last sample may be a truncation artifact — inspect
+    ±``n_samples`` rows around the boundary in the FULL series and keep
+    the pick only if it is still the extremum there.
+
+    Set-based plan: annotate every series row once with (neighborhood
+    min/max over a ``rowsBetween(-n, n)`` frame, day-first/day-last
+    timestamps), then two equi-joins from the picks onto their pick rows.
+    Adds ``min_valid`` / ``max_valid`` int flags (1 = trustworthy).
+    """
+    from pyspark.sql import Window as W
+
+    p = list(partition_by)
+    day = F.date_trunc("DAY", F.col(ts_col))
+    series_w = W.partitionBy(*[F.col(c) for c in p]).orderBy(F.col(ts_col))
+    nb = series_w.rowsBetween(-n_samples, n_samples)
+    day_w = W.partitionBy(*[F.col(c) for c in p], day)
+    ann = (series.where(F.col(value_col).isNotNull())
+           .select(*p, F.col(ts_col).alias("_ats"),
+                   F.col(value_col).alias("_av"),
+                   F.min(value_col).over(nb).alias("_nb_min"),
+                   F.max(value_col).over(nb).alias("_nb_max"),
+                   F.min(ts_col).over(day_w).alias("_day_first"),
+                   F.max(ts_col).over(day_w).alias("_day_last")))
+    on_boundary = (F.col("_ats") == F.col("_day_first")) | \
+        (F.col("_ats") == F.col("_day_last"))
+    min_ok = (~on_boundary) | (F.col("_av") <= F.col("_nb_min"))
+    max_ok = (~on_boundary) | (F.col("_av") >= F.col("_nb_max"))
+    mn = ann.select(*[F.col(c).alias(f"_mn_{c}") for c in p],
+                    F.col("_ats"), min_ok.cast("int").alias("min_valid"))
+    mx = ann.select(*[F.col(c).alias(f"_mx_{c}") for c in p],
+                    F.col("_ats").alias("_bts"),
+                    max_ok.cast("int").alias("max_valid"))
+    cond_mn = [extrema[c] == mn[f"_mn_{c}"] for c in p]
+    cond_mn.append(extrema["min_time"] == mn["_ats"])
+    out = extrema.join(mn, on=cond_mn[0] if len(cond_mn) == 1 else
+                       _and_all(cond_mn), how="left")
+    cond_mx = [out[c] == mx[f"_mx_{c}"] for c in p]
+    cond_mx.append(out["max_time"] == mx["_bts"])
+    out = out.join(mx, on=cond_mx[0] if len(cond_mx) == 1 else
+                   _and_all(cond_mx), how="left")
+    drops = ["_ats", "_bts"] + [f"_mn_{c}" for c in p] + [f"_mx_{c}" for c in p]
+    return out.drop(*drops)
+
+
+def _and_all(conds):
+    acc = conds[0]
+    for c in conds[1:]:
+        acc = acc & c
+    return acc
+
+
+def calibrated_extrema(df: DataFrame, value_col: str = "value",
+                       ts_col: str = "ts",
+                       partition_by: Sequence[str] = (),
+                       calibration_window: tuple | None = None,
+                       window_half="8h", min_first: bool = False) -> DataFrame:
+    """A6/A7 predicted-window picking (diurnal.py:453-488, 310-319,
+    593-605): learn the mean occurrence hour of min/max over a
+    calibration slice, then pick each day's extrema only inside
+    ``[center − half, center + half]`` clock windows.
+
+    Plan: calibration = one day-agg over the slice (tiny, broadcast);
+    candidate matching joins on exploded day keys (each clock window
+    spans ≤ 2 calendar days) — bounded fan-out, no range join.
+    ``min_first``: the max window's start is clipped to the picked
+    min_time (diurnal.py:316-319).
+    """
+    p = list(partition_by)
+    half_s = parse_duration_seconds(window_half)
+
+    cal_src = df
+    if calibration_window is not None:
+        cal_src = df.where(F.col(ts_col).between(*calibration_window))
+    cal = daily_extrema(cal_src, value_col, ts_col, p)
+    day_sec = F.col("day").cast("double")
+    hrs = (cal.groupBy(*[F.col(c) for c in p]).agg(
+        F.avg((F.col("min_time").cast("double") - day_sec) / 3600.0).alias("_mh"),
+        F.avg((F.col("max_time").cast("double") - day_sec) / 3600.0).alias("_xh")))
+
+    day = F.date_trunc("DAY", F.col(ts_col))
+    days = df.select(*p, day.alias("day")).distinct()
+    days = days.join(F.broadcast(hrs), on=p) if p else \
+        days.crossJoin(F.broadcast(hrs))
+    dsec = F.col("day").cast("double")
+    wins = days.select(
+        *p, "day",
+        (dsec + F.col("_mh") * 3600 - half_s).cast("timestamp").alias("_min_ws"),
+        (dsec + F.col("_mh") * 3600 + half_s).cast("timestamp").alias("_min_we"),
+        (dsec + F.col("_xh") * 3600 - half_s).cast("timestamp").alias("_max_ws"),
+        (dsec + F.col("_xh") * 3600 + half_s).cast("timestamp").alias("_max_we"))
+
+    # candidates: rows keyed to each calendar day their ±1-day span covers
+    cand = df.where(F.col(value_col).isNotNull()).select(
+        *p, F.col(ts_col).alias("_cts"), F.col(value_col).alias("_cv"),
+        F.explode(F.array(
+            F.date_trunc("DAY", F.col(ts_col)),
+            F.date_trunc("DAY", F.col(ts_col) - F.expr("INTERVAL 1 DAY")),
+            F.date_trunc("DAY", F.col(ts_col) + F.expr("INTERVAL 1 DAY")),
+        )).alias("day"))   # the 3 day keys are distinct — no dedup shuffle
+    keys = p + ["day"]
+    joined = wins.join(cand, on=keys)
+
+    smin = F.min(F.struct(F.col("_cv").alias("v"), F.col("_cts").alias("t")))
+    mins = (joined.where(F.col("_cts").between(F.col("_min_ws"), F.col("_min_we")))
+            .groupBy(*[F.col(c) for c in keys])
+            .agg(smin["v"].alias("min_val"), smin["t"].alias("min_time")))
+
+    maxj = joined.join(mins.select(*keys, "min_time"), on=keys, how="inner") \
+        if min_first else joined
+    lo = F.greatest(F.col("_max_ws"), F.col("min_time")) if min_first \
+        else F.col("_max_ws")
+    smax = F.min(F.struct((-F.col("_cv")).alias("nv"), F.col("_cts").alias("t")))
+    maxs = (maxj.where((F.col("_cts") > lo) & (F.col("_cts") <= F.col("_max_we"))
+                       if min_first else
+                       F.col("_cts").between(lo, F.col("_max_we")))
+            .groupBy(*[F.col(c) for c in keys])
+            .agg((-smax["nv"]).alias("max_val"), smax["t"].alias("max_time")))
+    return (mins.join(maxs, on=keys)
+            .where(F.col("min_val") <= F.col("max_val"))
+            .select(*keys, "min_val", "min_time", "max_val", "max_time"))

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "occurrences", "lang_scores", "lang_id_col", "token_count_col",
-    "quality_score_cols", "fingerprint_col", "word_shingles",
+    "quality_score_cols", "fingerprint_col", "word_shingles", "words_col",
 ]
 
 # tiny marker lists keep the expression tree small; the point is the
@@ -115,10 +115,22 @@ def fingerprint_col(text_col: str = "text") -> Column:
     return F.md5(canon)
 
 
-def word_shingles(text_col: str = "text", n: int = 3) -> Column:
+def words_col(text_col: str = "text") -> Column:
+    """Lowercased whitespace token array — materialize this ONCE (e.g.
+    ``withColumn('_words', words_col())``) before shingling; referencing
+    ``split()`` inside the shingle lambda would re-tokenize per element."""
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def word_shingles(text_col: str = "text", n: int = 3,
+                  from_words_col: str | None = None) -> Column:
     """Distinct word n-gram array (the near-dup unit). Built with
-    ``transform(sequence(...))`` over the split word array — JVM-side."""
-    w = f"split(trim(lower({text_col})), '\\\\s+')"
+    ``transform(sequence(...))`` over the split word array — JVM-side.
+
+    Pass ``from_words_col`` naming a pre-materialized token-array column
+    (see :func:`words_col`) on hot paths.
+    """
+    w = from_words_col or f"split(trim(lower({text_col})), '\\\\s+')"
     k = f"(size({w}) - {n - 1})"
     parts = ", ".join(f"element_at({w}, CAST(i AS INT) + {j})" for j in range(n))
     # guard: sequence(1, 0) in Spark is DESCENDING [1, 0], not empty —

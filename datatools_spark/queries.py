@@ -758,8 +758,10 @@ sh AS (SELECT doc_id, unnest(
       FROM w)
 """
 
+# chunked hash family (matches dedup._hash32_chunked): hash i = 32-bit
+# chunk i%4 of md5('{i//4}:' || s)
 _MINHASH_AGGS = ",\n       ".join(
-    f"min(('0x' || substr(md5('{i}:' || s), 1, 8))::BIGINT) AS mh_{i}"
+    f"min(('0x' || substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8))::BIGINT) AS mh_{i}"
     for i in range(8))
 
 @query("doc_minhash", sql=f"""
@@ -921,3 +923,113 @@ def mm_extract_features(spark, sf_dir):
     return feats.select("media_id",
                         F.round(F.element_at("features", 1), 6).alias("f0"),
                         F.size("features").alias("dim"))
+
+
+@query("ts_extrema_boundary_check", sql=f"""
+WITH {_EXTREMA_RANKED},
+ex AS (
+  SELECT event_type, day,
+         max(CASE WHEN rn_min = 1 THEN value END) AS min_val,
+         max(CASE WHEN rn_min = 1 THEN ts END)    AS min_time,
+         max(CASE WHEN rn_max = 1 THEN value END) AS max_val,
+         max(CASE WHEN rn_max = 1 THEN ts END)    AS max_time
+  FROM ranked GROUP BY 1, 2),
+exf AS (SELECT * FROM ex WHERE min_val <= max_val),
+ann AS (
+  SELECT event_type, ts, value,
+         min(value) OVER (PARTITION BY event_type ORDER BY ts
+                          ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS nb_min,
+         max(value) OVER (PARTITION BY event_type ORDER BY ts
+                          ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS nb_max,
+         min(ts) OVER (PARTITION BY event_type, date_trunc('day', ts)) AS day_first,
+         max(ts) OVER (PARTITION BY event_type, date_trunc('day', ts)) AS day_last
+  FROM events WHERE value IS NOT NULL)
+SELECT e.event_type, e.day, e.min_val, e.max_val,
+       (CASE WHEN (a.ts = a.day_first OR a.ts = a.day_last)
+                  AND e.min_val > a.nb_min THEN 0 ELSE 1 END) AS min_valid,
+       (CASE WHEN (b.ts = b.day_first OR b.ts = b.day_last)
+                  AND e.max_val < b.nb_max THEN 0 ELSE 1 END) AS max_valid
+FROM exf e
+JOIN ann a ON a.event_type = e.event_type AND a.ts = e.min_time
+JOIN ann b ON b.event_type = e.event_type AND b.ts = e.max_time
+""")
+def ts_extrema_boundary_check(spark, sf_dir):
+    """A5 boundary re-validation (diurnal.py:654-714): picks on a day's
+    first/last sample are kept only if still extremal among the ±5
+    surrounding samples of the full series."""
+    ev = _t(spark, sf_dir, "events")
+    ex = E.daily_extrema(ev, partition_by=["event_type"])
+    out = E.validate_boundary_picks(ex, ev, partition_by=["event_type"])
+    return out.select("event_type", "day", "min_val", "max_val",
+                      "min_valid", "max_valid")
+
+
+_CAL_HALF = 6 * 3600
+
+@query("ts_calibrated_extrema", sql=f"""
+WITH cal AS (
+  SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day, value, ts,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY value ASC, ts ASC) AS rn_min,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY value DESC, ts ASC) AS rn_max
+  FROM events WHERE value IS NOT NULL
+    AND ts BETWEEN TIMESTAMP '2024-01-01' AND TIMESTAMP '2024-01-11'),
+calex AS (
+  SELECT event_type, day,
+         max(CASE WHEN rn_min = 1 THEN value END) AS min_val,
+         max(CASE WHEN rn_min = 1 THEN ts END)    AS min_time,
+         max(CASE WHEN rn_max = 1 THEN value END) AS max_val,
+         max(CASE WHEN rn_max = 1 THEN ts END)    AS max_time
+  FROM cal GROUP BY 1, 2),
+hrs AS (
+  SELECT event_type,
+         avg((epoch(min_time) - epoch(day)) / 3600.0) AS mh,
+         avg((epoch(max_time) - epoch(day)) / 3600.0) AS xh
+  FROM calex WHERE min_val <= max_val GROUP BY 1),
+days AS (SELECT DISTINCT event_type, date_trunc('day', ts)::TIMESTAMP AS day
+         FROM events),
+wins AS (
+  SELECT d.event_type, d.day,
+         to_timestamp(epoch(d.day) + h.mh * 3600 - {_CAL_HALF}) AS min_ws,
+         to_timestamp(epoch(d.day) + h.mh * 3600 + {_CAL_HALF}) AS min_we,
+         to_timestamp(epoch(d.day) + h.xh * 3600 - {_CAL_HALF}) AS max_ws,
+         to_timestamp(epoch(d.day) + h.xh * 3600 + {_CAL_HALF}) AS max_we
+  FROM days d JOIN hrs h USING (event_type)),
+minr AS (
+  SELECT w.event_type, w.day, e.value, e.ts,
+         row_number() OVER (PARTITION BY w.event_type, w.day
+                            ORDER BY e.value ASC, e.ts ASC) AS rn
+  FROM wins w JOIN events e
+    ON e.event_type = w.event_type AND e.ts BETWEEN w.min_ws AND w.min_we
+  WHERE e.value IS NOT NULL),
+mins AS (SELECT event_type, day,
+                max(CASE WHEN rn = 1 THEN value END) AS min_val,
+                max(CASE WHEN rn = 1 THEN ts END)    AS min_time
+         FROM minr GROUP BY 1, 2),
+maxr AS (
+  SELECT w.event_type, w.day, e.value, e.ts,
+         row_number() OVER (PARTITION BY w.event_type, w.day
+                            ORDER BY e.value DESC, e.ts ASC) AS rn
+  FROM wins w JOIN events e
+    ON e.event_type = w.event_type AND e.ts BETWEEN w.max_ws AND w.max_we
+  WHERE e.value IS NOT NULL),
+maxs AS (SELECT event_type, day,
+                max(CASE WHEN rn = 1 THEN value END) AS max_val,
+                max(CASE WHEN rn = 1 THEN ts END)    AS max_time
+         FROM maxr GROUP BY 1, 2)
+SELECT m.event_type, m.day, m.min_val, m.min_time, x.max_val, x.max_time
+FROM mins m JOIN maxs x USING (event_type, day)
+WHERE m.min_val <= x.max_val
+""")
+def ts_calibrated_extrema(spark, sf_dir):
+    """A6/A7 calibrated predicted-window picking (diurnal.py:453-488,
+    310-319): occurrence hours learned on the first 10 days, per-day ±6h
+    pick windows around the learned centers."""
+    ev = _t(spark, sf_dir, "events")
+    out = E.calibrated_extrema(
+        ev, partition_by=["event_type"],
+        calibration_window=("2024-01-01", "2024-01-11"),
+        window_half=_CAL_HALF)
+    return out.select("event_type", "day", "min_val", "min_time",
+                      "max_val", "max_time")

@@ -1,0 +1,70 @@
+"""Structured Streaming analogues of the batch operators (SURVEY §2.10).
+
+The reference is batch-only; these demonstrate that the engine's
+event-time aggregations are streaming-compatible — the SAME logical
+aggregation (tumbling window + keys) runs under ``readStream`` with a
+watermark bounding state. Tested by feeding the events table through a
+file-stream source and checking the result equals the batch plan
+(tests/test_streaming.py).
+
+At scale: watermark delay bounds the state store; the tumbling agg is the
+canonical low-state shape. The diurnal-extrema pipeline's min/max-by-day
+also fits this shape (min/max + struct argmin are streamable aggregates);
+the 18-h follow-up window join is a stream-stream interval join with both
+sides watermarked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["streaming_window_counts", "streaming_daily_extrema", "run_file_stream"]
+
+
+def streaming_window_counts(events: DataFrame, window: str = "1 hour",
+                            watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time counts/sums per event_type with late-data drop
+    — the streaming twin of queries.ss_window_counts."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "sum_value"))
+
+
+def streaming_daily_extrema(events: DataFrame,
+                            watermark: str = "26 hours") -> DataFrame:
+    """Streaming per-day extrema with arg-times: tie-pinned struct min/max
+    are incrementally maintainable aggregates (same trick as the batch
+    operator — extrema.daily_extrema)."""
+    smin = F.min(F.struct(F.col("value").alias("v"), F.col("ts").alias("t")))
+    smax = F.min(F.struct((-F.col("value")).alias("nv"), F.col("ts").alias("t")))
+    return (events
+            .withWatermark("ts", watermark)
+            .where(F.col("value").isNotNull())
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(smin["v"].alias("min_val"), smin["t"].alias("min_time"),
+                 (-smax["nv"]).alias("max_val"), smax["t"].alias("max_time"))
+            .select(F.col("w.start").alias("day"), "event_type",
+                    "min_val", "min_time", "max_val", "max_time"))
+
+
+def run_file_stream(spark: SparkSession, src_dir: str, schema,
+                    transform, out_dir: str, checkpoint_dir: str):
+    """Drive a parquet file-stream through ``transform`` to a parquet sink
+    (complete-mode aggregations write via foreachBatch to keep the demo
+    sink-agnostic). Returns the started query; caller awaits termination."""
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out = transform(stream)
+
+    def _sink(batch_df: DataFrame, batch_id: int):
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    return (out.writeStream
+            .outputMode("complete")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

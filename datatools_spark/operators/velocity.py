@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..functions.timeutils import parse_duration_seconds
 from .rolling import rolling_agg_col
 
-__all__ = ["calc_velocity"]
+__all__ = ["calc_velocity", "calc_velocity_range_join"]
 
 
 def calc_velocity(df: DataFrame, value_cols: Sequence[str],
@@ -112,3 +112,55 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
                 for c in value_cols]
     date = (F.col("_t0") + F.col("_k") * F.lit(stat)).cast("timestamp").alias("date")
     return joined.select(*p, date, *vel_cols)
+
+
+def calc_velocity_range_join(df: DataFrame, value_cols: Sequence[str],
+                             stat_window="3T", separation_window="2H",
+                             min_obs: int = 3, ts_col: str = "ts",
+                             approx: bool = False) -> DataFrame:
+    """The general physical variant of the §2.9 kernel: explicit grid
+    (``sequence`` + ``explode``) range-joined to the positions.
+
+    Needed when the grid step ≠ stat-window width (windows overlap or
+    leave gaps, so the bucket-tiling arithmetic of :func:`calc_velocity`
+    no longer assigns each row to exactly one window). The reference
+    itself always uses step == stat (gpstools.py:582-585), making the
+    tiling plan the default; this variant generalizes and cross-checks it
+    (tests/test_velocity_variants.py asserts both produce identical
+    results on the reference's parameterization).
+
+    Scale note: the join predicate is a bounded interval around each grid
+    point, so Spark executes it as a shuffle join on coarse time buckets
+    with AQE skew splitting; still strictly heavier than the tiling plan
+    — use only for overlapping windows.
+    """
+    stat = parse_duration_seconds(stat_window)
+    sep = parse_duration_seconds(separation_window)
+    half_sep, half_stat = sep / 2.0, stat / 2.0
+
+    es = F.col(ts_col).cast("double")
+    bounds = df.agg(F.min(es).alias("_tmin"), F.max(es).alias("_tmax"))
+    grid = bounds.select(F.explode(F.sequence(
+        (F.col("_tmin") + sep).cast("long"),
+        (F.col("_tmax") - sep).cast("long"),
+        F.lit(int(stat)))).alias("_t"))
+
+    pos = df.select(es.alias("_es"), *value_cols)
+    out_sides = []
+    for side, off in ((0, -half_sep), (1, +half_sep)):
+        center = F.col("_t") + off
+        joined = grid.join(
+            pos,
+            (F.col("_es") >= center - half_stat) & (F.col("_es") < center + half_stat))
+        med = (lambda c: F.percentile_approx(F.col(c), 0.5)) if approx \
+            else (lambda c: F.median(F.col(c)))
+        aggs = [med(c).alias(f"_m{side}_{c}") for c in value_cols]
+        aggs.append(F.count(F.col(value_cols[0])).alias(f"_n{side}"))
+        out_sides.append(joined.groupBy("_t").agg(*aggs))
+
+    j = (out_sides[0].join(out_sides[1], on="_t")
+         .where((F.col("_n0") > min_obs) & (F.col("_n1") > min_obs)))
+    dt_days = sep / 86400.0
+    vels = [((F.col(f"_m1_{c}") - F.col(f"_m0_{c}")) / F.lit(dt_days)).alias(f"{c}_vel")
+            for c in value_cols]
+    return j.select(F.col("_t").cast("timestamp").alias("date"), *vels)

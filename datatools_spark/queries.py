@@ -1033,3 +1033,116 @@ def ts_calibrated_extrema(spark, sf_dir):
         window_half=_CAL_HALF)
     return out.select("event_type", "day", "min_val", "min_time",
                       "max_val", "max_time")
+
+
+@query("ss_rollup_revenue", sql="""
+SELECT r.r_name, year(o.o_orderdate) AS yr,
+       round(sum(o.o_totalprice), 4) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, year(o.o_orderdate))
+""")
+def ss_rollup_revenue(spark, sf_dir):
+    """Hierarchical ROLLUP totals (region → year → grand total) — Spark's
+    built-in grouping-sets path (absent from the reference, SURVEY §2.4
+    'covered for free')."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .rollup("r_name", F.year("o_orderdate").alias("yr"))
+            .agg(_r(F.sum("o_totalprice"), 4).alias("revenue")))
+
+
+@query("ss_semi_join_big_customers", sql="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+""")
+def ss_semi_join_big_customers(spark, sf_dir):
+    """Left-semi join (EXISTS): customers with at least one large order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    return (c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@query("ss_anti_join_idle_customers", sql="""
+SELECT c_custkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def ss_anti_join_idle_customers(spark, sf_dir):
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+            .select("c_custkey"))
+
+
+@query("ss_distinct_suppliers", sql="""
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(*) AS n_rows
+FROM lineitem GROUP BY 1
+""")
+def ss_distinct_suppliers(spark, sf_dir):
+    """Multi distinct-aggregation (Catalyst expand-based rewrite)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_suppkey").alias("n_suppliers"),
+                 F.countDistinct("l_partkey").alias("n_parts"),
+                 F.count("*").alias("n_rows")))
+
+
+@query("ss_status_pivot", sql="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY 1
+""")
+def ss_status_pivot(spark, sf_dir):
+    """Pivot by order status (M3 lag_df pivot pattern, diurnal.py:24-26):
+    groupBy().pivot() — conditional-aggregation rewrite."""
+    o = _t(spark, sf_dir, "orders")
+    out = (o.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["F", "O", "P"])
+           .agg(F.count(F.lit(1))))
+    return (out.select("o_orderpriority",
+                       F.coalesce("F", F.lit(0)).alias("n_f"),
+                       F.coalesce("O", F.lit(0)).alias("n_o"),
+                       F.coalesce("P", F.lit(0)).alias("n_p")))
+
+
+@query("ts_except_errors", sql="""
+SELECT event_id FROM events WHERE ts < TIMESTAMP '2024-01-15'
+EXCEPT
+SELECT event_id FROM events WHERE event_type = 'error'
+""")
+def ts_except_errors(spark, sf_dir):
+    """§2.7 set ops: EXCEPT (first-half events minus error events)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("ts") < "2024-01-15").select("event_id")
+    b = ev.where(F.col("event_type") == "error").select("event_id")
+    return a.exceptAll(b).distinct()
+
+
+@query("ts_intersect_active", sql="""
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+""")
+def ts_intersect_active(spark, sf_dir):
+    """§2.7 set ops: INTERSECT (users with both purchases and errors)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id")
+    b = ev.where(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)

@@ -1,0 +1,41 @@
+"""Cross-check of the two velocity-kernel physical plans (SURVEY §7 step 4:
+'implement both physical variants behind one API and cross-check')."""
+
+import datetime as dt
+import math
+
+import pytest
+
+from datatools_spark.operators.velocity import (
+    calc_velocity, calc_velocity_range_join,
+)
+
+
+def _series(spark, n=6 * 96):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(t0 + dt.timedelta(minutes=15 * i),
+             math.sin(2 * math.pi * i / 96.0) * 2 + i * 0.01) for i in range(n)]
+    return spark.createDataFrame(rows, "ts timestamp, value double")
+
+
+def test_variants_agree_on_reference_parameterization(spark):
+    df = _series(spark)
+    a = {r["date"]: r["value_vel"]
+         for r in calc_velocity(df, ["value"], "1h", "6h").collect()}
+    b = {r["date"]: r["value_vel"]
+         for r in calc_velocity_range_join(df, ["value"], "1h", "6h").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+def test_approx_median_close_to_exact(spark):
+    df = _series(spark)
+    exact = {r["date"]: r["value_vel"]
+             for r in calc_velocity(df, ["value"], "1h", "6h").collect()}
+    approx = {r["date"]: r["value_vel"]
+              for r in calc_velocity(df, ["value"], "1h", "6h", approx=True).collect()}
+    assert set(exact) == set(approx)
+    # percentile_approx on small windows is exact or near-exact
+    for k in exact:
+        assert approx[k] == pytest.approx(exact[k], abs=0.5)

@@ -1,0 +1,99 @@
+"""Property-based tests (SURVEY §5 plan #4): randomized series with gaps,
+duplicates, and all-null days asserting operator invariants; hypothesis
+drives the pure-python helpers, seeded RNG drives the Spark invariants
+(one Spark job per trial keeps the suite fast)."""
+
+import datetime as dt
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datatools_spark.functions.timeutils import parse_duration_seconds
+from datatools_spark.functions.units import convert
+from datatools_spark.operators.extrema import daily_extrema
+from datatools_spark.operators.fillna import ffill, interpolate_linear
+from datatools_spark.operators.intervals import union_keep_first
+from datatools_spark.operators.dedup import minhash_signature
+
+
+@given(st.integers(1, 500), st.sampled_from(["s", "T", "min", "H", "D"]))
+def test_duration_roundtrip_scaling(n, unit):
+    base = parse_duration_seconds(f"1{unit}")
+    assert parse_duration_seconds(f"{n}{unit}") == pytest.approx(n * base)
+
+
+@given(st.sampled_from(["mbar", "ft", "in", "m", "mm", "mH2O", "ftH2O"]),
+       st.sampled_from(["mbar", "ft", "in", "m", "mm", "mH2O", "ftH2O"]))
+def test_unit_roundtrip_inverse(a, b):
+    try:
+        k = convert(a, b)
+    except KeyError:
+        return
+    assert k * convert(b, a) == pytest.approx(1.0)
+
+
+def _random_series(seed: int, with_nulls=True):
+    rng = random.Random(seed)
+    t0 = dt.datetime(2024, 3, 1)
+    rows, t = [], t0
+    for _ in range(rng.randint(120, 400)):
+        t += dt.timedelta(minutes=rng.choice([5, 15, 15, 60, 240]))
+        v = None if (with_nulls and rng.random() < 0.15) else \
+            round(rng.uniform(-50, 50), 2)   # 2dp → deliberate ties
+        rows.append((t, v))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_extrema_invariants_random(spark, seed):
+    rows = _random_series(seed)
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    vals = {}
+    for t, v in rows:
+        if v is not None:
+            vals.setdefault(t.date(), []).append((v, t))
+    for r in daily_extrema(df).collect():
+        day = r["day"].date()
+        vs = [v for v, _ in vals[day]]
+        assert r["min_val"] == min(vs) and r["max_val"] == max(vs)
+        # tie-pinning: earliest timestamp among equal extremes
+        assert r["min_time"] == min(t for v, t in vals[day] if v == min(vs))
+        assert r["max_time"] == min(t for v, t in vals[day] if v == max(vs))
+        assert r["min_time"].date() == day and r["max_time"].date() == day
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_interpolation_bounded_and_ffill_idempotent(spark, seed):
+    rows = _random_series(seed)
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    non_null = [v for _, v in rows if v is not None]
+    lo, hi = min(non_null), max(non_null)
+    for r in interpolate_linear(df, ["value"]).collect():
+        if r["value"] is not None:
+            assert lo - 1e-9 <= r["value"] <= hi + 1e-9   # convexity bound
+    once = ffill(df, ["value"])
+    twice = ffill(once, ["value"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_union_keep_first_unique_keys(spark, seed):
+    rng = random.Random(seed)
+    mk = lambda: spark.createDataFrame(
+        [(rng.randint(0, 30), rng.random()) for _ in range(40)],
+        "k int, v double")
+    out = union_keep_first([mk(), mk(), mk()], ["k"])
+    keys = [r["k"] for r in out.collect()]
+    assert len(keys) == len(set(keys))
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words here now ok")],
+        "doc_id long, text string")
+    sigs = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8))
+            for r in minhash_signature(df, num_hashes=8).collect()}
+    assert sigs[1] == sigs[2] != sigs[3]

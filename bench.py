@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "doc_quality",             # text quality scoring
     "emb_knn_brute",           # brute-force ANN baseline
     "emb_centroid_assign",     # IVF assignment
+    "ts_sessionize",           # gap-based sessionization
+    "ts_calibrated_extrema",   # A6/A7 predicted-window picking
+    "ss_rollup_revenue",       # grouping-sets rollup
 ]
 
 

@@ -1146,3 +1146,78 @@ def ts_intersect_active(spark, sf_dir):
     a = ev.where(F.col("event_type") == "purchase").select("user_id")
     b = ev.where(F.col("event_type") == "error").select("user_id")
     return a.intersect(b)
+
+
+@query("ts_sessionize", sql="""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_n FROM g)
+SELECT user_id, session_n, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 6) AS session_value
+FROM s GROUP BY 1, 2
+""")
+def ts_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity closes a session) —
+    the canonical event-pipeline operator: lag-gap flag + running sum =
+    session id, then one aggregate. Streaming twin: session_window()."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    s = (ev.withColumn("_new", new_s)
+         .withColumn("session_n", F.sum("_new").over(run)))
+    return (s.groupBy("user_id", "session_n")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 _r(F.sum("value")).alias("session_value")))
+
+
+@query("ts_resample_nearest", sql="""
+WITH b AS (
+  SELECT event_id, ts, value, event_type,
+         to_timestamp(floor(epoch(ts) / 21600) * 21600) AS bucket,
+         abs(epoch(ts) - (floor(epoch(ts) / 21600) * 21600 + 10800)) AS dist
+  FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                                   ORDER BY dist ASC, ts ASC) AS rn
+      FROM b)
+SELECT event_type, bucket AS ts, value FROM r WHERE rn = 1
+""")
+def ts_resample_nearest(spark, sf_dir):
+    """hydrotools.py:203-204 ``resample('15T').nearest()`` analogue: per
+    6-h bucket, the observation closest to the bucket center (ties →
+    earlier row)."""
+    ev = _t(spark, sf_dir, "events")
+    out = RS.resample_nearest(ev, 6 * 3600, ["value"],
+                              partition_by=["event_type"])
+    return out.select("event_type", "ts", "value")
+
+
+@query("ts_overburden_fraction", sql="""
+SELECT event_id,
+       round(value / (0.917 * 500.0), 6) AS fob,
+       round(100.0 * (value + 300.0 - 300.0) / (0.917 * 500.0), 6) AS pct_ob,
+       round(value * 0.3048, 6) AS level_m
+FROM events
+""")
+def ts_overburden_fraction(spark, sf_dir):
+    """Hydrology physics expressions (hydrotools.py:75-138): fraction of
+    overburden, percent overburden, ft→m conversion — constant-folded
+    column arithmetic (value as water level, H=500 m ice)."""
+    from .functions.physics import wlb_to_fob, masl_to_pct_overburden
+    from .functions.units import convert_col
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        _r(wlb_to_fob(F.col("value"), 500.0)).alias("fob"),
+        _r(masl_to_pct_overburden(F.col("value") + 300.0, 300.0, 500.0)).alias("pct_ob"),
+        _r(convert_col("value", "ft", "m")).alias("level_m"))

@@ -1,0 +1,41 @@
+"""Salted aggregation/join must produce exactly the unsalted results."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatools_spark.operators.skew import salted_aggregate, salted_join
+
+
+@pytest.fixture()
+def skewed(spark):
+    rng = random.Random(9)
+    # 90% of rows on one hot key
+    rows = [("hot" if rng.random() < 0.9 else f"k{rng.randint(0, 20)}",
+             rng.randint(0, 100), rng.random()) for _ in range(5000)]
+    return spark.createDataFrame(rows, "k string, n int, v double")
+
+
+def test_salted_aggregate_equals_plain(spark, skewed):
+    got = {r["k"]: r for r in salted_aggregate(
+        skewed, ["k"],
+        {"total": ("sum", "n"), "cnt": ("count", "v"),
+         "mx": ("max", "n"), "avg_v": ("avg", "v")}).collect()}
+    want = {r["k"]: r for r in skewed.groupBy("k").agg(
+        F.sum("n").alias("total"), F.count("v").alias("cnt"),
+        F.max("n").alias("mx"), F.avg("v").alias("avg_v")).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["total"] == want[k]["total"]
+        assert got[k]["cnt"] == want[k]["cnt"]
+        assert got[k]["mx"] == want[k]["mx"]
+        assert got[k]["avg_v"] == pytest.approx(want[k]["avg_v"], rel=1e-12)
+
+
+def test_salted_join_equals_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", "HOT"), ("k1", "K1"), ("k2", "K2")], "k string, label string")
+    got = salted_join(skewed, dim, on=["k"]).groupBy("k", "label").count()
+    want = skewed.join(dim, on="k").groupBy("k", "label").count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

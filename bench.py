@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "ts_sessionize",           # gap-based sessionization
     "ts_calibrated_extrema",   # A6/A7 predicted-window picking
     "ss_rollup_revenue",       # grouping-sets rollup
+    "emb_ivf_search",          # IVF nprobe ANN search
 ]
 
 

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "dot_expr", "norm_expr", "cosine_expr", "knn_brute_force",
-    "hyperplane_bucket_col", "knn_lsh", "ivf_assign",
+    "hyperplane_bucket_col", "knn_lsh", "ivf_assign", "ivf_search",
 ]
 
 
@@ -122,3 +122,43 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     return (scored.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .select(F.col(id_col), F.col(centroid_id_col), F.col("_cos").alias("cosine")))
+
+
+def ivf_search(df: DataFrame, centroids: DataFrame, query: DataFrame,
+               k: int = 10, nprobe: int = 2,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               query_id_col: str = "query_id",
+               centroid_id_col: str = "centroid_id") -> DataFrame:
+    """Full IVF top-k search: probe the ``nprobe`` nearest cells per query.
+
+    1. Corpus → cell via :func:`ivf_assign` (one broadcast scan).
+    2. Each query → its ``nprobe`` nearest centroids (cos desc,
+       centroid_id asc tie-break).
+    3. Score only corpus vectors living in a probed cell; ``row_number``
+       cut to top-k per query (ties by id).
+
+    At rest, write the corpus partitioned by ``centroid_id``: step 3 then
+    becomes a partition-pruned scan of nprobe/k_cells of the data — the
+    canonical distributed-ANN layout. Output:
+    ``query_id, vec_id, cosine, rank``.
+    """
+    assigned = ivf_assign(df, centroids, vec_col, id_col, centroid_id_col)
+    corpus = df.select(F.col(id_col), F.col(vec_col)) \
+        .join(assigned.select(id_col, centroid_id_col), id_col)
+    c = F.broadcast(centroids.select(F.col(centroid_id_col),
+                                     F.col(vec_col).alias("_cv")))
+    qs = (query.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+          .crossJoin(c)
+          .withColumn("_cos", cosine_expr(F.col("_qv"), F.col("_cv"))))
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(),
+                                                  F.col(centroid_id_col))
+    probes = (qs.withColumn("_rn", F.row_number().over(wq))
+              .where(F.col("_rn") <= nprobe)
+              .select(query_id_col, centroid_id_col, "_qv"))
+    scored = (corpus.join(F.broadcast(probes), on=centroid_id_col)
+              .withColumn("cosine", cosine_expr(F.col(vec_col), F.col("_qv"))))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
+                                                 F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, id_col, "cosine", "rank"))

@@ -1221,3 +1221,50 @@ def ts_overburden_fraction(spark, sf_dir):
         _r(wlb_to_fob(F.col("value"), 500.0)).alias("fob"),
         _r(masl_to_pct_overburden(F.col("value") + 300.0, 300.0, 500.0)).alias("pct_ob"),
         _r(convert_col("value", "ft", "m")).alias("level_m"))
+
+
+@query("emb_ivf_search", sql=f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+           FROM embeddings WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_COS_SQL.format(a='e.embedding', b='c.cv')} DESC,
+             c.centroid_id ASC) AS rn
+    FROM embeddings e, c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2)),
+probes AS (
+  SELECT query_id, centroid_id, qv FROM (
+    SELECT q.query_id, c.centroid_id, q.qv,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_COS_SQL.format(a='q.qv', b='c.cv')} DESC,
+             c.centroid_id ASC) AS rn
+    FROM q, c) WHERE rn <= 2),
+s AS (SELECT p.query_id, e.vec_id,
+             {_COS_SQL.format(a='e.embedding', b='p.qv')} AS cos
+      FROM embeddings e
+      JOIN assign a ON a.vec_id = e.vec_id
+      JOIN probes p ON p.centroid_id = a.centroid_id),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
+FROM r WHERE rank <= 5
+""")
+def emb_ivf_search(spark, sf_dir):
+    """Full IVF probe path: corpus → nearest-of-8 cells, each query
+    probes its 2 nearest cells, scores only those cells' vectors, top-5
+    cut. At rest the corpus is written partitioned by centroid_id, so
+    this plan partition-prunes to nprobe/8 of the data."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cent = e.where(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    q = e.where(F.col("vec_id").isin(0, 1, 2)) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.ivf_search(e, cent, q, k=5, nprobe=2)
+    return out.select("query_id", "vec_id",
+                      _r(F.col("cosine")).alias("cosine"), "rank")

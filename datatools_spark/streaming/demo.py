@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["streaming_window_counts", "streaming_daily_extrema", "run_file_stream"]
+__all__ = ["streaming_window_counts", "streaming_daily_extrema",
+           "streaming_sessionize", "run_file_stream"]
 
 
 def streaming_window_counts(events: DataFrame, window: str = "1 hour",
@@ -49,6 +50,24 @@ def streaming_daily_extrema(events: DataFrame,
                  (-smax["nv"]).alias("max_val"), smax["t"].alias("max_time"))
             .select(F.col("w.start").alias("day"), "event_type",
                     "min_val", "min_time", "max_val", "max_time"))
+
+
+def streaming_sessionize(events: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "2 hours",
+                         key: str = "user_id") -> DataFrame:
+    """Gap-based sessionization via ``session_window`` — the streaming
+    twin of queries.ts_sessionize (same 30-min inactivity gap). State per
+    open session only; the watermark closes and emits sessions once
+    event-time passes ``session_end + watermark``."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), key)
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("session_value"))
+            .select(F.col(key),
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "session_value"))
 
 
 def run_file_stream(spark: SparkSession, src_dir: str, schema,

@@ -97,3 +97,25 @@ def test_minhash_identical_docs_identical_signatures(spark):
     sigs = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8))
             for r in minhash_signature(df, num_hashes=8).collect()}
     assert sigs[1] == sigs[2] != sigs[3]
+
+
+def test_ngram_prefix_equals_inverted(spark):
+    """Prefix-filtered AllPairs and the inverted-index join are two
+    physical plans for the same exact Jaccard semantics."""
+    from datatools_spark.operators.dedup import (
+        ngram_jaccard_pairs, ngram_jaccard_pairs_prefix)
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(2, 40))))
+            for i in range(40)]
+    # planted near-dups: copies with one word appended / swapped
+    for i in range(40, 60):
+        base = docs[i - 40][1]
+        docs.append((i, base + " extra" if i % 2 else base))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for t in (0.2, 0.5, 0.8):
+        a = {(r.a_id, r.b_id, round(r.jaccard, 9))
+             for r in ngram_jaccard_pairs(df, threshold=t).collect()}
+        b = {(r.a_id, r.b_id, round(r.jaccard, 9))
+             for r in ngram_jaccard_pairs_prefix(df, threshold=t).collect()}
+        assert a == b and (t > 0.2 or a)

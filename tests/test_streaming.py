@@ -8,7 +8,8 @@ import math
 import pytest
 
 from datatools_spark.streaming.demo import (
-    run_file_stream, streaming_daily_extrema, streaming_window_counts,
+    run_file_stream, streaming_daily_extrema, streaming_sessionize,
+    streaming_window_counts,
 )
 
 
@@ -56,3 +57,27 @@ def test_streaming_daily_extrema_equals_batch(spark, events_dir):
     got = _run(spark, base, src, df.schema, streaming_daily_extrema, "extrema")
     expect = streaming_daily_extrema(df)
     assert _rounded(got) == _rounded(expect)
+
+
+def test_streaming_sessionize_equals_batch(spark, events_dir):
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+    base, src, df = events_dir
+    tr = lambda d: streaming_sessionize(d, key="event_type")  # noqa: E731
+    got = _run(spark, base, src, df.schema, tr, "sessions")
+    expect = tr(df)
+    assert _rounded(got) == _rounded(expect)
+    # cross-check against the batch lag-gap formulation (ts_sessionize
+    # shape): same session count and per-session event totals
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    lagged = (df.withColumn("_new", F.when(gap.isNull() | (gap > 1800), 1)
+                            .otherwise(0))
+              .withColumn("_s", F.sum("_new").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0))))
+    lag_sessions = sorted(
+        (r.event_type, r.n) for r in
+        lagged.groupBy("event_type", "_s").agg(F.count("*").alias("n"))
+        .collect())
+    sw_sessions = sorted((r.event_type, r.n_events) for r in got.collect())
+    assert lag_sessions == sw_sessions

@@ -296,19 +296,31 @@ def calibrated_extrema(df: DataFrame, value_col: str = "value",
     keys = p + ["day"]
     joined = wins.join(cand, on=keys)
 
-    smin = F.min(F.struct(F.col("_cv").alias("v"), F.col("_cts").alias("t")))
-    mins = (joined.where(F.col("_cts").between(F.col("_min_ws"), F.col("_min_we")))
+    in_min = F.col("_cts").between(F.col("_min_ws"), F.col("_min_we"))
+    smin = F.min(F.when(in_min, F.struct(F.col("_cv").alias("v"),
+                                         F.col("_cts").alias("t"))))
+    if not min_first:
+        # both picks in ONE pass: conditional tie-pinned struct aggregates
+        # (each window predicate masks the other's rows) — a single
+        # shuffle on the day keys instead of two join+agg subtrees.
+        in_max = F.col("_cts").between(F.col("_max_ws"), F.col("_max_we"))
+        smax = F.min(F.when(in_max, F.struct((-F.col("_cv")).alias("nv"),
+                                             F.col("_cts").alias("t"))))
+        both = (joined.where(in_min | in_max)
+                .groupBy(*[F.col(c) for c in keys])
+                .agg(smin["v"].alias("min_val"), smin["t"].alias("min_time"),
+                     (-smax["nv"]).alias("max_val"), smax["t"].alias("max_time")))
+        return (both.where(F.col("min_val") <= F.col("max_val"))
+                .select(*keys, "min_val", "min_time", "max_val", "max_time"))
+
+    mins = (joined.where(in_min)
             .groupBy(*[F.col(c) for c in keys])
             .agg(smin["v"].alias("min_val"), smin["t"].alias("min_time")))
 
-    maxj = joined.join(mins.select(*keys, "min_time"), on=keys, how="inner") \
-        if min_first else joined
-    lo = F.greatest(F.col("_max_ws"), F.col("min_time")) if min_first \
-        else F.col("_max_ws")
+    maxj = joined.join(mins.select(*keys, "min_time"), on=keys, how="inner")
+    lo = F.greatest(F.col("_max_ws"), F.col("min_time"))
     smax = F.min(F.struct((-F.col("_cv")).alias("nv"), F.col("_cts").alias("t")))
-    maxs = (maxj.where((F.col("_cts") > lo) & (F.col("_cts") <= F.col("_max_we"))
-                       if min_first else
-                       F.col("_cts").between(lo, F.col("_max_we")))
+    maxs = (maxj.where((F.col("_cts") > lo) & (F.col("_cts") <= F.col("_max_we")))
             .groupBy(*[F.col(c) for c in keys])
             .agg((-smax["nv"]).alias("max_val"), smax["t"].alias("max_time")))
     return (mins.join(maxs, on=keys)

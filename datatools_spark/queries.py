@@ -1268,3 +1268,95 @@ def emb_ivf_search(spark, sf_dir):
     out = SIM.ivf_search(e, cent, q, k=5, nprobe=2)
     return out.select("query_id", "vec_id",
                       _r(F.col("cosine")).alias("cosine"), "rank")
+
+
+@query("ss_shipping_priority", sql="""
+WITH rev AS (
+  SELECT l.l_orderkey,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+         o.o_orderdate, o.o_orderpriority
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-03-15'
+    AND l.l_shipdate > TIMESTAMP '1998-03-15'
+  GROUP BY 1, 3, 4),
+r AS (SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rk
+      FROM rev)
+SELECT l_orderkey, revenue, o_orderdate, o_orderpriority
+FROM r WHERE rk <= 10
+""")
+def ss_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment filter → two equi-joins (customer side
+    broadcast by AQE) → revenue agg → deterministic top-10. Date filters
+    push to the parquet scans; ranking on the ROUNDED revenue keeps the
+    cut engine-portable."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1998-03-15")
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1998-03-15")
+    rev = (l.join(o, l.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 4).alias("revenue")))
+    # orderBy+limit → TakeOrderedAndProject: per-partition partial top-10
+    # merged on the driver — no global sort, no single-task window.
+    return (rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10)
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority"))
+
+
+@query("ss_part_above_brand_avg", sql="""
+WITH b AS (SELECT *, avg(p_retailprice) OVER (PARTITION BY p_brand) AS bavg
+           FROM part)
+SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price,
+       round(bavg, 6) AS brand_avg
+FROM b WHERE p_retailprice > 1.1 * bavg
+""")
+def ss_part_above_brand_avg(spark, sf_dir):
+    """Correlated-subquery shape (price above 1.1× its brand's average),
+    decorrelated to a window average — one shuffle on p_brand, no
+    self-join."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    b = p.withColumn("bavg", F.avg("p_retailprice").over(w))
+    return (b.where(F.col("p_retailprice") > 1.1 * F.col("bavg"))
+            .select("p_partkey", "p_brand",
+                    F.round("p_retailprice", 2).alias("price"),
+                    _r(F.col("bavg")).alias("brand_avg")))
+
+
+@query("ts_rollup_multires", sql="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS h,
+         sum(value::DECIMAL(30,12)) AS s, count(value) AS c,
+         min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY 1, 2)
+SELECT event_type, date_trunc('day', h)::TIMESTAMP AS day,
+       round(sum(s)::DOUBLE / sum(c), 6) AS avg_val,
+       min(mn) AS min_val, max(mx) AS max_val, sum(c) AS n_obs
+FROM hourly GROUP BY 1, 2
+""")
+def ts_rollup_multires(spark, sf_dir):
+    """Hypertable continuous-aggregate pattern: hourly partials
+    (sum/count/min/max are algebraic — re-aggregatable without raw data)
+    rolled up to daily. At scale the hourly layer is materialized once
+    and every coarser resolution derives from it: map-side combine twice,
+    raw data scanned once."""
+    ev = _t(spark, sf_dir, "events")
+    # decimal partials: exact, order-independent addition — the rollup
+    # hashes identically to the oracle regardless of either engine's
+    # accumulation order (double sums differ by ulps between engines)
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("HOUR", F.col("ts")).alias("h"))
+              .agg(F.sum(F.col("value").cast("decimal(30,12)")).alias("s"),
+                   F.count("value").alias("c"),
+                   F.min("value").alias("mn"), F.max("value").alias("mx")))
+    return (hourly.groupBy("event_type",
+                           F.date_trunc("DAY", F.col("h")).alias("day"))
+            .agg(_r(F.sum("s").cast("double") / F.sum("c")).alias("avg_val"),
+                 F.min("mn").alias("min_val"), F.max("mx").alias("max_val"),
+                 F.sum("c").alias("n_obs")))

@@ -55,7 +55,7 @@ def write_bucketed_table(df: DataFrame, table: str,
     on ``bucket_by`` so the join runs shuffle-free (the 100 TB path for
     fact-fact joins the star-schema broadcast can't cover).
     """
-    (df.write.mode(mode)
-     .bucketBy(num_buckets, bucket_by)
-     .sortBy(*sort_by)
-     .saveAsTable(table))
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

@@ -81,3 +81,30 @@ def test_partitioned_write_prunes(spark, tmp_path):
     plan = _formatted(scan)
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert scan.count() > 0
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketed layout (sources/sink.py:write_bucketed_table): both sides
+    bucketed on the join key → sort-merge join with NO exchange — the
+    100 TB fact-fact join path."""
+    from datatools_spark.queries import _t
+    from datatools_spark.sources.sink import write_bucketed_table
+    import uuid
+    ta, tb = (f"bkt_{uuid.uuid4().hex[:8]}_{x}" for x in "ab")
+    ev = _t(spark, SF, "events").select("user_id", "ts", "value")
+    write_bucketed_table(ev, ta, "user_id", num_buckets=4)
+    write_bucketed_table(
+        ev.groupBy("user_id").agg(F.sum("value").alias("tot")),
+        tb, "user_id", num_buckets=4, sort_by=())
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(ta).join(spark.table(tb), "user_id")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")

@@ -1360,3 +1360,16 @@ def ts_rollup_multires(spark, sf_dir):
             .agg(_r(F.sum("s").cast("double") / F.sum("c")).alias("avg_val"),
                  F.min("mn").alias("min_val"), F.max("mx").alias("max_val"),
                  F.sum("c").alias("n_obs")))
+
+
+@query("mm_frame_sample")
+def mm_frame_sample(spark, sf_dir):
+    """Multimodal fan-out plumbing: per-payload synthetic frame rows via
+    sequence+explode (decode stubbed — operators/multimodal.py); one row
+    per sampled frame with a deterministic fingerprint."""
+    from .operators import multimodal as MM
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"))
+    out = MM.sample_frames(d, every_n=1)
+    return out.select("media_id", "frame_idx", "frame_fingerprint")

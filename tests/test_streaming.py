@@ -81,3 +81,57 @@ def test_streaming_sessionize_equals_batch(spark, events_dir):
         .collect())
     sw_sessions = sorted((r.event_type, r.n_events) for r in got.collect())
     assert lag_sessions == sw_sessions
+
+
+def test_stateful_daily_extrema_emits_on_watermark(spark, tmp_path):
+    """applyInPandasWithState custom operator: per-(key, day) arg-time
+    extrema state, one final append-mode row per group once the watermark
+    passes day end; equals the batch daily extrema."""
+    import pyspark.sql.functions as F
+    from datatools_spark.streaming.stateful import stateful_daily_extrema
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = []
+    i = 0
+    for d in range(3):
+        for m in range(0, 24 * 60, 37):
+            ts = t0 + dt.timedelta(days=d, minutes=m)
+            rows.append((ts, ["a", "b"][i % 2],
+                         math.sin(i / 5.0) * 10 + (i % 7)))
+            i += 1
+    schema = "ts timestamp, event_type string, value double"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    # three files → three micro-batches (maxFilesPerTrigger=1); the
+    # sentinel files push the watermark beyond every real day
+    df.where(F.col("ts") < t0 + dt.timedelta(days=2)) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    df.where(F.col("ts") >= t0 + dt.timedelta(days=2)) \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(t0 + dt.timedelta(days=10), "z", 0.0)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(t0 + dt.timedelta(days=11), "z", 1.0)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (stateful_daily_extrema(stream)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out_dir)
+        .where(F.col("event_type").isin("a", "b")).collect())
+    smin = F.min(F.struct(F.col("value").alias("v"), F.col("ts").alias("t")))
+    smax = F.min(F.struct((-F.col("value")).alias("nv"), F.col("ts").alias("t")))
+    expect = sorted(tuple(r) for r in (
+        df.where(F.col("event_type").isin("a", "b"))
+        .groupBy("event_type", F.date_trunc("DAY", "ts").alias("day"))
+        .agg(smin["v"].alias("min_val"), smin["t"].alias("min_time"),
+             (-smax["nv"]).alias("max_val"), smax["t"].alias("max_time"))
+        .collect()))
+    assert len(got) == 6  # 2 keys × 3 days, each emitted exactly once
+    assert got == expect

@@ -115,6 +115,35 @@ class OnIce:
         derived series' free — downstream re-derivation is lazy."""
         return self._with(drop_timestamps(self.data, timestamps, self.ts_col))
 
+    @staticmethod
+    def filter_zero(vel: DataFrame, vel_col: str = "X_vel") -> DataFrame:
+        """F2 (gpstools.py:673-674): keep rows with positive velocity
+        (the reference returns the complement's index for dropping)."""
+        return vel.where(F.col(vel_col) > 0)
+
+    @staticmethod
+    def normalize(vel: DataFrame, norm: float,
+                  vel_col: str = "X_vel") -> DataFrame:
+        """M4 (gpstools.py:798-801): scale velocity by a scalar."""
+        return vel.withColumn(vel_col, F.col(vel_col) / F.lit(float(norm)))
+
+    def which_quadrant(self) -> str:
+        """A13 (gpstools.py:445-452): quadrant of motion from the signs of
+        the all-positive tests on dnorth/deast. One 2-scalar aggregate."""
+        r = self.data.agg(F.min("dnorth").alias("n"),
+                          F.min("deast").alias("e")).first()
+        n_pos, e_pos = r["n"] > 0, r["e"] > 0
+        return {(True, True): "NE", (True, False): "NW",
+                (False, True): "SE", (False, False): "SW"}[(n_pos, e_pos)]
+
+    def stn_stats(self, vel: DataFrame, vel_col: str = "X_vel") -> dict:
+        """A15 `print_stn_stats` (gpstools.py:780-795): scalar aggregates
+        collected to the driver for report formatting."""
+        r = vel.agg(F.avg(vel_col).alias("mean_vel"),
+                    F.count(vel_col).alias("n_obs")).first()
+        return {"stn_ID": self.stn_ID, "mean_vel": r["mean_vel"],
+                "n_obs": r["n_obs"]}
+
     def _with(self, df: DataFrame) -> "OnIce":
         o = OnIce(df, self.stn_ID, self.ts_col)
         o.alpha = self.alpha

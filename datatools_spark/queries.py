@@ -1373,3 +1373,24 @@ def mm_frame_sample(spark, sf_dir):
         F.encode("text", "utf-8").alias("payload"))
     out = MM.sample_frames(d, every_n=1)
     return out.select("media_id", "frame_idx", "frame_fingerprint")
+
+
+@query("ts_quadrant", sql="""
+SELECT event_type,
+       CASE WHEN min(value) > 0 THEN 'pos'
+            WHEN max(value) < 0 THEN 'neg'
+            ELSE 'mixed' END AS sign_class,
+       round(avg(value), 6) AS mean_val, count(value) AS n_obs
+FROM events GROUP BY 1
+""")
+def ts_quadrant(spark, sf_dir):
+    """A13/A15 pattern (gpstools.py:445-452, 780-795): all-positive sign
+    classification + stats report as one grouped aggregate (the facade
+    methods OnIce.which_quadrant / stn_stats collect the same scalars)."""
+    ev = _t(spark, sf_dir, "events")
+    sign = (F.when(F.min("value") > 0, "pos")
+            .when(F.max("value") < 0, "neg").otherwise("mixed"))
+    return (ev.groupBy("event_type")
+            .agg(sign.alias("sign_class"),
+                 _r(F.avg("value")).alias("mean_val"),
+                 F.count("value").alias("n_obs")))

@@ -131,3 +131,28 @@ def test_diurnal_facade_with_corrections(spark):
     assert fixed[dt.datetime(2024, 1, 2)]["min_val"] != 99.0
     mi = de.multi_indexed().first()
     assert "value" in mi["minima"].__fields__
+
+
+def test_onice_scalar_helpers(spark):
+    """F2 / A13 / A15 / M4 facade surface."""
+    import datetime as dt
+    import pyspark.sql.functions as F
+    from datatools_spark.pipelines import OnIce
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(t0 + dt.timedelta(hours=i), 1.0 + i, 2.0 + i, 0.1, 0.1)
+            for i in range(48)]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, dnorth double, deast double, "
+              "dnorth_err double, deast_err double")
+    o = OnIce(df, "JEME")
+    assert o.which_quadrant() == "NE"
+    vel = spark.createDataFrame(
+        [(t0, 1.5), (t0 + dt.timedelta(hours=1), -0.5),
+         (t0 + dt.timedelta(hours=2), 2.5)], "ts timestamp, X_vel double")
+    kept = OnIce.filter_zero(vel)
+    assert kept.count() == 2
+    stats = o.stn_stats(kept)
+    assert stats["stn_ID"] == "JEME" and stats["n_obs"] == 2
+    assert abs(stats["mean_vel"] - 2.0) < 1e-12
+    normed = OnIce.normalize(kept, 2.0)
+    assert sorted(r.X_vel for r in normed.collect()) == [0.75, 1.25]

@@ -64,6 +64,46 @@ def pandas_reference_loop(pdf: pd.DataFrame) -> tuple[int, float]:
     return len(out), time.perf_counter() - t0
 
 
+def synth_docs(n: int, vocab: int = 5000, dup_frac: float = 0.1) -> pd.DataFrame:
+    """Synthetic corpus: ~dup_frac exact duplicates + mutated near-dups."""
+    rng = np.random.default_rng(11)
+    words = np.array([f"w{i}" for i in range(vocab)])
+    base = n - int(n * dup_frac * 2)
+    texts = [" ".join(words[rng.integers(0, vocab, rng.integers(8, 40))])
+             for _ in range(base)]
+    texts += [texts[i % base] for i in range(int(n * dup_frac))]            # exact
+    texts += [texts[i % base] + " zz" for i in range(n - len(texts))]      # near
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "text": texts})
+
+
+def dedup_sweep(spark, results: dict, sizes: list[int]) -> None:
+    from datatools_spark.operators.dedup import (
+        exact_dedup, minhash_lsh_pairs, simhash_col)
+    for n in sizes:
+        pdf = synth_docs(n)
+        t0 = time.perf_counter()
+        kept = pdf.drop_duplicates(subset=["text"])
+        el = time.perf_counter() - t0
+        results[f"dedup_pandas_exact_{n}"] = {
+            "rows": n, "out": len(kept), "sec": round(el, 3),
+            "rows_per_s": round(n / el)}
+        sdf = spark.createDataFrame(pdf).repartition(32).cache()
+        sdf.count()
+        for label, fn in (
+            ("exact", lambda d: exact_dedup(d)),
+            ("minhash_lsh", lambda d: minhash_lsh_pairs(d, threshold=0.9)),
+            ("simhash", lambda d: simhash_col(d)),
+        ):
+            t0 = time.perf_counter()
+            out = fn(sdf).count()
+            el = time.perf_counter() - t0
+            results[f"dedup_spark_{label}_{n}"] = {
+                "rows": n, "out": out, "sec": round(el, 3),
+                "rows_per_s": round(n / el)}
+        sdf.unpersist()
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     sizes = [100_000, 1_000_000] if quick else [100_000, 1_000_000, 10_000_000]
@@ -100,14 +140,23 @@ def main() -> None:
             "rows_per_s": round(n / el)}
         sdf.unpersist()
 
+    dedup_sweep(spark, results, [100_000] if quick else [100_000, 1_000_000])
+
     os.makedirs("bench", exist_ok=True)
     with open("bench/SCALE_NOTES.md", "w") as fh:
         fh.write("# Kernel scale sweep (local[32], synthetic 15-s GPS series)\n\n")
         fh.write("Velocity kernel: 30-min stat window, 4-h separation "
-                 "(gpstools.py:524-608 semantics).\n\n")
+                 "(gpstools.py:524-608 semantics). Dedup corpus: 8-40-word "
+                 "docs, 10% exact + 10% near duplicates; minhash_lsh is 16 "
+                 "hashes × 4 bands, candidate pairs verified at est ≥ 0.9.\n\n")
+        fh.write("Wall-clock on local[32] is dominated by fixed per-stage "
+                 "overheads (codegen, shuffle setup) below ~1e7 rows — "
+                 "rows/s only becomes meaningful at the largest sizes; the "
+                 "pandas loop has no such floor but is single-core and "
+                 "O(grid·log n) by construction.\n\n")
         fh.write("| benchmark | rows | output | sec | rows/s |\n|---|---|---|---|---|\n")
         for k, v in results.items():
-            out_n = v.get("grid_points", v.get("days", ""))
+            out_n = v.get("grid_points", v.get("days", v.get("out", "")))
             fh.write(f"| {k} | {v['rows']:,} | {out_n} | {v['sec']} | {v['rows_per_s']:,} |\n")
         pb = results["velocity_pandas_loop_1000000"]["rows_per_s"]
         biggest = max(sizes)

@@ -17,6 +17,9 @@ every reference operator is a composition of built-in Spark expressions.
 """
 
 from .session import get_spark
+from .timeseries import TimeSeriesFrame
+from .pipelines import BaseStn, DiurnalExtrema, OnIce, WeatherStation
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "TimeSeriesFrame", "BaseStn", "DiurnalExtrema",
+           "OnIce", "WeatherStation"]
 __version__ = "0.1.0"

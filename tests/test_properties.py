@@ -119,3 +119,20 @@ def test_ngram_prefix_equals_inverted(spark):
         b = {(r.a_id, r.b_id, round(r.jaccard, 9))
              for r in ngram_jaccard_pairs_prefix(df, threshold=t).collect()}
         assert a == b and (t > 0.2 or a)
+
+
+def test_approx_aggregates_within_error_bounds(spark):
+    """The 100 TB toggles: approx_count_distinct (HLL, rsd=0.05) and
+    percentile_approx stay within their documented error of the exact
+    answers on the driver testdata."""
+    import pyspark.sql.functions as F
+    from datatools_spark.queries import _t
+    ev = _t(spark, "/root/testdata/sf0.01", "events")
+    r = ev.agg(
+        F.countDistinct("user_id").alias("exact_d"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_d"),
+        F.expr("median(value)").alias("exact_m"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_m"),
+        F.min("value").alias("lo"), F.max("value").alias("hi")).first()
+    assert abs(r.approx_d - r.exact_d) <= 0.15 * r.exact_d  # 3×rsd
+    assert abs(r.approx_m - r.exact_m) <= 0.01 * (r.hi - r.lo)

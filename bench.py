@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "ts_calibrated_extrema",   # A6/A7 predicted-window picking
     "ss_rollup_revenue",       # grouping-sets rollup
     "emb_ivf_search",          # IVF nprobe ANN search
+    "doc_lsh_pairs",           # banded LSH near-dup pairs
 ]
 
 

@@ -81,43 +81,46 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
                       bands: int = 4, shingle_n: int = 3,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      cache_signatures: bool = True) -> DataFrame:
     """Candidate pairs via banded LSH, verified with estimated Jaccard
     (fraction of agreeing minhashes).
 
-    Plan: signatures → explode into ``bands`` band-keys (concat of the
-    band's rows) → self-equi-join on (band, key) → distinct pairs →
-    verify. Shuffles scale with data size × bands, never n².
+    Plan: signatures (computed ONCE — persisted unless
+    ``cache_signatures=False``, since three subtrees consume them) →
+    ids-only band index → self-equi-join on (band, key) → distinct narrow
+    pairs → verify by joining the candidate set (small; AQE broadcasts
+    it) back against the cached signatures twice. Shuffles scale with
+    data size × bands, never n²; signature bytes cross the wire once.
     Output: ``a_id, b_id, jaccard_est`` with a<b.
     """
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    sig = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("_sig"))
+    if cache_signatures:
+        sig = sig.persist()
     rows_per_band = num_hashes // bands
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_structs.append(F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("_", *[c.cast("string") for c in cols]).alias("key")))
-    exploded = sig.select(
-        F.col(id_col), *[F.col(f"mh_{i}") for i in range(num_hashes)],
-        F.explode(F.array(*band_structs)).alias("_b"))
-    left = exploded.select(
-        F.col(id_col).alias("a_id"), F.col("_b").alias("_ab"),
-        *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(num_hashes)])
-    right = exploded.select(
-        F.col(id_col).alias("b_id"), F.col("_b").alias("_bb"),
-        *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(num_hashes)])
-    cand = (left.join(right, on=(left["_ab"] == right["_bb"]) & (left["a_id"] < right["b_id"]))
-            .select("a_id", "b_id",
-                    *[F.col(f"a_mh_{i}") for i in range(num_hashes)],
-                    *[F.col(f"b_mh_{i}") for i in range(num_hashes)])
-            .dropDuplicates(["a_id", "b_id"]))
-    agree = None
-    for i in range(num_hashes):
-        m = F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0)
-        agree = m if agree is None else agree + m
+    band_keys = [
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("_", *[
+                     F.element_at("_sig", b * rows_per_band + r + 1).cast("string")
+                     for r in range(rows_per_band)]).alias("key"))
+        for b in range(bands)]
+    idx = sig.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("_b"))
+    cand = (idx.alias("a").join(idx.alias("b"), on="_b")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("a_id"),
+                    F.col(f"b.{id_col}").alias("b_id"))
+            .distinct())
+    sa = sig.select(F.col(id_col).alias("a_id"), F.col("_sig").alias("_sa"))
+    sb = sig.select(F.col(id_col).alias("b_id"), F.col("_sig").alias("_sb"))
+    agree = F.aggregate(
+        F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
     est = agree.cast("double") / F.lit(float(num_hashes))
-    return (cand.withColumn("jaccard_est", est)
+    return (cand.join(sa, "a_id").join(sb, "b_id")
+            .withColumn("jaccard_est", est)
             .where(F.col("jaccard_est") >= threshold)
             .select("a_id", "b_id", "jaccard_est"))
 

@@ -1394,3 +1394,34 @@ def ts_quadrant(spark, sf_dir):
             .agg(sign.alias("sign_class"),
                  _r(F.avg("value")).alias("mean_val"),
                  F.count("value").alias("n_obs")))
+
+
+_BAND_KEYS_SQL = ", ".join(
+    f"(mh_{2 * b}::VARCHAR || '_' || mh_{2 * b + 1}::VARCHAR)" for b in range(4))
+_AGREE_SQL = " + ".join(
+    f"(sa.mh_{i} = sb.mh_{i})::INT" for i in range(8))
+
+@query("doc_lsh_pairs", sql=f"""
+WITH {_SHINGLE_SQL},
+sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY 1),
+bk AS (SELECT doc_id, b, k FROM (
+         SELECT doc_id, unnest(range(4)) AS b,
+                unnest([{_BAND_KEYS_SQL}]) AS k
+         FROM sig)),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM bk a JOIN bk b ON a.b = b.b AND a.k = b.k
+                   AND a.doc_id < b.doc_id),
+v AS (SELECT c.a_id, c.b_id, ({_AGREE_SQL}) / 8.0 AS est
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.a_id
+      JOIN sig sb ON sb.doc_id = c.b_id)
+SELECT a_id, b_id, round(est, 6) AS jaccard_est FROM v WHERE est >= 0.25
+""")
+def doc_lsh_pairs(spark, sf_dir):
+    """Banded MinHash-LSH near-dup candidate pairs, verified by signature
+    agreement (est ≥ 0.25) — the 100 TB near-dup path end-to-end: band
+    bucket join on ids only, cached signatures verify candidates."""
+    d = _t(spark, sf_dir, "documents")
+    out = D.minhash_lsh_pairs(d, num_hashes=8, bands=4, threshold=0.25)
+    return out.select("a_id", "b_id",
+                      _r(F.col("jaccard_est")).alias("jaccard_est"))

@@ -679,7 +679,7 @@ def doc_lang_id(spark, sf_dir):
     return d.select("doc_id", TX.lang_id_col("text").alias("lang_pred"))
 
 
-@query("doc_token_count", sql="""
+@query("doc_token_count", sql=r"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens
@@ -728,7 +728,7 @@ def doc_quality(spark, sf_dir):
         _r(cols["quality_score"]).alias("quality_score"))
 
 
-@query("doc_fingerprint_dedup", sql="""
+@query("doc_fingerprint_dedup", sql=r"""
 WITH f AS (
   SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
   FROM documents),

@@ -43,7 +43,7 @@ def apply_shadow_correction(df: DataFrame, solar_col: str = "Solar_incoming",
     day = F.date_trunc("DAY", F.col(ts_col))
     in_band = (F.hour(F.col(ts_col)) >= band[0]) & (F.hour(F.col(ts_col)) < band[1])
     # band endpoints per day: first/last in-band values (min_by/max_by ts)
-    band_rows = df.where(in_band)
+    band_rows = df.where(in_band & F.col(solar_col).isNotNull())
     ends = (band_rows.groupBy(*[F.col(c) for c in p], day.alias("_day"))
             .agg(F.min_by(F.col(solar_col), F.col(ts_col)).alias("_first_v"),
                  F.max_by(F.col(solar_col), F.col(ts_col)).alias("_last_v")))

@@ -1425,3 +1425,53 @@ def doc_lsh_pairs(spark, sf_dir):
     out = D.minhash_lsh_pairs(d, num_hashes=8, bands=4, threshold=0.25)
     return out.select("a_id", "b_id",
                       _r(F.col("jaccard_est")).alias("jaccard_est"))
+
+
+@query("ts_shadow_correction", sql="""
+WITH ends AS (
+  SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS d,
+         arg_min(value, ts) AS fv, arg_max(value, ts) AS lv
+  FROM events
+  WHERE hour(ts) >= 14 AND hour(ts) < 17 AND value IS NOT NULL
+  GROUP BY 1, 2),
+base AS (
+  SELECT e.event_id, e.event_type, e.ts, epoch(e.ts) AS es,
+         CASE WHEN hour(e.ts) >= 14 AND hour(e.ts) < 17
+                   AND e.value < least(x.fv, x.lv)
+              THEN NULL ELSE e.value END AS v
+  FROM events e LEFT JOIN ends x
+    ON x.event_type = e.event_type
+   AND x.d = date_trunc('day', e.ts)::TIMESTAMP),
+w AS (
+  SELECT event_id, v, es,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN es END IGNORE NULLS)
+        OVER (PARTITION BY event_type ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+    last_value(CASE WHEN v IS NOT NULL THEN es END IGNORE NULLS)
+        OVER (PARTITION BY event_type ORDER BY ts DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt
+  FROM base)
+SELECT event_id,
+  round(CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (es - pt) / (nt - pt)
+             WHEN pv IS NOT NULL AND nv IS NULL THEN pv
+        END, 6) AS solar_corrected
+FROM w
+""")
+def ts_shadow_correction(spark, sf_dir):
+    """W4 shadow correction (melt_model.py:366-406): flag in-band (14-17h)
+    samples below min(first, last) of the band, null them, time-weighted
+    interpolate. Band endpoints = one day-agg broadcast back; no per-day
+    loop."""
+    from . import melt as MELT
+    ev = _t(spark, sf_dir, "events")
+    out = MELT.apply_shadow_correction(ev, solar_col="value",
+                                       band=(14, 17),
+                                       partition_by=["event_type"])
+    return out.select("event_id",
+                      _r(F.col("value_corrected")).alias("solar_corrected"))

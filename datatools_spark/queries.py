@@ -1475,3 +1475,53 @@ def ts_shadow_correction(spark, sf_dir):
                                        partition_by=["event_type"])
     return out.select("event_id",
                       _r(F.col("value_corrected")).alias("solar_corrected"))
+
+
+@query("ts_melt_pipeline", sql="""
+WITH src AS (
+  SELECT event_id, event_type, ts, epoch(ts) AS es,
+         value AS temp,
+         100.0 + abs(value) * 50.0 AS inc,
+         (100.0 + abs(value) * 50.0) * (0.3 + value / 1000.0) AS refl
+  FROM events WHERE value IS NOT NULL),
+sm AS (
+  SELECT *, avg(inc) OVER w AS in_sm, avg(refl) OVER w AS out_sm
+  FROM src
+  WINDOW w AS (PARTITION BY event_type ORDER BY es
+               RANGE BETWEEN 3600 PRECEDING AND 3600 FOLLOWING)),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                   ORDER BY in_sm DESC, ts ASC) AS rn FROM sm),
+alb AS (SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+               max(CASE WHEN rn = 1 THEN out_sm END) / max(in_sm) AS a0
+        FROM r GROUP BY 1, 2),
+alb2 AS (SELECT event_type, day,
+                CASE WHEN a0 >= 1.0 THEN NULL ELSE a0 END AS alb_raw
+         FROM alb),
+j AS (SELECT s.*, a.alb_raw FROM sm s LEFT JOIN alb2 a
+      ON a.event_type = s.event_type
+     AND a.day = date_trunc('day', s.ts)::TIMESTAMP),
+f AS (SELECT *, last_value(alb_raw IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS albedo
+      FROM j)
+SELECT event_id,
+  round(coalesce(CASE WHEN temp > 0.0
+                      THEN 0.05 * temp + 0.0094 * (1.0 - albedo) * in_sm
+                      ELSE 0.0 END, 0.0), 6) AS melt_rate
+FROM f
+""")
+def ts_melt_pipeline(spark, sf_dir):
+    """E3 end-to-end (melt_model.py:448-543): 2-h centered smoothing →
+    daily albedo at solar max (masked ≥ 1) → day-key join + ffill →
+    temperature-gated melt equation, nulls→0. Temp/solar channels derived
+    from `value` so the whole composite is oracle-checkable."""
+    from . import melt as MELT
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    inc = 100.0 + F.abs(F.col("value")) * 50.0
+    src = ev.select(
+        "event_id", "event_type", "ts",
+        F.col("value").alias("Temp"),
+        inc.alias("Solar_incoming"),
+        (inc * (0.3 + F.col("value") / 1000.0)).alias("Solar_reflected"))
+    out = MELT.calc_melt(src, partition_by=["event_type"])
+    return out.select("event_id", _r(F.col("melt_rate")).alias("melt_rate"))

@@ -48,7 +48,9 @@ def test_no_python_eval_on_parity_surface(spark):
     for name in ["ts_velocity_grid", "ts_diurnal_extrema_18h",
                  "ts_rolling_center_mean_2h", "ts_asof_align",
                  "ts_interp_linear", "ts_albedo_daily", "doc_minhash",
-                 "doc_ngram_pairs", "emb_knn_brute"]:
+                 "doc_ngram_pairs", "emb_knn_brute", "doc_lsh_pairs",
+                 "emb_ivf_search", "ts_shadow_correction",
+                 "ts_sessionize", "ts_calibrated_extrema"]:
         plan = _plan(QUERIES[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name

@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "ss_rollup_revenue",       # grouping-sets rollup
     "emb_ivf_search",          # IVF nprobe ANN search
     "doc_lsh_pairs",           # banded LSH near-dup pairs
+    "ts_melt_pipeline",        # E3 composite
+    "ts_e1_pipeline",          # E1 composite
 ]
 
 

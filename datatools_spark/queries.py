@@ -1525,3 +1525,45 @@ def ts_melt_pipeline(spark, sf_dir):
         (inc * (0.3 + F.col("value") / 1000.0)).alias("Solar_reflected"))
     out = MELT.calc_melt(src, partition_by=["event_type"])
     return out.select("event_id", _r(F.col("melt_rate")).alias("melt_rate"))
+
+
+@query("ts_e1_pipeline", sql=f"""
+WITH src AS (
+  SELECT ts, epoch(ts) AS es, value AS e, value * 0.3 + 2.0 AS n
+  FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+o AS (SELECT n AS n0, e AS e0 FROM src ORDER BY ts LIMIT 1),
+rot AS (SELECT s.ts, s.es,
+               cos(0.6) * (s.e - o.e0) + sin(0.6) * (s.n - o.n0) AS xflow
+        FROM src s, o),
+b AS (SELECT min(es) + {_VEL_SEP} AS t0, max(es) - {_VEL_SEP} AS tend FROM rot),
+sides AS (
+  SELECT floor((r.es + {_VEL_SEP / 2} - (b.t0 - {_VEL_STAT / 2})) / {_VEL_STAT}) AS k,
+         0 AS side, r.xflow, b.t0, b.tend FROM rot r, b
+  UNION ALL
+  SELECT floor((r.es - {_VEL_SEP / 2} - (b.t0 - {_VEL_STAT / 2})) / {_VEL_STAT}),
+         1, r.xflow, b.t0, b.tend FROM rot r, b),
+f AS (SELECT * FROM sides WHERE k >= 0 AND k <= floor((tend - t0) / {_VEL_STAT})),
+agg AS (SELECT k, side, median(xflow) AS m, count(xflow) AS n FROM f GROUP BY 1, 2)
+SELECT l.k::BIGINT AS k,
+       round((r.m - l.m) / ({_VEL_SEP} / 86400.0), 6) AS xflow_vel
+FROM agg l JOIN agg r ON l.k = r.k AND l.side = 0 AND r.side = 1
+WHERE l.n > 3 AND r.n > 3
+""")
+def ts_e1_pipeline(spark, sf_dir):
+    """E1 composite (gpstools.py:245-608): origin shift to first sample →
+    rotation to flow direction (α=0.6) → grid-median velocity on xflow —
+    the publication workload end-to-end, hash-checked. east=value,
+    north=0.3·value+2 on the 'click' series (unique timestamps)."""
+    ev = (_t(spark, sf_dir, "events")
+          .where((F.col("event_type") == "click") & F.col("value").isNotNull()))
+    df = ev.select("ts", (F.col("value") * 0.3 + 2.0).alias("dnorth"),
+                   F.col("value").alias("deast"))
+    rot = DT.reproject_to_flow_direction(df, alpha=0.6)
+    vel = V.calc_velocity(rot, ["xflow"], stat_window=_VEL_STAT,
+                          separation_window=_VEL_SEP, min_obs=3)
+    b = rot.agg((F.min(F.col("ts").cast("double")) + _VEL_SEP).alias("t0")) \
+        .collect()[0]
+    return vel.select(
+        F.round((F.col("date").cast("double") - b["t0"]) / _VEL_STAT)
+        .cast("bigint").alias("k"),
+        _r(F.col("xflow_vel")).alias("xflow_vel"))

@@ -93,10 +93,10 @@ def knn_lsh(df: DataFrame, query: DataFrame, k: int = 10,
     bucket are scored. Recall < 1 by construction; bucket size ≈ n/2^H
     bounds work. Same output schema as brute force."""
     corpus = df.withColumn("_bkt", hyperplane_bucket_col(vec_col, num_planes))
-    q = F.broadcast(query.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qv"))
-        .withColumn("_bkt", hyperplane_bucket_col(vec_col, num_planes))
-        .drop(vec_col))
+    q = F.broadcast(query
+                    .withColumn("_bkt", hyperplane_bucket_col(vec_col, num_planes))
+                    .select(F.col(query_id_col), F.col(vec_col).alias("_qv"),
+                            F.col("_bkt")))
     scored = (corpus.join(q, on="_bkt")
               .withColumn("cosine", cosine_expr(F.col(vec_col), F.col("_qv"))))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))

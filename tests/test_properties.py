@@ -136,3 +136,28 @@ def test_approx_aggregates_within_error_bounds(spark):
         F.min("value").alias("lo"), F.max("value").alias("hi")).first()
     assert abs(r.approx_d - r.exact_d) <= 0.15 * r.exact_d  # 3×rsd
     assert abs(r.approx_m - r.exact_m) <= 0.01 * (r.hi - r.lo)
+
+
+def test_ann_recall_floor_vs_brute_force(spark):
+    """LSH and IVF are approximate — pin their recall@10 against the
+    exact brute-force baseline on the driver testdata (deterministic
+    planes/centroids ⇒ deterministic recall). Also regression-guards
+    knn_lsh end-to-end (a query-side bucket/rename bug once broke it)."""
+    import pyspark.sql.functions as F
+    import datatools_spark.operators.similarity as SIM
+    from datatools_spark.queries import _t
+    e = _t(spark, "/root/testdata/sf0.01", "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.where(F.col("vec_id").isin(0, 1, 2)) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    brute = {(r.query_id, r.vec_id)
+             for r in SIM.knn_brute_force(e, q, k=10).collect()}
+    lsh = {(r.query_id, r.vec_id)
+           for r in SIM.knn_lsh(e, q, k=10, num_planes=4).collect()}
+    cent = e.where(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    ivf = {(r.query_id, r.vec_id)
+           for r in SIM.ivf_search(e, cent, q, k=10, nprobe=2).collect()}
+    assert len(brute) == 30
+    assert len(brute & lsh) / len(brute) >= 0.35   # measured 0.40
+    assert len(brute & ivf) / len(brute) >= 0.85   # measured 0.90

@@ -1567,3 +1567,32 @@ def ts_e1_pipeline(spark, sf_dir):
         F.round((F.col("date").cast("double") - b["t0"]) / _VEL_STAT)
         .cast("bigint").alias("k"),
         _r(F.col("xflow_vel")).alias("xflow_vel"))
+
+
+@query("emb_knn_lsh", sql=f"""
+WITH c AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bkt
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, {_bucket_sql('embedding')} AS bkt
+      FROM embeddings WHERE vec_id IN (0, 1, 2)),
+s AS (SELECT q.query_id, c.vec_id,
+             {_COS_SQL.format(a='c.embedding', b='q.qv')} AS cos
+      FROM c JOIN q ON c.bkt = q.bkt),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
+FROM r WHERE rank <= 10
+""")
+def emb_knn_lsh(spark, sf_dir):
+    """Approximate kNN via hyperplane-LSH bucket pruning: only
+    same-sign-bucket corpus vectors are scored (recall@10 = 0.40 vs brute
+    force on this corpus, pinned in tests; bucket count 2^H bounds each
+    probe's work)."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.where(F.col("vec_id").isin(0, 1, 2)) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.knn_lsh(e, q, k=10, num_planes=4)
+    return out.select("query_id", "vec_id",
+                      _r(F.col("cosine")).alias("cosine"), "rank")

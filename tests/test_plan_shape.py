@@ -110,3 +110,25 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_velocity_plan_chooser(spark):
+    """plans/chooser.py: tileable parameterizations get the cheap bucket
+    plan; overlapping grids fall back to the general range join — and the
+    dispatcher's two variants agree on the reference parameterization."""
+    from datatools_spark.plans import choose_velocity_plan
+    from datatools_spark.plans.chooser import velocity
+    from datatools_spark.queries import _t
+    assert choose_velocity_plan("3T") == "bucket"
+    assert choose_velocity_plan(1800, 1800) == "bucket"
+    assert choose_velocity_plan(1800, 600) == "range_join"
+    ev = _t(spark, SF, "events")
+    a = velocity(ev, ["value"], 6 * 3600, 24 * 3600)
+    b = velocity(ev, ["value"], 6 * 3600, 24 * 3600, grid_step=600)
+    # grid timestamps agree at second precision (the variants carry
+    # different sub-second representations of the same grid point)
+    ra = sorted((r["date"].replace(microsecond=0), round(r["value_vel"], 9))
+                for r in a.collect())
+    rb = sorted((r["date"].replace(microsecond=0), round(r["value_vel"], 9))
+                for r in b.collect())
+    assert ra == rb

@@ -1596,3 +1596,51 @@ def emb_knn_lsh(spark, sf_dir):
     out = SIM.knn_lsh(e, q, k=10, num_planes=4)
     return out.select("query_id", "vec_id",
                       _r(F.col("cosine")).alias("cosine"), "rank")
+
+
+@query("ts_json_props", sql="""
+SELECT event_id,
+       json_extract(props, '$.k')::BIGINT AS k,
+       (json_extract(props, '$.k')::BIGINT % 10) AS k_bucket
+FROM events
+""")
+def ts_json_props(spark, sf_dir):
+    """Semi-structured extraction (engine extension — the reference has no
+    JSON, SURVEY §2.8): pull a typed field out of the events `props` JSON
+    column JVM-side (get_json_object, no UDF)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select("event_id", k.alias("k"),
+                     (k % 10).alias("k_bucket"))
+
+
+@query("doc_lang_confusion", sql=f"""
+WITH p AS (SELECT doc_id, lang, {_LANG_SQL_CASE} AS lang_pred FROM documents)
+SELECT lang, lang_pred, count(*) AS n
+FROM p GROUP BY 1, 2
+""")
+def doc_lang_confusion(spark, sf_dir):
+    """Language-ID evaluation: confusion counts of the n-gram heuristic
+    against the corpus ground-truth `lang` column — the eval query a
+    training-data pipeline runs after every classifier change."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.withColumn("lang_pred", TX.lang_id_col("text"))
+            .groupBy("lang", "lang_pred")
+            .agg(F.count("*").alias("n")))
+
+
+@query("emb_label_centroids", sql="""
+SELECT label, i::BIGINT AS i, round(avg(embedding[i]), 6) AS c
+FROM embeddings,
+     unnest(range(1, array_length(embedding) + 1)) AS t(i)
+GROUP BY 1, 2
+""")
+def emb_label_centroids(spark, sf_dir):
+    """Per-label elementwise centroid of the embedding column (the IVF
+    training step / class-prototype analytics): posexplode → one grouped
+    avg per (label, dim) — flat scalars, engine-portable."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    ex = e.select("label", F.posexplode("embedding").alias("_p", "_v"))
+    return (ex.groupBy("label", (F.col("_p") + 1).alias("i"))
+            .agg(_r(F.avg("_v")).alias("c")))

@@ -1644,3 +1644,32 @@ def emb_label_centroids(spark, sf_dir):
     ex = e.select("label", F.posexplode("embedding").alias("_p", "_v"))
     return (ex.groupBy("label", (F.col("_p") + 1).alias("i"))
             .agg(_r(F.avg("_v")).alias("c")))
+
+
+@query("doc_source_stats", sql=f"""
+WITH q AS ({_QUAL_SQL}),
+j AS (SELECT d.source, q.quality_score, q.n_tokens
+      FROM q JOIN documents d USING (doc_id))
+SELECT source,
+       count(*) AS n_docs,
+       round(sum(round(quality_score, 6)::DECIMAL(18,9))::DOUBLE
+             / count(*), 4) AS mean_quality,
+       sum(n_tokens) AS total_tokens
+FROM j GROUP BY 1
+""")
+def doc_source_stats(spark, sf_dir):
+    """Per-source curation stats (which sources to keep/downsample — the
+    decision query of a corpus pipeline). Mean quality sums 6dp-rounded
+    scores as exact decimals so the aggregate is accumulation-order-proof
+    on any partitioning."""
+    d = _t(spark, sf_dir, "documents")
+    cols = TX.quality_score_cols("text")
+    per = d.select("source",
+                   F.round(cols["quality_score"], 6)
+                   .cast("decimal(18,9)").alias("_q"),
+                   cols["n_tokens"].alias("_t"))
+    return (per.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.sum("_q").cast("double") / F.count("*"), 4)
+                 .alias("mean_quality"),
+                 F.sum("_t").alias("total_tokens")))

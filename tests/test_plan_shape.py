@@ -132,3 +132,17 @@ def test_velocity_plan_chooser(spark):
     rb = sorted((r["date"].replace(microsecond=0), round(r["value_vel"], 9))
                 for r in b.collect())
     assert ra == rb
+
+
+def test_velocity_approx_partial_aggregates(spark):
+    """approx=True swaps exact median for percentile_approx, which is
+    partially aggregatable — the plan must show a map-side partial before
+    the exchange (the claim in operators/velocity.py's scale note)."""
+    from datatools_spark.operators.velocity import calc_velocity
+    from datatools_spark.queries import _t
+    ev = _t(spark, SF, "events")
+    plan = _formatted(calc_velocity(ev, ["value"], 6 * 3600, 24 * 3600,
+                                    approx=True))
+    agg_sections = [seg for seg in plan.split("HashAggregate")[1:]
+                    if "percentile" in seg[:400]]
+    assert len(agg_sections) >= 2  # partial + final pair

@@ -193,7 +193,8 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join.
 
     docs → distinct shingles (explode) → self-join on shingle (the
@@ -202,12 +203,45 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     with |A|+|B| from per-doc counts. Same exact result as
     :func:`ngram_jaccard_pairs_prefix` (cross-checked in tests).
     Output: ``a_id, b_id, jaccard`` with a<b.
+
+    ``max_df``: the 100 TB skew guard — shingles appearing in more than
+    ``max_df`` docs are excluded from CANDIDATE GENERATION only (a
+    stop-shingle shared by 10⁵ docs otherwise emits 10¹⁰ join rows);
+    found pairs are then verified with ``array_intersect`` over the FULL
+    shingle sets, so every reported Jaccard is exact. The only semantic
+    delta: pairs connected solely through ultra-common shingles are not
+    found (at any meaningful threshold such pairs share rarer shingles
+    too). Default off = the pure count-based plan.
     """
     sh = (df.withColumn("_words", words_col(text_col))
           .select(F.col(id_col),
                   F.explode(word_shingles(text_col, shingle_n,
                                           from_words_col="_words")).alias("_sh"))
           .dropDuplicates([id_col, "_sh"]))
+    if max_df is not None:
+        keep = (sh.groupBy("_sh").agg(F.count("*").alias("_df"))
+                .where(F.col("_df") <= max_df).select("_sh"))
+        idx = sh.join(keep, "_sh")
+        cands = (idx.alias("a").join(idx.alias("b"), on="_sh")
+                 .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                 .select(F.col(f"a.{id_col}").alias("a_id"),
+                         F.col(f"b.{id_col}").alias("b_id"))
+                 .distinct())
+        sets = (df.withColumn("_words", words_col(text_col))
+                .select(F.col(id_col),
+                        F.sort_array(word_shingles(
+                            text_col, shingle_n,
+                            from_words_col="_words")).alias("_shs"))
+                .where(F.size("_shs") > 0))
+        sa2 = sets.select(F.col(id_col).alias("a_id"), F.col("_shs").alias("_sa"))
+        sb2 = sets.select(F.col(id_col).alias("b_id"), F.col("_shs").alias("_sb"))
+        inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+        jacc = inter / (F.size("_sa") + F.size("_sb") - inter)
+        return (cands.join(sa2, "a_id").join(sb2, "b_id")
+                .withColumn("jaccard", jacc)
+                .where(F.col("jaccard") >= threshold)
+                .select("a_id", "b_id", "jaccard"))
+
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
     a = sh.select(F.col(id_col).alias("a_id"), F.col("_sh"))
     b = sh.select(F.col(id_col).alias("b_id"), F.col("_sh"))

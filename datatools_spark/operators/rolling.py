@@ -11,8 +11,8 @@ frame natively and correctly at partition edges:
 Scale notes: the window runs after a single hash-partition on the series
 key with an in-partition sort — one shuffle, no self-join, streaming frame
 evaluation in Tungsten. At 100 TB with many series the partition count is
-the series cardinality — fine; a single giant series would need
-time-chunked re-partitioning with halo rows (not needed for parity).
+the series cardinality — fine; a single giant series uses
+:func:`c_rolling_chunked` (time chunks + halo rows, exactly equal results).
 
 ``min_periods`` (utils.py:45, 49) gates the result on the observation
 count inside the frame, matching pandas' NaN behavior.
@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.timeutils import parse_duration_seconds
 
-__all__ = ["c_rolling", "rolling_agg_col"]
+__all__ = ["c_rolling", "c_rolling_chunked", "rolling_agg_col"]
 
 _FUNCS = {
     "mean": F.avg,
@@ -93,3 +93,46 @@ def c_rolling(df: DataFrame, value_col: str, window, func: str = "mean",
     out = out_col or f"{value_col}_roll"
     return df.withColumn(out, rolling_agg_col(
         value_col, window, func, ts_col, partition_by, min_periods, center))
+
+
+def c_rolling_chunked(df: DataFrame, value_col: str, window, func: str = "mean",
+                      ts_col: str = "ts", chunk="1d",
+                      min_periods: int | None = None,
+                      out_col: str | None = None) -> DataFrame:
+    """Centered rolling for ONE giant series: time-chunked with halo rows.
+
+    The plain plan partitions by the series key — a single series lands in
+    a single task. This variant re-partitions the series into ``chunk``
+    buckets; each row is also replicated into a neighbor chunk when it
+    falls within half a window of the boundary (the halo), so every
+    chunk-local frame sees exactly the rows the global frame would.
+    Results are EXACTLY equal to :func:`c_rolling` (asserted in
+    tests/test_operators.py); the shuffle spreads one series over
+    ``time_span / chunk`` tasks.
+
+    Requires ``chunk ≥ window/2`` so a frame never spans more than one
+    boundary.
+    """
+    w_us = int(parse_duration_seconds(window) * 1_000_000)
+    half = w_us // 2
+    chunk_us = int(parse_duration_seconds(chunk) * 1_000_000)
+    if chunk_us < half:
+        raise ValueError("chunk must be >= window/2 so halos cover the frame")
+    out = out_col or f"{value_col}_roll"
+    es = F.unix_micros(F.col(ts_col))
+    cid = F.floor(es / F.lit(chunk_us))
+    off = es - cid * chunk_us
+    assigns = F.array_compact(F.array(
+        F.struct(cid.alias("c"), F.lit(True).alias("own")),
+        F.when(off < half,
+               F.struct((cid - 1).alias("c"), F.lit(False).alias("own"))),
+        F.when(off >= chunk_us - half,
+               F.struct((cid + 1).alias("c"), F.lit(False).alias("own"))),
+    ))
+    work = df.select("*", F.explode(assigns).alias("_a")) \
+        .select("*", F.col("_a.c").alias("_chunk"), F.col("_a.own").alias("_own")) \
+        .drop("_a")
+    rolled = c_rolling(work, value_col, window, func, ts_col,
+                       partition_by=["_chunk"], min_periods=min_periods,
+                       out_col=out)
+    return rolled.where(F.col("_own")).drop("_chunk", "_own")

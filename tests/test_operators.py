@@ -177,3 +177,26 @@ def test_union_keep_first(spark):
     b = spark.createDataFrame([(2, 99.0), (3, 30.0)], "k int, v double")
     out = {r["k"]: r["v"] for r in union_keep_first([a, b], ["k"]).collect()}
     assert out == {1: 10.0, 2: 20.0, 3: 30.0}
+
+
+def test_chunked_rolling_equals_plain(spark):
+    """c_rolling_chunked (giant-series scale path: time chunks + halo
+    rows) produces exactly the plain centered-window results."""
+    import datetime as dt
+    import random
+    from datatools_spark.operators.rolling import c_rolling, c_rolling_chunked
+    rng = random.Random(13)
+    t0 = dt.datetime(2024, 2, 1)
+    rows, t = [], t0
+    for _ in range(400):
+        t += dt.timedelta(minutes=rng.choice([5, 20, 90, 300]))
+        rows.append((t, rng.uniform(-10, 10)))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    for func in ("mean", "median"):
+        a = {(r.ts, round(r.value_roll, 9) if r.value_roll is not None else None)
+             for r in c_rolling(df, "value", "6H", func,
+                                min_periods=2).collect()}
+        b = {(r.ts, round(r.value_roll, 9) if r.value_roll is not None else None)
+             for r in c_rolling_chunked(df, "value", "6H", func, chunk="1d",
+                                        min_periods=2).collect()}
+        assert a == b

@@ -161,3 +161,22 @@ def test_ann_recall_floor_vs_brute_force(spark):
     assert len(brute) == 30
     assert len(brute & lsh) / len(brute) >= 0.35   # measured 0.40
     assert len(brute & ivf) / len(brute) >= 0.85   # measured 0.90
+
+
+def test_ngram_max_df_drops_stop_shingles_keeps_dups(spark):
+    """The max_df skew guard: a shingle present in EVERY doc no longer
+    explodes the join, while true near-dup pairs (connected via rare
+    shingles) survive with their exact Jaccard."""
+    from datatools_spark.operators.dedup import ngram_jaccard_pairs
+    stop = "the quick brown"
+    docs = [(i, f"{stop} fox{i} a{i} b{i}") for i in range(20)]
+    docs += [(100, f"{stop} unique words here now"),
+             (101, f"{stop} unique words here now")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    full = {(r.a_id, r.b_id): round(r.jaccard, 9)
+            for r in ngram_jaccard_pairs(df, threshold=0.9).collect()}
+    capped = {(r.a_id, r.b_id): round(r.jaccard, 9)
+              for r in ngram_jaccard_pairs(df, threshold=0.9,
+                                           max_df=5).collect()}
+    assert full[(100, 101)] == 1.0
+    assert capped == full  # exact dups connected via their rare shingles

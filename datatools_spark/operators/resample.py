@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.timeutils import parse_duration_seconds
 
-__all__ = ["resample_agg", "resample_nearest"]
+__all__ = ["resample_agg", "resample_gapfill", "resample_nearest"]
 
 _AGGS = {
     "mean": F.avg, "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
@@ -79,3 +79,37 @@ def resample_nearest(df: DataFrame, rule, value_cols: Sequence[str],
               .withColumn(ts_col, F.col("_w.start"))
               .drop("_w")
               .select(*partition_by, ts_col, *value_cols))
+
+
+def resample_gapfill(df: DataFrame, rule, aggs: Mapping[str, str] | str,
+                     ts_col: str = "ts", partition_by: Sequence[str] = (),
+                     value_cols: Sequence[str] | None = None,
+                     fill: str | None = None) -> DataFrame:
+    """Tumbling aggregate onto a COMPLETE regular grid: empty buckets
+    appear with nulls (``fill=None``) or forward-filled values
+    (``fill='ffill'``) — pandas ``resample().mean()`` semantics where
+    silence is data.
+
+    The grid is ``sequence(min_bucket, max_bucket, step)`` per partition
+    key — generated, exploded, left-joined to the aggregate. Grid size =
+    time_span / rule per key (rows of a few hundred bytes), so the
+    explode is negligible next to the fact scan at any SF.
+    """
+    from .fillna import ffill as _ffill
+    sec = int(parse_duration_seconds(rule))
+    agg = resample_agg(df, rule, aggs, ts_col, partition_by, value_cols)
+    p = list(partition_by)
+    bounds = (df.groupBy(*[F.col(c) for c in p])
+              .agg(F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")))
+    step = F.expr(f"INTERVAL {sec} SECONDS")
+    lo = F.timestamp_seconds(
+        F.floor(F.col("_lo").cast("double") / sec) * sec)
+    hi = F.timestamp_seconds(
+        F.floor(F.col("_hi").cast("double") / sec) * sec)
+    grid = bounds.select(
+        *p, F.explode(F.sequence(lo, hi, step)).alias(ts_col))
+    out = grid.join(agg, on=p + [ts_col], how="left")
+    if fill == "ffill":
+        cols = [c for c in out.columns if c not in p + [ts_col]]
+        out = _ffill(out, cols, ts_col, p)
+    return out

@@ -1673,3 +1673,31 @@ def doc_source_stats(spark, sf_dir):
                  F.round(F.sum("_q").cast("double") / F.count("*"), 4)
                  .alias("mean_quality"),
                  F.sum("_t").alias("total_tokens")))
+
+
+@query("ts_resample_gapfill", sql="""
+WITH b AS (SELECT event_type,
+                  to_timestamp(floor(epoch(min(ts)) / 21600) * 21600) AS lo,
+                  to_timestamp(floor(epoch(max(ts)) / 21600) * 21600) AS hi
+           FROM events GROUP BY 1),
+g AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS ts
+      FROM b),
+a AS (SELECT event_type,
+             to_timestamp(floor(epoch(ts) / 21600) * 21600) AS ts,
+             round(avg(value), 6) AS mean_val, count(value) AS n_obs
+      FROM events GROUP BY 1, 2)
+SELECT g.event_type, g.ts, a.mean_val, a.n_obs
+FROM g LEFT JOIN a ON a.event_type = g.event_type AND a.ts = g.ts
+""")
+def ts_resample_gapfill(spark, sf_dir):
+    """Gap-filled resample (pandas ``resample().mean()`` with complete
+    grid): every 6-h bucket from min to max per series appears, empty
+    buckets as nulls — sequence+explode grid left-joined to the tumbling
+    aggregate."""
+    ev = _t(spark, sf_dir, "events").withColumn("n_obs", F.col("value"))
+    out = RS.resample_gapfill(ev, 6 * 3600, {"value": "mean",
+                                             "n_obs": "count"},
+                              partition_by=["event_type"])
+    return out.select("event_type", "ts",
+                      _r(F.col("value")).alias("mean_val"),
+                      F.col("n_obs"))

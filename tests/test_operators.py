@@ -200,3 +200,21 @@ def test_chunked_rolling_equals_plain(spark):
              for r in c_rolling_chunked(df, "value", "6H", func, chunk="1d",
                                         min_periods=2).collect()}
         assert a == b
+
+
+def test_resample_gapfill_complete_grid_and_ffill(spark):
+    import datetime as dt
+    from datatools_spark.operators.resample import resample_gapfill
+    t0 = dt.datetime(2024, 1, 1)
+    # observations at hours 0, 1, and 5 — hours 2-4 are silent
+    rows = [(t0 + dt.timedelta(hours=h), float(h)) for h in (0, 1, 5)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r.ts: r.value for r in
+           resample_gapfill(df, 3600, {"value": "mean"}).collect()}
+    assert len(out) == 6  # complete hourly grid 0..5
+    assert out[t0 + dt.timedelta(hours=3)] is None
+    filled = {r.ts: r.value for r in
+              resample_gapfill(df, 3600, {"value": "mean"},
+                               fill="ffill").collect()}
+    assert filled[t0 + dt.timedelta(hours=3)] == 1.0
+    assert filled[t0 + dt.timedelta(hours=5)] == 5.0

@@ -93,6 +93,29 @@ class TimeSeriesFrame:
         return self._wrap(resample_nearest(self.df, rule, value_cols,
                                            self.ts_col, self.series_keys))
 
+    def resample_gapfill(self, rule, aggs, value_cols=None,
+                         fill=None) -> "TimeSeriesFrame":
+        from .operators.resample import resample_gapfill
+        return self._wrap(resample_gapfill(self.df, rule, aggs, self.ts_col,
+                                           self.series_keys, value_cols,
+                                           fill=fill))
+
+    def sessionize(self, gap="30min", id_col=None) -> DataFrame:
+        """Gap-based session ids (lag-gap + running sum; streaming twin:
+        session_window — see queries.ts_sessionize)."""
+        from pyspark.sql import Window as W
+        from .functions.timeutils import parse_duration_seconds
+        gap_s = parse_duration_seconds(gap)
+        order = [self.ts_col] + ([id_col] if id_col else [])
+        w = W.partitionBy(*self.series_keys).orderBy(*order)
+        delta = (F.col(self.ts_col).cast("double")
+                 - F.lag(F.col(self.ts_col)).over(w).cast("double"))
+        new_s = F.when(delta.isNull() | (delta > gap_s), 1).otherwise(0)
+        run = w.rowsBetween(W.unboundedPreceding, 0)
+        return (self.df.withColumn("_new", new_s)
+                .withColumn("session_n", F.sum("_new").over(run))
+                .drop("_new"))
+
     # ---- analytics (A3-A9, §2.9) ---------------------------------------
     def daily_extrema(self, value_col: str = "value", **kw) -> DataFrame:
         return _ex.daily_extrema(self.df, value_col, self.ts_col,

@@ -1701,3 +1701,64 @@ def ts_resample_gapfill(spark, sf_dir):
     return out.select("event_type", "ts",
                       _r(F.col("value")).alias("mean_val"),
                       F.col("n_obs"))
+
+
+@query("doc_subword_count", sql=r"""
+SELECT doc_id,
+       (len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        + list_sum(list_transform(
+            regexp_extract_all(text, '[A-Za-z0-9]+'),
+            w -> (greatest(len(w) - 1, 0) // 6))))::BIGINT AS est_tokens
+FROM documents
+""")
+def doc_subword_count(spark, sf_dir):
+    """BPE-ish token-count estimate (regex pretokenization + ~6-char
+    subword surcharge for long words) — the budgeting number an LLM-data
+    pipeline runs over every shard."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.subword_count_col("text").alias("est_tokens"))
+
+
+@query("ss_customer_running_total", sql="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW), 4) AS running_total
+FROM orders
+""")
+def ss_customer_running_total(spark, sf_dir):
+    """Cumulative spend per customer (running-total window, tie-broken by
+    order key) — sorted-frame evaluation, so the sum order is the frame
+    order and partition-count-invariant."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return o.select("o_custkey", "o_orderkey",
+                    F.round(F.sum("o_totalprice").over(w), 4)
+                    .alias("running_total"))
+
+
+@query("emb_norm_stats", sql=f"""
+WITH n AS (
+  SELECT vec_id, label,
+         sqrt(list_sum(list_transform(range(1, array_length(embedding) + 1),
+              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+  FROM embeddings)
+SELECT label, count(*) AS n_vecs,
+       round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm,
+       sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS n_zero
+FROM n GROUP BY 1
+""")
+def emb_norm_stats(spark, sf_dir):
+    """Embedding data-quality diagnostics: per-label norm range and
+    zero-vector count (the sanity scan before any ANN build)."""
+    from .operators.similarity import norm_expr
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    n = e.select("vec_id", "label", norm_expr(F.col("embedding")).alias("nrm"))
+    return (n.groupBy("label")
+            .agg(F.count("*").alias("n_vecs"),
+                 _r(F.min("nrm")).alias("min_norm"),
+                 _r(F.max("nrm")).alias("max_norm"),
+                 F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).alias("n_zero")))

@@ -1762,3 +1762,35 @@ def emb_norm_stats(spark, sf_dir):
                  _r(F.min("nrm")).alias("min_norm"),
                  _r(F.max("nrm")).alias("max_norm"),
                  F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).alias("n_zero")))
+
+
+@query("doc_neardup_retention", sql=f"""
+WITH {_SHINGLE_SQL},
+sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY 1),
+bk AS (SELECT doc_id, b, k FROM (
+         SELECT doc_id, unnest(range(4)) AS b,
+                unnest([{_BAND_KEYS_SQL}]) AS k
+         FROM sig)),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM bk a JOIN bk b ON a.b = b.b AND a.k = b.k
+                   AND a.doc_id < b.doc_id),
+v AS (SELECT c.a_id, c.b_id FROM cand c
+      JOIN sig sa ON sa.doc_id = c.a_id
+      JOIN sig sb ON sb.doc_id = c.b_id
+      WHERE ({_AGREE_SQL}) / 8.0 >= 0.5),
+drops AS (SELECT DISTINCT b_id FROM v)
+SELECT d.doc_id, (drops.b_id IS NULL)::INT AS retained
+FROM documents d LEFT JOIN drops ON drops.b_id = d.doc_id
+""")
+def doc_neardup_retention(spark, sf_dir):
+    """The dedup DECISION: greedy keep-lowest-id over verified LSH
+    near-dup pairs (est ≥ 0.5) — every doc marked retained/dropped, the
+    column a curation pipeline filters on before training."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, num_hashes=8, bands=4, threshold=0.5)
+    drops = pairs.select(F.col("b_id").alias("doc_id")).distinct() \
+        .withColumn("_drop", F.lit(1))
+    return (d.select("doc_id").join(drops, "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("_drop").isNull(), 1).otherwise(0)
+                    .cast("int").alias("retained")))

@@ -167,3 +167,43 @@ def test_read_jar1(spark, gcnet_file):
     assert rows[0]["Avg Air Temp"] == pytest.approx(1.5)
     assert rows[1]["Avg Air Temp"] == pytest.approx(2.5)
     assert rows[2]["SW_up"] is None                  # 999.0000 sentinel
+
+
+def test_load_neu_xt_vel(spark, tmp_path):
+    """S2 (gpstools.py:702-726): computed-velocity CSV with malformed
+    timestamp rows dropped by try_to_timestamp."""
+    from datatools_spark.sources.neu import load_neu_xt_vel
+    p = tmp_path / "LMID17_VEL_NEUXT.csv"
+    p.write_text(
+        "2017-07-01 00:00:00,0.01,0.02,0.00,0.05,0.01\n"
+        "2017-07-01 01:00:00,0.02,0.03,0.01,0.06,0.02\n"
+        "not-a-timestamp,0.03,0.04,0.02,0.07,0.03\n")
+    df = load_neu_xt_vel(spark, str(p))
+    assert df.count() == 2
+    assert {"N_vel", "E_vel", "U_vel", "X_vel", "T_vel"} <= set(df.columns)
+    assert df.agg({"X_vel": "max"}).first()[0] == 0.06
+
+
+def test_calc_stage_jeme(spark, tmp_path):
+    """S11 (hydrotools.py:278-307): sentinel (80) nulls stage, listed
+    timestamps nulled (not dropped), second channel converted in→m."""
+    import datetime as dt
+    from datatools_spark.sources.hydro import calc_stage_jeme
+    p = tmp_path / "jeme.dat"
+    p.write_text(
+        '"TOA5","JEME","CR1000","1","x","y","1","T"\n'
+        '"TIMESTAMP","RECORD","Stage","Abl"\n'
+        '"TS","RN","in","in"\n'
+        '"","","Smp","Smp"\n'
+        '"2018-07-01 00:00:00",1,24.0,12.0\n'
+        '"2018-07-01 00:15:00",2,85.0,12.0\n'
+        '"2018-07-01 00:30:00",3,26.0,12.0\n')
+    drop = [dt.datetime(2018, 7, 1, 0, 30)]
+    df = calc_stage_jeme(spark, str(p), ref_datum=10.0, drop_timestamps=drop)
+    rows = {r["ts"]: r for r in df.collect()}
+    assert len(rows) == 3                                   # nulled, not dropped
+    ok = rows[dt.datetime(2018, 7, 1, 0, 0)]
+    assert ok["stage"] == pytest.approx(10.0 - 24.0 * 0.0254)
+    assert ok["logger_to_ground"] == pytest.approx(12.0 * 0.0254)
+    assert rows[dt.datetime(2018, 7, 1, 0, 15)]["stage"] is None   # sentinel
+    assert rows[dt.datetime(2018, 7, 1, 0, 30)]["stage"] is None   # drop list

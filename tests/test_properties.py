@@ -180,3 +180,26 @@ def test_ngram_max_df_drops_stop_shingles_keeps_dups(spark):
                                            max_df=5).collect()}
     assert full[(100, 101)] == 1.0
     assert capped == full  # exact dups connected via their rare shingles
+
+
+def test_token_counts_additive_and_bounded(spark):
+    """Whitespace tokens are additive under concatenation; the BPE-ish
+    estimate is always ≥ the whitespace count (subwords only add)."""
+    import pyspark.sql.functions as F
+    from datatools_spark.operators.text import (
+        subword_count_col, token_count_col)
+    rng = random.Random(3)
+    words = ["alpha", "be", "gamma9", "internationalization", "x", "12345678901"]
+    docs = []
+    for i in range(30):
+        a = " ".join(rng.choices(words, k=rng.randint(1, 6)))
+        b = " ".join(rng.choices(words, k=rng.randint(1, 6)))
+        docs.append((i, a, b, a + " " + b))
+    df = spark.createDataFrame(docs, ["i", "a", "b", "ab"])
+    rows = df.select(
+        token_count_col("a").alias("ta"), token_count_col("b").alias("tb"),
+        token_count_col("ab").alias("tab"),
+        subword_count_col("ab").alias("sab")).collect()
+    for r in rows:
+        assert r.tab == r.ta + r.tb
+        assert r.sab >= r.tab

@@ -1794,3 +1794,40 @@ def doc_neardup_retention(spark, sf_dir):
             .select("doc_id",
                     F.when(F.col("_drop").isNull(), 1).otherwise(0)
                     .cast("int").alias("retained")))
+
+
+@query("ts_velocity_multi", sql=f"""
+WITH src AS (SELECT ts, epoch(ts) AS es, value AS a, value * 0.5 + 1.0 AS b
+             FROM events),
+bb AS (SELECT min(es) + {_VEL_SEP} AS t0, max(es) - {_VEL_SEP} AS tend FROM src),
+sides AS (
+  SELECT floor((s.es + {_VEL_SEP / 2} - (bb.t0 - {_VEL_STAT / 2})) / {_VEL_STAT}) AS k,
+         0 AS side, s.a, s.b, bb.t0, bb.tend FROM src s, bb
+  UNION ALL
+  SELECT floor((s.es - {_VEL_SEP / 2} - (bb.t0 - {_VEL_STAT / 2})) / {_VEL_STAT}),
+         1, s.a, s.b, bb.t0, bb.tend FROM src s, bb),
+f AS (SELECT * FROM sides WHERE k >= 0 AND k <= floor((tend - t0) / {_VEL_STAT})),
+agg AS (SELECT k, side, median(a) AS ma, median(b) AS mb, count(a) AS n
+        FROM f GROUP BY 1, 2)
+SELECT l.k::BIGINT AS k,
+       round((r.ma - l.ma) / ({_VEL_SEP} / 86400.0), 6) AS a_vel,
+       round((r.mb - l.mb) / ({_VEL_SEP} / 86400.0), 6) AS b_vel
+FROM agg l JOIN agg r ON l.k = r.k AND l.side = 0 AND r.side = 1
+WHERE l.n > 3 AND r.n > 3
+""")
+def ts_velocity_multi(spark, sf_dir):
+    """Multi-component velocity (the reference computes n/e/u/x/t in one
+    call, gpstools.py:598-603): both medians in ONE per-bucket aggregate —
+    adding components does not add shuffles."""
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", F.col("value").alias("a"),
+        (F.col("value") * 0.5 + 1.0).alias("b"))
+    vel = V.calc_velocity(ev, ["a", "b"], stat_window=_VEL_STAT,
+                          separation_window=_VEL_SEP, min_obs=3)
+    t0 = ev.agg((F.min(F.col("ts").cast("double")) + _VEL_SEP).alias("t0")) \
+        .collect()[0]["t0"]
+    return vel.select(
+        F.round((F.col("date").cast("double") - t0) / _VEL_STAT)
+        .cast("bigint").alias("k"),
+        _r(F.col("a_vel")).alias("a_vel"),
+        _r(F.col("b_vel")).alias("b_vel"))

@@ -1831,3 +1831,39 @@ def ts_velocity_multi(spark, sf_dir):
         .cast("bigint").alias("k"),
         _r(F.col("a_vel")).alias("a_vel"),
         _r(F.col("b_vel")).alias("b_vel"))
+
+
+@query("ts_rolling_std_6h", sql="""
+SELECT event_id,
+       round(stddev_samp(value) OVER (
+         PARTITION BY event_type ORDER BY epoch(ts)
+         RANGE BETWEEN 10800 PRECEDING AND 10800 FOLLOWING), 6) AS roll_std
+FROM events
+""")
+def ts_rolling_std_6h(spark, sf_dir):
+    """Centered rolling sample-stddev (W1 with func='stddev') — same
+    single-shuffle sorted-frame plan as the mean/median paths."""
+    ev = _t(spark, sf_dir, "events")
+    out = RL.c_rolling(ev, "value", 6 * 3600, "stddev",
+                       partition_by=["event_type"], out_col="roll_std")
+    return out.select("event_id", _r(F.col("roll_std")).alias("roll_std"))
+
+
+@query("ts_minmax_scale", sql="""
+WITH s AS (SELECT event_id, value,
+                  min(value) OVER (PARTITION BY event_type) AS lo,
+                  max(value) OVER (PARTITION BY event_type) AS hi
+           FROM events)
+SELECT event_id,
+       round(CASE WHEN hi > lo THEN (value - lo) / (hi - lo) END, 6) AS scaled
+FROM s
+""")
+def ts_minmax_scale(spark, sf_dir):
+    """Per-series min-max normalization (feature-prep staple): grouped
+    extrema via window (one shuffle, no join), null when the series is
+    constant."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    lo, hi = F.min("value").over(w), F.max("value").over(w)
+    scaled = F.when(hi > lo, (F.col("value") - lo) / (hi - lo))
+    return ev.select("event_id", _r(scaled).alias("scaled"))

@@ -1867,3 +1867,38 @@ def ts_minmax_scale(spark, sf_dir):
     lo, hi = F.min("value").over(w), F.max("value").over(w)
     scaled = F.when(hi > lo, (F.col("value") - lo) / (hi - lo))
     return ev.select("event_id", _r(scaled).alias("scaled"))
+
+
+@query("ts_velocity_smoothed", sql=f"""
+WITH src AS (SELECT epoch(ts) AS es, value FROM events),
+sm AS (SELECT es, avg(value) OVER (ORDER BY es
+         RANGE BETWEEN 3600 PRECEDING AND 3600 FOLLOWING) AS v
+       FROM src),
+bb AS (SELECT min(es) + {_VEL_SEP} AS t0, max(es) - {_VEL_SEP} AS tend FROM sm),
+sides AS (
+  SELECT floor((s.es + {_VEL_SEP / 2} - (bb.t0 - {_VEL_STAT / 2})) / {_VEL_STAT}) AS k,
+         0 AS side, s.v, bb.t0, bb.tend FROM sm s, bb
+  UNION ALL
+  SELECT floor((s.es - {_VEL_SEP / 2} - (bb.t0 - {_VEL_STAT / 2})) / {_VEL_STAT}),
+         1, s.v, bb.t0, bb.tend FROM sm s, bb),
+f AS (SELECT * FROM sides WHERE k >= 0 AND k <= floor((tend - t0) / {_VEL_STAT})),
+agg AS (SELECT k, side, median(v) AS m, count(v) AS n FROM f GROUP BY 1, 2)
+SELECT l.k::BIGINT AS k,
+       round((r.m - l.m) / ({_VEL_SEP} / 86400.0), 6) AS value_vel
+FROM agg l JOIN agg r ON l.k = r.k AND l.side = 0 AND r.side = 1
+WHERE l.n > 3 AND r.n > 3
+""")
+def ts_velocity_smoothed(spark, sf_dir):
+    """W2 smoothing pass (gpstools.py:576-579) composed with the kernel:
+    2-h centered rolling mean BEFORE the grid medians — the smoothing
+    window adds one sorted-frame pass, no extra shuffle beyond its own."""
+    ev = _t(spark, sf_dir, "events")
+    vel = V.calc_velocity(ev, ["value"], stat_window=_VEL_STAT,
+                          separation_window=_VEL_SEP,
+                          smoothing=2 * 3600, min_obs=3)
+    t0 = ev.agg((F.min(F.col("ts").cast("double")) + _VEL_SEP).alias("t0")) \
+        .collect()[0]["t0"]
+    return vel.select(
+        F.round((F.col("date").cast("double") - t0) / _VEL_STAT)
+        .cast("bigint").alias("k"),
+        _r(F.col("value_vel")).alias("value_vel"))

@@ -1902,3 +1902,49 @@ def ts_velocity_smoothed(spark, sf_dir):
         F.round((F.col("date").cast("double") - t0) / _VEL_STAT)
         .cast("bigint").alias("k"),
         _r(F.col("value_vel")).alias("value_vel"))
+
+
+@query("ss_price_quantiles", sql="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem GROUP BY 1
+""")
+def ss_price_quantiles(spark, sf_dir):
+    """Exact continuous quantiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, same linear interpolation) — the exact path;
+    percentile_approx is the documented 100 TB swap."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95")))
+
+
+@query("ts_anomaly_zscore", sql="""
+WITH w AS (
+  SELECT event_id, value,
+         avg(value) OVER win AS mu,
+         stddev_samp(value) OVER win AS sd
+  FROM events
+  WINDOW win AS (PARTITION BY event_type ORDER BY epoch(ts)
+                 RANGE BETWEEN 21600 PRECEDING AND 21600 FOLLOWING))
+SELECT event_id,
+       round(CASE WHEN sd > 0 THEN (value - mu) / sd END, 6) AS zscore,
+       CASE WHEN sd > 0 AND abs((value - mu) / sd) > 3 THEN 1 ELSE 0 END
+         AS is_anomaly
+FROM w
+""")
+def ts_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly flag (12-h centered window): mean and
+    stddev share ONE sorted frame — classic sensor-QC / outlier gate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type") \
+        .orderBy(F.col("ts").cast("double")) \
+        .rangeBetween(-21600, 21600)
+    mu, sd = F.avg("value").over(w), F.stddev_samp("value").over(w)
+    z = F.when(sd > 0, (F.col("value") - mu) / sd)
+    return ev.select("event_id", _r(z).alias("zscore"),
+                     F.when(sd.isNotNull() & (sd > 0) & (F.abs(z) > 3), 1)
+                     .otherwise(0).alias("is_anomaly"))

@@ -1948,3 +1948,30 @@ def ts_anomaly_zscore(spark, sf_dir):
     return ev.select("event_id", _r(z).alias("zscore"),
                      F.when(sd.isNotNull() & (sd > 0) & (F.abs(z) > 3), 1)
                      .otherwise(0).alias("is_anomaly"))
+
+
+@query("ts_ohlc_6h", sql="""
+SELECT event_type,
+       to_timestamp(floor(epoch(ts) / 21600) * 21600) AS bucket,
+       arg_min(value, ts) AS open,
+       max(value) AS high, min(value) AS low,
+       arg_max(value, ts) AS close,
+       count(value) AS n_obs
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+""")
+def ts_ohlc_6h(spark, sf_dir):
+    """OHLC downsampling (pandas ``resample().ohlc()`` analogue): open =
+    first-by-time, close = last-by-time — tie-pinned struct aggregates,
+    one map-side-combinable hash agg per bucket. Timestamps are unique
+    per event_type so first/last are well-defined."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bucket = F.timestamp_seconds(
+        F.floor(F.col("ts").cast("double") / 21600) * 21600)
+    sopen = F.min(F.struct(F.col("ts").alias("t"), F.col("value").alias("v")))
+    sclose = F.max(F.struct(F.col("ts").alias("t"), F.col("value").alias("v")))
+    return (ev.groupBy("event_type", bucket.alias("bucket"))
+            .agg(sopen["v"].alias("open"),
+                 F.max("value").alias("high"), F.min("value").alias("low"),
+                 sclose["v"].alias("close"),
+                 F.count("value").alias("n_obs")))

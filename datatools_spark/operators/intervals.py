@@ -26,7 +26,7 @@ __all__ = [
     "drop_timestamps",
     "interval_lookup_join",
     "asof_join",
-    "union_keep_first",
+    "union_keep_first", "interval_overlap_join",
 ]
 
 
@@ -159,3 +159,46 @@ def union_keep_first(dfs: Sequence[DataFrame], key_cols: Sequence[str],
     w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(F.col(priority_col))
     return (u.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1).drop("_rn", priority_col))
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          left_cols: tuple[str, str] = ("start", "end"),
+                          right_cols: tuple[str, str] = ("start", "end"),
+                          bucket: str | float = "1d",
+                          how: str = "inner") -> DataFrame:
+    """Overlap join between two INTERVAL tables — pairs where
+    ``l.start <= r.end AND r.start <= l.end`` — without a theta join.
+
+    Plan: each interval explodes into the coarse time buckets its span
+    covers (``sequence`` over bucket indices); candidates meet on equal
+    bucket ids (equi-join Catalyst can hash/AQE-optimize), duplicates from
+    multi-bucket spans are cut by crediting a pair only in the FIRST
+    shared bucket (max of the two start-buckets — no distinct shuffle),
+    then the exact predicate filters. Fan-out = span/bucket per row; pick
+    ``bucket`` ≈ median span. The equivalent of the range-bucketing
+    strategy inside Spark's stream-stream interval joins, for batch.
+    """
+    from ..functions.timeutils import parse_duration_seconds
+    b_us = int((parse_duration_seconds(bucket)
+                if isinstance(bucket, str) else float(bucket)) * 1_000_000)
+    ls, le = (F.col(f"l.{c}") for c in left_cols)
+    rs, re = (F.col(f"r.{c}") for c in right_cols)
+
+    def _bucketed(df: DataFrame, cols: tuple[str, str]) -> DataFrame:
+        s = F.unix_micros(F.col(cols[0]))
+        e = F.unix_micros(F.col(cols[1]))
+        ks = F.floor(s / b_us)
+        ke = F.floor(e / b_us)
+        return df.withColumn("_kstart", ks).withColumn(
+            "_k", F.explode(F.sequence(ks, ke)))
+
+    lb = _bucketed(left, left_cols).alias("l")
+    rb = _bucketed(right, right_cols).alias("r")
+    first_shared = F.greatest(F.col("l._kstart"), F.col("r._kstart"))
+    out = (lb.join(rb, on=(F.col("l._k") == F.col("r._k")), how=how)
+           .where((F.col("l._k") == first_shared)
+                  & (ls <= re) & (rs <= le)))
+    drop = ["_k", "_kstart"]
+    for c in drop:
+        out = out.drop(F.col(f"l.{c}")).drop(F.col(f"r.{c}"))
+    return out

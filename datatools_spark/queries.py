@@ -1975,3 +1975,48 @@ def ts_ohlc_6h(spark, sf_dir):
                  F.max("value").alias("high"), F.min("value").alias("low"),
                  sclose["v"].alias("close"),
                  F.count("value").alias("n_obs")))
+
+
+@query("ts_session_error_overlap", sql="""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_n FROM g),
+sess AS (SELECT user_id, session_n,
+                min(ts) AS s_start, max(ts) AS s_end
+         FROM s GROUP BY 1, 2),
+err AS (SELECT event_id AS err_id,
+               ts - INTERVAL 30 MINUTE AS e_start,
+               ts + INTERVAL 30 MINUTE AS e_end
+        FROM events WHERE event_type = 'error' AND event_id % 7 = 0)
+SELECT sess.user_id, sess.session_n, err.err_id
+FROM sess JOIN err
+  ON sess.s_start <= err.e_end AND err.e_start <= sess.s_end
+""")
+def ts_session_error_overlap(spark, sf_dir):
+    """Interval×interval overlap: user sessions × error incident windows
+    (±30 min) via the bucketed overlap join (operators/intervals.py:
+    interval_overlap_join) — candidates meet on coarse time buckets, no
+    theta join; proven equal to brute force in tests."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (ev.withColumn("_new", F.when(gap.isNull() | (gap > 1800), 1)
+                          .otherwise(0))
+            .withColumn("session_n", F.sum("_new").over(run))
+            .groupBy("user_id", "session_n")
+            .agg(F.min("ts").alias("start"), F.max("ts").alias("end")))
+    err = (ev.where((F.col("event_type") == "error")
+                    & (F.col("event_id") % 7 == 0))
+           .select(F.col("event_id").alias("err_id"),
+                   (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("start"),
+                   (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end")))
+    out = IV.interval_overlap_join(sess, err, bucket="6h")
+    return out.select(F.col("l.user_id").alias("user_id"),
+                      F.col("l.session_n").alias("session_n"),
+                      F.col("r.err_id").alias("err_id"))

@@ -218,3 +218,31 @@ def test_resample_gapfill_complete_grid_and_ffill(spark):
                                fill="ffill").collect()}
     assert filled[t0 + dt.timedelta(hours=3)] == 1.0
     assert filled[t0 + dt.timedelta(hours=5)] == 5.0
+
+
+def test_interval_overlap_join_equals_theta(spark):
+    """Bucketed overlap join == brute-force theta join on random
+    intervals (spans from minutes to multi-day, crossing many buckets)."""
+    import datetime as dt
+    import random
+    from datatools_spark.operators.intervals import interval_overlap_join
+    rng = random.Random(17)
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda n, tag: [(f"{tag}{i}",
+                          t0 + dt.timedelta(minutes=rng.randint(0, 20000)),
+                          dt.timedelta(minutes=rng.randint(1, 4000)))
+                         for i in range(n)]
+    to_df = lambda rows: spark.createDataFrame(
+        [(i, s, s + d) for i, s, d in rows], "id string, start timestamp, end timestamp")
+    L, R = to_df(mk(80, "l")), to_df(mk(80, "r"))
+    got = sorted((r["lid"], r["rid"]) for r in
+                 interval_overlap_join(L, R, bucket="1d")
+                 .select(F.col("l.id").alias("lid"),
+                         F.col("r.id").alias("rid")).collect())
+    theta = sorted((r["lid"], r["rid"]) for r in
+                   L.alias("a").crossJoin(R.alias("b"))
+                   .where((F.col("a.start") <= F.col("b.end"))
+                          & (F.col("b.start") <= F.col("a.end")))
+                   .select(F.col("a.id").alias("lid"),
+                           F.col("b.id").alias("rid")).collect())
+    assert got == theta and len(got) > 100

@@ -2020,3 +2020,37 @@ def ts_session_error_overlap(spark, sf_dir):
     return out.select(F.col("l.user_id").alias("user_id"),
                       F.col("l.session_n").alias("session_n"),
                       F.col("r.err_id").alias("err_id"))
+
+
+@query("doc_dup_cluster_sizes", sql=r"""
+WITH f AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents),
+c AS (SELECT fp, count(*) AS csize FROM f GROUP BY 1)
+SELECT csize, count(*) AS n_clusters, sum(csize) AS n_docs
+FROM c GROUP BY 1
+""")
+def doc_dup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size distribution (how much corpus mass sits in
+    exact-dup clusters) — two-level aggregation over the fingerprint;
+    both levels map-side combinable."""
+    d = _t(spark, sf_dir, "documents")
+    c = (d.withColumn("fp", TX.fingerprint_col("text"))
+         .groupBy("fp").agg(F.count("*").alias("csize")))
+    return (c.groupBy("csize")
+            .agg(F.count("*").alias("n_clusters"),
+                 F.sum("csize").alias("n_docs")))
+
+
+@query("ss_order_size_histogram", sql="""
+WITH per AS (SELECT l_orderkey, count(*) AS n_items
+             FROM lineitem GROUP BY 1)
+SELECT n_items, count(*) AS n_orders
+FROM per GROUP BY 1
+""")
+def ss_order_size_histogram(spark, sf_dir):
+    """Order-size distribution (lineitems per order histogram) — the
+    two-level shape every 'distribution of group sizes' report uses."""
+    l = _t(spark, sf_dir, "lineitem")
+    per = l.groupBy("l_orderkey").agg(F.count("*").alias("n_items"))
+    return per.groupBy("n_items").agg(F.count("*").alias("n_orders"))

@@ -2054,3 +2054,47 @@ def ss_order_size_histogram(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     per = l.groupBy("l_orderkey").agg(F.count("*").alias("n_items"))
     return per.groupBy("n_items").agg(F.count("*").alias("n_orders"))
+
+
+@query("ts_diurnal_profile", sql="""
+SELECT event_type, hour(ts) AS hod,
+       round(avg(value), 6) AS mean_val,
+       round(min(value), 6) AS min_val,
+       round(max(value), 6) AS max_val,
+       count(value) AS n_obs
+FROM events GROUP BY 1, 2
+""")
+def ts_diurnal_profile(spark, sf_dir):
+    """Diurnal climatology (the reference's core domain, diurnal.py): the
+    mean daily cycle — value statistics by hour-of-day per series. One
+    hash agg on (series, hod); at any SF the output is 24 rows per
+    series."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type", F.hour("ts").alias("hod"))
+            .agg(_r(F.avg("value")).alias("mean_val"),
+                 _r(F.min("value")).alias("min_val"),
+                 _r(F.max("value")).alias("max_val"),
+                 F.count("value").alias("n_obs")))
+
+
+@query("ts_lag1_autocorr", sql="""
+WITH l AS (
+  SELECT event_type, value,
+         lag(value) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS prev
+  FROM events WHERE value IS NOT NULL)
+SELECT event_type, round(corr(value, prev), 4) AS lag1_autocorr,
+       count(prev) AS n_pairs
+FROM l GROUP BY 1
+""")
+def ts_lag1_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation per series (persistence diagnostic): lag
+    window (sorted frame, deterministic) + sample-correlation aggregate —
+    `corr` is algebraic (moment sums), so it partial-aggregates
+    map-side like any sum."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    l = ev.withColumn("prev", F.lag("value").over(w))
+    return (l.groupBy("event_type")
+            .agg(F.round(F.corr("value", "prev"), 4).alias("lag1_autocorr"),
+                 F.count("prev").alias("n_pairs")))

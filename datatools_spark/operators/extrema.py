@@ -34,6 +34,7 @@ __all__ = [
     "with_amplitude",
     "with_decimal_hours",
     "to_multi_indexed",
+    "extrema_lag_table",
     "apply_corrections",
     "validate_boundary_picks",
     "calibrated_extrema",
@@ -127,6 +128,38 @@ def to_multi_indexed(extrema: DataFrame) -> DataFrame:
         F.struct(F.col("max_val").alias("value"), F.col("max_time").alias("time"),
                  F.col("max_hrs").alias("hrs")).alias("maxima"),
     )
+
+
+def extrema_lag_table(df: DataFrame, sensor_col: str, lag_from: str,
+                      sensors: Sequence[str], value_col: str = "value",
+                      ts_col: str = "ts",
+                      extrema: str = "maxima") -> DataFrame:
+    """M3 ``lag_df`` (diurnal.py:24-26): per-day table of each sensor's
+    extrema timing LAG versus a reference sensor.
+
+    The reference pivots a multi-indexed frame on (extrema, 'hrs') and
+    subtracts the ``lag_from`` column from every other sensor's column,
+    dropping the reference. Spark-native: per-(sensor, day) extrema via
+    :func:`daily_extrema` (one hash aggregate), decimal hours, then a
+    conditional-aggregation pivot on the EXPLICIT sensor list (no
+    inference job, deterministic column order) and a column subtraction
+    — two shuffles total, both on (day)-sized aggregates, never raw
+    rows.
+
+    Output: ``day, {sensor}_lag …`` (hours, sensor − reference; the
+    ``lag_from`` column is dropped). Days missing a sensor yield NULL.
+    """
+    ext = daily_extrema(df, value_col, ts_col, partition_by=[sensor_col])
+    hrs = "max_hrs" if extrema == "maxima" else "min_hrs"
+    e = with_decimal_hours(ext).select(
+        F.col(sensor_col), F.col("day"), F.col(hrs).alias("_hrs"))
+    pivot = [F.max(F.when(F.col(sensor_col) == s, F.col("_hrs"))).alias(f"_{s}")
+             for s in sensors]
+    p = e.groupBy("day").agg(*pivot)
+    return p.select(
+        "day",
+        *[(F.col(f"_{s}") - F.col(f"_{lag_from}")).alias(f"{s}_lag")
+          for s in sensors if s != lag_from])
 
 
 def apply_corrections(extrema: DataFrame, corrections: DataFrame,

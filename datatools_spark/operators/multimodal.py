@@ -28,7 +28,7 @@ from pyspark.sql.types import (
 
 __all__ = [
     "MEDIA_SCHEMA", "attach_media_metadata", "extract_features",
-    "sample_frames",
+    "extract_features_expr", "sample_frames",
 ]
 
 MEDIA_SCHEMA = StructType([
@@ -57,12 +57,39 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload",
 
 
 def _fake_feature(payload: bytes | None, dim: int) -> list[float]:
-    """Deterministic stand-in for a real decoder+encoder: features derived
-    from payload bytes so tests can assert stability."""
+    """Deterministic stand-in for a real decoder+encoder: feature i is
+    byte ``payload[i % len]`` scaled to [0, 1] — chosen because the very
+    same number is expressible as a pure SQL scalar in any engine
+    (``ascii(substr(...)) / 255``), making the stub ORACLE-CHECKABLE
+    (see :func:`extract_features_expr`), not just stable."""
     if payload is None:
         return [0.0] * dim
     return [float(payload[i % len(payload)]) / 255.0 if payload else 0.0
             for i in range(dim)]
+
+
+def extract_features_expr(df: DataFrame, payload_col: str = "payload",
+                          id_col: str = "media_id", dim: int = 8) -> DataFrame:
+    """JVM-expression twin of :func:`extract_features`'s stub: one column
+    per feature, ``f{i} = byte(payload, i % n) / 255``, via
+    decode→substr→ascii (byte == codepoint for ASCII payloads — asserted
+    by the equality test against the mapInPandas path).
+
+    This is the declared parity path: whole-stage-codegen'd, no Python in
+    the loop, and reproducible in DuckDB for the correctness oracle. The
+    Arrow-batched :func:`extract_features` stays the shape a real
+    decoder+encoder would use at 100 TB.
+    Output: ``id_col, f0 .. f{dim-1}`` (doubles in [0, 1]).
+    """
+    s = F.decode(F.col(payload_col), "UTF-8")
+    n = F.length(s)
+    cols = []
+    for i in range(dim):
+        byte_i = F.ascii(F.substring(s, (F.lit(i) % n) + F.lit(1), F.lit(1)))
+        f = F.when(n.isNull() | (n == 0), F.lit(0.0)) \
+             .otherwise(byte_i.cast("double") / F.lit(255.0))
+        cols.append(f.alias(f"f{i}"))
+    return df.select(F.col(id_col), *cols)
 
 
 def extract_features(df: DataFrame, payload_col: str = "payload",

@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "dot_expr", "norm_expr", "cosine_expr", "knn_brute_force",
-    "hyperplane_bucket_col", "knn_lsh", "ivf_assign", "ivf_search",
+    "hyperplane_bucket_col", "md5_plane", "md5_bucket_col", "probe_masks",
+    "knn_lsh", "knn_lsh_multi", "ivf_assign", "ivf_search",
 ]
 
 
@@ -86,20 +87,118 @@ def hyperplane_bucket_col(vec_col: str, num_planes: int = 4) -> Column:
     return bucket.cast("int")
 
 
+def md5_plane(plane_idx: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component j is
+    ``md5(f"{plane_idx}:{j}")``'s first 32 bits scaled to [-1, 1).
+
+    Unlike the ``sin(h·97 + j·31)`` family (kept for the bucket-parity
+    queries), md5 components are INDEPENDENT across planes — adjacent
+    sin-planes correlate as ½·cos(97·Δh) ≈ −0.46, which defeats
+    multi-table OR-amplification (measured: recall stuck at 0.70).
+    Constants are computed once driver-side and embedded as literals in
+    the plan (and verbatim in the DuckDB oracle) — zero per-row hash
+    cost at scan time."""
+    import hashlib
+    return [int(hashlib.md5(f"{plane_idx}:{j}".encode()).hexdigest()[:8], 16)
+            / 2147483648.0 - 1.0 for j in range(dim)]
+
+
+def md5_bucket_col(vec_col: str, num_planes: int, dim: int,
+                   table: int = 0) -> Column:
+    """Sign-pattern bucket from md5-derived literal planes (table t uses
+    plane indices t·H .. t·H+H−1)."""
+    v = F.col(vec_col)
+    bucket = None
+    for h in range(num_planes):
+        plane = F.array(*[F.lit(c) for c in
+                          md5_plane(table * num_planes + h, dim)])
+        proj = F.aggregate(F.zip_with(v, plane, lambda x, p: x * p),
+                           F.lit(0.0), lambda acc, t_: acc + t_)
+        bit = F.when(proj > 0, F.lit(1 << h)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def probe_masks(num_planes: int, probe_hamming: int) -> list[int]:
+    """XOR masks enumerating every bucket within Hamming distance
+    ``probe_hamming`` of a query's own bucket (mask 0 = the bucket
+    itself). For H planes, Σ_{d≤r} C(H,d) masks — e.g. H=4, r=1 → 5."""
+    return [m for m in range(1 << num_planes)
+            if bin(m).count("1") <= probe_hamming]
+
+
 def knn_lsh(df: DataFrame, query: DataFrame, k: int = 10,
             vec_col: str = "embedding", id_col: str = "vec_id",
-            query_id_col: str = "query_id", num_planes: int = 4) -> DataFrame:
-    """Approximate top-k: only corpus vectors in the query's hyperplane
-    bucket are scored. Recall < 1 by construction; bucket size ≈ n/2^H
-    bounds work. Same output schema as brute force."""
+            query_id_col: str = "query_id", num_planes: int = 4,
+            probe_hamming: int = 1) -> DataFrame:
+    """Approximate top-k via MULTI-PROBE hyperplane LSH (Lv et al.,
+    VLDB'07 idea): each query scores corpus vectors in its own bucket
+    plus every bucket within Hamming distance ``probe_hamming`` — the
+    near-miss buckets where a vector lands when one hyperplane's sign
+    flips. Candidate fan-out is bounded: Σ_{d≤r} C(H,d) · n/2^H per
+    query (H=4, r=1 → 5/16 of the corpus), each corpus vector matched
+    at most once per query (probe buckets are distinct).
+    ``probe_hamming=0`` = single-probe. Same output schema as brute
+    force; recall@10 floor pinned in tests/test_properties.py."""
     corpus = df.withColumn("_bkt", hyperplane_bucket_col(vec_col, num_planes))
-    q = F.broadcast(query
-                    .withColumn("_bkt", hyperplane_bucket_col(vec_col, num_planes))
+    masks = probe_masks(num_planes, probe_hamming)
+    qb = query.withColumn("_qbkt", hyperplane_bucket_col(vec_col, num_planes))
+    probes = F.array(*[F.col("_qbkt").bitwiseXOR(F.lit(m)) for m in masks])
+    q = F.broadcast(qb
+                    .withColumn("_bkt", F.explode(probes))
                     .select(F.col(query_id_col), F.col(vec_col).alias("_qv"),
                             F.col("_bkt")))
     scored = (corpus.join(q, on="_bkt")
               .withColumn("cosine", cosine_expr(F.col(vec_col), F.col("_qv"))))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, id_col, "cosine", "rank"))
+
+
+def knn_lsh_multi(df: DataFrame, query: DataFrame, k: int = 10,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  query_id_col: str = "query_id", num_planes: int = 4,
+                  num_tables: int = 4, probe_hamming: int = 1,
+                  dim: int = 64) -> DataFrame:
+    """Approximate top-k via OR-combined multi-table hyperplane LSH with
+    multi-probe (the standard recall amplification: L independent tables,
+    each probed at its own bucket plus Hamming≤r neighbors; a candidate
+    survives if ANY table/probe matches).
+
+    Candidate bound per query: L · Σ_{d≤r} C(H,d) · n/2^H matches before
+    the distinct (H=4, L=4, r=1 → ≤ 5L/16 of the corpus; the union is
+    smaller). Recall: a neighbor whose per-bit agreement is p is found
+    w.p. 1 − (1 − P[Binom(H,1−p) ≤ r])^L — e.g. p=0.6 (this corpus's
+    ~70° top-10 neighbors, an adversarially hard regime) → 0.92
+    expected; real embedding corpora (p ≥ 0.85) prune far harder at the
+    same recall. Floor pinned in tests/test_properties.py.
+
+    Plans are md5-derived literal constants (:func:`md5_plane`) — plan
+    independence is what makes the OR work, and the DuckDB oracle
+    reproduces them digit-for-digit.
+    Output: ``query_id, vec_id, cosine, rank``.
+    """
+    masks = probe_masks(num_planes, probe_hamming)
+    cand = None
+    for t in range(num_tables):
+        corpus = (df.select(F.col(id_col), F.col(vec_col))
+                  .withColumn("_bkt", md5_bucket_col(vec_col, num_planes,
+                                                     dim, table=t)))
+        qb = query.withColumn("_qbkt",
+                              md5_bucket_col(vec_col, num_planes, dim, table=t))
+        probes = F.array(*[F.col("_qbkt").bitwiseXOR(F.lit(m)) for m in masks])
+        q = F.broadcast(qb.withColumn("_bkt", F.explode(probes))
+                        .select(F.col(query_id_col),
+                                F.col(vec_col).alias("_qv"), F.col("_bkt")))
+        c = (corpus.join(q, on="_bkt")
+             .select(query_id_col, id_col, vec_col, "_qv"))
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.dropDuplicates([query_id_col, id_col])
+    scored = cand.withColumn("cosine",
+                             cosine_expr(F.col(vec_col), F.col("_qv")))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
+                                                 F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(query_id_col, id_col, "cosine", "rank"))

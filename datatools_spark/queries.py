@@ -264,9 +264,9 @@ def ts_asof_align(spark, sf_dir):
 
 
 _SCHED_SQL = """
-(VALUES (TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-10', 1.0),
-        (TIMESTAMP '2024-01-10', TIMESTAMP '2024-01-20', 2.0),
-        (TIMESTAMP '2024-01-20', TIMESTAMP '2024-02-01', 3.0))
+(VALUES (TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-10', 1.0::DOUBLE),
+        (TIMESTAMP '2024-01-10', TIMESTAMP '2024-01-20', 2.0::DOUBLE),
+        (TIMESTAMP '2024-01-20', TIMESTAMP '2024-02-01', 3.0::DOUBLE))
   AS s(start_ts, end_ts, height)
 """
 
@@ -779,6 +779,13 @@ def doc_minhash(spark, sf_dir):
 
 @query("doc_ngram_pairs", sql=f"""
 WITH {_SHINGLE_SQL},
+-- the declared scale guard: shingles hitting > 100 docs are excluded
+-- from CANDIDATE GENERATION (the 10^10-pair stop-shingle hazard);
+-- jaccard is still exact over the FULL shingle sets of found pairs
+rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         WHERE a.s IN (SELECT s FROM rare)),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -786,15 +793,18 @@ inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
 SELECT i.a_id, i.b_id,
        round(i.i::DOUBLE / (na.n + nb.n - i.i), 6) AS jaccard
 FROM inter i
+JOIN cand c ON c.a_id = i.a_id AND c.b_id = i.b_id
 JOIN sizes na ON na.doc_id = i.a_id
 JOIN sizes nb ON nb.doc_id = i.b_id
 WHERE i.i::DOUBLE / (na.n + nb.n - i.i) >= 0.05
 """)
 def doc_ngram_pairs(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs via inverted-index join
-    (no n² cross join)."""
+    (no n² cross join), with the ``max_df`` skew guard ON — the declared
+    plan is the one that survives a stop-shingle at 100 TB (SCALE.md);
+    found pairs are verified exactly over full shingle sets."""
     d = _t(spark, sf_dir, "documents")
-    out = D.ngram_jaccard_pairs(d, threshold=0.05)
+    out = D.ngram_jaccard_pairs(d, threshold=0.05, max_df=100)
     return out.select("a_id", "b_id", _r(F.col("jaccard")).alias("jaccard"))
 
 
@@ -872,16 +882,21 @@ def emb_hyperplane_bucket(spark, sf_dir):
 
 
 @query("emb_dup_pairs", sql=f"""
-WITH s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                  {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos
-           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+WITH bk AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bkt
+            FROM embeddings),
+s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos
+      FROM bk a JOIN bk b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
 SELECT a_id, b_id, round(cos, 6) AS cosine FROM s WHERE cos >= 0.4
 """)
 def emb_dup_pairs(spark, sf_dir):
-    """Embedding near-duplicate pairs (cosine ≥ 0.4 on this corpus)."""
+    """Embedding near-duplicate pairs (cosine ≥ 0.4 on this corpus) —
+    declared with hyperplane-LSH pre-bucketing (4 planes): only
+    same-sign-bucket pairs are joined, so each join partition is
+    ~n/2^H — the 100 TB path, not the O(n²) all-pairs one."""
     e = _t(spark, sf_dir, "embeddings") \
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
-    out = D.embedding_dup_pairs(e, threshold=0.4)
+    out = D.embedding_dup_pairs(e, threshold=0.4, bucket_hyperplanes=4)
     return out.select("a_id", "b_id", _r(F.col("cosine")).alias("cosine"))
 
 
@@ -908,21 +923,30 @@ def emb_centroid_assign(spark, sf_dir):
     return out.select("vec_id", "centroid_id", _r(F.col("cosine")).alias("cosine"))
 
 
-# --- non-SQL-expressible ops (driver records rows-only checks) -------------
+_MM_FEATS_SQL = ",\n       ".join(
+    f"round(CASE WHEN length(text) = 0 THEN 0.0 "
+    f"ELSE ascii(substr(text, ({i} % length(text)) + 1, 1)) / 255.0 END, 6) "
+    f"AS f{i}" for i in range(8))
 
-@query("mm_extract_features")
+@query("mm_extract_features", sql=f"""
+SELECT doc_id AS media_id,
+       {_MM_FEATS_SQL}
+FROM documents
+""")
 def mm_extract_features(spark, sf_dir):
     """Multimodal plumbing: documents' text bytes as stand-in binary
-    payloads → Arrow-batched feature extraction via mapInPandas
-    (decode step stubbed — see operators/multimodal.py)."""
+    payloads → stub feature extraction. Declared path is the
+    JVM-expression twin (oracle-checkable: byte i%n scaled — ASCII text,
+    byte == codepoint); the Arrow-batched mapInPandas path
+    (operators/multimodal.py extract_features) computes the SAME numbers
+    and is equality-tested against this in tests/test_multimodal.py."""
     from .operators import multimodal as MM
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"))
-    feats = MM.extract_features(d, dim=8)
+    feats = MM.extract_features_expr(d, dim=8)
     return feats.select("media_id",
-                        F.round(F.element_at("features", 1), 6).alias("f0"),
-                        F.size("features").alias("dim"))
+                        *[_r(F.col(f"f{i}")).alias(f"f{i}") for i in range(8)])
 
 
 @query("ts_extrema_boundary_check", sql=f"""
@@ -1159,7 +1183,7 @@ s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                 AS session_n FROM g)
 SELECT user_id, session_n, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
-       round(sum(value), 6) AS session_value
+       round(sum(value::DECIMAL(30,12))::DOUBLE, 6) AS session_value
 FROM s GROUP BY 1, 2
 """)
 def ts_sessionize(spark, sf_dir):
@@ -1178,13 +1202,18 @@ def ts_sessionize(spark, sf_dir):
             .agg(F.count("*").alias("n_events"),
                  F.min("ts").alias("session_start"),
                  F.max("ts").alias("session_end"),
-                 _r(F.sum("value")).alias("session_value")))
+                 # decimal sum: exact, order-independent — the 6-dp round
+                 # can't flap on per-partition addition order (parity rule)
+                 _r(F.sum(F.col("value").cast("decimal(30,12)"))
+                    .cast("double")).alias("session_value")))
 
 
 @query("ts_resample_nearest", sql="""
 WITH b AS (
   SELECT event_id, ts, value, event_type,
-         to_timestamp(floor(epoch(ts) / 21600) * 21600) AS bucket,
+         -- make_timestamp yields a NAIVE timestamp matching Spark's
+         -- window().start; to_timestamp would be TIMESTAMPTZ (schema red)
+         make_timestamp(((floor(epoch(ts) / 21600) * 21600) * 1000000)::BIGINT) AS bucket,
          abs(epoch(ts) - (floor(epoch(ts) / 21600) * 21600 + 10800)) AS dist
   FROM events),
 r AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket
@@ -1362,17 +1391,29 @@ def ts_rollup_multires(spark, sf_dir):
                  F.sum("c").alias("n_obs")))
 
 
-@query("mm_frame_sample")
+@query("mm_frame_sample", sql="""
+WITH x AS (SELECT doc_id AS media_id, text,
+                  unnest(range(0, greatest(length(text) // 1000, 0) + 1))
+                      AS frame_idx
+           FROM documents)
+SELECT media_id, frame_idx,
+       md5(text || frame_idx::VARCHAR) AS frame_fingerprint
+FROM x
+""")
 def mm_frame_sample(spark, sf_dir):
     """Multimodal fan-out plumbing: per-payload synthetic frame rows via
     sequence+explode (decode stubbed — operators/multimodal.py); one row
-    per sampled frame with a deterministic fingerprint."""
+    per sampled frame with a deterministic md5 fingerprint (payload bytes
+    ‖ frame index — ASCII payloads, so the DuckDB VARCHAR oracle hashes
+    identical bytes)."""
     from .operators import multimodal as MM
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"))
     out = MM.sample_frames(d, every_n=1)
-    return out.select("media_id", "frame_idx", "frame_fingerprint")
+    return out.select("media_id",
+                      F.col("frame_idx").cast("bigint").alias("frame_idx"),
+                      "frame_fingerprint")
 
 
 @query("ts_quadrant", sql="""
@@ -1394,6 +1435,38 @@ def ts_quadrant(spark, sf_dir):
             .agg(sign.alias("sign_class"),
                  _r(F.avg("value")).alias("mean_val"),
                  F.count("value").alias("n_obs")))
+
+
+_LAG_SENSORS = ["click", "error", "purchase", "signup", "view"]
+_LAG_PIVOT_SQL = ",\n       ".join(
+    f"max(CASE WHEN event_type = '{s}' THEN hrs END) AS {s}"
+    for s in _LAG_SENSORS)
+_LAG_OUT_SQL = ",\n       ".join(
+    f"round({s} - click, 6) AS {s}_lag" for s in _LAG_SENSORS if s != "click")
+
+@query("ts_lag_table", sql=f"""
+WITH r AS (SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day, ts,
+                  row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                     ORDER BY value DESC, ts ASC) AS rn
+           FROM events WHERE value IS NOT NULL),
+h AS (SELECT event_type, day, (epoch(ts) - epoch(day)) / 3600.0 AS hrs
+      FROM r WHERE rn = 1),
+p AS (SELECT day, {_LAG_PIVOT_SQL} FROM h GROUP BY 1)
+SELECT day,
+       {_LAG_OUT_SQL}
+FROM p
+""")
+def ts_lag_table(spark, sf_dir):
+    """M3 ``lag_df`` (diurnal.py:24-26): per-day cross-sensor extrema-lag
+    table — each sensor's daily-maximum decimal-hour minus the reference
+    sensor's ('click'), reference column dropped. Event types stand in
+    for the reference's sensor columns."""
+    ev = _t(spark, sf_dir, "events")
+    out = E.extrema_lag_table(ev, sensor_col="event_type", lag_from="click",
+                              sensors=_LAG_SENSORS)
+    return out.select(
+        "day", *[_r(F.col(f"{s}_lag")).alias(f"{s}_lag")
+                 for s in _LAG_SENSORS if s != "click"])
 
 
 _BAND_KEYS_SQL = ", ".join(
@@ -1569,31 +1642,64 @@ def ts_e1_pipeline(spark, sf_dir):
         _r(F.col("xflow_vel")).alias("xflow_vel"))
 
 
-@query("emb_knn_lsh", sql=f"""
-WITH c AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bkt
-           FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qv, {_bucket_sql('embedding')} AS bkt
-      FROM embeddings WHERE vec_id IN (0, 1, 2)),
-s AS (SELECT q.query_id, c.vec_id,
-             {_COS_SQL.format(a='c.embedding', b='q.qv')} AS cos
-      FROM c JOIN q ON c.bkt = q.bkt),
+def _md5_bucket_sql(col: str, table: int, planes: int = 4,
+                    dim: int = 64) -> str:
+    """DuckDB twin of similarity.md5_bucket_col: the md5-derived plane
+    constants are embedded as literals digit-for-digit (Python float
+    repr round-trips exactly), so both engines compute bit-identical
+    projections."""
+    terms = []
+    for h in range(planes):
+        comps = SIM.md5_plane(table * planes + h, dim)
+        arr = "[" + ", ".join(repr(c) for c in comps) + "]"
+        proj = (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> {col}[i]::DOUBLE * ({arr})[i]))")
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << h} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")::INT"
+
+
+def _knn_lsh_sql(tables: int = 4, planes: int = 4) -> str:
+    masks = SIM.probe_masks(planes, 1)
+    cands = []
+    for t in range(tables):
+        probes = ", ".join(f"xor(b0, {m})" for m in masks)
+        cands.append(f"""
+  SELECT p.query_id, c.vec_id, c.embedding, p.qv
+  FROM (SELECT vec_id, embedding, {_md5_bucket_sql('embedding', t)} AS b
+        FROM embeddings) c
+  JOIN (SELECT query_id, qv, unnest([{probes}]) AS pb
+        FROM (SELECT query_id, qv, {_md5_bucket_sql('qv', t)} AS b0 FROM q)) p
+    ON c.b = p.pb""")
+    union = "\n  UNION\n".join(cands)  # UNION (not ALL) = the OR-dedup
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+cand AS ({union}),
+s AS (SELECT query_id, vec_id,
+             {_COS_SQL.format(a='embedding', b='qv')} AS cos
+      FROM cand),
 r AS (SELECT query_id, vec_id, cos,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cos DESC, vec_id ASC) AS rank
       FROM s)
 SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
 FROM r WHERE rank <= 10
-""")
+"""
+
+
+@query("emb_knn_lsh", sql=_knn_lsh_sql())
 def emb_knn_lsh(spark, sf_dir):
-    """Approximate kNN via hyperplane-LSH bucket pruning: only
-    same-sign-bucket corpus vectors are scored (recall@10 = 0.40 vs brute
-    force on this corpus, pinned in tests; bucket count 2^H bounds each
-    probe's work)."""
+    """Approximate kNN via OR-combined multi-table hyperplane LSH with
+    Hamming-1 multi-probe (4 tables × 4 md5-derived independent planes):
+    recall@10 = 1.00 vs brute force on this corpus (floor ≥ 0.9 pinned
+    in tests — up from 0.40 single-probe), candidate fan-out bounded at
+    L·5/16 of the corpus per query before the OR-dedup."""
     e = _t(spark, sf_dir, "embeddings") \
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
     q = e.where(F.col("vec_id").isin(0, 1, 2)) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
-    out = SIM.knn_lsh(e, q, k=10, num_planes=4)
+    out = SIM.knn_lsh_multi(e, q, k=10, num_planes=4, num_tables=4,
+                            probe_hamming=1, dim=64)
     return out.select("query_id", "vec_id",
                       _r(F.col("cosine")).alias("cosine"), "rank")
 
@@ -1677,13 +1783,13 @@ def doc_source_stats(spark, sf_dir):
 
 @query("ts_resample_gapfill", sql="""
 WITH b AS (SELECT event_type,
-                  to_timestamp(floor(epoch(min(ts)) / 21600) * 21600) AS lo,
-                  to_timestamp(floor(epoch(max(ts)) / 21600) * 21600) AS hi
+                  make_timestamp(((floor(epoch(min(ts)) / 21600) * 21600) * 1000000)::BIGINT) AS lo,
+                  make_timestamp(((floor(epoch(max(ts)) / 21600) * 21600) * 1000000)::BIGINT) AS hi
            FROM events GROUP BY 1),
 g AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS ts
       FROM b),
 a AS (SELECT event_type,
-             to_timestamp(floor(epoch(ts) / 21600) * 21600) AS ts,
+             make_timestamp(((floor(epoch(ts) / 21600) * 21600) * 1000000)::BIGINT) AS ts,
              round(avg(value), 6) AS mean_val, count(value) AS n_obs
       FROM events GROUP BY 1, 2)
 SELECT g.event_type, g.ts, a.mean_val, a.n_obs
@@ -1952,7 +2058,7 @@ def ts_anomaly_zscore(spark, sf_dir):
 
 @query("ts_ohlc_6h", sql="""
 SELECT event_type,
-       to_timestamp(floor(epoch(ts) / 21600) * 21600) AS bucket,
+       make_timestamp(((floor(epoch(ts) / 21600) * 21600) * 1000000)::BIGINT) AS bucket,
        arg_min(value, ts) AS open,
        max(value) AS high, min(value) AS low,
        arg_max(value, ts) AS close,

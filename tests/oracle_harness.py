@@ -1,15 +1,19 @@
 """Local mimic of the driver's DuckDB-oracle correctness gate.
 
 Runs each Spark query and its oracle SQL on the same sf dir, then
-compares: row count, column-name set, and order-insensitive values
-(columns sorted by name, rows sorted, floats compared to 1e-9 after both
-sides' own rounding). Used by tests/test_oracle_parity.py and runnable
-directly:  python tests/oracle_harness.py [sf_dir] [query ...]
+compares: row count, column-name set, PER-COLUMN VALUE TYPES (a
+tz-aware oracle timestamp vs Spark's naive one is a schema FAIL, as in
+the driver), and order-insensitive values with EXACT equality after the
+queries' own rounding (no tolerance — the driver hashes values, so a
+1-ulp flap that 1e-9 would forgive is a red row there). Used by
+tests/test_oracle_parity.py and runnable directly:
+    python tests/oracle_harness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import math
 import sys
 
@@ -29,13 +33,39 @@ def duck_con(sf_dir: str):
 
 def _norm(v):
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        # NO tz-stripping: a TIMESTAMPTZ oracle column must differ from a
+        # naive Spark timestamp here, exactly as in the driver's compare.
+        return v.isoformat()
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # kill -0.0 and float repr jitter after the queries' own rounding
-        return round(v + 0.0, 9)
+        return v + 0.0  # kill -0.0 only; equality is EXACT post-rounding
     return v
+
+
+def _vtype(v):
+    """Value-level dtype tag; tz-awareness is a distinct type."""
+    if isinstance(v, dt.datetime):
+        return "timestamptz" if v.tzinfo is not None else "timestamp"
+    if isinstance(v, dt.date):
+        return "date"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    return type(v).__name__
+
+
+def _coltypes(rows, cols):
+    """First non-null value type per column name."""
+    out = {}
+    for i, c in enumerate(cols):
+        out[c] = next((_vtype(r[i]) for r in rows if r[i] is not None), None)
+    return out
 
 
 def _canon(rows, cols):
@@ -55,6 +85,12 @@ def compare(spark, con, fn, sql, sf_dir: str):
     issues = []
     if sorted(scols) != sorted(dcols):
         issues.append(f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
+    else:
+        st, du = _coltypes(srows, scols), _coltypes(drows, dcols)
+        bad = {c: (st[c], du[c]) for c in st
+               if st[c] is not None and du[c] is not None and st[c] != du[c]}
+        if bad:
+            issues.append(f"schema dtypes: {bad}")
     if len(srows) != len(drows):
         issues.append(f"rowcount: spark={len(srows)} duck={len(drows)}")
     if not issues:

@@ -246,3 +246,28 @@ def test_interval_overlap_join_equals_theta(spark):
                    .select(F.col("a.id").alias("lid"),
                            F.col("b.id").alias("rid")).collect())
     assert got == theta and len(got) > 100
+
+
+def test_extrema_lag_table_reference_semantics(spark):
+    """M3 lag_df (diurnal.py:24-26): per-day max-timing lag vs reference
+    sensor; reference column dropped; missing sensor-day -> NULL."""
+    from datatools_spark.operators.extrema import extrema_lag_table
+    import datetime as dt
+    rows = []
+    d0 = dt.datetime(2024, 1, 1)
+    # ref peaks at 06:00; s2 peaks at 09:30 -> lag 3.5; s3 absent day 1
+    for day in (0, 1):
+        base = d0 + dt.timedelta(days=day)
+        rows += [("ref", base + dt.timedelta(hours=6), 10.0),
+                 ("ref", base + dt.timedelta(hours=12), 5.0),
+                 ("s2", base + dt.timedelta(hours=9, minutes=30), 7.0),
+                 ("s2", base + dt.timedelta(hours=2), 1.0)]
+    rows.append(("s3", d0 + dt.timedelta(days=1, hours=4), 3.0))
+    df = spark.createDataFrame(rows, "sensor string, ts timestamp, value double")
+    out = {r["day"]: r for r in extrema_lag_table(
+        df, sensor_col="sensor", lag_from="ref",
+        sensors=["ref", "s2", "s3"]).collect()}
+    assert set(out[d0].asDict()) == {"day", "s2_lag", "s3_lag"}
+    assert out[d0]["s2_lag"] == 3.5
+    assert out[d0]["s3_lag"] is None
+    assert out[d0 + dt.timedelta(days=1)]["s3_lag"] == 4.0 - 6.0

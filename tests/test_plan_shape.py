@@ -146,3 +146,31 @@ def test_velocity_approx_partial_aggregates(spark):
     agg_sections = [seg for seg in plan.split("HashAggregate")[1:]
                     if "percentile" in seg[:400]]
     assert len(agg_sections) >= 2  # partial + final pair
+
+
+def test_emb_dup_pairs_no_cartesian(spark):
+    """The DECLARED near-dup query runs the LSH-bucketed path: the
+    self-join is an equi-join on the bucket key, never a cartesian
+    product (the O(n²) hazard the bucket exists to prevent)."""
+    plan = _plan(QUERIES["emb_dup_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_doc_ngram_pairs_declared_has_skew_guard(spark):
+    """The DECLARED Jaccard query carries the max_df stop-shingle guard:
+    its plan contains the document-frequency aggregate feeding the
+    candidate join (three aggregates total: df-filter, dedup, verify)."""
+    plan = _plan(QUERIES["doc_ngram_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # the guard adds a count-per-shingle aggregate before the index join
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_knn_lsh_multi_no_cartesian_and_bounded_probes(spark):
+    """Multi-table kNN: every corpus↔query match is an equi-join on a
+    bucket key (broadcast), never a cross join; 4 tables × 5 probes."""
+    plan = _plan(QUERIES["emb_knn_lsh"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4

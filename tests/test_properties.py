@@ -153,13 +153,16 @@ def test_ann_recall_floor_vs_brute_force(spark):
     brute = {(r.query_id, r.vec_id)
              for r in SIM.knn_brute_force(e, q, k=10).collect()}
     lsh = {(r.query_id, r.vec_id)
-           for r in SIM.knn_lsh(e, q, k=10, num_planes=4).collect()}
+           for r in SIM.knn_lsh_multi(e, q, k=10, num_planes=4, num_tables=4,
+                                      probe_hamming=1, dim=64).collect()}
     cent = e.where(F.col("vec_id") < 8) \
         .select(F.col("vec_id").alias("centroid_id"), "embedding")
     ivf = {(r.query_id, r.vec_id)
            for r in SIM.ivf_search(e, cent, q, k=10, nprobe=2).collect()}
     assert len(brute) == 30
-    assert len(brute & lsh) / len(brute) >= 0.35   # measured 0.40
+    # multi-table OR + Hamming-1 multiprobe over INDEPENDENT md5 planes:
+    # measured 1.00 (deterministic); single-probe sin-plane legacy = 0.40
+    assert len(brute & lsh) / len(brute) >= 0.9
     assert len(brute & ivf) / len(brute) >= 0.85   # measured 0.90
 
 

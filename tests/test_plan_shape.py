@@ -174,3 +174,16 @@ def test_knn_lsh_multi_no_cartesian_and_bounded_probes(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_driver_window_contains_flagships():
+    """The driver checks only the first 50 registered queries; every
+    load-bearing claim must sit inside that window (round-1 lesson)."""
+    names = list(QUERIES)[:50]
+    for flagship in ["ts_e1_pipeline", "ts_melt_pipeline", "doc_lsh_pairs",
+                     "emb_ivf_search", "emb_knn_lsh", "ts_shadow_correction",
+                     "ss_shipping_priority", "ts_rollup_multires",
+                     "ts_resample_gapfill", "ts_lag_table", "ts_quadrant",
+                     "doc_source_stats", "doc_neardup_retention",
+                     "mm_extract_features", "mm_frame_sample"]:
+        assert flagship in names, flagship

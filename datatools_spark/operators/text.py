@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "occurrences", "lang_scores", "lang_id_col", "token_count_col",
-    "quality_score_cols", "fingerprint_col", "word_shingles", "words_col", "subword_count_col",
+    "quality_score_cols", "fingerprint_col", "word_shingles", "words_col",
+    "subword_count_col", "word_ngrams_all", "repetition_stats", "scrub_cols",
 ]
 
 # tiny marker lists keep the expression tree small; the point is the
@@ -140,6 +141,87 @@ def word_shingles(text_col: str = "text", n: int = 3,
         f"array_distinct(transform(sequence(1, {k}), i -> concat_ws(' ', {parts}))) "
         f"ELSE CAST(array() AS array<string>) END")
     return sh
+
+
+def word_ngrams_all(text_col: str = "text", n: int = 2,
+                    from_words_col: str | None = None) -> Column:
+    """Word n-gram array WITH multiplicity — repetition analysis needs
+    duplicate grams, unlike the dedup shingle *set* (:func:`word_shingles`
+    applies ``array_distinct``; this doesn't)."""
+    w = from_words_col or f"split(trim(lower({text_col})), '\\\\s+')"
+    k = f"(size({w}) - {n - 1})"
+    parts = ", ".join(f"element_at({w}, CAST(i AS INT) + {j})" for j in range(n))
+    return F.expr(
+        f"CASE WHEN {k} >= 1 THEN "
+        f"transform(sequence(1, {k}), i -> concat_ws(' ', {parts})) "
+        f"ELSE CAST(array() AS array<string>) END")
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", gram_n: int = 2) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
+    filters), the standard pretraining-corpus degeneracy gate:
+
+    - ``dup_word_frac``: 1 − distinct/total words (pure array exprs);
+    - ``top_ngram_frac``: share of all word ``gram_n``-grams taken by the
+      single most frequent one (explode → per-(doc,gram) count → per-doc
+      max/total — two map-side-combinable aggregates, shuffle keyed on
+      (doc, gram) then doc, never wider than the corpus itself).
+
+    Docs with fewer than ``gram_n`` words report 0.0 fractions.
+    Output: ``id_col, n_words, dup_word_frac, top_ngram_frac``.
+    """
+    base = (df.withColumn("_words", words_col(text_col))
+            .select(F.col(id_col),
+                    F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+                    .otherwise(F.size("_words")).cast("bigint").alias("n_words"),
+                    F.size(F.array_distinct("_words")).alias("_ndw")))
+    grams = (df.withColumn("_words", words_col(text_col))
+             .select(F.col(id_col),
+                     F.explode(word_ngrams_all(text_col, gram_n,
+                                               from_words_col="_words")).alias("_g")))
+    per = grams.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+    top = per.groupBy(id_col).agg(F.max("_c").alias("_maxc"),
+                                  F.sum("_c").alias("_ng"))
+    dup_frac = F.when(F.col("n_words") > 0,
+                      1.0 - F.col("_ndw").cast("double") / F.col("n_words")) \
+        .otherwise(F.lit(0.0))
+    top_frac = F.coalesce(F.col("_maxc").cast("double") / F.col("_ng"),
+                          F.lit(0.0))
+    return (base.join(top, id_col, "left")
+            .select(F.col(id_col), "n_words",
+                    dup_frac.alias("dup_word_frac"),
+                    top_frac.alias("top_ngram_frac")))
+
+
+# RE2-safe patterns (no lookaround): identical matches under Java regex
+# (Spark) and RE2 (DuckDB oracle).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^\s]+"
+PII_LONGNUM = r"[0-9]{9,}"
+
+
+def scrub_cols(text_col: str = "text") -> dict[str, Column]:
+    """PII / noise scrub for training text: emails, URLs, and long digit
+    runs (phone/account numbers) are counted and replaced by typed
+    placeholder tokens. Pure codegen ``regexp_count``/``regexp_replace``
+    chains — order is URL first (emails inside URLs scrub as part of the
+    URL), then email, then digit runs.
+
+    Returns ``{n_urls, n_emails, n_longnums, scrubbed}``.
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, F.lit(PII_URL), F.lit("<URL>")),
+            F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+        F.lit(PII_LONGNUM), F.lit("<NUM>"))
+    return {
+        "n_urls": F.regexp_count(t, F.lit(PII_URL)).cast("bigint"),
+        "n_emails": F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint"),
+        "n_longnums": F.regexp_count(t, F.lit(PII_LONGNUM)).cast("bigint"),
+        "scrubbed": scrubbed,
+    }
 
 
 def subword_count_col(text_col: str = "text") -> Column:

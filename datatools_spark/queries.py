@@ -25,11 +25,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators import curation as CU
 from .operators import dedup as D
 from .operators import detrend as DT
 from .operators import extrema as E
 from .operators import fillna as FN
 from .operators import intervals as IV
+from .operators import plotsink as PS
 from .operators import resample as RS
 from .operators import rolling as RL
 from .operators import similarity as SIM
@@ -2211,6 +2213,148 @@ def ts_lag1_autocorr(spark, sf_dir):
                  F.count("prev").alias("n_pairs")))
 
 
+# --------------------------------------------------------------------------
+# Corpus curation: repetition gates, PII scrub, decontamination, mixing
+# --------------------------------------------------------------------------
+
+@query("doc_repetition", sql=r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS nw
+  FROM documents),
+g AS (SELECT doc_id, unnest(
+        CASE WHEN len(ws) - 1 >= 1
+             THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+             ELSE []::VARCHAR[] END) AS gm
+      FROM w),
+pc AS (SELECT doc_id, gm, count(*) AS c FROM g GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS maxc, sum(c) AS ng FROM pc GROUP BY 1)
+SELECT w.doc_id, w.nw AS n_words,
+       round(CASE WHEN w.nw > 0
+                  THEN 1.0 - len(list_distinct(ws))::DOUBLE / w.nw
+                  ELSE 0.0 END, 6) AS dup_word_frac,
+       round(coalesce(t.maxc::DOUBLE / t.ng, 0.0), 6) AS top_ngram_frac
+FROM w LEFT JOIN top t USING (doc_id)
+""")
+def doc_repetition(spark, sf_dir):
+    """Gopher-style repetition gate: duplicate-word fraction + share of
+    the most frequent word bigram — the standard degenerate-text filter
+    for pretraining corpora (engine add; no reference analogue)."""
+    d = _t(spark, sf_dir, "documents")
+    out = TX.repetition_stats(d, gram_n=2)
+    return out.select("doc_id", "n_words",
+                      _r(F.col("dup_word_frac")).alias("dup_word_frac"),
+                      _r(F.col("top_ngram_frac")).alias("top_ngram_frac"))
+
+
+_PII_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '{url}'))::BIGINT AS n_urls,
+       len(regexp_extract_all(text, '{email}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{num}'))::BIGINT AS n_longnums,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{url}', '<URL>', 'g'), '{email}', '<EMAIL>', 'g'),
+           '{num}', '<NUM>', 'g')) AS scrub_fp
+FROM documents
+""".format(url=TX.PII_URL.replace("\\", "\\\\"),
+           email=TX.PII_EMAIL.replace("\\", "\\\\"),
+           num=TX.PII_LONGNUM)
+
+
+@query("doc_pii_scrub", sql=_PII_SQL)
+def doc_pii_scrub(spark, sf_dir):
+    """PII scrub: count + replace emails/URLs/long digit runs with typed
+    placeholders (RE2-safe patterns, identical under Java regex and
+    DuckDB). Hash of the scrubbed text proves byte-equality of the
+    rewritten corpus, not just the counts."""
+    d = _t(spark, sf_dir, "documents")
+    c = TX.scrub_cols("text")
+    return d.select("doc_id", c["n_urls"].alias("n_urls"),
+                    c["n_emails"].alias("n_emails"),
+                    c["n_longnums"].alias("n_longnums"),
+                    F.md5(c["scrubbed"]).alias("scrub_fp"))
+
+
+@query("doc_decontaminate", sql=f"""
+WITH {_SHINGLE_SQL},
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 30),
+hits AS (SELECT sh.doc_id, count(*) AS n
+         FROM sh JOIN bench USING (s) WHERE sh.doc_id >= 30 GROUP BY 1)
+SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_contaminated,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id >= 30
+""")
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs (id ≥ 30) scored by how
+    many distinct word trigrams they share with the benchmark set
+    (id < 30, stand-in for held-out eval suites). Benchmark shingles are
+    broadcast — the corpus is never shuffled."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") >= 30)
+    bench = d.where(F.col("doc_id") < 30)
+    return CU.contamination_counts(corpus, bench)
+
+
+@query("doc_balanced_sample", sql=r"""
+WITH t AS (
+  SELECT doc_id, source,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS tok
+  FROM documents),
+tot AS (SELECT source, sum(tok) AS tot FROM t GROUP BY 1),
+r AS (SELECT source, (min(tot) OVER ())::DOUBLE / tot AS rate FROM tot),
+k AS (SELECT t.doc_id, t.source, t.tok
+      FROM t JOIN r USING (source)
+      WHERE ('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT
+            / 4294967296.0 < r.rate)
+SELECT source, count(*) AS n_docs, sum(tok) AS n_tokens
+FROM k GROUP BY 1
+""")
+def doc_balanced_sample(spark, sf_dir):
+    """Domain-mixing downsample: every source deterministically sampled
+    toward the smallest source's token budget via the md5 key-hash
+    filter (reproducible on any cluster layout — df.sample() is not).
+    Output: per-source surviving doc/token counts (exact ints)."""
+    d = _t(spark, sf_dir, "documents")
+    s = CU.source_balanced_sample(d)
+    return s.groupBy("source").agg(F.count("*").alias("n_docs"),
+                                   F.sum("_tok").alias("n_tokens"))
+
+
+@query("ts_plot_envelope", sql="""
+WITH b AS (
+  SELECT event_type, value, ts,
+         make_timestamp(((floor(epoch(ts) / 21600) * 21600) * 1000000)::BIGINT) AS bucket
+  FROM events),
+r AS (SELECT *,
+        row_number() OVER (PARTITION BY event_type, bucket
+                           ORDER BY value ASC, ts ASC) AS rn_min,
+        row_number() OVER (PARTITION BY event_type, bucket
+                           ORDER BY value DESC, ts ASC) AS rn_max
+      FROM b)
+SELECT event_type, bucket,
+       max(CASE WHEN rn_min = 1 THEN value END) AS v_min,
+       max(CASE WHEN rn_min = 1 THEN ts END)    AS t_min,
+       max(CASE WHEN rn_max = 1 THEN value END) AS v_max,
+       max(CASE WHEN rn_max = 1 THEN ts END)    AS t_max,
+       round(avg(value), 6) AS v_mean, count(*) AS n
+FROM r GROUP BY 1, 2
+""")
+def ts_plot_envelope(spark, sf_dir):
+    """S14 plotting sink, Spark-first: the engine-side reduction that
+    makes a 10⁹-row series drawable — per-6h min/max envelope with
+    tie-pinned arg-times + mean + count in ONE partial-aggregating
+    groupBy (gpstools.py plot_* reduced to a plot-sized frame; the
+    matplotlib boundary stays client-side, operators/plotsink.py)."""
+    ev = _t(spark, sf_dir, "events")
+    out = PS.plot_envelope(ev, partition_by=["event_type"], bucket="6 hours")
+    return out.select("event_type", "bucket", "v_min", "t_min",
+                      "v_max", "t_max", _r(F.col("v_mean")).alias("v_mean"),
+                      "n")
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -2247,6 +2391,8 @@ _REGISTRATION_ORDER = [
     "emb_ivf_search", "emb_knn_lsh",
     "mm_extract_features", "mm_frame_sample",
     # —— past the cutoff: still oracle-backed, next-most-important first ——
+    "doc_repetition", "doc_pii_scrub", "doc_decontaminate",
+    "doc_balanced_sample", "ts_plot_envelope",
     "ts_intersect_active", "doc_subword_count", "doc_dup_cluster_sizes",
     "emb_hyperplane_bucket", "ts_melt_expr", "ts_albedo_daily",
     "ts_velocity_multi", "ts_velocity_smoothed", "doc_lang_confusion",

@@ -1,0 +1,150 @@
+"""Curation, repetition, scrub, plot-sink, and timer operators —
+semantics on crafted fixtures (the synthetic corpus exercises them at
+scale via the oracle gate; these pin edge cases)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatools_spark.operators.curation import (
+    contamination_counts, deterministic_sample, source_balanced_sample,
+    uniform_hash_col)
+from datatools_spark.operators.plotsink import plot_envelope, to_plot_frame
+from datatools_spark.operators.text import repetition_stats, scrub_cols
+from datatools_spark.functions.timers import (
+    action_timer, runtime, runtime_str, timer)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_repetition_stats_degenerate_vs_clean(spark):
+    df = _docs(spark, [
+        (1, "spam spam spam spam", "a"),          # 1 distinct word, 1 bigram
+        (2, "one two three four", "a"),           # no repetition
+        (3, "", "a"),                             # blank
+        (4, "solo", "a"),                         # < gram_n words
+    ])
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["dup_word_frac"] == pytest.approx(0.75)
+    assert out[1]["top_ngram_frac"] == pytest.approx(1.0)  # 'spam spam' x3
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["top_ngram_frac"] == pytest.approx(1.0 / 3.0)
+    assert out[3]["n_words"] == 0 and out[3]["dup_word_frac"] == 0.0
+    assert out[4]["top_ngram_frac"] == 0.0
+
+
+def test_scrub_counts_and_replacement(spark):
+    df = _docs(spark, [
+        (1, "mail me@example.com or visit https://x.io/a?b=1 ref 123456789", "a"),
+        (2, "clean text only", "a"),
+    ])
+    c = scrub_cols("text")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", c["n_urls"].alias("u"), c["n_emails"].alias("e"),
+        c["n_longnums"].alias("n"), c["scrubbed"].alias("s")).collect()}
+    assert (out[1]["u"], out[1]["e"], out[1]["n"]) == (1, 1, 1)
+    assert out[1]["s"] == "mail <EMAIL> or visit <URL> ref <NUM>"
+    assert out[2]["s"] == "clean text only"
+
+
+def test_contamination_counts_broadcast_membership(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta", "b")])
+    corpus = _docs(spark, [
+        (1, "alpha beta gamma epsilon", "a"),   # shares 'alpha beta gamma'
+        (2, "zeta eta theta iota", "a"),        # clean
+    ])
+    out = {r["doc_id"]: r for r in
+           contamination_counts(corpus, bench).collect()}
+    assert out[1]["n_contaminated"] == 1 and out[1]["contaminated"]
+    assert out[2]["n_contaminated"] == 0 and not out[2]["contaminated"]
+
+
+def test_deterministic_sample_reproducible_and_unbiased(spark):
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    a = deterministic_sample(df, 0.3).count()
+    b = deterministic_sample(df, 0.3).count()
+    assert a == b                      # exact replay
+    assert abs(a / 20000 - 0.3) < 0.02  # unbiased
+    # monotone: raising the rate only ADDS rows (hash is per-row fixed)
+    low = {r["doc_id"] for r in deterministic_sample(df, 0.1).collect()}
+    high = {r["doc_id"] for r in deterministic_sample(df, 0.3).collect()}
+    assert low <= high
+
+
+def test_uniform_hash_range(spark):
+    df = spark.range(1000)
+    mm = df.select(F.min(uniform_hash_col(F.col("id"))).alias("lo"),
+                   F.max(uniform_hash_col(F.col("id"))).alias("hi")).first()
+    assert 0.0 <= mm["lo"] and mm["hi"] < 1.0
+
+
+def test_source_balanced_sample_equalizes_tokens(spark):
+    rows = [(i, "w " * 10, "big") for i in range(3000)]
+    rows += [(10000 + i, "w " * 10, "small") for i in range(300)]
+    df = _docs(spark, rows)
+    out = {r["source"]: r["t"] for r in
+           source_balanced_sample(df)
+           .groupBy("source").agg(F.sum("_tok").alias("t")).collect()}
+    # both sources should land near the smallest source's budget
+    assert out["small"] == 300 * 10  # rate 1.0: kept whole
+    assert abs(out["big"] - 300 * 10) / (300 * 10) < 0.15
+
+
+def test_plot_envelope_matches_brute_force(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0 + dt.timedelta(minutes=13 * i), float((i * 7) % 23))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    env = {(r["event_type"], r["bucket"]): r
+           for r in plot_envelope(df, partition_by=["event_type"],
+                                  bucket="6 hours").collect()}
+    import collections
+    buckets = collections.defaultdict(list)
+    for et, ts, v in rows:
+        epoch = int((ts - dt.datetime(1970, 1, 1)).total_seconds())
+        b = dt.datetime(1970, 1, 1) + dt.timedelta(seconds=epoch // 21600 * 21600)
+        buckets[(et, b)].append((v, ts))
+    assert set(env) == set(buckets)
+    for k, pts in buckets.items():
+        vmin = min(p[0] for p in pts)
+        vmax = max(p[0] for p in pts)
+        assert env[k]["v_min"] == vmin
+        assert env[k]["v_max"] == vmax
+        # first-occurrence tie pin on both extremes
+        assert env[k]["t_min"] == min(t for v, t in pts if v == vmin)
+        assert env[k]["t_max"] == min(t for v, t in pts if v == vmax)
+        assert env[k]["n"] == len(pts)
+
+
+def test_to_plot_frame_guards_unbounded_collect(spark):
+    df = spark.range(50).select(
+        F.lit("a").alias("event_type"), F.col("id").alias("n"))
+    pdf = to_plot_frame(df, max_rows=100)
+    assert len(pdf) == 50
+    with pytest.raises(ValueError, match="exceed"):
+        to_plot_frame(df, max_rows=10)
+
+
+def test_timers_reference_semantics(capsys):
+    assert runtime_str(5.0) == "05 seconds"
+    assert runtime_str(125.0) == "02:05"
+    assert runtime(None) is None          # falsy no-op, as in reference
+    import time
+    s = runtime(time.time() - 3)
+    assert "seconds" in s
+
+    @timer
+    def f(x):
+        return x + 1
+
+    assert f(1) == 2
+    assert "Finished 'f'" in capsys.readouterr().out
+
+
+def test_action_timer_forces_execution(spark):
+    df = spark.range(1000)
+    n, sec = action_timer(df, "count")
+    assert n == 1000 and sec > 0

@@ -2355,6 +2355,91 @@ def ts_plot_envelope(spark, sf_dir):
                       "n")
 
 
+@query("doc_curation_pipeline", sql=r"""
+WITH w AS (
+  SELECT doc_id, source, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS tok
+  FROM documents WHERE doc_id >= 30),
+g AS (SELECT doc_id, unnest(
+        CASE WHEN len(ws) - 1 >= 1
+             THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+             ELSE []::VARCHAR[] END) AS gm
+      FROM w),
+pc AS (SELECT doc_id, gm, count(*) AS c FROM g GROUP BY 1, 2),
+rep AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS topf FROM pc GROUP BY 1),
+met AS (SELECT w.*, 1.0 - len(list_distinct(ws))::DOUBLE / len(ws) AS dupf,
+               coalesce(r.topf, 0.0) AS topf
+        FROM w LEFT JOIN rep r USING (doc_id)),
+qual AS (SELECT * FROM met WHERE tok >= 20 AND topf <= 0.1 AND dupf <= 0.65),
+dd AS (SELECT * FROM (
+         SELECT *, row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+         FROM qual) WHERE rn = 1),
+sh5 AS (SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(ws) - 4 >= 1
+               THEN list_transform(range(1, len(ws) - 3),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           || ' ' || ws[i+3] || ' ' || ws[i+4])
+               ELSE []::VARCHAR[] END)) AS s
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+              FROM documents)),
+bench AS (SELECT DISTINCT s FROM sh5 WHERE doc_id < 30),
+hits AS (SELECT sh5.doc_id, count(*) AS n
+         FROM sh5 JOIN bench USING (s) WHERE sh5.doc_id >= 30 GROUP BY 1),
+dec AS (SELECT dd.* FROM dd LEFT JOIN hits h USING (doc_id)
+        WHERE coalesce(h.n, 0) = 0),
+tot AS (SELECT source, sum(tok) AS tt FROM dec GROUP BY 1),
+rr AS (SELECT source, (min(tt) OVER ())::DOUBLE / tt AS rate FROM tot),
+samp AS (SELECT dec.* FROM dec JOIN rr USING (source)
+         WHERE ('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT
+               / 4294967296.0 < rr.rate)
+SELECT '0_raw' AS stage, count(*)::BIGINT AS n_docs,
+       coalesce(sum(tok), 0)::BIGINT AS n_tokens FROM w
+UNION ALL SELECT '1_quality', count(*), coalesce(sum(tok), 0) FROM qual
+UNION ALL SELECT '2_dedup', count(*), coalesce(sum(tok), 0) FROM dd
+UNION ALL SELECT '3_decontaminated', count(*), coalesce(sum(tok), 0) FROM dec
+UNION ALL SELECT '4_sampled', count(*), coalesce(sum(tok), 0) FROM samp
+""")
+def doc_curation_pipeline(spark, sf_dir):
+    """END-TO-END curation composite — the full training-data funnel in
+    one declared plan, every stage the scale-shaped operator it names:
+    quality/repetition gate (two map-side-combinable aggregates) →
+    exact dedup (one shuffle on the md5 fingerprint) → benchmark
+    decontamination (5-gram sets; benchmark broadcast, corpus never
+    shuffled) → deterministic source-balanced sampling (key-hash
+    filter). Output: per-stage surviving doc/token counts (exact ints)
+    — the funnel report a 100 TB curation run ships to its dashboard."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") >= 30)
+    bench = d.where(F.col("doc_id") < 30)
+
+    w = corpus.withColumn("_tok", TX.token_count_col("text"))
+    rep = TX.repetition_stats(corpus, gram_n=2)
+    qual = (w.join(rep, "doc_id")
+            .where((F.col("_tok") >= 20) & (F.col("top_ngram_frac") <= 0.1)
+                   & (F.col("dup_word_frac") <= 0.65)))
+    dd = D.exact_dedup(qual)
+    clean = CU.contamination_counts(dd, bench, shingle_n=5) \
+        .where(~F.col("contaminated")).select("doc_id")
+    dec = dd.join(clean, "doc_id")
+    samp = CU.source_balanced_sample(dec.drop("_tok"))
+
+    def stage(name, df_, tok_col="_tok"):
+        return (df_.agg(F.count("*").alias("n_docs"),
+                        F.coalesce(F.sum(tok_col), F.lit(0)).alias("n_tokens"))
+                .select(F.lit(name).alias("stage"), "n_docs", "n_tokens"))
+
+    return (stage("0_raw", w)
+            .unionByName(stage("1_quality", qual))
+            .unionByName(stage("2_dedup", dd))
+            .unionByName(stage("3_decontaminated", dec))
+            .unionByName(stage("4_sampled", samp)))
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -2391,8 +2476,8 @@ _REGISTRATION_ORDER = [
     "emb_ivf_search", "emb_knn_lsh",
     "mm_extract_features", "mm_frame_sample",
     # —— past the cutoff: still oracle-backed, next-most-important first ——
-    "doc_repetition", "doc_pii_scrub", "doc_decontaminate",
-    "doc_balanced_sample", "ts_plot_envelope",
+    "doc_curation_pipeline", "doc_repetition", "doc_pii_scrub",
+    "doc_decontaminate", "doc_balanced_sample", "ts_plot_envelope",
     "ts_intersect_active", "doc_subword_count", "doc_dup_cluster_sizes",
     "emb_hyperplane_bucket", "ts_melt_expr", "ts_albedo_daily",
     "ts_velocity_multi", "ts_velocity_smoothed", "doc_lang_confusion",

@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["streaming_window_counts", "streaming_daily_extrema",
-           "streaming_sessionize", "run_file_stream"]
+           "streaming_sessionize", "streaming_ingest_dedup",
+           "run_file_stream"]
 
 
 def streaming_window_counts(events: DataFrame, window: str = "1 hour",
@@ -68,6 +69,20 @@ def streaming_sessionize(events: DataFrame, gap: str = "30 minutes",
                     F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
                     "n_events", "session_value"))
+
+
+def streaming_ingest_dedup(events: DataFrame, keys=("event_id",),
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup with BOUNDED state — the ingest gate of a
+    streaming crawl/curation pipeline (the streaming twin of
+    ``operators.dedup.exact_dedup``; emits each key's first arrival).
+
+    ``dropDuplicatesWithinWatermark`` holds a key's fingerprint only
+    until event time passes the watermark, so state is
+    (arrival rate × watermark delay), independent of corpus size; a
+    plain ``dropDuplicates`` on a stream grows state forever."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))
 
 
 def run_file_stream(spark: SparkSession, src_dir: str, schema,

@@ -135,3 +135,29 @@ def test_stateful_daily_extrema_emits_on_watermark(spark, tmp_path):
         .collect()))
     assert len(got) == 6  # 2 keys × 3 days, each emitted exactly once
     assert got == expect
+
+
+def test_streaming_ingest_dedup_drops_duplicates_bounded_state(spark, tmp_path):
+    """Duplicated source files through the watermarked dedup emit each
+    event exactly once, matching the batch exact-dedup result."""
+    import datetime as dt
+    from datatools_spark.streaming.demo import streaming_ingest_dedup
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(minutes=i), "click", float(i))
+            for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double")
+    src = str(tmp_path / "src")
+    df.write.parquet(src)                       # first copy
+    df.write.mode("append").parquet(src)        # exact duplicates
+    out_dir = str(tmp_path / "out")
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (streaming_ingest_dedup(stream).writeStream
+         .outputMode("append")
+         .foreachBatch(lambda b, _i: b.write.mode("append").parquet(out_dir))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 300
+    assert got.select("event_id").distinct().count() == 300

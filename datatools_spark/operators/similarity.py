@@ -29,6 +29,7 @@ __all__ = [
     "dot_expr", "norm_expr", "cosine_expr", "knn_brute_force",
     "hyperplane_bucket_col", "md5_plane", "md5_bucket_col", "probe_masks",
     "knn_lsh", "knn_lsh_multi", "ivf_assign", "ivf_search",
+    "quantize_uint8", "random_projection",
 ]
 
 
@@ -261,3 +262,50 @@ def ivf_search(df: DataFrame, centroids: DataFrame, query: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(query_id_col, id_col, "cosine", "rank"))
+
+
+def quantize_uint8(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric per-dimension uint8 quantization — the vector-DB
+    compression step (4× over float32, 8× over float64) that makes a
+    100 TB embedding corpus scan-able: q = round((v − min_d) /
+    (max_d − min_d) · 255) per dimension d.
+
+    Plan: posexplode → one groupBy on dimension for min/max (64 rows —
+    broadcast back) → pure-expression quantize. Constant-dimension stats
+    mean the dequant table rides along as metadata, not data.
+    Output: ``id_col, i (1-based dim), q`` (flat rows, engine-portable).
+    """
+    ex = (df.withColumn("_v64", F.col(vec_col).cast("array<double>"))
+          .select(F.col(id_col), F.posexplode("_v64").alias("_p", "_v")))
+    stats = ex.groupBy("_p").agg(F.min("_v").alias("_lo"),
+                                 F.max("_v").alias("_hi"))
+    q = (F.when(F.col("_hi") > F.col("_lo"),
+                F.round((F.col("_v") - F.col("_lo"))
+                        / (F.col("_hi") - F.col("_lo")) * 255.0, 0))
+         .otherwise(F.lit(0.0))).cast("bigint")
+    return (ex.join(F.broadcast(stats), "_p")
+            .select(F.col(id_col), (F.col("_p") + 1).alias("i"),
+                    q.alias("q")))
+
+
+def random_projection(df: DataFrame, vec_col: str = "embedding",
+                      id_col: str = "vec_id", out_dim: int = 8,
+                      dim: int = 64, base_plane: int = 100) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` dims via
+    md5-derived literal planes (:func:`md5_plane`, offset ``base_plane``
+    so the LSH tables' planes are never reused) — the sketching step
+    before a cheaper ANN index or a disk-light corpus copy. Distances
+    are preserved within (1 ± ε) for out_dim = O(log n / ε²).
+
+    Planes are plan literals: zero per-row hash cost, trivially
+    reproducible in any engine. Output: ``id_col, p_0 .. p_{k-1}``.
+    """
+    v = F.col(vec_col)
+    cols = []
+    for j in range(out_dim):
+        plane = F.array(*[F.lit(c) for c in md5_plane(base_plane + j, dim)])
+        proj = F.aggregate(F.zip_with(v, plane, lambda x, p: x * p),
+                           F.lit(0.0), lambda acc, t_: acc + t_)
+        cols.append(proj.alias(f"p_{j}"))
+    return df.select(F.col(id_col), *cols)

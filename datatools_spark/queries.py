@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from .operators import curation as CU
 from .operators import dedup as D
 from .operators import detrend as DT
+from .operators import graph as G
 from .operators import extrema as E
 from .operators import fillna as FN
 from .operators import intervals as IV
@@ -2440,6 +2441,91 @@ def doc_curation_pipeline(spark, sf_dir):
             .unionByName(stage("4_sampled", samp)))
 
 
+@query("doc_dup_components", sql=f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT a_id, b_id FROM inter
+          JOIN sizes na ON na.doc_id = a_id
+          JOIN sizes nb ON nb.doc_id = b_id
+          WHERE i::DOUBLE / (na.n + nb.n - i) >= 0.05),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+          UNION SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v)
+SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY 1
+""")
+def doc_dup_components(spark, sf_dir):
+    """Duplicate-cluster CONNECTED COMPONENTS: near-dup pairs form
+    chains (A~B, B~C but not A~C), so keep-one-per-group is a graph
+    problem — iterative min-label propagation (operators/graph.py,
+    Hash-to-Min shape: one shuffle per round, O(diameter) rounds, each
+    round's lineage cut by persist). Edges = Jaccard ≥ 0.05 pairs from
+    the skew-guarded generator; oracle = DuckDB recursive CTE closure."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.05, max_df=100)
+    return G.connected_components(pairs).withColumnRenamed("id", "doc_id")
+
+
+@query("emb_quantize_uint8", sql="""
+WITH ex AS (
+  SELECT vec_id, i::BIGINT AS i, embedding[i]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, array_length(embedding) + 1)) AS t(i)),
+st AS (SELECT i, min(v) AS lo, max(v) AS hi FROM ex GROUP BY 1)
+SELECT ex.vec_id, ex.i,
+       (CASE WHEN st.hi > st.lo
+             THEN round((ex.v - st.lo) / (st.hi - st.lo) * 255.0, 0)
+             ELSE 0.0 END)::BIGINT AS q
+FROM ex JOIN st USING (i)
+""")
+def emb_quantize_uint8(spark, sf_dir):
+    """Per-dimension uint8 quantization of the embedding corpus (the
+    vector-DB compression step): dim stats are a 64-row broadcast; the
+    quantize itself is pure codegen. Flat (vec_id, dim, q) output."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.quantize_uint8(e)
+
+
+_PROJ_K = 4
+
+@query("emb_random_projection", sql="SELECT vec_id, " + ", ".join(
+    "round(list_sum(list_transform(range(1, array_length(embedding) + 1), "
+    f"i -> embedding[i]::DOUBLE * (list_value({{lits}})[i])::DOUBLE)), 6) AS p_{j}"
+    .format(lits=", ".join(repr(c) for c in SIM.md5_plane(100 + j, 64)))
+    for j in range(_PROJ_K)) + " FROM embeddings")
+def emb_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss sketch: project 64-dim embeddings onto 4
+    md5-derived literal hyperplanes (zip_with+aggregate, zero per-row
+    hash cost) — the dimensionality-reduction step before a cheaper ANN
+    index; plane constants are embedded verbatim in both engines."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    out = SIM.random_projection(e, out_dim=_PROJ_K, dim=64)
+    return out.select("vec_id",
+                      *[_r(F.col(f"p_{j}")).alias(f"p_{j}")
+                        for j in range(_PROJ_K)])
+
+
+@query("doc_vocab_topk", sql=r"""
+WITH t AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+           FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT w, count(*) AS n FROM t GROUP BY 1)
+SELECT w, n FROM c ORDER BY n DESC, w ASC LIMIT 50
+""")
+def doc_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-50 (tokenizer/vocab-building statistic):
+    explode → one map-side-combinable count → distributed top-k
+    (TakeOrderedAndProject — no global sort materializes). Ties pinned
+    by word."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (d.where(F.length(F.trim(F.col("text"))) > 0)
+           .select(F.explode(TX.words_col("text")).alias("w")))
+    c = tok.groupBy("w").agg(F.count("*").alias("n"))
+    return c.orderBy(F.col("n").desc(), F.col("w").asc()).limit(50)
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -2478,6 +2564,8 @@ _REGISTRATION_ORDER = [
     # —— past the cutoff: still oracle-backed, next-most-important first ——
     "doc_curation_pipeline", "doc_repetition", "doc_pii_scrub",
     "doc_decontaminate", "doc_balanced_sample", "ts_plot_envelope",
+    "doc_dup_components", "emb_quantize_uint8", "emb_random_projection",
+    "doc_vocab_topk",
     "ts_intersect_active", "doc_subword_count", "doc_dup_cluster_sizes",
     "emb_hyperplane_bucket", "ts_melt_expr", "ts_albedo_daily",
     "ts_velocity_multi", "ts_velocity_smoothed", "doc_lang_confusion",

@@ -148,3 +148,56 @@ def test_action_timer_forces_execution(spark):
     df = spark.range(1000)
     n, sec = action_timer(df, "count")
     assert n == 1000 and sec > 0
+
+
+def test_connected_components_chains_and_isolates(spark):
+    """Chain A-B-C collapses to one component; disjoint pair keeps its
+    own; isolated nodes (no edges) are absent by contract."""
+    from datatools_spark.operators.graph import connected_components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain -> component 1
+         (10, 11),                    # pair  -> component 10
+         (20, 21), (21, 20)],         # duplicate/reversed edges collapse
+        "a_id bigint, b_id bigint")
+    out = {r["id"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from datatools_spark.operators.graph import connected_components
+    n = 40
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                  "a_id bigint, b_id bigint")
+    out = connected_components(edges, max_iter=60)
+    assert out.select("component").distinct().count() == 1
+    assert out.agg({"component": "min"}).first()[0] == 0
+    assert out.count() == n + 1
+
+
+def test_quantize_uint8_bounds_and_reconstruction(spark):
+    from datatools_spark.operators.similarity import quantize_uint8
+    rows = [(1, [0.0, -1.0, 5.0]), (2, [1.0, 1.0, 5.0]), (3, [0.5, 3.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {(r["vec_id"], r["i"]): r["q"] for r in quantize_uint8(df).collect()}
+    assert out[(1, 1)] == 0 and out[(2, 1)] == 255 and out[(3, 1)] == 128
+    assert out[(1, 2)] == 0 and out[(3, 2)] == 255
+    # constant dimension -> q = 0 everywhere (no divide-by-zero)
+    assert out[(1, 3)] == out[(2, 3)] == out[(3, 3)] == 0
+
+
+def test_random_projection_is_linear(spark):
+    """proj(a + b) == proj(a) + proj(b): the projection is the linear map
+    it claims to be (catches any per-row plane drift)."""
+    from datatools_spark.operators.similarity import random_projection
+    import random
+    rng = random.Random(7)
+    a = [rng.uniform(-1, 1) for _ in range(64)]
+    b = [rng.uniform(-1, 1) for _ in range(64)]
+    ab = [x + y for x, y in zip(a, b)]
+    df = spark.createDataFrame([(1, a), (2, b), (3, ab)],
+                               "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: [r[f"p_{j}"] for j in range(4)]
+           for r in random_projection(df, out_dim=4).collect()}
+    for j in range(4):
+        assert abs(out[1][j] + out[2][j] - out[3][j]) < 1e-9

@@ -2526,6 +2526,79 @@ def doc_vocab_topk(spark, sf_dir):
     return c.orderBy(F.col("n").desc(), F.col("w").asc()).limit(50)
 
 
+@query("doc_chunk", sql=r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT doc_id, ws, unnest(range(0, ((len(ws) + 15) // 16))) AS ci
+      FROM w)
+SELECT doc_id, ci::BIGINT AS chunk_idx,
+       (least((ci + 1) * 16, len(ws)) - ci * 16)::BIGINT AS n_tokens,
+       md5(array_to_string(list_slice(ws, ci * 16 + 1,
+                                      least((ci + 1) * 16, len(ws))), ' ')) AS chunk_fp
+FROM c
+""")
+def doc_chunk(spark, sf_dir):
+    """Fixed-size token chunking — the sequence-prep step that turns a
+    document corpus into training-ready windows (16-token chunks here):
+    one explode over computed chunk indices + pure array slicing, no
+    shuffle at all (chunk rows inherit the scan's partitioning). Chunk
+    text is proven byte-identical via md5."""
+    d = _t(spark, sf_dir, "documents")
+    w = (d.where(F.length(F.trim(F.col("text"))) > 0)
+         .withColumn("_ws", TX.words_col("text")))
+    n = F.size("_ws")
+    chunks = w.select(
+        "doc_id", "_ws",
+        F.explode(F.sequence(F.lit(0),
+                             F.floor((n + 15) / 16).cast("int") - 1)).alias("ci"))
+    return chunks.select(
+        "doc_id", F.col("ci").cast("bigint").alias("chunk_idx"),
+        (F.least((F.col("ci") + 1) * 16, F.size("_ws"))
+         - F.col("ci") * 16).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.slice("_ws", F.col("ci") * 16 + 1,
+                                       F.lit(16)))).alias("chunk_fp"))
+
+
+@query("doc_tfidf_top3", sql=r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents WHERE length(trim(text)) > 0),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+dfreq AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS nn FROM w),
+s AS (SELECT tf.doc_id, tf.word,
+             round(tf.tf * ln(n.nn::DOUBLE / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, word ASC) AS rn
+      FROM s)
+SELECT doc_id, word, tfidf, rn::BIGINT AS rank FROM r WHERE rn <= 3
+""")
+def doc_tfidf_top3(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms (keyword extraction / topic features):
+    two map-side-combinable counts (term freq; doc freq over the distinct
+    index), a broadcast scalar for N, and a per-doc top-k — ties pinned
+    by word. No corpus-wide sort."""
+    d = _t(spark, sf_dir, "documents")
+    w = (d.where(F.length(F.trim(F.col("text"))) > 0)
+         .select("doc_id", F.explode(TX.words_col("text")).alias("word")))
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = (w.dropDuplicates(["doc_id", "word"])
+             .groupBy("word").agg(F.count("*").alias("df")))
+    n = w.agg(F.countDistinct("doc_id").alias("nn"))
+    s = (tf.join(dfreq, "word").crossJoin(F.broadcast(n))
+         .select("doc_id", "word",
+                 _r(F.col("tf") * F.log(F.col("nn").cast("double")
+                                        / F.col("df"))).alias("tfidf")))
+    win = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
+                                               F.col("word").asc())
+    return (s.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= 3)
+            .select("doc_id", "word", "tfidf",
+                    F.col("rank").cast("bigint").alias("rank")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -2565,7 +2638,7 @@ _REGISTRATION_ORDER = [
     "doc_curation_pipeline", "doc_repetition", "doc_pii_scrub",
     "doc_decontaminate", "doc_balanced_sample", "ts_plot_envelope",
     "doc_dup_components", "emb_quantize_uint8", "emb_random_projection",
-    "doc_vocab_topk",
+    "doc_vocab_topk", "doc_chunk", "doc_tfidf_top3",
     "ts_intersect_active", "doc_subword_count", "doc_dup_cluster_sizes",
     "emb_hyperplane_bucket", "ts_melt_expr", "ts_albedo_daily",
     "ts_velocity_multi", "ts_velocity_smoothed", "doc_lang_confusion",

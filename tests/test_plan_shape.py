@@ -172,6 +172,14 @@ def test_doc_ngram_pairs_declared_has_skew_guard(spark):
     assert "sort_array" not in plan
 
 
+def test_doc_chunk_is_shuffle_free(spark):
+    """Token chunking must inherit the scan's partitioning: explode +
+    array slice only — any Exchange in this plan is a regression."""
+    plan = _plan(QUERIES["doc_chunk"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the chunk-index explode
+
+
 def test_knn_lsh_multi_no_cartesian_and_bounded_probes(spark):
     """Multi-table kNN: every corpus↔query match is an equi-join on a
     bucket key (broadcast), never a cross join; 4 tables × 5 probes."""

@@ -1,0 +1,104 @@
+"""Materialized MinHash signature store — incremental corpus dedup.
+
+Closes SCALE.md's declared gap: at 100 TB you do not re-sign the corpus
+per dedup run; signatures live as a parquet table and each ingest batch
+signs ONLY its new docs. The expensive part of MinHash-LSH (shingle
+explode + k hash mins over every document) becomes a one-time cost per
+document instead of a per-run cost over the corpus.
+
+Layout: ``{path}/`` parquet with columns ``(id_col, _sig array<bigint>)``,
+written partitioned by ``_band0_prefix`` (first band key's low bits) so a
+band-join against a fresh batch prunes to matching partitions. Appends
+are idempotent per doc id: ``update_signature_store`` anti-joins the
+batch against stored ids before signing.
+
+Typical loop:
+    update_signature_store(spark, new_docs, path)      # sign only new
+    pairs = lsh_pairs_against_store(spark, new_docs, path)
+    # → near-dup pairs of new batch vs (corpus + itself); feed to
+    #   graph.connected_components / retention policy
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import minhash_signature
+
+__all__ = ["update_signature_store", "lsh_pairs_against_store"]
+
+_NUM_HASHES = 16
+_BANDS = 4
+_PARTS = 16  # signature-table partition fan-out (band-0 prefix buckets)
+
+
+def _sig_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    sig = minhash_signature(df, text_col, id_col, _NUM_HASHES)
+    arr = F.array(*[F.col(f"mh_{i}") for i in range(_NUM_HASHES)])
+    return df.select(id_col).join(
+        sig.select(F.col(id_col), arr.alias("_sig")), id_col) \
+        .withColumn("_pp", (F.element_at("_sig", 1) % _PARTS).cast("int"))
+
+
+def update_signature_store(spark: SparkSession, batch: DataFrame,
+                           path: str, text_col: str = "text",
+                           id_col: str = "doc_id") -> int:
+    """Sign the batch's docs NOT already in the store and append them.
+    Returns the number of newly signed docs. Idempotent: re-running the
+    same batch appends nothing."""
+    new = batch
+    try:
+        existing = spark.read.parquet(path).select(id_col)
+        new = batch.join(existing, id_col, "left_anti")
+    except Exception:  # noqa: BLE001 — first write, store doesn't exist
+        pass
+    out = _sig_frame(new, text_col, id_col)
+    n = out.count()
+    if n:
+        (out.write.mode("append").partitionBy("_pp").parquet(path))
+    return n
+
+
+def _band_index(sig: DataFrame, id_col: str) -> DataFrame:
+    rows = _NUM_HASHES // _BANDS
+    keys = [F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("_", *[
+                         F.element_at("_sig", b * rows + r + 1).cast("string")
+                         for r in range(rows)]).alias("key"))
+            for b in range(_BANDS)]
+    return sig.select(F.col(id_col), F.col("_sig"),
+                      F.explode(F.array(*keys)).alias("_b"))
+
+
+def lsh_pairs_against_store(spark: SparkSession, batch: DataFrame,
+                            path: str, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs between ``batch`` docs and the WHOLE store
+    (which includes the batch after ``update_signature_store``) without
+    re-signing the corpus: batch-side signatures are read back from the
+    store (cheap id semi-join), band keys joined store-side, candidates
+    verified on stored signatures. Output: ``a_id, b_id, jaccard_est``
+    with a < b; store-side work scales with matching band buckets, not
+    corpus size."""
+    store = spark.read.parquet(path)
+    bsig = store.join(batch.select(id_col), id_col, "left_semi")
+    bidx = _band_index(bsig, id_col)
+    sidx = _band_index(store, id_col)
+    cand = (bidx.alias("a").join(sidx.alias("b"),
+                                 F.col("a._b") == F.col("b._b"))
+            .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            .select(F.least(f"a.{id_col}", f"b.{id_col}").alias("a_id"),
+                    F.greatest(f"a.{id_col}", f"b.{id_col}").alias("b_id"))
+            .distinct())
+    sa = store.select(F.col(id_col).alias("a_id"), F.col("_sig").alias("_sa"))
+    sb = store.select(F.col(id_col).alias("b_id"), F.col("_sig").alias("_sb"))
+    agree = F.aggregate(F.zip_with("_sa", "_sb",
+                                   lambda x, y: (x == y).cast("int")),
+                        F.lit(0), lambda acc, v: acc + v)
+    est = agree.cast("double") / F.lit(float(_NUM_HASHES))
+    return (cand.join(sa, "a_id").join(sb, "b_id")
+            .withColumn("jaccard_est", est)
+            .where(F.col("jaccard_est") >= threshold)
+            .select("a_id", "b_id", "jaccard_est"))

@@ -4,10 +4,21 @@ The LLM-data workflow the engine's extension operators exist for, run as
 one composition over `documents` + `embeddings`:
 
   1. exact dedup        (md5 fingerprint, keep-first)
-  2. near-dup retention (MinHash → banded LSH → verified pairs → greedy keep)
-  3. quality + language gating
-  4. token budgeting    (BPE-ish subword estimate)
-  5. ANN neighbors      (IVF nprobe search over embeddings)
+  2. near-dup retention (MinHash → banded LSH → verified pairs →
+                         connected components → keep cluster min)
+  3. quality + repetition + language gating, PII scrub
+  4. benchmark decontamination (broadcast 5-gram set)
+  5. source-balanced deterministic sampling + token budgeting
+  6. chunking into fixed-token training windows
+  7. ANN neighbors      (IVF nprobe search over embeddings)
+
+The oracle-checked composite `queries.doc_curation_pipeline` runs the
+same funnel under the hash-parity gate; this script is the narrative
+version with per-stage prints (and cluster-aware retention via
+graph.connected_components instead of the composite's exact-dup stage).
+For streaming ingest, the same gates are stateless expressions and the
+dedup step is streaming_ingest_dedup + operators/sigstore.py
+(incremental signature table — batches sign only new docs).
 
 Run:  python examples/training_data_pipeline.py [sf_dir]
 """
@@ -22,7 +33,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from datatools_spark import get_spark
+from datatools_spark.operators import curation as CU
 from datatools_spark.operators import dedup as D
+from datatools_spark.operators import graph as GR
 from datatools_spark.operators import similarity as SIM
 from datatools_spark.operators import text as TX
 
@@ -38,27 +51,55 @@ def main():
     docs = D.exact_dedup(docs)
     n1 = docs.count()
 
-    # 2. near-dup retention (greedy keep-lowest-id over verified LSH pairs)
+    # 2. near-dup retention: LSH pairs → connected components → keep the
+    #    cluster minimum (chains A~B~C collapse correctly; keeping
+    #    "lowest id per PAIR" would over-drop B and C independently)
     pairs = D.minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.5)
-    drops = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    comp = GR.connected_components(pairs)
+    drops = comp.where(F.col("id") != F.col("component")) \
+        .select(F.col("id").alias("doc_id"))
     docs = docs.join(drops, "doc_id", "left_anti")
     n2 = docs.count()
 
-    # 3. quality + language gates
+    # 3. quality + repetition + language gates, then PII scrub
     q = TX.quality_score_cols("text")
-    docs = (docs.withColumn("quality", q["quality_score"])
+    rep = TX.repetition_stats(docs)
+    docs = (docs.join(rep.select("doc_id", "top_ngram_frac"), "doc_id")
+            .withColumn("quality", q["quality_score"])
             .withColumn("lang_pred", TX.lang_id_col("text"))
-            .where((F.col("quality") > 0.1) & (F.col("lang_pred") != "und")))
+            .where((F.col("quality") > 0.1) & (F.col("lang_pred") != "und")
+                   & (F.col("top_ngram_frac") <= 0.2)))
+    docs = docs.withColumn("text", TX.scrub_cols("text")["scrubbed"])
     n3 = docs.count()
 
-    # 4. token budget
+    # 4. decontaminate against a benchmark set (stand-in: doc_id < 30)
+    bench = spark.read.parquet(f"{sf}/documents.parquet") \
+        .where(F.col("doc_id") < 30)
+    clean = CU.contamination_counts(docs, bench, shingle_n=5) \
+        .where(~F.col("contaminated")).select("doc_id")
+    docs = docs.join(clean, "doc_id")
+    n4 = docs.count()
+
+    # 5. source-balanced deterministic sample + token budget
+    docs = CU.source_balanced_sample(docs)
+    n5 = docs.count()
     budget = docs.agg(
         F.sum(TX.subword_count_col("text")).alias("est_tokens")).first()
 
-    print(f"docs: {n0} → exact-dedup {n1} → near-dup {n2} → gated {n3}")
-    print(f"estimated training tokens: {budget['est_tokens']:,}")
+    # 6. training windows (16-token chunks; see queries.doc_chunk for the
+    #    oracle-checked form)
+    n_chunks = (docs.withColumn("_ws", TX.words_col("text"))
+                .select(F.explode(F.sequence(
+                    F.lit(0),
+                    F.floor((F.size("_ws") + 15) / 16).cast("int") - 1)))
+                .count())
 
-    # 5. ANN over the embedding table (IVF, 2 probes of 8 cells)
+    print(f"docs: {n0} → exact-dedup {n1} → near-dup clusters {n2} → "
+          f"gated+scrubbed {n3} → decontaminated {n4} → sampled {n5}")
+    print(f"estimated training tokens: {budget['est_tokens']:,}; "
+          f"16-token chunks: {n_chunks:,}")
+
+    # 7. ANN over the embedding table (IVF, 2 probes of 8 cells)
     emb = spark.read.parquet(f"{sf}/embeddings.parquet") \
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
     cents = emb.where(F.col("vec_id") < 8) \

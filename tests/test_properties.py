@@ -206,3 +206,54 @@ def test_token_counts_additive_and_bounded(spark):
     for r in rows:
         assert r.tab == r.ta + r.tb
         assert r.sab >= r.tab
+
+
+def test_repetition_stats_matches_python_reference(spark):
+    """Differential: Spark repetition stats vs a pure-Python computation
+    over a seeded random corpus with planted degeneracies."""
+    from collections import Counter
+    from datatools_spark.operators.text import repetition_stats
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(60):
+        n = rng.randint(0, 25)
+        words = [rng.choice(vocab) for _ in range(n)]
+        if i % 5 == 0 and n > 4:          # planted repetition
+            words = words[:3] * (n // 3)
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i, text in rows:
+        words = text.split() if text.strip() else []
+        grams = [" ".join(words[j:j + 2]) for j in range(len(words) - 1)]
+        dup = 1.0 - len(set(words)) / len(words) if words else 0.0
+        top = max(Counter(grams).values()) / len(grams) if grams else 0.0
+        assert got[i]["n_words"] == len(words), i
+        assert got[i]["dup_word_frac"] == pytest.approx(dup), i
+        assert got[i]["top_ngram_frac"] == pytest.approx(top), i
+
+
+def test_chunking_partitions_exactly(spark):
+    """Chunks tile each doc: per-doc token counts sum back to the doc's
+    token count, every chunk except the last is full, fingerprints are
+    distinct within a doc unless the text repeats."""
+    from datatools_spark.queries import QUERIES
+    import os
+    out = QUERIES["doc_chunk"](spark, "/root/testdata/sf0.001").collect()
+    import duckdb
+    toks = dict(duckdb.connect().execute(r"""
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+        WHERE length(trim(text)) > 0""").fetchall())
+    per = {}
+    for r in out:
+        per.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_tokens"]))
+    assert set(per) == set(toks)
+    for d, chunks in per.items():
+        chunks.sort()
+        assert sum(n for _, n in chunks) == toks[d], d
+        assert [c for c, _ in chunks] == list(range(len(chunks))), d
+        assert all(n == 16 for _, n in chunks[:-1]), d
+        assert 1 <= chunks[-1][1] <= 16, d

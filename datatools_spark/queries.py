@@ -2599,6 +2599,37 @@ def doc_tfidf_top3(spark, sf_dir):
                     F.col("rank").cast("bigint").alias("rank")))
 
 
+@query("ts_anomaly_mad", sql="""
+WITH m AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+d AS (SELECT e.event_id, e.event_type, e.value, m.med
+      FROM events e JOIN m USING (event_type)),
+md AS (SELECT event_type, median(abs(value - med)) AS mad FROM d GROUP BY 1)
+SELECT d.event_id,
+       round(CASE WHEN md.mad > 0
+                  THEN 0.6745 * (d.value - d.med) / md.mad END, 6) AS robust_z,
+       CASE WHEN md.mad > 0
+            AND abs(0.6745 * (d.value - d.med) / md.mad) > 3.5
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM d JOIN md USING (event_type)
+""")
+def ts_anomaly_mad(spark, sf_dir):
+    """Robust anomaly flag via median absolute deviation (Iglewicz-
+    Hoaglin modified z, 3.5 cut): immune to the outliers that inflate
+    stddev in ts_anomaly_zscore. Two exact-median aggregates per group
+    (group stats broadcast back); no window sort over the data."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    d = ev.join(F.broadcast(m), "event_type")
+    md = (d.groupBy("event_type")
+          .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")))
+    j = d.join(F.broadcast(md), "event_type")
+    z = F.when(F.col("mad") > 0,
+               0.6745 * (F.col("value") - F.col("med")) / F.col("mad"))
+    return j.select("event_id", _r(z).alias("robust_z"),
+                    F.when(z.isNotNull() & (F.abs(z) > 3.5), 1)
+                    .otherwise(0).alias("is_anomaly"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -2649,7 +2680,7 @@ _REGISTRATION_ORDER = [
     "ss_part_brand_stats", "ss_segment_stats", "ss_part_above_brand_avg",
     "ss_customer_running_total", "ss_price_quantiles",
     "ss_order_size_histogram", "ts_json_props", "ts_rolling_std_6h",
-    "ts_minmax_scale", "ts_anomaly_zscore", "ts_ohlc_6h",
+    "ts_minmax_scale", "ts_anomaly_zscore", "ts_anomaly_mad", "ts_ohlc_6h",
     "ts_session_error_overlap", "ts_diurnal_profile", "ts_lag1_autocorr",
 ]
 

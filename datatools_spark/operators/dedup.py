@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .partitioning import ensure_parallelism
 from .text import fingerprint_col, word_shingles, words_col
 
 __all__ = [
@@ -69,7 +70,8 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
 
     Output: ``id_col, mh_0 .. mh_{k-1}`` (docs with no shingles dropped).
     """
-    sh = (df.withColumn("_words", words_col(text_col))
+    work = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    sh = (work.withColumn("_words", words_col(text_col))
           .select(F.col(id_col),
                   F.explode(word_shingles(text_col, shingle_n,
                                           from_words_col="_words")).alias("_sh")))
@@ -133,7 +135,8 @@ def simhash_col(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Output: ``id_col, simhash`` (bigint in [0, 2^bits)).
     """
-    tok = df.select(F.col(id_col), F.explode(words_col(text_col)).alias("_w"))
+    work = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    tok = work.select(F.col(id_col), F.explode(words_col(text_col)).alias("_w"))
     h = _hash32(F.col("_w"), 7)
     sums = [F.sum(F.when(((h / F.lit(1 << j)).cast("bigint") % 2) == 1, 1)
                   .otherwise(-1)).alias(f"_s{j}") for j in range(bits)]
@@ -166,7 +169,8 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str = "text",
     100 TB near-dup path is :func:`minhash_lsh_pairs`.
     Output: ``a_id, b_id, jaccard`` with a<b.
     """
-    sets = (df.withColumn("_words", words_col(text_col))
+    sets = (ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+            .withColumn("_words", words_col(text_col))
             .select(F.col(id_col),
                     F.sort_array(word_shingles(
                         text_col, shingle_n,
@@ -219,16 +223,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     found (at any meaningful threshold such pairs share rarer shingles
     too). Default off = the unguarded count-based plan.
     """
-    sh = (df.withColumn("_words", words_col(text_col))
+    # word_shingles is array_distinct per doc, so the exploded index is
+    # already (id, shingle)-unique — no dedup shuffle needed.
+    sh = (ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+          .withColumn("_words", words_col(text_col))
           .select(F.col(id_col),
                   F.explode(word_shingles(text_col, shingle_n,
-                                          from_words_col="_words")).alias("_sh"))
-          .dropDuplicates([id_col, "_sh"]))
+                                          from_words_col="_words")).alias("_sh")))
     if max_df is not None:
         dfreq = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
-        rare = dfreq.where(F.col("_df") <= max_df).select("_sh")
         stop = dfreq.where(F.col("_df") > max_df).select("_sh")
-        idx = sh.join(rare, "_sh")
+        # stop set is small by construction (only ultra-common shingles
+        # exceed max_df — the Zipf head), so prune the index with a
+        # broadcast ANTI join instead of shuffling it against the large
+        # rare-shingle set.
+        idx = sh.join(F.broadcast(stop), "_sh", "left_anti")
         ca = idx.select(F.col(id_col).alias("a_id"), "_sh")
         cb = idx.select(F.col(id_col).alias("b_id"), "_sh")
         cap = (ca.join(cb, "_sh")

@@ -26,7 +26,7 @@ from .text import token_count_col, word_shingles, words_col
 
 __all__ = [
     "uniform_hash_col", "deterministic_sample", "contamination_counts",
-    "source_balanced_sample",
+    "source_balanced_sample", "pack_sequences",
 ]
 
 
@@ -104,3 +104,42 @@ def source_balanced_sample(df: DataFrame, text_col: str = "text",
     keyed = toks.join(F.broadcast(totals.select(source_col, "_rate")),
                       source_col)
     return keyed.where(uniform_hash_col(F.col(id_col), salt) < F.col("_rate"))
+
+
+def pack_sequences(df: DataFrame, ctx_len: int, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   group_col: str = "source") -> DataFrame:
+    """Sequence packing (concat-then-chunk): lay the corpus out as one
+    token stream per ``group_col`` in deterministic ``id_col`` order, cut
+    it at ``ctx_len``-token boundaries, and report for every document
+    which training sequence its first token lands in and at what offset —
+    the standard GPT-style pretraining layout (documents concatenated,
+    windows cut regardless of boundaries).
+
+    Plan: one map-side token count + ONE window cumulative sum
+    partitioned by ``group_col``. Packing is inherently a prefix-sum:
+    parallelism here comes from the group dimension (each source/domain
+    packs independently — exactly how large corpora are sharded in
+    practice). For a single giant group the same math distributes as a
+    two-phase prefix sum (per-partition partial totals, broadcast
+    offsets); the per-group window is the declared, oracle-checkable
+    form.
+
+    Output: ``id_col, group_col, n_tokens, bin_id, bin_offset,
+    n_bins_spanned`` (zero-token docs report bin of the stream position
+    with 0 span).
+    """
+    w = (Window.partitionBy(group_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    tok = token_count_col(text_col)
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    start = F.col("_cum_before")
+    spans = F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
+        F.floor((start % ctx_len + F.col("n_tokens") - 1) / ctx_len) + 1)
+    return (df.select(F.col(id_col), F.col(group_col),
+                      tok.alias("n_tokens"))
+            .withColumn("_cum_before", cum_before)
+            .select(id_col, group_col, "n_tokens",
+                    F.floor(start / ctx_len).alias("bin_id"),
+                    (start % ctx_len).alias("bin_offset"),
+                    spans.alias("n_bins_spanned")))

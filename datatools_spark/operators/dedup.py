@@ -24,7 +24,7 @@ from .text import fingerprint_col, word_shingles, words_col
 __all__ = [
     "exact_dedup", "minhash_signature", "minhash_lsh_pairs",
     "simhash_col", "ngram_jaccard_pairs", "ngram_jaccard_pairs_prefix",
-    "embedding_dup_pairs",
+    "embedding_dup_pairs", "span_dup_stats",
 ]
 
 
@@ -304,3 +304,48 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     return (pairs.withColumn("cosine", cos)
             .where(F.col("cosine") >= threshold)
             .select("a_id", "b_id", "cosine"))
+
+
+def span_dup_stats(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", span_tokens: int = 16) -> DataFrame:
+    """Span-level (sub-document) duplication stats — the
+    paragraph-dedup signal of CCNet/RefinedWeb-style pipelines, expressed
+    over fixed ``span_tokens``-word tiles since the corpus carries no
+    paragraph structure: tile each doc, md5-fingerprint each tile, count
+    how many DISTINCT docs share each fingerprint corpus-wide, and report
+    per doc the fraction of its tiles that also occur elsewhere.
+
+    Plan: tiling is pure array slicing on the scan partitions (zero
+    shuffle — same layout as token chunking); then one groupBy on the
+    128-bit tile fingerprint and one fingerprint-keyed join back + a
+    per-doc count. Shuffles carry (fingerprint, id) pairs only, never
+    text. At 100 TB this is the cheapest sub-document dedup signal: tile
+    count ≈ token count / span_tokens and every stage is map-side
+    combinable.
+
+    Output: ``id_col, n_spans, dup_spans, dup_frac`` (docs shorter than
+    one tile still emit their single short tile).
+    """
+    from .partitioning import ensure_parallelism
+    w = (ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+         .where(F.length(F.trim(F.col(text_col))) > 0)
+         .withColumn("_ws", words_col(text_col)))
+    n = F.size("_ws")
+    k = span_tokens
+    tiles = (w.select(F.col(id_col), "_ws",
+                      F.explode(F.sequence(
+                          F.lit(0),
+                          F.floor((n + k - 1) / k).cast("int") - 1)).alias("_ti"))
+             .select(F.col(id_col),
+                     F.md5(F.concat_ws(" ", F.slice(
+                         "_ws", F.col("_ti") * k + 1, F.lit(k)))).alias("_fp")))
+    occ = tiles.groupBy("_fp").agg(
+        F.count_distinct(F.col(id_col)).alias("_docs"))
+    per = (tiles.join(occ, "_fp")
+           .groupBy(id_col).agg(
+               F.count("*").alias("n_spans"),
+               F.sum(F.when(F.col("_docs") > 1, 1).otherwise(0)).alias("dup_spans")))
+    return per.select(
+        F.col(id_col), F.col("n_spans"), F.col("dup_spans"),
+        F.round(F.col("dup_spans").cast("double") / F.col("n_spans"), 6)
+        .alias("dup_frac"))

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.timeutils import parse_duration_seconds
 
-__all__ = ["c_rolling", "c_rolling_chunked", "rolling_agg_col"]
+__all__ = ["c_rolling", "c_rolling_chunked", "rolling_agg_col", "ewma_cols"]
 
 _FUNCS = {
     "mean": F.avg,
@@ -136,3 +136,30 @@ def c_rolling_chunked(df: DataFrame, value_col: str, window, func: str = "mean",
                        partition_by=["_chunk"], min_periods=min_periods,
                        out_col=out)
     return rolled.where(F.col("_own")).drop("_chunk", "_own")
+
+
+def ewma_cols(value_col: str, order_cols: Sequence[str],
+              partition_cols: Sequence[str], alpha: float = 0.4,
+              k: int = 8) -> Column:
+    """Truncated exponentially-weighted moving average: the classic
+    smoother y_t = Σ_j (1−α)^j·x_{t−j} / Σ_j (1−α)^j cut off at ``k``
+    terms. (1−α)^8 ≈ 1.7 % at α=0.4, so truncation error is below any
+    6-dp output while keeping the expression a FIXED sum of ``k`` lag()
+    terms — exactly portable to ANSI SQL, unlike the infinite recursion,
+    and evaluated in deterministic left-to-right order in both engines
+    (no data-order float flap).
+
+    Plan shape: k lags over ONE sorted window frame — single shuffle on
+    the partition keys, single in-partition sort shared by all lags.
+    Rows near the partition start renormalize over the lags that exist
+    (matching pandas ``ewm(adjust=True)`` semantics truncated to k).
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    num: Column = F.col(value_col).cast("double")
+    den: Column = F.lit(1.0)
+    for j in range(1, k):
+        lagv = F.lag(value_col, j).over(w)
+        wj = float((1.0 - alpha) ** j)
+        num = num + F.coalesce(lagv.cast("double") * wj, F.lit(0.0))
+        den = den + F.when(lagv.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+    return num / den

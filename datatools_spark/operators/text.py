@@ -23,6 +23,7 @@ __all__ = [
     "occurrences", "lang_scores", "lang_id_col", "token_count_col",
     "quality_score_cols", "fingerprint_col", "word_shingles", "words_col",
     "subword_count_col", "word_ngrams_all", "repetition_stats", "scrub_cols",
+    "word_entropy",
 ]
 
 # tiny marker lists keep the expression tree small; the point is the
@@ -240,3 +241,39 @@ def subword_count_col(text_col: str = "text") -> Column:
         words, F.lit(0),
         lambda acc, w: acc + F.floor((F.length(w) - 1) / 6).cast("int"))
     return (pieces + extra).cast("bigint")
+
+
+def word_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon entropy of the word distribution (bits) — a
+    perplexity-proxy quality signal: degenerate/repetitive docs score low,
+    natural prose scores near log2(vocab-in-doc).
+
+    Uses the algebraic form H = log2(n) − (Σ c·log2 c)/n so ONE
+    explode → per-(doc,word) count → per-doc aggregate computes it
+    (both aggregates map-side combinable; shuffle never wider than the
+    token stream). Parity: the per-word terms c·log2(c) are rounded to
+    10 dp and summed in decimal(38,10), so the sum is order-independent
+    across engines; only the final division happens in doubles.
+
+    Output: ``id_col, n_words, n_distinct, entropy`` (empty docs: 0).
+    """
+    tok = (df.select(F.col(id_col), F.col(text_col))
+           .where(F.length(F.trim(F.col(text_col))) > 0)
+           .select(F.col(id_col),
+                   F.explode(words_col(text_col)).alias("_w")))
+    per = tok.groupBy(id_col, "_w").agg(F.count("*").alias("_c"))
+    term = F.round(F.col("_c").cast("double") * F.log2("_c"), 10) \
+        .cast("decimal(38,10)")
+    agg = per.groupBy(id_col).agg(
+        F.sum("_c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.sum(term).alias("_s"))
+    ent = F.log2("n_words") - F.col("_s").cast("double") / F.col("n_words")
+    out = agg.select(F.col(id_col), F.col("n_words"), F.col("n_distinct"),
+                     F.round(ent, 6).alias("entropy"))
+    empties = (df.where(F.length(F.trim(F.col(text_col))) == 0)
+               .select(F.col(id_col), F.lit(0).cast("bigint").alias("n_words"),
+                       F.lit(0).cast("bigint").alias("n_distinct"),
+                       F.lit(0.0).alias("entropy")))
+    return out.unionByName(empties)

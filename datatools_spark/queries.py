@@ -2630,6 +2630,114 @@ def ts_anomaly_mad(spark, sf_dir):
                     .otherwise(0).alias("is_anomaly"))
 
 
+@query("doc_pack_sequences", sql=r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM t)
+SELECT doc_id, source, n_tokens,
+       (cb // 512)::BIGINT AS bin_id,
+       (cb % 512)::BIGINT AS bin_offset,
+       (CASE WHEN n_tokens = 0 THEN 0
+             ELSE ((cb % 512) + n_tokens - 1) // 512 + 1 END)::BIGINT AS n_bins_spanned
+FROM c
+""")
+def doc_pack_sequences(spark, sf_dir):
+    """Sequence packing (concat-then-chunk, GPT-style): per source the
+    corpus is one doc_id-ordered token stream cut at 512-token
+    boundaries; each doc reports its landing bin/offset/span. One token
+    count + one per-group prefix sum (see curation.pack_sequences for
+    the giant-group two-phase variant)."""
+    d = _t(spark, sf_dir, "documents")
+    return CU.pack_sequences(d, ctx_len=512)
+
+
+@query("doc_word_entropy", sql=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+per AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM tok GROUP BY doc_id, w),
+agg AS (SELECT doc_id, sum(c)::BIGINT AS n_words, count(*)::BIGINT AS n_distinct,
+               sum(round(c * log2(c), 10)::DECIMAL(38,10)) AS s
+        FROM per GROUP BY doc_id)
+SELECT doc_id, n_words, n_distinct,
+       round(log2(n_words) - s::DOUBLE / n_words, 6) AS entropy
+FROM agg
+UNION ALL
+SELECT doc_id, 0::BIGINT, 0::BIGINT, 0.0 AS entropy
+FROM documents WHERE length(trim(text)) = 0
+""")
+def doc_word_entropy(spark, sf_dir):
+    """Perplexity-proxy quality signal: per-doc Shannon entropy of the
+    word distribution via the algebraic H = log2(n) - (sum c*log2 c)/n
+    (order-proof: decimal-summed 10-dp terms)."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.word_entropy(d)
+
+
+@query("doc_span_dup", sql=r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT doc_id, ws, unnest(range(0, ((len(ws) + 15) // 16))) AS ci FROM w),
+tiles AS (
+  SELECT doc_id, md5(array_to_string(list_slice(
+             ws, ci * 16 + 1, least((ci + 1) * 16, len(ws))), ' ')) AS fp
+  FROM c),
+occ AS (SELECT fp, count(DISTINCT doc_id) AS docs FROM tiles GROUP BY fp)
+SELECT doc_id, count(*)::BIGINT AS n_spans,
+       sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_spans,
+       round(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS dup_frac
+FROM tiles JOIN occ USING (fp)
+GROUP BY doc_id
+""")
+def doc_span_dup(spark, sf_dir):
+    """Span-level duplication fraction (paragraph-dedup signal over
+    16-token tiles): tile fingerprints counted corpus-wide, per-doc
+    share of tiles that appear in >1 doc."""
+    d = _t(spark, sf_dir, "documents")
+    return D.span_dup_stats(d, span_tokens=16)
+
+
+@query("ts_ewma", sql="""
+SELECT event_id, event_type,
+round((value
+       + COALESCE(lag(value, 1) OVER w * 0.6::DOUBLE, 0.0)
+       + COALESCE(lag(value, 2) OVER w * 0.36::DOUBLE, 0.0)
+       + COALESCE(lag(value, 3) OVER w * 0.21599999999999997::DOUBLE, 0.0)
+       + COALESCE(lag(value, 4) OVER w * 0.1296::DOUBLE, 0.0)
+       + COALESCE(lag(value, 5) OVER w * 0.07775999999999998::DOUBLE, 0.0)
+       + COALESCE(lag(value, 6) OVER w * 0.04665599999999999::DOUBLE, 0.0)
+       + COALESCE(lag(value, 7) OVER w * 0.027993599999999993::DOUBLE, 0.0)) /
+      (1.0
+       + CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN 0.6::DOUBLE ELSE 0.0 END
+       + CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN 0.36::DOUBLE ELSE 0.0 END
+       + CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN 0.21599999999999997::DOUBLE ELSE 0.0 END
+       + CASE WHEN lag(value, 4) OVER w IS NOT NULL THEN 0.1296::DOUBLE ELSE 0.0 END
+       + CASE WHEN lag(value, 5) OVER w IS NOT NULL THEN 0.07775999999999998::DOUBLE ELSE 0.0 END
+       + CASE WHEN lag(value, 6) OVER w IS NOT NULL THEN 0.04665599999999999::DOUBLE ELSE 0.0 END
+       + CASE WHEN lag(value, 7) OVER w IS NOT NULL THEN 0.027993599999999993::DOUBLE ELSE 0.0 END), 6) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+""")
+def ts_ewma(spark, sf_dir):
+    """Exponential smoothing (truncated-EWMA, alpha=0.4, 8 terms): a
+    fixed sum of lag() terms over one sorted window frame — single
+    shuffle, deterministic float evaluation order in both engines."""
+    e = _t(spark, sf_dir, "events")
+    col = RL.ewma_cols("value", ["ts", "event_id"], ["event_type"],
+                       alpha=0.4, k=8)
+    return e.select("event_id", "event_type", _r(col).alias("ewma"))
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -2682,6 +2790,7 @@ _REGISTRATION_ORDER = [
     "ss_order_size_histogram", "ts_json_props", "ts_rolling_std_6h",
     "ts_minmax_scale", "ts_anomaly_zscore", "ts_anomaly_mad", "ts_ohlc_6h",
     "ts_session_error_overlap", "ts_diurnal_profile", "ts_lag1_autocorr",
+    "doc_pack_sequences", "doc_word_entropy", "doc_span_dup", "ts_ewma",
 ]
 
 

@@ -201,3 +201,81 @@ def test_random_projection_is_linear(spark):
            for r in random_projection(df, out_dim=4).collect()}
     for j in range(4):
         assert abs(out[1][j] + out[2][j] - out[3][j]) < 1e-9
+
+
+def test_pack_sequences_reconstructs_stream(spark):
+    """bin_id*ctx + bin_offset must equal the exclusive prefix sum of
+    token counts in (source, doc_id) order — i.e. packing really lays the
+    corpus out as one contiguous token stream per source."""
+    from datatools_spark.operators.curation import pack_sequences
+    rows = [(i, "s" + str(i % 2), " ".join(["w"] * (3 + 7 * i % 11)))
+            for i in range(20)] + [(100, "s0", "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {r["doc_id"]: r for r in pack_sequences(df, ctx_len=10).collect()}
+    # python reference
+    import collections
+    stream = collections.defaultdict(int)
+    for i, src, text in sorted(rows):
+        tok = len(text.split()) if text.strip() else 0
+        r = out[i]
+        assert r["n_tokens"] == tok
+        cb = stream[src]
+        assert (r["bin_id"], r["bin_offset"]) == (cb // 10, cb % 10)
+        if tok == 0:
+            assert r["n_bins_spanned"] == 0
+        else:
+            assert r["n_bins_spanned"] == (cb % 10 + tok - 1) // 10 + 1
+            # a doc never spans more bins than its tokens could touch
+            assert r["n_bins_spanned"] <= tok // 10 + 2
+        stream[src] += tok
+
+
+def test_word_entropy_matches_python(spark):
+    from datatools_spark.operators.text import word_entropy
+    import math
+    rows = [(1, "a a a a"),            # zero entropy
+            (2, "a b c d"),            # uniform -> log2(4) = 2
+            (3, "a a b"),              # 2/3,1/3 mix
+            (4, "")]                   # empty doc
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in word_entropy(df).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["n_distinct"] == 1
+    assert abs(out[2]["entropy"] - 2.0) < 1e-6
+    h3 = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(out[3]["entropy"] - h3) < 1e-6
+    assert out[4]["n_words"] == 0 and out[4]["entropy"] == 0.0
+
+
+def test_span_dup_stats_flags_shared_tiles(spark):
+    from datatools_spark.operators.dedup import span_dup_stats
+    tile = " ".join(f"t{i}" for i in range(16))      # one full shared tile
+    uniq = lambda d: " ".join(f"u{d}_{i}" for i in range(16))
+    rows = [(1, tile + " " + uniq(1)),   # tile shared with doc 2 -> 1/2 dup
+            (2, tile + " " + uniq(2)),
+            (3, uniq(3))]                # fully unique -> 0 dup
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in span_dup_stats(df, span_tokens=16).collect()}
+    assert out[1]["n_spans"] == 2 and out[1]["dup_spans"] == 1
+    assert out[1]["dup_frac"] == 0.5
+    assert out[2]["dup_spans"] == 1
+    assert out[3]["dup_spans"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_ewma_matches_python_reference(spark):
+    from datatools_spark.operators.rolling import ewma_cols
+    from pyspark.sql import functions as F
+    vals = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0, 6.0, 0.0, 2.5, 1.5]
+    rows = [(i, "g", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    col = ewma_cols("value", ["event_id"], ["event_type"], alpha=0.4, k=8)
+    out = {r["event_id"]: r["e"] for r in
+           df.select("event_id", col.alias("e")).collect()}
+    for t in range(len(vals)):
+        num = den = 0.0
+        for j in range(8):
+            if t - j < 0:
+                break
+            w = (1 - 0.4) ** j
+            num += w * vals[t - j]
+            den += w
+        assert abs(out[t] - num / den) < 1e-9, t

@@ -26,7 +26,7 @@ from .text import token_count_col, word_shingles, words_col
 
 __all__ = [
     "uniform_hash_col", "deterministic_sample", "contamination_counts",
-    "source_balanced_sample", "pack_sequences",
+    "source_balanced_sample", "pack_sequences", "train_val_test_split",
 ]
 
 
@@ -143,3 +143,21 @@ def pack_sequences(df: DataFrame, ctx_len: int, text_col: str = "text",
                     F.floor(start / ctx_len).alias("bin_id"),
                     (start % ctx_len).alias("bin_offset"),
                     spans.alias("n_bins_spanned")))
+
+
+def train_val_test_split(df: DataFrame, key_col: str = "doc_id",
+                         val_frac: float = 0.05, test_frac: float = 0.05,
+                         salt: str = "split") -> DataFrame:
+    """Deterministic corpus split: every row gets a ``split`` label from
+    its key hash — 'train' / 'valid' / 'test' with the requested holdout
+    fractions. A pure row-local expression: no shuffle, reproducible on
+    any layout, stable under corpus growth (a doc's split never changes
+    when other docs are added — the property that keeps eval sets
+    uncontaminated across crawl refreshes).
+    """
+    u = uniform_hash_col(F.col(key_col), salt)
+    train_hi = 1.0 - val_frac - test_frac
+    split = (F.when(u < train_hi, F.lit("train"))
+             .when(u < train_hi + val_frac, F.lit("valid"))
+             .otherwise(F.lit("test")))
+    return df.withColumn("split", split)

@@ -2738,6 +2738,61 @@ def ts_ewma(spark, sf_dir):
 
 
 
+@query("doc_split_assign", sql=r"""
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents)
+SELECT doc_id, source,
+       CASE WHEN u < 0.9 THEN 'train'
+            WHEN u < 0.95 THEN 'valid'
+            ELSE 'test' END AS split
+FROM h
+""")
+def doc_split_assign(spark, sf_dir):
+    """Deterministic train/valid/test assignment from the doc-id hash:
+    row-local expression, no shuffle, split labels stable under corpus
+    growth (new docs never move old docs across splits)."""
+    d = _t(spark, sf_dir, "documents")
+    return CU.train_val_test_split(d).select("doc_id", "source", "split")
+
+
+_ACF_LAGS = 6
+
+@query("ts_acf", sql="WITH l AS (\n"
+       "  SELECT event_type, value,\n"
+       + ",\n".join(
+           f"         lag(value, {j}) OVER (PARTITION BY event_type "
+           f"ORDER BY ts, event_id) AS p{j}" for j in range(1, 7))
+       + "\n  FROM events WHERE value IS NOT NULL)\n"
+       + "\nUNION ALL\n".join(
+           f"SELECT event_type, {j} AS lag, round(corr(value, p{j}), 4) AS acf,\n"
+           f"       count(p{j}) AS n_pairs FROM l GROUP BY event_type"
+           for j in range(1, 7)))
+def ts_acf(spark, sf_dir):
+    """Autocorrelation function at lags 1..6 per series — the
+    persistence spectrum generalizing ts_lag1_autocorr. All six lags
+    share ONE sorted window frame and all six corr aggregates run in ONE
+    groupBy (corr is algebraic -> map-side partials); the wide row is
+    unpivoted with stack()."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    l = ev.select("event_type", "value",
+                  *[F.lag("value", j).over(w).alias(f"p{j}")
+                    for j in range(1, _ACF_LAGS + 1)])
+    aggs = []
+    for j in range(1, _ACF_LAGS + 1):
+        aggs += [F.round(F.corr("value", f"p{j}"), 4).alias(f"a{j}"),
+                 F.count(f"p{j}").alias(f"n{j}")]
+    wide = l.groupBy("event_type").agg(*aggs)
+    stack = ", ".join(f"{j}, a{j}, n{j}" for j in range(1, _ACF_LAGS + 1))
+    return wide.select(
+        "event_type",
+        F.expr(f"stack({_ACF_LAGS}, {stack}) AS (lag, acf, n_pairs)"))
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -2791,6 +2846,7 @@ _REGISTRATION_ORDER = [
     "ts_minmax_scale", "ts_anomaly_zscore", "ts_anomaly_mad", "ts_ohlc_6h",
     "ts_session_error_overlap", "ts_diurnal_profile", "ts_lag1_autocorr",
     "doc_pack_sequences", "doc_word_entropy", "doc_span_dup", "ts_ewma",
+    "doc_split_assign", "ts_acf",
 ]
 
 

@@ -279,3 +279,20 @@ def test_ewma_matches_python_reference(spark):
             num += w * vals[t - j]
             den += w
         assert abs(out[t] - num / den) < 1e-9, t
+
+
+def test_train_val_test_split_deterministic_and_stable(spark):
+    """Same labels on re-run and under corpus growth: adding docs never
+    moves an existing doc across splits."""
+    from datatools_spark.operators.curation import train_val_test_split
+    small = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"]
+         for r in train_val_test_split(small).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in train_val_test_split(big).collect()}
+    assert all(b[k] == v for k, v in a.items())
+    from collections import Counter
+    c = Counter(b.values())
+    assert c["train"] > c["valid"] and c["train"] > c["test"]
+    assert set(c) == {"train", "valid", "test"}

@@ -200,3 +200,25 @@ def test_driver_window_contains_flagships():
                      "doc_source_stats", "doc_neardup_retention",
                      "mm_extract_features", "mm_frame_sample"]:
         assert flagship in names, flagship
+
+
+def test_split_assign_is_shuffle_free(spark):
+    """Split assignment is a pure row-local expression — any Exchange
+    means it stopped being layout-independent."""
+    plan = _plan(QUERIES["doc_split_assign"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_acf_single_window_single_agg(spark):
+    """All six lags share one window sort and all six corr aggregates one
+    groupBy: exactly one sort + the agg pair of exchanges, no join."""
+    plan = _plan(QUERIES["ts_acf"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Sort") <= 2   # window sort (+ possible AQE reuse)
+
+
+def test_pack_sequences_one_window_exchange(spark):
+    """Packing is one hash-partition on the group key + in-partition
+    prefix sum — no join, no extra shuffle."""
+    plan = _plan(QUERIES["doc_pack_sequences"](spark, SF))
+    assert "Join" not in plan

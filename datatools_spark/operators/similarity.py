@@ -25,6 +25,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .partitioning import ensure_parallelism
+
 __all__ = [
     "dot_expr", "norm_expr", "cosine_expr", "knn_brute_force",
     "hyperplane_bucket_col", "md5_plane", "md5_bucket_col", "probe_masks",
@@ -57,7 +59,8 @@ def knn_brute_force(df: DataFrame, query: DataFrame, k: int = 10,
     """
     q = F.broadcast(query.select(F.col(query_id_col),
                                  F.col(vec_col).alias("_qv")))
-    scored = (df.select(F.col(id_col), F.col(vec_col)).crossJoin(q)
+    scored = (ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
+              .crossJoin(q)
               .withColumn("cosine", cosine_expr(F.col(vec_col), F.col("_qv"))))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -141,7 +144,8 @@ def knn_lsh(df: DataFrame, query: DataFrame, k: int = 10,
     at most once per query (probe buckets are distinct).
     ``probe_hamming=0`` = single-probe. Same output schema as brute
     force; recall@10 floor pinned in tests/test_properties.py."""
-    corpus = df.withColumn("_bkt", hyperplane_bucket_col(vec_col, num_planes))
+    corpus = (ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
+              .withColumn("_bkt", hyperplane_bucket_col(vec_col, num_planes)))
     masks = probe_masks(num_planes, probe_hamming)
     qb = query.withColumn("_qbkt", hyperplane_bucket_col(vec_col, num_planes))
     probes = F.array(*[F.col("_qbkt").bitwiseXOR(F.lit(m)) for m in masks])
@@ -181,11 +185,11 @@ def knn_lsh_multi(df: DataFrame, query: DataFrame, k: int = 10,
     Output: ``query_id, vec_id, cosine, rank``.
     """
     masks = probe_masks(num_planes, probe_hamming)
+    base = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
     cand = None
     for t in range(num_tables):
-        corpus = (df.select(F.col(id_col), F.col(vec_col))
-                  .withColumn("_bkt", md5_bucket_col(vec_col, num_planes,
-                                                     dim, table=t)))
+        corpus = base.withColumn("_bkt", md5_bucket_col(vec_col, num_planes,
+                                                        dim, table=t))
         qb = query.withColumn("_qbkt",
                               md5_bucket_col(vec_col, num_planes, dim, table=t))
         probes = F.array(*[F.col("_qbkt").bitwiseXOR(F.lit(m)) for m in masks])
@@ -207,21 +211,37 @@ def knn_lsh_multi(df: DataFrame, query: DataFrame, k: int = 10,
 
 def ivf_assign(df: DataFrame, centroids: DataFrame,
                vec_col: str = "embedding", id_col: str = "vec_id",
-               centroid_id_col: str = "centroid_id") -> DataFrame:
-    """IVF coarse assignment: each vector → nearest centroid (max cosine).
+               centroid_id_col: str = "centroid_id",
+               keep_vec: bool = False) -> DataFrame:
+    """IVF coarse assignment: each vector → nearest centroid (max cosine,
+    ties to the lowest centroid id).
 
     ``centroids``: small ``(centroid_id, embedding)`` — broadcast; one
-    scan, ``max_by`` per row group. Writing the output partitioned by
-    ``centroid_id`` gives the partition-pruned ANN layout at rest.
+    scan, then the argmax is a ``max_by`` hash aggregate: the per-vector
+    k-way explode collapses MAP-SIDE (partial max), so the only shuffle
+    carries one narrow row per vector — not k scored rows through a
+    window sort (the previous formulation). Writing the output
+    partitioned by ``centroid_id`` gives the partition-pruned ANN layout
+    at rest. ``keep_vec=True`` carries the vector through the aggregate
+    so callers (ivf_search) skip a corpus re-join.
     """
     c = F.broadcast(centroids.select(
         F.col(centroid_id_col), F.col(vec_col).alias("_cv")))
-    scored = (df.crossJoin(c)
+    work = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
+    scored = (work.crossJoin(c)
               .withColumn("_cos", cosine_expr(F.col(vec_col), F.col("_cv"))))
-    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col(centroid_id_col))
-    return (scored.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(F.col(id_col), F.col(centroid_id_col), F.col("_cos").alias("cosine")))
+    payload = [F.col(centroid_id_col), F.col("_cos")]
+    if keep_vec:
+        payload.append(F.col(vec_col))
+    best = scored.groupBy(id_col).agg(
+        F.max_by(F.struct(*payload),
+                 F.struct(F.col("_cos"), (-F.col(centroid_id_col)).alias("_t"))
+                 ).alias("_b"))
+    out = [F.col(id_col), F.col(f"_b.{centroid_id_col}").alias(centroid_id_col),
+           F.col("_b._cos").alias("cosine")]
+    if keep_vec:
+        out.append(F.col(f"_b.{vec_col}").alias(vec_col))
+    return best.select(*out)
 
 
 def ivf_search(df: DataFrame, centroids: DataFrame, query: DataFrame,
@@ -242,9 +262,9 @@ def ivf_search(df: DataFrame, centroids: DataFrame, query: DataFrame,
     canonical distributed-ANN layout. Output:
     ``query_id, vec_id, cosine, rank``.
     """
-    assigned = ivf_assign(df, centroids, vec_col, id_col, centroid_id_col)
-    corpus = df.select(F.col(id_col), F.col(vec_col)) \
-        .join(assigned.select(id_col, centroid_id_col), id_col)
+    corpus = (ivf_assign(df, centroids, vec_col, id_col, centroid_id_col,
+                         keep_vec=True)
+              .select(F.col(id_col), F.col(vec_col), F.col(centroid_id_col)))
     c = F.broadcast(centroids.select(F.col(centroid_id_col),
                                      F.col(vec_col).alias("_cv")))
     qs = (query.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))

@@ -28,7 +28,7 @@ from pyspark.sql.types import (
 
 __all__ = [
     "MEDIA_SCHEMA", "attach_media_metadata", "extract_features",
-    "extract_features_expr", "sample_frames",
+    "extract_features_expr", "sample_frames", "resize_plan", "patch_grid",
 ]
 
 MEDIA_SCHEMA = StructType([
@@ -139,3 +139,52 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
             .select(F.col(id_col), "frame_idx",
                     F.md5(F.concat(F.col(payload_col),
                                    F.col("frame_idx").cast("string"))).alias("frame_fingerprint")))
+
+
+def resize_plan(df: DataFrame, max_side: int = 224,
+                width_col: str = "width", height_col: str = "height",
+                id_col: str = "media_id") -> DataFrame:
+    """Aspect-preserving thumbnail planning — the metadata half of an
+    image resize (the pixel op itself is the stubbed decode path): scale
+    = max_side / longest side (never upscale), output dims floored with
+    a 1-px floor guard. Pure row-local arithmetic: plans for 100 TB of
+    images are computed in one codegen'd scan of the (small) metadata
+    columns — payload bytes untouched.
+
+    Output: ``id_col, width, height, scale, out_w, out_h``.
+    """
+    w, h = F.col(width_col).cast("double"), F.col(height_col).cast("double")
+    longest = F.greatest(w, h)
+    scale = F.when(longest > max_side, F.lit(float(max_side)) / longest) \
+             .otherwise(F.lit(1.0))
+    out_w = F.greatest(F.floor(w * scale), F.lit(1)).cast("bigint")
+    out_h = F.greatest(F.floor(h * scale), F.lit(1)).cast("bigint")
+    return df.select(F.col(id_col), F.col(width_col), F.col(height_col),
+                     F.round(scale, 6).alias("scale"),
+                     out_w.alias("out_w"), out_h.alias("out_h"))
+
+
+def patch_grid(df: DataFrame, patch: int = 16,
+               width_col: str = "width", height_col: str = "height",
+               id_col: str = "media_id") -> DataFrame:
+    """ViT-style patch tiling plumbing: one row per ``patch``×``patch``
+    tile of each image (ceil-division grid, edge tiles clipped by the
+    consumer). The fan-out is a computed-sequence explode — zero
+    shuffle, rows inherit the scan's partitioning; per-patch work
+    (the decode+crop, stubbed here) would run where the bytes already
+    live. Output: ``id_col, px, py, patch_id`` with ``patch_id`` a
+    deterministic md5 of (id, px, py) — the join key a downstream
+    encoder table would use.
+    """
+    nx = F.ceil(F.col(width_col) / F.lit(patch)).cast("int")
+    ny = F.ceil(F.col(height_col) / F.lit(patch)).cast("int")
+    n = (nx * ny).cast("int")
+    g = df.select(F.col(id_col), nx.alias("_nx"),
+                  F.explode(F.sequence(F.lit(0), n - 1)).alias("_i"))
+    px = (F.col("_i") % F.col("_nx")).cast("bigint")
+    py = F.floor(F.col("_i") / F.col("_nx")).cast("bigint")
+    return g.select(
+        F.col(id_col), px.alias("px"), py.alias("py"),
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                          px.cast("string"), py.cast("string")))
+        .alias("patch_id"))

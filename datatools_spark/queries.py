@@ -2793,6 +2793,102 @@ def ts_acf(spark, sf_dir):
 
 
 
+@query("ts_deseasonalize", sql="""
+WITH h AS (
+  SELECT event_type, extract(hour FROM ts) AS hr,
+         sum(value::DECIMAL(30,12)) AS s, count(value) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+o AS (
+  SELECT event_type, sum(value::DECIMAL(30,12)) AS s, count(value) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1)
+SELECT e.event_id, e.event_type,
+       round(e.value - (h.s::DOUBLE / h.c) + (o.s::DOUBLE / o.c), 6)
+         AS deseason
+FROM events e
+JOIN h ON h.event_type = e.event_type
+      AND h.hr = extract(hour FROM e.ts)
+JOIN o ON o.event_type = e.event_type
+WHERE e.value IS NOT NULL
+""")
+def ts_deseasonalize(spark, sf_dir):
+    """Diurnal-cycle removal (seasonal decomposition step): subtract the
+    per-(series, hour-of-day) climatology anomaly from each sample. The
+    two profile aggregates are tiny (types x 24 / types rows) and
+    broadcast back; means are decimal-summed / double-divided so the
+    result is identical under any partitioning."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    dec = F.col("value").cast("decimal(30,12)")
+    h = (ev.groupBy("event_type", F.hour("ts").alias("hr"))
+         .agg(F.sum(dec).alias("hs"), F.count("value").alias("hc")))
+    o = (ev.groupBy("event_type")
+         .agg(F.sum(dec).alias("os"), F.count("value").alias("oc")))
+    j = (ev.withColumn("hr", F.hour("ts"))
+         .join(F.broadcast(h), ["event_type", "hr"])
+         .join(F.broadcast(o), "event_type"))
+    deseason = (F.col("value")
+                - F.col("hs").cast("double") / F.col("hc")
+                + F.col("os").cast("double") / F.col("oc"))
+    return j.select("event_id", "event_type", _r(deseason).alias("deseason"))
+
+
+
+_MM_DIMS_SQL = """SELECT doc_id AS media_id,
+         150 + 3 * ascii(substr(text, 1, 1)) AS width,
+         100 + 2 * ascii(substr(text, 2, 1)) AS height
+  FROM documents"""
+
+
+def _mm_dims(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(150) + F.ascii(F.substring("text", 1, 1)) * 3).alias("width"),
+        (F.lit(100) + F.ascii(F.substring("text", 2, 1)) * 2).alias("height"))
+
+
+@query("mm_resize_plan", sql=f"""
+WITH m AS ({_MM_DIMS_SQL})
+SELECT media_id, width, height,
+       round(CASE WHEN greatest(width, height) > 224
+                  THEN 224.0 / greatest(width, height)
+                  ELSE 1.0 END, 6) AS scale,
+       greatest(floor(width * (CASE WHEN greatest(width, height) > 224
+                                    THEN 224.0 / greatest(width, height)
+                                    ELSE 1.0 END))::BIGINT, 1) AS out_w,
+       greatest(floor(height * (CASE WHEN greatest(width, height) > 224
+                                     THEN 224.0 / greatest(width, height)
+                                     ELSE 1.0 END))::BIGINT, 1) AS out_h
+FROM m
+""")
+def mm_resize_plan(spark, sf_dir):
+    """Thumbnail planning over synthetic per-doc image dims (deep
+    metadata is decode-gated, so dims derive deterministically from
+    payload bytes): aspect-preserving scale to max side 224, row-local
+    arithmetic only (operators/multimodal.py resize_plan)."""
+    from .operators import multimodal as MM
+    return MM.resize_plan(_mm_dims(spark, sf_dir), max_side=224)
+
+
+@query("mm_patchify", sql=f"""
+WITH m AS ({_MM_DIMS_SQL}),
+g AS (SELECT media_id, ceil(width / 16.0)::INT AS nx,
+             unnest(range(0, (ceil(width / 16.0) * ceil(height / 16.0))::BIGINT))
+                 AS i
+      FROM m)
+SELECT media_id, (i % nx)::BIGINT AS px, (i // nx)::BIGINT AS py,
+       md5(media_id::VARCHAR || ':' || (i % nx)::VARCHAR || ':'
+           || (i // nx)::VARCHAR) AS patch_id
+FROM g
+""")
+def mm_patchify(spark, sf_dir):
+    """ViT-style patch fan-out: one row per 16x16 tile of each synthetic
+    image — computed-sequence explode, zero shuffle (plan-asserted);
+    patch_id is the md5 join key a downstream encoder table would use."""
+    from .operators import multimodal as MM
+    return MM.patch_grid(_mm_dims(spark, sf_dir), patch=16)
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -2846,7 +2942,8 @@ _REGISTRATION_ORDER = [
     "ts_minmax_scale", "ts_anomaly_zscore", "ts_anomaly_mad", "ts_ohlc_6h",
     "ts_session_error_overlap", "ts_diurnal_profile", "ts_lag1_autocorr",
     "doc_pack_sequences", "doc_word_entropy", "doc_span_dup", "ts_ewma",
-    "doc_split_assign", "ts_acf",
+    "doc_split_assign", "ts_acf", "ts_deseasonalize",
+    "mm_resize_plan", "mm_patchify",
 ]
 
 

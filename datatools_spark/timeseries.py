@@ -116,6 +116,36 @@ class TimeSeriesFrame:
                 .withColumn("session_n", F.sum("_new").over(run))
                 .drop("_new"))
 
+    def ewma(self, value_col: str = "value", alpha: float = 0.4,
+             k: int = 8, id_col=None, out_col=None) -> "TimeSeriesFrame":
+        """Truncated exponential smoothing (see rolling.ewma_cols)."""
+        from .operators.rolling import ewma_cols
+        order = [self.ts_col] + ([id_col] if id_col else [])
+        col = ewma_cols(value_col, order, self.series_keys, alpha, k)
+        return self._wrap(self.df.withColumn(out_col or f"{value_col}_ewma",
+                                             col))
+
+    def acf(self, value_col: str = "value", max_lag: int = 6,
+            id_col=None) -> DataFrame:
+        """Autocorrelation at lags 1..max_lag per series (one sorted
+        frame, algebraic corr aggregates — see queries.ts_acf)."""
+        from pyspark.sql import Window as W
+        order = [self.ts_col] + ([id_col] if id_col else [])
+        w = W.partitionBy(*self.series_keys).orderBy(*order)
+        d = self.df.where(F.col(value_col).isNotNull())
+        l = d.select(*self.series_keys, value_col,
+                     *[F.lag(value_col, j).over(w).alias(f"_p{j}")
+                       for j in range(1, max_lag + 1)])
+        aggs = []
+        for j in range(1, max_lag + 1):
+            aggs += [F.corr(value_col, f"_p{j}").alias(f"_a{j}"),
+                     F.count(f"_p{j}").alias(f"_n{j}")]
+        wide = l.groupBy(*self.series_keys).agg(*aggs)
+        stack = ", ".join(f"{j}, _a{j}, _n{j}" for j in range(1, max_lag + 1))
+        return wide.select(
+            *self.series_keys,
+            F.expr(f"stack({max_lag}, {stack}) AS (lag, acf, n_pairs)"))
+
     # ---- analytics (A3-A9, §2.9) ---------------------------------------
     def daily_extrema(self, value_col: str = "value", **kw) -> DataFrame:
         return _ex.daily_extrema(self.df, value_col, self.ts_col,

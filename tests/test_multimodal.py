@@ -64,3 +64,34 @@ def test_real_decode_path_is_gated(spark, media):
         MM.extract_features(media, decode_stub=False)
     with pytest.raises(NotImplementedError):
         MM.sample_frames(media, decode_stub=False)
+
+
+def test_resize_plan_never_upscales_and_preserves_aspect(spark):
+    from datatools_spark.operators.multimodal import resize_plan
+    rows = [(1, 448, 224), (2, 100, 50), (3, 224, 224), (4, 1, 2000)]
+    df = spark.createDataFrame(rows, "media_id bigint, width int, height int")
+    out = {r["media_id"]: r for r in resize_plan(df, max_side=224).collect()}
+    assert (out[1]["out_w"], out[1]["out_h"]) == (224, 112)
+    assert (out[2]["out_w"], out[2]["out_h"]) == (100, 50)   # no upscale
+    assert out[2]["scale"] == 1.0
+    assert (out[3]["out_w"], out[3]["out_h"]) == (224, 224)
+    assert out[4]["out_w"] == 1                               # 1-px floor
+    assert out[4]["out_h"] == 224
+
+
+def test_patch_grid_counts_and_coords(spark):
+    from datatools_spark.operators.multimodal import patch_grid
+    df = spark.createDataFrame([(1, 33, 17)], "media_id bigint, width int, height int")
+    rows = patch_grid(df, patch=16).collect()
+    # ceil(33/16)=3 x ceil(17/16)=2 -> 6 patches
+    assert len(rows) == 6
+    coords = {(r["px"], r["py"]) for r in rows}
+    assert coords == {(x, y) for x in range(3) for y in range(2)}
+    assert len({r["patch_id"] for r in rows}) == 6
+
+
+def test_patchify_plan_is_shuffle_free(spark):
+    from datatools_spark.queries import QUERIES
+    plan = QUERIES["mm_patchify"](spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

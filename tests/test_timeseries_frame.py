@@ -56,3 +56,20 @@ def test_asof_and_union(tsf, spark):
         TimeSeriesFrame(right, series_keys=["station"]), value_cols=["p"])
     got = {r["station"]: r["p"] for r in out.df.collect()}
     assert got == {"A": 100.0, "B": 200.0}
+
+
+def test_tsf_ewma_and_acf(spark):
+    from datatools_spark.timeseries import TimeSeriesFrame
+    import datetime as dt
+    rows = [(dt.datetime(2020, 1, 1, 0, i), "g", float(i % 5))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, value double")
+    tsf = TimeSeriesFrame(df, series_keys=["k"])
+    sm = tsf.ewma("value").df
+    assert "value_ewma" in sm.columns and sm.count() == 60
+    acf = tsf.acf("value", max_lag=5)
+    out = {r["lag"]: r for r in acf.collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # value repeats with period 5 -> lag-5 autocorrelation is 1
+    assert abs(out[5]["acf"] - 1.0) < 1e-9
+    assert out[5]["n_pairs"] == 55

@@ -8,9 +8,10 @@ one composition over `documents` + `embeddings`:
                          connected components → keep cluster min)
   3. quality + repetition + language gating, PII scrub
   4. benchmark decontamination (broadcast 5-gram set)
-  5. source-balanced deterministic sampling + token budgeting
-  6. chunking into fixed-token training windows
-  7. ANN neighbors      (IVF nprobe search over embeddings)
+  5. span-level dup + entropy diagnostics on the survivors
+  6. source-balanced deterministic sampling + token budgeting
+  7. train/valid/test split + sequence packing (concat-then-chunk bins)
+  8. ANN neighbors      (IVF nprobe search over embeddings)
 
 The oracle-checked composite `queries.doc_curation_pipeline` runs the
 same funnel under the hash-parity gate; this script is the narrative
@@ -80,26 +81,37 @@ def main():
     docs = docs.join(clean, "doc_id")
     n4 = docs.count()
 
-    # 5. source-balanced deterministic sample + token budget
+    # 5. span-dup + entropy diagnostics (survivor corpus health report)
+    spans = D.span_dup_stats(docs, span_tokens=16)
+    ent = TX.word_entropy(docs)
+    diag = (spans.agg(F.round(F.avg("dup_frac"), 4).alias("avg_span_dup"))
+            .crossJoin(ent.agg(F.round(F.avg("entropy"), 3)
+                               .alias("avg_entropy"))).first())
+
+    # 6. source-balanced deterministic sample + token budget
     docs = CU.source_balanced_sample(docs)
     n5 = docs.count()
     budget = docs.agg(
         F.sum(TX.subword_count_col("text")).alias("est_tokens")).first()
 
-    # 6. training windows (16-token chunks; see queries.doc_chunk for the
-    #    oracle-checked form)
-    n_chunks = (docs.withColumn("_ws", TX.words_col("text"))
-                .select(F.explode(F.sequence(
-                    F.lit(0),
-                    F.floor((F.size("_ws") + 15) / 16).cast("int") - 1)))
-                .count())
+    # 7. split + sequence packing into 512-token training bins
+    docs = CU.train_val_test_split(docs)
+    packed = CU.pack_sequences(docs.where(F.col("split") == "train"),
+                               ctx_len=512)
+    n_bins = packed.agg((F.max("bin_id") + 1).alias("b")).groupBy() \
+        .sum("b").first()[0]
+    split_counts = {r["split"]: r["n"] for r in
+                    docs.groupBy("split").agg(F.count("*").alias("n"))
+                    .collect()}
 
     print(f"docs: {n0} → exact-dedup {n1} → near-dup clusters {n2} → "
           f"gated+scrubbed {n3} → decontaminated {n4} → sampled {n5}")
+    print(f"survivor health: avg span-dup {diag['avg_span_dup']}, "
+          f"avg word entropy {diag['avg_entropy']} bits")
     print(f"estimated training tokens: {budget['est_tokens']:,}; "
-          f"16-token chunks: {n_chunks:,}")
+          f"split {split_counts}; ~{n_bins} packed 512-token bins/source")
 
-    # 7. ANN over the embedding table (IVF, 2 probes of 8 cells)
+    # 8. ANN over the embedding table (IVF, 2 probes of 8 cells)
     emb = spark.read.parquet(f"{sf}/embeddings.parquet") \
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
     cents = emb.where(F.col("vec_id") < 8) \

@@ -31,7 +31,7 @@ __all__ = [
     "dot_expr", "norm_expr", "cosine_expr", "knn_brute_force",
     "hyperplane_bucket_col", "md5_plane", "md5_bucket_col", "probe_masks",
     "knn_lsh", "knn_lsh_multi", "ivf_assign", "ivf_search",
-    "quantize_uint8", "random_projection",
+    "quantize_uint8", "random_projection", "pq_codebook", "pq_codes",
 ]
 
 
@@ -329,3 +329,49 @@ def random_projection(df: DataFrame, vec_col: str = "embedding",
                            F.lit(0.0), lambda acc, t_: acc + t_)
         cols.append(proj.alias(f"p_{j}"))
     return df.select(F.col(id_col), *cols)
+
+
+def pq_codebook(subspaces: int = 4, codewords: int = 8,
+                dim: int = 64) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: codeword c of
+    subspace s is an md5-derived pseudo-random vector over the
+    subspace's dim/subspaces components (:func:`md5_plane` family,
+    disjoint index range). Real PQ trains these with k-means; the
+    TRAINED constants would be embedded the same way — as plan literals
+    broadcast to every task, zero per-row hash cost."""
+    sub = dim // subspaces
+    return [[md5_plane(1000 + s * codewords + c, sub)
+             for c in range(codewords)] for s in range(subspaces)]
+
+
+def pq_codes(df: DataFrame, vec_col: str = "embedding",
+             id_col: str = "vec_id", subspaces: int = 4,
+             codewords: int = 8, dim: int = 64) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., TPAMI'11): split each
+    vector into ``subspaces`` blocks, assign each block to its nearest
+    codeword by squared L2 — the storage layout vector stores use to keep
+    billion-scale indexes in RAM (64-dim float → ``subspaces`` small ints
+    here; 8 codewords → 3 bits/subspace).
+
+    Pure row-local expressions: per block, an array of ``codewords``
+    squared distances (aggregate over zip_with — fixed evaluation order,
+    engine-portable) and an ``array_position(min)`` argmin with
+    first-occurrence tie-break. No shuffle, no UDF; encoding 100 TB of
+    vectors is a single codegen'd scan.
+    Output: ``id_col, c0 .. c{subspaces-1}`` (int codes).
+    """
+    sub = dim // subspaces
+    book = pq_codebook(subspaces, codewords, dim)
+    work = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
+    cols = []
+    for s in range(subspaces):
+        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(sl, F.array(*[F.lit(x) for x in book[s][c]]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v)
+            for c in range(codewords)])
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        cols.append(code.alias(f"c{s}"))
+    return work.select(F.col(id_col), *cols)

@@ -296,3 +296,18 @@ def test_train_val_test_split_deterministic_and_stable(spark):
     c = Counter(b.values())
     assert c["train"] > c["valid"] and c["train"] > c["test"]
     assert set(c) == {"train", "valid", "test"}
+
+
+def test_pq_codes_assign_nearest_codeword(spark):
+    """A vector equal to a codeword (padded into its subspace) must get
+    that code; codes must lie in [0, codewords)."""
+    from datatools_spark.operators.similarity import pq_codebook, pq_codes
+    book = pq_codebook(subspaces=2, codewords=4, dim=8)
+    v1 = book[0][2] + book[1][0]          # exact codewords -> codes (2, 0)
+    v2 = [x + 0.01 for x in book[0][3]] + [x - 0.01 for x in book[1][1]]
+    df = spark.createDataFrame([(1, v1), (2, v2)],
+                               "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: (r["c0"], r["c1"]) for r in
+           pq_codes(df, subspaces=2, codewords=4, dim=8).collect()}
+    assert out[1] == (2, 0)
+    assert out[2] == (3, 1)

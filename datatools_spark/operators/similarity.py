@@ -32,6 +32,7 @@ __all__ = [
     "hyperplane_bucket_col", "md5_plane", "md5_bucket_col", "probe_masks",
     "knn_lsh", "knn_lsh_multi", "ivf_assign", "ivf_search",
     "quantize_uint8", "random_projection", "pq_codebook", "pq_codes",
+    "pq_adc_knn", "pq_train_codebook",
 ]
 
 
@@ -340,13 +341,21 @@ def pq_codebook(subspaces: int = 4, codewords: int = 8,
     TRAINED constants would be embedded the same way — as plan literals
     broadcast to every task, zero per-row hash cost."""
     sub = dim // subspaces
-    return [[md5_plane(1000 + s * codewords + c, sub)
+    # scale md5 components (RMS 1/sqrt(3)) to the per-component RMS of a
+    # unit-norm dim-vector (1/sqrt(dim)) — untrained codewords must live
+    # at the data's magnitude or quantization cells never separate
+    # (measured: unscaled books gave ADC shortlists no better than
+    # chance; scaled books put exact-top10 coverage at a usable level)
+    scale = (3.0 / dim) ** 0.5
+    return [[[x * scale for x in md5_plane(1000 + s * codewords + c, sub)]
              for c in range(codewords)] for s in range(subspaces)]
 
 
 def pq_codes(df: DataFrame, vec_col: str = "embedding",
              id_col: str = "vec_id", subspaces: int = 4,
-             codewords: int = 8, dim: int = 64) -> DataFrame:
+             codewords: int = 8, dim: int = 64,
+             book: list | None = None,
+             round_dists: int | None = None) -> DataFrame:
     """Product-quantization encoding (Jégou et al., TPAMI'11): split each
     vector into ``subspaces`` blocks, assign each block to its nearest
     codeword by squared L2 — the storage layout vector stores use to keep
@@ -361,17 +370,122 @@ def pq_codes(df: DataFrame, vec_col: str = "embedding",
     Output: ``id_col, c0 .. c{subspaces-1}`` (int codes).
     """
     sub = dim // subspaces
-    book = pq_codebook(subspaces, codewords, dim)
+    if book is None:
+        book = pq_codebook(subspaces, codewords, dim)
     work = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
     cols = []
     for s in range(subspaces):
         sl = F.slice(F.col(vec_col), s * sub + 1, sub)
-        dists = F.array(*[
-            F.aggregate(
+        def _d(c, s=s, sl=sl):
+            d = F.aggregate(
                 F.zip_with(sl, F.array(*[F.lit(x) for x in book[s][c]]),
                            lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0), lambda acc, v: acc + v)
-            for c in range(codewords)])
+            return F.round(d, round_dists) if round_dists else d
+        dists = F.array(*[_d(c) for c in range(codewords)])
         code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         cols.append(code.alias(f"c{s}"))
     return work.select(F.col(id_col), *cols)
+
+
+def pq_adc_knn(df: DataFrame, query: DataFrame, k: int = 10,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               query_id_col: str = "query_id", subspaces: int = 4,
+               codewords: int = 8, dim: int = 64,
+               book: list | None = None,
+               round_dists: int | None = None) -> DataFrame:
+    """Approximate kNN by PQ asymmetric distance computation (ADC):
+    corpus vectors are represented ONLY by their :func:`pq_codes`; a
+    query's distance to a corpus row is Σ_s d²(q_sub_s, codeword[s][c_s])
+    — the scan touches ``subspaces`` small ints per row instead of
+    ``dim`` floats (the RAM/IO argument for PQ at billion scale).
+
+    Plan: corpus → codes (shuffle-free scan); queries broadcast; per
+    (query, subspace, codeword) squared distances are plan literals ×
+    query columns, and the per-row lookup is ``element_at`` by code. One
+    broadcast join + one top-k window per query. Ranking quality bounded
+    by quantization error — the re-rank pass (exact distance on the
+    ADC top-m) is :func:`knn_brute_force` over the candidate ids.
+    Output: ``query_id, vec_id, adc_dist, rank``.
+    """
+    sub = dim // subspaces
+    if book is None:
+        book = pq_codebook(subspaces, codewords, dim)
+    codes = pq_codes(df, vec_col, id_col, subspaces, codewords, dim,
+                     book=book, round_dists=round_dists)
+    q = F.broadcast(query.select(F.col(query_id_col),
+                                 F.col(vec_col).alias("_qv")))
+    j = codes.join(q)
+    dist = None
+    for s in range(subspaces):
+        qs = F.slice(F.col("_qv"), s * sub + 1, sub)
+        tbl = F.array(*[
+            F.aggregate(
+                F.zip_with(qs, F.array(*[F.lit(x) for x in book[s][c]]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v)
+            for c in range(codewords)])
+        term = F.element_at(tbl, F.col(f"c{s}") + 1)
+        dist = term if dist is None else dist + term
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_adc").asc(),
+                                                 F.col(id_col))
+    return (j.withColumn("_adc", dist)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, id_col, F.col("_adc").alias("adc_dist"),
+                    "rank"))
+
+
+def pq_train_codebook(df: DataFrame, vec_col: str = "embedding",
+                      subspaces: int = 4, codewords: int = 8,
+                      dim: int = 64, iters: int = 1) -> list[list[list[float]]]:
+    """Lloyd/k-means training for the PQ codebooks, seeded from the
+    scaled md5 book: each iteration assigns every subvector to its
+    nearest current codeword (the :func:`pq_codes` expression) and
+    recomputes codewords as cell means.
+
+    The per-cell means are DECIMAL-summed (order-proof — the collected
+    constants must be bit-reproducible for oracle parity) and the
+    codebook (subspaces × codewords × dim/subspaces floats ≤ a few KB)
+    is collected driver-side — the standard shape: codebooks are tiny
+    trained constants; the training data never leaves the cluster.
+    Empty cells keep their seed codeword.
+    """
+    sub = dim // subspaces
+    book = pq_codebook(subspaces, codewords, dim)
+    for _ in range(iters):
+        sel = []
+        for s in range(subspaces):
+            sl = F.slice(F.col(vec_col), s * sub + 1, sub)
+            dists = F.array(*[
+                F.round(F.aggregate(
+                    F.zip_with(sl, F.array(*[F.lit(x) for x in book[s][c]]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, v: acc + v), 9)
+                for c in range(codewords)])
+            code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            sel.append(code.alias(f"_c{s}"))
+            sel.append(sl.alias(f"_v{s}"))
+        assigned = df.select(*sel)
+        aggs = []
+        for s in range(subspaces):
+            for i in range(sub):
+                comp = F.element_at(f"_v{s}", i + 1).cast("decimal(30,12)")
+                for c in range(codewords):
+                    m = F.when(F.col(f"_c{s}") == c, comp)
+                    aggs.append(F.sum(m).alias(f"s_{s}_{c}_{i}"))
+                    aggs.append(F.count(m).alias(f"n_{s}_{c}_{i}"))
+        row = assigned.agg(*aggs).first()
+        new = []
+        for s in range(subspaces):
+            ws = []
+            for c in range(codewords):
+                n = row[f"n_{s}_{c}_0"]
+                if not n:
+                    ws.append(book[s][c])
+                else:
+                    ws.append([float(row[f"s_{s}_{c}_{i}"]) / row[f"n_{s}_{c}_{i}"]
+                               for i in range(sub)])
+            new.append(ws)
+        book = new
+    return book

@@ -2895,7 +2895,27 @@ def mm_patchify(spark, sf_dir):
 
 
 
-_PQ_SQL = """SELECT vec_id, (list_position(list_value(list_sum(list_transform(range(1, 17), i -> (embedding[0 + i]::DOUBLE - (list_value(0.5002182177267969, -0.8965240651741624, -0.3523224722594023, -0.6823172080330551, -0.8337087337858975, 0.3065723259933293, -0.27823734376579523, 0.7089765924029052, -0.5826481697149575, -0.28456159634515643, 0.42001706827431917, 0.20113505888730288, -0.5763342771679163, 0.9807160319760442, -0.03367462661117315, 0.01893109828233719)[i])::DOUBLE) * (embedding[0 + i]::DOUBLE - (list_value(0.5002182177267969, -0.8965240651741624, -0.3523224722594023, -0.6823172080330551, -0.8337087337858975, 0.3065723259933293, -0.27823734376579523, 0.7089765924029052, -0.5826481697149575, -0.28456159634515643, 0.42001706827431917, 0.20113505888730288, -0.5763342771679163, 0.9807160319760442, -0.03367462661117315, 0.01893109828233719)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[0 + i]::DOUBLE - (list_value(0.7630875022150576, -0.8759049596264958, 0.37176420306786895, -0.31707445811480284, 0.8107827613130212, -0.569793900474906, -0.480640163179487, -0.6781281800940633, 0.43122786888852715, 0.06210683425888419, -0.11913061328232288, -0.7003368702717125, 0.5068928990513086, -0.7045720457099378, 0.17508108960464597, -0.9943269835785031)[i])::DOUBLE) * (embedding[0 + i]::DOUBLE - (list_value(0.7630875022150576, -0.8759049596264958, 0.37176420306786895, -0.31707445811480284, 0.8107827613130212, -0.569793900474906, -0.480640163179487, -0.6781281800940633, 0.43122786888852715, 0.06210683425888419, -0.11913061328232288, -0.7003368702717125, 0.5068928990513086, -0.7045720457099378, 0.17508108960464597, -0.9943269835785031)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[0 + i]::DOUBLE - (list_value(0.37716250447556376, -0.8296009059995413, -0.35062966495752335, 0.6364133046008646, -0.8694066912867129, -0.3184239990077913, 0.5420269635505974, -0.8945531100034714, 0.14361854689195752, -0.8478037077002227, 0.4036658531986177, -0.9876187108457088, -0.062236926052719355, 0.4693330400623381, 0.6796506401151419, 0.11469515645876527)[i])::DOUBLE) * (embedding[0 + i]::DOUBLE - (list_value(0.37716250447556376, -0.8296009059995413, -0.35062966495752335, 0.6364133046008646, -0.8694066912867129, -0.3184239990077913, 0.5420269635505974, -0.8945531100034714, 0.14361854689195752, -0.8478037077002227, 0.4036658531986177, -0.9876187108457088, -0.062236926052719355, 0.4693330400623381, 0.6796506401151419, 0.11469515645876527)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[0 + i]::DOUBLE - (list_value(-0.28262908197939396, -0.7703305040486157, 0.5894313594326377, 0.3443841743282974, 0.2785053006373346, 0.4697084790095687, 0.1617257478646934, 0.9856570991687477, -0.9764879709109664, 0.9751030108891428, 0.9408990764059126, -0.8793582124635577, -0.11452022520825267, -0.18803116353228688, -0.9722326812334359, 0.514551199041307)[i])::DOUBLE) * (embedding[0 + i]::DOUBLE - (list_value(-0.28262908197939396, -0.7703305040486157, 0.5894313594326377, 0.3443841743282974, 0.2785053006373346, 0.4697084790095687, 0.1617257478646934, 0.9856570991687477, -0.9764879709109664, 0.9751030108891428, 0.9408990764059126, -0.8793582124635577, -0.11452022520825267, -0.18803116353228688, -0.9722326812334359, 0.514551199041307)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[0 + i]::DOUBLE - (list_value(0.5907011167146266, 0.4790204158052802, 0.676355317234993, 0.3438903815113008, 0.21466206246986985, 0.6196987824514508, 0.9421404874883592, 0.8485556025989354, 0.8534184228628874, 0.5865218765102327, 0.19922067038714886, 0.1342056910507381, 0.4109120424836874, 0.6377836051397026, -0.8204318243078887, 0.13994585908949375)[i])::DOUBLE) * (embedding[0 + i]::DOUBLE - (list_value(0.5907011167146266, 0.4790204158052802, 0.676355317234993, 0.3438903815113008, 0.21466206246986985, 0.6196987824514508, 0.9421404874883592, 0.8485556025989354, 0.8534184228628874, 0.5865218765102327, 0.19922067038714886, 0.1342056910507381, 0.4109120424836874, 0.6377836051397026, -0.8204318243078887, 0.13994585908949375)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[0 + i]::DOUBLE - (list_value(0.8481294023804367, -0.015820725820958614, -0.39924324955791235, -0.5185620826669037, 0.8875044407323003, -0.7902516340836883, -0.9346862463280559, 0.8452412523329258, -0.7418749132193625, 0.6352599575184286, -0.6693955888040364, 0.33223325153812766, -0.18005919409915805, 0.7285024155862629, 0.016928724478930235, 0.28324974700808525)[i])::DOUBLE) * (embedding[0 + i]::DOUBLE - (list_value(0.8481294023804367, -0.015820725820958614, -0.39924324955791235, -0.5185620826669037, 0.8875044407323003, -0.7902516340836883, -0.9346862463280559, 0.8452412523329258, -0.7418749132193625, 0.6352599575184286, -0.6693955888040364, 0.33223325153812766, -0.18005919409915805, 0.7285024155862629, 0.016928724478930235, 0.28324974700808525)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[0 + i]::DOUBLE - (list_value(0.13044864032417536, -0.9230077587999403, 0.5858082631602883, -0.7647019010037184, 0.043717991560697556, 0.9984442754648626, 0.7488713930360973, -0.6946976166218519, 0.20897544687613845, 0.9255721499212086, 0.6807584725320339, -0.06763127213343978, 0.265063947532326, 0.0579985324293375, -0.052562179043889046, 0.5272368267178535)[i])::DOUBLE) * (embedding[0 + i]::DOUBLE - (list_value(0.13044864032417536, -0.9230077587999403, 0.5858082631602883, -0.7647019010037184, 0.043717991560697556, 0.9984442754648626, 0.7488713930360973, -0.6946976166218519, 0.20897544687613845, 0.9255721499212086, 0.6807584725320339, -0.06763127213343978, 0.265063947532326, 0.0579985324293375, -0.052562179043889046, 0.5272368267178535)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[0 + i]::DOUBLE - (list_value(-0.7511403877288103, -0.2431869558058679, -0.12722529284656048, -0.18477506563067436, -0.7107058786787093, -0.5341880242340267, -0.7433287734165788, -0.879271365236491, -0.3929707324132323, -0.94521450297907, 0.25587456626817584, -0.7542252270504832, 0.8465358633548021, -0.7454476300626993, 0.39236621698364615, 0.42008438240736723)[i])::DOUBLE) * (embedding[0 + i]::DOUBLE - (list_value(-0.7511403877288103, -0.2431869558058679, -0.12722529284656048, -0.18477506563067436, -0.7107058786787093, -0.5341880242340267, -0.7433287734165788, -0.879271365236491, -0.3929707324132323, -0.94521450297907, 0.25587456626817584, -0.7542252270504832, 0.8465358633548021, -0.7454476300626993, 0.39236621698364615, 0.42008438240736723)[i])::DOUBLE)))), list_min(list_value(list_sum(list_transform(range(1, 17), i -> (embedding[0 + i]::DOUBLE - (list_value(0.5002182177267969, -0.8965240651741624, -0.3523224722594023, -0.6823172080330551, -0.8337087337858975, 0.3065723259933293, -0.27823734376579523, 0.7089765924029052, -0.5826481697149575, -0.28456159634515643, 0.42001706827431917, 0.20113505888730288, -0.5763342771679163, 0.9807160319760442, -0.03367462661117315, 0.01893109828233719)[i])::DOUBLE) * (embedding[0 + i]::DOUBLE - (list_value(0.5002182177267969, -0.8965240651741624, -0.3523224722594023, -0.6823172080330551, -0.8337087337858975, 0.3065723259933293, -0.27823734376579523, 0.7089765924029052, -0.5826481697149575, -0.28456159634515643, 0.42001706827431917, 0.20113505888730288, -0.5763342771679163, 0.9807160319760442, -0.03367462661117315, 0.01893109828233719)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[0 + i]::DOUBLE - (list_value(0.7630875022150576, -0.8759049596264958, 0.37176420306786895, -0.31707445811480284, 0.8107827613130212, -0.569793900474906, -0.480640163179487, -0.6781281800940633, 0.43122786888852715, 0.06210683425888419, -0.11913061328232288, -0.7003368702717125, 0.5068928990513086, -0.7045720457099378, 0.17508108960464597, -0.9943269835785031)[i])::DOUBLE) * (embedding[0 + i]::DOUBLE - (list_value(0.7630875022150576, -0.8759049596264958, 0.37176420306786895, -0.31707445811480284, 0.8107827613130212, -0.569793900474906, -0.480640163179487, -0.6781281800940633, 0.43122786888852715, 0.06210683425888419, -0.11913061328232288, -0.7003368702717125, 0.5068928990513086, -0.7045720457099378, 0.17508108960464597, -0.9943269835785031)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[0 + i]::DOUBLE - (list_value(0.37716250447556376, -0.8296009059995413, -0.35062966495752335, 0.6364133046008646, -0.8694066912867129, -0.3184239990077913, 0.5420269635505974, -0.8945531100034714, 0.14361854689195752, -0.8478037077002227, 0.4036658531986177, -0.9876187108457088, -0.062236926052719355, 0.4693330400623381, 0.6796506401151419, 0.11469515645876527)[i])::DOUBLE) * (embedding[0 + i]::DOUBLE - (list_value(0.37716250447556376, -0.8296009059995413, -0.35062966495752335, 0.6364133046008646, -0.8694066912867129, -0.3184239990077913, 0.5420269635505974, -0.8945531100034714, 0.14361854689195752, -0.8478037077002227, 0.4036658531986177, -0.9876187108457088, -0.062236926052719355, 0.4693330400623381, 0.6796506401151419, 0.11469515645876527)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[0 + i]::DOUBLE - (list_value(-0.28262908197939396, -0.7703305040486157, 0.5894313594326377, 0.3443841743282974, 0.2785053006373346, 0.4697084790095687, 0.1617257478646934, 0.9856570991687477, -0.9764879709109664, 0.9751030108891428, 0.9408990764059126, -0.8793582124635577, -0.11452022520825267, -0.18803116353228688, -0.9722326812334359, 0.514551199041307)[i])::DOUBLE) * (embedding[0 + i]::DOUBLE - (list_value(-0.28262908197939396, -0.7703305040486157, 0.5894313594326377, 0.3443841743282974, 0.2785053006373346, 0.4697084790095687, 0.1617257478646934, 0.9856570991687477, -0.9764879709109664, 0.9751030108891428, 0.9408990764059126, -0.8793582124635577, -0.11452022520825267, -0.18803116353228688, -0.9722326812334359, 0.514551199041307)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[0 + i]::DOUBLE - (list_value(0.5907011167146266, 0.4790204158052802, 0.676355317234993, 0.3438903815113008, 0.21466206246986985, 0.6196987824514508, 0.9421404874883592, 0.8485556025989354, 0.8534184228628874, 0.5865218765102327, 0.19922067038714886, 0.1342056910507381, 0.4109120424836874, 0.6377836051397026, -0.8204318243078887, 0.13994585908949375)[i])::DOUBLE) * (embedding[0 + i]::DOUBLE - (list_value(0.5907011167146266, 0.4790204158052802, 0.676355317234993, 0.3438903815113008, 0.21466206246986985, 0.6196987824514508, 0.9421404874883592, 0.8485556025989354, 0.8534184228628874, 0.5865218765102327, 0.19922067038714886, 0.1342056910507381, 0.4109120424836874, 0.6377836051397026, -0.8204318243078887, 0.13994585908949375)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[0 + i]::DOUBLE - (list_value(0.8481294023804367, -0.015820725820958614, -0.39924324955791235, -0.5185620826669037, 0.8875044407323003, -0.7902516340836883, -0.9346862463280559, 0.8452412523329258, -0.7418749132193625, 0.6352599575184286, -0.6693955888040364, 0.33223325153812766, -0.18005919409915805, 0.7285024155862629, 0.016928724478930235, 0.28324974700808525)[i])::DOUBLE) * (embedding[0 + i]::DOUBLE - (list_value(0.8481294023804367, -0.015820725820958614, -0.39924324955791235, -0.5185620826669037, 0.8875044407323003, -0.7902516340836883, -0.9346862463280559, 0.8452412523329258, -0.7418749132193625, 0.6352599575184286, -0.6693955888040364, 0.33223325153812766, -0.18005919409915805, 0.7285024155862629, 0.016928724478930235, 0.28324974700808525)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[0 + i]::DOUBLE - (list_value(0.13044864032417536, -0.9230077587999403, 0.5858082631602883, -0.7647019010037184, 0.043717991560697556, 0.9984442754648626, 0.7488713930360973, -0.6946976166218519, 0.20897544687613845, 0.9255721499212086, 0.6807584725320339, -0.06763127213343978, 0.265063947532326, 0.0579985324293375, -0.052562179043889046, 0.5272368267178535)[i])::DOUBLE) * (embedding[0 + i]::DOUBLE - (list_value(0.13044864032417536, -0.9230077587999403, 0.5858082631602883, -0.7647019010037184, 0.043717991560697556, 0.9984442754648626, 0.7488713930360973, -0.6946976166218519, 0.20897544687613845, 0.9255721499212086, 0.6807584725320339, -0.06763127213343978, 0.265063947532326, 0.0579985324293375, -0.052562179043889046, 0.5272368267178535)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[0 + i]::DOUBLE - (list_value(-0.7511403877288103, -0.2431869558058679, -0.12722529284656048, -0.18477506563067436, -0.7107058786787093, -0.5341880242340267, -0.7433287734165788, -0.879271365236491, -0.3929707324132323, -0.94521450297907, 0.25587456626817584, -0.7542252270504832, 0.8465358633548021, -0.7454476300626993, 0.39236621698364615, 0.42008438240736723)[i])::DOUBLE) * (embedding[0 + i]::DOUBLE - (list_value(-0.7511403877288103, -0.2431869558058679, -0.12722529284656048, -0.18477506563067436, -0.7107058786787093, -0.5341880242340267, -0.7433287734165788, -0.879271365236491, -0.3929707324132323, -0.94521450297907, 0.25587456626817584, -0.7542252270504832, 0.8465358633548021, -0.7454476300626993, 0.39236621698364615, 0.42008438240736723)[i])::DOUBLE)))))) - 1)::INT AS c0, (list_position(list_value(list_sum(list_transform(range(1, 17), i -> (embedding[16 + i]::DOUBLE - (list_value(0.13689318299293518, 0.020674414932727814, 0.0022402266040444374, 0.5680329836905003, -0.8395484602078795, 0.4385384111665189, -0.675932683981955, 0.547026767861098, 0.045287074986845255, -0.09968887455761433, 0.10451439954340458, -0.3642111332155764, 0.6970460345037282, -0.4523489526472986, 0.3753567822277546, 0.8610262288711965)[i])::DOUBLE) * (embedding[16 + i]::DOUBLE - (list_value(0.13689318299293518, 0.020674414932727814, 0.0022402266040444374, 0.5680329836905003, -0.8395484602078795, 0.4385384111665189, -0.675932683981955, 0.547026767861098, 0.045287074986845255, -0.09968887455761433, 0.10451439954340458, -0.3642111332155764, 0.6970460345037282, -0.4523489526472986, 0.3753567822277546, 0.8610262288711965)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[16 + i]::DOUBLE - (list_value(-0.6226791590452194, -0.5008171512745321, 0.21179331233724952, -0.8102558488026261, 0.8812849274836481, 0.4294523159042001, -0.8974663414992392, 0.07954765856266022, 0.6072307080030441, 0.4253759207203984, 0.21277881506830454, -0.6976107531227171, -0.5580819128081203, 0.8570387871004641, 0.18890416668727994, 0.9609905066899955)[i])::DOUBLE) * (embedding[16 + i]::DOUBLE - (list_value(-0.6226791590452194, -0.5008171512745321, 0.21179331233724952, -0.8102558488026261, 0.8812849274836481, 0.4294523159042001, -0.8974663414992392, 0.07954765856266022, 0.6072307080030441, 0.4253759207203984, 0.21277881506830454, -0.6976107531227171, -0.5580819128081203, 0.8570387871004641, 0.18890416668727994, 0.9609905066899955)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[16 + i]::DOUBLE - (list_value(-0.46387142734602094, -0.9992851004935801, 0.4106463803909719, -0.45512037817388773, -0.8491985485889018, -0.9764201873913407, -0.6362009360454977, 0.5872754999436438, -0.001056733075529337, 0.6807793639600277, -0.39487743424251676, 0.5991116529330611, 0.7362304264679551, 0.07639510650187731, -0.038364261388778687, 0.5287733734585345)[i])::DOUBLE) * (embedding[16 + i]::DOUBLE - (list_value(-0.46387142734602094, -0.9992851004935801, 0.4106463803909719, -0.45512037817388773, -0.8491985485889018, -0.9764201873913407, -0.6362009360454977, 0.5872754999436438, -0.001056733075529337, 0.6807793639600277, -0.39487743424251676, 0.5991116529330611, 0.7362304264679551, 0.07639510650187731, -0.038364261388778687, 0.5287733734585345)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[16 + i]::DOUBLE - (list_value(-0.7422693567350507, 0.7315145889297128, -0.019138852134346962, 0.08513521170243621, 0.7248013098724186, 0.8460395243018866, -0.9275915031321347, 0.9595013819634914, -0.42531322222203016, -0.5065979971550405, 0.7114838524721563, -0.26519352942705154, 0.5749351740814745, -0.3203514376655221, -0.9753269525244832, -0.16629038751125336)[i])::DOUBLE) * (embedding[16 + i]::DOUBLE - (list_value(-0.7422693567350507, 0.7315145889297128, -0.019138852134346962, 0.08513521170243621, 0.7248013098724186, 0.8460395243018866, -0.9275915031321347, 0.9595013819634914, -0.42531322222203016, -0.5065979971550405, 0.7114838524721563, -0.26519352942705154, 0.5749351740814745, -0.3203514376655221, -0.9753269525244832, -0.16629038751125336)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[16 + i]::DOUBLE - (list_value(-0.650567869655788, 0.43488218635320663, 0.18114833626896143, -0.629948849324137, -0.6099842404946685, -0.9143512235023081, 0.0709389103576541, 0.028505796566605568, -0.1013688025996089, 0.40776840317994356, -0.7826327597722411, 0.794162780046463, 0.4774221465922892, -0.948161852080375, 0.819365126080811, -0.02741082012653351)[i])::DOUBLE) * (embedding[16 + i]::DOUBLE - (list_value(-0.650567869655788, 0.43488218635320663, 0.18114833626896143, -0.629948849324137, -0.6099842404946685, -0.9143512235023081, 0.0709389103576541, 0.028505796566605568, -0.1013688025996089, 0.40776840317994356, -0.7826327597722411, 0.794162780046463, 0.4774221465922892, -0.948161852080375, 0.819365126080811, -0.02741082012653351)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[16 + i]::DOUBLE - (list_value(-0.11280595138669014, -0.6956053990870714, 0.47144451597705483, -0.654883636161685, -0.5585585958324373, 0.20230905385687947, 0.46285977913066745, -0.895091837272048, -0.8512941747903824, 0.9296822999604046, 0.1025320184417069, 0.8455073065124452, 0.17455410724505782, -0.3906070669181645, 0.4542379849590361, 0.23103419411927462)[i])::DOUBLE) * (embedding[16 + i]::DOUBLE - (list_value(-0.11280595138669014, -0.6956053990870714, 0.47144451597705483, -0.654883636161685, -0.5585585958324373, 0.20230905385687947, 0.46285977913066745, -0.895091837272048, -0.8512941747903824, 0.9296822999604046, 0.1025320184417069, 0.8455073065124452, 0.17455410724505782, -0.3906070669181645, 0.4542379849590361, 0.23103419411927462)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[16 + i]::DOUBLE - (list_value(-0.7687712097540498, 0.3702535219490528, 0.8634238326922059, 0.830351541750133, -0.515603432431817, -0.6535747167654335, -0.6310924063436687, -0.781604534946382, -0.5763689787127078, -0.37826588470488787, -0.828297667670995, 0.5199198196642101, 0.9753997134976089, -0.4072690983302891, -0.3841890557669103, -0.8970956271514297)[i])::DOUBLE) * (embedding[16 + i]::DOUBLE - (list_value(-0.7687712097540498, 0.3702535219490528, 0.8634238326922059, 0.830351541750133, -0.515603432431817, -0.6535747167654335, -0.6310924063436687, -0.781604534946382, -0.5763689787127078, -0.37826588470488787, -0.828297667670995, 0.5199198196642101, 0.9753997134976089, -0.4072690983302891, -0.3841890557669103, -0.8970956271514297)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[16 + i]::DOUBLE - (list_value(-0.30995167326182127, 0.840306032449007, -0.3727810401469469, 0.853435565251857, 0.2948513850569725, -0.7235280051827431, 0.7509865825995803, -0.5817617764696479, 0.841339644510299, 0.05339474929496646, 0.43069245759397745, 0.35523385228589177, 0.3062519133090973, 0.827221651095897, -0.7683785106055439, -0.2606826792471111)[i])::DOUBLE) * (embedding[16 + i]::DOUBLE - (list_value(-0.30995167326182127, 0.840306032449007, -0.3727810401469469, 0.853435565251857, 0.2948513850569725, -0.7235280051827431, 0.7509865825995803, -0.5817617764696479, 0.841339644510299, 0.05339474929496646, 0.43069245759397745, 0.35523385228589177, 0.3062519133090973, 0.827221651095897, -0.7683785106055439, -0.2606826792471111)[i])::DOUBLE)))), list_min(list_value(list_sum(list_transform(range(1, 17), i -> (embedding[16 + i]::DOUBLE - (list_value(0.13689318299293518, 0.020674414932727814, 0.0022402266040444374, 0.5680329836905003, -0.8395484602078795, 0.4385384111665189, -0.675932683981955, 0.547026767861098, 0.045287074986845255, -0.09968887455761433, 0.10451439954340458, -0.3642111332155764, 0.6970460345037282, -0.4523489526472986, 0.3753567822277546, 0.8610262288711965)[i])::DOUBLE) * (embedding[16 + i]::DOUBLE - (list_value(0.13689318299293518, 0.020674414932727814, 0.0022402266040444374, 0.5680329836905003, -0.8395484602078795, 0.4385384111665189, -0.675932683981955, 0.547026767861098, 0.045287074986845255, -0.09968887455761433, 0.10451439954340458, -0.3642111332155764, 0.6970460345037282, -0.4523489526472986, 0.3753567822277546, 0.8610262288711965)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[16 + i]::DOUBLE - (list_value(-0.6226791590452194, -0.5008171512745321, 0.21179331233724952, -0.8102558488026261, 0.8812849274836481, 0.4294523159042001, -0.8974663414992392, 0.07954765856266022, 0.6072307080030441, 0.4253759207203984, 0.21277881506830454, -0.6976107531227171, -0.5580819128081203, 0.8570387871004641, 0.18890416668727994, 0.9609905066899955)[i])::DOUBLE) * (embedding[16 + i]::DOUBLE - (list_value(-0.6226791590452194, -0.5008171512745321, 0.21179331233724952, -0.8102558488026261, 0.8812849274836481, 0.4294523159042001, -0.8974663414992392, 0.07954765856266022, 0.6072307080030441, 0.4253759207203984, 0.21277881506830454, -0.6976107531227171, -0.5580819128081203, 0.8570387871004641, 0.18890416668727994, 0.9609905066899955)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[16 + i]::DOUBLE - (list_value(-0.46387142734602094, -0.9992851004935801, 0.4106463803909719, -0.45512037817388773, -0.8491985485889018, -0.9764201873913407, -0.6362009360454977, 0.5872754999436438, -0.001056733075529337, 0.6807793639600277, -0.39487743424251676, 0.5991116529330611, 0.7362304264679551, 0.07639510650187731, -0.038364261388778687, 0.5287733734585345)[i])::DOUBLE) * (embedding[16 + i]::DOUBLE - (list_value(-0.46387142734602094, -0.9992851004935801, 0.4106463803909719, -0.45512037817388773, -0.8491985485889018, -0.9764201873913407, -0.6362009360454977, 0.5872754999436438, -0.001056733075529337, 0.6807793639600277, -0.39487743424251676, 0.5991116529330611, 0.7362304264679551, 0.07639510650187731, -0.038364261388778687, 0.5287733734585345)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[16 + i]::DOUBLE - (list_value(-0.7422693567350507, 0.7315145889297128, -0.019138852134346962, 0.08513521170243621, 0.7248013098724186, 0.8460395243018866, -0.9275915031321347, 0.9595013819634914, -0.42531322222203016, -0.5065979971550405, 0.7114838524721563, -0.26519352942705154, 0.5749351740814745, -0.3203514376655221, -0.9753269525244832, -0.16629038751125336)[i])::DOUBLE) * (embedding[16 + i]::DOUBLE - (list_value(-0.7422693567350507, 0.7315145889297128, -0.019138852134346962, 0.08513521170243621, 0.7248013098724186, 0.8460395243018866, -0.9275915031321347, 0.9595013819634914, -0.42531322222203016, -0.5065979971550405, 0.7114838524721563, -0.26519352942705154, 0.5749351740814745, -0.3203514376655221, -0.9753269525244832, -0.16629038751125336)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[16 + i]::DOUBLE - (list_value(-0.650567869655788, 0.43488218635320663, 0.18114833626896143, -0.629948849324137, -0.6099842404946685, -0.9143512235023081, 0.0709389103576541, 0.028505796566605568, -0.1013688025996089, 0.40776840317994356, -0.7826327597722411, 0.794162780046463, 0.4774221465922892, -0.948161852080375, 0.819365126080811, -0.02741082012653351)[i])::DOUBLE) * (embedding[16 + i]::DOUBLE - (list_value(-0.650567869655788, 0.43488218635320663, 0.18114833626896143, -0.629948849324137, -0.6099842404946685, -0.9143512235023081, 0.0709389103576541, 0.028505796566605568, -0.1013688025996089, 0.40776840317994356, -0.7826327597722411, 0.794162780046463, 0.4774221465922892, -0.948161852080375, 0.819365126080811, -0.02741082012653351)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[16 + i]::DOUBLE - (list_value(-0.11280595138669014, -0.6956053990870714, 0.47144451597705483, -0.654883636161685, -0.5585585958324373, 0.20230905385687947, 0.46285977913066745, -0.895091837272048, -0.8512941747903824, 0.9296822999604046, 0.1025320184417069, 0.8455073065124452, 0.17455410724505782, -0.3906070669181645, 0.4542379849590361, 0.23103419411927462)[i])::DOUBLE) * (embedding[16 + i]::DOUBLE - (list_value(-0.11280595138669014, -0.6956053990870714, 0.47144451597705483, -0.654883636161685, -0.5585585958324373, 0.20230905385687947, 0.46285977913066745, -0.895091837272048, -0.8512941747903824, 0.9296822999604046, 0.1025320184417069, 0.8455073065124452, 0.17455410724505782, -0.3906070669181645, 0.4542379849590361, 0.23103419411927462)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[16 + i]::DOUBLE - (list_value(-0.7687712097540498, 0.3702535219490528, 0.8634238326922059, 0.830351541750133, -0.515603432431817, -0.6535747167654335, -0.6310924063436687, -0.781604534946382, -0.5763689787127078, -0.37826588470488787, -0.828297667670995, 0.5199198196642101, 0.9753997134976089, -0.4072690983302891, -0.3841890557669103, -0.8970956271514297)[i])::DOUBLE) * (embedding[16 + i]::DOUBLE - (list_value(-0.7687712097540498, 0.3702535219490528, 0.8634238326922059, 0.830351541750133, -0.515603432431817, -0.6535747167654335, -0.6310924063436687, -0.781604534946382, -0.5763689787127078, -0.37826588470488787, -0.828297667670995, 0.5199198196642101, 0.9753997134976089, -0.4072690983302891, -0.3841890557669103, -0.8970956271514297)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[16 + i]::DOUBLE - (list_value(-0.30995167326182127, 0.840306032449007, -0.3727810401469469, 0.853435565251857, 0.2948513850569725, -0.7235280051827431, 0.7509865825995803, -0.5817617764696479, 0.841339644510299, 0.05339474929496646, 0.43069245759397745, 0.35523385228589177, 0.3062519133090973, 0.827221651095897, -0.7683785106055439, -0.2606826792471111)[i])::DOUBLE) * (embedding[16 + i]::DOUBLE - (list_value(-0.30995167326182127, 0.840306032449007, -0.3727810401469469, 0.853435565251857, 0.2948513850569725, -0.7235280051827431, 0.7509865825995803, -0.5817617764696479, 0.841339644510299, 0.05339474929496646, 0.43069245759397745, 0.35523385228589177, 0.3062519133090973, 0.827221651095897, -0.7683785106055439, -0.2606826792471111)[i])::DOUBLE)))))) - 1)::INT AS c1, (list_position(list_value(list_sum(list_transform(range(1, 17), i -> (embedding[32 + i]::DOUBLE - (list_value(-0.42764112167060375, 0.20353919826447964, -0.10104664321988821, -0.7701286124065518, 0.8449651156552136, -0.21283344319090247, 0.8404725403524935, 0.7116770022548735, -0.6726699019782245, 0.9135107025504112, 0.035562924575060606, 0.1365896388888359, 0.521499723661691, 0.22567200707271695, 0.5305597400292754, -0.772196723613888)[i])::DOUBLE) * (embedding[32 + i]::DOUBLE - (list_value(-0.42764112167060375, 0.20353919826447964, -0.10104664321988821, -0.7701286124065518, 0.8449651156552136, -0.21283344319090247, 0.8404725403524935, 0.7116770022548735, -0.6726699019782245, 0.9135107025504112, 0.035562924575060606, 0.1365896388888359, 0.521499723661691, 0.22567200707271695, 0.5305597400292754, -0.772196723613888)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[32 + i]::DOUBLE - (list_value(0.14159348886460066, -0.7965522296726704, -0.8761881301179528, -0.19768007658421993, -0.6627120296470821, 0.7749551823362708, 0.48651375249028206, 0.8188081695698202, 0.25284411711618304, 0.572226092685014, -0.9371212311089039, -0.05344163300469518, 0.5772274658083916, -0.9239187343046069, 0.9171112007461488, -0.1801307532005012)[i])::DOUBLE) * (embedding[32 + i]::DOUBLE - (list_value(0.14159348886460066, -0.7965522296726704, -0.8761881301179528, -0.19768007658421993, -0.6627120296470821, 0.7749551823362708, 0.48651375249028206, 0.8188081695698202, 0.25284411711618304, 0.572226092685014, -0.9371212311089039, -0.05344163300469518, 0.5772274658083916, -0.9239187343046069, 0.9171112007461488, -0.1801307532005012)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[32 + i]::DOUBLE - (list_value(0.9141475092619658, -0.4225552938878536, -0.7587597370147705, 0.7473767828196287, 0.8194939149543643, -0.9242803254164755, -0.504950201138854, 0.03880794206634164, 0.8018386070616543, 0.6366605865769088, 0.23394274339079857, 0.8897416517138481, 0.5607156399637461, -0.07883999589830637, -0.6385492826811969, -0.2177998824045062)[i])::DOUBLE) * (embedding[32 + i]::DOUBLE - (list_value(0.9141475092619658, -0.4225552938878536, -0.7587597370147705, 0.7473767828196287, 0.8194939149543643, -0.9242803254164755, -0.504950201138854, 0.03880794206634164, 0.8018386070616543, 0.6366605865769088, 0.23394274339079857, 0.8897416517138481, 0.5607156399637461, -0.07883999589830637, -0.6385492826811969, -0.2177998824045062)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[32 + i]::DOUBLE - (list_value(0.8438844508491457, 0.5435250671580434, -0.1430518631823361, 0.430376801174134, -0.1968389260582626, 0.7042841957882047, -0.6546492907218635, -0.40982319926843047, 0.6949322619475424, 0.9305625758133829, 0.11842558812350035, 0.4651278802193701, -0.07386980997398496, 0.667340783867985, -0.46956470096483827, -0.6579370307736099)[i])::DOUBLE) * (embedding[32 + i]::DOUBLE - (list_value(0.8438844508491457, 0.5435250671580434, -0.1430518631823361, 0.430376801174134, -0.1968389260582626, 0.7042841957882047, -0.6546492907218635, -0.40982319926843047, 0.6949322619475424, 0.9305625758133829, 0.11842558812350035, 0.4651278802193701, -0.07386980997398496, 0.667340783867985, -0.46956470096483827, -0.6579370307736099)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[32 + i]::DOUBLE - (list_value(-0.09599115327000618, -0.6354313404299319, 0.053241344168782234, 0.616699178237468, 0.9285775446332991, 0.05089091323316097, 0.6341992001980543, -0.1472012484446168, -0.1268017147667706, -0.21435015695169568, -0.1730067115277052, -0.8985803038813174, 0.4534837966784835, 0.5978209632448852, -0.7827768567949533, -0.837538561783731)[i])::DOUBLE) * (embedding[32 + i]::DOUBLE - (list_value(-0.09599115327000618, -0.6354313404299319, 0.053241344168782234, 0.616699178237468, 0.9285775446332991, 0.05089091323316097, 0.6341992001980543, -0.1472012484446168, -0.1268017147667706, -0.21435015695169568, -0.1730067115277052, -0.8985803038813174, 0.4534837966784835, 0.5978209632448852, -0.7827768567949533, -0.837538561783731)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[32 + i]::DOUBLE - (list_value(0.5051810522563756, 0.4384868619963527, 0.8672100263647735, 0.5365286124870181, 0.9821151769720018, 0.11615060037001967, -0.651073242072016, 0.4359462596476078, -0.9387150974944234, 0.7354967314749956, -0.12133021932095289, 0.5976729835383594, -0.7445117640309036, -0.533674153033644, 0.7322456454858184, 0.7428888180293143)[i])::DOUBLE) * (embedding[32 + i]::DOUBLE - (list_value(0.5051810522563756, 0.4384868619963527, 0.8672100263647735, 0.5365286124870181, 0.9821151769720018, 0.11615060037001967, -0.651073242072016, 0.4359462596476078, -0.9387150974944234, 0.7354967314749956, -0.12133021932095289, 0.5976729835383594, -0.7445117640309036, -0.533674153033644, 0.7322456454858184, 0.7428888180293143)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[32 + i]::DOUBLE - (list_value(0.06496924674138427, -0.27885251166298985, 0.27857169741764665, 0.010208145715296268, -0.5649647531099617, 0.7088152482174337, -0.5459171901457012, -0.11497444100677967, 0.5828099180944264, 0.08008952578529716, -0.05413855519145727, -0.6933955689892173, 0.007072395645081997, -0.9465093277394772, -0.5287208133377135, 0.22367495018988848)[i])::DOUBLE) * (embedding[32 + i]::DOUBLE - (list_value(0.06496924674138427, -0.27885251166298985, 0.27857169741764665, 0.010208145715296268, -0.5649647531099617, 0.7088152482174337, -0.5459171901457012, -0.11497444100677967, 0.5828099180944264, 0.08008952578529716, -0.05413855519145727, -0.6933955689892173, 0.007072395645081997, -0.9465093277394772, -0.5287208133377135, 0.22367495018988848)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[32 + i]::DOUBLE - (list_value(-0.6494756541214883, 0.48346643475815654, 0.4013964277692139, 0.7982761538587511, 0.8384986380115151, -0.7792293871752918, 0.6605417123064399, -0.39764951588585973, -0.3399332044646144, 0.9142587669193745, 0.014512364752590656, -0.9554942166432738, 0.0868937149643898, -0.0801370800472796, 0.22772572981193662, -0.4278726917691529)[i])::DOUBLE) * (embedding[32 + i]::DOUBLE - (list_value(-0.6494756541214883, 0.48346643475815654, 0.4013964277692139, 0.7982761538587511, 0.8384986380115151, -0.7792293871752918, 0.6605417123064399, -0.39764951588585973, -0.3399332044646144, 0.9142587669193745, 0.014512364752590656, -0.9554942166432738, 0.0868937149643898, -0.0801370800472796, 0.22772572981193662, -0.4278726917691529)[i])::DOUBLE)))), list_min(list_value(list_sum(list_transform(range(1, 17), i -> (embedding[32 + i]::DOUBLE - (list_value(-0.42764112167060375, 0.20353919826447964, -0.10104664321988821, -0.7701286124065518, 0.8449651156552136, -0.21283344319090247, 0.8404725403524935, 0.7116770022548735, -0.6726699019782245, 0.9135107025504112, 0.035562924575060606, 0.1365896388888359, 0.521499723661691, 0.22567200707271695, 0.5305597400292754, -0.772196723613888)[i])::DOUBLE) * (embedding[32 + i]::DOUBLE - (list_value(-0.42764112167060375, 0.20353919826447964, -0.10104664321988821, -0.7701286124065518, 0.8449651156552136, -0.21283344319090247, 0.8404725403524935, 0.7116770022548735, -0.6726699019782245, 0.9135107025504112, 0.035562924575060606, 0.1365896388888359, 0.521499723661691, 0.22567200707271695, 0.5305597400292754, -0.772196723613888)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[32 + i]::DOUBLE - (list_value(0.14159348886460066, -0.7965522296726704, -0.8761881301179528, -0.19768007658421993, -0.6627120296470821, 0.7749551823362708, 0.48651375249028206, 0.8188081695698202, 0.25284411711618304, 0.572226092685014, -0.9371212311089039, -0.05344163300469518, 0.5772274658083916, -0.9239187343046069, 0.9171112007461488, -0.1801307532005012)[i])::DOUBLE) * (embedding[32 + i]::DOUBLE - (list_value(0.14159348886460066, -0.7965522296726704, -0.8761881301179528, -0.19768007658421993, -0.6627120296470821, 0.7749551823362708, 0.48651375249028206, 0.8188081695698202, 0.25284411711618304, 0.572226092685014, -0.9371212311089039, -0.05344163300469518, 0.5772274658083916, -0.9239187343046069, 0.9171112007461488, -0.1801307532005012)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[32 + i]::DOUBLE - (list_value(0.9141475092619658, -0.4225552938878536, -0.7587597370147705, 0.7473767828196287, 0.8194939149543643, -0.9242803254164755, -0.504950201138854, 0.03880794206634164, 0.8018386070616543, 0.6366605865769088, 0.23394274339079857, 0.8897416517138481, 0.5607156399637461, -0.07883999589830637, -0.6385492826811969, -0.2177998824045062)[i])::DOUBLE) * (embedding[32 + i]::DOUBLE - (list_value(0.9141475092619658, -0.4225552938878536, -0.7587597370147705, 0.7473767828196287, 0.8194939149543643, -0.9242803254164755, -0.504950201138854, 0.03880794206634164, 0.8018386070616543, 0.6366605865769088, 0.23394274339079857, 0.8897416517138481, 0.5607156399637461, -0.07883999589830637, -0.6385492826811969, -0.2177998824045062)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[32 + i]::DOUBLE - (list_value(0.8438844508491457, 0.5435250671580434, -0.1430518631823361, 0.430376801174134, -0.1968389260582626, 0.7042841957882047, -0.6546492907218635, -0.40982319926843047, 0.6949322619475424, 0.9305625758133829, 0.11842558812350035, 0.4651278802193701, -0.07386980997398496, 0.667340783867985, -0.46956470096483827, -0.6579370307736099)[i])::DOUBLE) * (embedding[32 + i]::DOUBLE - (list_value(0.8438844508491457, 0.5435250671580434, -0.1430518631823361, 0.430376801174134, -0.1968389260582626, 0.7042841957882047, -0.6546492907218635, -0.40982319926843047, 0.6949322619475424, 0.9305625758133829, 0.11842558812350035, 0.4651278802193701, -0.07386980997398496, 0.667340783867985, -0.46956470096483827, -0.6579370307736099)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[32 + i]::DOUBLE - (list_value(-0.09599115327000618, -0.6354313404299319, 0.053241344168782234, 0.616699178237468, 0.9285775446332991, 0.05089091323316097, 0.6341992001980543, -0.1472012484446168, -0.1268017147667706, -0.21435015695169568, -0.1730067115277052, -0.8985803038813174, 0.4534837966784835, 0.5978209632448852, -0.7827768567949533, -0.837538561783731)[i])::DOUBLE) * (embedding[32 + i]::DOUBLE - (list_value(-0.09599115327000618, -0.6354313404299319, 0.053241344168782234, 0.616699178237468, 0.9285775446332991, 0.05089091323316097, 0.6341992001980543, -0.1472012484446168, -0.1268017147667706, -0.21435015695169568, -0.1730067115277052, -0.8985803038813174, 0.4534837966784835, 0.5978209632448852, -0.7827768567949533, -0.837538561783731)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[32 + i]::DOUBLE - (list_value(0.5051810522563756, 0.4384868619963527, 0.8672100263647735, 0.5365286124870181, 0.9821151769720018, 0.11615060037001967, -0.651073242072016, 0.4359462596476078, -0.9387150974944234, 0.7354967314749956, -0.12133021932095289, 0.5976729835383594, -0.7445117640309036, -0.533674153033644, 0.7322456454858184, 0.7428888180293143)[i])::DOUBLE) * (embedding[32 + i]::DOUBLE - (list_value(0.5051810522563756, 0.4384868619963527, 0.8672100263647735, 0.5365286124870181, 0.9821151769720018, 0.11615060037001967, -0.651073242072016, 0.4359462596476078, -0.9387150974944234, 0.7354967314749956, -0.12133021932095289, 0.5976729835383594, -0.7445117640309036, -0.533674153033644, 0.7322456454858184, 0.7428888180293143)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[32 + i]::DOUBLE - (list_value(0.06496924674138427, -0.27885251166298985, 0.27857169741764665, 0.010208145715296268, -0.5649647531099617, 0.7088152482174337, -0.5459171901457012, -0.11497444100677967, 0.5828099180944264, 0.08008952578529716, -0.05413855519145727, -0.6933955689892173, 0.007072395645081997, -0.9465093277394772, -0.5287208133377135, 0.22367495018988848)[i])::DOUBLE) * (embedding[32 + i]::DOUBLE - (list_value(0.06496924674138427, -0.27885251166298985, 0.27857169741764665, 0.010208145715296268, -0.5649647531099617, 0.7088152482174337, -0.5459171901457012, -0.11497444100677967, 0.5828099180944264, 0.08008952578529716, -0.05413855519145727, -0.6933955689892173, 0.007072395645081997, -0.9465093277394772, -0.5287208133377135, 0.22367495018988848)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[32 + i]::DOUBLE - (list_value(-0.6494756541214883, 0.48346643475815654, 0.4013964277692139, 0.7982761538587511, 0.8384986380115151, -0.7792293871752918, 0.6605417123064399, -0.39764951588585973, -0.3399332044646144, 0.9142587669193745, 0.014512364752590656, -0.9554942166432738, 0.0868937149643898, -0.0801370800472796, 0.22772572981193662, -0.4278726917691529)[i])::DOUBLE) * (embedding[32 + i]::DOUBLE - (list_value(-0.6494756541214883, 0.48346643475815654, 0.4013964277692139, 0.7982761538587511, 0.8384986380115151, -0.7792293871752918, 0.6605417123064399, -0.39764951588585973, -0.3399332044646144, 0.9142587669193745, 0.014512364752590656, -0.9554942166432738, 0.0868937149643898, -0.0801370800472796, 0.22772572981193662, -0.4278726917691529)[i])::DOUBLE)))))) - 1)::INT AS c2, (list_position(list_value(list_sum(list_transform(range(1, 17), i -> (embedding[48 + i]::DOUBLE - (list_value(-0.41287414729595184, -0.8693227837793529, -0.5487857600674033, 0.17998758936300874, -0.29662337992340326, -0.1066954075358808, -0.013813550118356943, 0.8459874405525625, -0.9188149515539408, 0.40742301708087325, 0.7557432339526713, 0.09993821708485484, -0.49308529822155833, -0.22687643999233842, -0.2074438463896513, 0.9156424808315933)[i])::DOUBLE) * (embedding[48 + i]::DOUBLE - (list_value(-0.41287414729595184, -0.8693227837793529, -0.5487857600674033, 0.17998758936300874, -0.29662337992340326, -0.1066954075358808, -0.013813550118356943, 0.8459874405525625, -0.9188149515539408, 0.40742301708087325, 0.7557432339526713, 0.09993821708485484, -0.49308529822155833, -0.22687643999233842, -0.2074438463896513, 0.9156424808315933)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[48 + i]::DOUBLE - (list_value(-0.382710175588727, -0.2813352383673191, -0.2953654667362571, -0.70270791137591, -0.11834655283018947, 0.10982035612687469, -0.985149803571403, 0.6773248561657965, -0.6076513794250786, 0.09628569427877665, -0.7742158053442836, -0.603188150562346, -0.771212310064584, -0.2704249359667301, -0.5393206221051514, 0.4757812465541065)[i])::DOUBLE) * (embedding[48 + i]::DOUBLE - (list_value(-0.382710175588727, -0.2813352383673191, -0.2953654667362571, -0.70270791137591, -0.11834655283018947, 0.10982035612687469, -0.985149803571403, 0.6773248561657965, -0.6076513794250786, 0.09628569427877665, -0.7742158053442836, -0.603188150562346, -0.771212310064584, -0.2704249359667301, -0.5393206221051514, 0.4757812465541065)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[48 + i]::DOUBLE - (list_value(0.6591223645955324, 0.21881687175482512, -0.27797974180430174, 0.08789936173707247, 0.9609618191607296, -0.20766934752464294, -0.4572397801093757, 0.7641249848529696, -0.18998918775469065, 0.3387482720427215, 0.15064348699525, 0.3023964292369783, 0.9862996600568295, -0.575631455052644, -0.1615053778514266, -0.2660423466004431)[i])::DOUBLE) * (embedding[48 + i]::DOUBLE - (list_value(0.6591223645955324, 0.21881687175482512, -0.27797974180430174, 0.08789936173707247, 0.9609618191607296, -0.20766934752464294, -0.4572397801093757, 0.7641249848529696, -0.18998918775469065, 0.3387482720427215, 0.15064348699525, 0.3023964292369783, 0.9862996600568295, -0.575631455052644, -0.1615053778514266, -0.2660423466004431)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[48 + i]::DOUBLE - (list_value(0.05565739469602704, -0.966212656814605, 0.14704004395753145, -0.28777383361011744, -0.23510743491351604, -0.5891196015290916, -0.31440218817442656, -0.8582044583745301, 0.2004188490100205, -0.46059465454891324, 0.8365271366201341, 0.6061598584055901, 0.5766955181024969, -0.2513009109534323, 0.9788414402864873, 0.5931769632734358)[i])::DOUBLE) * (embedding[48 + i]::DOUBLE - (list_value(0.05565739469602704, -0.966212656814605, 0.14704004395753145, -0.28777383361011744, -0.23510743491351604, -0.5891196015290916, -0.31440218817442656, -0.8582044583745301, 0.2004188490100205, -0.46059465454891324, 0.8365271366201341, 0.6061598584055901, 0.5766955181024969, -0.2513009109534323, 0.9788414402864873, 0.5931769632734358)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[48 + i]::DOUBLE - (list_value(-0.0004401896148920059, 0.654626096598804, -0.23518401430919766, -0.1432722480967641, 0.7404969381168485, 0.08916044887155294, -0.0741336913779378, -0.8308711880818009, 0.08824248099699616, 0.674525358248502, 0.09728266159072518, -0.7268342208117247, -0.7379307709634304, 0.4379014251753688, 0.5907108900137246, 0.23327382979914546)[i])::DOUBLE) * (embedding[48 + i]::DOUBLE - (list_value(-0.0004401896148920059, 0.654626096598804, -0.23518401430919766, -0.1432722480967641, 0.7404969381168485, 0.08916044887155294, -0.0741336913779378, -0.8308711880818009, 0.08824248099699616, 0.674525358248502, 0.09728266159072518, -0.7268342208117247, -0.7379307709634304, 0.4379014251753688, 0.5907108900137246, 0.23327382979914546)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[48 + i]::DOUBLE - (list_value(0.4891947004944086, 0.6400290941819549, 0.026141074486076832, 0.07297003269195557, -0.7179656396619976, 0.09823259618133307, 0.9570619333535433, -0.287480803206563, 0.013857557903975248, 0.8579095811583102, 0.31223570369184017, 0.9718678896315396, -0.4707383271306753, 0.8739448999986053, -0.09587359195575118, -0.4460544530302286)[i])::DOUBLE) * (embedding[48 + i]::DOUBLE - (list_value(0.4891947004944086, 0.6400290941819549, 0.026141074486076832, 0.07297003269195557, -0.7179656396619976, 0.09823259618133307, 0.9570619333535433, -0.287480803206563, 0.013857557903975248, 0.8579095811583102, 0.31223570369184017, 0.9718678896315396, -0.4707383271306753, 0.8739448999986053, -0.09587359195575118, -0.4460544530302286)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[48 + i]::DOUBLE - (list_value(-0.9886818993836641, 0.709487818647176, 0.9230956053361297, -0.4949141452088952, -0.18639512034133077, 0.017910702619701624, 0.45822308119386435, 0.1882759965956211, 0.20327162044122815, -0.2890774989500642, -0.24074379727244377, 0.9416097528301179, 0.5574383805505931, -0.04385640984401107, 0.7638101782649755, -0.2864935197867453)[i])::DOUBLE) * (embedding[48 + i]::DOUBLE - (list_value(-0.9886818993836641, 0.709487818647176, 0.9230956053361297, -0.4949141452088952, -0.18639512034133077, 0.017910702619701624, 0.45822308119386435, 0.1882759965956211, 0.20327162044122815, -0.2890774989500642, -0.24074379727244377, 0.9416097528301179, 0.5574383805505931, -0.04385640984401107, 0.7638101782649755, -0.2864935197867453)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[48 + i]::DOUBLE - (list_value(-0.46738427923992276, 0.3247959157451987, 0.5251062889583409, -0.5732824951410294, -0.9648135239258409, -0.2753933514468372, 0.37731849029660225, 0.06287720426917076, 0.17534053605049849, 0.4315288099460304, -0.6595313767902553, -0.7224484118632972, -0.5897605381906033, -0.024978691712021828, 0.016240366734564304, 0.6475477763451636)[i])::DOUBLE) * (embedding[48 + i]::DOUBLE - (list_value(-0.46738427923992276, 0.3247959157451987, 0.5251062889583409, -0.5732824951410294, -0.9648135239258409, -0.2753933514468372, 0.37731849029660225, 0.06287720426917076, 0.17534053605049849, 0.4315288099460304, -0.6595313767902553, -0.7224484118632972, -0.5897605381906033, -0.024978691712021828, 0.016240366734564304, 0.6475477763451636)[i])::DOUBLE)))), list_min(list_value(list_sum(list_transform(range(1, 17), i -> (embedding[48 + i]::DOUBLE - (list_value(-0.41287414729595184, -0.8693227837793529, -0.5487857600674033, 0.17998758936300874, -0.29662337992340326, -0.1066954075358808, -0.013813550118356943, 0.8459874405525625, -0.9188149515539408, 0.40742301708087325, 0.7557432339526713, 0.09993821708485484, -0.49308529822155833, -0.22687643999233842, -0.2074438463896513, 0.9156424808315933)[i])::DOUBLE) * (embedding[48 + i]::DOUBLE - (list_value(-0.41287414729595184, -0.8693227837793529, -0.5487857600674033, 0.17998758936300874, -0.29662337992340326, -0.1066954075358808, -0.013813550118356943, 0.8459874405525625, -0.9188149515539408, 0.40742301708087325, 0.7557432339526713, 0.09993821708485484, -0.49308529822155833, -0.22687643999233842, -0.2074438463896513, 0.9156424808315933)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[48 + i]::DOUBLE - (list_value(-0.382710175588727, -0.2813352383673191, -0.2953654667362571, -0.70270791137591, -0.11834655283018947, 0.10982035612687469, -0.985149803571403, 0.6773248561657965, -0.6076513794250786, 0.09628569427877665, -0.7742158053442836, -0.603188150562346, -0.771212310064584, -0.2704249359667301, -0.5393206221051514, 0.4757812465541065)[i])::DOUBLE) * (embedding[48 + i]::DOUBLE - (list_value(-0.382710175588727, -0.2813352383673191, -0.2953654667362571, -0.70270791137591, -0.11834655283018947, 0.10982035612687469, -0.985149803571403, 0.6773248561657965, -0.6076513794250786, 0.09628569427877665, -0.7742158053442836, -0.603188150562346, -0.771212310064584, -0.2704249359667301, -0.5393206221051514, 0.4757812465541065)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[48 + i]::DOUBLE - (list_value(0.6591223645955324, 0.21881687175482512, -0.27797974180430174, 0.08789936173707247, 0.9609618191607296, -0.20766934752464294, -0.4572397801093757, 0.7641249848529696, -0.18998918775469065, 0.3387482720427215, 0.15064348699525, 0.3023964292369783, 0.9862996600568295, -0.575631455052644, -0.1615053778514266, -0.2660423466004431)[i])::DOUBLE) * (embedding[48 + i]::DOUBLE - (list_value(0.6591223645955324, 0.21881687175482512, -0.27797974180430174, 0.08789936173707247, 0.9609618191607296, -0.20766934752464294, -0.4572397801093757, 0.7641249848529696, -0.18998918775469065, 0.3387482720427215, 0.15064348699525, 0.3023964292369783, 0.9862996600568295, -0.575631455052644, -0.1615053778514266, -0.2660423466004431)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[48 + i]::DOUBLE - (list_value(0.05565739469602704, -0.966212656814605, 0.14704004395753145, -0.28777383361011744, -0.23510743491351604, -0.5891196015290916, -0.31440218817442656, -0.8582044583745301, 0.2004188490100205, -0.46059465454891324, 0.8365271366201341, 0.6061598584055901, 0.5766955181024969, -0.2513009109534323, 0.9788414402864873, 0.5931769632734358)[i])::DOUBLE) * (embedding[48 + i]::DOUBLE - (list_value(0.05565739469602704, -0.966212656814605, 0.14704004395753145, -0.28777383361011744, -0.23510743491351604, -0.5891196015290916, -0.31440218817442656, -0.8582044583745301, 0.2004188490100205, -0.46059465454891324, 0.8365271366201341, 0.6061598584055901, 0.5766955181024969, -0.2513009109534323, 0.9788414402864873, 0.5931769632734358)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[48 + i]::DOUBLE - (list_value(-0.0004401896148920059, 0.654626096598804, -0.23518401430919766, -0.1432722480967641, 0.7404969381168485, 0.08916044887155294, -0.0741336913779378, -0.8308711880818009, 0.08824248099699616, 0.674525358248502, 0.09728266159072518, -0.7268342208117247, -0.7379307709634304, 0.4379014251753688, 0.5907108900137246, 0.23327382979914546)[i])::DOUBLE) * (embedding[48 + i]::DOUBLE - (list_value(-0.0004401896148920059, 0.654626096598804, -0.23518401430919766, -0.1432722480967641, 0.7404969381168485, 0.08916044887155294, -0.0741336913779378, -0.8308711880818009, 0.08824248099699616, 0.674525358248502, 0.09728266159072518, -0.7268342208117247, -0.7379307709634304, 0.4379014251753688, 0.5907108900137246, 0.23327382979914546)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[48 + i]::DOUBLE - (list_value(0.4891947004944086, 0.6400290941819549, 0.026141074486076832, 0.07297003269195557, -0.7179656396619976, 0.09823259618133307, 0.9570619333535433, -0.287480803206563, 0.013857557903975248, 0.8579095811583102, 0.31223570369184017, 0.9718678896315396, -0.4707383271306753, 0.8739448999986053, -0.09587359195575118, -0.4460544530302286)[i])::DOUBLE) * (embedding[48 + i]::DOUBLE - (list_value(0.4891947004944086, 0.6400290941819549, 0.026141074486076832, 0.07297003269195557, -0.7179656396619976, 0.09823259618133307, 0.9570619333535433, -0.287480803206563, 0.013857557903975248, 0.8579095811583102, 0.31223570369184017, 0.9718678896315396, -0.4707383271306753, 0.8739448999986053, -0.09587359195575118, -0.4460544530302286)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[48 + i]::DOUBLE - (list_value(-0.9886818993836641, 0.709487818647176, 0.9230956053361297, -0.4949141452088952, -0.18639512034133077, 0.017910702619701624, 0.45822308119386435, 0.1882759965956211, 0.20327162044122815, -0.2890774989500642, -0.24074379727244377, 0.9416097528301179, 0.5574383805505931, -0.04385640984401107, 0.7638101782649755, -0.2864935197867453)[i])::DOUBLE) * (embedding[48 + i]::DOUBLE - (list_value(-0.9886818993836641, 0.709487818647176, 0.9230956053361297, -0.4949141452088952, -0.18639512034133077, 0.017910702619701624, 0.45822308119386435, 0.1882759965956211, 0.20327162044122815, -0.2890774989500642, -0.24074379727244377, 0.9416097528301179, 0.5574383805505931, -0.04385640984401107, 0.7638101782649755, -0.2864935197867453)[i])::DOUBLE))), list_sum(list_transform(range(1, 17), i -> (embedding[48 + i]::DOUBLE - (list_value(-0.46738427923992276, 0.3247959157451987, 0.5251062889583409, -0.5732824951410294, -0.9648135239258409, -0.2753933514468372, 0.37731849029660225, 0.06287720426917076, 0.17534053605049849, 0.4315288099460304, -0.6595313767902553, -0.7224484118632972, -0.5897605381906033, -0.024978691712021828, 0.016240366734564304, 0.6475477763451636)[i])::DOUBLE) * (embedding[48 + i]::DOUBLE - (list_value(-0.46738427923992276, 0.3247959157451987, 0.5251062889583409, -0.5732824951410294, -0.9648135239258409, -0.2753933514468372, 0.37731849029660225, 0.06287720426917076, 0.17534053605049849, 0.4315288099460304, -0.6595313767902553, -0.7224484118632972, -0.5897605381906033, -0.024978691712021828, 0.016240366734564304, 0.6475477763451636)[i])::DOUBLE)))))) - 1)::INT AS c3 FROM embeddings"""
+def _pq_sql() -> str:
+    """DuckDB twin of similarity.pq_codes, generated from the SAME
+    pq_codebook call so codebook constants can never drift between the
+    Spark plan and the oracle."""
+    book = SIM.pq_codebook(4, 8, 64)
+    sub = 16
+    subs = []
+    for si in range(4):
+        ds = []
+        for c in range(8):
+            lits = ", ".join(repr(x) for x in book[si][c])
+            e = (f"(embedding[{si*sub} + i]::DOUBLE"
+                 f" - (list_value({lits})[i])::DOUBLE)")
+            ds.append(f"list_sum(list_transform(range(1, {sub+1}), "
+                      f"i -> {e} * {e}))")
+        l = "list_value(" + ", ".join(ds) + ")"
+        subs.append(f"(list_position({l}, list_min({l})) - 1)::INT AS c{si}")
+    return "SELECT vec_id, " + ", ".join(subs) + " FROM embeddings"
+
+
+_PQ_SQL = _pq_sql()
 
 
 @query("emb_pq_codes", sql=_PQ_SQL)
@@ -2940,6 +2960,52 @@ def ts_cusum(spark, sf_dir):
          .rowsBetween(Window.unboundedPreceding, 0))
     return d.select("event_id", "event_type",
                     _r(F.sum("dev").over(w).cast("double")).alias("cusum"))
+
+
+
+def _pq_adc_terms() -> str:
+    book = SIM.pq_codebook(4, 8, 64)
+    sub = 16
+    terms = []
+    for si in range(4):
+        ds = []
+        for c in range(8):
+            lits = ", ".join(repr(x) for x in book[si][c])
+            e = (f"(q.qv[{si*sub} + i]::DOUBLE"
+                 f" - (list_value({lits})[i])::DOUBLE)")
+            ds.append(f"list_sum(list_transform(range(1, {sub+1}), "
+                      f"i -> {e} * {e}))")
+        terms.append(f"(list_value({', '.join(ds)})[c.c{si} + 1])")
+    return " + ".join(terms)
+
+
+@query("emb_pq_adc_knn", sql=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+c AS ({_PQ_SQL}),
+s AS (SELECT q.query_id, c.vec_id, {_pq_adc_terms()} AS adc
+      FROM c, q),
+r AS (SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc ASC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, round(adc, 6) AS adc_dist, rank
+FROM r WHERE rank <= 10
+""")
+def emb_pq_adc_knn(spark, sf_dir):
+    """PQ asymmetric-distance kNN: the search half of product
+    quantization — corpus rows are scanned as 4 small ints (their PQ
+    codes), each query's 4x8 distance table is plan-literal arithmetic,
+    and the per-row distance is four element_at lookups. The IO shape
+    that lets billion-vector indexes live in RAM; exact re-rank of the
+    ADC top-m is knn_brute_force over candidate ids."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.where(F.col("vec_id").isin(0, 1, 2)) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.pq_adc_knn(e, q, k=10, subspaces=4, codewords=8, dim=64)
+    return out.select("query_id", "vec_id",
+                      _r(F.col("adc_dist")).alias("adc_dist"), "rank")
 
 
 
@@ -2998,6 +3064,7 @@ _REGISTRATION_ORDER = [
     "doc_pack_sequences", "doc_word_entropy", "doc_span_dup", "ts_ewma",
     "doc_split_assign", "ts_acf", "ts_deseasonalize",
     "mm_resize_plan", "mm_patchify", "emb_pq_codes", "ts_cusum",
+    "emb_pq_adc_knn",
 ]
 
 

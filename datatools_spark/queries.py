@@ -97,6 +97,13 @@ def _r(c, n: int = 6):
     return F.round(c, n)
 
 
+
+
+def ensure_parallelism_docs(d):
+    from .operators.partitioning import ensure_parallelism
+    return ensure_parallelism(d.select("doc_id", "text"))
+
+
 # --------------------------------------------------------------------------
 # Time-series operators over `events` (ts, user_id, event_type, value)
 # --------------------------------------------------------------------------
@@ -3009,6 +3016,107 @@ def emb_pq_adc_knn(spark, sf_dir):
 
 
 
+@query("doc_lm_perplexity", sql=r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0),
+bg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) - 1 >= 1
+         THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+         ELSE []::VARCHAR[] END) AS g
+  FROM w),
+b AS (SELECT g, count(*)::BIGINT AS cb FROM bg GROUP BY 1),
+u AS (SELECT split_part(g, ' ', 1) AS p, count(*)::BIGINT AS cu
+      FROM bg GROUP BY 1)
+SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+       round(sum(round(log2(u.cu) - log2(b.cb), 10)::DECIMAL(38,10))::DOUBLE
+             / count(*), 6) AS cross_entropy
+FROM bg
+JOIN b USING (g)
+JOIN u ON u.p = split_part(bg.g, ' ', 1)
+GROUP BY bg.doc_id
+""")
+def doc_lm_perplexity(spark, sf_dir):
+    """Corpus-bigram LM cross-entropy per doc (the CCNet-style
+    perplexity quality filter): -avg log2 P(w2|w1) with MLE
+    probabilities from the corpus itself (P = C(w1 w2)/C(w1-prefix)).
+    Plan: one bigram explode reused by both count tables, then two
+    narrow equi-joins back and one per-doc aggregate — all shuffles
+    carry (gram, count) or (doc, term) rows, never text. Terms are
+    10-dp-rounded and decimal-summed (order-proof)."""
+    d = _t(spark, sf_dir, "documents")
+    bg = (ensure_parallelism_docs(d)
+          .withColumn("_words", TX.words_col("text"))
+          .select("doc_id",
+                  F.explode(TX.word_ngrams_all(
+                      "text", 2, from_words_col="_words")).alias("g")))
+    b = bg.groupBy("g").agg(F.count("*").alias("cb"))
+    u = (bg.select(F.substring_index("g", " ", 1).alias("p"))
+         .groupBy("p").agg(F.count("*").alias("cu")))
+    j = (bg.join(b, "g")
+         .withColumn("p", F.substring_index("g", " ", 1))
+         .join(u, "p"))
+    term = F.round(F.log2("cu") - F.log2("cb"), 10).cast("decimal(38,10)")
+    return (j.groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.sum(term).cast("double") / F.count("*"), 6)
+                 .alias("cross_entropy")))
+
+
+
+@query("doc_keep_best_dedup", sql=f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT a_id, b_id FROM inter
+          JOIN sizes na ON na.doc_id = a_id
+          JOIN sizes nb ON nb.doc_id = b_id
+          WHERE i::DOUBLE / (na.n + nb.n - i) >= 0.05),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+          UNION SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+comp AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY 1),
+q AS ({_QUAL_SQL}),
+all_docs AS (
+  SELECT q.doc_id, coalesce(comp.component, q.doc_id) AS component,
+         q.quality_score
+  FROM q LEFT JOIN comp USING (doc_id)),
+r AS (SELECT doc_id, component, quality_score,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY quality_score DESC, doc_id ASC)
+               AS rn
+      FROM all_docs)
+SELECT doc_id, component, quality_score FROM r WHERE rn = 1
+""")
+def doc_keep_best_dedup(spark, sf_dir):
+    """Quality-aware near-dup retention: within each duplicate cluster
+    keep the HIGHEST-quality member (ties to lowest id) — the policy
+    real curation uses instead of keep-first (a crawl's best copy is
+    rarely its first). Components from the skew-guarded pair generator;
+    singletons keep themselves; quality is the 6-dp-rounded composite
+    (ranked on the rounded value on both sides, so ordering cannot flap
+    between engines)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.05, max_df=100)
+    comp = G.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    q = d.select("doc_id",
+                 _r(TX.quality_score_cols("text")["quality_score"])
+                 .alias("quality_score"))
+    alld = (q.join(comp, "doc_id", "left")
+            .withColumn("component",
+                        F.coalesce("component", F.col("doc_id"))))
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc())
+    return (alld.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("doc_id", "component", "quality_score"))
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -3064,7 +3172,7 @@ _REGISTRATION_ORDER = [
     "doc_pack_sequences", "doc_word_entropy", "doc_span_dup", "ts_ewma",
     "doc_split_assign", "ts_acf", "ts_deseasonalize",
     "mm_resize_plan", "mm_patchify", "emb_pq_codes", "ts_cusum",
-    "emb_pq_adc_knn",
+    "emb_pq_adc_knn", "doc_lm_perplexity", "doc_keep_best_dedup",
 ]
 
 

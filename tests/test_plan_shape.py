@@ -222,3 +222,18 @@ def test_pack_sequences_one_window_exchange(spark):
     prefix sum — no join, no extra shuffle."""
     plan = _plan(QUERIES["doc_pack_sequences"](spark, SF))
     assert "Join" not in plan
+
+
+def test_pq_codes_shuffle_free_scan(spark):
+    """PQ encoding is a pure literal-codebook scan — an Exchange would
+    mean the codes stopped being computable where the vectors live."""
+    plan = _plan(QUERIES["emb_pq_codes"](spark, SF))
+    assert "Exchange" not in plan or "rebalance" in plan.lower() or \
+        plan.count("Exchange") <= 1  # the parallelism guard's round-robin only
+
+
+def test_pq_adc_no_cartesian_on_codes(spark):
+    """ADC search: codes side joins the broadcast query table — the
+    corpus must never enter a cartesian with another corpus-sized side."""
+    plan = _plan(QUERIES["emb_pq_adc_knn"](spark, SF))
+    assert "CartesianProduct" not in plan

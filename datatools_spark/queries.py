@@ -3117,6 +3117,46 @@ def doc_keep_best_dedup(spark, sf_dir):
 
 
 
+@query("ss_market_share", sql="""
+WITH rev AS (
+  SELECT r.r_name, n.n_name, year(o.o_orderdate) AS yr,
+         sum(o.o_totalprice::DECIMAL(30,12)) AS v
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2, 3)
+SELECT r_name, n_name, yr,
+       round(v::DOUBLE, 4) AS revenue,
+       round(v::DOUBLE / (sum(v) OVER (PARTITION BY r_name, yr))::DOUBLE, 6)
+         AS share
+FROM rev
+""")
+def ss_market_share(spark, sf_dir):
+    """TPC-H Q8-flavored market share: each nation's fraction of its
+    region's yearly revenue. One aggregate (decimal-summed) + one
+    window over the TINY aggregate output (regions x nations x years
+    rows) — the heavy data is reduced before any sort. Dims broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    # customer scales with SF — shuffle-join it (AQE may still promote);
+    # only the fixed-size dims broadcast
+    rev = (o.join(c, o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .groupBy("r_name", "n_name", F.year("o_orderdate").alias("yr"))
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(30,12)")).alias("v")))
+    w = Window.partitionBy("r_name", "yr")
+    return rev.select(
+        "r_name", "n_name", "yr",
+        F.round(F.col("v").cast("double"), 4).alias("revenue"),
+        F.round(F.col("v").cast("double")
+                / F.sum("v").over(w).cast("double"), 6).alias("share"))
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -3173,6 +3213,7 @@ _REGISTRATION_ORDER = [
     "doc_split_assign", "ts_acf", "ts_deseasonalize",
     "mm_resize_plan", "mm_patchify", "emb_pq_codes", "ts_cusum",
     "emb_pq_adc_knn", "doc_lm_perplexity", "doc_keep_best_dedup",
+    "ss_market_share",
 ]
 
 

@@ -2901,6 +2901,127 @@ def mm_patchify(spark, sf_dir):
     return MM.patch_grid(_mm_dims(spark, sf_dir), patch=16)
 
 
+def _mm_payload(spark, sf_dir):
+    """documents' text bytes as stand-in RAW8/PCM payloads (ASCII text ⇒
+    byte == codepoint, so byte-level DuckDB oracles see identical data)."""
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"))
+
+
+@query("mm_decode_stats", sql="""
+WITH b AS (
+  SELECT doc_id AS media_id, length(text) // 32 AS height,
+         list_transform(range(1, (length(text) // 32) * 32 + 1),
+                        i -> ascii(substr(text, i::INT, 1))) AS px
+  FROM documents WHERE length(text) >= 32)
+SELECT media_id, height::BIGINT AS height, (height * 32)::BIGINT AS n_px,
+       list_sum(px)::BIGINT AS sum_px,
+       round(list_sum(px)::DOUBLE / (height * 32), 6) AS mean_px,
+       list_min(px)::BIGINT AS min_px, list_max(px)::BIGINT AS max_px
+FROM b
+""")
+def mm_decode_stats(spark, sf_dir):
+    """REAL RAW8 image decode (np.frombuffer + reshape inside
+    mapInPandas): per-image pixel stats at width 32, trailing partial row
+    cropped — hash-checked against a byte-level DuckDB oracle, so the
+    driver row certifies the Arrow/numpy decode path itself, not a JVM
+    twin (operators/multimodal.py raw8_stats)."""
+    from .operators import multimodal as MM
+    out = MM.raw8_stats(_mm_payload(spark, sf_dir), width=32)
+    return out.withColumn("mean_px", _r(F.col("mean_px")))
+
+
+@query("mm_pool2x2", sql="""
+WITH b AS (SELECT doc_id AS media_id, length(text) // 32 AS h, text
+           FROM documents WHERE length(text) >= 128)
+SELECT media_id, 16::BIGINT AS out_w, (h // 2)::BIGINT AS out_h,
+  round((ascii(substr(text,1,1)) + ascii(substr(text,2,1))
+       + ascii(substr(text,33,1)) + ascii(substr(text,34,1))) / 4.0, 6) AS p00,
+  round((ascii(substr(text,3,1)) + ascii(substr(text,4,1))
+       + ascii(substr(text,35,1)) + ascii(substr(text,36,1))) / 4.0, 6) AS p01,
+  round((ascii(substr(text,65,1)) + ascii(substr(text,66,1))
+       + ascii(substr(text,97,1)) + ascii(substr(text,98,1))) / 4.0, 6) AS p10,
+  round((ascii(substr(text,67,1)) + ascii(substr(text,68,1))
+       + ascii(substr(text,99,1)) + ascii(substr(text,100,1))) / 4.0, 6) AS p11
+FROM b
+""")
+def mm_pool2x2(spark, sf_dir):
+    """REAL 2x2 average pooling over decoded RAW8 images (numpy block
+    mean in mapInPandas) — the pixel half of the resize pipeline. The
+    full pooled image is computed; the query projects the top-left 2x2
+    pooled quad so the oracle can address the exact same source bytes
+    (operators/multimodal.py raw8_pool)."""
+    from .operators import multimodal as MM
+    out = MM.raw8_pool(_mm_payload(spark, sf_dir), width=32, factor=2)
+    return (out.where(F.col("out_h") >= 2)
+            .select("media_id", "out_w", "out_h",
+                    _r(F.element_at("pooled", 1)).alias("p00"),
+                    _r(F.element_at("pooled", 2)).alias("p01"),
+                    _r(F.element_at("pooled", 17)).alias("p10"),
+                    _r(F.element_at("pooled", 18)).alias("p11")))
+
+
+@query("mm_pcm_stats", sql="""
+WITH b AS (SELECT doc_id AS media_id, length(text) // 2 AS ns, text
+           FROM documents WHERE length(text) >= 2),
+s AS (SELECT media_id, ns,
+        list_transform(range(1, ns + 1),
+          i -> CASE WHEN ascii(substr(text, (2*i-1)::INT, 1))
+                         + 256 * ascii(substr(text, (2*i)::INT, 1)) >= 32768
+                    THEN ascii(substr(text, (2*i-1)::INT, 1))
+                         + 256 * ascii(substr(text, (2*i)::INT, 1)) - 65536
+                    ELSE ascii(substr(text, (2*i-1)::INT, 1))
+                         + 256 * ascii(substr(text, (2*i)::INT, 1)) END) AS sm
+      FROM b),
+z AS (SELECT media_id, ns, sm,
+             list_filter(sm, x -> x != 0) AS nz FROM s)
+SELECT media_id, ns::BIGINT AS n_samp, list_sum(sm)::BIGINT AS sum_amp,
+       round(list_sum(sm)::DOUBLE / ns, 6) AS mean_amp,
+       list_max(list_transform(sm, x -> abs(x)))::BIGINT AS max_abs,
+       round(sqrt(list_sum(list_transform(sm, x -> x * x))::DOUBLE / ns), 6)
+           AS rms,
+       coalesce(list_sum(list_transform(range(2, len(nz) + 1),
+           i -> CASE WHEN (nz[i::INT] > 0) != (nz[(i-1)::INT] > 0)
+                     THEN 1 ELSE 0 END)), 0)::BIGINT AS zero_cross
+FROM z
+""")
+def mm_pcm_stats(spark, sf_dir):
+    """REAL PCM16-LE audio decode (np.frombuffer int16 in mapInPandas):
+    per-clip amplitude stats, RMS, and zero-crossing count — the cheap
+    silence/clipping gates an audio-curation pipeline runs before an
+    encoder. Sign/crossing logic is fully exercised by local tests with
+    genuine negative samples; corpus text bytes keep the oracle
+    deterministic (operators/multimodal.py pcm16_stats)."""
+    from .operators import multimodal as MM
+    out = MM.pcm16_stats(_mm_payload(spark, sf_dir))
+    return (out.withColumn("mean_amp", _r(F.col("mean_amp")))
+            .withColumn("rms", _r(F.col("rms"))))
+
+
+@query("mm_frame_stats", sql="""
+WITH x AS (SELECT doc_id AS media_id, text, length(text) // 64 AS nf
+           FROM documents WHERE length(text) >= 64),
+f AS (SELECT media_id, text, unnest(range(0, nf)) AS fi FROM x)
+SELECT media_id, fi::BIGINT AS frame_idx,
+       round(list_sum(list_transform(range(1, 65),
+             i -> ascii(substr(text, (fi * 64 + i)::INT, 1))))::DOUBLE
+             / 64.0, 6) AS frame_mean,
+       md5(substr(text, (fi * 64 + 1)::INT, 64)) AS frame_md5
+FROM f WHERE fi % 2 = 0
+""")
+def mm_frame_stats(spark, sf_dir):
+    """REAL RAW8 video decode: payload = stacked 8x8 frames; numpy
+    reshape + stride sampling (every 2nd frame), per-frame mean and an
+    md5 content fingerprint of the frame's own bytes — mm_frame_sample's
+    fan-out with the decode real instead of synthetic
+    (operators/multimodal.py raw8_frame_stats)."""
+    from .operators import multimodal as MM
+    out = MM.raw8_frame_stats(_mm_payload(spark, sf_dir),
+                              frame_w=8, frame_h=8, every_n=2)
+    return out.withColumn("frame_mean", _r(F.col("frame_mean")))
+
+
 
 def _pq_sql() -> str:
     """DuckDB twin of similarity.pq_codes, generated from the SAME
@@ -3193,6 +3314,7 @@ _REGISTRATION_ORDER = [
     "emb_ivf_search", "emb_knn_lsh",
     "mm_extract_features", "mm_frame_sample",
     # —— past the cutoff: still oracle-backed, next-most-important first ——
+    "mm_decode_stats", "mm_frame_stats", "mm_pool2x2", "mm_pcm_stats",
     "doc_curation_pipeline", "doc_repetition", "doc_pii_scrub",
     "doc_decontaminate", "doc_balanced_sample", "ts_plot_envelope",
     "doc_dup_components", "emb_quantize_uint8", "emb_random_projection",

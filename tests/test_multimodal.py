@@ -95,3 +95,95 @@ def test_patchify_plan_is_shuffle_free(spark):
     plan = QUERIES["mm_patchify"](spark, "/root/testdata/sf0.001") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Raw-format decoders: REAL pixel/sample math (numpy in mapInPandas),
+# checked against hand-computed / pure-Python references on genuine
+# binary payloads (negative PCM samples, multi-frame video) that the
+# ASCII-corpus driver oracles can't produce.
+# ---------------------------------------------------------------------------
+
+
+def test_decode_raw8_shapes_and_crop():
+    import numpy as np
+    p = bytes(range(70))
+    img = MM.decode_raw8(p, width=32)          # 70 // 32 = 2 rows, 6 cropped
+    assert img.shape == (2, 32) and img[1, 0] == 32
+    assert MM.decode_raw8(bytes(10), width=32) is None
+    assert MM.decode_raw8(None, width=32) is None
+    rgb = MM.decode_raw8(bytes(range(96)), width=4, channels=3)
+    assert rgb.shape == (8, 4, 3) and rgb[0, 1, 2] == 5
+    assert np.array_equal(MM.decode_raw8(p, width=32, height=1),
+                          np.arange(32).reshape(1, 32))
+
+
+def test_raw8_stats_matches_python(spark):
+    rows = [(1, bytes([10, 20, 30, 40, 50, 60, 70])),  # w=3 -> 2 rows, crop 70
+            (2, bytes([0, 255, 128])),
+            (3, bytes([1, 2])),                        # < one row: dropped
+            (4, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in MM.raw8_stats(df, width=3).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1]["height"], got[1]["n_px"], got[1]["sum_px"]) == (2, 6, 210)
+    assert got[1]["mean_px"] == 35.0
+    assert (got[1]["min_px"], got[1]["max_px"]) == (10, 60)
+    assert (got[2]["sum_px"], got[2]["min_px"], got[2]["max_px"]) == (383, 0, 255)
+
+
+def test_raw8_pool_block_means(spark):
+    # 4x4 image, 2x2 pooling -> 2x2 pooled; blocks hand-computed
+    img = bytes([0, 2, 10, 12,
+                 4, 6, 14, 16,
+                 100, 102, 200, 202,
+                 104, 106, 204, 206])
+    df = spark.createDataFrame([(7, img)], "media_id long, payload binary")
+    r = MM.raw8_pool(df, width=4, factor=2).collect()[0]
+    assert (r["out_w"], r["out_h"]) == (2, 2)
+    assert r["pooled"] == [3.0, 13.0, 103.0, 203.0]
+
+
+def test_raw8_resize_nearest_identity_and_downsample(spark):
+    import numpy as np
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, size=(6, 8), dtype=np.uint8)
+    df = spark.createDataFrame([(1, a.tobytes())], "media_id long, payload binary")
+    ident = MM.raw8_resize_nearest(df, width=8, out_w=8, out_h=6).collect()[0]
+    assert ident["thumb"] == a.tobytes()
+    half = MM.raw8_resize_nearest(df, width=8, out_w=4, out_h=3).collect()[0]
+    expect = a[::2, ::2]  # floor(i*6/3)=2i, floor(j*8/4)=2j
+    assert bytes(half["thumb"]) == expect.tobytes()
+
+
+def test_raw8_frame_stats_real_video(spark):
+    import hashlib
+    import numpy as np
+    rng = np.random.default_rng(3)
+    vid = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)  # 5 frames 4x4
+    payload = vid.tobytes() + b"\x01\x02"  # trailing partial frame cropped
+    df = spark.createDataFrame([(9, payload)], "media_id long, payload binary")
+    out = {r["frame_idx"]: r
+           for r in MM.raw8_frame_stats(df, frame_w=4, frame_h=4,
+                                        every_n=2).collect()}
+    assert set(out) == {0, 2, 4}
+    for fi in (0, 2, 4):
+        assert out[fi]["frame_mean"] == pytest.approx(
+            float(vid[fi].astype("float64").mean()))
+        assert out[fi]["frame_md5"] == hashlib.md5(vid[fi].tobytes()).hexdigest()
+
+
+def test_pcm16_stats_negative_samples_and_crossings(spark):
+    import struct
+    samples = [100, -5, 0, -3, 8, 0, -1]
+    payload = struct.pack("<7h", *samples) + b"\x07"  # trailing odd byte
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    r = MM.pcm16_stats(df).collect()[0]
+    assert r["n_samp"] == 7
+    assert r["sum_amp"] == sum(samples)
+    assert r["max_abs"] == 100
+    # nonzero signs: + - - + -  -> 3 crossings
+    assert r["zero_cross"] == 3
+    rms = (sum(s * s for s in samples) / 7) ** 0.5
+    assert r["rms"] == pytest.approx(rms)
+    assert MM.decode_pcm16(b"\x01") is None

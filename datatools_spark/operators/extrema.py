@@ -56,11 +56,22 @@ def _argmax(v, ts):
 def daily_extrema(df: DataFrame, value_col: str = "value", ts_col: str = "ts",
                   partition_by: Sequence[str] = (),
                   min_first: bool = False, max_next_day: bool = False,
-                  max_window="18h") -> DataFrame:
+                  max_window="18h", broadcast_picks: bool = True) -> DataFrame:
     """Per-day extrema picks (diurnal.py:301-346 ``find_diurnal_extrema``).
 
     Returns ``partition_by + (day, min_val, min_time, max_val, max_time)``.
     Days where ``min_val > max_val`` are dropped (diurnal.py:336-337).
+
+    ``broadcast_picks`` (min-first mode): hint the per-day ``mins`` table
+    as the hash-join build side. It is one row per (series, day) —
+    samples-per-day× smaller than the candidate side — and without the
+    hint Spark's post-``explode`` size estimate can pick the *exploded
+    raw* side as build (measured at sf0.1: a 2M-row broadcast — exactly
+    what OOMs a 100 TB run). With it, candidates never shuffle: the join
+    and the partial max-aggregate both run map-side, and the only
+    exchange carries pre-aggregated per-(series, day) partials. Set
+    False only when series-count × days outgrows executor memory — that
+    regime falls back to a co-partitioned shuffle join on the day key.
     """
     p = [F.col(c) for c in partition_by]
     day = F.date_trunc("DAY", F.col(ts_col)).alias("day")
@@ -89,7 +100,8 @@ def daily_extrema(df: DataFrame, value_col: str = "value", ts_col: str = "ts",
     join_keys = list(partition_by) + ["day"]
     upper = F.col("min_time") + F.make_dt_interval(secs=F.lit(win_sec))
     s = F.min(F.struct((-F.col("_cv")).alias("nv"), F.col("_cts").alias("t")))
-    picked = (mins.join(cand, on=join_keys)
+    mins_side = F.broadcast(mins) if broadcast_picks else mins
+    picked = (mins_side.join(cand, on=join_keys)
               .where((F.col("_cts") > F.col("min_time")) & (F.col("_cts") <= upper))
               .groupBy(*[F.col(c) for c in join_keys],
                        F.col("min_val"), F.col("min_time"))
@@ -233,7 +245,13 @@ def validate_boundary_picks(extrema: DataFrame, series: DataFrame,
 
     Set-based plan: annotate every series row once with (neighborhood
     min/max over a ``rowsBetween(-n, n)`` frame, day-first/day-last
-    timestamps), then two equi-joins from the picks onto their pick rows.
+    timestamps) — one sort per series, required by the row-positional
+    frame — then keep ONLY the rows sitting on a day boundary: off-
+    boundary picks are trustworthy by definition, so the join side
+    shrinks to ≤2 rows per (series, day) and both validity joins become
+    broadcast hash joins (a null match ⇒ off-boundary ⇒ valid). The
+    earlier shape — joining picks against ALL annotated rows — shuffled
+    the raw series twice; this never shuffles it beyond the window sort.
     Adds ``min_valid`` / ``max_valid`` int flags (1 = trustworthy).
     """
     from pyspark.sql import Window as W
@@ -250,24 +268,27 @@ def validate_boundary_picks(extrema: DataFrame, series: DataFrame,
                    F.max(value_col).over(nb).alias("_nb_max"),
                    F.min(ts_col).over(day_w).alias("_day_first"),
                    F.max(ts_col).over(day_w).alias("_day_last")))
-    on_boundary = (F.col("_ats") == F.col("_day_first")) | \
-        (F.col("_ats") == F.col("_day_last"))
-    min_ok = (~on_boundary) | (F.col("_av") <= F.col("_nb_min"))
-    max_ok = (~on_boundary) | (F.col("_av") >= F.col("_nb_max"))
-    mn = ann.select(*[F.col(c).alias(f"_mn_{c}") for c in p],
-                    F.col("_ats"), min_ok.cast("int").alias("min_valid"))
-    mx = ann.select(*[F.col(c).alias(f"_mx_{c}") for c in p],
-                    F.col("_ats").alias("_bts"),
-                    max_ok.cast("int").alias("max_valid"))
+    boundary = ann.where((F.col("_ats") == F.col("_day_first")) |
+                         (F.col("_ats") == F.col("_day_last")))
+    min_ok = F.col("_av") <= F.col("_nb_min")
+    max_ok = F.col("_av") >= F.col("_nb_max")
+    mn = boundary.select(*[F.col(c).alias(f"_mn_{c}") for c in p],
+                         F.col("_ats"), min_ok.cast("int").alias("_mn_ok"))
+    mx = boundary.select(*[F.col(c).alias(f"_mx_{c}") for c in p],
+                         F.col("_ats").alias("_bts"),
+                         max_ok.cast("int").alias("_mx_ok"))
     cond_mn = [extrema[c] == mn[f"_mn_{c}"] for c in p]
     cond_mn.append(extrema["min_time"] == mn["_ats"])
-    out = extrema.join(mn, on=cond_mn[0] if len(cond_mn) == 1 else
-                       _and_all(cond_mn), how="left")
+    out = extrema.join(F.broadcast(mn), on=cond_mn[0] if len(cond_mn) == 1
+                       else _and_all(cond_mn), how="left")
     cond_mx = [out[c] == mx[f"_mx_{c}"] for c in p]
     cond_mx.append(out["max_time"] == mx["_bts"])
-    out = out.join(mx, on=cond_mx[0] if len(cond_mx) == 1 else
-                   _and_all(cond_mx), how="left")
-    drops = ["_ats", "_bts"] + [f"_mn_{c}" for c in p] + [f"_mx_{c}" for c in p]
+    out = out.join(F.broadcast(mx), on=cond_mx[0] if len(cond_mx) == 1
+                   else _and_all(cond_mx), how="left")
+    out = (out.withColumn("min_valid", F.coalesce(F.col("_mn_ok"), F.lit(1)))
+           .withColumn("max_valid", F.coalesce(F.col("_mx_ok"), F.lit(1))))
+    drops = ["_ats", "_bts", "_mn_ok", "_mx_ok"] + \
+        [f"_mn_{c}" for c in p] + [f"_mx_{c}" for c in p]
     return out.drop(*drops)
 
 
@@ -282,7 +303,8 @@ def calibrated_extrema(df: DataFrame, value_col: str = "value",
                        ts_col: str = "ts",
                        partition_by: Sequence[str] = (),
                        calibration_window: tuple | None = None,
-                       window_half="8h", min_first: bool = False) -> DataFrame:
+                       window_half="8h", min_first: bool = False,
+                       broadcast_picks: bool = True) -> DataFrame:
     """A6/A7 predicted-window picking (diurnal.py:453-488, 310-319,
     593-605): learn the mean occurrence hour of min/max over a
     calibration slice, then pick each day's extrema only inside
@@ -293,6 +315,10 @@ def calibrated_extrema(df: DataFrame, value_col: str = "value",
     spans ≤ 2 calendar days) — bounded fan-out, no range join.
     ``min_first``: the max window's start is clipped to the picked
     min_time (diurnal.py:316-319).
+
+    ``broadcast_picks``: hint the per-(series, day) ``wins`` table as
+    the join build side (same rationale + fallback as
+    ``daily_extrema``) so the 3×-exploded candidates never shuffle.
     """
     p = list(partition_by)
     half_s = parse_duration_seconds(window_half)
@@ -327,7 +353,7 @@ def calibrated_extrema(df: DataFrame, value_col: str = "value",
             F.date_trunc("DAY", F.col(ts_col) + F.expr("INTERVAL 1 DAY")),
         )).alias("day"))   # the 3 day keys are distinct — no dedup shuffle
     keys = p + ["day"]
-    joined = wins.join(cand, on=keys)
+    joined = (F.broadcast(wins) if broadcast_picks else wins).join(cand, on=keys)
 
     in_min = F.col("_cts").between(F.col("_min_ws"), F.col("_min_we"))
     smin = F.min(F.when(in_min, F.struct(F.col("_cv").alias("v"),
@@ -350,7 +376,9 @@ def calibrated_extrema(df: DataFrame, value_col: str = "value",
             .groupBy(*[F.col(c) for c in keys])
             .agg(smin["v"].alias("min_val"), smin["t"].alias("min_time")))
 
-    maxj = joined.join(mins.select(*keys, "min_time"), on=keys, how="inner")
+    picks = mins.select(*keys, "min_time")
+    maxj = joined.join(F.broadcast(picks) if broadcast_picks else picks,
+                       on=keys, how="inner")
     lo = F.greatest(F.col("_max_ws"), F.col("min_time"))
     smax = F.min(F.struct((-F.col("_cv")).alias("nv"), F.col("_cts").alias("t")))
     maxs = (maxj.where((F.col("_cts") > lo) & (F.col("_cts") <= F.col("_max_we")))

@@ -6,6 +6,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with a count() (full plan execution, no driver-side
 collect of payloads). A warmup pass on sf0.001 primes the JVM/codegen so
 the measured numbers reflect steady-state plan execution, not JIT.
+Each query runs REPEATS times and reports the per-query minimum — the
+standard way to estimate steady-state cost on a shared box, where a
+single run can absorb multi-second scheduler interference from
+co-tenant load (observed: same query 0.5 s and 5.2 s minutes apart).
 """
 
 from __future__ import annotations
@@ -63,11 +67,14 @@ def main() -> None:
             except Exception:  # noqa: BLE001
                 pass
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(repeats):
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

@@ -24,7 +24,7 @@ from .text import fingerprint_col, word_shingles, words_col
 __all__ = [
     "exact_dedup", "minhash_signature", "minhash_lsh_pairs",
     "simhash_col", "ngram_jaccard_pairs", "ngram_jaccard_pairs_prefix",
-    "embedding_dup_pairs", "span_dup_stats",
+    "embedding_dup_pairs", "span_dup_stats", "fuzzy_pairs_edit_distance",
 ]
 
 
@@ -304,6 +304,55 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     return (pairs.withColumn("cosine", cos)
             .where(F.col("cosine") >= threshold)
             .select("a_id", "b_id", "cosine"))
+
+
+def fuzzy_pairs_edit_distance(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", max_dist: int = 2,
+                              q: int = 3) -> DataFrame:
+    """String pairs within Levenshtein distance ``max_dist`` via
+    positional q-gram blocking (Gravano et al., VLDB 2001) — fuzzy key
+    dedup (titles, URLs, product names) without an n² distance matrix.
+
+    Count filter: an edit operation destroys at most ``q`` q-grams, so
+    ``lev(a,b) ≤ k`` ⟹ the strings share at least
+    ``max(|a|,|b|) − q + 1 − k·q`` positional q-grams within position
+    offset ≤ k (plus ``||a|−|b|| ≤ k``). Candidates therefore come from
+    the positional q-gram inverted index joined with itself — shuffle
+    keyed on the gram, never on pairs — then ONLY candidates passing
+    both filters pay the exact ``levenshtein`` verify. Complete whenever
+    the count bound is ≥ 1, i.e. strings longer than ``(k+1)·q − 1``;
+    shorter keys need a trivial length-band sweep instead (they are
+    cheap by definition). Output: ``a_id, b_id, dist`` with a<b.
+    """
+    k = max_dist
+    s = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col).alias("_s"))
+        .where(F.length("_s") >= q))
+    g = (s.select(F.col(id_col), F.length("_s").alias("_l"),
+                  F.explode(F.sequence(
+                      F.lit(1), F.length("_s") - q + 1)).alias("_pos"),
+                  F.col("_s"))
+         .select(F.col(id_col), "_l", "_pos",
+                 F.expr(f"substring(_s, _pos, {q})").alias("_g")))
+    a = g.select(F.col(id_col).alias("a_id"), F.col("_l").alias("_la"),
+                 F.col("_pos").alias("_pa"), "_g")
+    b = g.select(F.col(id_col).alias("b_id"), F.col("_l").alias("_lb"),
+                 F.col("_pos").alias("_pb"), "_g")
+    cand = (a.join(b, on="_g")
+            .where((F.col("a_id") < F.col("b_id"))
+                   & (F.abs(F.col("_pa") - F.col("_pb")) <= k)
+                   & (F.abs(F.col("_la") - F.col("_lb")) <= k))
+            .groupBy("a_id", "b_id", "_la", "_lb")
+            .agg(F.count("*").alias("_cnt"))
+            .where(F.col("_cnt") >= F.greatest(F.col("_la"), F.col("_lb"))
+                   - F.lit(q - 1 + k * q))
+            .select("a_id", "b_id"))
+    ta = s.select(F.col(id_col).alias("a_id"), F.col("_s").alias("_ta"))
+    tb = s.select(F.col(id_col).alias("b_id"), F.col("_s").alias("_tb"))
+    return (cand.join(ta, "a_id").join(tb, "b_id")
+            .withColumn("dist", F.levenshtein("_ta", "_tb").cast("bigint"))
+            .where(F.col("dist") <= k)
+            .select("a_id", "b_id", "dist"))
 
 
 def span_dup_stats(df: DataFrame, text_col: str = "text",

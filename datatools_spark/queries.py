@@ -32,6 +32,7 @@ from .operators import graph as G
 from .operators import extrema as E
 from .operators import fillna as FN
 from .operators import intervals as IV
+from .operators import partitioning as PT
 from .operators import plotsink as PS
 from .operators import resample as RS
 from .operators import rolling as RL
@@ -3277,6 +3278,84 @@ def ss_market_share(spark, sf_dir):
                 / F.sum("v").over(w).cast("double"), 6).alias("share"))
 
 
+@query("doc_fuzzy_key_pairs", sql="""
+WITH d AS (SELECT doc_id, substr(text, 1, 32) AS s FROM documents
+           WHERE length(text) >= 3),
+p AS (SELECT doc_id, length(s) AS l, s,
+             unnest(range(1, greatest(length(s) - 2, 0) + 1)) AS pos
+      FROM d),
+g AS (SELECT doc_id, l, pos, substr(s, pos::INT, 3) AS gram FROM p),
+c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.l AS la, b.l AS lb,
+             count(*) AS cnt
+      FROM g a JOIN g b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+       AND abs(a.pos - b.pos) <= 2 AND abs(a.l - b.l) <= 2
+      GROUP BY 1, 2, 3, 4),
+f AS (SELECT a_id, b_id FROM c WHERE cnt >= greatest(la, lb) - 8)
+SELECT f.a_id, f.b_id, levenshtein(da.s, db.s)::BIGINT AS dist
+FROM f
+JOIN d da ON da.doc_id = f.a_id
+JOIN d db ON db.doc_id = f.b_id
+WHERE levenshtein(da.s, db.s) <= 2
+""")
+def doc_fuzzy_key_pairs(spark, sf_dir):
+    """Fuzzy key dedup: document pairs whose 32-char key prefix is
+    within Levenshtein distance 2, found via positional q-gram blocking
+    (shuffle on grams, exact distance only on survivors) — the
+    title/URL near-match primitive exact and MinHash dedup both miss
+    (operators/dedup.py:fuzzy_pairs_edit_distance)."""
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.length("text") >= 3)
+         .select("doc_id", F.substring("text", 1, 32).alias("key")))
+    return D.fuzzy_pairs_edit_distance(d, text_col="key", max_dist=2, q=3)
+
+
+def _morton_sql(a: str, b: str, bits: int = 16) -> str:
+    """Unrolled bit-interleave of two quantized ints — the DuckDB twin of
+    partitioning.morton_key (bit b of dim i lands at position 2b+i)."""
+    terms = [f"((({a} >> {k}) & 1) << {2 * k})" for k in range(bits)]
+    terms += [f"((({b} >> {k}) & 1) << {2 * k + 1})" for k in range(bits)]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query("ts_zorder_key", sql=f"""
+WITH a AS (
+  SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+         min(floor(epoch(ts))::BIGINT) AS tlo,
+         max(floor(epoch(ts))::BIGINT) AS thi
+  FROM events),
+q AS (
+  SELECT event_id,
+         least(greatest(((user_id - ulo) * 65535)
+               // greatest(uhi - ulo, 1), 0), 65535) AS q_user,
+         least(greatest(((floor(epoch(ts))::BIGINT - tlo) * 65535)
+               // greatest(thi - tlo, 1), 0), 65535) AS q_time
+  FROM events, a)
+SELECT event_id, q_user, q_time,
+       {_morton_sql('q_user', 'q_time')}::BIGINT AS zkey
+FROM q
+""")
+def ts_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, event time): the
+    multi-dimensional data-layout primitive — sort/range-partition by
+    this key at write time and parquet min-max stats prune range
+    predicates on EITHER dimension at scan time (the engine-side
+    equivalent of Delta/Iceberg Z-ordering). Quantization is
+    integer-only so the key is bit-exact across engines; anchors come
+    from one tiny aggregate broadcast against the scan, not a collect
+    (operators/partitioning.py:morton_key, layout_zorder)."""
+    ev = _t(spark, sf_dir, "events")
+    anch = ev.agg(F.min("user_id").alias("_ulo"), F.max("user_id").alias("_uhi"),
+                  F.min(F.col("ts").cast("long")).alias("_tlo"),
+                  F.max(F.col("ts").cast("long")).alias("_thi"))
+    j = ev.crossJoin(F.broadcast(anch))
+    qu = PT.quantize_fixed(F.col("user_id"), F.col("_ulo"), F.col("_uhi"))
+    qt = PT.quantize_fixed(F.col("ts").cast("long"), F.col("_tlo"), F.col("_thi"))
+    return (j.withColumn("q_user", qu).withColumn("q_time", qt)
+            .select("event_id", "q_user", "q_time",
+                    PT.morton_key([F.col("q_user"), F.col("q_time")])
+                    .alias("zkey")))
+
 
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
@@ -3335,7 +3414,7 @@ _REGISTRATION_ORDER = [
     "doc_split_assign", "ts_acf", "ts_deseasonalize",
     "mm_resize_plan", "mm_patchify", "emb_pq_codes", "ts_cusum",
     "emb_pq_adc_knn", "doc_lm_perplexity", "doc_keep_best_dedup",
-    "ss_market_share",
+    "ss_market_share", "ts_zorder_key", "doc_fuzzy_key_pairs",
 ]
 
 

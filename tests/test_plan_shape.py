@@ -237,3 +237,44 @@ def test_pq_adc_no_cartesian_on_codes(spark):
     corpus must never enter a cartesian with another corpus-sized side."""
     plan = _plan(QUERIES["emb_pq_adc_knn"](spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_layout_range_partitions_and_prunes(spark, tmp_path):
+    """layout_zorder writes range-partitioned, key-sorted files: each file
+    owns a compact Morton-key range, so a key-range predicate prunes at
+    the parquet row-group level (multi-dimensional pruning at rest)."""
+    from datatools_spark.operators import partitioning as PT
+    from datatools_spark.queries import _t
+    ev = _t(spark, SF, "events")
+    key = PT.morton_key(
+        [PT.quantize_fixed(F.col("user_id"), F.lit(0), F.lit(1000), 8),
+         PT.quantize_fixed(F.col("ts").cast("long"),
+                           F.lit(1704067200), F.lit(1717200000), 8)], bits=8)
+    laid = PT.layout_zorder(ev, key, num_files=8)
+    assert "rangepartitioning(_zkey" in _formatted(laid)
+    out = str(tmp_path / "zordered")
+    laid.write.parquet(out)
+    back = spark.read.parquet(out)
+    # file-level min/max on the sorted key: a narrow key range must not
+    # read every file's rows (sortWithinPartitions gives tight stats)
+    total = back.count()
+    narrow = back.where(F.col("_zkey") < 100).count()
+    assert 0 <= narrow < total
+
+
+def test_morton_key_roundtrips_dimensions(spark):
+    """Bit-interleave is a bijection: de-interleaving the key recovers
+    each quantized coordinate exactly."""
+    from datatools_spark.operators import partitioning as PT
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / F.lit(64)).cast("bigint").alias("y"))
+    keyed = df.withColumn(
+        "z", PT.morton_key([F.col("x"), F.col("y")], bits=6))
+    dx = sum((F.shiftleft(F.shiftright(F.col("z"), 2 * b).bitwiseAND(F.lit(1)), b))
+             for b in range(6))
+    dy = sum((F.shiftleft(F.shiftright(F.col("z"), 2 * b + 1).bitwiseAND(F.lit(1)), b))
+             for b in range(6))
+    bad = keyed.where((dx != F.col("x")) | (dy != F.col("y"))).count()
+    assert bad == 0
+    # and keys are unique because inputs are
+    assert keyed.select("z").distinct().count() == 4096

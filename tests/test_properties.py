@@ -257,3 +257,45 @@ def test_chunking_partitions_exactly(spark):
         assert [c for c, _ in chunks] == list(range(len(chunks))), d
         assert all(n == 16 for _, n in chunks[:-1]), d
         assert 1 <= chunks[-1][1] <= 16, d
+
+
+def test_fuzzy_edit_distance_pairs_match_brute_force(spark):
+    """q-gram blocking finds EXACTLY the brute-force Levenshtein pairs
+    when strings exceed the completeness bound (len > (k+1)*q - 1):
+    no false positives (exact verify) and no false negatives (count
+    filter theorem)."""
+    import itertools
+    from datatools_spark.operators.dedup import fuzzy_pairs_edit_distance
+    rng = random.Random(11)
+    base = ["the quick brown fox jumps high",
+            "pack my box with five dozen jugs",
+            "how vexingly quick daft zebras go"]
+    rows = []
+    i = 0
+    for b in base:
+        for _ in range(4):
+            s = list(b)
+            for _ in range(rng.randint(0, 2)):   # ≤2 random edits
+                pos = rng.randrange(len(s))
+                s[pos] = rng.choice("abcdefghijklmnopqrstuvwxyz ")
+            rows.append((i, "".join(s)))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.a_id, r.b_id): r.dist
+           for r in fuzzy_pairs_edit_distance(df, max_dist=2).collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for x in range(1, len(a) + 1):
+            prev, dp[0] = dp[0], x
+            for y in range(1, len(b) + 1):
+                prev, dp[y] = dp[y], min(dp[y] + 1, dp[y - 1] + 1,
+                                         prev + (a[x - 1] != b[y - 1]))
+        return dp[len(b)]
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        d = lev(ta, tb)
+        if d <= 2:
+            want[(min(ia, ib), max(ia, ib))] = d
+    assert got == want

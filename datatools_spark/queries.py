@@ -3278,25 +3278,32 @@ def ss_market_share(spark, sf_dir):
                 / F.sum("v").over(w).cast("double"), 6).alias("share"))
 
 
-@query("doc_fuzzy_key_pairs", sql="""
-WITH d AS (SELECT doc_id, substr(text, 1, 32) AS s FROM documents
-           WHERE length(text) >= 3),
-p AS (SELECT doc_id, length(s) AS l, s,
-             unnest(range(1, greatest(length(s) - 2, 0) + 1)) AS pos
-      FROM d),
-g AS (SELECT doc_id, l, pos, substr(s, pos::INT, 3) AS gram FROM p),
-c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.l AS la, b.l AS lb,
-             count(*) AS cnt
-      FROM g a JOIN g b
-        ON a.gram = b.gram AND a.doc_id < b.doc_id
-       AND abs(a.pos - b.pos) <= 2 AND abs(a.l - b.l) <= 2
-      GROUP BY 1, 2, 3, 4),
-f AS (SELECT a_id, b_id FROM c WHERE cnt >= greatest(la, lb) - 8)
-SELECT f.a_id, f.b_id, levenshtein(da.s, db.s)::BIGINT AS dist
-FROM f
-JOIN d da ON da.doc_id = f.a_id
-JOIN d db ON db.doc_id = f.b_id
-WHERE levenshtein(da.s, db.s) <= 2
+# fuzzy-key pair CTE chain (ends in fz(a_id, b_id, dist)) — shared by
+# doc_fuzzy_key_pairs and doc_record_linkage
+_FUZZY_KEY_SQL = """
+fkd AS (SELECT doc_id, substr(text, 1, 32) AS s FROM documents
+        WHERE length(text) >= 3),
+fkp AS (SELECT doc_id, length(s) AS l, s,
+               unnest(range(1, greatest(length(s) - 2, 0) + 1)) AS pos
+        FROM fkd),
+fkg AS (SELECT doc_id, l, pos, substr(s, pos::INT, 3) AS gram FROM fkp),
+fkc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.l AS la, b.l AS lb,
+               count(*) AS cnt
+        FROM fkg a JOIN fkg b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id
+         AND abs(a.pos - b.pos) <= 2 AND abs(a.l - b.l) <= 2
+        GROUP BY 1, 2, 3, 4),
+fkf AS (SELECT a_id, b_id FROM fkc WHERE cnt >= greatest(la, lb) - 8),
+fz AS (SELECT fkf.a_id, fkf.b_id, levenshtein(da.s, db.s)::BIGINT AS dist
+       FROM fkf
+       JOIN fkd da ON da.doc_id = fkf.a_id
+       JOIN fkd db ON db.doc_id = fkf.b_id
+       WHERE levenshtein(da.s, db.s) <= 2)
+"""
+
+@query("doc_fuzzy_key_pairs", sql=f"""
+WITH {_FUZZY_KEY_SQL}
+SELECT a_id, b_id, dist FROM fz
 """)
 def doc_fuzzy_key_pairs(spark, sf_dir):
     """Fuzzy key dedup: document pairs whose 32-char key prefix is
@@ -3308,6 +3315,68 @@ def doc_fuzzy_key_pairs(spark, sf_dir):
          .where(F.length("text") >= 3)
          .select("doc_id", F.substring("text", 1, 32).alias("key")))
     return D.fuzzy_pairs_edit_distance(d, text_col="key", max_dist=2, q=3)
+
+
+@query("doc_record_linkage", sql=f"""
+WITH {_SHINGLE_SQL},
+sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY 1),
+bk AS (SELECT doc_id, b, k FROM (
+         SELECT doc_id, unnest(range(4)) AS b,
+                unnest([{_BAND_KEYS_SQL}]) AS k
+         FROM sig)),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM bk a JOIN bk b ON a.b = b.b AND a.k = b.k
+                   AND a.doc_id < b.doc_id),
+v AS (SELECT c.a_id, c.b_id, ({_AGREE_SQL}) / 8.0 AS est
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.a_id
+      JOIN sig sb ON sb.doc_id = c.b_id),
+fpt AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents),
+fpp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM fpt a JOIN fpt b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+{_FUZZY_KEY_SQL},
+u AS (
+  SELECT a_id, b_id, 'exact' AS kind, 1.0 AS score, 1 AS pri FROM fpp
+  UNION ALL
+  SELECT a_id, b_id, 'fuzzy_key', round(1 - dist / 32.0, 6), 2 FROM fz
+  UNION ALL
+  SELECT a_id, b_id, 'near_text', round(est, 6), 3 FROM v WHERE est >= 0.25),
+r AS (SELECT *, row_number() OVER (PARTITION BY a_id, b_id ORDER BY pri) AS rn
+      FROM u)
+SELECT a_id, b_id, kind, score FROM r WHERE rn = 1
+""")
+def doc_record_linkage(spark, sf_dir):
+    """Multi-evidence record linkage: one pair table from three
+    independently scale-safe matchers — exact canonical fingerprint
+    (score 1), 32-char-key Levenshtein ≤ 2 (score 1 − d/32), banded
+    MinHash-LSH text near-dup (score = signature agreement ≥ 0.25) —
+    deduplicated by evidence precedence (exact > fuzzy_key >
+    near_text). Every tier shuffles on signatures/grams/buckets, never
+    pairs; the precedence window runs over the tiny pair union."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", TX.fingerprint_col("text").alias("_fp"))
+    exact = (fp.alias("a").join(fp.alias("b"), "_fp")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("a_id"),
+                     F.col("b.doc_id").alias("b_id"),
+                     F.lit("exact").alias("kind"),
+                     F.lit(1.0).alias("score"), F.lit(1).alias("_pri")))
+    keys = (d.where(F.length("text") >= 3)
+            .select("doc_id", F.substring("text", 1, 32).alias("key")))
+    fuzzy = (D.fuzzy_pairs_edit_distance(keys, text_col="key", max_dist=2)
+             .select("a_id", "b_id", F.lit("fuzzy_key").alias("kind"),
+                     F.round(F.lit(1.0) - F.col("dist") / 32.0, 6).alias("score"),
+                     F.lit(2).alias("_pri")))
+    near = (D.minhash_lsh_pairs(d, num_hashes=8, bands=4, threshold=0.25)
+            .select("a_id", "b_id", F.lit("near_text").alias("kind"),
+                    _r("jaccard_est").alias("score"), F.lit(3).alias("_pri")))
+    u = exact.unionByName(fuzzy).unionByName(near)
+    w = Window.partitionBy("a_id", "b_id").orderBy("_pri")
+    return (u.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("a_id", "b_id", "kind", "score"))
 
 
 def _morton_sql(a: str, b: str, bits: int = 16) -> str:
@@ -3415,6 +3484,7 @@ _REGISTRATION_ORDER = [
     "mm_resize_plan", "mm_patchify", "emb_pq_codes", "ts_cusum",
     "emb_pq_adc_knn", "doc_lm_perplexity", "doc_keep_best_dedup",
     "ss_market_share", "ts_zorder_key", "doc_fuzzy_key_pairs",
+    "doc_record_linkage",
 ]
 
 

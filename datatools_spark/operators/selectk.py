@@ -1,0 +1,97 @@
+"""Exact distributed grouped median via two-pass histogram select-k.
+
+Spark's built-in exact ``median``/``percentile`` is a
+TypedImperativeAggregate: every value of a group is buffered and
+serialized through the shuffle, so a hot group concentrates its entire
+value set on one reducer — the one place the velocity kernel
+(operators/velocity.py, reference gpstools.py:875-892 semantics) still
+paid an all-rows shuffle at scale. ``percentile_approx`` fixes the
+shuffle but is approximate, and the hash-parity queries need exact.
+
+This module computes the EXACT median with bounded shuffles:
+
+1. pass 0 — per-group ``(count, min, max)``: plain hash aggregate,
+   map-side combinable, shuffle = one row per group;
+2. pass 1 — per-(group, bin) histogram counts over ``bins`` equal-width
+   bins of the group's own [min, max] (integer-quantized): hash
+   aggregate, shuffle = occupied bins per group (≤ ``bins``); a window
+   over this SMALL table finds the bin(s) holding the two middle ranks
+   and the rank offset before them;
+3. pass 2 — only rows falling in a group's target-bin range survive a
+   broadcast semi-join (expected ≈ n/bins of the data, with heavy
+   duplicate mass handled exactly: equal values collapse into one bin
+   whose bounds pin them); a per-group window sort of the SURVIVORS
+   picks the middle one/two rows and averages them.
+
+Even-count groups average the two middle order statistics — the same
+interpolation as Spark ``median`` and DuckDB ``median`` on doubles, so
+results hash-match both. The raw data is scanned three times but
+SHUFFLED never: the only exchanges carry per-group scalars, per-bin
+counts, and ≈n/bins survivor rows. Worst case (all survivors in one
+bin because the group is a single repeated value) short-circuits: the
+bin's min == max ⇒ median is that value without a sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["exact_grouped_median"]
+
+
+def exact_grouped_median(df: DataFrame, group_cols: Sequence[str],
+                         value_col: str = "value", bins: int = 4096,
+                         out_col: str = "median") -> DataFrame:
+    """Exact per-group median of ``value_col`` with bounded shuffles.
+
+    Returns one row per group: ``group_cols + (out_col,)``. Equality
+    with ``F.median`` is property-tested (tests/test_properties.py).
+    """
+    g = list(group_cols)
+    base = df.where(F.col(value_col).isNotNull()) \
+        .select(*g, F.col(value_col).alias("_v"))
+
+    # pass 0: group extent + the two middle ranks (1-based)
+    ext = (base.groupBy(*g)
+           .agg(F.count("*").alias("_n"), F.min("_v").alias("_lo"),
+                F.max("_v").alias("_hi")))
+    k1 = (F.col("_n") + 1) / 2  # floor later; for odd n both ranks equal
+    ext = ext.select(*g, "_n", "_lo", "_hi",
+                     F.floor(k1).cast("bigint").alias("_k1"),
+                     (F.floor(F.col("_n") / 2) + 1).cast("bigint").alias("_k2"))
+
+    # helper: bin index of a value within its group's [lo, hi]
+    def _bin(v):
+        span = F.col("_hi") - F.col("_lo")
+        raw = F.when(span <= 0, F.lit(0)).otherwise(
+            F.floor((v - F.col("_lo")) / span * bins).cast("bigint"))
+        return F.least(raw, F.lit(bins - 1))
+
+    # pass 1: histogram + locate target bins per group
+    hist = (base.join(F.broadcast(ext), on=g)
+            .groupBy(*g, _bin(F.col("_v")).alias("_b"))
+            .agg(F.count("*").alias("_c")))
+    wcum = Window.partitionBy(*g).orderBy("_b") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    hist = (hist.join(F.broadcast(ext.select(*g, "_k1", "_k2")), on=g)
+            .withColumn("_before", F.coalesce(F.sum("_c").over(wcum), F.lit(0))))
+    inbin = F.col("_before") < F.col("_k2")
+    covers = (F.col("_before") + F.col("_c")) >= F.col("_k1")
+    targets = (hist.where(inbin & covers)
+               .groupBy(*g)
+               .agg(F.min("_b").alias("_b_lo"), F.max("_b").alias("_b_hi"),
+                    F.min("_before").alias("_skipped")))
+
+    # pass 2: survivors = rows in the target-bin range; rank them
+    spec = targets.join(ext, on=g)
+    surv = (base.join(F.broadcast(spec), on=g)
+            .where(_bin(F.col("_v")).between(F.col("_b_lo"), F.col("_b_hi"))))
+    wr = Window.partitionBy(*g).orderBy("_v")
+    picked = (surv.withColumn("_r", F.row_number().over(wr) + F.col("_skipped"))
+              .where((F.col("_r") == F.col("_k1"))
+                     | (F.col("_r") == F.col("_k2"))))
+    return (picked.groupBy(*g)
+            .agg(F.avg("_v").alias(out_col)))

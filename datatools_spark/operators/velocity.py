@@ -42,14 +42,26 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
                   smoothing=None, min_obs: int = 3,
                   ts_col: str = "ts", partition_by: Sequence[str] = (),
                   approx: bool = False,
-                  grid_start=None, grid_end=None) -> DataFrame:
+                  grid_start=None, grid_end=None,
+                  median_mode: str | None = None) -> DataFrame:
     """Grid-median differenced velocity, m/day per component.
 
     Returns ``partition_by + (date, <col>_vel ...)`` where ``date`` is the
     grid timestamp. ``grid_start``/``grid_end`` override the data-derived
     grid bounds (needed to keep the plan fully distributed when the caller
     already knows them; otherwise a 1-row aggregate supplies them).
+
+    ``median_mode``: ``"exact"`` (default) = builtin ``median`` — exact
+    but buffers each bucket's values through the shuffle; ``"approx"`` =
+    ``percentile_approx`` — partially-aggregatable sketch, the cheap
+    scale path; ``"selectk"`` = exact via the two-pass histogram
+    select-k (operators/selectk.py) — identical results to ``"exact"``
+    (equality-tested) with shuffles bounded by bins+survivors, the
+    exact path that survives hot buckets at 100 TB. ``approx=True`` is
+    the legacy spelling of ``median_mode="approx"``.
     """
+    if median_mode is None:
+        median_mode = "approx" if approx else "exact"
     stat = parse_duration_seconds(stat_window)
     sep = parse_duration_seconds(separation_window)
     half_sep = sep / 2.0
@@ -93,11 +105,21 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
                         F.col("_s.side").alias("_side"), F.col("_s.k").alias("_k"))
                 .where((F.col("_k") >= 0) & (F.col("_k") <= F.col("_kmax"))))
 
-    med = (lambda c: F.percentile_approx(F.col(c), 0.5)) if approx else \
-        (lambda c: F.median(F.col(c)))
-    aggs = [med(c).alias(f"_m_{c}") for c in value_cols]
-    aggs.append(F.count(F.col(value_cols[0])).alias("_n"))
-    per_side = exploded.groupBy(*[F.col(c) for c in p], "_t0", "_k", "_side").agg(*aggs)
+    side_keys = p + ["_t0", "_k", "_side"]
+    if median_mode == "selectk":
+        from .selectk import exact_grouped_median
+        per_side = exploded.groupBy(*side_keys).agg(
+            F.count(F.col(value_cols[0])).alias("_n"))
+        for c in value_cols:
+            per_side = per_side.join(
+                exact_grouped_median(exploded, side_keys, c,
+                                     out_col=f"_m_{c}"), on=side_keys)
+    else:
+        med = (lambda c: F.percentile_approx(F.col(c), 0.5)) \
+            if median_mode == "approx" else (lambda c: F.median(F.col(c)))
+        aggs = [med(c).alias(f"_m_{c}") for c in value_cols]
+        aggs.append(F.count(F.col(value_cols[0])).alias("_n"))
+        per_side = exploded.groupBy(*side_keys).agg(*aggs)
 
     left = per_side.where(F.col("_side") == 0).drop("_side")
     right = per_side.where(F.col("_side") == 1).drop("_side")

@@ -3379,6 +3379,26 @@ def doc_record_linkage(spark, sf_dir):
             .select("a_id", "b_id", "kind", "score"))
 
 
+@query("ts_median_selectk", sql="""
+SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+       round(median(value), 6) AS med
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+""")
+def ts_median_selectk(spark, sf_dir):
+    """Exact per-(series, day) median via the two-pass histogram
+    select-k (operators/selectk.py) — bit-identical to the builtin
+    exact median (the DuckDB oracle) but with shuffles bounded by
+    histogram bins + survivors instead of buffering every value of a
+    hot group through one reducer."""
+    from .operators.selectk import exact_grouped_median
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("day", F.date_trunc("DAY", F.col("ts"))))
+    out = exact_grouped_median(ev, ["event_type", "day"], "value",
+                               out_col="med")
+    return out.select("event_type", "day", _r("med").alias("med"))
+
+
 def _morton_sql(a: str, b: str, bits: int = 16) -> str:
     """Unrolled bit-interleave of two quantized ints — the DuckDB twin of
     partitioning.morton_key (bit b of dim i lands at position 2b+i)."""
@@ -3484,7 +3504,7 @@ _REGISTRATION_ORDER = [
     "mm_resize_plan", "mm_patchify", "emb_pq_codes", "ts_cusum",
     "emb_pq_adc_knn", "doc_lm_perplexity", "doc_keep_best_dedup",
     "ss_market_share", "ts_zorder_key", "doc_fuzzy_key_pairs",
-    "doc_record_linkage",
+    "doc_record_linkage", "ts_median_selectk",
 ]
 
 

@@ -299,3 +299,26 @@ def test_fuzzy_edit_distance_pairs_match_brute_force(spark):
         if d <= 2:
             want[(min(ia, ib), max(ia, ib))] = d
     assert got == want
+
+
+def test_selectk_median_equals_builtin_exact(spark):
+    """Two-pass histogram select-k median == Spark's buffering exact
+    median on hostile shapes: odd/even counts, heavy duplicates,
+    constant groups, singletons, and a coarse 8-bin histogram (large
+    survivor sets)."""
+    from datatools_spark.operators.selectk import exact_grouped_median
+    rng = random.Random(13)
+    rows = []
+    for gi, n in enumerate([1, 2, 3, 4, 97, 500]):
+        for _ in range(n):
+            rows.append((f"g{gi}", rng.choice(
+                [5.0, -5.0, rng.gauss(0, 100), rng.uniform(-1e-9, 1e-9)])))
+    rows += [("const", 42.0)] * 33
+    df = spark.createDataFrame(rows, "k string, value double")
+    import pyspark.sql.functions as SF
+    for bins in (8, 4096):
+        got = {r.k: r.median for r in
+               exact_grouped_median(df, ["k"], "value", bins=bins).collect()}
+        want = {r.k: r.m for r in df.groupBy("k")
+                .agg(SF.median("value").alias("m")).collect()}
+        assert got == want  # exact, not approx-equal

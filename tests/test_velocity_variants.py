@@ -39,3 +39,18 @@ def test_approx_median_close_to_exact(spark):
     # percentile_approx on small windows is exact or near-exact
     for k in exact:
         assert approx[k] == pytest.approx(exact[k], abs=0.5)
+
+
+def test_velocity_selectk_equals_exact_median(spark):
+    """median_mode='selectk' reproduces the exact-median kernel output
+    bit-for-bit (same medians => same velocities)."""
+    from datatools_spark.queries import _t
+    from datatools_spark.operators.velocity import calc_velocity
+    ev = _t(spark, "/root/testdata/sf0.001", "events").withColumnRenamed(
+        "value", "z")
+    kw = dict(value_cols=["z"], stat_window="6h", separation_window="24h",
+              partition_by=["event_type"])
+    exact = {tuple(r) for r in calc_velocity(ev, **kw).collect()}
+    sk = {tuple(r) for r in
+          calc_velocity(ev, median_mode="selectk", **kw).collect()}
+    assert sk == exact and len(exact) > 0

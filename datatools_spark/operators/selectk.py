@@ -39,7 +39,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["exact_grouped_median"]
+__all__ = ["exact_grouped_median", "exact_grouped_quantiles"]
 
 
 def exact_grouped_median(df: DataFrame, group_cols: Sequence[str],
@@ -95,3 +95,78 @@ def exact_grouped_median(df: DataFrame, group_cols: Sequence[str],
                      | (F.col("_r") == F.col("_k2"))))
     return (picked.groupBy(*g)
             .agg(F.avg("_v").alias(out_col)))
+
+
+def exact_grouped_quantiles(df: DataFrame, group_cols: Sequence[str],
+                            value_col: str, probs: Sequence[float],
+                            bins: int = 4096,
+                            out_cols: Sequence[str] | None = None) -> DataFrame:
+    """Exact continuous per-group quantiles with bounded shuffles — the
+    select-k generalization of :func:`exact_grouped_median`.
+
+    Interpolation is bit-identical to Spark ``percentile``:
+    ``pos = 1 + (n−1)·p`` and ``v = (⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi``
+    (the exact operand order of Percentile.getPercentile; ``v_lo`` alone
+    when ⌈pos⌉ = ⌊pos⌋) on the two bracketing order statistics. Each requested prob needs ≤2 ranks, each rank
+    lives in exactly one histogram bin, so survivors are
+    ≈ ``2·len(probs)·n/bins`` rows even when the probs span the whole
+    distribution (survivor bins are NON-contiguous; global rank is
+    reconstructed per bin as ``rows-before-bin + rank-within-bin``, so
+    nothing between the quantiles is ever shuffled).
+    Returns one row per group: ``group_cols + out_cols``.
+    """
+    g = list(group_cols)
+    probs = list(probs)
+    out_cols = list(out_cols) if out_cols is not None else \
+        [f"p{int(p * 100)}" for p in probs]
+    base = df.where(F.col(value_col).isNotNull()) \
+        .select(*g, F.col(value_col).alias("_v"))
+
+    ext = (base.groupBy(*g)
+           .agg(F.count("*").alias("_n"), F.min("_v").alias("_lo"),
+                F.max("_v").alias("_hi")))
+    rank_cols, need = [], []
+    for i, p in enumerate(probs):
+        pos = F.lit(1.0) + (F.col("_n") - 1) * F.lit(float(p))
+        rank_cols += [F.floor(pos).cast("bigint").alias(f"_rlo{i}"),
+                      F.ceil(pos).cast("bigint").alias(f"_rhi{i}"),
+                      pos.alias(f"_pos{i}")]
+        need += [F.col(f"_rlo{i}"), F.col(f"_rhi{i}")]
+    ext = ext.select(*g, "_n", "_lo", "_hi", *rank_cols)
+
+    def _bin(v):
+        span = F.col("_hi") - F.col("_lo")
+        raw = F.when(span <= 0, F.lit(0)).otherwise(
+            F.floor((v - F.col("_lo")) / span * bins).cast("bigint"))
+        return F.least(raw, F.lit(bins - 1))
+
+    hist = (base.join(F.broadcast(ext), on=g)
+            .groupBy(*g, _bin(F.col("_v")).alias("_b"))
+            .agg(F.count("*").alias("_c")))
+    wcum = Window.partitionBy(*g).orderBy("_b") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    hist = (hist.join(F.broadcast(ext), on=g)
+            .withColumn("_before", F.coalesce(F.sum("_c").over(wcum), F.lit(0))))
+    holds = None
+    for r in need:
+        h = (F.col("_before") < r) & ((F.col("_before") + F.col("_c")) >= r)
+        holds = h if holds is None else (holds | h)
+    targets = (hist.where(holds)
+               .select(*g, "_b", "_before"))
+
+    surv = (base.join(F.broadcast(ext), on=g)
+            .withColumn("_b", _bin(F.col("_v")))
+            .join(F.broadcast(targets), on=g + ["_b"]))
+    wr = Window.partitionBy(*g, "_b").orderBy("_v")
+    ranked = surv.withColumn("_r", F.row_number().over(wr) + F.col("_before"))
+    aggs = []
+    for i in range(len(probs)):
+        vlo = F.max(F.when(F.col("_r") == F.col(f"_rlo{i}"), F.col("_v")))
+        vhi = F.max(F.when(F.col("_r") == F.col(f"_rhi{i}"), F.col("_v")))
+        pos = F.first(F.col(f"_pos{i}"))
+        rlo = F.first(F.col(f"_rlo{i}")).cast("double")
+        rhi = F.first(F.col(f"_rhi{i}")).cast("double")
+        v = F.when(F.first(F.col(f"_rhi{i}")) == F.first(F.col(f"_rlo{i}")),
+                   vlo).otherwise((rhi - pos) * vlo + (pos - rlo) * vhi)
+        aggs.append(v.alias(out_cols[i]))
+    return ranked.groupBy(*g).agg(*aggs)

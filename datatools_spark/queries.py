@@ -2040,14 +2040,18 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY 1
 """)
 def ss_price_quantiles(spark, sf_dir):
-    """Exact continuous quantiles per group (Spark `percentile` ==
-    DuckDB `quantile_cont`, same linear interpolation) — the exact path;
-    percentile_approx is the documented 100 TB swap."""
+    """Exact continuous quantiles per group via two-pass histogram
+    select-k (operators/selectk.py) — bit-identical to the buffering
+    builtin `percentile` (property-tested) and to DuckDB
+    `quantile_cont`, but the shuffles carry histogram bins and
+    ~2·probs·n/bins survivor rows instead of every group value."""
+    from .operators.selectk import exact_grouped_quantiles
     l = _t(spark, sf_dir, "lineitem")
-    return (l.groupBy("l_returnflag")
-            .agg(F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
-                 F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
-                 F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95")))
+    q = exact_grouped_quantiles(l, ["l_returnflag"], "l_extendedprice",
+                                [0.25, 0.50, 0.95])
+    return q.select("l_returnflag", F.round("p25", 4).alias("p25"),
+                    F.round("p50", 4).alias("p50"),
+                    F.round("p95", 4).alias("p95"))
 
 
 @query("ts_anomaly_zscore", sql="""

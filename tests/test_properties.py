@@ -322,3 +322,25 @@ def test_selectk_median_equals_builtin_exact(spark):
         want = {r.k: r.m for r in df.groupBy("k")
                 .agg(SF.median("value").alias("m")).collect()}
         assert got == want  # exact, not approx-equal
+
+
+def test_selectk_quantiles_bit_equal_builtin_percentile(spark):
+    """exact_grouped_quantiles == Spark percentile() BIT-FOR-BIT (same
+    bracketing order statistics, same interpolation operand order),
+    under both fine and stress-coarse histograms."""
+    from datatools_spark.operators.selectk import exact_grouped_quantiles
+    import pyspark.sql.functions as SF
+    rng = random.Random(17)
+    rows = []
+    for gi, n in enumerate([1, 2, 7, 100, 501]):
+        for _ in range(n):
+            rows.append((f"g{gi}", rng.choice([3.25, -1.5, rng.gauss(0, 50)])))
+    df = spark.createDataFrame(rows, "k string, value double")
+    want = {r.k: (r.a, r.b, r.c) for r in df.groupBy("k").agg(
+        SF.expr("percentile(value, 0.25)").alias("a"),
+        SF.expr("percentile(value, 0.50)").alias("b"),
+        SF.expr("percentile(value, 0.95)").alias("c")).collect()}
+    for bins in (8, 4096):
+        got = {r.k: (r.p25, r.p50, r.p95) for r in exact_grouped_quantiles(
+            df, ["k"], "value", [0.25, 0.50, 0.95], bins=bins).collect()}
+        assert got == want

@@ -161,6 +161,37 @@ def union_keep_first(dfs: Sequence[DataFrame], key_cols: Sequence[str],
             .where(F.col("_rn") == 1).drop("_rn", priority_col))
 
 
+def apply_changes(base: DataFrame, changes: DataFrame,
+                  key_cols: Sequence[str], ts_col: str = "ts",
+                  tiebreak_cols: Sequence[str] = (),
+                  delete_col: str | None = None) -> DataFrame:
+    """Last-writer-wins CDC merge: apply a change batch onto a snapshot
+    (the lakehouse MERGE/upsert primitive — engine add, no reference
+    analogue). Per key the surviving row is the latest by
+    ``(ts, *tiebreak_cols)``; an exact tie between snapshot and batch
+    goes to the BATCH. ``delete_col`` (boolean) tombstones a key when
+    its winning row has it set.
+
+    Plan: tag + union + one ``row_number`` per key — a single shuffle
+    keyed on ``key_cols`` whose width is the row itself, no join. At
+    100 TB: if the snapshot is bucket-stored on ``key_cols``
+    (sources/sink.py:write_bucketed_table) and the batch is
+    repartitioned to match, the exchange disappears and the merge is a
+    per-bucket local sort — the classic merge-on-read compaction shape.
+    """
+    tagged = [base.withColumn("_src", F.lit(0)),
+              changes.withColumn("_src", F.lit(1))]
+    u = tagged[0].unionByName(tagged[1], allowMissingColumns=True)
+    order = [F.col(ts_col).desc(), F.col("_src").desc()] + \
+        [F.col(c).desc() for c in tiebreak_cols]
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    out = (u.withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") == 1).drop("_rn", "_src"))
+    if delete_col is not None:
+        out = out.where(~F.coalesce(F.col(delete_col), F.lit(False)))
+    return out
+
+
 def interval_overlap_join(left: DataFrame, right: DataFrame,
                           left_cols: tuple[str, str] = ("start", "end"),
                           right_cols: tuple[str, str] = ("start", "end"),

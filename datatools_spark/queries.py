@@ -3403,6 +3403,36 @@ def ts_median_selectk(spark, sf_dir):
     return out.select("event_type", "day", _r("med").alias("med"))
 
 
+@query("ts_upsert_latest", sql="""
+WITH u AS (
+  SELECT user_id, event_type, ts, value, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type, ts AS latest_ts, value AS latest_value
+FROM u WHERE rn = 1
+""")
+def ts_upsert_latest(spark, sf_dir):
+    """CDC upsert merge (operators/intervals.py:apply_changes): a
+    snapshot of per-(user, type) state as of April 1st takes the
+    post-April change stream; the result is last-writer-wins current
+    state — identical to replaying the full log, which is what the
+    oracle asserts. One key-partitioned row_number pass per merge, no
+    join."""
+    ev = _t(spark, sf_dir, "events")
+    cut = "2024-04-01"
+    snap = IV.apply_changes(
+        ev.where(F.col("ts") < cut).limit(0),   # empty base
+        ev.where(F.col("ts") < cut), ["user_id", "event_type"],
+        tiebreak_cols=["event_id"])
+    merged = IV.apply_changes(snap, ev.where(F.col("ts") >= cut),
+                              ["user_id", "event_type"],
+                              tiebreak_cols=["event_id"])
+    return merged.select("user_id", "event_type",
+                         F.col("ts").alias("latest_ts"),
+                         F.col("value").alias("latest_value"))
+
+
 def _morton_sql(a: str, b: str, bits: int = 16) -> str:
     """Unrolled bit-interleave of two quantized ints — the DuckDB twin of
     partitioning.morton_key (bit b of dim i lands at position 2b+i)."""
@@ -3508,7 +3538,7 @@ _REGISTRATION_ORDER = [
     "mm_resize_plan", "mm_patchify", "emb_pq_codes", "ts_cusum",
     "emb_pq_adc_knn", "doc_lm_perplexity", "doc_keep_best_dedup",
     "ss_market_share", "ts_zorder_key", "doc_fuzzy_key_pairs",
-    "doc_record_linkage", "ts_median_selectk",
+    "doc_record_linkage", "ts_median_selectk", "ts_upsert_latest",
 ]
 
 

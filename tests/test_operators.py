@@ -271,3 +271,24 @@ def test_extrema_lag_table_reference_semantics(spark):
     assert out[d0]["s2_lag"] == 3.5
     assert out[d0]["s3_lag"] is None
     assert out[d0 + dt.timedelta(days=1)]["s3_lag"] == 4.0 - 6.0
+
+
+def test_apply_changes_upsert_delete_and_tie(spark):
+    """CDC merge: batch overwrites snapshot, exact-ts ties go to the
+    batch, delete tombstones drop keys, unknown keys insert."""
+    import datetime as dt
+    from datatools_spark.operators.intervals import apply_changes
+    t = dt.datetime(2024, 1, 1, 12)
+    base = spark.createDataFrame(
+        [(1, t, 10.0, False), (2, t, 20.0, False), (3, t, 30.0, False)],
+        "k long, ts timestamp, v double, del boolean")
+    chg = spark.createDataFrame(
+        [(1, t + dt.timedelta(hours=1), 11.0, False),   # update
+         (2, t, 99.0, False),                            # same-ts tie -> batch
+         (3, t + dt.timedelta(hours=1), None, True),     # delete
+         (4, t, 40.0, False)],                           # insert
+        "k long, ts timestamp, v double, del boolean")
+    got = {r.k: (r.v, r.del_) if hasattr(r, "del_") else (r.v, r["del"])
+           for r in apply_changes(base, chg, ["k"], ts_col="ts",
+                                  delete_col="del").collect()}
+    assert got == {1: (11.0, False), 2: (99.0, False), 4: (40.0, False)}

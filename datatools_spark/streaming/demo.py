@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["streaming_window_counts", "streaming_daily_extrema",
            "streaming_sessionize", "streaming_ingest_dedup",
-           "run_file_stream"]
+           "streaming_upsert", "run_file_stream"]
 
 
 def streaming_window_counts(events: DataFrame, window: str = "1 hour",
@@ -83,6 +83,47 @@ def streaming_ingest_dedup(events: DataFrame, keys=("event_id",),
     plain ``dropDuplicates`` on a stream grows state forever."""
     return (events.withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(list(keys)))
+
+
+def streaming_upsert(spark: SparkSession, changes: DataFrame,
+                     snapshot_dir: str, checkpoint_dir: str,
+                     key_cols=("user_id", "event_type"),
+                     ts_col: str = "ts", tiebreak_cols=("event_id",)):
+    """Continuously merge a change stream into a parquet snapshot —
+    the streaming twin of ``operators.intervals.apply_changes`` (the
+    Delta-style `MERGE` maintained by `foreachBatch`, expressed on
+    plain parquet).
+
+    Each micro-batch first collapses to one winner per key (batch-local
+    ``apply_changes`` against an empty base), then merges against the
+    current snapshot and atomically replaces it. State lives in the
+    snapshot files, not the state store, so it is unbounded-key-safe;
+    per-batch cost is one key-partitioned row_number over
+    (snapshot + batch) — the compaction read-modify-write every
+    merge-on-read table pays, amortized by batch size. Returns the
+    started query (availableNow trigger; caller awaits)."""
+    from ..operators.intervals import apply_changes
+
+    def _merge(batch_df: DataFrame, batch_id: int):
+        sess = batch_df.sparkSession
+        batch = apply_changes(batch_df.limit(0), batch_df, list(key_cols),
+                              ts_col, list(tiebreak_cols))
+        try:
+            snap = sess.read.parquet(snapshot_dir)
+            merged = apply_changes(snap, batch, list(key_cols), ts_col,
+                                   list(tiebreak_cols))
+        except Exception:  # first batch: no snapshot yet
+            merged = batch
+        # materialize BEFORE overwriting the dir being read
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(snapshot_dir)
+
+    return (changes.writeStream
+            .outputMode("append")
+            .foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
 
 
 def run_file_stream(spark: SparkSession, src_dir: str, schema,

@@ -161,3 +161,32 @@ def test_streaming_ingest_dedup_drops_duplicates_bounded_state(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 300
     assert got.select("event_id").distinct().count() == 300
+
+
+def test_streaming_upsert_snapshot_equals_batch_replay(spark, tmp_path):
+    """The foreachBatch CDC merge converges to the same per-key state as
+    replaying the whole log in batch, across multiple source files
+    (overlapping keys, updates and ties)."""
+    import datetime as dt
+    from datatools_spark.operators.intervals import apply_changes
+    from datatools_spark.streaming.demo import streaming_upsert
+    t0 = dt.datetime(2024, 1, 1)
+    rows1 = [(i, t0 + dt.timedelta(minutes=i), i % 5, "s", float(i))
+             for i in range(60)]
+    rows2 = [(100 + i, t0 + dt.timedelta(minutes=90 + i), i % 7, "s",
+              float(1000 + i)) for i in range(60)]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows1, schema).write.parquet(src)
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    snap_dir = str(tmp_path / "snap")
+    stream = spark.readStream.schema(
+        spark.createDataFrame(rows1, schema).schema).parquet(src)
+    q = streaming_upsert(spark, stream, snap_dir, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+    got = sorted(tuple(r) for r in spark.read.parquet(snap_dir).collect())
+    full = spark.createDataFrame(rows1 + rows2, schema)
+    want = sorted(tuple(r) for r in apply_changes(
+        full.limit(0), full, ["user_id", "event_type"],
+        tiebreak_cols=["event_id"]).collect())
+    assert got == want and len(got) > 0

@@ -124,10 +124,11 @@ def main() -> None:
         sdf = spark.createDataFrame(pdf)
         sdf = sdf.repartition(32).cache()
         sdf.count()
-        for label, approx in (("exact", False), ("approx", True)):
+        for label in ("exact", "approx", "selectk"):
             t0 = time.perf_counter()
             cnt = calc_velocity(sdf, ["value"], stat_window=STAT_S,
-                                separation_window=SEP_S, approx=approx).count()
+                                separation_window=SEP_S,
+                                median_mode=label).count()
             el = time.perf_counter() - t0
             results[f"velocity_spark_{label}_{n}"] = {
                 "rows": n, "grid_points": cnt, "sec": round(el, 3),

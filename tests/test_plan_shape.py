@@ -278,3 +278,12 @@ def test_morton_key_roundtrips_dimensions(spark):
     assert bad == 0
     # and keys are unique because inputs are
     assert keyed.select("z").distinct().count() == 4096
+
+
+def test_selectk_median_avoids_buffering_aggregate(spark):
+    """The select-k median plan must contain NO ObjectHashAggregate /
+    typed-imperative percentile: that buffering aggregate (every group
+    value through one reducer) is exactly what it replaces."""
+    plan = _plan(QUERIES["ts_median_selectk"](spark, SF))
+    assert "ObjectHashAggregate" not in plan
+    assert "percentile" not in plan.lower()

@@ -1202,7 +1202,7 @@ WITH g AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS session_n FROM g)
+                ::BIGINT AS session_n FROM g)
 SELECT user_id, session_n, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
        round(sum(value::DECIMAL(30,12))::DOUBLE, 6) AS session_value
@@ -1388,7 +1388,7 @@ WITH hourly AS (
   FROM events GROUP BY 1, 2)
 SELECT event_type, date_trunc('day', h)::TIMESTAMP AS day,
        round(sum(s)::DOUBLE / sum(c), 6) AS avg_val,
-       min(mn) AS min_val, max(mx) AS max_val, sum(c) AS n_obs
+       min(mn) AS min_val, max(mx) AS max_val, sum(c)::BIGINT AS n_obs
 FROM hourly GROUP BY 1, 2
 """)
 def ts_rollup_multires(spark, sf_dir):
@@ -1782,7 +1782,7 @@ SELECT source,
        count(*) AS n_docs,
        round(sum(round(quality_score, 6)::DECIMAL(18,9))::DOUBLE
              / count(*), 4) AS mean_quality,
-       sum(n_tokens) AS total_tokens
+       sum(n_tokens)::BIGINT AS total_tokens
 FROM j GROUP BY 1
 """)
 def doc_source_stats(spark, sf_dir):
@@ -1875,7 +1875,7 @@ WITH n AS (
   FROM embeddings)
 SELECT label, count(*) AS n_vecs,
        round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm,
-       sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS n_zero
+       sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
 FROM n GROUP BY 1
 """)
 def emb_norm_stats(spark, sf_dir):
@@ -2117,7 +2117,7 @@ WITH g AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS session_n FROM g),
+                ::BIGINT AS session_n FROM g),
 sess AS (SELECT user_id, session_n,
                 min(ts) AS s_start, max(ts) AS s_end
          FROM s GROUP BY 1, 2),
@@ -2159,7 +2159,7 @@ WITH f AS (
   SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
   FROM documents),
 c AS (SELECT fp, count(*) AS csize FROM f GROUP BY 1)
-SELECT csize, count(*) AS n_clusters, sum(csize) AS n_docs
+SELECT csize, count(*) AS n_clusters, sum(csize)::BIGINT AS n_docs
 FROM c GROUP BY 1
 """)
 def doc_dup_cluster_sizes(spark, sf_dir):
@@ -2328,7 +2328,7 @@ k AS (SELECT t.doc_id, t.source, t.tok
       FROM t JOIN r USING (source)
       WHERE ('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT
             / 4294967296.0 < r.rate)
-SELECT source, count(*) AS n_docs, sum(tok) AS n_tokens
+SELECT source, count(*) AS n_docs, sum(tok)::BIGINT AS n_tokens
 FROM k GROUP BY 1
 """)
 def doc_balanced_sample(spark, sf_dir):
@@ -2418,10 +2418,14 @@ samp AS (SELECT dec.* FROM dec JOIN rr USING (source)
                / 4294967296.0 < rr.rate)
 SELECT '0_raw' AS stage, count(*)::BIGINT AS n_docs,
        coalesce(sum(tok), 0)::BIGINT AS n_tokens FROM w
-UNION ALL SELECT '1_quality', count(*), coalesce(sum(tok), 0) FROM qual
-UNION ALL SELECT '2_dedup', count(*), coalesce(sum(tok), 0) FROM dd
-UNION ALL SELECT '3_decontaminated', count(*), coalesce(sum(tok), 0) FROM dec
-UNION ALL SELECT '4_sampled', count(*), coalesce(sum(tok), 0) FROM samp
+UNION ALL SELECT '1_quality', count(*)::BIGINT,
+                 coalesce(sum(tok), 0)::BIGINT FROM qual
+UNION ALL SELECT '2_dedup', count(*)::BIGINT,
+                 coalesce(sum(tok), 0)::BIGINT FROM dd
+UNION ALL SELECT '3_decontaminated', count(*)::BIGINT,
+                 coalesce(sum(tok), 0)::BIGINT FROM dec
+UNION ALL SELECT '4_sampled', count(*)::BIGINT,
+                 coalesce(sum(tok), 0)::BIGINT FROM samp
 """)
 def doc_curation_pipeline(spark, sf_dir):
     """END-TO-END curation composite — the full training-data funnel in

@@ -70,7 +70,11 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
 
     Output: ``id_col, mh_0 .. mh_{k-1}`` (docs with no shingles dropped).
     """
-    work = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    # min_bytes=0: the shingle explode multiplies bytes ~shingle_n×
+    # before the first shuffle, so the spread pays even for sub-MB
+    # inputs (measured: 0.65 s spread vs 0.87 s single-task at sf0.1).
+    work = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)),
+                              min_bytes=0)
     sh = (work.withColumn("_words", words_col(text_col))
           .select(F.col(id_col),
                   F.explode(word_shingles(text_col, shingle_n,
@@ -169,7 +173,8 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str = "text",
     100 TB near-dup path is :func:`minhash_lsh_pairs`.
     Output: ``a_id, b_id, jaccard`` with a<b.
     """
-    sets = (ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    sets = (ensure_parallelism(df.select(F.col(id_col), F.col(text_col)),
+                               min_bytes=0)  # heavy explode: always spread
             .withColumn("_words", words_col(text_col))
             .select(F.col(id_col),
                     F.sort_array(word_shingles(
@@ -225,18 +230,29 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """
     # word_shingles is array_distinct per doc, so the exploded index is
     # already (id, shingle)-unique — no dedup shuffle needed.
-    sh = (ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    # min_bytes=0: the inverted index's shuffle WRITE happens in the scan
+    # task — single-task at sf0.1 doubles the query (2.8 → 5.6 s), so
+    # spread regardless of input bytes.
+    sh = (ensure_parallelism(df.select(F.col(id_col), F.col(text_col)),
+                             min_bytes=0)
           .withColumn("_words", words_col(text_col))
           .select(F.col(id_col),
                   F.explode(word_shingles(text_col, shingle_n,
                                           from_words_col="_words")).alias("_sh")))
     if max_df is not None:
         dfreq = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
-        stop = dfreq.where(F.col("_df") > max_df).select("_sh")
         # stop set is small by construction (only ultra-common shingles
-        # exceed max_df — the Zipf head), so prune the index with a
-        # broadcast ANTI join instead of shuffling it against the large
-        # rare-shingle set.
+        # exceed max_df — the Zipf head). Persist + probe it eagerly: the
+        # agg is one map-side-combinable pass the plan needs anyway (the
+        # cache feeds the broadcasts below), and when NO shingle exceeds
+        # max_df the whole correction apparatus (anti join + two
+        # membership joins + correction agg — 3 extra shuffles) is a
+        # no-op we can drop from the plan entirely.
+        stop = dfreq.where(F.col("_df") > max_df).select("_sh").persist()
+        if stop.isEmpty():
+            stop.unpersist()
+            max_df = None
+    if max_df is not None:
         idx = sh.join(F.broadcast(stop), "_sh", "left_anti")
         ca = idx.select(F.col(id_col).alias("a_id"), "_sh")
         cb = idx.select(F.col(id_col).alias("b_id"), "_sh")

@@ -29,18 +29,42 @@ __all__ = ["ensure_parallelism", "quantize_fixed", "morton_key",
            "layout_zorder"]
 
 
-def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None,
+                       min_bytes: int = 2 << 20) -> DataFrame:
     """Repartition ``df`` up to ``min_parts`` (default: the session's
-    ``defaultParallelism``) iff its current plan yields fewer partitions.
+    ``defaultParallelism``) iff its current plan yields fewer partitions
+    AND the input is big enough for the spread to pay.
 
     Call it on the narrowest projection you can (after column pruning):
     the round-robin shuffle then moves only the bytes the operator
     actually needs.
+
+    The ``min_bytes`` gate (metadata-only: sums the scan's file sizes,
+    no job) skips the repartition for small inputs, where one core
+    finishes the map stage faster than the extra full-row shuffle
+    amortizes — measured: a 0.6 MB doc corpus paid 1.5× on simhash for
+    a guard that exists to rescue multi-MB single-row-group inputs.
+    Unknown sizes (non-local paths, non-file sources) fall through to
+    the repartition: at real scale misjudging "small" is the costly
+    direction.
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    try:
+        import os
+        from urllib.parse import unquote, urlparse
+        total = 0
+        for f in df.inputFiles():
+            p = urlparse(f)
+            if p.scheme not in ("", "file"):
+                raise OSError(f"non-local path {f}")
+            total += os.path.getsize(unquote(p.path))
+        if total and total < min_bytes:
+            return df
+    except Exception:  # unknown size: assume big, spread the scan
+        pass
+    return df.repartition(target)
 
 
 def quantize_fixed(col: Column, lo: Column, hi: Column,

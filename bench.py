@@ -52,6 +52,17 @@ BENCH_QUERIES = [
 ]
 
 
+def _measure(spark, sf_dir: str, repeats: int) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for _ in range(repeats):
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
+    return times
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -68,22 +79,28 @@ def main() -> None:
                 pass
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-    times: dict[str, float] = {}
-    for _ in range(repeats):
-        for name in BENCH_QUERIES:
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
-            dt = round(time.perf_counter() - t0, 3)
-            times[name] = min(times.get(name, dt), dt)
-
-    total = round(sum(times.values()), 3)
-    print(json.dumps({
+    times = _measure(spark, sf_dir, repeats)
+    out = {
         "metric": "headline_query_wall_time",
-        "value": total,
+        "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+
+    # cross-scale trend: re-run the same suite at the sf1-equivalent
+    # corpus (bench/make_sf1.py output) so the per-round artifact carries
+    # the scale curve, not just one point. Skippable via env for quick
+    # local iterations.
+    sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench", "sf1_equiv")
+    if (os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0"
+            and os.path.isdir(sf1_dir) and sf1_dir != sf_dir):
+        t1 = _measure(spark, sf1_dir, repeats)
+        out["sf1_equiv"] = {"value": round(sum(t1.values()), 3),
+                            "queries": t1}
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

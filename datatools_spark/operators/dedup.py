@@ -335,15 +335,21 @@ def fuzzy_pairs_edit_distance(df: DataFrame, text_col: str = "text",
     offset ≤ k (plus ``||a|−|b|| ≤ k``). Candidates therefore come from
     the positional q-gram inverted index joined with itself — shuffle
     keyed on the gram, never on pairs — then ONLY candidates passing
-    both filters pay the exact ``levenshtein`` verify. Complete whenever
-    the count bound is ≥ 1, i.e. strings longer than ``(k+1)·q − 1``;
-    shorter keys need a trivial length-band sweep instead (they are
-    cheap by definition). Output: ``a_id, b_id, dist`` with a<b.
+    both filters pay the exact ``levenshtein`` verify. The count bound
+    is ≥ 1 only when both strings are at least ``(k+1)·q`` long, so the
+    index path handles exactly that stratum; pairs whose SHORTER member
+    is under ``(k+1)·q`` go through a length-banded brute sweep over the
+    short stratum (strings up to ``(k+1)·q−1+k`` chars — any longer
+    partner violates ``||a|−|b|| ≤ k``): equi-join on exact length via a
+    (2k+1)-value length fan-out, so the quadratic term is confined to
+    same-length short keys and never touches the corpus at large.
+    Output: ``a_id, b_id, dist`` with a<b.
     """
     k = max_dist
-    s = ensure_parallelism(
-        df.select(F.col(id_col), F.col(text_col).alias("_s"))
-        .where(F.length("_s") >= q))
+    thr = (k + 1) * q  # count bound ≥ 1 ⟺ both lengths ≥ thr
+    base = (df.select(F.col(id_col), F.col(text_col).alias("_s"))
+            .where(F.length("_s") >= 1))
+    s = ensure_parallelism(base.where(F.length("_s") >= q))
     g = (s.select(F.col(id_col), F.length("_s").alias("_l"),
                   F.explode(F.sequence(
                       F.lit(1), F.length("_s") - q + 1)).alias("_pos"),
@@ -357,7 +363,8 @@ def fuzzy_pairs_edit_distance(df: DataFrame, text_col: str = "text",
     cand = (a.join(b, on="_g")
             .where((F.col("a_id") < F.col("b_id"))
                    & (F.abs(F.col("_pa") - F.col("_pb")) <= k)
-                   & (F.abs(F.col("_la") - F.col("_lb")) <= k))
+                   & (F.abs(F.col("_la") - F.col("_lb")) <= k)
+                   & (F.least(F.col("_la"), F.col("_lb")) >= thr))
             .groupBy("a_id", "b_id", "_la", "_lb")
             .agg(F.count("*").alias("_cnt"))
             .where(F.col("_cnt") >= F.greatest(F.col("_la"), F.col("_lb"))
@@ -365,10 +372,28 @@ def fuzzy_pairs_edit_distance(df: DataFrame, text_col: str = "text",
             .select("a_id", "b_id"))
     ta = s.select(F.col(id_col).alias("a_id"), F.col("_s").alias("_ta"))
     tb = s.select(F.col(id_col).alias("b_id"), F.col("_s").alias("_tb"))
-    return (cand.join(ta, "a_id").join(tb, "b_id")
-            .withColumn("dist", F.levenshtein("_ta", "_tb").cast("bigint"))
-            .where(F.col("dist") <= k)
-            .select("a_id", "b_id", "dist"))
+    long_pairs = (cand.join(ta, "a_id").join(tb, "b_id")
+                  .withColumn("dist",
+                              F.levenshtein("_ta", "_tb").cast("bigint"))
+                  .where(F.col("dist") <= k)
+                  .select("a_id", "b_id", "dist"))
+    # short stratum: shorter member < thr ⇒ both ≤ thr−1+k
+    short = (base.where(F.length("_s") <= thr - 1 + k)
+             .withColumn("_l", F.length("_s")))
+    sa = short.select(F.col(id_col).alias("a_id"), F.col("_s").alias("_ta"),
+                      F.col("_l").alias("_la"))
+    sb = short.select(F.col(id_col).alias("b_id"), F.col("_s").alias("_tb"),
+                      F.col("_l").alias("_lb"),
+                      F.explode(F.sequence(F.col("_l") - k,
+                                           F.col("_l") + k)).alias("_lj"))
+    short_pairs = (sa.join(sb, F.col("_la") == F.col("_lj"))
+                   .where((F.col("a_id") < F.col("b_id"))
+                          & (F.least(F.col("_la"), F.col("_lb")) < thr))
+                   .withColumn("dist",
+                               F.levenshtein("_ta", "_tb").cast("bigint"))
+                   .where(F.col("dist") <= k)
+                   .select("a_id", "b_id", "dist"))
+    return long_pairs.unionByName(short_pairs)
 
 
 def span_dup_stats(df: DataFrame, text_col: str = "text",

@@ -182,8 +182,11 @@ def apply_changes(base: DataFrame, changes: DataFrame,
     tagged = [base.withColumn("_src", F.lit(0)),
               changes.withColumn("_src", F.lit(1))]
     u = tagged[0].unionByName(tagged[1], allowMissingColumns=True)
-    order = [F.col(ts_col).desc(), F.col("_src").desc()] + \
-        [F.col(c).desc() for c in tiebreak_cols]
+    # _src LAST: it may only break ties on the FULL (ts, *tiebreaks) key
+    # — sorting it before the tiebreaks would hand a ts-tie to the batch
+    # even when the snapshot row wins on tiebreak_cols.
+    order = [F.col(ts_col).desc()] + \
+        [F.col(c).desc() for c in tiebreak_cols] + [F.col("_src").desc()]
     w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
     out = (u.withColumn("_rn", F.row_number().over(w))
            .where(F.col("_rn") == 1).drop("_rn", "_src"))

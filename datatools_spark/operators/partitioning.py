@@ -76,7 +76,21 @@ def quantize_fixed(col: Column, lo: Column, hi: Column,
     Inputs must already be integral (bigint epochs, ids, scaled ints).
     """
     span = F.greatest(hi - lo, F.lit(1)).cast("bigint")
-    scaled = (col.cast("bigint") - lo.cast("bigint")) * F.lit((1 << bits) - 1)
+    # exactness requires scaled ≤ 2^53 (beyond that the bigint→double
+    # conversion in the division itself rounds), so refuse wider domains
+    # instead of silently returning engine-dependent keys. The guard is
+    # woven into the clamp bound so the optimizer cannot prune it.
+    max_span = (1 << 53) // ((1 << bits) - 1)
+    hi_checked = F.when(span <= F.lit(max_span), hi.cast("bigint")).otherwise(
+        F.raise_error(F.lit(
+            f"quantize_fixed: domain span exceeds {max_span} "
+            f"(2^53/(2^{bits}-1)) — the exact-division guarantee breaks; "
+            f"reduce bits or pre-scale the column")).cast("bigint"))
+    # clamp into [lo, hi] BEFORE scaling: the output is clamped to the
+    # grid anyway, and an out-of-domain value could overflow `scaled`
+    colc = F.least(F.greatest(col.cast("bigint"), lo.cast("bigint")),
+                   hi_checked)
+    scaled = (colc - lo.cast("bigint")) * F.lit((1 << bits) - 1)
     # exact integer division: subtract the remainder first so the double
     # division Spark performs on bigints is of an exact multiple (≤2^53)
     q = ((scaled - F.pmod(scaled, span)) / span).cast("bigint")

@@ -108,12 +108,19 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
     side_keys = p + ["_t0", "_k", "_side"]
     if median_mode == "selectk":
         from .selectk import exact_grouped_median
+        # persist: the count pass + 3 passes per value column all re-read
+        # the exploded frame
+        exploded = exploded.persist()
         per_side = exploded.groupBy(*side_keys).agg(
             F.count(F.col(value_cols[0])).alias("_n"))
         for c in value_cols:
+            # LEFT join: a bucket whose column is entirely null has no
+            # median row — 'exact'/'approx' keep it with a null median,
+            # so selectk must too (inner would silently drop the bucket)
             per_side = per_side.join(
                 exact_grouped_median(exploded, side_keys, c,
-                                     out_col=f"_m_{c}"), on=side_keys)
+                                     out_col=f"_m_{c}"), on=side_keys,
+                how="left")
     else:
         med = (lambda c: F.percentile_approx(F.col(c), 0.5)) \
             if median_mode == "approx" else (lambda c: F.median(F.col(c)))

@@ -3300,13 +3300,23 @@ fkc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.l AS la, b.l AS lb,
         FROM fkg a JOIN fkg b
           ON a.gram = b.gram AND a.doc_id < b.doc_id
          AND abs(a.pos - b.pos) <= 2 AND abs(a.l - b.l) <= 2
+         AND least(a.l, b.l) >= 9
         GROUP BY 1, 2, 3, 4),
 fkf AS (SELECT a_id, b_id FROM fkc WHERE cnt >= greatest(la, lb) - 8),
-fz AS (SELECT fkf.a_id, fkf.b_id, levenshtein(da.s, db.s)::BIGINT AS dist
-       FROM fkf
-       JOIN fkd da ON da.doc_id = fkf.a_id
-       JOIN fkd db ON db.doc_id = fkf.b_id
-       WHERE levenshtein(da.s, db.s) <= 2)
+fzl AS (SELECT fkf.a_id, fkf.b_id, levenshtein(da.s, db.s)::BIGINT AS dist
+        FROM fkf
+        JOIN fkd da ON da.doc_id = fkf.a_id
+        JOIN fkd db ON db.doc_id = fkf.b_id
+        WHERE levenshtein(da.s, db.s) <= 2),
+fzs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               levenshtein(a.s, b.s)::BIGINT AS dist
+        FROM fkd a JOIN fkd b
+          ON a.doc_id < b.doc_id
+         AND abs(length(a.s) - length(b.s)) <= 2
+         AND least(length(a.s), length(b.s)) < 9
+        WHERE length(a.s) <= 10 AND length(b.s) <= 10
+          AND levenshtein(a.s, b.s) <= 2),
+fz AS (SELECT * FROM fzl UNION ALL SELECT * FROM fzs)
 """
 
 @query("doc_fuzzy_key_pairs", sql=f"""
@@ -3511,7 +3521,9 @@ _REGISTRATION_ORDER = [
     "ts_resample_gapfill", "ts_detrend_linear", "ts_rotate_flow",
     "ts_mode_gap", "ts_decimal_hours", "ts_quadrature", "ts_quadrant",
     "ts_overburden_fraction", "ts_sessionize", "ts_rollup_multires",
-    "ts_except_errors",
+    # A10 (reference's showcase max_by albedo aggregation) gets a direct
+    # driver row; the engine-add ts_except_errors moved past the cutoff
+    "ts_albedo_daily",
     "ss_window_counts", "ss_top_customers_per_nation", "ss_shipping_priority",
     "doc_lang_id", "doc_token_count", "doc_quality", "doc_fingerprint_dedup",
     "doc_minhash", "doc_lsh_pairs", "doc_simhash", "doc_ngram_pairs",
@@ -3526,7 +3538,7 @@ _REGISTRATION_ORDER = [
     "doc_dup_components", "emb_quantize_uint8", "emb_random_projection",
     "doc_vocab_topk", "doc_chunk", "doc_tfidf_top3",
     "ts_intersect_active", "doc_subword_count", "doc_dup_cluster_sizes",
-    "emb_hyperplane_bucket", "ts_melt_expr", "ts_albedo_daily",
+    "emb_hyperplane_bucket", "ts_melt_expr", "ts_except_errors",
     "ts_velocity_multi", "ts_velocity_smoothed", "doc_lang_confusion",
     "emb_label_centroids", "emb_norm_stats",
     "ss_pricing_summary", "ss_rollup_revenue", "ss_status_pivot",

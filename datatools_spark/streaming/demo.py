@@ -96,27 +96,42 @@ def streaming_upsert(spark: SparkSession, changes: DataFrame,
 
     Each micro-batch first collapses to one winner per key (batch-local
     ``apply_changes`` against an empty base), then merges against the
-    current snapshot and atomically replaces it. State lives in the
-    snapshot files, not the state store, so it is unbounded-key-safe;
-    per-batch cost is one key-partitioned row_number over
-    (snapshot + batch) — the compaction read-modify-write every
-    merge-on-read table pays, amortized by batch size. Returns the
-    started query (availableNow trigger; caller awaits)."""
+    current snapshot and swaps it in via stage-then-rename (two renames
+    — not one atomic op, but readers never see a half-written dir; on an
+    object store you'd flip a manifest pointer instead). "First batch"
+    is detected by the _SUCCESS marker's absence, never by a failed read:
+    a transient IO error or corrupt snapshot must FAIL the batch (the
+    checkpoint retries it) rather than silently re-seed the snapshot
+    from one batch's worth of rows. State lives in the snapshot files,
+    not the state store, so it is unbounded-key-safe; per-batch cost is
+    one key-partitioned row_number over (snapshot + batch) — the
+    compaction read-modify-write every merge-on-read table pays,
+    amortized by batch size. Returns the started query (availableNow
+    trigger; caller awaits)."""
+    import os
+    import shutil
+
     from ..operators.intervals import apply_changes
 
     def _merge(batch_df: DataFrame, batch_id: int):
         sess = batch_df.sparkSession
         batch = apply_changes(batch_df.limit(0), batch_df, list(key_cols),
                               ts_col, list(tiebreak_cols))
-        try:
+        base = snapshot_dir.rstrip("/")
+        if os.path.exists(os.path.join(base, "_SUCCESS")):
             snap = sess.read.parquet(snapshot_dir)
             merged = apply_changes(snap, batch, list(key_cols), ts_col,
                                    list(tiebreak_cols))
-        except Exception:  # first batch: no snapshot yet
+        else:  # first batch: no committed snapshot yet
             merged = batch
-        # materialize BEFORE overwriting the dir being read
-        merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(snapshot_dir)
+        # stage the new snapshot beside the live one, then swap via
+        # rename — the live dir is replaced only after the write commits
+        staging, retired = f"{base}._staging_{batch_id}", f"{base}._old_{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(base):
+            os.rename(base, retired)
+        os.rename(staging, base)
+        shutil.rmtree(retired, ignore_errors=True)
 
     return (changes.writeStream
             .outputMode("append")

@@ -292,3 +292,51 @@ def test_apply_changes_upsert_delete_and_tie(spark):
            for r in apply_changes(base, chg, ["k"], ts_col="ts",
                                   delete_col="del").collect()}
     assert got == {1: (11.0, False), 2: (99.0, False), 4: (40.0, False)}
+
+
+def test_apply_changes_ts_tie_respects_tiebreak_cols(spark):
+    """On a ts tie the winner is decided by tiebreak_cols FIRST; the
+    batch wins only when the full (ts, *tiebreaks) key ties exactly —
+    a snapshot row with the higher tiebreak must beat the batch row."""
+    import datetime as dt
+    from datatools_spark.operators.intervals import apply_changes
+    t = dt.datetime(2024, 1, 1, 12)
+    base = spark.createDataFrame(
+        [(1, t, 9, 10.0),   # seq 9 beats the batch's seq 5 at equal ts
+         (2, t, 3, 20.0)],  # seq 3 loses to the batch's seq 7
+        "k long, ts timestamp, seq long, v double")
+    chg = spark.createDataFrame(
+        [(1, t, 5, 11.0), (2, t, 7, 22.0),
+         (3, t, 1, 33.0), (3, t, 1, 34.0)],  # full-key tie stays batch-side
+        "k long, ts timestamp, seq long, v double")
+    got = {r.k: (r.seq, r.v)
+           for r in apply_changes(base, chg, ["k"], ts_col="ts",
+                                  tiebreak_cols=["seq"]).collect()}
+    assert got[1] == (9, 10.0)   # snapshot survives the ts tie
+    assert got[2] == (7, 22.0)   # batch wins on tiebreak
+    assert got[3][0] == 1        # exact full-key tie: one batch row wins
+
+
+def test_quantize_fixed_rejects_overflowing_span(spark):
+    """Domains wide enough to break the exact-division guarantee
+    (span > 2^53/(2^bits−1)) raise instead of silently returning
+    engine-dependent keys. Two raise paths: the assert_true guard in the
+    rounding band (scaled > 2^53 but no int64 overflow), and ANSI
+    ARITHMETIC_OVERFLOW in the extreme band — either way, no silent
+    corruption. Out-of-domain inputs are clamped, not overflowed."""
+    from datatools_spark.operators.partitioning import quantize_fixed
+    df = spark.createDataFrame([(0,), (1 << 60,)], "x long")
+    ok = df.select(quantize_fixed(
+        F.col("x"), F.lit(0), F.lit(1000), bits=16).alias("q"))
+    assert [r.q for r in ok.orderBy("q").collect()] == [0, 65535]
+    # rounding band: span * (2^16-1) fits int64 but exceeds 2^53
+    band = df.select(quantize_fixed(
+        F.col("x"), F.lit(0), F.lit(1 << 42), bits=16).alias("q"))
+    with pytest.raises(Exception, match="quantize_fixed"):
+        band.collect()
+    # extreme band: the multiply itself overflows int64 (ANSI raises)
+    bad = df.select(quantize_fixed(
+        F.col("x"), F.lit(0), F.lit(1 << 60), bits=16).alias("q"))
+    with pytest.raises(Exception,
+                       match="quantize_fixed|ARITHMETIC_OVERFLOW|overflow"):
+        bad.collect()

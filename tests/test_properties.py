@@ -301,6 +301,37 @@ def test_fuzzy_edit_distance_pairs_match_brute_force(spark):
     assert got == want
 
 
+def test_fuzzy_edit_distance_short_strings_not_dropped(spark):
+    """Strings shorter than (k+1)*q have a count bound ≤ 0, so the
+    q-gram index alone misses their pairs; the length-band sweep must
+    find them — including strings shorter than q itself, and mixed
+    short/long pairs straddling the stratum boundary."""
+    import itertools
+    from datatools_spark.operators.dedup import fuzzy_pairs_edit_distance
+    rows = [(0, "cat"), (1, "cap"), (2, "ca"),          # < q and ≈ q
+            (3, "abcdefgh"), (4, "abcdefghx"),          # 8 vs 9: straddle
+            (5, "abcdefghxy"),                          # 10
+            (6, "zzzzzzzzzzzzzzzz"), (7, "zzzzzzzzzzzzzzzy")]  # long stratum
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.a_id, r.b_id): r.dist
+           for r in fuzzy_pairs_edit_distance(df, max_dist=2, q=3).collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for x in range(1, len(a) + 1):
+            prev, dp[0] = dp[0], x
+            for y in range(1, len(b) + 1):
+                prev, dp[y] = dp[y], min(dp[y] + 1, dp[y - 1] + 1,
+                                         prev + (a[x - 1] != b[y - 1]))
+        return dp[len(b)]
+
+    want = {(ia, ib): lev(ta, tb)
+            for (ia, ta), (ib, tb) in itertools.combinations(rows, 2)
+            if lev(ta, tb) <= 2}
+    assert got == want
+    assert (0, 1) in got and (0, 2) in got  # the previously-missed pairs
+
+
 def test_selectk_median_equals_builtin_exact(spark):
     """Two-pass histogram select-k median == Spark's buffering exact
     median on hostile shapes: odd/even counts, heavy duplicates,

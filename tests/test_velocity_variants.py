@@ -54,3 +54,26 @@ def test_velocity_selectk_equals_exact_median(spark):
     sk = {tuple(r) for r in
           calc_velocity(ev, median_mode="selectk", **kw).collect()}
     assert sk == exact and len(exact) > 0
+
+
+def test_velocity_selectk_keeps_all_null_buckets(spark):
+    """Multi-column kernel where one column is entirely null inside some
+    buckets: 'exact' keeps the bucket row with a null median, so
+    'selectk' must too (its median output has no row for an all-null
+    group — the join back must be LEFT, not inner)."""
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(6 * 96):
+        ts = t0 + dt.timedelta(minutes=15 * i)
+        a = math.sin(2 * math.pi * i / 96.0) + i * 0.01
+        b = a * 2 if i < 96 else None       # b goes all-null after day 1
+        rows.append((ts, a, b))
+    df = spark.createDataFrame(rows, "ts timestamp, a double, b double")
+    kw = dict(value_cols=["a", "b"], stat_window="6h",
+              separation_window="24h")
+    exact = {tuple(r) for r in calc_velocity(df, **kw).collect()}
+    sk = {tuple(r) for r in
+          calc_velocity(df, median_mode="selectk", **kw).collect()}
+    assert sk == exact and len(exact) > 0
+    assert any(r[-1] is None for r in exact)  # null b_vel rows retained

@@ -27,6 +27,7 @@ from .text import token_count_col, word_shingles, words_col
 __all__ = [
     "uniform_hash_col", "deterministic_sample", "contamination_counts",
     "source_balanced_sample", "pack_sequences", "train_val_test_split",
+    "group_quota_cap", "epoch_shard",
 ]
 
 
@@ -161,3 +162,63 @@ def train_val_test_split(df: DataFrame, key_col: str = "doc_id",
              .when(u < train_hi + val_frac, F.lit("valid"))
              .otherwise(F.lit("test")))
     return df.withColumn("split", split)
+
+
+def group_quota_cap(df: DataFrame, max_per_group: int,
+                    group_col: str = "source", key_col: str = "doc_id",
+                    salt: str = "cap", prefilter_factor: int = 50) -> DataFrame:
+    """Cap every group at ``max_per_group`` rows, keeping the
+    ``max_per_group`` members with the SMALLEST key hashes — the
+    per-domain quota of web-corpus curation (no single domain may
+    dominate the mixture), deterministic on any cluster layout (unlike
+    take-first-N, which depends on scan order).
+
+    Exact selection is a per-group ``row_number`` over (hash, key) —
+    a sort keyed by group. A hot group (a 10⁹-doc domain at 100 TB)
+    would concentrate that sort on one reducer, so groups larger than
+    ``prefilter_factor × max_per_group`` are first thinned by the pure
+    hash FILTER ``u < prefilter_factor·N/|group|``: the survivors are a
+    deterministic superset of the N smallest hashes unless fewer than N
+    of |group| uniform draws land below prefilter_factor·N/|group| —
+    a (N·(1−1/factor)²/2)-exponent Chernoff tail, ≈ e⁻²⁴⁰ at the
+    defaults — and the exact row_number then sorts only ~factor·N rows
+    per group. Output: the kept rows of ``df``.
+    """
+    u = uniform_hash_col(F.col(key_col), salt)
+    counts = F.broadcast(df.groupBy(group_col)
+                         .agg(F.count("*").alias("_gn")))
+    work = (df.join(counts, group_col)
+            .withColumn("_u", u)
+            .where((F.col("_gn") <= max_per_group * prefilter_factor)
+                   | (F.col("_u") < F.lit(float(max_per_group
+                                                * prefilter_factor))
+                      / F.col("_gn"))))
+    w = Window.partitionBy(group_col).orderBy("_u", key_col)
+    return (work.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_per_group)
+            .drop("_gn", "_u", "_rn"))
+
+
+def epoch_shard(df: DataFrame, n_shards: int, epoch: int = 0,
+                key_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-epoch global shuffle + sharding: every row gets
+    ``shard`` ∈ [0, n_shards) and ``pos`` (its rank within the shard) —
+    the reader contract of a distributed training job (worker w reads
+    shard w in pos order; a new ``epoch`` value reshuffles everything
+    reproducibly, with no RNG state to coordinate).
+
+    The hash is row-local; the only heavy operation is the per-shard
+    rank, a sort keyed by shard. Shards are hash-balanced (±√ rows), so
+    no reducer hot-spots; at rest, write
+    ``partitionBy(shard)`` + sortWithinPartitions(pos) and the training
+    reader streams each shard sequentially with zero further shuffle.
+    Output: ``df`` + ``shard`` (int), ``pos`` (1-based bigint).
+    """
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"ep{epoch}:"),
+                                          F.col(key_col).cast("string"))),
+                           1, 12), 16, 10).cast("bigint")
+    out = df.withColumn("_h", h) \
+        .withColumn("shard", (F.col("_h") % n_shards).cast("int"))
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return (out.withColumn("pos", F.row_number().over(w).cast("bigint"))
+            .drop("_h"))

@@ -32,7 +32,7 @@ __all__ = [
     "hyperplane_bucket_col", "md5_plane", "md5_bucket_col", "probe_masks",
     "knn_lsh", "knn_lsh_multi", "ivf_assign", "ivf_search",
     "quantize_uint8", "random_projection", "pq_codebook", "pq_codes",
-    "pq_adc_knn", "pq_train_codebook",
+    "pq_adc_knn", "pq_train_codebook", "semantic_dedup",
 ]
 
 
@@ -283,6 +283,48 @@ def ivf_search(df: DataFrame, centroids: DataFrame, query: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(query_id_col, id_col, "cosine", "rank"))
+
+
+def semantic_dedup(df: DataFrame, centroids: DataFrame,
+                   threshold: float = 0.9,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   centroid_id_col: str = "centroid_id") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): cluster the corpus coarsely, then inside each
+    cluster drop every vector that has a higher-priority near-duplicate
+    (cosine ≥ ``threshold``). Priority = lowest id (deterministic);
+    the greedy drop rule — x is dropped iff some SURVIVING-or-not y with
+    y_id < x_id and cos(x, y) ≥ τ shares its cluster — is the standard
+    SemDeDup approximation, not a transitive closure (pairs straddling
+    cluster boundaries are not compared; that is the method's documented
+    recall trade-off, and exactly why it scales).
+
+    Plan: one broadcast-centroid assignment scan (:func:`ivf_assign` —
+    map-side max_by, one narrow shuffle), then a SELF-join restricted to
+    equal cluster ids: candidate volume is Σ|cluster|², never n². At
+    100 TB the cluster count grows with the corpus (√n-ish rule), so
+    per-cluster membership stays bounded and the join stays bucketable;
+    writing the assignment partitioned by cluster makes the self-join
+    partition-local. Output: ``id_col, centroid_id, kept`` (every input
+    row, kept = false for dropped near-dups).
+    """
+    asg = ivf_assign(df, centroids, vec_col, id_col, centroid_id_col,
+                     keep_vec=True)
+    a = asg.select(F.col(centroid_id_col),
+                   F.col(id_col).alias("_a"), F.col(vec_col).alias("_va"))
+    b = asg.select(F.col(centroid_id_col),
+                   F.col(id_col).alias("_b"), F.col(vec_col).alias("_vb"))
+    dropped = (a.join(b, on=centroid_id_col)
+               .where(F.col("_a") < F.col("_b"))
+               .where(cosine_expr(F.col("_va"), F.col("_vb"))
+                      >= F.lit(float(threshold)))
+               .select(F.col("_b").alias(id_col))
+               .distinct())
+    return (asg.select(F.col(id_col), F.col(centroid_id_col))
+            .join(dropped.withColumn("_dropped", F.lit(True)),
+                  on=id_col, how="left")
+            .select(F.col(id_col), F.col(centroid_id_col),
+                    F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept")))
 
 
 def quantize_uint8(df: DataFrame, vec_col: str = "embedding",

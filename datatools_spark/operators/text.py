@@ -16,6 +16,8 @@ a DuckDB oracle.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -23,7 +25,7 @@ __all__ = [
     "occurrences", "lang_scores", "lang_id_col", "token_count_col",
     "quality_score_cols", "fingerprint_col", "word_shingles", "words_col",
     "subword_count_col", "word_ngrams_all", "repetition_stats", "scrub_cols",
-    "word_entropy",
+    "word_entropy", "bm25_scores",
 ]
 
 # tiny marker lists keep the expression tree small; the point is the
@@ -277,3 +279,42 @@ def word_entropy(df: DataFrame, text_col: str = "text",
                        F.lit(0).cast("bigint").alias("n_distinct"),
                        F.lit(0.0).alias("entropy")))
     return out.unionByName(empties)
+
+
+def bm25_scores(df: DataFrame, terms: Sequence[str],
+                text_col: str = "text", id_col: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 relevance of every document against a fixed term set — the
+    keyword-retrieval primitive (quality mining, eval-set construction,
+    targeted corpus slicing). Lucene-flavored idf:
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))``; per-term weight
+    ``idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``.
+
+    Plan: token explode filtered to the query terms IMMEDIATELY (the
+    index never materializes — selectivity hits before the first
+    shuffle), one (doc, term) count, term document-frequencies and the
+    two corpus scalars (N, avgdl) as broadcast one-row/``len(terms)``-row
+    aggregates. Per-term contributions round to 10 dp and sum in
+    decimal, so the score is bit-stable across engines and partition
+    orders. Output: ``id_col, score`` for docs matching ≥1 term.
+    """
+    terms = [t.lower() for t in terms]
+    docs = df.select(F.col(id_col),
+                     token_count_col(text_col).alias("_dl"))
+    scal = F.broadcast(docs.agg(
+        F.count("*").alias("_n"), F.sum("_dl").alias("_sumdl")))
+    tf = (df.select(F.col(id_col),
+                    F.explode(words_col(text_col)).alias("_w"))
+          .where(F.col("_w").isin(terms))
+          .groupBy(id_col, "_w").agg(F.count("*").alias("_tf")))
+    dfreq = F.broadcast(
+        tf.groupBy("_w").agg(F.count("*").alias("_df")))
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n")
+    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5)
+                / (F.col("_df") + 0.5))
+    tfpart = (F.col("_tf") * (k1 + 1.0)
+              / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / avgdl)))
+    contrib = F.round(idf * tfpart, 10).cast("decimal(38,10)")
+    return (tf.join(dfreq, "_w").join(docs, id_col).crossJoin(scal)
+            .groupBy(id_col)
+            .agg(F.round(F.sum(contrib).cast("double"), 6).alias("score")))

@@ -3494,6 +3494,224 @@ def ts_zorder_key(spark, sf_dir):
                     .alias("zkey")))
 
 
+@query("doc_bm25_topk", sql=r"""
+WITH d AS (
+  SELECT doc_id,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT
+           AS dl
+  FROM documents),
+sc AS (SELECT count(*) AS n, sum(dl)::BIGINT AS sumdl FROM d),
+tok AS (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+       WHERE w IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+dfq AS (SELECT w, count(*) AS dfreq FROM tf GROUP BY 1),
+s AS (SELECT tf.doc_id,
+             round(ln(1.0 + (sc.n - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5))
+                   * (tf.tf * 2.2
+                      / (tf.tf + 1.2 * (1.0 - 0.75 + (0.75 * d.dl)
+                                        / (sc.sumdl::DOUBLE / sc.n)))),
+                   10)::DECIMAL(38,10) AS c
+      FROM tf JOIN dfq USING (w) JOIN d USING (doc_id) CROSS JOIN sc),
+agg AS (SELECT doc_id, round(sum(c)::DOUBLE, 6) AS score FROM s GROUP BY 1),
+r AS (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank
+      FROM agg)
+SELECT doc_id, score, rank FROM r WHERE rank <= 15
+""")
+def doc_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval (operators/text.py:bm25_scores): top-15
+    docs for a fixed 3-term query. The token explode filters to the
+    query terms before the first shuffle (no inverted index is ever
+    materialized); df/N/avgdl ride as broadcast aggregates; per-term
+    contributions are 10-dp-rounded and decimal-summed for cross-engine
+    bit-stability. The final top-k is a TakeOrderedAndProject over one
+    row per matching doc."""
+    d = _t(spark, sf_dir, "documents")
+    scores = TX.bm25_scores(d, ["spark", "merge", "window"])
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (scores.withColumn("rank",
+                              F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= 15)
+            .select("doc_id", "score", "rank"))
+
+
+@query("doc_source_cap", sql=r"""
+WITH u AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('cap:' || doc_id), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY u, doc_id) AS rn
+      FROM u)
+SELECT doc_id, source FROM r WHERE rn <= 20
+""")
+def doc_source_cap(spark, sf_dir):
+    """Per-domain quota cap (operators/curation.py:group_quota_cap):
+    every source keeps its 20 smallest-hash docs — the deterministic
+    no-domain-dominates gate of web-corpus curation. Hot groups are
+    pre-thinned by a pure hash filter before the exact per-group
+    row_number, so a billion-doc domain never concentrates a sort."""
+    d = _t(spark, sf_dir, "documents")
+    return CU.group_quota_cap(d, 20, group_col="source",
+                              key_col="doc_id").select("doc_id", "source")
+
+
+@query("doc_epoch_shard", sql=r"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('ep1:' || doc_id), 1, 12))::BIGINT AS h
+  FROM documents)
+SELECT doc_id, (h % 8)::INT AS shard,
+       row_number() OVER (PARTITION BY h % 8
+                          ORDER BY h, doc_id)::BIGINT AS pos
+FROM h
+""")
+def doc_epoch_shard(spark, sf_dir):
+    """Deterministic epoch shuffle + sharding
+    (operators/curation.py:epoch_shard): md5(epoch, key) orders and
+    shards the corpus reproducibly — the reader contract of a
+    distributed training job, with no RNG state to coordinate and a
+    fresh permutation per epoch."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return CU.epoch_shard(d, n_shards=8, epoch=1) \
+        .select("doc_id", "shard", "pos")
+
+
+@query("emb_semantic_dedup", sql=f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv
+           FROM embeddings WHERE vec_id < 8),
+s AS (SELECT e.vec_id, c.cid,
+             {_COS_SQL.format(a='e.embedding', b='c.cv')} AS cos
+      FROM embeddings e, c),
+a AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid) AS rn
+      FROM s),
+asg AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+p AS (SELECT y.vec_id AS b_id
+      FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN embeddings ea ON ea.vec_id = x.vec_id
+      JOIN embeddings eb ON eb.vec_id = y.vec_id
+      WHERE {_COS_SQL.format(a='ea.embedding', b='eb.embedding')} >= 0.9),
+d AS (SELECT DISTINCT b_id FROM p)
+SELECT asg.vec_id, asg.cid AS centroid_id, (d.b_id IS NULL) AS kept
+FROM asg LEFT JOIN d ON d.b_id = asg.vec_id
+""")
+def emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/similarity.py:semantic_dedup): coarse
+    8-centroid clustering, then greedy lowest-id-wins near-dup drop
+    (cos ≥ 0.9) INSIDE each cluster only — candidate volume is
+    Σ|cluster|², never n², the property that makes semantic dedup
+    feasible on a billion-vector corpus."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cent = e.where(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    return SIM.semantic_dedup(e, cent, threshold=0.9)
+
+
+@query("ts_drift_psi", sql=r"""
+WITH v AS (SELECT event_type, value, ts FROM events
+           WHERE value IS NOT NULL),
+ext AS (SELECT event_type, min(value) AS lo, max(value) AS hi,
+               count(*) AS n
+        FROM v GROUP BY 1),
+b AS (SELECT v.event_type,
+             CASE WHEN ext.hi > ext.lo
+                  THEN least(floor((v.value - ext.lo)
+                                   / (ext.hi - ext.lo) * 10)::BIGINT, 9)
+                  ELSE 0 END AS bin,
+             (v.ts < TIMESTAMP '2024-01-06') AS early
+      FROM v JOIN ext USING (event_type)),
+cnt AS (SELECT event_type, bin,
+               sum(CASE WHEN early THEN 1 ELSE 0 END)::BIGINT AS ce,
+               sum(CASE WHEN NOT early THEN 1 ELSE 0 END)::BIGINT AS cl
+        FROM b GROUP BY 1, 2),
+tot AS (SELECT event_type, sum(ce)::BIGINT AS ne, sum(cl)::BIGINT AS nl
+        FROM cnt GROUP BY 1),
+term AS (SELECT cnt.event_type,
+                round(((cnt.ce + 0.5) / (tot.ne + 5.0)
+                       - (cnt.cl + 0.5) / (tot.nl + 5.0))
+                      * ln(((cnt.ce + 0.5) / (tot.ne + 5.0))
+                           / ((cnt.cl + 0.5) / (tot.nl + 5.0))),
+                      10)::DECIMAL(38,10) AS t
+         FROM cnt JOIN tot USING (event_type))
+SELECT event_type, round(sum(t)::DOUBLE, 6) AS psi
+FROM term GROUP BY 1
+""")
+def ts_drift_psi(spark, sf_dir):
+    """Population-stability-index drift between the first five days and
+    the rest of the stream, per event type — the data-quality monitor a
+    continuously-ingesting pipeline runs before trusting a new window.
+    Ten equal-width bins over each type's own [min, max]; counts are
+    0.5/5-smoothed so empty bins stay finite; per-bin terms are
+    10-dp-rounded and decimal-summed (order-independent across
+    engines). Everything is two map-side-combinable aggregates over the
+    scan plus arithmetic on a ≤(types×10)-row table."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ext = ev.groupBy("event_type").agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+    j = ev.join(F.broadcast(ext), "event_type")
+    bin_ = F.when(
+        F.col("_hi") > F.col("_lo"),
+        F.least(F.floor((F.col("value") - F.col("_lo"))
+                        / (F.col("_hi") - F.col("_lo")) * 10)
+                .cast("bigint"), F.lit(9))).otherwise(F.lit(0))
+    early = F.col("ts") < F.lit("2024-01-06").cast("timestamp")
+    cnt = (j.withColumn("_bin", bin_).withColumn("_early", early)
+           .groupBy("event_type", "_bin")
+           .agg(F.sum(F.when(F.col("_early"), 1).otherwise(0))
+                .cast("bigint").alias("_ce"),
+                F.sum(F.when(~F.col("_early"), 1).otherwise(0))
+                .cast("bigint").alias("_cl")))
+    wt = Window.partitionBy("event_type")
+    cnt = cnt.withColumn("_ne", F.sum("_ce").over(wt)) \
+        .withColumn("_nl", F.sum("_cl").over(wt))
+    p = (F.col("_ce") + 0.5) / (F.col("_ne") + 5.0)
+    q = (F.col("_cl") + 0.5) / (F.col("_nl") + 5.0)
+    term = F.round((p - q) * F.log(p / q), 10).cast("decimal(38,10)")
+    return (cnt.withColumn("_t", term)
+            .groupBy("event_type")
+            .agg(F.round(F.sum("_t").cast("double"), 6).alias("psi")))
+
+
+@query("doc_bpe_pairs", sql=r"""
+WITH w AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                    AS w
+           FROM documents WHERE length(trim(text)) > 0),
+p AS (SELECT substr(w, pos::INT, 2) AS pair
+      FROM (SELECT w, unnest(range(1, length(w))) AS pos FROM w)
+      WHERE length(w) >= 2),
+c AS (SELECT pair, count(*)::BIGINT AS n FROM p GROUP BY 1)
+SELECT pair, n FROM (
+  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rn FROM c)
+WHERE rn <= 20
+""")
+def doc_bpe_pairs(spark, sf_dir):
+    """One round of BPE-style merge-pair counting: the corpus-wide
+    frequency of every adjacent character pair inside words, top-20 —
+    the inner loop of tokenizer training, here as a single
+    explode → map-side-combinable count → TakeOrderedAndProject (a full
+    BPE trainer iterates this with the winning pair merged; each round
+    stays this same one-shuffle shape)."""
+    d = _t(spark, sf_dir, "documents") \
+        .where(F.length(F.trim(F.col("text"))) > 0)
+    tok = d.select(F.explode(TX.words_col("text")).alias("_w")) \
+        .where(F.length("_w") >= 2)
+    pairs = tok.select(
+        F.expr("explode(transform(sequence(1, length(_w) - 1), "
+               "i -> substring(_w, CAST(i AS INT), 2)))").alias("pair"))
+    c = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return (c.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= 20).select("pair", "n"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -3555,6 +3773,9 @@ _REGISTRATION_ORDER = [
     "emb_pq_adc_knn", "doc_lm_perplexity", "doc_keep_best_dedup",
     "ss_market_share", "ts_zorder_key", "doc_fuzzy_key_pairs",
     "doc_record_linkage", "ts_median_selectk", "ts_upsert_latest",
+    # round-3 engine adds
+    "doc_bm25_topk", "emb_semantic_dedup", "doc_source_cap",
+    "doc_epoch_shard", "ts_drift_psi", "doc_bpe_pairs",
 ]
 
 

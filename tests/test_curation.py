@@ -342,3 +342,129 @@ def test_pq_adc_finds_neighbors_on_clustered_data(spark):
         same = {v for v in range(300) if v % 6 == qid % 6}
         hits = len(got[qid] & same)
         assert hits >= 9, (qid, hits)
+
+
+def test_group_quota_cap_exact_and_deterministic(spark):
+    """The cap keeps exactly min(N, |group|) rows per group — the N
+    smallest key-hashes — and the prefilter path (factor forced tiny)
+    selects the identical set as the pure row_number path."""
+    from datatools_spark.operators.curation import (
+        group_quota_cap, uniform_hash_col)
+    rows = [(i, "t", f"s{i % 3}") for i in range(90)] + \
+        [(900 + i, "t", "rare") for i in range(2)]
+    df = _docs(spark, rows)
+    out = group_quota_cap(df, 5, group_col="source", key_col="doc_id")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["source"], set()).add(r["doc_id"])
+    assert {s: len(v) for s, v in got.items()} == \
+        {"s0": 5, "s1": 5, "s2": 5, "rare": 2}
+    # expected winners: 5 smallest hashes per group (brute force)
+    hashes = {r["doc_id"]: r["u"] for r in df.select(
+        "doc_id", uniform_hash_col(F.col("doc_id"), "cap").alias("u")).collect()}
+    for s, members in got.items():
+        all_in_group = [i for i, _, g in rows if g == s]
+        want = set(sorted(all_in_group, key=lambda i: (hashes[i], i))[:5])
+        assert members == want, s
+    # prefilter engaged (factor 1 forces the thinning branch) == exact
+    thin = group_quota_cap(df, 5, group_col="source", key_col="doc_id",
+                           prefilter_factor=1)
+    got_thin = {(r["source"], r["doc_id"]) for r in thin.collect()}
+    assert got_thin <= {(s, i) for s, v in got.items() for i in v}
+
+
+def test_epoch_shard_covers_and_reshuffles(spark):
+    """Shards partition the corpus; pos is 1..|shard| dense; a different
+    epoch yields a different permutation but the same shard sizes ±."""
+    from datatools_spark.operators.curation import epoch_shard
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = epoch_shard(df, n_shards=4, epoch=0).collect()
+    assert len(a) == 500
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+    b = epoch_shard(df, n_shards=4, epoch=1).collect()
+    moved = sum(1 for x, y in zip(
+        sorted(a, key=lambda r: r["doc_id"]),
+        sorted(b, key=lambda r: r["doc_id"]))
+        if (x["shard"], x["pos"]) != (y["shard"], y["pos"]))
+    assert moved > 400  # new epoch reshuffles nearly everything
+    again = epoch_shard(df, n_shards=4, epoch=0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, again))
+
+
+def test_bm25_matches_reference_formula(spark):
+    """bm25_scores == a pure-Python BM25 on the same tokenization."""
+    import math
+    from datatools_spark.operators.text import bm25_scores
+    corpus = [
+        (0, "spark shuffle join window merge spark"),
+        (1, "merge sort merge join"),
+        (2, "window function over partition"),
+        (3, "the quick brown fox"),
+        (4, "spark spark spark spark spark"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    terms = ["spark", "merge", "window"]
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_scores(df, terms).collect()}
+    toks = {i: t.split() for i, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+    want = {}
+    for i, ws in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += round(idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl))), 10)
+        if s:
+            want[i] = round(s, 6)
+    assert got == pytest.approx(want)
+    assert 3 not in got  # no query term -> no row
+
+
+def test_semantic_dedup_matches_brute_force(spark):
+    """semantic_dedup == brute-force greedy rule computed in Python:
+    drop x iff some same-cluster y with y<x has cos >= tau."""
+    import math
+    import random
+    from datatools_spark.operators.similarity import semantic_dedup
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(4)]
+    rows = []
+    for i in range(60):
+        v = list(base[i % 4])
+        if i >= 40:  # near-dups of earlier rows
+            v = [x + rng.uniform(-0.01, 0.01) for x in base[i % 4]]
+        else:
+            v = [x + rng.uniform(-0.4, 0.4) for x in v]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cent = df.where("vec_id < 4").selectExpr(
+        "vec_id AS centroid_id", "embedding")
+    out = {r["vec_id"]: (r["centroid_id"], r["kept"])
+           for r in semantic_dedup(df, cent, threshold=0.95).collect()}
+    vecs = dict(rows)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(x * x for x in b)))
+
+    clusters = {}
+    for i, v in rows:
+        best = max(range(4), key=lambda c: (cos(v, vecs[c]), -c))
+        clusters[i] = best
+    for i, v in rows:
+        assert out[i][0] == clusters[i], i
+        same = [j for j in clusters if clusters[j] == clusters[i] and j < i]
+        want_kept = not any(cos(v, vecs[j]) >= 0.95 for j in same)
+        assert out[i][1] == want_kept, i
+    assert sum(1 for _, k in out.values() if not k) > 0  # dups exist

@@ -207,3 +207,41 @@ def test_calc_stage_jeme(spark, tmp_path):
     assert ok["logger_to_ground"] == pytest.approx(12.0 * 0.0254)
     assert rows[dt.datetime(2018, 7, 1, 0, 15)]["stage"] is None   # sentinel
     assert rows[dt.datetime(2018, 7, 1, 0, 30)]["stage"] is None   # drop list
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    """JSONL source: valid lines parse to the document schema, corrupt
+    lines quarantine with the raw text preserved (never dropped, never
+    fatal); writer round-trips; sharded write lays out one dir per key."""
+    from datatools_spark.sources.jsonl import (
+        read_documents_jsonl, split_corrupt, write_documents_jsonl)
+    src = tmp_path / "in.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "hello world", "lang": "en", '
+        '"source": "a", "n_chars": 11}',
+        'not json at all',
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", '
+        '"source": "b", "n_chars": 7}',
+        '{"truncated": ',
+    ]
+    src.write_text("\n".join(lines) + "\n")
+    raw = read_documents_jsonl(spark, str(src))
+    clean, bad = split_corrupt(raw)
+    got = {r.doc_id: (r.text, r.lang, r.source) for r in clean.collect()}
+    assert got == {1: ("hello world", "en", "a"), 2: ("bonjour", "fr", "b")}
+    badlines = {r[0] for r in bad.collect()}
+    assert badlines == {"not json at all", '{"truncated": '}
+
+    out = tmp_path / "out"
+    write_documents_jsonl(clean, str(out), shard_by="source")
+    import os
+    shards = {d for d in os.listdir(out) if d.startswith("source=")}
+    assert shards == {"source=a", "source=b"}
+    back = read_documents_jsonl(spark, str(out) + "/*")
+    clean2, bad2 = split_corrupt(back)
+    # partitionBy drops the shard column from the file payload; it comes
+    # back via the directory key when reading the root — here we read
+    # shard globs, so compare the payload columns
+    assert {r.doc_id: r.text for r in clean2.collect()} == \
+        {1: "hello world", 2: "bonjour"}
+    assert bad2.count() == 0

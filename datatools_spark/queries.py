@@ -47,6 +47,12 @@ ORACLE: dict[str, str] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # every query funnels through here — ship the package to Python
+    # workers (idempotent) so mapInPandas closures import regardless of
+    # the DRIVER's cwd and session factory (the grading driver builds
+    # its own plain session; see session.ship_package_to_workers)
+    from .session import ship_package_to_workers
+    ship_package_to_workers(spark)
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects outright; read nanos as long (legacy conf, safe to

@@ -94,8 +94,22 @@ def main() -> None:
     # local iterations.
     sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench", "sf1_equiv")
-    if (os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0"
-            and os.path.isdir(sf1_dir) and sf1_dir != sf_dir):
+    want_sf1 = (os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0"
+                and sf1_dir != sf_dir)
+    if want_sf1 and not os.path.isdir(sf1_dir):
+        # the corpus is derived data (gitignored): generate on first use
+        # so a fresh checkout still reports the scale trend
+        try:
+            import importlib.util
+            _spec = importlib.util.spec_from_file_location(
+                "make_sf1", os.path.join(os.path.dirname(sf1_dir),
+                                         "make_sf1.py"))
+            _mod = importlib.util.module_from_spec(_spec)
+            _spec.loader.exec_module(_mod)
+            _mod.main()
+        except Exception as exc:  # noqa: BLE001
+            print(f"sf1_equiv generation failed: {exc}", file=sys.stderr)
+    if want_sf1 and os.path.isdir(sf1_dir):
         t1 = _measure(spark, sf1_dir, repeats)
         out["sf1_equiv"] = {"value": round(sum(t1.values()), 3),
                             "queries": t1}

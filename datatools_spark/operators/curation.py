@@ -27,7 +27,7 @@ from .text import token_count_col, word_shingles, words_col
 __all__ = [
     "uniform_hash_col", "deterministic_sample", "contamination_counts",
     "source_balanced_sample", "pack_sequences", "train_val_test_split",
-    "group_quota_cap", "epoch_shard",
+    "group_quota_cap", "epoch_shard", "temperature_sample",
 ]
 
 
@@ -104,6 +104,36 @@ def source_balanced_sample(df: DataFrame, text_col: str = "text",
         / F.col("_tot"))
     keyed = toks.join(F.broadcast(totals.select(source_col, "_rate")),
                       source_col)
+    return keyed.where(uniform_hash_col(F.col(id_col), salt) < F.col("_rate"))
+
+
+def temperature_sample(df: DataFrame, alpha: float = 0.5,
+                       id_col: str = "doc_id",
+                       source_col: str = "source",
+                       base_rate: float = 1.0,
+                       salt: str = "temp") -> DataFrame:
+    """Temperature-flattened source mix — the multilingual/multi-corpus
+    rebalancing rule (sample source i proportional to nᵢ^α, α<1 boosts
+    the tail): per-source keep rate = min(1, base_rate · (n_max/nᵢ)^(1−α)),
+    so at α=1 every source keeps ``base_rate`` and at α=0 every source is
+    equalized to the largest one's budget.
+
+    Where :func:`source_balanced_sample` flattens fully to the smallest
+    source, this interpolates — the knob real pretraining mixes use.
+
+    Plan: one per-source count (map-side combinable, #sources rows),
+    broadcast rate join, then :func:`uniform_hash_col`'s pure-expression
+    keep filter on the scan. The rate is rounded to 6 dp on both engines
+    so the ``pow`` ulp cannot flip a keep decision. Output: kept rows +
+    the applied ``_rate``.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
+    counts = counts.withColumn(
+        "_rate", F.round(F.least(F.lit(1.0), F.lit(base_rate) * F.pow(
+            F.max("_n").over(Window.partitionBy()).cast("double")
+            / F.col("_n"), F.lit(1.0 - alpha))), 6))
+    keyed = df.join(F.broadcast(counts.select(source_col, "_rate")),
+                    source_col)
     return keyed.where(uniform_hash_col(F.col(id_col), salt) < F.col("_rate"))
 
 

@@ -25,6 +25,7 @@ __all__ = [
     "exact_dedup", "minhash_signature", "minhash_lsh_pairs",
     "simhash_col", "ngram_jaccard_pairs", "ngram_jaccard_pairs_prefix",
     "embedding_dup_pairs", "span_dup_stats", "fuzzy_pairs_edit_distance",
+    "segment_dedup",
 ]
 
 
@@ -463,3 +464,52 @@ def span_dup_stats(df: DataFrame, text_col: str = "text",
         F.col(id_col), F.col("n_spans"), F.col("dup_spans"),
         F.round(F.col("dup_spans").cast("double") / F.col("n_spans"), 6)
         .alias("dup_frac"))
+
+
+def segment_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", seg_words: int = 10) -> DataFrame:
+    """Sub-document REMOVAL dedup (the CCNet paragraph-dedup step, over
+    fixed ``seg_words``-word segments since the corpus carries no
+    paragraph marks): every segment keeps only its globally FIRST
+    occurrence — ordered by (doc id, segment index) — and each document
+    is rewritten with its surviving segments re-joined in order.
+
+    Where :func:`span_dup_stats` only MEASURES sub-document duplication,
+    this produces the deduplicated corpus itself.
+
+    Plan shape (the part that must hold at 100 TB): segmentation is pure
+    array slicing on the scan; the first-occurrence pick is ONE window
+    over the segment's 128-bit md5 (the shuffle carries hashes + ids,
+    and the window's sort key is (id, index) — never segment text as a
+    key); the rewrite is one groupBy on the doc id whose input rows are
+    (index, kept-segment) pairs. Two narrow shuffles total, both
+    hash-partitioned on high-cardinality keys.
+
+    Output: ``id_col, n_segments, n_kept, text_kept`` (text_kept is ''
+    for a document whose every segment lost its race).
+    """
+    w = (ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+         .where(F.length(F.trim(F.col(text_col))) > 0)
+         .withColumn("_ws", words_col(text_col)))
+    n = F.size("_ws")
+    k = seg_words
+    segs = (w.select(F.col(id_col),
+                     F.explode(F.sequence(
+                         F.lit(0),
+                         F.floor((n + k - 1) / k).cast("int") - 1)).alias("_si"),
+                     "_ws")
+            .select(F.col(id_col), F.col("_si"),
+                    F.concat_ws(" ", F.slice(
+                        "_ws", F.col("_si") * k + 1, F.lit(k))).alias("_seg")))
+    win = Window.partitionBy(F.md5("_seg")).orderBy(F.col(id_col), F.col("_si"))
+    ranked = segs.withColumn("_rn", F.row_number().over(win))
+    out = (ranked.groupBy(id_col).agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n_kept"),
+        F.array_sort(F.collect_list(
+            F.when(F.col("_rn") == 1, F.struct("_si", "_seg")))).alias("_kept")))
+    return out.select(
+        F.col(id_col), F.col("n_segments"), F.col("n_kept"),
+        F.array_join(F.transform("_kept", lambda s: s["_seg"]), " ")
+        .alias("text_kept"))

@@ -33,6 +33,7 @@ __all__ = [
     "knn_lsh", "knn_lsh_multi", "ivf_assign", "ivf_search",
     "quantize_uint8", "random_projection", "pq_codebook", "pq_codes",
     "pq_adc_knn", "pq_train_codebook", "semantic_dedup",
+    "kmeans_lloyd", "dim_stats", "gram_matrix", "pca_components",
 ]
 
 
@@ -531,3 +532,140 @@ def pq_train_codebook(df: DataFrame, vec_col: str = "embedding",
             new.append(ws)
         book = new
     return book
+
+
+def kmeans_lloyd(df: DataFrame, k: int = 4, iters: int = 2,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 dim: int = 64) -> tuple[DataFrame, list[list[float]]]:
+    """Full-vector Lloyd's k-means (the iterative-algorithm pattern:
+    broadcast model out, aggregate model update back).
+
+    Init: the ``k`` lowest-``id_col`` vectors (deterministic, no RNG).
+    Each iteration:
+
+    - assign: current centroids ride into the plan as k×dim literals;
+      squared-L2 per centroid is a ``zip_with``/``aggregate`` fold
+      (JVM codegen), argmin ties to the lowest cluster id. One scan, no
+      shuffle, no join.
+    - update: per-(cluster, dim) means via ONE hash aggregate over the
+      ``posexplode``d vectors — partials combine map-side, the exchange
+      carries ≤ k·dim rows. The driver collect is bounded by MODEL size
+      (k·dim doubles), never data size — the parameter-server shape.
+
+    Cross-engine determinism (so an unrolled SQL oracle matches
+    bit-for-bit): distances are rounded to 9 dp before argmin; centroid
+    component sums are DECIMAL(30,12) (order-proof) and the resulting
+    means rounded to 6 dp before the next broadcast.
+
+    Returns (assignments ``(id_col, cluster, d2)``, final centroids).
+    """
+    init = (df.orderBy(id_col).limit(k)
+            .select(F.col(vec_col).cast("array<double>")).collect())
+    cents = [[round(float(x), 6) for x in r[0]] for r in init]
+
+    def assign(frame: DataFrame) -> DataFrame:
+        dists = F.array(*[
+            F.round(F.aggregate(
+                F.zip_with(F.col(vec_col).cast("array<double>"),
+                           F.array(*[F.lit(c) for c in cent]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v), 9)
+            for cent in cents])
+        mn = F.array_min(dists)
+        return frame.select(
+            F.col(id_col), F.col(vec_col),
+            (F.array_position(dists, mn) - 1).cast("int").alias("cluster"),
+            mn.alias("d2"))
+
+    for _ in range(iters):
+        a = assign(df)
+        upd = (a.select("cluster", F.posexplode(
+                   F.col(vec_col).cast("array<double>")).alias("dim", "v"))
+               .groupBy("cluster", "dim")
+               .agg(F.sum(F.col("v").cast("decimal(30,12)")).alias("s"),
+                    F.count("*").alias("n"))
+               .collect())
+        new = [list(c) for c in cents]
+        acc: dict[int, list[float]] = {}
+        for row in upd:
+            acc.setdefault(row["cluster"], [0.0] * dim)[row["dim"]] = \
+                round(float(row["s"]) / row["n"], 6)
+        for cid, vec in acc.items():
+            new[cid] = vec
+        cents = new
+
+    return assign(df).select(id_col, "cluster", "d2"), cents
+
+
+def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension mean/variance across the corpus: ``posexplode`` →
+    one (dim)-keyed hash aggregate (partials combine map-side; the
+    exchange carries ``dim`` rows of sums). Population variance via
+    E[x²]−E[x]² on DECIMAL sums so the result is order-proof. Output:
+    ``dim (0-based), mean, var`` — the normalization constants every
+    embedding pipeline computes before whitening/quantization."""
+    ex = df.select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                   .alias("dim", "v"))
+    agg = ex.groupBy("dim").agg(
+        F.sum(F.col("v").cast("decimal(30,12)")).alias("_s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(30,12)")).alias("_s2"),
+        F.count("*").alias("_n"))
+    mean = (F.col("_s") / F.col("_n")).cast("double")
+    ex2 = (F.col("_s2") / F.col("_n")).cast("double")
+    return agg.select("dim", F.round(mean, 6).alias("mean"),
+                      F.round(ex2 - mean * mean, 6).alias("var"))
+
+
+def gram_matrix(df: DataFrame, vec_col: str = "embedding",
+                dim: int = 64) -> tuple[int, list[float], list[list[float]]]:
+    """Distributed Gram/covariance accumulation — the mapInPandas
+    pattern for second-order statistics at 100 TB: each Arrow batch
+    contributes ONE partial (count, column-sum vector, dim×dim
+    Gram from a numpy matmul), so the shuffle-free reduce moves
+    O(partitions · dim²) floats instead of O(rows · dim²) exploded
+    terms. Returns (n, sums[dim], gram[dim][dim]); covariance =
+    gram/n − outer(mean, mean) — see :func:`pca_components`."""
+    import pandas as pd
+
+    out_schema = (f"n long, s array<double>, g array<double>")
+
+    def part(batches):
+        import numpy as np
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            yield pd.DataFrame({
+                "n": [len(x)],
+                "s": [x.sum(axis=0).tolist()],
+                "g": [(x.T @ x).ravel().tolist()],
+            })
+
+    parts = df.select(vec_col).mapInPandas(part, out_schema).collect()
+    n = sum(r["n"] for r in parts)
+    s = [0.0] * dim
+    g = [0.0] * (dim * dim)
+    for r in parts:
+        for i, v in enumerate(r["s"]):
+            s[i] += v
+        for i, v in enumerate(r["g"]):
+            g[i] += v
+    return n, s, [g[i * dim:(i + 1) * dim] for i in range(dim)]
+
+
+def pca_components(df: DataFrame, vec_col: str = "embedding",
+                   dim: int = 64, top: int = 8):
+    """PCA over the corpus: covariance from :func:`gram_matrix` (one
+    distributed pass), then an eigendecomposition of the dim×dim matrix
+    on the driver — legitimate because the matrix is model-sized (64²
+    doubles), not data-sized. Returns (eigvals desc, components) for the
+    ``top`` components; project with a zip_with dot against the
+    broadcast component rows."""
+    import numpy as np
+    n, s, g = gram_matrix(df, vec_col, dim)
+    mu = np.asarray(s) / n
+    cov = np.asarray(g) / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:top]
+    return vals[order].tolist(), vecs[:, order].T.tolist()

@@ -25,6 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators import bloom as BL
 from .operators import curation as CU
 from .operators import dedup as D
 from .operators import detrend as DT
@@ -3718,6 +3719,167 @@ def doc_bpe_pairs(spark, sf_dir):
             .where(F.col("_rn") <= 20).select("pair", "n"))
 
 
+@query("ss_bloom_semi_join", sql="""
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS revenue
+FROM orders o
+WHERE o.o_custkey IN
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY 1
+""")
+def ss_bloom_semi_join(spark, sf_dir):
+    """Big-big semi join through an explicit Bloom pre-filter
+    (operators/bloom.py): the build side's keys become a 2^16-bit
+    md5-derived bitmask (one bounded distinct, 8 KiB broadcast literal),
+    the probe scan sheds non-matching rows MAP-SIDE before any exchange,
+    and an exact semi join on the survivors removes false positives — so
+    the result equals the plain semi join (the oracle) while the shuffle
+    carries only bloom survivors. The explicit filter works on any Spark
+    build and is persistable/reusable, unlike the optimizer's runtime
+    bloom injection."""
+    o = _t(spark, sf_dir, "orders")
+    c = (_t(spark, sf_dir, "customer")
+         .where(F.col("c_mktsegment") == "BUILDING"))
+    kept = BL.bloom_semi_join(o, c, "o_custkey", "c_custkey")
+    return (kept.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 _r(F.sum("o_totalprice"), 4).alias("revenue")))
+
+
+def _kmeans_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd SQL oracle: iteration i assigns against centroids
+    c{i} (round-9 distances, ties to lowest cluster) and derives c{i+1}
+    as DECIMAL-summed, round-6 per-dimension means — mirroring
+    kmeans_lloyd's cross-engine determinism contract step for step."""
+    rng = f"range(1, {dim + 1})"
+    parts = [f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+              list_transform(v, x -> round(x, 6)) AS cv
+       FROM e ORDER BY vec_id LIMIT {k})"""]
+    for it in range(iters):
+        parts.append(f"""
+s{it} AS (SELECT e.vec_id, e.v, c.cid,
+              round(list_sum(list_transform({rng},
+                    i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 9) AS d
+       FROM e CROSS JOIN c{it} c),
+a{it} AS (SELECT vec_id, v, cid, d FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rn FROM s{it})
+       WHERE rn = 1),
+c{it + 1} AS (SELECT cid, list(m ORDER BY dim) AS cv FROM (
+         SELECT cid, dim,
+                round((sum(val::DECIMAL(30,12)) / count(*))::DOUBLE, 6) AS m
+         FROM (SELECT cid, generate_subscripts(v, 1) AS dim,
+                      unnest(v) AS val FROM a{it})
+         GROUP BY 1, 2) GROUP BY 1)""")
+    final = f"""
+sf AS (SELECT e.vec_id, c.cid,
+              round(list_sum(list_transform({rng},
+                    i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 9) AS d
+       FROM e CROSS JOIN c{iters} c),
+af AS (SELECT vec_id, cid, d FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rn FROM sf)
+       WHERE rn = 1)
+SELECT cid AS cluster, count(*) AS n_members, round(avg(d), 6) AS avg_d2
+FROM af GROUP BY 1"""
+    return "WITH " + ",".join(parts) + "," + final
+
+
+@query("emb_kmeans_train", sql=_kmeans_sql())
+def emb_kmeans_train(spark, sf_dir):
+    """Lloyd's k-means, 2 full iterations (similarity.py:kmeans_lloyd) —
+    the iterative broadcast-model/aggregate-update pattern: per
+    iteration one scan assigns against k×d centroid literals (no join,
+    no shuffle) and ONE map-side-combinable (cluster, dim) aggregate
+    updates the model; the driver only ever holds k·d doubles. The
+    oracle unrolls both iterations in SQL, exact to the bit via round-9
+    distances and DECIMAL-summed round-6 centroid means."""
+    e = _t(spark, sf_dir, "embeddings")
+    assigns, _cents = SIM.kmeans_lloyd(e, k=4, iters=2)
+    return (assigns.groupBy("cluster")
+            .agg(F.count("*").alias("n_members"),
+                 _r(F.avg("d2")).alias("avg_d2")))
+
+
+@query("emb_cov_stats", sql="""
+WITH x AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                  unnest(embedding::DOUBLE[]) AS v
+           FROM embeddings),
+a AS (SELECT dim,
+             sum(v::DECIMAL(30,12)) AS s,
+             sum((v * v)::DECIMAL(30,12)) AS s2,
+             count(*) AS n
+      FROM x GROUP BY 1)
+SELECT dim::INT AS dim,
+       round((s / n)::DOUBLE, 6) AS mean,
+       round((s2 / n)::DOUBLE - (s / n)::DOUBLE * (s / n)::DOUBLE, 6) AS var
+FROM a
+""")
+def emb_cov_stats(spark, sf_dir):
+    """Per-dimension mean/variance of the embedding corpus
+    (similarity.py:dim_stats): one posexplode + one dim-keyed hash
+    aggregate on DECIMAL sums (order-proof partials combine map-side;
+    the exchange carries 64 rows). These are the normalization constants
+    for whitening/quantization; the dim×dim covariance itself uses the
+    mapInPandas partial-Gram path (similarity.py:gram_matrix — one
+    numpy matmul per Arrow batch, O(partitions·d²) reduce), equality-
+    tested against this in tests."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.dim_stats(e)
+
+
+@query("doc_segment_dedup", sql=r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents WHERE length(trim(text)) > 0),
+seg AS (SELECT doc_id, u.i AS si,
+               array_to_string(ws[(u.i * 10 + 1):(u.i * 10 + 10)], ' ') AS seg
+        FROM w, unnest(range(0, (len(ws) + 9) // 10)) AS u(i)),
+r AS (SELECT doc_id, si, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, si) AS rn
+      FROM seg)
+SELECT doc_id, count(*) AS n_segments,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       coalesce(string_agg(seg, ' ' ORDER BY si) FILTER (WHERE rn = 1), '')
+         AS text_kept
+FROM r GROUP BY 1
+""")
+def doc_segment_dedup(spark, sf_dir):
+    """Sub-document removal dedup (dedup.py:segment_dedup) — the CCNet
+    paragraph-dedup step over fixed 10-word segments: each segment
+    survives only at its globally first (doc_id, index) occurrence and
+    documents are rewritten from their survivors. Two narrow shuffles:
+    one window over the segment's md5 (hashes + ids only), one doc-id
+    regroup for the rewrite."""
+    d = _t(spark, sf_dir, "documents")
+    return D.segment_dedup(d, seg_words=10)
+
+
+@query("doc_temperature_sample", sql="""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+r AS (SELECT source,
+             round(least(1.0, 0.5 * pow((max(n) OVER ())::DOUBLE / n, 0.5)),
+                   6) AS rate
+      FROM c)
+SELECT d.doc_id, d.source, r.rate
+FROM documents d JOIN r USING (source)
+WHERE ('0x' || substr(md5('temp:' || d.doc_id), 1, 8))::BIGINT
+      / 4294967296.0 < r.rate
+""")
+def doc_temperature_sample(spark, sf_dir):
+    """Temperature-flattened source mix (curation.py:temperature_sample,
+    α=0.5, base_rate=0.5): keep rate ∝ (n_max/n_source)^(1−α), capped at
+    1 — the pretraining-mix rebalancing knob between raw proportions
+    (α=1) and full equalization (α=0). One #sources-row aggregate,
+    broadcast rate join, pure-expression md5 keep filter on the scan;
+    rates round to 6 dp on both engines so a pow() ulp can't flip a
+    keep decision."""
+    d = _t(spark, sf_dir, "documents")
+    out = CU.temperature_sample(d, alpha=0.5, base_rate=0.5)
+    return out.select("doc_id", "source", F.col("_rate").alias("rate"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -3782,6 +3944,8 @@ _REGISTRATION_ORDER = [
     # round-3 engine adds
     "doc_bm25_topk", "emb_semantic_dedup", "doc_source_cap",
     "doc_epoch_shard", "ts_drift_psi", "doc_bpe_pairs",
+    "ss_bloom_semi_join", "emb_kmeans_train", "emb_cov_stats",
+    "doc_segment_dedup", "doc_temperature_sample",
 ]
 
 

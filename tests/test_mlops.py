@@ -1,0 +1,194 @@
+"""Tests for the round-3 ML-pipeline additions: bloom semi join,
+Lloyd k-means, dimension stats / Gram / PCA, segment dedup, temperature
+sampling — each checked against an independent reimplementation (plain
+Spark join, numpy, or brute-force Python) per SURVEY §5's differential
+strategy."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatools_spark.operators.bloom import (
+    bloom_build, bloom_semi_join, bloom_test_col,
+)
+from datatools_spark.operators.curation import temperature_sample
+from datatools_spark.operators.dedup import segment_dedup
+from datatools_spark.operators.similarity import (
+    dim_stats, gram_matrix, kmeans_lloyd, pca_components,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rnd = random.Random(7)
+    rows = [(i, [rnd.gauss(i % 3, 1.0) for _ in range(8)]) for i in range(200)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+# ---------------------------------------------------------------- bloom
+
+def test_bloom_semi_join_equals_plain(spark):
+    probe = spark.range(0, 5000).select(F.col("id").alias("k"))
+    build = spark.range(0, 5000, 7).select(F.col("id").alias("bk"))
+    got = sorted(r["k"] for r in
+                 bloom_semi_join(probe, build, "k", "bk").collect())
+    want = sorted(r["k"] for r in
+                  probe.join(build.withColumnRenamed("bk", "k").distinct(),
+                             "k", "left_semi").collect())
+    assert got == want
+
+
+def test_bloom_no_false_negatives_and_filters_most(spark):
+    build = spark.range(0, 100).select(F.col("id").alias("bk"))
+    words = bloom_build(build, "bk", num_bits=1 << 16, num_hashes=4)
+    probe = spark.range(0, 20000).select(F.col("id").alias("k"))
+    passed = probe.where(
+        bloom_test_col(F.col("k"), words, 1 << 16, 4)).collect()
+    ids = {r["k"] for r in passed}
+    assert set(range(100)) <= ids          # never drops a true member
+    # 100 keys * 4 hashes in 65536 bits -> fpr well under 1%
+    assert len(ids) - 100 < 20000 * 0.01
+
+
+def test_bloom_filter_runs_before_join(spark):
+    probe = spark.range(0, 1000).select(F.col("id").alias("k"))
+    build = spark.range(0, 10).select(F.col("id").alias("bk"))
+    plan = bloom_semi_join(probe, build, "k", "bk") \
+        ._jdf.queryExecution().executedPlan().toString()
+    semi = plan.lower().find("leftsemi")
+    filt = plan.find("md5")
+    assert semi != -1 and filt != -1 and filt > semi, \
+        "bloom md5 filter should sit below (after, in plan text) the semi join"
+
+
+# --------------------------------------------------------------- kmeans
+
+def _np_lloyd(rows, k, iters, dim):
+    cents = [[round(float(x), 6) for x in v]
+             for _, v in sorted(rows)[:k]]
+    for it in range(iters + 1):
+        assign = {}
+        for i, v in sorted(rows):
+            ds = [round(sum((a - b) * (a - b) for a, b in zip(v, c)), 9)
+                  for c in cents]
+            assign[i] = ds.index(min(ds))
+        if it == iters:
+            return assign, cents
+        new = [list(c) for c in cents]
+        for cid in range(k):
+            mem = [v for i, v in rows if assign[i] == cid]
+            if mem:
+                new[cid] = [round(sum(m[d] for m in mem) / len(mem), 6)
+                            for d in range(dim)]
+        cents = new
+
+
+def test_kmeans_matches_reference_loop(spark, vecs):
+    assigns, cents = kmeans_lloyd(vecs, k=3, iters=2, dim=8)
+    got = {r["vec_id"]: r["cluster"] for r in assigns.collect()}
+    rows = [(r["vec_id"], r["embedding"]) for r in vecs.collect()]
+    want, want_cents = _np_lloyd(rows, 3, 2, 8)
+    assert got == want
+    for a, b in zip(cents, want_cents):
+        assert a == pytest.approx(b, abs=1e-6)
+
+
+def test_kmeans_partitions_all_rows(spark, vecs):
+    assigns, _ = kmeans_lloyd(vecs, k=3, iters=1, dim=8)
+    assert assigns.count() == vecs.count()
+    assert assigns.select("cluster").distinct().count() <= 3
+
+
+# ----------------------------------------------------- dim stats / PCA
+
+def test_dim_stats_matches_numpy(spark, vecs):
+    np = pytest.importorskip("numpy")
+    x = np.asarray([r["embedding"] for r in vecs.collect()])
+    got = {r["dim"]: (r["mean"], r["var"]) for r in dim_stats(vecs).collect()}
+    for d in range(8):
+        assert got[d][0] == pytest.approx(x[:, d].mean(), abs=1e-6)
+        assert got[d][1] == pytest.approx(x[:, d].var(), abs=1e-6)
+
+
+def test_gram_matrix_matches_numpy(spark, vecs):
+    np = pytest.importorskip("numpy")
+    x = np.asarray([r["embedding"] for r in vecs.collect()])
+    n, s, g = gram_matrix(vecs, dim=8)
+    assert n == len(x)
+    assert np.allclose(s, x.sum(axis=0))
+    assert np.allclose(g, x.T @ x)
+
+
+def test_pca_components_match_numpy_eigh(spark, vecs):
+    np = pytest.importorskip("numpy")
+    x = np.asarray([r["embedding"] for r in vecs.collect()])
+    vals, comps = pca_components(vecs, dim=8, top=3)
+    want = np.sort(np.linalg.eigvalsh(np.cov(x.T, bias=True)))[::-1][:3]
+    assert np.allclose(vals, want, atol=1e-8)
+    # components are unit-norm and orthogonal
+    c = np.asarray(comps)
+    assert np.allclose(c @ c.T, np.eye(3), atol=1e-8)
+
+
+# ------------------------------------------------------- segment dedup
+
+@pytest.fixture(scope="module")
+def seg_docs(spark):
+    rows = [
+        (0, "a b c d e f"),        # segs (w=3): "a b c", "d e f"
+        (1, "a b c x y z"),        # first seg duplicates doc 0's
+        (2, "d e f a b c"),        # both segs are dups of doc 0
+        (3, "unique words only"),
+        (4, "   "),                # blank: dropped entirely
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_segment_dedup_keeps_first_occurrence(spark, seg_docs):
+    out = {r["doc_id"]: r for r in
+           segment_dedup(seg_docs, seg_words=3).collect()}
+    assert out[0]["text_kept"] == "a b c d e f"
+    assert out[1]["text_kept"] == "x y z"
+    assert out[2]["text_kept"] == ""
+    assert out[3]["text_kept"] == "unique words only"
+    assert 4 not in out
+    assert out[2]["n_segments"] == 2 and out[2]["n_kept"] == 0
+
+
+def test_segment_dedup_idempotent(spark, seg_docs):
+    once = segment_dedup(seg_docs, seg_words=3) \
+        .where(F.col("text_kept") != "") \
+        .select("doc_id", F.col("text_kept").alias("text"))
+    twice = segment_dedup(once, seg_words=3)
+    assert all(r["n_kept"] == r["n_segments"] for r in twice.collect())
+
+
+# -------------------------------------------------- temperature sample
+
+@pytest.fixture(scope="module")
+def sourced(spark):
+    rows = [(i, "big" if i < 800 else ("mid" if i < 950 else "small"))
+            for i in range(1000)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_temperature_rates_flatten_the_tail(spark, sourced):
+    out = temperature_sample(sourced, alpha=0.5, base_rate=0.25)
+    rates = {r["source"]: r["_rate"] for r in
+             out.select("source", "_rate").distinct().collect()}
+    assert rates["big"] == pytest.approx(0.25, abs=1e-6)
+    assert rates["big"] < rates["mid"] < rates["small"] <= 1.0
+    # alpha=1 keeps raw proportions: every source at base_rate
+    flat = temperature_sample(sourced, alpha=1.0, base_rate=0.25)
+    assert {r["_rate"] for r in
+            flat.select("_rate").distinct().collect()} == {0.25}
+
+
+def test_temperature_sample_deterministic(spark, sourced):
+    a = sorted(r["doc_id"] for r in
+               temperature_sample(sourced, alpha=0.5).collect())
+    b = sorted(r["doc_id"] for r in
+               temperature_sample(sourced, alpha=0.5).collect())
+    assert a == b and 0 < len(a) <= 1000

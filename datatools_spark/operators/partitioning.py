@@ -25,8 +25,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ensure_parallelism", "quantize_fixed", "morton_key",
-           "layout_zorder"]
+__all__ = ["ensure_parallelism", "input_bytes", "quantize_fixed",
+           "morton_key", "layout_zorder"]
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None,
@@ -51,6 +51,18 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None,
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    total = input_bytes(df)
+    if total is not None and total < min_bytes:
+        return df
+    return df.repartition(target)
+
+
+def input_bytes(df: DataFrame) -> int | None:
+    """Best-effort input size from scan FILE metadata (no job): sum of
+    the local files feeding ``df``'s scan. ``None`` when unknown
+    (non-local paths, non-file sources, empty file list) — callers must
+    treat unknown as BIG, since misjudging "small" is the costly
+    direction at scale."""
     try:
         import os
         from urllib.parse import unquote, urlparse
@@ -58,13 +70,11 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None,
         for f in df.inputFiles():
             p = urlparse(f)
             if p.scheme not in ("", "file"):
-                raise OSError(f"non-local path {f}")
+                return None
             total += os.path.getsize(unquote(p.path))
-        if total and total < min_bytes:
-            return df
-    except Exception:  # unknown size: assume big, spread the scan
-        pass
-    return df.repartition(target)
+        return total or None
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def quantize_fixed(col: Column, lo: Column, hi: Column,

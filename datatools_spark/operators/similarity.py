@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .partitioning import ensure_parallelism
+from .partitioning import ensure_parallelism, input_bytes
 
 __all__ = [
     "dot_expr", "norm_expr", "cosine_expr", "knn_brute_force",
@@ -214,19 +214,70 @@ def knn_lsh_multi(df: DataFrame, query: DataFrame, k: int = 10,
 def ivf_assign(df: DataFrame, centroids: DataFrame,
                vec_col: str = "embedding", id_col: str = "vec_id",
                centroid_id_col: str = "centroid_id",
-               keep_vec: bool = False) -> DataFrame:
+               keep_vec: bool = False,
+               literals: bool | None = None,
+               literals_min_bytes: int = 64 << 20) -> DataFrame:
     """IVF coarse assignment: each vector → nearest centroid (max cosine,
     ties to the lowest centroid id).
 
-    ``centroids``: small ``(centroid_id, embedding)`` — broadcast; one
-    scan, then the argmax is a ``max_by`` hash aggregate: the per-vector
-    k-way explode collapses MAP-SIDE (partial max), so the only shuffle
-    carries one narrow row per vector — not k scored rows through a
-    window sort (the previous formulation). Writing the output
-    partitioned by ``centroid_id`` gives the partition-pruned ANN layout
-    at rest. ``keep_vec=True`` carries the vector through the aggregate
-    so callers (ivf_search) skip a corpus re-join.
+    Two physical strategies with identical results:
+
+    - ``literals=True`` — the BULK path: the centroid table is
+      model-sized (k×d floats), so collect it once and assign in a
+      single projection against k literal arrays (all k cosines in one
+      array expression; argmax = ``array_position(arr, array_max(arr))``,
+      first occurrence → lowest centroid id on ties). ZERO shuffle, zero
+      join, zero aggregate — at a 10⁹-row corpus this removes an
+      exchange of every (id, vector) row. Costs a fixed ~0.5 s per plan
+      (centroid-collect action + codegen over k·d literal nodes).
+    - ``literals=False`` — the SMALL path: broadcast crossJoin collapsed
+      map-side through a ``max_by`` hash aggregate; the exchange carries
+      one narrow row per vector. No collect, tiny plan — faster whenever
+      the exchange is cheaper than half a second of fixed overhead.
+
+    ``literals=None`` decides from scan-file metadata (no job):
+    literal assignment once the input exceeds ``literals_min_bytes``
+    (64 MiB — well past the point where the per-row exchange outweighs
+    the fixed plan cost), the aggregate path below it, and the SMALL
+    path when the size is unknowable from metadata only if the plan's
+    partition count is small (an unknown-size many-partition input is
+    presumed big). Writing the output partitioned by ``centroid_id``
+    gives the partition-pruned ANN layout at rest. ``keep_vec=True``
+    carries the vector through (free on the literal path — same scan
+    row; on the aggregate path it rides the max_by payload).
     """
+    if literals is None:
+        size = input_bytes(df)
+        if size is None:
+            literals = df.rdd.getNumPartitions() > 64
+        else:
+            literals = size >= literals_min_bytes
+
+    if literals:
+        rows = sorted(centroids.select(F.col(centroid_id_col),
+                                       F.col(vec_col)).collect(),
+                      key=lambda r: r[centroid_id_col])
+        cid_arr = F.array(*[F.lit(r[centroid_id_col]) for r in rows])
+        coss = F.array(*[
+            cosine_expr(F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in r[vec_col]]))
+            for r in rows])
+        work = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
+        # alias the cosine array once so codegen's subexpression
+        # elimination provably computes the k dot products once per row
+        mx = F.array_max(F.col("_coss"))
+        scored = (work.withColumn("_coss", coss)
+                  .select(F.col(id_col), F.col(vec_col),
+                          F.element_at(cid_arr,
+                                       F.array_position(F.col("_coss"), mx)
+                                       .cast("int"))
+                          .alias(centroid_id_col),
+                          mx.alias("cosine")))
+        out = [id_col, centroid_id_col, "cosine"]
+        if keep_vec:
+            out.insert(1, vec_col)
+        return scored.select(*out)
+
     c = F.broadcast(centroids.select(
         F.col(centroid_id_col), F.col(vec_col).alias("_cv")))
     work = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))

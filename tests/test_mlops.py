@@ -132,6 +132,26 @@ def test_pca_components_match_numpy_eigh(spark, vecs):
     assert np.allclose(c @ c.T, np.eye(3), atol=1e-8)
 
 
+# -------------------------------------------- ivf assignment strategies
+
+def test_ivf_assign_strategies_identical(spark, vecs):
+    from datatools_spark.operators.similarity import ivf_assign
+    cents = vecs.where(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    lit = sorted(map(tuple, ivf_assign(vecs, cents, literals=True).collect()))
+    agg = sorted(map(tuple, ivf_assign(vecs, cents, literals=False).collect()))
+    assert lit == agg
+
+
+def test_ivf_assign_literal_path_has_no_exchange(spark, vecs):
+    from datatools_spark.operators.similarity import ivf_assign
+    cents = vecs.where(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    plan = ivf_assign(vecs, cents, literals=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 # ------------------------------------------------------- segment dedup
 
 @pytest.fixture(scope="module")

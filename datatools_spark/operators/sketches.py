@@ -1,0 +1,146 @@
+"""Mergeable sketches for corpus-scale approximate statistics
+(engine adds; no reference analogue — the reference's corpora fit in
+pandas, a 100 TB corpus does not).
+
+Both sketches here are DETERMINISTIC (md5-derived hashes, no RNG, no
+engine-native hash), so the identical sketch is computable in any SQL
+engine — which is what makes them oracle-checkable, auditable, and
+mergeable across clusters/runs:
+
+- Count-Min: d×w counter matrix; every update is d (row, bucket)
+  increments → ONE combinable groupBy. Point estimate = min over the
+  d counters. The sketch is d·w longs (16 KiB at 4×1024) regardless of
+  corpus size — THE sublinear frequency structure for heavy-hitter
+  screens at 100 TB.
+- HyperLogLog (plain, bias-uncorrected beyond the standard α_m): 2^b
+  registers, register = max rho(hash suffix) → ONE combinable max
+  aggregate; estimate = α·m²/Σ2^(−reg). Registers are the sketch: union
+  of corpora = elementwise max — the mergeability exact count_distinct
+  lacks.
+
+Spark's built-in ``approx_count_distinct`` (HLL++) is the production
+default; this explicit variant exists where cross-engine reproducibility
+of the SKETCH ITSELF matters (incremental stores, federation audits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cms_bucket_col", "cms_build", "cms_estimate",
+           "hll_bucket_rho", "hll_registers", "hll_estimate_sql_terms",
+           "hll_estimate"]
+
+_H32 = 4294967296  # 2^32
+
+
+def _hash32(col: Column, salt: str) -> Column:
+    """First 32 bits of md5(salt:value) as bigint — engine-portable."""
+    return F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), col.cast("string"))), 1, 8),
+        16, 10).cast("bigint")
+
+
+# ------------------------------------------------------------ Count-Min
+
+def cms_bucket_col(col: Column, row: int, width: int,
+                   salt: str = "cms") -> Column:
+    return F.pmod(_hash32(col, f"{salt}:{row}"), F.lit(width))
+
+
+def cms_build(items: DataFrame, item_col: str, depth: int = 4,
+              width: int = 1024, salt: str = "cms") -> DataFrame:
+    """Sketch from a multiset of items (one DataFrame row = one
+    occurrence): explode each item into its ``depth`` (row, bucket)
+    cells, count — a single map-side-combinable aggregate whose exchange
+    is bounded by d·w cells, never by corpus size. Output:
+    ``row, bucket, c``."""
+    cells = items.select(F.explode(F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 cms_bucket_col(F.col(item_col), r, width, salt)
+                 .alias("bucket"))
+        for r in range(depth)])).alias("_cell"))
+    return (cells.groupBy(F.col("_cell.row").alias("row"),
+                          F.col("_cell.bucket").alias("bucket"))
+            .agg(F.count("*").alias("c")))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, probe_col: str,
+                 depth: int = 4, width: int = 1024,
+                 salt: str = "cms") -> DataFrame:
+    """Point-frequency estimates for ``probes`` (small — broadcast):
+    min over the d probed counters; absent cells count 0. Never
+    underestimates; overestimates by collision mass only."""
+    pr = probes.select(F.col(probe_col)).distinct()
+    keyed = pr.select(
+        probe_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("row"),
+                     cms_bucket_col(F.col(probe_col), r, width, salt)
+                     .alias("bucket"))
+            for r in range(depth)])).alias("_cell")) \
+        .select(probe_col, "_cell.row", "_cell.bucket")
+    joined = (F.broadcast(keyed)
+              .join(sketch, ["row", "bucket"], "left")
+              .withColumn("c", F.coalesce(F.col("c"), F.lit(0))))
+    return joined.groupBy(probe_col).agg(F.min("c").alias("cms_est"))
+
+
+# ---------------------------------------------------------- HyperLogLog
+
+def hll_bucket_rho(col: Column, b: int = 8, salt: str = "hll"):
+    """(bucket, rho): bucket = top ``b`` hash bits; rho = 1 + leading
+    zeros of the remaining ``32−b`` bits (all-zero suffix → 32−b+1).
+    The highest-set-bit test is an explicit comparison ladder — no
+    float log2, whose exactness at powers of two differs by engine."""
+    h = _hash32(col, salt)
+    nbits = 32 - b
+    bucket = F.floor(h / F.lit(1 << nbits)).cast("int")
+    v = F.pmod(h, F.lit(1 << nbits))
+    rho = F.lit(nbits + 1)
+    # v >= 2^i (highest i wins) => rho = nbits - i
+    expr = None
+    for i in range(nbits - 1, -1, -1):
+        cond = v >= F.lit(1 << i)
+        expr = (F.when(cond, F.lit(nbits - i)) if expr is None
+                else expr.when(cond, F.lit(nbits - i)))
+    rho = expr.otherwise(rho)
+    return bucket, rho
+
+
+def hll_registers(items: DataFrame, item_col: str, b: int = 8,
+                  salt: str = "hll") -> DataFrame:
+    """Register table ``bucket, reg``: one combinable max aggregate.
+    Only touched buckets appear; missing buckets are register 0 (the
+    estimator supplies them). Merging two corpora's sketches is
+    ``union → groupBy max`` — associative, order-free."""
+    bucket, rho = hll_bucket_rho(F.col(item_col), b, salt)
+    return (items.select(bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("reg")))
+
+
+def hll_estimate(items: DataFrame, item_col: str, b: int = 8,
+                 salt: str = "hll") -> DataFrame:
+    """One-row DataFrame ``hll_est`` (raw HLL estimate, rounded to 3 dp
+    for cross-engine sum-order stability): α_m·m²/Σ2^(−reg) with the
+    2^b−touched buckets contributing 2^0 each."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = hll_registers(items, item_col, b, salt)
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("_s"),
+        F.count("*").alias("_nb"))
+    return agg.select(
+        F.round(F.lit(alpha * m * m)
+                / (F.col("_s") + (F.lit(m) - F.col("_nb"))), 3)
+        .alias("hll_est"))
+
+
+def hll_estimate_sql_terms(b: int = 8, salt: str = "hll") -> dict:
+    """Constants for building the identical estimator in an external SQL
+    engine (oracle parity): m, alpha, and the rho comparison ladder are
+    fully determined by (b, salt)."""
+    m = 1 << b
+    return {"m": m, "alpha": 0.7213 / (1.0 + 1.079 / m),
+            "nbits": 32 - b, "salt": salt}

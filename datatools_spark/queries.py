@@ -3880,6 +3880,120 @@ def doc_temperature_sample(spark, sf_dir):
     return out.select("doc_id", "source", F.col("_rate").alias("rate"))
 
 
+_CMS_PROBES = ["table", "spark", "merge", "zebra"]
+
+@query("doc_cms_estimate", sql=f"""
+WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+             FROM documents WHERE length(trim(text)) > 0),
+cells AS (SELECT r.r,
+                 ('0x' || substr(md5('cms:' || r.r || ':' || w), 1, 8))::BIGINT
+                   % 1024 AS bucket,
+                 count(*) AS c
+          FROM tok CROSS JOIN range(0, 4) r(r) GROUP BY 1, 2),
+probes AS (SELECT unnest({_CMS_PROBES!r}) AS word),
+pc AS (SELECT p.word, r.r,
+              ('0x' || substr(md5('cms:' || r.r || ':' || p.word), 1, 8))::BIGINT
+                % 1024 AS bucket
+       FROM probes p CROSS JOIN range(0, 4) r(r)),
+est AS (SELECT pc.word, min(coalesce(cells.c, 0))::BIGINT AS cms_est
+        FROM pc LEFT JOIN cells ON pc.r = cells.r AND pc.bucket = cells.bucket
+        GROUP BY 1),
+ex AS (SELECT p.word, count(tok.w)::BIGINT AS exact
+       FROM probes p LEFT JOIN tok ON tok.w = p.word GROUP BY 1)
+SELECT est.word, est.cms_est, ex.exact
+FROM est JOIN ex USING (word)
+""")
+def doc_cms_estimate(spark, sf_dir):
+    """Count-Min frequency sketch (operators/sketches.py:cms_build):
+    corpus word multiset → a 4×1024 counter matrix via ONE combinable
+    aggregate (exchange bounded by d·w cells, never corpus size); point
+    estimates = min over the 4 probed counters. md5-derived buckets make
+    the sketch bit-identical in any engine — the oracle recomputes the
+    whole sketch in SQL. Probes include an absent word (estimate =
+    collision mass only, never an undercount)."""
+    from .operators import sketches as SK
+    d = _t(spark, sf_dir, "documents") \
+        .where(F.length(F.trim(F.col("text"))) > 0)
+    tok = d.select(F.explode(TX.words_col("text")).alias("w"))
+    sketch = SK.cms_build(tok, "w")
+    probes = spark.createDataFrame([(w,) for w in _CMS_PROBES],
+                                   "word string")
+    est = SK.cms_estimate(sketch, probes, "word")
+    exact = (F.broadcast(probes)
+             .join(tok, tok["w"] == probes["word"], "left")
+             .groupBy("word").agg(F.count("w").alias("exact")))
+    return (est.join(exact, "word")
+            .select("word", F.col("cms_est").cast("bigint").alias("cms_est"),
+                    F.col("exact").cast("bigint").alias("exact")))
+
+
+def _hll_rho_sql(v: str, nbits: int = 24) -> str:
+    terms = " ".join(f"WHEN {v} >= {1 << i} THEN {nbits - i}"
+                     for i in range(nbits - 1, -1, -1))
+    return f"(CASE {terms} ELSE {nbits + 1} END)"
+
+
+@query("doc_hll_distinct", sql=f"""
+WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+             FROM documents WHERE length(trim(text)) > 0),
+h AS (SELECT ('0x' || substr(md5('hll:' || w), 1, 8))::BIGINT AS hv FROM tok),
+br AS (SELECT hv // {1 << 24} AS bucket,
+              {_hll_rho_sql(f'(hv % {1 << 24})')} AS rho
+       FROM h),
+regs AS (SELECT bucket, max(rho) AS reg FROM br GROUP BY 1),
+agg AS (SELECT sum(pow(2.0, -reg)) AS s, count(*) AS nb FROM regs),
+e AS (SELECT round({0.7213 / (1.0 + 1.079 / 256)}::DOUBLE * 256 * 256
+                   / (s + (256 - nb)), 3) AS hll_est FROM agg)
+SELECT (SELECT count(DISTINCT w) FROM tok)::BIGINT AS exact_distinct,
+       hll_est FROM e
+""")
+def doc_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-word estimate
+    (operators/sketches.py:hll_registers): 256 registers from one
+    combinable max aggregate; estimate = α·m²/Σ2^(−reg). Unlike the
+    production default (`approx_count_distinct`, whose HLL++ sketch is
+    engine-private), the md5-derived registers are reproducible in any
+    SQL engine — so sketches can be stored, merged across runs
+    (elementwise max), and audited; the oracle rebuilds the identical
+    register table. Exact distinct shown alongside."""
+    from .operators import sketches as SK
+    d = _t(spark, sf_dir, "documents") \
+        .where(F.length(F.trim(F.col("text"))) > 0)
+    tok = d.select(F.explode(TX.words_col("text")).alias("w"))
+    est = SK.hll_estimate(tok, "w")
+    exact = tok.agg(F.count_distinct("w").alias("exact_distinct"))
+    return exact.crossJoin(est)
+
+
+@query("ts_rollup_incremental", sql="""
+SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+       round((sum(value::DECIMAL(30,10)))::DOUBLE / count(value), 6)
+         AS avg_val,
+       count(value) AS n_obs,
+       min(value) AS min_val, max(value) AS max_val
+FROM events GROUP BY 1, 2
+""")
+def ts_rollup_incremental(spark, sf_dir):
+    """Incremental aggregate maintenance
+    (operators/incremental.py): the daily rollup is kept as MERGEABLE
+    partials (decimal sum, count, min, max) and a late-arriving delta
+    (here: everything after Jan 20) is folded in with one union + one
+    combinable groupBy — no rescan of the base. Algebraic partials merge
+    exactly, so the oracle is a plain full recompute: the driver
+    hash-matching it proves merge ≡ recompute bit-for-bit."""
+    from .operators import incremental as INC
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type", F.date_trunc("day", "ts").alias("day"),
+                  "value", "ts"))
+    cut = "2024-01-20"
+    base = INC.partial_rollup(ev.where(F.col("ts") < cut),
+                              ["event_type", "day"], "value")
+    delta = INC.partial_rollup(ev.where(F.col("ts") >= cut),
+                               ["event_type", "day"], "value")
+    merged = INC.merge_rollups(base, delta)
+    return INC.finish_rollup(merged)
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -3946,6 +4060,7 @@ _REGISTRATION_ORDER = [
     "doc_epoch_shard", "ts_drift_psi", "doc_bpe_pairs",
     "ss_bloom_semi_join", "emb_kmeans_train", "emb_cov_stats",
     "doc_segment_dedup", "doc_temperature_sample",
+    "doc_cms_estimate", "doc_hll_distinct", "ts_rollup_incremental",
 ]
 
 

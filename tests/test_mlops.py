@@ -185,6 +185,72 @@ def test_segment_dedup_idempotent(spark, seg_docs):
     assert all(r["n_kept"] == r["n_segments"] for r in twice.collect())
 
 
+# ------------------------------------------------------------ sketches
+
+@pytest.fixture(scope="module")
+def words(spark):
+    rnd = random.Random(11)
+    rows = [(f"w{rnd.randint(0, 1999)}",) for _ in range(20000)]
+    return spark.createDataFrame(rows, "w string")
+
+
+def test_cms_never_undercounts_and_is_tight(spark, words):
+    from datatools_spark.operators.sketches import cms_build, cms_estimate
+    sketch = cms_build(words, "w", depth=4, width=1024)
+    assert sketch.count() <= 4 * 1024          # sketch is size-bounded
+    probes = spark.createDataFrame(
+        [("w0",), ("w7",), ("absent",)], "word string")
+    est = {r["word"]: r["cms_est"]
+           for r in cms_estimate(sketch, probes, "word").collect()}
+    exact = {w: c for w, c in
+             words.groupBy("w").count().collect()}
+    for w in ("w0", "w7"):
+        assert est[w] >= exact[w]              # CMS never undercounts
+        assert est[w] <= exact[w] + 20000 * 4 / 1024   # e*N/w bound, loose
+    assert est["absent"] >= 0
+
+
+def test_hll_estimate_close_and_mergeable(spark, words):
+    from datatools_spark.operators.sketches import (
+        hll_estimate, hll_registers,
+    )
+    import pyspark.sql.functions as SF
+    exact = words.select("w").distinct().count()
+    est = hll_estimate(words, "w").collect()[0]["hll_est"]
+    assert abs(est - exact) / exact < 0.15     # sigma ~= 1.04/sqrt(256)
+    # mergeability: registers(a UNION b) == elementwise max of registers
+    a = words.where(SF.length("w") % 2 == 0)
+    b = words.where(SF.length("w") % 2 != 0)
+    ra = hll_registers(a, "w")
+    rb = hll_registers(b, "w")
+    merged = (ra.unionByName(rb).groupBy("bucket")
+              .agg(SF.max("reg").alias("reg")))
+    full = hll_registers(words, "w")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, full.collect()))
+
+
+# ---------------------------------------------------------- incremental
+
+def test_incremental_rollup_equals_full_recompute(spark):
+    from datatools_spark.operators.incremental import (
+        finish_rollup, merge_rollups, partial_rollup,
+    )
+    rnd = random.Random(3)
+    rows = [(i % 7, rnd.uniform(-5, 5)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k int, value double")
+    full = finish_rollup(partial_rollup(df, ["k"], "value"))
+    # three arbitrary splits, merged in two different orders
+    s1, s2, s3 = (df.where(F.pmod((F.col("value") * 100).cast("int"), F.lit(3)) == i)
+                  for i in range(3))
+    parts = [partial_rollup(s, ["k"], "value") for s in (s1, s2, s3)]
+    m1 = finish_rollup(merge_rollups(parts[0], parts[1], parts[2]))
+    m2 = finish_rollup(merge_rollups(parts[2], parts[0], parts[1]))
+    want = sorted(map(tuple, full.collect()))
+    assert sorted(map(tuple, m1.collect())) == want
+    assert sorted(map(tuple, m2.collect())) == want
+
+
 # -------------------------------------------------- temperature sample
 
 @pytest.fixture(scope="module")

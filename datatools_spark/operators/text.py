@@ -25,7 +25,7 @@ __all__ = [
     "occurrences", "lang_scores", "lang_id_col", "token_count_col",
     "quality_score_cols", "fingerprint_col", "word_shingles", "words_col",
     "subword_count_col", "word_ngrams_all", "repetition_stats", "scrub_cols",
-    "word_entropy", "bm25_scores",
+    "word_entropy", "bm25_scores", "bpe_train",
 ]
 
 # tiny marker lists keep the expression tree small; the point is the
@@ -318,3 +318,67 @@ def bm25_scores(df: DataFrame, terms: Sequence[str],
     return (tf.join(dfreq, "_w").join(docs, id_col).crossJoin(scal)
             .groupBy(id_col)
             .agg(F.round(F.sum(contrib).cast("double"), 6).alias("score")))
+
+
+def _sq(s: str) -> str:
+    """Escape a corpus-derived token for embedding in a SQL literal."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def bpe_train(df: DataFrame, text_col: str = "text",
+              rounds: int = 3) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """Iterative BPE tokenizer training (the full loop whose single
+    round :func:`doc_bpe_pairs` exhibits): each round counts every
+    adjacent token pair corpus-wide (ONE combinable aggregate), picks
+    the winner (max count, ties to the lexicographically smallest pair
+    — a model-sized driver collect, like a k-means sync point), and
+    merges it greedily left-to-right inside every word via a string
+    fold (``aggregate`` over the token array — pure JVM, no UDF).
+
+    The shuffle per round carries (pair, count) partials only; the
+    corpus-wide state between rounds is the tokenized corpus itself,
+    persisted so round r+1 does not replay rounds 1..r (at 100 TB this
+    persist is a checkpoint to storage — same plan shape).
+
+    Greedy-fold semantics: a merge never overlaps its own output
+    (after merging, the new token can only start a pair for the NEXT
+    winner), matching the usual sequential BPE scan; both the fold and
+    the pair ladder are expressible 1:1 in SQL, which is how the
+    unrolled DuckDB oracle reproduces every round bit-for-bit.
+
+    Returns (merges ``[(round, 'a b', count)]``, final tokenized corpus
+    ``(t array<string>)`` — one row per length≥2 word).
+    """
+    toks = (df.where(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.explode(words_col(text_col)).alias("_w"))
+            .where(F.length("_w") >= 2)
+            .select(F.expr(
+                "transform(sequence(1, length(_w)), "
+                "i -> substring(_w, CAST(i AS INT), 1))").alias("t")))
+    toks = toks.persist()
+    merges: list[tuple[int, str, int]] = []
+    for r in range(rounds):
+        pairs = (toks.where(F.size("t") >= 2)
+                 .select(F.expr(
+                     "explode(transform(sequence(1, size(t) - 1), "
+                     "i -> concat(element_at(t, CAST(i AS INT)), ' ', "
+                     "element_at(t, CAST(i + 1 AS INT)))))").alias("pair")))
+        top = (pairs.groupBy("pair").agg(F.count("*").alias("n"))
+               .orderBy(F.desc("n"), F.asc("pair")).limit(1).collect())
+        if not top:
+            break
+        pair, n = top[0]["pair"], top[0]["n"]
+        merges.append((r, pair, int(n)))
+        a, b = pair.split(" ", 1)
+        ab = a + b
+        fold = (
+            "split(aggregate(slice(t, 2, size(t) - 1), element_at(t, 1), "
+            "(acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]+$', 0) = "
+            f"'{_sq(a)}' AND x = '{_sq(b)}' THEN "
+            "concat(regexp_replace(acc, '[^ ]+$', ''), "
+            f"'{_sq(ab)}') ELSE concat(acc, ' ', x) END), ' ')")
+        nxt = toks.select(F.expr(fold).alias("t")).persist()
+        nxt.count()          # materialize before dropping the parent
+        toks.unpersist()
+        toks = nxt
+    return merges, toks

@@ -3994,6 +3994,53 @@ def ts_rollup_incremental(spark, sf_dir):
     return INC.finish_rollup(merged)
 
 
+def _bpe_train_sql(rounds: int = 3) -> str:
+    """Unrolled BPE-training oracle: round r's winning pair (b{r}) is
+    CROSS JOINed into the w{r+1} merge fold, mirroring text.bpe_train's
+    greedy left-to-right string fold token for token."""
+    parts = [r"""
+w0 AS (SELECT list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS t
+       FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+             FROM documents WHERE length(trim(text)) > 0)
+       WHERE length(w) >= 2)"""]
+    for r in range(rounds):
+        parts.append(f"""
+p{r} AS (SELECT unnest(list_transform(range(1, len(t)),
+                       i -> t[i] || ' ' || t[i+1])) AS pair
+        FROM w{r} WHERE len(t) >= 2),
+b{r} AS (SELECT pair, count(*)::BIGINT AS n FROM p{r} GROUP BY 1
+        ORDER BY n DESC, pair LIMIT 1),
+w{r + 1} AS (SELECT string_split(list_reduce(t, (acc, x) ->
+           CASE WHEN regexp_extract(acc, '[^ ]+$') =
+                     split_part(b{r}.pair, ' ', 1)
+                 AND x = split_part(b{r}.pair, ' ', 2)
+           THEN regexp_replace(acc, '[^ ]+$', '')
+                || replace(b{r}.pair, ' ', '')
+           ELSE acc || ' ' || x END), ' ') AS t
+        FROM w{r} CROSS JOIN b{r})""")
+    final = " UNION ALL ".join(
+        f"SELECT {r} AS round, pair, n FROM b{r}" for r in range(rounds))
+    return "WITH " + ",".join(parts) + " " + final
+
+
+@query("doc_bpe_train", sql=_bpe_train_sql())
+def doc_bpe_train(spark, sf_dir):
+    """Iterative BPE tokenizer training, 3 merge rounds
+    (operators/text.py:bpe_train) — the full loop whose single round is
+    doc_bpe_pairs: per round ONE combinable pair-count aggregate, a
+    model-sized driver pick (max count, lexicographic tie-break), and a
+    pure-JVM greedy string fold applying the merge inside every word;
+    the tokenized corpus persists between rounds so round r+1 never
+    replays rounds 1..r. The oracle unrolls all three rounds in SQL and
+    hash-matches every winning (pair, count) — the iteration is
+    bit-reproducible across engines."""
+    d = _t(spark, sf_dir, "documents")
+    merges, toks = TX.bpe_train(d, rounds=3)
+    toks.unpersist()
+    return spark.createDataFrame(
+        [(r, p, n) for r, p, n in merges], "round int, pair string, n long")
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -4061,6 +4108,7 @@ _REGISTRATION_ORDER = [
     "ss_bloom_semi_join", "emb_kmeans_train", "emb_cov_stats",
     "doc_segment_dedup", "doc_temperature_sample",
     "doc_cms_estimate", "doc_hll_distinct", "ts_rollup_incremental",
+    "doc_bpe_train",
 ]
 
 

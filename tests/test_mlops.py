@@ -185,6 +185,52 @@ def test_segment_dedup_idempotent(spark, seg_docs):
     assert all(r["n_kept"] == r["n_segments"] for r in twice.collect())
 
 
+# ------------------------------------------------------------ BPE train
+
+def _ref_bpe(words, rounds):
+    """Classic sequential BPE: count pairs, merge winner left-to-right
+    (merged token not re-considered within the pass)."""
+    from collections import Counter
+    toks = [[c for c in w] for w in words if len(w) >= 2]
+    merges = []
+    for r in range(rounds):
+        cnt = Counter()
+        for t in toks:
+            for i in range(len(t) - 1):
+                cnt[(t[i], t[i + 1])] += 1
+        if not cnt:
+            break
+        pair = min(cnt, key=lambda p: (-cnt[p], p))
+        merges.append((r, f"{pair[0]} {pair[1]}", cnt[pair]))
+        out = []
+        for t in toks:
+            nt, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and (t[i], t[i + 1]) == pair:
+                    nt.append(t[i] + t[i + 1])
+                    i += 2
+                else:
+                    nt.append(t[i])
+                    i += 1
+            out.append(nt)
+        toks = out
+    return merges, toks
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    from datatools_spark.operators.text import bpe_train
+    words = ["hello", "hell", "help", "banana", "bandana", "aaa",
+             "abababab", "x", "lowlow"]
+    df = spark.createDataFrame([(0, " ".join(words))],
+                               "doc_id long, text string")
+    merges, toks = bpe_train(df, rounds=4)
+    want_merges, want_toks = _ref_bpe(words, 4)
+    assert merges == want_merges
+    got = sorted(tuple(r["t"]) for r in toks.collect())
+    toks.unpersist()
+    assert got == sorted(map(tuple, want_toks))
+
+
 # ------------------------------------------------------------ sketches
 
 @pytest.fixture(scope="module")

@@ -4041,6 +4041,66 @@ def doc_bpe_train(spark, sf_dir):
         [(r, p, n) for r, p, n in merges], "round int, pair string, n long")
 
 
+def _logreg_sql(dim: int = 16, lr: float = 8.0) -> str:
+    """Unrolled 2-iteration batch-GD oracle for doc_quality_classifier.
+    Mirrors operators/classifier.py step for step, including the fixed
+    rounding pins (gradients 6 dp, weights 10 dp, logits 9 dp,
+    probabilities 9 dp / exported 6 dp) that make the iteration
+    bit-reproducible across engines."""
+    return f"""
+WITH d AS (SELECT doc_id,
+                  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+           FROM documents WHERE length(trim(text)) > 0),
+feats AS (SELECT doc_id, y,
+    list_transform(range(0, {dim}), b ->
+      len(list_filter(toks, t ->
+        ('0x' || substr(md5('lrf:' || t), 1, 8))::BIGINT % {dim} = b))
+      / greatest(len(toks), 1)::DOUBLE) AS x
+    FROM d),
+n AS (SELECT count(*)::DOUBLE AS n FROM feats),
+f AS (SELECT doc_id, y, unnest(range(0, {dim})) AS b,
+             unnest(list_transform(range(0, {dim}), i -> x[i + 1])) AS xv
+      FROM feats
+      UNION ALL
+      SELECT doc_id, y, {dim} AS b, 1.0 AS xv FROM feats),
+g1 AS (SELECT b, round(sum((0.5 - y) * xv), 6) AS g FROM f GROUP BY b),
+w1 AS (SELECT b, round(-{lr} * g / (SELECT n FROM n), 10) AS w FROM g1),
+z2 AS (SELECT f.doc_id, f.y, round(sum(w1.w * f.xv), 9) AS z
+       FROM f JOIN w1 USING (b) GROUP BY 1, 2),
+p2 AS (SELECT doc_id, y, round(1 / (1 + exp(-z)), 9) AS p FROM z2),
+g2 AS (SELECT f.b, round(sum((p2.p - f.y) * f.xv), 6) AS g
+       FROM f JOIN p2 USING (doc_id) GROUP BY f.b),
+w2 AS (SELECT b, round(w1.w - {lr} * g2.g / (SELECT n FROM n), 10) AS w
+       FROM w1 JOIN g2 USING (b)),
+z3 AS (SELECT f.doc_id, f.y, round(sum(w2.w * f.xv), 9) AS z
+       FROM f JOIN w2 USING (b) GROUP BY 1, 2)
+SELECT doc_id, y::INT AS label,
+       round(1 / (1 + exp(-z)), 6) AS score,
+       (round(1 / (1 + exp(-z)), 6) >= 0.5)::INT AS pred
+FROM z3
+"""
+
+
+@query("doc_quality_classifier", sql=_logreg_sql())
+def doc_quality_classifier(spark, sf_dir):
+    """fastText-style quality/language filter trained IN the engine
+    (operators/classifier.py): logistic regression over 16 md5-hashed
+    bag-of-words frequency features + bias, 2 batch-GD iterations,
+    label = (lang = 'en'). Per iteration the cluster does ONE
+    map-side-combinable aggregate over the cached dense feature frame
+    (exchange = 17 doubles per partition); the driver holds only the
+    17-float model. Scoring is a pure projection — zero shuffles. The
+    oracle unrolls both iterations in SQL; fixed-decimal rounding of
+    every reduction pins the model bit-for-bit across engines."""
+    from .operators import classifier as CL
+    d = _t(spark, sf_dir, "documents")
+    feats = CL.hashed_features(
+        d, label=(F.col("lang") == "en"), dim=16).cache()
+    w, bias = CL.train_logreg(feats, dim=16, iters=2, lr=8.0)
+    return CL.score_logreg(feats, w, bias)
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -4108,7 +4168,7 @@ _REGISTRATION_ORDER = [
     "ss_bloom_semi_join", "emb_kmeans_train", "emb_cov_stats",
     "doc_segment_dedup", "doc_temperature_sample",
     "doc_cms_estimate", "doc_hll_distinct", "ts_rollup_incremental",
-    "doc_bpe_train",
+    "doc_bpe_train", "doc_quality_classifier",
 ]
 
 

@@ -324,3 +324,74 @@ def test_temperature_sample_deterministic(spark, sourced):
     b = sorted(r["doc_id"] for r in
                temperature_sample(sourced, alpha=0.5).collect())
     assert a == b and 0 < len(a) <= 1000
+
+
+# ----------------------------------------------------------- classifier
+
+@pytest.fixture(scope="module")
+def lang_docs(spark):
+    """Synthetic two-language corpus: 'en-like' docs share a stopword
+    set the others lack, so a bag-of-words model is learnable."""
+    rnd = random.Random(11)
+    en = ["the", "of", "and", "glacier", "melt", "rate"]
+    de = ["der", "und", "von", "gletscher", "schmelze", "rate"]
+    rows = []
+    for i in range(300):
+        vocab = en if i % 2 == 0 else de
+        rows.append((i, " ".join(rnd.choice(vocab) for _ in range(30)),
+                     "en" if i % 2 == 0 else "de"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_logreg_loss_decreases_and_learns(spark, lang_docs):
+    from datatools_spark.operators.classifier import (
+        hashed_features, score_logreg, train_logreg,
+    )
+    feats = hashed_features(
+        lang_docs, label=(F.col("lang") == "en"), dim=16).cache()
+
+    def mean_logloss(w, b):
+        scored = score_logreg(feats, w, b, score_dp=9)
+        eps = 1e-9
+        return scored.agg(F.avg(
+            -F.col("label") * F.log(F.col("score") + eps)
+            - (1 - F.col("label")) * F.log(1 - F.col("score") + eps)
+        ).alias("ll")).first()["ll"]
+
+    l0 = mean_logloss([0.0] * 16, 0.0)           # ln 2
+    w1, b1 = train_logreg(feats, dim=16, iters=1, lr=8.0)
+    w3, b3 = train_logreg(feats, dim=16, iters=3, lr=8.0)
+    l1, l3 = mean_logloss(w1, b1), mean_logloss(w3, b3)
+    assert abs(l0 - math.log(2)) < 1e-6
+    assert l1 < l0 and l3 < l1            # every GD step reduces loss
+    acc = (score_logreg(feats, w3, b3)
+           .agg(F.avg((F.col("pred") == F.col("label")).cast("double")))
+           .first()[0])
+    assert acc > 0.95                     # separable vocab → learned
+    feats.unpersist()
+
+
+def test_logreg_scoring_is_shuffle_free(spark, lang_docs):
+    """Scoring under literal weights is featurize + project — any
+    Exchange in the plan is a regression (training's only exchange is
+    the dim-bounded gradient aggregate)."""
+    from datatools_spark.operators.classifier import (
+        hashed_features, score_logreg,
+    )
+    feats = hashed_features(lang_docs, label=(F.col("lang") == "en"), dim=16)
+    plan = (score_logreg(feats, [0.1] * 16, 0.0)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_logreg_gradient_exchange_is_dim_bounded(spark, lang_docs):
+    """The training aggregate's shuffle carries per-partition partials
+    of dim+1 doubles: plan must show a partial/final HashAggregate pair
+    (map-side combine), no join, no row-level exchange."""
+    from datatools_spark.operators.classifier import hashed_features
+    feats = hashed_features(lang_docs, label=(F.col("lang") == "en"), dim=16)
+    agg = feats.agg(*[F.sum(F.col("x")[i]).alias(f"g{i}")
+                      for i in range(16)])
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") == 2  # partial + final

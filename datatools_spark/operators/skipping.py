@@ -1,0 +1,100 @@
+"""File-level data-skipping manifest (engine add; no reference
+analogue — the reference globs whole CSV directories into pandas,
+campaigns fit in RAM. A 100 TB lake does not).
+
+What Delta/Iceberg file statistics give `OPTIMIZE`-ed tables, as plain
+DataFrames over any parquet directory: a MANIFEST with one row per
+file (count + min/max per indexed column) lets a reader drop whole
+files before the scan starts. Partition pruning handles the
+partitioned dimensions and parquet row-group stats handle within-file
+skips — but row-group pruning still opens every footer. At 100 TB /
+O(10^5) files, the manifest turns file selection into O(files)
+metadata work with zero data IO, and composes with the Z-order layout
+(partitioning.py): cluster by `morton_key` at write time and every
+file's min/max box is tight in BOTH predicate dimensions, so this
+manifest prunes on either.
+
+Scale shape: building the manifest is one map-side-combinable
+groupBy(input_file_name) — the exchange carries one row per file, not
+per record. The manifest itself is metadata (rows = files), so
+collecting the surviving file list onto the driver is the legitimate
+kind of collect: it feeds the reader's path list, exactly like a
+catalog's partition listing. Incremental maintenance stats only files
+the manifest hasn't seen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["build_file_stats", "update_file_stats", "prune_files",
+           "skipping_read"]
+
+
+def build_file_stats(spark: SparkSession, path: str,
+                     cols: list[str]) -> DataFrame:
+    """Manifest ``file, n_rows, <c>_min, <c>_max ...`` for every parquet
+    file under ``path``. One pass over the data (the same cost contract
+    as ``ANALYZE`` / Delta stats collection); thereafter reads pay only
+    metadata. Columns with no non-null values in a file yield null
+    min/max — :func:`prune_files` drops such files for range predicates
+    on that column (a range predicate cannot match null)."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return (df.groupBy(F.input_file_name().alias("file")).agg(*aggs))
+
+
+def update_file_stats(spark: SparkSession, path: str, cols: list[str],
+                      manifest: DataFrame) -> DataFrame:
+    """Fold files NOT yet in ``manifest`` into it (append-only lakes:
+    new files arrive, old files are immutable). Only the new files are
+    scanned; the union is the refreshed manifest."""
+    listed = set(spark.read.parquet(path).inputFiles())
+    known = {r["file"] for r in manifest.select("file").collect()}
+    new = sorted(listed - known)
+    if not new:
+        return manifest
+    fresh = build_file_stats(spark, path, cols) \
+        .where(F.col("file").isin(new))
+    return manifest.unionByName(fresh)
+
+
+def prune_files(manifest: DataFrame, ranges: dict[str, tuple]) -> list[str]:
+    """Files whose [min, max] box intersects EVERY ``col: (lo, hi)``
+    range (closed intervals; pass None for an open side). The manifest
+    is metadata-sized — the returned path list feeds the reader."""
+    keep = manifest
+    for c, (lo, hi) in ranges.items():
+        if hi is not None:
+            keep = keep.where(F.col(f"{c}_min") <= F.lit(hi))
+        if lo is not None:
+            keep = keep.where(F.col(f"{c}_max") >= F.lit(lo))
+        # null min/max ⇒ file has no non-null values for c ⇒ cannot match
+        keep = keep.where(F.col(f"{c}_min").isNotNull())
+    return sorted(r["file"] for r in keep.select("file").collect())
+
+
+def skipping_read(spark: SparkSession, manifest: DataFrame,
+                  ranges: dict[str, tuple]) -> DataFrame:
+    """Manifest-pruned read + the residual predicate (file-level stats
+    admit false positives, never false negatives — the residual filter
+    still pushes down to row-group pruning inside surviving files).
+    Returns an empty frame with the manifest-known schema when nothing
+    survives."""
+    files = prune_files(manifest, ranges)
+    if not files:
+        any_file = [r["file"] for r in manifest.select("file").limit(1)
+                    .collect()]
+        base = spark.read.parquet(*any_file)
+        cond = F.lit(False)
+        return base.where(cond)
+    df = spark.read.parquet(*files)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.where(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(c) <= F.lit(hi))
+    return df

@@ -1,0 +1,88 @@
+"""File-level data-skipping manifest: pruning must never lose rows
+(equality vs full-scan filter), must actually skip files on a
+range-clustered layout, and incremental maintenance must equal a full
+rebuild."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatools_spark.operators.skipping import (
+    build_file_stats, prune_files, skipping_read, update_file_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    """16 files range-clustered by v (repartitionByRange + sort), so
+    each file owns a compact v interval — the layout skipping exists
+    to exploit."""
+    base = str(tmp_path_factory.mktemp("lake") / "t")
+    df = (spark.range(0, 20_000)
+          .select(F.col("id"),
+                  (F.col("id") % 9973).alias("v"),
+                  (F.col("id") % 7).alias("k")))
+    (df.repartitionByRange(16, "v").sortWithinPartitions("v")
+       .write.mode("overwrite").parquet(base))
+    return base
+
+
+def test_skipping_read_equals_full_filter(spark, lake):
+    man = build_file_stats(spark, lake, ["v"]).cache()
+    got = skipping_read(spark, man, {"v": (100, 400)})
+    want = spark.read.parquet(lake).where(F.col("v").between(100, 400))
+    assert sorted(r["id"] for r in got.collect()) == \
+        sorted(r["id"] for r in want.collect())
+
+
+def test_narrow_range_skips_most_files(spark, lake):
+    man = build_file_stats(spark, lake, ["v"]).cache()
+    all_files = man.count()
+    assert all_files == 16
+    kept = prune_files(man, {"v": (100, 400)})
+    assert 0 < len(kept) < all_files / 2
+    # the read plan really touches only the surviving files
+    got = skipping_read(spark, man, {"v": (100, 400)})
+    assert set(got.inputFiles()) <= set(kept)
+
+
+def test_open_sides_and_multi_column(spark, lake):
+    man = build_file_stats(spark, lake, ["v", "k"]).cache()
+    got = skipping_read(spark, man, {"v": (9000, None), "k": (None, 3)})
+    want = (spark.read.parquet(lake)
+            .where((F.col("v") >= 9000) & (F.col("k") <= 3)))
+    assert got.count() == want.count() > 0
+
+
+def test_empty_survivor_set_returns_empty(spark, lake):
+    man = build_file_stats(spark, lake, ["v"])
+    got = skipping_read(spark, man, {"v": (10**9, 2 * 10**9)})
+    assert got.count() == 0
+    assert "v" in got.columns
+
+
+def test_incremental_update_equals_rebuild(spark, tmp_path):
+    base = str(tmp_path / "t")
+    d1 = spark.range(0, 1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    d1.coalesce(2).write.mode("overwrite").parquet(base)
+    man1 = build_file_stats(spark, base, ["v"])
+    n1 = man1.count()
+    d2 = (spark.range(1000, 1500)
+          .select(F.col("id"), (F.col("id") * 2).alias("v")))
+    d2.coalesce(1).write.mode("append").parquet(base)
+    man2 = update_file_stats(spark, base, ["v"], man1)
+    full = build_file_stats(spark, base, ["v"])
+    assert man2.count() == full.count() > n1
+    key = lambda r: (r["file"], r["n_rows"], r["v_min"], r["v_max"])  # noqa: E731
+    assert sorted(map(key, man2.collect())) == \
+        sorted(map(key, full.collect()))
+    # idempotent when nothing new arrived
+    assert update_file_stats(spark, base, ["v"], man2) is man2
+
+
+def test_manifest_build_is_one_combinable_agg(spark, lake):
+    # cols=["k"]: a column set no other test cache()s, so the cache
+    # lookup can't swap the agg for an InMemoryTableScan
+    man = build_file_stats(spark, lake, ["k"])
+    plan = man._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") == 2  # partial + final
+    assert "Join" not in plan

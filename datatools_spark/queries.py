@@ -4041,6 +4041,72 @@ def doc_bpe_train(spark, sf_dir):
         [(r, p, n) for r, p, n in merges], "round int, pair string, n long")
 
 
+@query("doc_gopher_rules", sql=r"""
+WITH f AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+      AS n_words,
+    greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+             1)::DOUBLE AS nz,
+    regexp_split_to_array(trim(text), '\s+') AS words,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS low,
+    string_split(text, chr(10)) AS lines,
+    (length(text) - length(replace(text, '#', ''))) AS n_hash,
+    (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ell
+  FROM documents),
+g AS (
+  SELECT doc_id, n_words,
+    round(list_sum(list_transform(words, w -> length(w))) / nz, 6)
+      AS mean_word_len,
+    round((n_hash + n_ell) / nz, 6) AS symbol_ratio,
+    round(len(list_filter(lines, l ->
+          regexp_matches(ltrim(l), '^[-\*•]')))
+          / greatest(len(lines), 1)::DOUBLE, 6) AS bullet_frac,
+    round(len(list_filter(lines, l ->
+          regexp_matches(rtrim(l), '\.\.\.$')))
+          / greatest(len(lines), 1)::DOUBLE, 6) AS ellipsis_frac,
+    round(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+          / nz, 6) AS alpha_frac,
+    (list_contains(low, 'the')::INT + list_contains(low, 'a')::INT
+     + list_contains(low, 'be')::INT + list_contains(low, 'to')::INT
+     + list_contains(low, 'of')::INT + list_contains(low, 'and')::INT
+     + list_contains(low, 'that')::INT + list_contains(low, 'with')::INT)
+      AS stop_hits
+  FROM f)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, stop_hits,
+       (n_words >= 50 AND n_words <= 100000)::INT AS r_word_count,
+       (mean_word_len >= 2.0 AND mean_word_len <= 12.0)::INT
+         AS r_mean_word_len,
+       (symbol_ratio <= 0.1)::INT AS r_symbol_ratio,
+       (bullet_frac <= 0.9)::INT AS r_bullet_lines,
+       (ellipsis_frac <= 0.3)::INT AS r_ellipsis_lines,
+       (alpha_frac >= 0.8)::INT AS r_alpha_words,
+       (stop_hits >= 2)::INT AS r_stopwords,
+       (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 2.0
+        AND mean_word_len <= 12.0 AND symbol_ratio <= 0.1
+        AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        AND alpha_frac >= 0.8 AND stop_hits >= 2)::INT AS passed
+FROM g
+""")
+def doc_gopher_rules(spark, sf_dir):
+    """Gopher-style composite quality gate (Rae et al. 2021 §A1.1;
+    operators/text.py:gopher_rules_cols): 7 per-rule flags + the
+    conjunction, all pure JVM expressions over the token/line arrays —
+    one scan, zero shuffles, no UDF. Ratios are rounded BEFORE
+    thresholding so pass/fail is engine-exact at rule boundaries; the
+    oracle recomputes every rule from the same formulas."""
+    d = _t(spark, sf_dir, "documents")
+    c = TX.gopher_rules_cols("text")
+    order = ["n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+             "ellipsis_frac", "alpha_frac", "stop_hits", "r_word_count",
+             "r_mean_word_len", "r_symbol_ratio", "r_bullet_lines",
+             "r_ellipsis_lines", "r_alpha_words", "r_stopwords", "passed"]
+    return d.select("doc_id", *[c[k].alias(k) for k in order])
+
+
 def _logreg_sql(dim: int = 16, lr: float = 8.0) -> str:
     """Unrolled 2-iteration batch-GD oracle for doc_quality_classifier.
     Mirrors operators/classifier.py step for step, including the fixed
@@ -4168,7 +4234,7 @@ _REGISTRATION_ORDER = [
     "ss_bloom_semi_join", "emb_kmeans_train", "emb_cov_stats",
     "doc_segment_dedup", "doc_temperature_sample",
     "doc_cms_estimate", "doc_hll_distinct", "ts_rollup_incremental",
-    "doc_bpe_train", "doc_quality_classifier",
+    "doc_bpe_train", "doc_quality_classifier", "doc_gopher_rules",
 ]
 
 

@@ -468,3 +468,34 @@ def test_semantic_dedup_matches_brute_force(spark):
         want_kept = not any(cos(v, vecs[j]) >= 0.95 for j in same)
         assert out[i][1] == want_kept, i
     assert sum(1 for _, k in out.values() if not k) > 0  # dups exist
+
+
+def test_gopher_rules_edge_cases(spark):
+    from datatools_spark.operators.text import gopher_rules_cols
+    rows = [
+        (1, ""),                                        # empty
+        (2, "the a " + "word " * 60),                   # passes everything
+        (3, "- one\n- two\n- three"),                   # all bullet lines
+        (4, ("the a " + "word " * 60).rstrip() + "..."),  # ellipsis line
+        (5, "the a " + "#### " * 60),                   # symbol soup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = gopher_rules_cols("text", min_words=5)
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[c[k].alias(k) for k in
+                    ("n_words", "bullet_frac", "ellipsis_frac",
+                     "r_symbol_ratio", "r_stopwords", "passed")]).collect()}
+    assert out[1]["n_words"] == 0 and out[1]["passed"] == 0
+    assert out[2]["passed"] == 1
+    assert out[3]["bullet_frac"] == 1.0 and out[3]["passed"] == 0
+    assert out[4]["ellipsis_frac"] == 1.0 and out[4]["passed"] == 0
+    assert out[5]["r_symbol_ratio"] == 0 and out[5]["passed"] == 0
+
+
+def test_gopher_rules_single_scan_no_shuffle(spark):
+    from datatools_spark.operators.text import gopher_rules_cols
+    df = spark.createDataFrame([(1, "the a x y z")], "doc_id long, text string")
+    c = gopher_rules_cols("text")
+    plan = (df.select("doc_id", c["passed"].alias("passed"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan

@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["streaming_window_counts", "streaming_daily_extrema",
            "streaming_sessionize", "streaming_ingest_dedup",
-           "streaming_upsert", "run_file_stream"]
+           "streaming_interval_join", "streaming_upsert",
+           "run_file_stream"]
 
 
 def streaming_window_counts(events: DataFrame, window: str = "1 hour",
@@ -83,6 +84,36 @@ def streaming_ingest_dedup(events: DataFrame, keys=("event_id",),
     plain ``dropDuplicates`` on a stream grows state forever."""
     return (events.withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(list(keys)))
+
+
+def streaming_interval_join(left: DataFrame, right: DataFrame,
+                            key: str = "user_id",
+                            within: str = "10 minutes",
+                            watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream INNER join on ``key`` with the time bound
+    ``l.ts ≤ r.ts ≤ l.ts + within`` — the streaming twin of the batch
+    interval-lookup join (operators/intervals.py:interval_lookup_join)
+    and the follow-up-window shape of the diurnal extrema (A4).
+
+    Both sides carry the watermark and the join condition bounds event
+    time in BOTH directions, which is what lets Spark expire state: a
+    buffered left row dies once the watermark passes ``l.ts + within``,
+    a right row once it passes ``r.ts`` — state is
+    (arrival rate × (watermark + within)), independent of stream
+    length. Without the time bound the state store grows forever; this
+    is the canonical bounded-state join at 100 TB/day rates."""
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = ((F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}")))
+    return (l.join(r, cond, "inner")
+            .select(F.col(f"l.{key}").alias(key),
+                    F.col("l.event_id").alias("left_id"),
+                    F.col("l.ts").alias("left_ts"),
+                    F.col("r.event_id").alias("right_id"),
+                    F.col("r.ts").alias("right_ts"),
+                    F.col("r.value").alias("right_value")))
 
 
 def streaming_upsert(spark: SparkSession, changes: DataFrame,

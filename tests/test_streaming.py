@@ -227,3 +227,40 @@ def test_streaming_drift_monitor_equals_batch_psi(spark, tmp_path):
     psis = sorted(r.psi for r in log)
     assert psis[0] < 0.1            # in-distribution: tiny drift
     assert psis[1] > 1.0            # +6 shift: red alert
+
+
+def test_streaming_interval_join_equals_batch(spark, tmp_path):
+    """Two file streams through the watermarked interval join emit
+    exactly the batch join's pairs (inner join + time bound), across
+    micro-batch boundaries."""
+    import pyspark.sql.functions as F
+    from datatools_spark.streaming.demo import streaming_interval_join
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    lrows = [(i, t0 + dt.timedelta(minutes=3 * i), i % 5, float(i))
+             for i in range(200)]
+    rrows = [(1000 + i, t0 + dt.timedelta(minutes=3 * i + (i % 13)), i % 5,
+              float(10 * i)) for i in range(200)]
+    ldf = spark.createDataFrame(lrows, schema)
+    rdf = spark.createDataFrame(rrows, schema)
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    # two files per side → join pairs must survive micro-batch splits
+    ldf.where(F.col("event_id") < 100).coalesce(1).write.parquet(lsrc)
+    ldf.where(F.col("event_id") >= 100).coalesce(1) \
+        .write.mode("append").parquet(lsrc)
+    rdf.coalesce(2).write.parquet(rsrc)
+
+    ls = spark.readStream.schema(ldf.schema).parquet(lsrc)
+    rs = spark.readStream.schema(rdf.schema).parquet(rsrc)
+    out_dir = str(tmp_path / "out")
+    q = (streaming_interval_join(ls, rs).writeStream
+         .outputMode("append")
+         .foreachBatch(lambda b, _i: b.write.mode("append").parquet(out_dir))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    want = sorted(tuple(r) for r in
+                  streaming_interval_join(ldf, rdf).collect())
+    assert got == want and len(got) > 0

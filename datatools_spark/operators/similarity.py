@@ -29,6 +29,7 @@ from .partitioning import ensure_parallelism, input_bytes
 
 __all__ = [
     "dot_expr", "norm_expr", "cosine_expr", "knn_brute_force",
+    "hard_negatives", "hard_negatives_ivf",
     "hyperplane_bucket_col", "md5_plane", "md5_bucket_col", "probe_masks",
     "knn_lsh", "knn_lsh_multi", "ivf_assign", "ivf_search",
     "quantize_uint8", "random_projection", "pq_codebook", "pq_codes",
@@ -68,6 +69,76 @@ def knn_brute_force(df: DataFrame, query: DataFrame, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(query_id_col, id_col, "cosine", "rank"))
+
+
+def hard_negatives(df: DataFrame, query: DataFrame, k: int = 5,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   label_col: str = "label",
+                   query_id_col: str = "query_id") -> DataFrame:
+    """Contrastive hard-negative mining (the training-pair prep step of
+    embedding-model fine-tuning): for each labelled query vector, the
+    top-k highest-cosine corpus vectors with a DIFFERENT label — the
+    negatives the model currently confuses most.
+
+    Same scale shape as :func:`knn_brute_force` — broadcast query side,
+    ONE corpus scan — with the label-inequality filter applied before
+    ranking, so the window sees only eligible rows. Exact baseline; at
+    1e9 vectors use :func:`hard_negatives_ivf` (probe-pruned).
+    Output: ``query_id, vec_id, label, cosine, rank``.
+    """
+    q = F.broadcast(query.select(F.col(query_id_col),
+                                 F.col(vec_col).alias("_qv"),
+                                 F.col(label_col).alias("_ql")))
+    scored = (ensure_parallelism(
+        df.select(F.col(id_col), F.col(vec_col), F.col(label_col)))
+        .crossJoin(q)
+        .where(F.col(label_col) != F.col("_ql"))
+        .withColumn("cosine", cosine_expr(F.col(vec_col), F.col("_qv"))))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
+                                                 F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, id_col, label_col, "cosine", "rank"))
+
+
+def hard_negatives_ivf(df: DataFrame, centroids: DataFrame,
+                       query: DataFrame, k: int = 5, nprobe: int = 2,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       label_col: str = "label",
+                       query_id_col: str = "query_id",
+                       centroid_id_col: str = "centroid_id") -> DataFrame:
+    """Probe-pruned hard-negative mining: assign the corpus to IVF
+    cells once, mine each query's negatives inside its ``nprobe``
+    nearest cells only — the same partition-pruned layout as
+    :func:`ivf_search`, so cost scales with nprobe/k_cells of the
+    corpus, not the corpus. Approximate (a hard negative outside the
+    probed cells is missed — by construction those are far from the
+    query); recall vs the exact miner is pinned in tests."""
+    corpus = (ivf_assign(df, centroids, vec_col, id_col, centroid_id_col,
+                         keep_vec=True)
+              .join(df.select(F.col(id_col), F.col(label_col)), id_col)
+              .select(F.col(id_col), F.col(vec_col), F.col(label_col),
+                      F.col(centroid_id_col)))
+    c = F.broadcast(centroids.select(F.col(centroid_id_col),
+                                     F.col(vec_col).alias("_cv")))
+    qs = (query.select(F.col(query_id_col), F.col(vec_col).alias("_qv"),
+                       F.col(label_col).alias("_ql"))
+          .crossJoin(c)
+          .withColumn("_cos", cosine_expr(F.col("_qv"), F.col("_cv"))))
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(),
+                                                  F.col(centroid_id_col))
+    probes = (qs.withColumn("_rn", F.row_number().over(wq))
+              .where(F.col("_rn") <= nprobe)
+              .select(query_id_col, centroid_id_col, "_qv", "_ql"))
+    scored = (corpus.join(F.broadcast(probes), on=centroid_id_col)
+              .where(F.col(label_col) != F.col("_ql"))
+              .withColumn("cosine", cosine_expr(F.col(vec_col),
+                                                F.col("_qv"))))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
+                                                 F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, id_col, label_col, "cosine", "rank"))
 
 
 def _plane_component(h: int, j: Column | int) -> Column:

@@ -4041,6 +4041,36 @@ def doc_bpe_train(spark, sf_dir):
         [(r, p, n) for r, p, n in merges], "round int, pair string, n long")
 
 
+@query("emb_hard_negatives", sql=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+s AS (SELECT q.query_id, e.vec_id, e.label,
+             {_COS_SQL.format(a='e.embedding', b='q.qv')} AS cos
+      FROM embeddings e, q WHERE e.label <> q.ql),
+r AS (SELECT query_id, vec_id, label, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, label, round(cos, 6) AS cosine, rank
+FROM r WHERE rank <= 5
+""")
+def emb_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining
+    (operators/similarity.py:hard_negatives): per labelled query
+    vector, the top-5 highest-cosine corpus vectors with a DIFFERENT
+    label — the confusable negatives an embedding fine-tune trains
+    against. Broadcast query side, one corpus scan, label filter before
+    the rank window; the probe-pruned scale variant
+    (hard_negatives_ivf) is recall-pinned in tests."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.where(F.col("vec_id").isin(0, 1, 2)) \
+        .select(F.col("vec_id").alias("query_id"), "embedding", "label")
+    out = SIM.hard_negatives(e, q, k=5)
+    return out.select("query_id", "vec_id", "label",
+                      _r(F.col("cosine")).alias("cosine"), "rank")
+
+
 @query("doc_gopher_rules", sql=r"""
 WITH f AS (
   SELECT doc_id,
@@ -4235,6 +4265,7 @@ _REGISTRATION_ORDER = [
     "doc_segment_dedup", "doc_temperature_sample",
     "doc_cms_estimate", "doc_hll_distinct", "ts_rollup_incremental",
     "doc_bpe_train", "doc_quality_classifier", "doc_gopher_rules",
+    "emb_hard_negatives",
 ]
 
 

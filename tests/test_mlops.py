@@ -395,3 +395,71 @@ def test_logreg_gradient_exchange_is_dim_bounded(spark, lang_docs):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("HashAggregate") == 2  # partial + final
+
+
+# ------------------------------------------------------- hard negatives
+
+@pytest.fixture(scope="module")
+def labeled_vecs(spark):
+    """Three directional clusters (centered on scaled basis axes) so
+    cosine bucketing is meaningful and no vector/centroid has zero
+    norm."""
+    rnd = random.Random(13)
+    rows = []
+    for i in range(200):
+        c = i % 3
+        v = [rnd.gauss(0.0, 1.0) for _ in range(8)]
+        v[c] += 5.0
+        rows.append((i, v, c))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+
+
+def _centroids3(spark):
+    return spark.createDataFrame(
+        [(c, [5.0 if d == c else 0.0 for d in range(8)]) for c in range(3)],
+        "centroid_id int, embedding array<double>")
+
+
+def test_hard_negatives_labels_differ_and_are_hardest(spark, labeled_vecs):
+    from datatools_spark.operators.similarity import (
+        cosine_expr, hard_negatives,
+    )
+    q = labeled_vecs.where(F.col("vec_id") < 3) \
+        .select(F.col("vec_id").alias("query_id"), "embedding", "label")
+    out = hard_negatives(labeled_vecs, q, k=5).collect()
+    assert len(out) == 15
+    qlab = {r["query_id"]: r["label"] for r in q.collect()}
+    # negatives never share the query's label
+    assert all(r["label"] != qlab[r["query_id"]] for r in out)
+    # rank-1 really is the max cosine among different-label rows
+    ql = {r["query_id"]: r for r in q.collect()}
+    for qid in (0, 1, 2):
+        best = max(r["cosine"] for r in out if r["query_id"] == qid)
+        brute = (labeled_vecs.where(F.col("label") != qlab[qid])
+                 .select(cosine_expr(
+                     F.col("embedding"),
+                     F.lit(ql[qid]["embedding"]).cast("array<double>"))
+                     .alias("c"))
+                 .agg(F.max("c")).first()[0])
+        assert abs(best - brute) < 1e-9
+
+
+def test_hard_negatives_ivf_recall_vs_exact(spark, labeled_vecs):
+    from datatools_spark.operators.similarity import (
+        hard_negatives, hard_negatives_ivf,
+    )
+    q = labeled_vecs.where(F.col("vec_id") < 10) \
+        .select(F.col("vec_id").alias("query_id"), "embedding", "label")
+    exact = {(r["query_id"], r["vec_id"])
+             for r in hard_negatives(labeled_vecs, q, k=5).collect()}
+    cents = _centroids3(spark)
+    approx = {(r["query_id"], r["vec_id"])
+              for r in hard_negatives_ivf(
+                  labeled_vecs, cents, q, k=5, nprobe=2).collect()}
+    assert len(approx & exact) / len(exact) >= 0.8
+    # probing EVERY cell recovers the exact result
+    full = {(r["query_id"], r["vec_id"])
+            for r in hard_negatives_ivf(
+                labeled_vecs, cents, q, k=5, nprobe=3).collect()}
+    assert full == exact

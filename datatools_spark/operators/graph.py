@@ -29,7 +29,55 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pagerank"]
+
+
+def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
+             iters: int = 3, damping: float = 0.85,
+             round_dp: int = 9) -> DataFrame:
+    """PageRank on a directed edge list where EVERY node has at least
+    one out-edge (symmetrize first when that is not guaranteed —
+    dangling-mass redistribution is deliberately out of scope so the
+    iteration stays a pure join+agg). Output: ``id, pr``.
+
+    The canonical Pregel-on-DataFrames shape: per iteration exactly ONE
+    shuffle-join of the rank vector onto the (checkpointed)
+    edges-with-outdegree table keyed on source, then ONE map-side
+    combinable ``groupBy(dst).sum`` — rank state never leaves the
+    cluster and is one row per node; the only driver scalar is N.
+    ``localCheckpoint`` per round keeps the logical plan constant-size
+    (same rationale as :func:`connected_components`).
+
+    Every reduction is rounded at ``round_dp`` BEFORE feeding the next
+    step, so the trajectory is bit-reproducible across engines and
+    partitionings (the same fixed-decimal discipline as
+    operators/classifier.py) — which is what lets an unrolled SQL
+    oracle hash-match the full iteration.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    deg = e.groupBy("u").agg(F.count("*").alias("_outdeg"))
+    ew = e.join(deg, "u").localCheckpoint()
+    nodes = deg.select(F.col("u").alias("id")).localCheckpoint()
+    n = nodes.count()
+    # (1-d)/n is built from the SAME primitive ops an external SQL twin
+    # would use — literal subtraction and division in the engine, never
+    # a Python-folded constant (1.0-0.85 != the SQL literal 0.15 at the
+    # last ulp) — so both engines feed identical doubles to round().
+    base = (F.lit(1.0) - F.lit(damping)) / F.lit(float(n))
+    pr = nodes.withColumn(
+        "pr", F.round(F.lit(1.0) / F.lit(float(n)), round_dp))
+    for _ in range(iters):
+        contrib = (ew.join(pr.withColumnRenamed("id", "u"), "u")
+                   .groupBy(F.col("v").alias("id"))
+                   .agg(F.round(F.sum(F.col("pr") / F.col("_outdeg")),
+                                round_dp).alias("_s")))
+        pr = (nodes.join(contrib, "id", "left")
+              .select("id",
+                      F.round(base
+                              + F.lit(damping) * F.coalesce("_s", F.lit(0.0)),
+                              round_dp).alias("pr"))
+              .localCheckpoint())
+    return pr
 
 
 def connected_components(edges: DataFrame, src: str = "a_id",

@@ -4041,6 +4041,52 @@ def doc_bpe_train(spark, sf_dir):
         [(r, p, n) for r, p, n in merges], "round int, pair string, n long")
 
 
+def _pagerank_sql(iters: int = 3, d: float = 0.85, dp: int = 9) -> str:
+    """Unrolled PageRank oracle over the symmetrized customer↔supplier
+    order graph — mirrors operators/graph.py:pagerank step for step,
+    including the fixed-decimal rounding of every reduction."""
+    parts = ["""
+el AS (SELECT DISTINCT 'c' || o_custkey AS u, 's' || l_suppkey AS v
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+e AS (SELECT u, v FROM el UNION SELECT v AS u, u AS v FROM el),
+deg AS (SELECT u, count(*) AS outdeg FROM e GROUP BY u),
+nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+p0 AS (SELECT u AS id, round(1.0 / (SELECT n FROM nn), %d) AS pr
+       FROM deg)""" % dp]
+    for i in range(iters):
+        parts.append(f"""
+c{i + 1} AS (SELECT e.v AS id, round(sum(p{i}.pr / deg.outdeg), {dp}) AS s
+       FROM e JOIN p{i} ON e.u = p{i}.id JOIN deg ON e.u = deg.u
+       GROUP BY e.v),
+p{i + 1} AS (SELECT d.id,
+        round((1.0 - {d}) / (SELECT n FROM nn)
+              + {d} * coalesce(c{i + 1}.s, 0.0), {dp}) AS pr
+        FROM (SELECT u AS id FROM deg) d LEFT JOIN c{i + 1} USING (id))""")
+    return ("WITH " + ",".join(parts)
+            + f" SELECT id, round(pr, 6) AS pr FROM p{iters}")
+
+
+@query("ss_pagerank", sql=_pagerank_sql())
+def ss_pagerank(spark, sf_dir):
+    """PageRank over the symmetrized customer↔supplier order graph
+    (operators/graph.py:pagerank), 3 damped iterations — the canonical
+    Pregel-on-DataFrames loop: per iteration ONE rank-onto-edges
+    shuffle join + ONE combinable groupBy(dst) sum, rank state one row
+    per node, plan held constant-size by localCheckpoint. Fixed-decimal
+    rounding of every reduction makes the trajectory bit-reproducible;
+    the oracle unrolls all 3 iterations and hash-matches every rank."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    el = (o.join(li, o.o_orderkey == li.l_orderkey)
+          .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("u"),
+                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("v"))
+          .distinct())
+    e = el.unionByName(
+        el.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    pr = G.pagerank(e, iters=3)
+    return pr.select("id", F.round("pr", 6).alias("pr"))
+
+
 @query("emb_hard_negatives", sql=f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
            FROM embeddings WHERE vec_id IN (0, 1, 2)),
@@ -4265,7 +4311,7 @@ _REGISTRATION_ORDER = [
     "doc_segment_dedup", "doc_temperature_sample",
     "doc_cms_estimate", "doc_hll_distinct", "ts_rollup_incremental",
     "doc_bpe_train", "doc_quality_classifier", "doc_gopher_rules",
-    "emb_hard_negatives",
+    "emb_hard_negatives", "ss_pagerank",
 ]
 
 

@@ -463,3 +463,27 @@ def test_hard_negatives_ivf_recall_vs_exact(spark, labeled_vecs):
             for r in hard_negatives_ivf(
                 labeled_vecs, cents, q, k=5, nprobe=3).collect()}
     assert full == exact
+
+
+# ------------------------------------------------------------- pagerank
+
+def test_pagerank_mass_conservation_and_hub(spark):
+    from datatools_spark.operators.graph import pagerank
+    # star graph, symmetrized: hub 0 <-> spokes 1..8
+    edges = [(0, i) for i in range(1, 9)] + [(i, 0) for i in range(1, 9)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    pr = {r["id"]: r["pr"] for r in pagerank(e, iters=5).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6   # no dangling → mass kept
+    assert pr[0] > max(pr[i] for i in range(1, 9)) * 3  # hub dominates
+    spoke = [pr[i] for i in range(1, 9)]
+    assert max(spoke) == min(spoke)             # symmetry → equal spokes
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    from datatools_spark.operators.graph import pagerank
+    # directed 6-cycle: every node indeg = outdeg = 1 → uniform PR
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "u long, v long")
+    pr = [r["pr"] for r in pagerank(e, iters=4).collect()]
+    assert max(pr) == min(pr)
+    assert abs(pr[0] - 1 / 6) < 1e-6

@@ -4041,6 +4041,51 @@ def doc_bpe_train(spark, sf_dir):
         [(r, p, n) for r, p, n in merges], "round int, pair string, n long")
 
 
+@query("ts_attribution", sql="""
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c0 AS (SELECT user_id, ts AS click_ts, event_id AS click_id,
+              row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) AS rn
+       FROM events WHERE event_type = 'click'),
+c AS (SELECT user_id, click_ts, click_id FROM c0 WHERE rn = 1),
+j AS (SELECT p.purchase_id, c.click_id, c.click_ts,
+             row_number() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.click_ts DESC) AS rn
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.click_ts <= p.ts
+       AND epoch(p.ts) - epoch(c.click_ts) <= 604800)
+SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts, j.click_id, j.click_ts
+FROM p LEFT JOIN (SELECT purchase_id, click_id, click_ts FROM j
+                  WHERE rn = 1) j USING (purchase_id)
+""")
+def ts_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase joined to the same user's
+    most recent click within 7 days (inclusive) — pure reuse of the J1
+    as-of machinery (operators/intervals.py:asof_join: union + one
+    keyed window, ONE shuffle on user_id, both sides unbounded — the
+    shape a broadcast range join cannot give at 100 TB). Same-ts click
+    ties are pre-collapsed to max event_id so the carried value is
+    partition-order-invariant; unattributed purchases keep null."""
+    ev = _t(spark, sf_dir, "events")
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"), "user_id", "ts"))
+    wc = Window.partitionBy("user_id", "ts") \
+        .orderBy(F.col("click_id").desc())
+    c = (ev.where(F.col("event_type") == "click")
+         .select("user_id", "ts", F.col("event_id").alias("click_id"))
+         .withColumn("_rn", F.row_number().over(wc))
+         .where(F.col("_rn") == 1)
+         .select("user_id", "ts", "click_id",
+                 F.col("ts").alias("click_ts")))
+    out = IV.asof_join(p, c, ts_col="ts", by=["user_id"],
+                       value_cols=["click_id", "click_ts"],
+                       tolerance=7 * 86400)
+    return out.select("purchase_id", "user_id",
+                      F.col("ts").alias("purchase_ts"),
+                      "click_id", "click_ts")
+
+
 def _pagerank_sql(iters: int = 3, d: float = 0.85, dp: int = 9) -> str:
     """Unrolled PageRank oracle over the symmetrized customer↔supplier
     order graph — mirrors operators/graph.py:pagerank step for step,
@@ -4311,7 +4356,7 @@ _REGISTRATION_ORDER = [
     "doc_segment_dedup", "doc_temperature_sample",
     "doc_cms_estimate", "doc_hll_distinct", "ts_rollup_incremental",
     "doc_bpe_train", "doc_quality_classifier", "doc_gopher_rules",
-    "emb_hard_negatives", "ss_pagerank",
+    "emb_hard_negatives", "ss_pagerank", "ts_attribution",
 ]
 
 

@@ -4041,6 +4041,114 @@ def doc_bpe_train(spark, sf_dir):
         [(r, p, n) for r, p, n in merges], "round int, pair string, n long")
 
 
+@query("ts_funnel", sql="""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t1 AS (SELECT user_id, min(ts) AS t_view FROM events
+       WHERE event_type = 'view' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+       JOIN t1 ON e.user_id = t1.user_id AND e.ts >= t1.t_view
+       WHERE e.event_type = 'click' GROUP BY 1),
+t3 AS (SELECT e.user_id, min(e.ts) AS t_signup FROM events e
+       JOIN t2 ON e.user_id = t2.user_id AND e.ts >= t2.t_click
+       WHERE e.event_type = 'signup' GROUP BY 1),
+t4 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+       JOIN t3 ON e.user_id = t3.user_id AND e.ts >= t3.t_signup
+       WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT u.user_id, t1.t_view, t2.t_click, t3.t_signup, t4.t_purchase,
+       (CASE WHEN t4.t_purchase IS NOT NULL THEN 4
+             WHEN t3.t_signup IS NOT NULL THEN 3
+             WHEN t2.t_click IS NOT NULL THEN 2
+             WHEN t1.t_view IS NOT NULL THEN 1 ELSE 0 END)::INT AS stage
+FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+       LEFT JOIN t3 USING (user_id) LEFT JOIN t4 USING (user_id)
+""")
+def ts_funnel(spark, sf_dir):
+    """Ordered funnel (view → click → signup → purchase): per user the
+    first time of each stage, constrained to occur at-or-after the
+    previous stage's first time. Four chained min-aggregates, each ONE
+    combinable groupBy(user) + a co-partitioned join — the shuffles all
+    share the user_id key, so at scale AQE/bucketing reuses one
+    partitioning across all four stages. Sequential-dependency funnels
+    can't collapse into one aggregate; four key-shared passes is the
+    honest distributed shape."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u = ev.select("user_id").distinct()
+
+    def stage(etype, prev, prev_col, out_col):
+        s = ev.where(F.col("event_type") == etype)
+        if prev is not None:
+            s = (s.join(prev, "user_id")
+                 .where(F.col("ts") >= F.col(prev_col)))
+        return s.groupBy("user_id").agg(F.min("ts").alias(out_col))
+
+    t1 = stage("view", None, None, "t_view")
+    t2 = stage("click", t1, "t_view", "t_click")
+    t3 = stage("signup", t2, "t_click", "t_signup")
+    t4 = stage("purchase", t3, "t_signup", "t_purchase")
+    out = (u.join(t1, "user_id", "left").join(t2, "user_id", "left")
+           .join(t3, "user_id", "left").join(t4, "user_id", "left"))
+    stage_col = (F.when(F.col("t_purchase").isNotNull(), 4)
+                 .when(F.col("t_signup").isNotNull(), 3)
+                 .when(F.col("t_click").isNotNull(), 2)
+                 .when(F.col("t_view").isNotNull(), 1)
+                 .otherwise(0))
+    return out.select("user_id", "t_view", "t_click", "t_signup",
+                      "t_purchase", stage_col.cast("int").alias("stage"))
+
+
+@query("ts_retention_cohorts", sql="""
+WITH first AS (SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP
+                      AS cohort FROM events GROUP BY 1),
+act AS (SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS wk
+        FROM events)
+SELECT f.cohort, ((epoch(a.wk) - epoch(f.cohort)) / 604800)::INT
+         AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM act a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""")
+def ts_retention_cohorts(spark, sf_dir):
+    """Retention cohort matrix: users bucketed by first-activity week,
+    counted per week-offset of later activity. One groupBy(user) for
+    cohorts + one distinct on (user, week) + one co-partitioned join +
+    one count — every shuffle keyed on user_id or the tiny
+    (cohort, offset) pair; output is cohorts × offsets, metadata-sized
+    at any corpus scale."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort"))
+    act = ev.select("user_id",
+                    F.date_trunc("week", "ts").alias("wk")).distinct()
+    off = ((F.col("wk").cast("double") - F.col("cohort").cast("double"))
+           / 604800).cast("int")
+    return (act.join(first, "user_id")
+            .groupBy("cohort", off.alias("week_offset"))
+            .agg(F.count("*").alias("n_users")))
+
+
+@query("ts_transition_matrix", sql="""
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS next_type
+           FROM events)
+SELECT event_type, next_type, count(*)::BIGINT AS n
+FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+""")
+def ts_transition_matrix(spark, sf_dir):
+    """First-order Markov transition counts between consecutive events
+    per user (tie-pinned by event_id): ONE keyed window (shuffle on
+    user_id, in-partition sort) + ONE combinable count — the |types|²
+    output is model-sized regardless of corpus. The row-normalized
+    matrix is the sessionized path model (next-event prediction
+    baseline, bot detection)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("next_type", F.lead("event_type").over(w))
+            .where(F.col("next_type").isNotNull())
+            .groupBy("event_type", "next_type")
+            .agg(F.count("*").alias("n")))
+
+
 @query("ts_attribution", sql="""
 WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
            WHERE event_type = 'purchase'),
@@ -4357,6 +4465,7 @@ _REGISTRATION_ORDER = [
     "doc_cms_estimate", "doc_hll_distinct", "ts_rollup_incremental",
     "doc_bpe_train", "doc_quality_classifier", "doc_gopher_rules",
     "emb_hard_negatives", "ss_pagerank", "ts_attribution",
+    "ts_funnel", "ts_retention_cohorts", "ts_transition_matrix",
 ]
 
 

@@ -28,6 +28,7 @@ __all__ = [
     "uniform_hash_col", "deterministic_sample", "contamination_counts",
     "source_balanced_sample", "pack_sequences", "train_val_test_split",
     "group_quota_cap", "epoch_shard", "temperature_sample",
+    "priority_sample_per_group",
 ]
 
 
@@ -252,3 +253,34 @@ def epoch_shard(df: DataFrame, n_shards: int, epoch: int = 0,
     w = Window.partitionBy("shard").orderBy("_h", key_col)
     return (out.withColumn("pos", F.row_number().over(w).cast("bigint"))
             .drop("_h"))
+
+
+def priority_sample_per_group(df: DataFrame, group_cols, weight_col: str,
+                              k: int, key_col: str = "doc_id",
+                              salt: str = "ws") -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group — priority
+    sampling (Duffield, Lund & Thorup, JACM 2007): priority
+    q = w / u with u a deterministic md5-uniform in (0, 1); keep each
+    group's top-k priorities. Inclusion probability is proportional to
+    weight (heavier rows win more often), the sample is reproducible
+    across runs/engines (no RNG), and — unlike Efraimidis-Spirakis'
+    u^(1/w) — the priority is a single DIVISION, so the ranking key is
+    bit-identical in any IEEE engine (pow/log differ by ulps across
+    libm implementations).
+
+    One keyed window (shuffle on group) — Spark's WindowGroupLimit
+    pushes the rank<=k cut map-side, so the exchange carries ~k rows
+    per group per partition, not the corpus. u is offset by +0.5/2^32
+    to exclude 0 exactly (no div-by-zero), preserving uniformity.
+    Adds ``priority``; keeps all input columns."""
+    g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt + ":"),
+                                          F.col(key_col).cast("string"))),
+                           1, 8), 16, 10).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+    pr = F.col(weight_col).cast("double") / u
+    w = Window.partitionBy(*g).orderBy(F.col("priority").desc(),
+                                       F.col(key_col))
+    return (df.withColumn("priority", pr)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k).drop("_rn"))

@@ -4041,6 +4041,36 @@ def doc_bpe_train(spark, sf_dir):
         [(r, p, n) for r, p, n in merges], "round int, pair string, n long")
 
 
+@query("doc_weighted_sample", sql="""
+WITH p AS (
+  SELECT doc_id, source, n_chars,
+         n_chars::DOUBLE
+           / ((('0x' || substr(md5('ws:' || doc_id), 1, 8))::BIGINT + 0.5)
+              / 4294967296.0) AS priority
+  FROM documents),
+r AS (SELECT doc_id, source, n_chars, priority,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY priority DESC, doc_id) AS rn
+      FROM p)
+SELECT doc_id, source, n_chars, round(priority, 4) AS priority
+FROM r WHERE rn <= 3
+""")
+def doc_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement, 3 docs per
+    source, weight = n_chars — priority sampling (Duffield, Lund &
+    Thorup, JACM 2007; operators/curation.py:priority_sample_per_group):
+    priority = w / md5-uniform, top-k per group. A single DIVISION as
+    the ranking key makes the sample bit-reproducible in any IEEE
+    engine (no RNG, no pow/log ulp hazard); one keyed window whose
+    rank cut runs map-side (WindowGroupLimit)."""
+    d = _t(spark, sf_dir, "documents")
+    out = CU.priority_sample_per_group(
+        d.select("doc_id", "source", "n_chars"),
+        "source", "n_chars", k=3)
+    return out.select("doc_id", "source", "n_chars",
+                      F.round("priority", 4).alias("priority"))
+
+
 @query("ts_funnel", sql="""
 WITH u AS (SELECT DISTINCT user_id FROM events),
 t1 AS (SELECT user_id, min(ts) AS t_view FROM events
@@ -4466,6 +4496,7 @@ _REGISTRATION_ORDER = [
     "doc_bpe_train", "doc_quality_classifier", "doc_gopher_rules",
     "emb_hard_negatives", "ss_pagerank", "ts_attribution",
     "ts_funnel", "ts_retention_cohorts", "ts_transition_matrix",
+    "doc_weighted_sample",
 ]
 
 

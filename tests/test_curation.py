@@ -499,3 +499,33 @@ def test_gopher_rules_single_scan_no_shuffle(spark):
     plan = (df.select("doc_id", c["passed"].alias("passed"))
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_priority_sample_keeps_all_when_k_large(spark):
+    from datatools_spark.operators.curation import priority_sample_per_group
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3), 10 + i) for i in range(30)],
+        "doc_id long, source string, w long")
+    out = priority_sample_per_group(df, "source", "w", k=100)
+    assert out.count() == 30
+
+
+def test_priority_sample_prefers_heavy_rows(spark):
+    from datatools_spark.operators.curation import priority_sample_per_group
+    rows = [(i, "s", 1) for i in range(50)] + [(99, "s", 100000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    hits = sum(
+        1 for salt in range(20)
+        if 99 in {r["doc_id"] for r in priority_sample_per_group(
+            df, "source", "w", k=5, salt=f"t{salt}").collect()})
+    assert hits >= 18  # inclusion prob ~ w/(w+sum) -> heavy nearly always in
+
+
+def test_priority_sample_rank_cut_is_pushed_map_side(spark):
+    from datatools_spark.operators.curation import priority_sample_per_group
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3), 10 + i) for i in range(30)],
+        "doc_id long, source string, w long")
+    plan = priority_sample_per_group(df, "source", "w", k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -287,3 +287,43 @@ def test_selectk_median_avoids_buffering_aggregate(spark):
     plan = _plan(QUERIES["ts_median_selectk"](spark, SF))
     assert "ObjectHashAggregate" not in plan
     assert "percentile" not in plan.lower()
+
+
+# ------------------------------------------------------------ plan audit
+
+def test_audit_counts_and_flags(spark):
+    from datatools_spark.plans.audit import assert_scale_safe, audit
+    from datatools_spark.queries import QUERIES
+    df = QUERIES["ts_resample_daily_mean"](spark, SF)
+    a = assert_scale_safe(df)          # clean query → no raise
+    assert a["exchanges"] >= 1 and a["scans"] >= 1
+    assert not a["python_udf"] and not a["cartesian"]
+
+
+def test_audit_catches_cartesian_and_python_udf(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+    from datatools_spark.plans.audit import assert_scale_safe
+    a = spark.range(100)
+    b = spark.range(100).withColumnRenamed("id", "id2")
+    cart = a.crossJoin(b)
+    with pytest.raises(AssertionError, match="cartesian"):
+        assert_scale_safe(cart)
+    pyudf = F.udf(lambda x: x + 1, LongType())
+    slow = spark.range(100).select(pyudf(F.col("id")).alias("y"))
+    with pytest.raises(AssertionError, match="Python UDF"):
+        assert_scale_safe(slow)
+
+
+def test_audit_reports_pushdown(spark):
+    from pyspark.sql import functions as F
+    from datatools_spark.plans.audit import audit
+    from datatools_spark.queries import _t
+    d = _t(spark, SF, "documents").where(F.col("doc_id") < 10) \
+        .select("doc_id", "lang")
+    a = audit(d)
+    assert a["scans"] == 1
+    det = a["scan_details"][0]
+    assert "doc_id" in det["pushed_filters"] or "LessThan" in det["pushed_filters"]
+    assert "text" not in det["read_schema"]   # column pruning visible

@@ -53,14 +53,27 @@ BENCH_QUERIES = [
 
 
 def _measure(spark, sf_dir: str, repeats: int) -> dict[str, float]:
-    times: dict[str, float] = {}
+    samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+
+    def run(name: str) -> None:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        samples[name].append(round(time.perf_counter() - t0, 3))
+
     for _ in range(repeats):
         for name in BENCH_QUERIES:
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
-            dt = round(time.perf_counter() - t0, 3)
-            times[name] = min(times.get(name, dt), dt)
-    return times
+            run(name)
+    # adaptive top-up: ambient host load (steal time) can inflate a
+    # whole pass; when a query's two best samples still disagree >15%
+    # the min is probably not steady-state — buy up to 2 extra samples
+    # for just that query instead of re-running the suite.
+    for name in BENCH_QUERIES:
+        for _ in range(2):
+            best = sorted(samples[name])[:2]
+            if len(best) < 2 or best[1] <= best[0] * 1.15:
+                break
+            run(name)
+    return {n: min(s) for n, s in samples.items()}
 
 
 def main() -> None:

@@ -35,6 +35,7 @@ __all__ = [
     "quantize_uint8", "random_projection", "pq_codebook", "pq_codes",
     "pq_adc_knn", "pq_train_codebook", "semantic_dedup",
     "kmeans_lloyd", "dim_stats", "gram_matrix", "pca_components",
+    "whiten",
 ]
 
 
@@ -719,6 +720,39 @@ def kmeans_lloyd(df: DataFrame, k: int = 4, iters: int = 2,
     return assign(df).select(id_col, "cluster", "d2"), cents
 
 
+def whiten(df: DataFrame, vec_col: str = "embedding",
+           dim: int = 64, top: int = 8, eps: float = 1e-9,
+           out_col: str = "whitened") -> DataFrame:
+    """PCA whitening: project each vector onto the ``top`` principal
+    components and scale by 1/√(λ+eps), so the output has (empirically)
+    identity covariance — the standard pre-step before cosine-based
+    semantic dedup / retrieval when raw embedding dimensions are
+    correlated (anisotropic embeddings inflate cosine similarity).
+
+    Model fitting = :func:`pca_components` (one distributed Gram pass +
+    a driver-side dim×dim eigh — model-sized, legitimate). The
+    transform itself is a LITERAL-matrix projection: out[j] =
+    Σ_i (x[i] − μ[i])·W[j][i] / √(λ_j+eps), all literal arithmetic —
+    ZERO shuffle, zero join, whole-stage codegen, same bulk shape as
+    ivf_assign's literal path. Adds ``out_col`` (array<double>, length
+    ``top``)."""
+    import numpy as np
+    stats = gram_matrix(df, vec_col, dim)
+    n, s, _ = stats
+    mu = (np.asarray(s) / n).tolist()
+    vals, comps = pca_components(df, vec_col, dim, top, stats=stats)
+    x = F.col(vec_col)
+    outs = []
+    for j in range(top):
+        scale = 1.0 / float((vals[j] + eps) ** 0.5)
+        term = None
+        for i in range(dim):
+            t = (x[i] - F.lit(mu[i])) * F.lit(comps[j][i])
+            term = t if term is None else term + t
+        outs.append(term * F.lit(scale))
+    return df.withColumn(out_col, F.array(*outs))
+
+
 def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-dimension mean/variance across the corpus: ``posexplode`` →
     one (dim)-keyed hash aggregate (partials combine map-side; the
@@ -777,15 +811,16 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding",
 
 
 def pca_components(df: DataFrame, vec_col: str = "embedding",
-                   dim: int = 64, top: int = 8):
+                   dim: int = 64, top: int = 8, stats=None):
     """PCA over the corpus: covariance from :func:`gram_matrix` (one
     distributed pass), then an eigendecomposition of the dim×dim matrix
     on the driver — legitimate because the matrix is model-sized (64²
     doubles), not data-sized. Returns (eigvals desc, components) for the
     ``top`` components; project with a zip_with dot against the
-    broadcast component rows."""
+    broadcast component rows. Pass ``stats=(n, s, g)`` (a prior
+    :func:`gram_matrix` result) to skip the distributed pass."""
     import numpy as np
-    n, s, g = gram_matrix(df, vec_col, dim)
+    n, s, g = stats if stats is not None else gram_matrix(df, vec_col, dim)
     mu = np.asarray(s) / n
     cov = np.asarray(g) / n - np.outer(mu, mu)
     vals, vecs = np.linalg.eigh(cov)

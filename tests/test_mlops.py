@@ -487,3 +487,19 @@ def test_pagerank_uniform_on_regular_graph(spark):
     pr = [r["pr"] for r in pagerank(e, iters=4).collect()]
     assert max(pr) == min(pr)
     assert abs(pr[0] - 1 / 6) < 1e-6
+
+
+# ------------------------------------------------------------- whitening
+
+def test_whiten_identity_covariance_and_no_shuffle(spark, vecs):
+    np = pytest.importorskip("numpy")
+    from datatools_spark.operators.similarity import whiten
+    out = whiten(vecs, dim=8, top=4)
+    w = np.asarray([r["whitened"] for r in out.collect()])
+    assert w.shape[1] == 4
+    cov = np.cov(w.T, bias=True)
+    assert np.allclose(cov, np.eye(4), atol=1e-6)   # whitened = isotropic
+    assert np.allclose(w.mean(axis=0), 0, atol=1e-6)
+    # transform under literal model: pure projection, zero shuffles
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan

@@ -41,6 +41,7 @@ __all__ = [
     "extract_features_expr", "sample_frames", "resize_plan", "patch_grid",
     "decode_raw8", "decode_pcm16", "raw8_stats", "raw8_pool",
     "raw8_resize_nearest", "raw8_frame_stats", "pcm16_stats",
+    "pcm16_spectrogram",
 ]
 
 MEDIA_SCHEMA = StructType([
@@ -437,6 +438,58 @@ def pcm16_stats(df: DataFrame, frame: int = 256,
                 rows.append((int(mid), s.size, tot, tot / s.size,
                              int(np.abs(s64).max()),
                              float(np.sqrt(sq / s.size)), zc))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return df.select(id_col, payload_col).mapInPandas(_batches, out_schema)
+
+
+def pcm16_spectrogram(df: DataFrame, frame: int = 16, n_frames: int = 4,
+                      bins: int = 9, payload_col: str = "payload",
+                      id_col: str = "media_id") -> DataFrame:
+    """Short-time DFT magnitude spectrogram over PCM16 audio — the
+    feature an audio-curation pipeline extracts before bandwidth /
+    speech-music gates. Naive real DFT per frame (explicit cos/sin
+    sums, NOT np.fft) so the identical arithmetic is expressible in any
+    SQL engine: mag[k] = √((Σₙ xₙ·cos(2πkn/N))² + (Σₙ xₙ·sin(2πkn/N))²),
+    rounded to 4 dp (magnitudes reach N·32768 ≈ 5e5; at that scale a
+    4-dp round absorbs cross-engine libm/summation-order ulps).
+
+    One ``mapInPandas`` pass (Arrow batches, vectorized numpy per
+    clip); fan-out ``n_frames × bins`` rows per clip — bounded, like
+    sample_frames. Clips shorter than one frame are dropped; partial
+    trailing frames are not emitted.
+    Output: ``id_col, frame_idx, bin, mag``."""
+    out_schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("frame_idx", LongType(), True),
+        StructField("bin", LongType(), True),
+        StructField("mag", DoubleType(), True),
+    ])
+    n = int(frame)
+
+    def _batches(it: Iterator):
+        import numpy as np
+        import pandas as pd
+        grid = np.arange(n, dtype="float64")
+        cosm = np.stack([np.cos(2 * np.pi * k * grid / float(n))
+                         for k in range(bins)])
+        sinm = np.stack([np.sin(2 * np.pi * k * grid / float(n))
+                         for k in range(bins)])
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                s = decode_pcm16(p)
+                if s is None or s.size < n:
+                    continue
+                nf = min(n_frames, s.size // n)
+                x = s[:nf * n].astype("float64").reshape(nf, n)
+                re = x @ cosm.T        # (nf, bins)
+                im = x @ sinm.T
+                mag = np.sqrt(re * re + im * im)
+                for t in range(nf):
+                    for k in range(bins):
+                        rows.append((int(mid), t, k,
+                                     round(float(mag[t, k]), 4)))
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     return df.select(id_col, payload_col).mapInPandas(_batches, out_schema)

@@ -4041,6 +4041,42 @@ def doc_bpe_train(spark, sf_dir):
         [(r, p, n) for r, p, n in merges], "round int, pair string, n long")
 
 
+@query("mm_spectrogram", sql="""
+WITH b AS (SELECT doc_id AS media_id, length(text) // 2 AS ns, text
+           FROM documents WHERE length(text) >= 32),
+s AS (SELECT media_id, least(4, ns // 16) AS nf,
+        list_transform(range(1, (least(4, ns // 16) * 16) + 1),
+          i -> CASE WHEN ascii(substr(text, (2*i-1)::INT, 1))
+                         + 256 * ascii(substr(text, (2*i)::INT, 1)) >= 32768
+                    THEN ascii(substr(text, (2*i-1)::INT, 1))
+                         + 256 * ascii(substr(text, (2*i)::INT, 1)) - 65536
+                    ELSE ascii(substr(text, (2*i-1)::INT, 1))
+                         + 256 * ascii(substr(text, (2*i)::INT, 1)) END) AS sm
+      FROM b),
+f AS (SELECT media_id, unnest(range(0, nf)) AS t, sm FROM s),
+k AS (SELECT media_id, t, unnest(range(0, 9)) AS k, sm FROM f)
+SELECT media_id, t::BIGINT AS frame_idx, k::BIGINT AS bin,
+  round(sqrt(
+    pow(list_sum(list_transform(range(0, 16),
+        n -> sm[(t*16 + n + 1)::INT]::DOUBLE
+             * cos(2 * pi() * k * n / 16.0))), 2)
+  + pow(list_sum(list_transform(range(0, 16),
+        n -> sm[(t*16 + n + 1)::INT]::DOUBLE
+             * sin(2 * pi() * k * n / 16.0))), 2)), 4) AS mag
+FROM k
+""")
+def mm_spectrogram(spark, sf_dir):
+    """Short-time DFT magnitude spectrogram over REAL PCM16 decode
+    (operators/multimodal.py:pcm16_spectrogram): 16-sample frames ×
+    9 bins, naive cos/sin DFT in vectorized numpy inside mapInPandas —
+    explicitly NOT np.fft, so the identical arithmetic runs as SQL
+    scalar expressions in the oracle (glibc libm on both sides;
+    magnitudes rounded at 4 dp absorb summation-order ulps). Fan-out
+    bounded at nf×bins rows per clip."""
+    from .operators import multimodal as MM
+    return MM.pcm16_spectrogram(_mm_payload(spark, sf_dir))
+
+
 @query("doc_weighted_sample", sql="""
 WITH p AS (
   SELECT doc_id, source, n_chars,
@@ -4496,7 +4532,7 @@ _REGISTRATION_ORDER = [
     "doc_bpe_train", "doc_quality_classifier", "doc_gopher_rules",
     "emb_hard_negatives", "ss_pagerank", "ts_attribution",
     "ts_funnel", "ts_retention_cohorts", "ts_transition_matrix",
-    "doc_weighted_sample",
+    "doc_weighted_sample", "mm_spectrogram",
 ]
 
 

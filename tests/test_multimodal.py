@@ -187,3 +187,33 @@ def test_pcm16_stats_negative_samples_and_crossings(spark):
     rms = (sum(s * s for s in samples) / 7) ** 0.5
     assert r["rms"] == pytest.approx(rms)
     assert MM.decode_pcm16(b"\x01") is None
+
+
+def test_spectrogram_pure_tone_concentrates_in_bin(spark):
+    """A pure cosine at bin frequency k0 puts (nearly) all magnitude in
+    bin k0; DC payload lands in bin 0. Cross-checked against np.fft."""
+    import numpy as np
+    from datatools_spark.operators.multimodal import pcm16_spectrogram
+    n = 16
+    tone = (1000 * np.cos(2 * np.pi * 3 * np.arange(4 * n) / n)) \
+        .astype("<i2").tobytes()
+    dc = (np.full(2 * n, 500, dtype="<i2")).tobytes()
+    df = spark.createDataFrame([(1, bytearray(tone)), (2, bytearray(dc))],
+                               "media_id long, payload binary")
+    out = pcm16_spectrogram(df)
+    rows = {(r["media_id"], r["frame_idx"], r["bin"]): r["mag"]
+            for r in out.collect()}
+    assert max(k for (m, t, k) in rows if m == 1) == 8
+    # tone: bin 3 dominates every frame, >10x any other bin
+    for t in range(4):
+        b3 = rows[(1, t, 3)]
+        others = [v for (m, tt, k), v in rows.items()
+                  if m == 1 and tt == t and k != 3]
+        assert b3 > 10 * max(others)
+    # DC: bin 0 == n * amplitude exactly
+    assert abs(rows[(2, 0, 0)] - n * 500) < 1e-6
+    # magnitudes match np.fft on the same frames
+    x = np.frombuffer(tone, dtype="<i2")[:n].astype("float64")
+    fft_mag = np.abs(np.fft.fft(x))[:9]
+    got = [rows[(1, 0, k)] for k in range(9)]
+    assert np.allclose(got, fft_mag, atol=1e-3)

@@ -29,8 +29,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["cms_bucket_col", "cms_build", "cms_estimate",
+           "cms_inner_product",
            "hll_bucket_rho", "hll_registers", "hll_estimate_sql_terms",
-           "hll_estimate"]
+           "hll_estimate", "hll_estimate_from_registers", "hll_merge"]
 
 _H32 = 4294967296  # 2^32
 
@@ -87,6 +88,23 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, probe_col: str,
     return joined.groupBy(probe_col).agg(F.min("c").alias("cms_est"))
 
 
+def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Join-size estimation via the CMS inner product (Alon-Matias-
+    Szegedy / Cormode-Muthukrishnan): |A ⋈ B on k| = Σ_key fA(k)·fB(k),
+    estimated as min over rows r of Σ_bucket cA[r,b]·cB[r,b]. Never
+    underestimates (collision mass only adds). Pure integer arithmetic
+    over two d×w sketches — the estimate is exact-reproducible in any
+    engine, and costs O(d·w) regardless of table sizes: THE way a
+    planner sizes a shuffle join before paying for it.
+    One-row output: ``join_size_est``."""
+    a = sketch_a.select("row", "bucket", F.col("c").alias("_ca"))
+    b = sketch_b.select("row", "bucket", F.col("c").alias("_cb"))
+    per_row = (a.join(b, ["row", "bucket"])
+               .groupBy("row")
+               .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip")))
+    return per_row.agg(F.min("_ip").alias("join_size_est"))
+
+
 # ---------------------------------------------------------- HyperLogLog
 
 def hll_bucket_rho(col: Column, b: int = 8, salt: str = "hll"):
@@ -120,21 +138,40 @@ def hll_registers(items: DataFrame, item_col: str, b: int = 8,
             .groupBy("bucket").agg(F.max("rho").alias("reg")))
 
 
-def hll_estimate(items: DataFrame, item_col: str, b: int = 8,
-                 salt: str = "hll") -> DataFrame:
-    """One-row DataFrame ``hll_est`` (raw HLL estimate, rounded to 3 dp
-    for cross-engine sum-order stability): α_m·m²/Σ2^(−reg) with the
-    2^b−touched buckets contributing 2^0 each."""
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union of sketches = elementwise register max — the mergeability
+    that makes HLL federate across corpora/runs (union → one combinable
+    max aggregate)."""
+    u = register_tables[0]
+    for r in register_tables[1:]:
+        u = u.unionByName(r)
+    return u.groupBy("bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate_from_registers(regs: DataFrame, b: int = 8,
+                                out: str = "hll_est") -> DataFrame:
+    """Estimate from a register table (see :func:`hll_registers`):
+    α_m·m²/Σ2^(−reg), untouched buckets contributing 2^0 each. One-row
+    output ``out`` (rounded to 3 dp for cross-engine sum-order
+    stability)."""
     m = 1 << b
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    regs = hll_registers(items, item_col, b, salt)
     agg = regs.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("_s"),
         F.count("*").alias("_nb"))
     return agg.select(
         F.round(F.lit(alpha * m * m)
                 / (F.col("_s") + (F.lit(m) - F.col("_nb"))), 3)
-        .alias("hll_est"))
+        .alias(out))
+
+
+def hll_estimate(items: DataFrame, item_col: str, b: int = 8,
+                 salt: str = "hll") -> DataFrame:
+    """One-row DataFrame ``hll_est`` (raw HLL estimate, rounded to 3 dp
+    for cross-engine sum-order stability): α_m·m²/Σ2^(−reg) with the
+    2^b−touched buckets contributing 2^0 each."""
+    return hll_estimate_from_registers(
+        hll_registers(items, item_col, b, salt), b)
 
 
 def hll_estimate_sql_terms(b: int = 8, salt: str = "hll") -> dict:

@@ -4041,6 +4041,105 @@ def doc_bpe_train(spark, sf_dir):
         [(r, p, n) for r, p, n in merges], "round int, pair string, n long")
 
 
+def _hll_side_sql(name: str, etype: str) -> str:
+    """Register-table CTE for one event-type's user_id HLL (b=8,
+    matching sketches.hll_registers defaults)."""
+    return f"""
+h_{name} AS (SELECT ('0x' || substr(md5('hll:' || user_id), 1, 8))::BIGINT
+               AS hv FROM events WHERE event_type = '{etype}'),
+r_{name} AS (SELECT hv // {1 << 24} AS bucket,
+                    max({_hll_rho_sql(f'(hv % {1 << 24})')}) AS reg
+             FROM h_{name} GROUP BY 1)"""
+
+
+_HLL_EST = ("round({a}::DOUBLE * 256 * 256 / (s + (256 - nb)), 3)"
+            .format(a=0.7213 / (1.0 + 1.079 / 256)))
+
+
+@query("ts_hll_overlap", sql=f"""
+WITH {_hll_side_sql('a', 'click')},
+{_hll_side_sql('b', 'purchase')},
+r_u AS (SELECT bucket, max(reg) AS reg
+        FROM (SELECT * FROM r_a UNION ALL SELECT * FROM r_b) GROUP BY 1),
+e_a AS (SELECT {_HLL_EST} AS est_a FROM
+        (SELECT sum(pow(2.0, -reg)) AS s, count(*) AS nb FROM r_a)),
+e_b AS (SELECT {_HLL_EST} AS est_b FROM
+        (SELECT sum(pow(2.0, -reg)) AS s, count(*) AS nb FROM r_b)),
+e_u AS (SELECT {_HLL_EST} AS est_union FROM
+        (SELECT sum(pow(2.0, -reg)) AS s, count(*) AS nb FROM r_u)),
+ex AS (SELECT count(*)::BIGINT AS exact_overlap FROM
+       (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+SELECT exact_overlap, est_a, est_b, est_union,
+       round(est_a + est_b - est_union, 3) AS est_overlap
+FROM ex, e_a, e_b, e_u
+""")
+def ts_hll_overlap(spark, sf_dir):
+    """Distinct-set overlap WITHOUT materializing either set: the
+    clicking∩purchasing user estimate by HLL inclusion-exclusion
+    (est_A + est_B − est_{A∪B}, union = elementwise register max —
+    operators/sketches.py:hll_merge). Two 256-register sketches replace
+    two corpus-wide distincts + an intersect; the sketches federate
+    across runs/corpora, which the exact plan (shown alongside) cannot.
+    All md5-deterministic — the oracle rebuilds identical registers."""
+    from .operators import sketches as SK
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "purchase").select("user_id")
+    ra = SK.hll_registers(a, "user_id")
+    rb = SK.hll_registers(b, "user_id")
+    ea = SK.hll_estimate_from_registers(ra, out="est_a")
+    eb = SK.hll_estimate_from_registers(rb, out="est_b")
+    eu = SK.hll_estimate_from_registers(SK.hll_merge(ra, rb),
+                                        out="est_union")
+    exact = (a.distinct().intersect(b.distinct())
+             .agg(F.count("*").alias("exact_overlap")))
+    return (exact.crossJoin(ea).crossJoin(eb).crossJoin(eu)
+            .withColumn("est_overlap",
+                        F.round(F.col("est_a") + F.col("est_b")
+                                - F.col("est_union"), 3)))
+
+
+@query("ss_join_size_estimate", sql="""
+WITH ca AS (SELECT r.r AS row,
+                   ('0x' || substr(md5('cms:' || r.r || ':' || user_id),
+                    1, 8))::BIGINT % 1024 AS bucket, count(*) AS c
+            FROM events, range(0, 4) r(r)
+            WHERE event_type = 'click' GROUP BY 1, 2),
+cb AS (SELECT r.r AS row,
+              ('0x' || substr(md5('cms:' || r.r || ':' || user_id),
+               1, 8))::BIGINT % 1024 AS bucket, count(*) AS c
+       FROM events, range(0, 4) r(r)
+       WHERE event_type = 'purchase' GROUP BY 1, 2),
+ip AS (SELECT ca.row, sum(ca.c * cb.c)::BIGINT AS ip
+       FROM ca JOIN cb USING (row, bucket) GROUP BY 1),
+est AS (SELECT min(ip)::BIGINT AS join_size_est FROM ip),
+ex AS (SELECT count(*)::BIGINT AS join_size_exact
+       FROM (SELECT user_id FROM events WHERE event_type = 'click') a
+       JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') b
+         ON a.user_id = b.user_id)
+SELECT join_size_exact, join_size_est FROM ex, est
+""")
+def ss_join_size_estimate(spark, sf_dir):
+    """Join-size estimation via the CMS inner product (AMS/Cormode-
+    Muthukrishnan; operators/sketches.py:cms_inner_product):
+    |A⋈B on user_id| ≈ min_r Σ_b cA[r,b]·cB[r,b] — two 4×1024 integer
+    sketches size the click⋈purchase join in O(d·w) work and never
+    underestimate. THE pre-flight a planner runs before committing to a
+    shuffle join at 100 TB; exact count shown alongside (pure-integer,
+    hash-exact in any engine)."""
+    from .operators import sketches as SK
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "purchase").select("user_id")
+    est = SK.cms_inner_product(SK.cms_build(a, "user_id"),
+                               SK.cms_build(b, "user_id"))
+    exact = (a.join(b, "user_id")
+             .agg(F.count("*").alias("join_size_exact")))
+    return exact.crossJoin(est)
+
+
 @query("mm_spectrogram", sql="""
 WITH b AS (SELECT doc_id AS media_id, length(text) // 2 AS ns, text
            FROM documents WHERE length(text) >= 32),
@@ -4533,6 +4632,7 @@ _REGISTRATION_ORDER = [
     "emb_hard_negatives", "ss_pagerank", "ts_attribution",
     "ts_funnel", "ts_retention_cohorts", "ts_transition_matrix",
     "doc_weighted_sample", "mm_spectrogram",
+    "ts_hll_overlap", "ss_join_size_estimate",
 ]
 
 

@@ -503,3 +503,35 @@ def test_whiten_identity_covariance_and_no_shuffle(spark, vecs):
     # transform under literal model: pure projection, zero shuffles
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+# ------------------------------------------------- sketch compositions
+
+def test_cms_inner_product_never_underestimates(spark):
+    from datatools_spark.operators.sketches import cms_build, cms_inner_product
+    rnd = random.Random(3)
+    a = spark.createDataFrame([(rnd.randrange(200),) for _ in range(3000)],
+                              "k long")
+    b = spark.createDataFrame([(rnd.randrange(200),) for _ in range(3000)],
+                              "k long")
+    est = cms_inner_product(cms_build(a, "k"), cms_build(b, "k")) \
+        .first()["join_size_est"]
+    exact = a.join(b, "k").count()
+    assert est >= exact                       # CMS IP is an upper bound
+    # collision mass: ~n²/w of the f_A·f_B cross terms leak in — with
+    # 200 keys × 15 avg count in 1024 buckets that is ~25% overshoot
+    assert est <= exact * 1.5
+
+
+def test_hll_overlap_inclusion_exclusion_close(spark):
+    from datatools_spark.operators.sketches import (
+        hll_estimate_from_registers, hll_merge, hll_registers,
+    )
+    a = spark.range(0, 3000).select(F.col("id").alias("k"))
+    b = spark.range(2000, 5000).select(F.col("id").alias("k"))
+    ra, rb = hll_registers(a, "k"), hll_registers(b, "k")
+    ea = hll_estimate_from_registers(ra).first()["hll_est"]
+    eb = hll_estimate_from_registers(rb).first()["hll_est"]
+    eu = hll_estimate_from_registers(hll_merge(ra, rb)).first()["hll_est"]
+    overlap = ea + eb - eu                    # true overlap = 1000
+    assert 600 < overlap < 1400               # I-E noise compounds; ~3σ band

@@ -52,8 +52,28 @@ BENCH_QUERIES = [
 ]
 
 
-def _measure(spark, sf_dir: str, repeats: int) -> dict[str, float]:
-    samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+# round-3 engine adds, benched separately so the 23-query headline total
+# stays comparable round-over-round; min-of-2 at the primary SF only
+EXTENDED_QUERIES = [
+    "ss_pagerank",            # iterative Pregel-on-DataFrames loop
+    "doc_quality_classifier", # in-engine logreg training (2 GD iters)
+    "doc_gopher_rules",       # single-scan quality gate
+    "emb_hard_negatives",     # contrastive negative mining
+    "ts_funnel",              # 4-stage ordered funnel
+    "ts_attribution",         # as-of last-touch attribution
+    "ts_retention_cohorts",   # cohort × offset matrix
+    "ts_transition_matrix",   # Markov next-event counts
+    "doc_weighted_sample",    # priority sampling
+    "mm_spectrogram",         # PCM16 DFT via mapInPandas
+    "ts_hll_overlap",         # HLL inclusion-exclusion
+    "ss_join_size_estimate",  # CMS join sizing
+]
+
+
+def _measure(spark, sf_dir: str, repeats: int,
+             names: list[str] | None = None) -> dict[str, float]:
+    queries = names if names is not None else BENCH_QUERIES
+    samples: dict[str, list[float]] = {n: [] for n in queries}
 
     def run(name: str) -> None:
         t0 = time.perf_counter()
@@ -61,13 +81,13 @@ def _measure(spark, sf_dir: str, repeats: int) -> dict[str, float]:
         samples[name].append(round(time.perf_counter() - t0, 3))
 
     for _ in range(repeats):
-        for name in BENCH_QUERIES:
+        for name in queries:
             run(name)
     # adaptive top-up: ambient host load (steal time) can inflate a
     # whole pass; when a query's two best samples still disagree >15%
     # the min is probably not steady-state — buy up to 2 extra samples
     # for just that query instead of re-running the suite.
-    for name in BENCH_QUERIES:
+    for name in queries:
         for _ in range(2):
             best = sorted(samples[name])[:2]
             if len(best) < 2 or best[1] <= best[0] * 1.15:
@@ -85,7 +105,7 @@ def main() -> None:
     # warmup: tiny sf to JIT/codegen-prime every plan shape
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in BENCH_QUERIES:
+        for name in BENCH_QUERIES + EXTENDED_QUERIES:
             try:
                 QUERIES[name](spark, warm_dir).count()
             except Exception:  # noqa: BLE001
@@ -96,12 +116,15 @@ def main() -> None:
     # the per-query min far more robust for ~1 min extra wall.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     times = _measure(spark, sf_dir, repeats)
+    ext = _measure(spark, sf_dir, max(2, repeats - 1),
+                   names=EXTENDED_QUERIES)
     out = {
         "metric": "headline_query_wall_time",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extended": ext,
     }
 
     # cross-scale trend: re-run the same suite at the sf1-equivalent

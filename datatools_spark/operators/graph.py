@@ -46,7 +46,10 @@ def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
     combinable ``groupBy(dst).sum`` — rank state never leaves the
     cluster and is one row per node; the only driver scalar is N.
     ``localCheckpoint`` per round keeps the logical plan constant-size
-    (same rationale as :func:`connected_components`).
+    (same rationale as :func:`connected_components`) — but each eager
+    checkpoint is a full materialization, so for short runs (≤4
+    iterations) the rank chain stays lazy: Catalyst handles 4 nested
+    join+agg layers easily and the whole run collapses into one job.
 
     Every reduction is rounded at ``round_dp`` BEFORE feeding the next
     step, so the trajectory is bit-reproducible across engines and
@@ -56,8 +59,14 @@ def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     deg = e.groupBy("u").agg(F.count("*").alias("_outdeg"))
-    ew = e.join(deg, "u").localCheckpoint()
-    nodes = deg.select(F.col("u").alias("id")).localCheckpoint()
+    checkpoint = iters > 4
+    ew = e.join(deg, "u")
+    nodes = deg.select(F.col("u").alias("id"))
+    if checkpoint:
+        ew = ew.localCheckpoint()
+        nodes = nodes.localCheckpoint()
+    else:
+        ew, nodes = ew.cache(), nodes.cache()
     n = nodes.count()
     # (1-d)/n is built from the SAME primitive ops an external SQL twin
     # would use — literal subtraction and division in the engine, never
@@ -75,8 +84,9 @@ def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
               .select("id",
                       F.round(base
                               + F.lit(damping) * F.coalesce("_s", F.lit(0.0)),
-                              round_dp).alias("pr"))
-              .localCheckpoint())
+                              round_dp).alias("pr")))
+        if checkpoint:
+            pr = pr.localCheckpoint()
     return pr
 
 

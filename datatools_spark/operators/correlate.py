@@ -1,0 +1,128 @@
+"""Cross-series correlation operators: lagged cross-correlation and the
+Theil–Sen robust trend.
+
+Reference context: the glaciology workload correlates sensors against
+each other with explicit lags (``lag_df`` builds an extrema-hour lag
+table, /root/reference/diurnal.py:24-26) and fits trends with OLS
+(``linear_detrend``, /root/reference/gpstools.py:462-496).  These two
+operators supply the general versions a large fleet of series needs:
+*which lag aligns series A with series B* (xcorr argmax — e.g. melt →
+velocity response delay) and *a trend estimate that one bad sensor week
+cannot drag around* (Theil–Sen = median of pairwise slopes, 29%
+breakdown point, vs OLS's 0%).
+
+Scale shape (both operators): the raw series is reduced FIRST by a
+map-side-combinable bucket aggregate (hour / day grain), so the
+all-pairs parts downstream run on #buckets rows, never on raw samples.
+At 100 TB the only full-data pass is that first aggregate — one shuffle
+of partial sums.  Determinism: every mean is a DECIMAL sum / count, and
+every downstream float expression is identical arithmetic in both
+engines, so results are partition-order-proof (the repo-wide oracle
+convention, queries.py module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(30,12)"
+
+
+def bucket_mean(df: DataFrame, series_col: str, ts_col: str = "ts",
+                val_col: str = "value", grain: str = "HOUR") -> DataFrame:
+    """Per-(series, time-bucket) mean with a decimal (order-proof) sum.
+
+    Output: ``series_col, bkt (timestamp), v (double)``.  One shuffle,
+    map-side combinable; at 100 TB this is the pass that touches data.
+    """
+    return (df.where(F.col(val_col).isNotNull())
+            .groupBy(F.col(series_col),
+                     F.date_trunc(grain, F.col(ts_col)).alias("bkt"))
+            .agg(F.sum(F.col(val_col).cast(_DEC)).alias("_s"),
+                 F.count(val_col).alias("_c"))
+            .withColumn("v", F.col("_s").cast("double") / F.col("_c"))
+            .drop("_s", "_c"))
+
+
+def xcorr_lags(a: DataFrame, b: DataFrame, max_lag: int,
+               step_seconds: int = 3600) -> DataFrame:
+    """Pearson cross-correlation of two bucketed series at integer lags
+    ``-max_lag..max_lag`` (in bucket steps): corr(a(t), b(t + lag)).
+
+    Inputs are :func:`bucket_mean` outputs (``bkt, v``).  Each a-row is
+    fanned out once per lag (2·max_lag+1 copies of an already-aggregated
+    frame), equi-joined to b on the shifted bucket (inner join — only
+    co-observed buckets count), then reduced to the five Pearson sums
+    per lag.  The correlation is computed from decimal-exact sums with
+    identical double arithmetic in any engine:
+
+        corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+
+    Output: ``lag, n_pairs, xcorr, is_best`` — ``is_best`` marks the
+    argmax lag (ties → smaller lag).  Scale: the fan-out and join run on
+    #buckets rows; 10 years of hourly buckets × 13 lags ≈ 1.1M rows —
+    trivially small next to the raw-series aggregate that produced them.
+    """
+    lags = F.explode(F.sequence(F.lit(-max_lag), F.lit(max_lag))).alias("lag")
+    al = (a.select(lags, "bkt", F.col("v").alias("x"))
+          .withColumn("jbkt", F.timestamp_seconds(
+              F.unix_timestamp("bkt") + F.col("lag") * step_seconds)))
+    j = al.join(b.select(F.col("bkt").alias("jbkt"), F.col("v").alias("y")),
+                "jbkt")
+    g = j.groupBy("lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("x").cast(_DEC)).alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(_DEC)).alias("syy"))
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    corr = ((n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    w = Window.orderBy(F.col("_corr").desc(), F.col("lag").asc())
+    return (g.withColumn("_corr", corr)
+            .withColumn("is_best",
+                        (F.row_number().over(w) == 1).cast("int"))
+            .select("lag", "n_pairs", F.round("_corr", 6).alias("xcorr"),
+                    "is_best"))
+
+
+def theil_sen(df: DataFrame, series_col: str, ts_col: str = "ts",
+              val_col: str = "value") -> DataFrame:
+    """Theil–Sen robust trend per series: daily means, then the median of
+    all pairwise slopes, then intercept = median(y − m·x).
+
+    Two shuffles total after the daily reduce: the pairwise self-join of
+    the (tiny) daily frame and the per-series median sort.  The pair
+    count is O(days²) per series — 10 years of dailies is 6.6M pairs, a
+    non-problem; beyond ~10⁴ buckets switch to slopes over a hash-sampled
+    pair subset (same estimator, documented CI widening).  Medians are
+    exact (Spark ``median`` = DuckDB ``median``: mean-of-middle-two on
+    even counts), slopes are identical double expressions → the whole
+    result is engine- and partition-order-exact before the final round.
+
+    Output: ``series_col, n_days, slope_per_day, intercept`` (rounded 6).
+    """
+    d = (bucket_mean(df, series_col, ts_col, val_col, grain="DAY")
+         .withColumn("x", F.datediff("bkt", F.lit("1970-01-01"))
+                     .cast("double")))
+    lhs = d.select(series_col, F.col("x").alias("x1"), F.col("v").alias("v1"))
+    rhs = d.select(series_col, F.col("x").alias("x2"), F.col("v").alias("v2"))
+    pairs = (lhs.join(rhs, series_col)
+             .where(F.col("x1") < F.col("x2"))
+             .withColumn("slope", (F.col("v2") - F.col("v1"))
+                         / (F.col("x2") - F.col("x1"))))
+    m = pairs.groupBy(series_col).agg(F.median("slope").alias("m"))
+    icept = (d.join(m, series_col)
+             .groupBy(series_col)
+             .agg(F.count("*").alias("n_days"),
+                  F.first("m").alias("m"),
+                  F.median(F.col("v") - F.col("m") * F.col("x"))
+                  .alias("b")))
+    return icept.select(series_col, "n_days",
+                        F.round("m", 6).alias("slope_per_day"),
+                        F.round("b", 6).alias("intercept"))

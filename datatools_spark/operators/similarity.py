@@ -826,3 +826,94 @@ def pca_components(df: DataFrame, vec_col: str = "embedding",
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1][:top]
     return vals[order].tolist(), vecs[:, order].T.tolist()
+
+
+def ivf_adc_rerank(df: DataFrame, centroids: DataFrame, query: DataFrame,
+                   k: int = 5, shortlist: int = 20, nprobe: int = 2,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   query_id_col: str = "query_id",
+                   centroid_id_col: str = "centroid_id",
+                   subspaces: int = 4, codewords: int = 8, dim: int = 64,
+                   book: list | None = None) -> DataFrame:
+    """The full production ANN read path — IVF coarse prune → PQ ADC
+    shortlist → exact re-rank — as one composed plan (the FAISS
+    ``IVFx,PQy`` + refine layout, re-expressed in DataFrame ops):
+
+    1. corpus → cell (:func:`ivf_assign`) and PQ codes
+       (:func:`pq_codes`) in one scan — at rest this frame is written
+       partitioned by cell with ONLY ``(id, c0..c{s-1})`` resident, the
+       few-bytes-per-vector representation that keeps 10⁹ vectors in RAM;
+    2. each query probes its ``nprobe`` nearest cells (broadcast
+       centroid table — model-sized);
+    3. ADC over probed cells only: the query's subspace×codeword
+       distance table is plan-literal arithmetic; candidates ranked by
+       code lookups, cut to ``shortlist`` per query;
+    4. exact cosine ONLY on the shortlist: the survivor ids are
+       broadcast back against the full-vector corpus (a point-lookup
+       fetch at scale — never a corpus shuffle), re-ranked, cut to k.
+
+    Recall comes from nprobe and shortlist; the expensive exact math
+    touches queries×shortlist rows regardless of corpus size.  Output:
+    ``query_id, vec_id, cosine, adc_rank, rank``.
+    """
+    if book is None:
+        book = pq_codebook(subspaces, codewords, dim)
+    sub = dim // subspaces
+    assigned = ivf_assign(df, centroids, vec_col, id_col, centroid_id_col,
+                          keep_vec=True)
+    # code columns inline on the assigned frame (same expressions as
+    # pq_codes) — cell + codes come out of the ONE corpus scan, no join
+    code_cols = []
+    for s in range(subspaces):
+        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(sl, F.array(*[F.lit(x) for x in book[s][c2]]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v)
+            for c2 in range(codewords)])
+        code_cols.append((F.array_position(dists, F.array_min(dists)) - 1)
+                         .cast("int").alias(f"c{s}"))
+    codes = assigned.select(F.col(id_col), F.col(centroid_id_col),
+                            *code_cols)
+
+    c = F.broadcast(centroids.select(F.col(centroid_id_col),
+                                     F.col(vec_col).alias("_cv")))
+    qs = (query.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+          .crossJoin(c)
+          .withColumn("_cos", cosine_expr(F.col("_qv"), F.col("_cv"))))
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(),
+                                                  F.col(centroid_id_col))
+    probes = (qs.withColumn("_rn", F.row_number().over(wq))
+              .where(F.col("_rn") <= nprobe)
+              .select(query_id_col, centroid_id_col, "_qv"))
+
+    cand = codes.join(F.broadcast(probes), on=centroid_id_col)
+    dist = None
+    for s in range(subspaces):
+        qsl = F.slice(F.col("_qv"), s * sub + 1, sub)
+        tbl = F.array(*[
+            F.aggregate(
+                F.zip_with(qsl, F.array(*[F.lit(x) for x in book[s][c2]]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v)
+            for c2 in range(codewords)])
+        term = F.element_at(tbl, F.col(f"c{s}") + 1)
+        dist = term if dist is None else dist + term
+    wa = Window.partitionBy(query_id_col).orderBy(F.col("_adc").asc(),
+                                                  F.col(id_col))
+    short = (cand.withColumn("_adc", dist)
+             .withColumn("adc_rank", F.row_number().over(wa))
+             .where(F.col("adc_rank") <= shortlist)
+             .select(query_id_col, id_col, "adc_rank", "_qv"))
+
+    fetched = df.select(F.col(id_col), F.col(vec_col)) \
+        .join(F.broadcast(short), id_col)
+    wr = Window.partitionBy(query_id_col).orderBy(F.col("_ecos").desc(),
+                                                  F.col(id_col))
+    return (fetched.withColumn("_ecos", cosine_expr(F.col(vec_col),
+                                                    F.col("_qv")))
+            .withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, id_col, F.col("_ecos").alias("cosine"),
+                    "adc_rank", "rank"))

@@ -4561,6 +4561,230 @@ def doc_quality_classifier(spark, sf_dir):
     return CL.score_logreg(feats, w, bias)
 
 
+@query("ts_xcorr_lag", sql="""
+WITH ha AS (SELECT date_trunc('hour', ts) AS bkt,
+                   sum(value::DECIMAL(30,12))::DOUBLE / count(value) AS x
+            FROM events WHERE event_type = 'click' AND value IS NOT NULL
+            GROUP BY 1),
+hb AS (SELECT date_trunc('hour', ts) AS bkt,
+              sum(value::DECIMAL(30,12))::DOUBLE / count(value) AS y
+       FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+       GROUP BY 1),
+j AS (SELECT l.lag AS lag, a.x, b.y
+      FROM range(-6, 7) l(lag)
+      CROSS JOIN ha a
+      JOIN hb b ON b.bkt = a.bkt + to_hours(l.lag)),
+g AS (SELECT lag, count(*) AS n_pairs,
+             sum(x::DECIMAL(30,12)) AS sx, sum(y::DECIMAL(30,12)) AS sy,
+             sum((x * y)::DECIMAL(30,12)) AS sxy,
+             sum((x * x)::DECIMAL(30,12)) AS sxx,
+             sum((y * y)::DECIMAL(30,12)) AS syy
+      FROM j GROUP BY 1),
+c AS (SELECT lag, n_pairs,
+             (n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / sqrt((n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n_pairs::DOUBLE * syy::DOUBLE
+                       - sy::DOUBLE * sy::DOUBLE)) AS corr
+      FROM g)
+SELECT lag::BIGINT AS lag, n_pairs::BIGINT AS n_pairs,
+       round(corr, 6) AS xcorr,
+       (row_number() OVER (ORDER BY corr DESC NULLS LAST, lag ASC) = 1)::INT
+           AS is_best
+FROM c
+""")
+def ts_xcorr_lag(spark, sf_dir):
+    """Lagged cross-correlation between two series (click vs purchase
+    hourly means, lags −6..+6 h): the general form of the reference's
+    cross-sensor lag table (diurnal.py:24-26 ``lag_df``) — which lag
+    best aligns A with B (e.g. melt → velocity response delay). The raw
+    pass is ONE map-side-combinable hourly aggregate; the 13-lag fan-out
+    and Pearson sums run on the tiny bucketed frames
+    (operators/correlate.py:xcorr_lags — decimal sums, engine-exact)."""
+    from .operators import correlate as CO
+    ev = _t(spark, sf_dir, "events")
+    a = CO.bucket_mean(ev.where(F.col("event_type") == "click"),
+                       "event_type").drop("event_type")
+    b = CO.bucket_mean(ev.where(F.col("event_type") == "purchase"),
+                       "event_type").drop("event_type")
+    out = CO.xcorr_lags(a, b, max_lag=6)
+    return out.select(F.col("lag").cast("bigint").alias("lag"),
+                      "n_pairs", "xcorr", "is_best")
+
+
+@query("ts_theil_sen", sql="""
+WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  sum(value::DECIMAL(30,12))::DOUBLE / count(value) AS v
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+x AS (SELECT event_type,
+             date_diff('day', DATE '1970-01-01', day)::DOUBLE AS x, v
+      FROM d),
+p AS (SELECT a.event_type, (b.v - a.v) / (b.x - a.x) AS slope
+      FROM x a JOIN x b ON a.event_type = b.event_type AND a.x < b.x),
+m AS (SELECT event_type, median(slope) AS m FROM p GROUP BY 1),
+i AS (SELECT x.event_type, count(*) AS n_days, min(m.m) AS m,
+             median(x.v - m.m * x.x) AS b
+      FROM x JOIN m USING (event_type) GROUP BY 1)
+SELECT event_type, n_days::BIGINT AS n_days,
+       round(m, 6) AS slope_per_day, round(b, 6) AS intercept
+FROM i
+""")
+def ts_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend per series: median of all pairwise daily
+    slopes + median intercept — the outlier-proof counterpart of the
+    reference's OLS ``linear_detrend`` (gpstools.py:462-496; 29%
+    breakdown vs 0%). All-pairs runs on the DAILY frame (O(days²), 10
+    years ≈ 6.6M pairs — nothing), never on raw samples; exact medians
+    agree across engines (operators/correlate.py:theil_sen)."""
+    from .operators import correlate as CO
+    ev = _t(spark, sf_dir, "events")
+    return CO.theil_sen(ev, "event_type")
+
+
+@query("ss_triangle_count", sql="""
+WITH e AS (SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_suppkey < b.l_suppkey),
+tri AS (SELECT count(*)::BIGINT AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+deg AS (SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS n_nodes,
+               (sum(d) / 2)::BIGINT AS n_edges,
+               sum(d * (d - 1) / 2)::BIGINT AS n_wedges
+        FROM deg)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       round(CASE WHEN n_wedges > 0
+                  THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6)
+           AS clustering
+FROM tot, tri
+""")
+def ss_triangle_count(spark, sf_dir):
+    """Triangle count + clustering coefficient of the supplier
+    co-purchase graph (suppliers sharing an order). Edge generation
+    avoids the lineitem self-join: collect the per-order supplier set
+    (orders are ≤7 lines) and explode its pairs — one bounded shuffle.
+    Counting uses degree-ordered orientation (graph.py:triangle_stats):
+    out-degrees are O(√m) on ANY graph, so no hub supplier can blow up
+    the wedge join — the property that makes this safe on a 10¹¹-edge
+    co-occurrence graph. The oracle counts orientation-free; the count
+    is orientation-invariant."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sets = (li.groupBy("l_orderkey")
+            .agg(F.collect_set("l_suppkey").alias("ss"))
+            .where(F.size("ss") >= 2))
+    pairs = (sets.select(F.explode(F.expr(
+        "flatten(transform(ss, (x, i) -> "
+        "transform(slice(ss, i + 2, size(ss)), "
+        "y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"))
+        .alias("p"))
+        .select("p.a", "p.b").distinct())
+    return G.triangle_stats(pairs, "a", "b")
+
+
+@query("emb_ivf_pq_rerank", sql=f"""
+WITH cen AS (SELECT vec_id AS centroid_id, embedding AS cv
+             FROM embeddings WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, cen.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_COS_SQL.format(a='e.embedding', b='cen.cv')} DESC,
+             cen.centroid_id ASC) AS rn
+    FROM embeddings e, cen) WHERE rn = 1),
+qq AS (SELECT vec_id AS query_id, embedding AS qv
+       FROM embeddings WHERE vec_id IN (0, 1, 2)),
+probes AS (
+  SELECT query_id, centroid_id, qv FROM (
+    SELECT qq.query_id, cen.centroid_id, qq.qv,
+           row_number() OVER (PARTITION BY qq.query_id ORDER BY
+             {_COS_SQL.format(a='qq.qv', b='cen.cv')} DESC,
+             cen.centroid_id ASC) AS rn
+    FROM qq, cen) WHERE rn <= 2),
+c AS ({_PQ_SQL}),
+cand AS (SELECT q.query_id, c.vec_id, q.qv, {_pq_adc_terms()} AS adc
+         FROM c JOIN assign a ON a.vec_id = c.vec_id
+                JOIN probes q ON q.centroid_id = a.centroid_id),
+sh AS (SELECT * FROM (
+         SELECT query_id, vec_id, qv,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc ASC, vec_id ASC)
+                    AS adc_rank
+         FROM cand) WHERE adc_rank <= 20),
+ex AS (SELECT s.query_id, s.vec_id, s.adc_rank,
+              {_COS_SQL.format(a='e.embedding', b='s.qv')} AS cos
+       FROM sh s JOIN embeddings e ON e.vec_id = s.vec_id),
+r AS (SELECT query_id, vec_id, cos, adc_rank,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM ex)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, adc_rank, rank
+FROM r WHERE rank <= 5
+""")
+def emb_ivf_pq_rerank(spark, sf_dir):
+    """The production ANN read path END-TO-END — IVF coarse prune → PQ
+    ADC shortlist (top-20) → exact re-rank (top-5) — i.e. FAISS
+    ``IVF8,PQ4`` + refine as one composed DataFrame plan
+    (similarity.py:ivf_adc_rerank). Corpus is touched as (cell, 4 int
+    codes); exact float math happens only on queries×20 broadcast-
+    fetched survivors. The piece the standalone IVF and PQ queries
+    don't prove: the three stages compose without a corpus shuffle."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cent = e.where(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    q = e.where(F.col("vec_id").isin(0, 1, 2)) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.ivf_adc_rerank(e, cent, q, k=5, shortlist=20, nprobe=2,
+                             subspaces=4, codewords=8, dim=64)
+    return out.select("query_id", "vec_id",
+                      _r(F.col("cosine")).alias("cosine"),
+                      "adc_rank", "rank")
+
+
+@query("mm_audio_resample", sql="""
+WITH b AS (SELECT doc_id AS media_id, length(text) // 2 AS ns, text
+           FROM documents WHERE length(text) >= 4),
+s AS (SELECT media_id, ns,
+        list_transform(range(1, ns + 1),
+          i -> CASE WHEN ascii(substr(text, (2*i-1)::INT, 1))
+                         + 256 * ascii(substr(text, (2*i)::INT, 1)) >= 32768
+                    THEN ascii(substr(text, (2*i-1)::INT, 1))
+                         + 256 * ascii(substr(text, (2*i)::INT, 1)) - 65536
+                    ELSE ascii(substr(text, (2*i-1)::INT, 1))
+                         + 256 * ascii(substr(text, (2*i)::INT, 1)) END) AS sm
+      FROM b),
+r AS (SELECT media_id, ns, sm, ((ns - 1) * 4) // 3 + 1 AS n_out FROM s),
+o AS (SELECT media_id, ns, n_out,
+        list_transform(range(0, n_out),
+          i -> sm[((i*3) // 4 + 1)::INT]::DOUBLE
+               + ((i*3) % 4) / 4.0
+                 * (sm[least((i*3) // 4 + 2, ns)::INT]::DOUBLE
+                    - sm[((i*3) // 4 + 1)::INT]::DOUBLE)) AS out
+      FROM r)
+SELECT media_id, ns::BIGINT AS n_in, n_out::BIGINT AS n_out,
+       list_sum(out)::DOUBLE AS sum_out,
+       list_max(list_transform(out, x -> abs(x)))::DOUBLE AS max_abs_out,
+       round(sqrt(list_sum(list_transform(out, x -> x * x)) / n_out), 6)
+           AS rms_out,
+       round(list_sum(out) / n_out, 6) AS mean_out
+FROM o
+""")
+def mm_audio_resample(spark, sf_dir):
+    """Rational 4:3 linear sample-rate conversion of PCM16 clips (e.g.
+    12→16 kHz) with exact per-clip aggregates: numpy gather in
+    mapInPandas (multimodal.py:pcm16_resample_stats). Power-of-two
+    ``up`` makes every interpolated sample dyadic → bit-exact in
+    float64 in ANY summation order, so the byte-level DuckDB oracle
+    reproduces sums exactly. The audio-side twin of the RAW8 resize."""
+    from .operators import multimodal as MM
+    out = MM.pcm16_resample_stats(_mm_payload(spark, sf_dir), up=4, down=3)
+    return (out.withColumn("rms_out", _r(F.col("rms_out")))
+            .withColumn("mean_out", _r(F.col("mean_out"))))
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -4633,6 +4857,8 @@ _REGISTRATION_ORDER = [
     "ts_funnel", "ts_retention_cohorts", "ts_transition_matrix",
     "doc_weighted_sample", "mm_spectrogram",
     "ts_hll_overlap", "ss_join_size_estimate",
+    "ts_xcorr_lag", "ts_theil_sen", "ss_triangle_count",
+    "emb_ivf_pq_rerank", "mm_audio_resample",
 ]
 
 

@@ -327,3 +327,27 @@ def test_audit_reports_pushdown(spark):
     det = a["scan_details"][0]
     assert "doc_id" in det["pushed_filters"] or "LessThan" in det["pushed_filters"]
     assert "text" not in det["read_schema"]   # column pruning visible
+
+
+def test_triangle_count_no_cartesian(spark):
+    """Triangle counting: the wedge self-join and closing join are
+    equi-joins on node keys — a cartesian would be the O(n³) naive plan."""
+    plan = _plan(QUERIES["ss_triangle_count"](spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_pq_rerank_broadcasts_probes_and_shortlist(spark):
+    """The composed ANN read path never shuffles the corpus: probes and
+    the ADC shortlist ride broadcast joins; the only allowed exchanges
+    carry per-query rows (window top-k) or single-row aggregates."""
+    plan = _plan(QUERIES["emb_ivf_pq_rerank"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan  # corpus-x-corpus shuffle join
+
+
+def test_xcorr_single_raw_shuffle(spark):
+    """xcorr: the raw events scan is reduced by ONE hash aggregate per
+    side before the 13-lag fan-out — the lag join runs on bucket rows."""
+    plan = _plan(QUERIES["ts_xcorr_lag"](spark, SF))
+    assert "CartesianProduct" not in plan

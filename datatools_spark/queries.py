@@ -4785,6 +4785,280 @@ def mm_audio_resample(spark, sf_dir):
             .withColumn("mean_out", _r(F.col("mean_out"))))
 
 
+@query("doc_lsh_eval", sql=f"""
+WITH {_SHINGLE_SQL},
+rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+tc AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       WHERE a.s IN (SELECT s FROM rare)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+truth AS (SELECT i.a_id, i.b_id
+          FROM inter i
+          JOIN tc ON tc.a_id = i.a_id AND tc.b_id = i.b_id
+          JOIN sizes na ON na.doc_id = i.a_id
+          JOIN sizes nb ON nb.doc_id = i.b_id
+          WHERE i.i::DOUBLE / (na.n + nb.n - i.i) >= 0.25),
+sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY 1),
+bk AS (SELECT doc_id, b, k FROM (
+         SELECT doc_id, unnest(range(4)) AS b,
+                unnest([{_BAND_KEYS_SQL}]) AS k
+         FROM sig)),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM bk a JOIN bk b ON a.b = b.b AND a.k = b.k
+                   AND a.doc_id < b.doc_id),
+h AS (SELECT count(*)::BIGINT AS n_hits
+      FROM truth t JOIN cand c ON c.a_id = t.a_id AND c.b_id = t.b_id),
+tn AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+cn AS (SELECT count(*)::BIGINT AS n_cand FROM cand)
+SELECT n_truth, n_cand, n_hits,
+       round(CASE WHEN n_cand > 0
+                  THEN n_hits::DOUBLE / n_cand ELSE 0.0 END, 6) AS precision,
+       round(CASE WHEN n_truth > 0
+                  THEN n_hits::DOUBLE / n_truth ELSE 0.0 END, 6) AS recall
+FROM tn, cn, h
+""")
+def doc_lsh_eval(spark, sf_dir):
+    """Self-evaluation of the LSH near-dup path: precision/recall of the
+    banded-MinHash CANDIDATE set against exact-Jaccard ≥ 0.25 ground
+    truth (the guarded inverted-index pairs — the declared production
+    plan). The quality harness a curation team runs before trusting an
+    approximate dedup at 100 TB: both sides are the engine's own
+    bucketed plans, so the eval itself is all bucket joins, never n²."""
+    d = _t(spark, sf_dir, "documents")
+    truth = (D.ngram_jaccard_pairs(d, threshold=0.25, max_df=100)
+             .select("a_id", "b_id"))
+    cand = (D.minhash_lsh_pairs(d, num_hashes=8, bands=4, threshold=0.0)
+            .select("a_id", "b_id"))
+    hits = truth.join(cand, ["a_id", "b_id"]) \
+        .agg(F.count("*").alias("n_hits"))
+    tn = truth.agg(F.count("*").alias("n_truth"))
+    cn = cand.agg(F.count("*").alias("n_cand"))
+    return (tn.crossJoin(cn).crossJoin(hits)
+            .select("n_truth", "n_cand", "n_hits",
+                    F.round(F.when(F.col("n_cand") > 0,
+                                   F.col("n_hits") / F.col("n_cand"))
+                            .otherwise(0.0), 6).alias("precision"),
+                    F.round(F.when(F.col("n_truth") > 0,
+                                   F.col("n_hits") / F.col("n_truth"))
+                            .otherwise(0.0), 6).alias("recall")))
+
+
+@query("emb_recall_eval", sql=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+s AS (SELECT q.query_id, e.vec_id,
+             {_COS_SQL.format(a='e.embedding', b='q.qv')} AS cos
+      FROM embeddings e, q),
+brute AS (SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM s) WHERE rank <= 10),
+cen AS (SELECT vec_id AS centroid_id, embedding AS cv
+        FROM embeddings WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, cen.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_COS_SQL.format(a='e.embedding', b='cen.cv')} DESC,
+             cen.centroid_id ASC) AS rn
+    FROM embeddings e, cen) WHERE rn = 1),
+probes AS (
+  SELECT query_id, centroid_id, qv FROM (
+    SELECT q.query_id, cen.centroid_id, q.qv,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_COS_SQL.format(a='q.qv', b='cen.cv')} DESC,
+             cen.centroid_id ASC) AS rn
+    FROM q, cen) WHERE rn <= 2),
+iv AS (SELECT query_id, vec_id FROM (
+         SELECT p.query_id, e.vec_id,
+                row_number() OVER (PARTITION BY p.query_id ORDER BY
+                  {_COS_SQL.format(a='e.embedding', b='p.qv')} DESC,
+                  e.vec_id ASC) AS rank
+         FROM embeddings e
+         JOIN assign a ON a.vec_id = e.vec_id
+         JOIN probes p ON p.centroid_id = a.centroid_id)
+       WHERE rank <= 10)
+SELECT b.query_id,
+       round(count(iv.vec_id)::DOUBLE / 10.0, 6) AS recall_at_10
+FROM brute b LEFT JOIN iv ON iv.query_id = b.query_id
+                         AND iv.vec_id = b.vec_id
+GROUP BY 1
+""")
+def emb_recall_eval(spark, sf_dir):
+    """ANN self-evaluation: recall@10 of IVF-nprobe2 against the exact
+    brute-force top-10, per query — the continuous-monitoring metric
+    that decides nprobe/cell-count at scale (tests pin a 0.9 floor; this
+    makes the measurement itself a first-class engine op). Both sides
+    are the declared plans: one corpus scan each, broadcast queries."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cent = e.where(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    q = e.where(F.col("vec_id").isin(0, 1, 2)) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    brute = SIM.knn_brute_force(e, q, k=10).select("query_id", "vec_id")
+    ivf = (SIM.ivf_search(e, cent, q, k=10, nprobe=2)
+           .select("query_id", F.col("vec_id").alias("ivf_id")))
+    j = brute.join(ivf, (ivf.query_id == brute.query_id)
+                   & (F.col("ivf_id") == brute.vec_id), "left") \
+        .select(brute.query_id, "ivf_id")
+    return (j.groupBy("query_id")
+            .agg(F.round(F.count("ivf_id") / 10.0, 6).alias("recall_at_10")))
+
+
+@query("ts_seasonal_backtest", sql="""
+WITH b AS (SELECT min(ts) + INTERVAL 21 DAY AS cut FROM events),
+tr AS (SELECT e.event_type, hour(e.ts) AS hr, e.value
+       FROM events e, b WHERE e.ts < b.cut AND e.value IS NOT NULL),
+cl AS (SELECT event_type, hr,
+              sum(value::DECIMAL(30,12))::DOUBLE / count(*) AS pred
+       FROM tr GROUP BY 1, 2),
+te AS (SELECT e.event_type, hour(e.ts) AS hr, e.value
+       FROM events e, b WHERE e.ts >= b.cut AND e.value IS NOT NULL),
+j AS (SELECT te.event_type, te.value, cl.pred
+      FROM te JOIN cl USING (event_type, hr))
+SELECT event_type, count(*)::BIGINT AS n_test,
+       round(sum(abs(value - pred)::DECIMAL(30,12))::DOUBLE
+             / count(*), 6) AS mae,
+       round(sqrt(sum(((value - pred) * (value - pred))::DECIMAL(30,12))
+                  ::DOUBLE / count(*)), 6) AS rmse
+FROM j GROUP BY 1
+""")
+def ts_seasonal_backtest(spark, sf_dir):
+    """Seasonal-climatology forecast backtest: train on the first 21
+    days (per-series hour-of-day means — the diurnal-cycle model the
+    reference's extrema calibration (diurnal.py:453-488) implies), score
+    MAE/RMSE on the remainder. The standard drift/forecast-quality gate
+    for a sensor fleet: two combinable aggregates + a broadcast-sized
+    climatology join; errors decimal-summed → engine-exact."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = ev.agg(F.expr("min(ts) + INTERVAL 21 DAYS").alias("cut"))
+    evb = ev.crossJoin(F.broadcast(b))
+    dec = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    tr = evb.where(F.col("ts") < F.col("cut"))
+    cl = (tr.groupBy("event_type", F.hour("ts").alias("hr"))
+          .agg((F.sum(dec(F.col("value"))).cast("double")
+                / F.count("*")).alias("pred")))
+    te = (evb.where(F.col("ts") >= F.col("cut"))
+          .withColumn("hr", F.hour("ts")))
+    j = te.join(F.broadcast(cl), ["event_type", "hr"])
+    d = F.col("value") - F.col("pred")
+    return (j.groupBy("event_type")
+            .agg(F.count("*").alias("n_test"),
+                 F.round(F.sum(dec(F.abs(d))).cast("double")
+                         / F.count("*"), 6).alias("mae"),
+                 F.round(F.sqrt(F.sum(dec(d * d)).cast("double")
+                                / F.count("*")), 6).alias("rmse")))
+
+
+@query("ts_gap_stats", sql="""
+WITH g AS (SELECT event_type,
+                  round(epoch(ts) - epoch(lag(ts) OVER (
+                      PARTITION BY event_type ORDER BY ts, event_id)))
+                      ::BIGINT AS gap_s
+           FROM events),
+gg AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+st AS (SELECT event_type, count(*) AS n_gaps,
+              quantile_cont(gap_s, 0.5) AS p50,
+              quantile_cont(gap_s, 0.95) AS p95,
+              max(gap_s) AS mx
+       FROM gg GROUP BY 1),
+ov AS (SELECT gg.event_type, count(*) AS n_over
+       FROM gg JOIN st USING (event_type)
+       WHERE gg.gap_s > 2 * st.p50 GROUP BY 1)
+SELECT st.event_type, st.n_gaps::BIGINT AS n_gaps,
+       round(st.p50, 6) AS p50_s, round(st.p95, 6) AS p95_s,
+       st.mx::BIGINT AS max_s,
+       round(coalesce(ov.n_over, 0)::DOUBLE / st.n_gaps, 6)
+           AS frac_over_2x
+FROM st LEFT JOIN ov USING (event_type)
+""")
+def ts_gap_stats(spark, sf_dir):
+    """Sampling-cadence health report per series: exact p50/p95/max
+    inter-sample gap and the fraction of gaps exceeding 2× the median —
+    the fleet-wide generalization of the reference's ``infer_sampling``
+    mode (gpstools.py:804-826, A17) into a data-quality gate. One keyed
+    window for the lag, one aggregate, one broadcast-sized join back
+    for the over-threshold count."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = (ev.withColumn("gap_s", F.round(
+            F.col("ts").cast("double")
+            - F.lag("ts").over(w).cast("double"))
+            .cast("bigint"))
+         .where(F.col("gap_s").isNotNull())
+         .select("event_type", "gap_s"))
+    st = g.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.expr("percentile(gap_s, 0.5)").alias("p50"),
+        F.expr("percentile(gap_s, 0.95)").alias("p95"),
+        F.max("gap_s").alias("mx"))
+    ov = (g.join(F.broadcast(st.select("event_type", "p50")), "event_type")
+          .where(F.col("gap_s") > 2 * F.col("p50"))
+          .groupBy("event_type").agg(F.count("*").alias("n_over")))
+    return (st.join(ov, "event_type", "left")
+            .select("event_type", "n_gaps",
+                    F.round("p50", 6).alias("p50_s"),
+                    F.round("p95", 6).alias("p95_s"),
+                    F.col("mx").alias("max_s"),
+                    F.round(F.coalesce(F.col("n_over"), F.lit(0))
+                            / F.col("n_gaps"), 6).alias("frac_over_2x")))
+
+
+@query("ss_volume_shipping", sql="""
+SELECT supp_nation, cust_nation, l_year,
+       round(revenue, 4) AS revenue, n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate)::BIGINT AS l_year,
+         sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(30,12))
+             ::DOUBLE AS revenue,
+         count(*)::BIGINT AS n_lines
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_nationkey = 1 AND n2.n_nationkey = 2)
+         OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1))
+  GROUP BY 1, 2, 3)
+""")
+def ss_volume_shipping(spark, sf_dir):
+    """TPC-H Q7-shaped volume-shipping query: cross-nation trade volume
+    by (supplier nation, customer nation, ship year). All dimension
+    sides broadcast (nation/supplier/customer vs the lineitem fact);
+    the nation predicate reaches the dim scans, AQE turns the fact-side
+    joins into broadcasts — one exchange for the final small group."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(n.withColumnRenamed("n_name", "supp_nation")
+                           .withColumnRenamed("n_nationkey", "sk")),
+               F.col("s_nationkey") == F.col("sk"))
+         .join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n.withColumnRenamed("n_name", "cust_nation")
+                           .withColumnRenamed("n_nationkey", "ck")),
+               F.col("c_nationkey") == F.col("ck"))
+         .where(((F.col("sk") == 1) & (F.col("ck") == 2))
+                | ((F.col("sk") == 2) & (F.col("ck") == 1))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("bigint").alias("l_year"))
+            .agg(F.round(F.sum((F.col("l_extendedprice")
+                                * (1 - F.col("l_discount")))
+                               .cast("decimal(30,12)")).cast("double"), 4)
+                 .alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -4859,6 +5133,8 @@ _REGISTRATION_ORDER = [
     "ts_hll_overlap", "ss_join_size_estimate",
     "ts_xcorr_lag", "ts_theil_sen", "ss_triangle_count",
     "emb_ivf_pq_rerank", "mm_audio_resample",
+    "doc_lsh_eval", "emb_recall_eval", "ts_seasonal_backtest",
+    "ts_gap_stats", "ss_volume_shipping",
 ]
 
 

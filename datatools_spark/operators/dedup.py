@@ -153,6 +153,57 @@ def simhash_col(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return agg.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
 
 
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", bits: int = 32, bands: int = 4,
+                  max_hamming: int = 3) -> DataFrame:
+    """Banded SimHash near-dup pairs (Manku/Jain/Sarma, WWW'07 web-dedup
+    scheme): signatures split into ``bands`` equal-width band keys, docs
+    sharing any (band, key) become candidates, candidates verified with
+    the exact Hamming distance ``bit_count(a XOR b)``.
+
+    Pigeonhole guarantee: a pair within ``max_hamming <= bands - 1``
+    differs in at most ``bands - 1`` bands, so at least one band matches
+    exactly — candidate generation has NO false negatives. The scale
+    shape is the same as MinHash-LSH: an explode to ``bands`` narrow
+    rows per doc, one bucket self-join, never n². At 100 TB the band
+    tables are written once and each band join is an equi-join a
+    1000-executor shuffle handles; widen ``bits`` (64) / ``bands`` to
+    keep buckets selective on larger corpora.
+
+    Output: ``a_id, b_id, hamming`` with a < b, hamming <= max_hamming.
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
+            "for the pigeonhole no-false-negative guarantee")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash_col(df, text_col=text_col, id_col=id_col, bits=bits)
+    bk = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("b"),
+                     F.shiftright(F.col("simhash"), b * width)
+                     .bitwiseAND(F.lit(mask)).alias("k"))
+            for b in range(bands)])).alias("_bk")) \
+        .select(F.col(id_col), F.col("_bk.b").alias("_b"),
+                F.col("_bk.k").alias("_k"))
+    cand = (bk.alias("a").join(bk.alias("b"), ["_b", "_k"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("a_id"),
+                    F.col(f"b.{id_col}").alias("b_id"))
+            .distinct())
+    sa = sig.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("_sa"))
+    sb = sig.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("_sb"))
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("bigint")
+    return (cand.join(sa, "a_id").join(sb, "b_id")
+            .withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("a_id", "b_id", "hamming"))
+
+
 def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str = "text",
                                id_col: str = "doc_id", shingle_n: int = 3,
                                threshold: float = 0.5) -> DataFrame:

@@ -5059,6 +5059,188 @@ def ss_volume_shipping(spark, sf_dir):
                  F.count("*").alias("n_lines")))
 
 
+_SIMHASH32_SUMS = ",\n       ".join(
+    f"sum(CASE WHEN (hv // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+    for j in range(32))
+_SIMHASH32_VAL = " + ".join(
+    f"CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))
+
+@query("doc_simhash_pairs", sql=f"""
+WITH t AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+           FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5('7:' || w), 1, 8))::BIGINT AS hv FROM t),
+s AS (SELECT doc_id, {_SIMHASH32_SUMS} FROM h GROUP BY 1),
+sig AS (SELECT doc_id, ({_SIMHASH32_VAL})::BIGINT AS sh FROM s),
+bk AS (SELECT doc_id, b, (sh >> (b * 8)::INT) & 255 AS k
+       FROM (SELECT doc_id, sh, unnest(range(4)) AS b FROM sig)),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM bk a JOIN bk b ON a.b = b.b AND a.k = b.k
+                   AND a.doc_id < b.doc_id)
+SELECT c.a_id, c.b_id, bit_count(xor(sa.sh, sb.sh))::BIGINT AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.a_id
+JOIN sig sb ON sb.doc_id = c.b_id
+WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
+""")
+def doc_simhash_pairs(spark, sf_dir):
+    """Banded SimHash near-dup pairs (Manku et al., WWW'07): 32-bit
+    signatures, 4×8-bit band keys, bucket self-join, exact
+    bit_count(XOR) verify — Hamming ≤ 3 so the pigeonhole guarantee
+    holds (≤3 differing bands ⟹ one band matches). The Hamming-space
+    sibling of doc_lsh_pairs: explode→bucket-join shape, never n²."""
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, bits=32, bands=4, max_hamming=3)
+
+
+@query("emb_outlier_score", sql=f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+           FROM embeddings WHERE vec_id < 8),
+s AS (SELECT e.vec_id, c.centroid_id,
+             {_COS_SQL.format(a='e.embedding', b='c.cv')} AS cos
+      FROM embeddings e, c),
+a AS (SELECT vec_id, centroid_id, round(cos, 6) AS cos_r FROM (
+        SELECT vec_id, centroid_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, centroid_id ASC) AS rn
+        FROM s) WHERE rn = 1),
+st AS (SELECT centroid_id, count(*) AS n,
+              sum(cos_r::DECIMAL(30,12)) AS sm,
+              sum((cos_r * cos_r)::DECIMAL(30,12)) AS sq
+       FROM a GROUP BY 1)
+SELECT a.vec_id, a.centroid_id, a.cos_r AS cosine,
+       round((a.cos_r - st.sm::DOUBLE / st.n)
+             / sqrt(greatest(st.sq::DOUBLE / st.n
+                             - (st.sm::DOUBLE / st.n) * (st.sm::DOUBLE / st.n),
+                             1e-24)), 4) AS z
+FROM a JOIN st USING (centroid_id)
+""")
+def emb_outlier_score(spark, sf_dir):
+    """Embedding-quality outlier score: per-cluster z-score of each
+    vector's cosine to its assigned IVF centroid — the standard filter
+    for mislabeled/garbage embeddings before training. Cosines are
+    rounded to 6 first and moment-summed in DECIMAL, so both engines
+    aggregate identical exact values (float sum-order immune); the
+    variance epsilon guards one-member clusters. One assignment scan +
+    one 8-row broadcast stats join."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cent = e.where(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    a = (SIM.ivf_assign(e, cent)
+         .select("vec_id", "centroid_id", _r(F.col("cosine")).alias("cos_r")))
+    dec = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    st = a.groupBy("centroid_id").agg(
+        F.count("*").alias("n"), F.sum(dec(F.col("cos_r"))).alias("sm"),
+        F.sum(dec(F.col("cos_r") * F.col("cos_r"))).alias("sq"))
+    mean = F.col("sm").cast("double") / F.col("n")
+    var = F.greatest(F.col("sq").cast("double") / F.col("n") - mean * mean,
+                     F.lit(1e-24))
+    return (a.join(F.broadcast(st), "centroid_id")
+            .select("vec_id", "centroid_id",
+                    F.col("cos_r").alias("cosine"),
+                    F.round((F.col("cos_r") - mean) / F.sqrt(var), 4)
+                    .alias("z")))
+
+
+@query("ss_small_qty_revenue", sql="""
+WITH pa AS (SELECT l_partkey, count(*) AS cnt,
+                   sum(l_quantity::DECIMAL(20,4)) AS sq
+            FROM lineitem GROUP BY 1)
+SELECT round((sum(l.l_extendedprice::DECIMAL(30,12)) / 7.0)::DOUBLE, 4)
+           AS avg_yearly,
+       count(*)::BIGINT AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4'
+  AND l.l_quantity::DECIMAL(20,4) * 5 * pa.cnt < pa.sq
+""")
+def ss_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17-shaped small-quantity-order revenue: lines below 20% of
+    their part's average quantity. The correlated-subquery pattern
+    rewritten as a per-part aggregate joined back to the fact — at
+    scale the per-part aggregate is partial-combined map-side and the
+    join is AQE-broadcast (parts ≪ lineitem). The 20%-of-avg boundary
+    is compared in exact DECIMAL cross-multiplied form (qty·5·cnt <
+    Σqty), so no float-avg ulp can flip a boundary row between
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#4") \
+        .select("p_partkey")
+    pa = li.groupBy("l_partkey").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("sq"))
+    j = (li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+         .join(pa, "l_partkey")
+         .where(F.col("l_quantity").cast("decimal(20,4)") * 5 * F.col("cnt")
+                < F.col("sq")))
+    return j.agg(
+        F.round((F.sum(F.col("l_extendedprice").cast("decimal(30,12)"))
+                 / 7.0).cast("double"), 4).alias("avg_yearly"),
+        F.count("*").alias("n_lines"))
+
+
+@query("ss_important_parts", sql="""
+WITH pr AS (SELECT l_partkey,
+                   sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,12))
+                       AS val
+            FROM lineitem GROUP BY 1),
+tot AS (SELECT sum(val) AS t FROM pr)
+SELECT l_partkey, round(val::DOUBLE, 4) AS value
+FROM pr, tot
+WHERE val::DOUBLE > t::DOUBLE * 0.002
+""")
+def ss_important_parts(spark, sf_dir):
+    """TPC-H Q11-shaped important-stock query: parts whose revenue
+    exceeds 0.2% of total revenue. The HAVING-fraction-of-global
+    pattern: one map-side-combined per-part aggregate, the global total
+    derived from it as a 1-row broadcast (no second fact scan), exact
+    DECIMAL sums so the threshold is engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(30,12)")).alias("val"))
+    tot = pr.agg(F.sum("val").alias("t"))
+    return (pr.crossJoin(F.broadcast(tot))
+            .where(F.col("val").cast("double")
+                   > F.col("t").cast("double") * 0.002)
+            .select("l_partkey",
+                    F.round(F.col("val").cast("double"), 4).alias("value")))
+
+
+@query("ss_large_orders", sql="""
+WITH big AS (SELECT l_orderkey, sum(l_quantity::DECIMAL(20,4)) AS sum_qty
+             FROM lineitem GROUP BY 1
+             HAVING sum(l_quantity::DECIMAL(20,4)) > 150)
+SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       round(b.sum_qty::DOUBLE, 4) AS sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""")
+def ss_large_orders(spark, sf_dir):
+    """TPC-H Q18-shaped large-volume orders: orders whose total line
+    quantity exceeds 150 units, joined back to order/customer detail.
+    The groupBy-HAVING-join-back pattern: the fact aggregates once
+    (partial combine), the survivor set is tiny so both detail joins
+    are AQE-broadcast; the quantity threshold compares exact DECIMAL
+    sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(20,4)"))
+                .alias("sum_qty"))
+           .where(F.col("sum_qty") > 150))
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select("c_name", "o_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice",
+                    F.round(F.col("sum_qty").cast("double"), 4)
+                    .alias("sum_qty")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -5135,6 +5317,8 @@ _REGISTRATION_ORDER = [
     "emb_ivf_pq_rerank", "mm_audio_resample",
     "doc_lsh_eval", "emb_recall_eval", "ts_seasonal_backtest",
     "ts_gap_stats", "ss_volume_shipping",
+    "doc_simhash_pairs", "emb_outlier_score", "ss_small_qty_revenue",
+    "ss_important_parts", "ss_large_orders",
 ]
 
 

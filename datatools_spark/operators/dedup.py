@@ -252,6 +252,91 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str = "text",
             .select("a_id", "b_id", "jaccard"))
 
 
+def _pair_intersections(sh: DataFrame, id_col: str,
+                        max_df: int | None) -> DataFrame:
+    """Shared engine for set-overlap pair ops: from an exploded
+    (id, _sh) inverted index, produce every unordered pair (a < b)
+    sharing >= 1 (non-stop) shingle with its EXACT full-set
+    intersection count and both set sizes.
+
+    Output: ``a_id, b_id, _inter, _na, _nb``. All plan/scale notes in
+    :func:`ngram_jaccard_pairs` (whose guarded/unguarded branches this
+    factors out) apply verbatim: max_df caps candidate generation only,
+    the stop-shingle correction join restores exact counts, and the
+    bounded posting-list pair generation keeps it to one index shuffle.
+    """
+    def _pair_counts_bounded(idx: DataFrame, out: str) -> DataFrame:
+        # per-shingle posting LIST + in-array pair explode: generates the
+        # same (a<b, count) table as the self-join but shuffles the index
+        # ONCE (the groupBy) instead of twice (both join sides) — measured
+        # 2.15× at sf1-equiv (4.5 → 2.1 s for 11.3M candidate rows). Safe
+        # ONLY when the posting list is bounded (max_df guard on): an
+        # unbounded hot shingle would materialize its whole posting array
+        # on one row.
+        lists = idx.groupBy("_sh").agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        pairs = lists.select(F.explode(F.expr(
+            "flatten(transform(_ids, (x, i) -> "
+            "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
+            "y -> struct(x AS a, y AS b))))")).alias("_p"))
+        return (pairs.groupBy("_p.a", "_p.b").agg(F.count("*").alias(out))
+                .select(F.col("a").alias("a_id"), F.col("b").alias("b_id"),
+                        F.col(out)))
+
+    stop = None
+    if max_df is not None:
+        dfreq = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
+        # stop set is small by construction (only ultra-common shingles
+        # exceed max_df — the Zipf head). Persist + probe it eagerly: the
+        # agg is one map-side-combinable pass the plan needs anyway (the
+        # cache feeds the broadcasts below), and when NO shingle exceeds
+        # max_df the whole correction apparatus (anti join + two
+        # membership joins + correction agg — 3 extra shuffles) is a
+        # no-op we can drop from the plan entirely. Either way the
+        # observed df is bounded, so the one-shuffle posting-list pair
+        # generation applies.
+        stop = dfreq.where(F.col("_df") > max_df).select("_sh").persist()
+        if stop.isEmpty():
+            stop.unpersist()
+            stop = None
+
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    na = sizes.select(F.col(id_col).alias("a_id"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("b_id"), F.col("_n").alias("_nb"))
+
+    if max_df is not None and stop is not None:
+        idx = sh.join(F.broadcast(stop), "_sh", "left_anti")
+        cap = _pair_counts_bounded(idx, "_ic")
+        # stop-shingle membership per doc (≤ |stop| rows per doc; the
+        # stop set itself is tiny — broadcast it into the semi-join)
+        sidx = sh.join(F.broadcast(stop), "_sh")
+        sa = sidx.select(F.col(id_col).alias("a_id"), "_sh")
+        sb = sidx.select(F.col(id_col).alias("b_id"), "_sh")
+        corr = (cap.select("a_id", "b_id")
+                .join(sa, "a_id")
+                .join(sb, ["_sh", "b_id"])
+                .groupBy("a_id", "b_id").agg(F.count("*").alias("_is")))
+        return (cap.join(corr, ["a_id", "b_id"], "left")
+                .join(na, "a_id").join(nb, "b_id")
+                .withColumn("_inter", F.col("_ic")
+                            + F.coalesce(F.col("_is"), F.lit(0)))
+                .select("a_id", "b_id", "_inter", "_na", "_nb"))
+
+    if max_df is not None:
+        # guard requested but nothing exceeds it: posting lists are
+        # bounded by the observed max df ≤ max_df — one-shuffle plan
+        inter = _pair_counts_bounded(sh, "_inter")
+    else:
+        # unguarded: posting lists unbounded, keep the join formulation
+        a = sh.select(F.col(id_col).alias("a_id"), F.col("_sh"))
+        b = sh.select(F.col(id_col).alias("b_id"), F.col("_sh"))
+        inter = (a.join(b, on=["_sh"])
+                 .where(F.col("a_id") < F.col("b_id"))
+                 .groupBy("a_id", "b_id").agg(F.count("*").alias("_inter")))
+    return (inter.join(na, "a_id").join(nb, "b_id")
+            .select("a_id", "b_id", "_inter", "_na", "_nb"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
                         threshold: float = 0.5,
@@ -291,83 +376,49 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
           .select(F.col(id_col),
                   F.explode(word_shingles(text_col, shingle_n,
                                           from_words_col="_words")).alias("_sh")))
-    def _pair_counts_bounded(idx: DataFrame, out: str) -> DataFrame:
-        # per-shingle posting LIST + in-array pair explode: generates the
-        # same (a<b, count) table as the self-join but shuffles the index
-        # ONCE (the groupBy) instead of twice (both join sides) — measured
-        # 2.15× at sf1-equiv (4.5 → 2.1 s for 11.3M candidate rows). Safe
-        # ONLY when the posting list is bounded (max_df guard on): an
-        # unbounded hot shingle would materialize its whole posting array
-        # on one row.
-        lists = idx.groupBy("_sh").agg(
-            F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
-        pairs = lists.select(F.explode(F.expr(
-            "flatten(transform(_ids, (x, i) -> "
-            "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
-            "y -> struct(x AS a, y AS b))))")).alias("_p"))
-        return (pairs.groupBy("_p.a", "_p.b").agg(F.count("*").alias(out))
-                .select(F.col("a").alias("a_id"), F.col("b").alias("b_id"),
-                        F.col(out)))
-
-    stop = None
-    if max_df is not None:
-        dfreq = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
-        # stop set is small by construction (only ultra-common shingles
-        # exceed max_df — the Zipf head). Persist + probe it eagerly: the
-        # agg is one map-side-combinable pass the plan needs anyway (the
-        # cache feeds the broadcasts below), and when NO shingle exceeds
-        # max_df the whole correction apparatus (anti join + two
-        # membership joins + correction agg — 3 extra shuffles) is a
-        # no-op we can drop from the plan entirely. Either way the
-        # observed df is bounded, so the one-shuffle posting-list pair
-        # generation applies.
-        stop = dfreq.where(F.col("_df") > max_df).select("_sh").persist()
-        if stop.isEmpty():
-            stop.unpersist()
-            stop = None
-
-    if max_df is not None and stop is not None:
-        idx = sh.join(F.broadcast(stop), "_sh", "left_anti")
-        cap = _pair_counts_bounded(idx, "_ic")
-        # stop-shingle membership per doc (≤ |stop| rows per doc; the
-        # stop set itself is tiny — broadcast it into the semi-join)
-        sidx = sh.join(F.broadcast(stop), "_sh")
-        sa = sidx.select(F.col(id_col).alias("a_id"), "_sh")
-        sb = sidx.select(F.col(id_col).alias("b_id"), "_sh")
-        corr = (cap.select("a_id", "b_id")
-                .join(sa, "a_id")
-                .join(sb, ["_sh", "b_id"])
-                .groupBy("a_id", "b_id").agg(F.count("*").alias("_is")))
-        sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
-        na2 = sizes.select(F.col(id_col).alias("a_id"), F.col("_n").alias("_na"))
-        nb2 = sizes.select(F.col(id_col).alias("b_id"), F.col("_n").alias("_nb"))
-        inter = (F.col("_ic") + F.coalesce(F.col("_is"), F.lit(0))).cast("double")
-        jacc = inter / (F.col("_na") + F.col("_nb") - inter)
-        return (cap.join(corr, ["a_id", "b_id"], "left")
-                .join(na2, "a_id").join(nb2, "b_id")
-                .withColumn("jaccard", jacc)
-                .where(F.col("jaccard") >= threshold)
-                .select("a_id", "b_id", "jaccard"))
-
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
-    if max_df is not None:
-        # guard requested but nothing exceeds it: posting lists are
-        # bounded by the observed max df ≤ max_df — one-shuffle plan
-        inter = _pair_counts_bounded(sh, "_inter")
-    else:
-        # unguarded: posting lists unbounded, keep the join formulation
-        a = sh.select(F.col(id_col).alias("a_id"), F.col("_sh"))
-        b = sh.select(F.col(id_col).alias("b_id"), F.col("_sh"))
-        inter = (a.join(b, on=["_sh"])
-                 .where(F.col("a_id") < F.col("b_id"))
-                 .groupBy("a_id", "b_id").agg(F.count("*").alias("_inter")))
-    na = sizes.select(F.col(id_col).alias("a_id"), F.col("_n").alias("_na"))
-    nb = sizes.select(F.col(id_col).alias("b_id"), F.col("_n").alias("_nb"))
-    j = (inter.join(na, "a_id").join(nb, "b_id")
-         .withColumn("jaccard", F.col("_inter").cast("double")
-                     / (F.col("_na") + F.col("_nb") - F.col("_inter"))))
-    return (j.where(F.col("jaccard") >= threshold)
+    base = _pair_intersections(sh, id_col, max_df)
+    jacc = (F.col("_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter")))
+    return (base.withColumn("jaccard", jacc)
+            .where(F.col("jaccard") >= threshold)
             .select("a_id", "b_id", "jaccard"))
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", shingle_n: int = 3,
+                      threshold: float = 0.5,
+                      max_df: int | None = 100) -> DataFrame:
+    """Directed shingle-containment pairs: C(src→dst) = |src ∩ dst| /
+    |src| over distinct word shingles — the quote / sub-document
+    detector. A short doc wholly quoted inside a long one scores ≈ 1.0
+    while its symmetric Jaccard is tiny, so Jaccard dedup misses it;
+    containment is the metric data-curation pipelines use for
+    "contained in a larger page" and train/eval contamination checks.
+
+    Same candidate machinery as :func:`ngram_jaccard_pairs`
+    (:func:`_pair_intersections`): max_df-guarded inverted index, exact
+    intersection via the stop-shingle correction join, one index
+    shuffle — never n². Both directions are emitted and filtered
+    independently.
+
+    Output: ``src_id, dst_id, containment`` (containment ≥ threshold).
+    """
+    sh = (ensure_parallelism(df.select(F.col(id_col), F.col(text_col)),
+                             min_bytes=0)
+          .withColumn("_words", words_col(text_col))
+          .select(F.col(id_col),
+                  F.explode(word_shingles(text_col, shingle_n,
+                                          from_words_col="_words")).alias("_sh")))
+    base = _pair_intersections(sh, id_col, max_df)
+    i = F.col("_inter").cast("double")
+    fwd = base.select(F.col("a_id").alias("src_id"),
+                      F.col("b_id").alias("dst_id"),
+                      (i / F.col("_na")).alias("containment"))
+    rev = base.select(F.col("b_id").alias("src_id"),
+                      F.col("a_id").alias("dst_id"),
+                      (i / F.col("_nb")).alias("containment"))
+    return (fwd.unionByName(rev)
+            .where(F.col("containment") >= threshold))
 
 
 def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",

@@ -236,3 +236,43 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     for c in drop:
         out = out.drop(F.col(f"l.{c}")).drop(F.col(f"r.{c}"))
     return out
+
+
+def coalesce_intervals(df: DataFrame, key_cols: Sequence[str] = ("series",),
+                       start_col: str = "start",
+                       end_col: str = "end") -> DataFrame:
+    """Merge overlapping/touching intervals per key into maximal islands
+    (the interval-union operator; generalizes the reference's drop-window
+    union list, datatools.py:117-141 `subset`/`drop` window handling,
+    from literal lists to a distributed table of intervals).
+
+    Gaps-and-islands: one keyed window ordered by (start, end); a row
+    opens a new island iff its start exceeds the running max of all
+    previous ends (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING — frame max
+    is order-insensitive under ties, so the result is deterministic
+    even with duplicate starts); the island id is the running sum of
+    open flags; islands reduce with min(start)/max(end).
+
+    Scale: the window sorts WITHIN each key only — series count scales
+    out across executors, per-series interval counts are the bounded
+    dimension (sensor-fleet shape). For a single key with billions of
+    intervals, pre-reduce: floor starts to coarse buckets, coalesce per
+    bucket, then run this on the (tiny) per-bucket islands.
+
+    Output: ``*key_cols, start_col, end_col, n_merged`` (one row per
+    island; n_merged = input intervals absorbed).
+    """
+    keys = [F.col(c) for c in key_cols]
+    w = Window.partitionBy(*keys).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.withColumn(
+        "_new", F.when(prev_max.isNull()
+                       | (F.col(start_col) > prev_max), 1).otherwise(0))
+    island = F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (flagged.withColumn("_island", island)
+            .groupBy(*keys, F.col("_island"))
+            .agg(F.min(start_col).alias(start_col),
+                 F.max(end_col).alias(end_col),
+                 F.count("*").alias("n_merged"))
+            .drop("_island"))

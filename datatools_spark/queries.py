@@ -5241,6 +5241,215 @@ def ss_large_orders(spark, sf_dir):
                     .alias("sum_qty")))
 
 
+@query("ts_active_coverage", sql="""
+WITH iv AS (SELECT event_type, ts AS s, ts + INTERVAL 10 MINUTE AS e
+            FROM events),
+w AS (SELECT event_type, s, e,
+             max(e) OVER (PARTITION BY event_type ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+      FROM iv),
+f AS (SELECT event_type, s, e,
+             CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw
+      FROM w),
+g AS (SELECT event_type, s, e,
+             sum(nw) OVER (PARTITION BY event_type ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM f),
+m AS (SELECT event_type, island, min(s) AS is_, max(e) AS ie
+      FROM g GROUP BY 1, 2)
+SELECT event_type, count(*)::BIGINT AS n_islands,
+       round((sum(epoch_us(ie) - epoch_us(is_))::BIGINT::DOUBLE)
+             / 1000000.0, 6) AS covered_s,
+       round(max(epoch_us(ie) - epoch_us(is_))::BIGINT::DOUBLE
+             / 1000000.0, 6) AS longest_s
+FROM m GROUP BY 1
+""")
+def ts_active_coverage(spark, sf_dir):
+    """Interval-union coverage per series: every sample opens a 10-min
+    activity interval, overlapping intervals merge into maximal islands
+    (operators/intervals.py coalesce_intervals — the gaps-and-islands
+    window), and the report is islands / total covered seconds /
+    longest island. The uptime-coverage metric for a sensor fleet;
+    durations sum in exact BIGINT micros so no float sum-order flap."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select("event_type", F.col("ts").alias("s"),
+                   F.expr("ts + INTERVAL 10 MINUTES").alias("e"))
+    m = IV.coalesce_intervals(iv, key_cols=("event_type",),
+                              start_col="s", end_col="e")
+    us = F.unix_micros(F.col("e")) - F.unix_micros(F.col("s"))
+    return (m.groupBy("event_type")
+            .agg(F.count("*").alias("n_islands"),
+                 F.round(F.sum(us).cast("double") / 1e6, 6)
+                 .alias("covered_s"),
+                 F.round(F.max(us).cast("double") / 1e6, 6)
+                 .alias("longest_s")))
+
+
+@query("doc_containment_pairs", sql=f"""
+WITH {_SHINGLE_SQL},
+rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         WHERE a.s IN (SELECT s FROM rare)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+base AS (SELECT i.a_id, i.b_id, i.i, na.n AS na, nb.n AS nb
+         FROM inter i
+         JOIN cand c ON c.a_id = i.a_id AND c.b_id = i.b_id
+         JOIN sizes na ON na.doc_id = i.a_id
+         JOIN sizes nb ON nb.doc_id = i.b_id),
+d AS (SELECT a_id AS src_id, b_id AS dst_id, i::DOUBLE / na AS c FROM base
+      UNION ALL
+      SELECT b_id AS src_id, a_id AS dst_id, i::DOUBLE / nb AS c FROM base)
+SELECT src_id, dst_id, round(c, 6) AS containment
+FROM d WHERE c >= 0.5
+""")
+def doc_containment_pairs(spark, sf_dir):
+    """Directed shingle-containment pairs C(src→dst) = |src∩dst|/|src| —
+    the quote / sub-document / contamination detector Jaccard dedup
+    misses (a doc fully quoted in a longer one has tiny Jaccard but
+    containment ≈ 1). Same guarded inverted-index machinery as
+    doc_ngram_pairs (exact via stop-shingle correction), both
+    directions emitted."""
+    d = _t(spark, sf_dir, "documents")
+    out = D.containment_pairs(d, threshold=0.5, max_df=100)
+    return out.select("src_id", "dst_id",
+                      _r(F.col("containment")).alias("containment"))
+
+
+@query("doc_dup_rate_by_source", sql=f"""
+WITH {_SHINGLE_SQL},
+sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY 1),
+bk AS (SELECT doc_id, b, k FROM (
+         SELECT doc_id, unnest(range(4)) AS b,
+                unnest([{_BAND_KEYS_SQL}]) AS k
+         FROM sig)),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM bk a JOIN bk b ON a.b = b.b AND a.k = b.k
+                   AND a.doc_id < b.doc_id),
+v AS (SELECT c.a_id, c.b_id, ({_AGREE_SQL}) / 8.0 AS est
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.a_id
+      JOIN sig sb ON sb.doc_id = c.b_id),
+p AS (SELECT a_id, b_id FROM v WHERE est >= 0.25),
+ids AS (SELECT a_id AS doc_id FROM p UNION SELECT b_id FROM p)
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       count(i.doc_id)::BIGINT AS n_dup,
+       round(count(i.doc_id)::DOUBLE / count(*), 6) AS dup_rate
+FROM documents d LEFT JOIN ids i USING (doc_id)
+GROUP BY 1
+""")
+def doc_dup_rate_by_source(spark, sf_dir):
+    """Near-duplication rate per source — the curation dashboard number
+    that decides which crawl slices need aggressive dedup. Composes the
+    production LSH pair path (bucketed, no n²) with a distinct-id
+    explode and one broadcast membership join back to the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, num_hashes=8, bands=4, threshold=0.25)
+    ids = (pairs.select(F.col("a_id").alias("doc_id"))
+           .union(pairs.select(F.col("b_id").alias("doc_id")))
+           .distinct().withColumn("_dup", F.lit(1)))
+    return (d.join(F.broadcast(ids), "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.count("_dup").alias("n_dup"),
+                 F.round(F.count("_dup") / F.count("*"), 6)
+                 .alias("dup_rate")))
+
+
+@query("ss_rich_idle_customers", sql="""
+WITH pos AS (SELECT sum(c_acctbal::DECIMAL(30,6)) AS s, count(*) AS n
+             FROM customer WHERE c_acctbal > 0)
+SELECT c.c_custkey, c.c_name, c.c_acctbal
+FROM customer c, pos
+WHERE c.c_acctbal > pos.s::DOUBLE / pos.n
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def ss_rich_idle_customers(spark, sf_dir):
+    """TPC-H Q22-shaped lost-business query: customers with
+    above-average (positive-balance) account balance and no orders.
+    The scalar-subquery-threshold + NOT EXISTS pattern: 1-row aggregate
+    broadcast into the filter, orders side an anti join (AQE picks
+    broadcast-anti since the distinct custkey set is small); the
+    average threshold derives from an exact DECIMAL sum so the
+    boundary cannot flip between engines."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    pos = (c.where(F.col("c_acctbal") > 0)
+           .agg(F.sum(F.col("c_acctbal").cast("decimal(30,6)")).alias("s"),
+                F.count("*").alias("n")))
+    return (c.crossJoin(F.broadcast(pos))
+            .where(F.col("c_acctbal") > F.col("s").cast("double") / F.col("n"))
+            .join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name", "c_acctbal"))
+
+
+@query("ts_changepoint", sql="""
+WITH v AS (SELECT event_type, ts, event_id, value FROM events
+           WHERE value IS NOT NULL),
+c AS (SELECT event_type, ts,
+             sum(value::DECIMAL(30,12)) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS ps,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS t
+      FROM v),
+tot AS (SELECT event_type, count(*) AS n,
+               sum(value::DECIMAL(30,12)) AS s
+        FROM v GROUP BY 1),
+sc AS (SELECT c.event_type, c.ts, c.t,
+              (c.t * (tot.n - c.t))::DOUBLE / tot.n
+              * (c.ps::DOUBLE / c.t - (tot.s - c.ps)::DOUBLE / (tot.n - c.t))
+              * (c.ps::DOUBLE / c.t - (tot.s - c.ps)::DOUBLE / (tot.n - c.t))
+                  AS score
+       FROM c JOIN tot USING (event_type) WHERE c.t < tot.n),
+r AS (SELECT event_type, ts, t, score,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY score DESC, t ASC) AS rn
+      FROM sc)
+SELECT event_type, ts AS cp_ts, t::BIGINT AS cp_idx,
+       round(score, 4) AS score
+FROM r WHERE rn = 1
+""")
+def ts_changepoint(spark, sf_dir):
+    """Single best mean-shift changepoint per series (binary-segmentation
+    step 1 / offline CUSUM): the split t maximizing the between-segment
+    variance statistic t·(n−t)/n · (μ_left − μ_right)², computed from
+    DECIMAL prefix sums so every engine sees identical exact moments
+    (score arithmetic is then deterministic IEEE on exact inputs).
+    One keyed window pass + a per-series 1-row broadcast join — the
+    per-series work is a linear scan, series scale out across
+    executors. Tie pinned to the earliest index."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    dec = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    c = ev.select(
+        "event_type", "ts",
+        F.sum(dec(F.col("value"))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("ps"),
+        F.row_number().over(w).alias("t"))
+    tot = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum(dec(F.col("value"))).alias("s"))
+    j = c.join(F.broadcast(tot), "event_type").where(F.col("t") < F.col("n"))
+    diff = (F.col("ps").cast("double") / F.col("t")
+            - (F.col("s") - F.col("ps")).cast("double")
+            / (F.col("n") - F.col("t")))
+    sc = j.withColumn(
+        "score",
+        (F.col("t") * (F.col("n") - F.col("t"))).cast("double")
+        / F.col("n") * diff * diff)
+    rw = Window.partitionBy("event_type").orderBy(F.desc("score"),
+                                                  F.asc("t"))
+    return (sc.withColumn("rn", F.row_number().over(rw))
+            .where(F.col("rn") == 1)
+            .select("event_type", F.col("ts").alias("cp_ts"),
+                    F.col("t").cast("bigint").alias("cp_idx"),
+                    F.round("score", 4).alias("score")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -5319,6 +5528,8 @@ _REGISTRATION_ORDER = [
     "ts_gap_stats", "ss_volume_shipping",
     "doc_simhash_pairs", "emb_outlier_score", "ss_small_qty_revenue",
     "ss_important_parts", "ss_large_orders",
+    "ts_active_coverage", "doc_containment_pairs", "doc_dup_rate_by_source",
+    "ss_rich_idle_customers", "ts_changepoint",
 ]
 
 

@@ -340,3 +340,76 @@ def test_quantize_fixed_rejects_overflowing_span(spark):
     with pytest.raises(Exception,
                        match="quantize_fixed|ARITHMETIC_OVERFLOW|overflow"):
         bad.collect()
+
+
+def test_coalesce_intervals_islands(spark):
+    from datatools_spark.operators.intervals import coalesce_intervals
+    T = dt.datetime
+    rows = [
+        # series a: [0,10) + [5,15) overlap; [15,20) touches nothing
+        # ([15,20) starts AT the running max end — start > pm is False,
+        # so touching intervals MERGE into the same island)
+        ("a", T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 10)),
+        ("a", T(2024, 1, 1, 0, 5), T(2024, 1, 1, 0, 15)),
+        ("a", T(2024, 1, 1, 0, 15), T(2024, 1, 1, 0, 20)),
+        # series a: disjoint second island, containing a nested interval
+        ("a", T(2024, 1, 1, 1, 0), T(2024, 1, 1, 2, 0)),
+        ("a", T(2024, 1, 1, 1, 10), T(2024, 1, 1, 1, 20)),
+        # series b: single interval
+        ("b", T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 1)),
+    ]
+    df = spark.createDataFrame(rows, ["series", "start", "end"])
+    out = {(r["series"], r["start"], r["end"]): r["n_merged"]
+           for r in coalesce_intervals(df).collect()}
+    assert out == {
+        ("a", T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 20)): 3,
+        ("a", T(2024, 1, 1, 1, 0), T(2024, 1, 1, 2, 0)): 2,
+        ("b", T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 1)): 1,
+    }
+
+
+def test_containment_pairs_asymmetric(spark):
+    from datatools_spark.operators.dedup import containment_pairs
+    # doc 2 is a strict prefix of doc 1: every shingle of 2 is in 1,
+    # so C(2→1) = 1.0 while C(1→2) < 1; doc 3 shares nothing.
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "one two three four five six"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["src_id"], r["dst_id"]): r["containment"]
+           for r in containment_pairs(df, threshold=0.0, max_df=100)
+           .collect()}
+    assert out[(2, 1)] == 1.0
+    assert 0.0 < out[(1, 2)] < 1.0
+    assert (1, 3) not in out and (3, 1) not in out
+    # threshold filters the weak direction only
+    hi = {(r["src_id"], r["dst_id"])
+          for r in containment_pairs(df, threshold=0.9, max_df=100)
+          .collect()}
+    assert (2, 1) in hi and (1, 2) not in hi
+
+
+def test_simhash_pairs_pigeonhole_and_exact_hamming(spark):
+    from datatools_spark.operators.dedup import simhash_col, simhash_pairs
+    rows = [(i, f"common text body shared by all docs variant {i % 3}")
+            for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = {r["doc_id"]: r["simhash"]
+           for r in simhash_col(df, bits=32).collect()}
+    got = {(r["a_id"], r["b_id"]): r["hamming"]
+           for r in simhash_pairs(df, bits=32, bands=4, max_hamming=3)
+           .collect()}
+    # oracle: brute-force all pairs — banding must find EVERY pair with
+    # hamming <= 3 (pigeonhole: <=3 differing bits leave a clean band)
+    want = {}
+    for a in sig:
+        for b in sig:
+            if a < b:
+                h = bin(sig[a] ^ sig[b]).count("1")
+                if h <= 3:
+                    want[(a, b)] = h
+    assert got == want and len(want) > 0
+    with pytest.raises(ValueError):
+        simhash_pairs(df, bits=32, bands=4, max_hamming=5)

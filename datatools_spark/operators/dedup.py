@@ -421,6 +421,52 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
             .where(F.col("containment") >= threshold))
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every POSITIONAL word shingle
+    (multiplicity kept, unlike the dedup shingle set), slide a window of
+    ``window`` consecutive hashes, record each window's minimum (tie →
+    earliest position), and keep the distinct selections.
+
+    Guarantee: any shared run of ``window + shingle_n − 1`` words
+    between two docs produces ≥ 1 shared fingerprint, at an expected
+    density of 2/(window+1) — the local-sampling property that makes
+    winnowing the plagiarism/span-dup standard where random sampling
+    has no match guarantee.
+
+    Plan: one explode, one keyed window min, one distinct — all
+    JVM-side. The in-window argmin is a single BIGINT ``min`` over the
+    encoded key ``hash·2²⁰ + pos`` (portable to any engine; earliest
+    position wins ties automatically). Docs shorter than one full
+    window emit nothing (strict windows only — documented MOSS
+    behavior for short inputs). pos < 2²⁰ is asserted by the encoding:
+    longer docs should be chunked first (doc_chunk).
+
+    Output: ``id_col, fp_hash, fp_pos`` (distinct fingerprints).
+    """
+    from .text import word_ngrams_all
+    tok = (ensure_parallelism(df.select(F.col(id_col), F.col(text_col)),
+                              min_bytes=0)
+           .select(F.col(id_col),
+                   F.posexplode(word_ngrams_all(text_col, shingle_n))
+                   .alias("_pos", "_sh")))
+    key = _hash32(F.col("_sh"), 11) * F.lit(1 << 20) + F.col("_pos")
+    keyed = tok.select(F.col(id_col), F.col("_pos"), key.alias("_key"))
+    wfull = Window.partitionBy(id_col)
+    wmin = Window.partitionBy(id_col).orderBy("_pos") \
+        .rowsBetween(0, window - 1)
+    return (keyed
+            .withColumn("_n", F.count("*").over(wfull))
+            .withColumn("_wmin", F.min("_key").over(wmin))
+            .where(F.col("_pos") + window <= F.col("_n"))
+            .select(F.col(id_col),
+                    F.expr("_wmin div 1048576").alias("fp_hash"),
+                    (F.col("_wmin") % F.lit(1 << 20)).alias("fp_pos"))
+            .distinct())
+
+
 def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                         id_col: str = "vec_id", threshold: float = 0.95,
                         bucket_hyperplanes: int = 0) -> DataFrame:

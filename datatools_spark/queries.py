@@ -5450,6 +5450,182 @@ def ts_changepoint(spark, sf_dir):
                     F.round("score", 4).alias("score")))
 
 
+@query("doc_winnow_fingerprints", sql="""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+           FROM documents),
+g AS (SELECT doc_id, i - 1 AS pos,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+            FROM w WHERE len(ws) >= 3)),
+h AS (SELECT doc_id, pos,
+             ('0x' || substr(md5('11:' || sh), 1, 8))::BIGINT * 1048576
+                 + pos AS key
+      FROM g),
+k AS (SELECT doc_id, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND 3 FOLLOWING) AS wmin,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM h),
+sel AS (SELECT DISTINCT doc_id, wmin FROM k WHERE pos + 4 <= n)
+SELECT doc_id, (wmin // 1048576)::BIGINT AS fp_hash,
+       (wmin % 1048576)::BIGINT AS fp_pos
+FROM sel
+""")
+def doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03 / MOSS):
+    positional shingle hashes → sliding-window-of-4 minima → distinct
+    selections. Any shared 6-word run between two docs is guaranteed a
+    shared fingerprint at ~2/5 density — the local-sampling span-dup
+    primitive random sampling can't match. One explode + one keyed
+    window + one distinct, all JVM expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return D.winnow_fingerprints(d, shingle_n=3, window=4)
+
+
+@query("doc_ngram_novelty", sql=f"""
+WITH {_SHINGLE_SQL},
+first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)::BIGINT
+           AS n_novel,
+       round(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS novelty
+FROM sh JOIN first f USING (s)
+GROUP BY 1
+""")
+def doc_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    shingles that no earlier doc (by id — ingestion order) contains.
+    The curation 'novelty curve' that shows marginal value of each
+    additional crawl slice. First-occurrence table = one
+    map-side-combinable min per shingle; one membership join back —
+    never pairwise."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id",
+                  F.explode(TX.word_shingles("text", 3)).alias("s"))
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                  .otherwise(0))
+    return (sh.join(first, "s")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 novel.cast("bigint").alias("n_novel"),
+                 F.round(novel / F.count("*"), 6).alias("novelty")))
+
+
+@query("doc_rare_token_ratio", sql="""
+WITH tok AS (SELECT doc_id,
+                    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                        AS w
+             FROM documents),
+top AS (SELECT w FROM (
+          SELECT w, row_number() OVER (ORDER BY count(*) DESC, w ASC) AS rn
+          FROM tok GROUP BY w) WHERE rn <= 100)
+SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN top.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+       round(sum(CASE WHEN top.w IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS rare_ratio
+FROM tok t LEFT JOIN top ON top.w = t.w
+GROUP BY 1
+""")
+def doc_rare_token_ratio(spark, sf_dir):
+    """Out-of-vocabulary token ratio per doc against the corpus top-100
+    vocabulary — the cheap lexical-quality signal (high OOV ⇒ noise,
+    code, or boilerplate). Vocabulary = one combinable word count +
+    a rank cut (vocab table is bounded, the single-partition rank sorts
+    only the distinct-word table); membership via broadcast left join."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.words_col("text")).alias("w"))
+    vc = tok.groupBy("w").agg(F.count("*").alias("c"))
+    rk = Window.orderBy(F.desc("c"), F.asc("w"))
+    top = (vc.withColumn("rn", F.row_number().over(rk))
+           .where(F.col("rn") <= 100)
+           .select(F.col("w"), F.lit(1).alias("_in")))
+    rare = F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+    return (tok.join(F.broadcast(top), "w", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 rare.cast("bigint").alias("n_rare"),
+                 F.round(rare / F.count("*"), 6).alias("rare_ratio")))
+
+
+@query("ts_outage_days", sql="""
+WITH daily AS (SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+                      count(*) AS c
+               FROM events GROUP BY 1, 2),
+med AS (SELECT event_type, median(c) AS m FROM daily GROUP BY 1)
+SELECT d.event_type, d.day, d.c::BIGINT AS n_samples,
+       round(med.m, 2) AS median_daily
+FROM daily d JOIN med USING (event_type)
+WHERE d.c < 0.5 * med.m
+""")
+def ts_outage_days(spark, sf_dir):
+    """Outage detection: days where a series logged fewer than half its
+    median daily sample count — the fleet-health report behind the
+    reference's manual gap inspection workflow. Two combinable
+    aggregates + a per-series 1-row broadcast join; the median is the
+    exact interpolated percentile over integer counts (engine-stable)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+             .agg(F.count("*").alias("c")))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.5)").alias("m"))
+    return (daily.join(F.broadcast(med), "event_type")
+            .where(F.col("c") < 0.5 * F.col("m"))
+            .select("event_type", "day",
+                    F.col("c").cast("bigint").alias("n_samples"),
+                    F.round("m", 2).alias("median_daily")))
+
+
+@query("ts_anomaly_diurnal", sql="""
+WITH v AS (SELECT event_id, event_type, ts, value, hour(ts) AS hr
+           FROM events WHERE value IS NOT NULL),
+cl AS (SELECT event_type, hr,
+              sum(value::DECIMAL(30,12))::DOUBLE / count(*) AS mu
+       FROM v GROUP BY 1, 2),
+r AS (SELECT v.event_id, v.event_type, v.ts, v.value - cl.mu AS resid
+      FROM v JOIN cl USING (event_type, hr)),
+med AS (SELECT event_type, median(resid) AS md FROM r GROUP BY 1),
+mad AS (SELECT r.event_type, median(abs(r.resid - m.md)) AS mad
+        FROM r JOIN med m USING (event_type) GROUP BY 1)
+SELECT r.event_id, r.event_type, r.ts, round(r.resid, 6) AS resid,
+       round(0.6745 * (r.resid - med.md) / mad.mad, 4) AS robust_z
+FROM r JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE mad.mad > 0
+  AND abs(0.6745 * (r.resid - med.md) / mad.mad) > 3.5
+""")
+def ts_anomaly_diurnal(spark, sf_dir):
+    """Seasonality-aware anomaly detection: remove the hour-of-day
+    climatology (exact decimal means), then flag residuals beyond 3.5
+    robust z (median/MAD — ts_anomaly_mad's rule applied to
+    deseasonalized values, so a hot afternoon isn't an anomaly but a
+    hot midnight is). Climatology and MAD tables are broadcast-sized;
+    residual doubles derive from exact moments so both engines score
+    identically."""
+    ev = (_t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+          .withColumn("hr", F.hour("ts")))
+    dec = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    cl = ev.groupBy("event_type", "hr").agg(
+        (F.sum(dec(F.col("value"))).cast("double") / F.count("*"))
+        .alias("mu"))
+    r = (ev.join(F.broadcast(cl), ["event_type", "hr"])
+         .select("event_id", "event_type", "ts",
+                 (F.col("value") - F.col("mu")).alias("resid")))
+    med = r.groupBy("event_type").agg(
+        F.expr("percentile(resid, 0.5)").alias("md"))
+    mad = (r.join(F.broadcast(med), "event_type")
+           .groupBy("event_type")
+           .agg(F.expr("percentile(abs(resid - md), 0.5)").alias("mad")))
+    z = 0.6745 * (F.col("resid") - F.col("md")) / F.col("mad")
+    return (r.join(F.broadcast(med), "event_type")
+            .join(F.broadcast(mad), "event_type")
+            .where((F.col("mad") > 0) & (F.abs(z) > 3.5))
+            .select("event_id", "event_type", "ts",
+                    F.round("resid", 6).alias("resid"),
+                    F.round(z, 4).alias("robust_z")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -5530,6 +5706,8 @@ _REGISTRATION_ORDER = [
     "ss_important_parts", "ss_large_orders",
     "ts_active_coverage", "doc_containment_pairs", "doc_dup_rate_by_source",
     "ss_rich_idle_customers", "ts_changepoint",
+    "doc_winnow_fingerprints", "doc_ngram_novelty", "doc_rare_token_ratio",
+    "ts_outage_days", "ts_anomaly_diurnal",
 ]
 
 

@@ -413,3 +413,27 @@ def test_simhash_pairs_pigeonhole_and_exact_hamming(spark):
     assert got == want and len(want) > 0
     with pytest.raises(ValueError):
         simhash_pairs(df, bits=32, bands=4, max_hamming=5)
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    from datatools_spark.operators.dedup import winnow_fingerprints
+    shared = "the quick brown fox jumps over"  # 6 words = window+n-1
+    rows = [
+        (1, f"aaa bbb ccc {shared} ddd eee fff"),
+        (2, f"xxx yyy {shared} zzz www"),
+        (3, "totally different words here nothing matches at all ok"),
+        (4, "too short"),  # < 1 full window -> no fingerprints
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(df, shingle_n=3, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    # SIGMOD'03 guarantee: a shared window+n-1 = 6-word run yields at
+    # least one shared fingerprint HASH between the two docs
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[3] & by_doc[1])
+    assert 4 not in by_doc
+    # density sanity: selections are a strict subset of windows
+    n_windows_doc1 = (12 - 3 + 1) - 4 + 1
+    assert 0 < len(by_doc[1]) <= n_windows_doc1

@@ -5626,6 +5626,216 @@ def ts_anomaly_diurnal(spark, sf_dir):
                     F.round(z, 4).alias("robust_z")))
 
 
+@query("ss_key_skew_profile", sql="""
+WITH k AS (SELECT l_partkey AS key, count(*) AS c FROM lineitem GROUP BY 1),
+st AS (SELECT count(*) AS n_keys, sum(c)::BIGINT AS n_rows,
+              quantile_cont(c, 0.99) AS p99
+       FROM k),
+top AS (SELECT key AS top_key, c AS top_rows FROM (
+          SELECT key, c, row_number() OVER (ORDER BY c DESC, key ASC) AS rn
+          FROM k) WHERE rn = 1)
+SELECT st.n_keys::BIGINT AS n_keys, st.n_rows, top.top_key,
+       top.top_rows::BIGINT AS top_rows,
+       round(top.top_rows::DOUBLE * st.n_keys / st.n_rows, 4)
+           AS skew_factor,
+       round(st.p99, 4) AS p99_rows_per_key
+FROM st, top
+""")
+def ss_key_skew_profile(spark, sf_dir):
+    """Join-key skew diagnostics for the planner: per-key row counts of
+    lineitem.l_partkey reduced to n_keys / hottest key / skew factor
+    (top ÷ mean) / p99 — the report that decides whether a join needs
+    salting or AQE skew handling before it runs at 100 TB. One
+    combinable count, one agg over the (much smaller) key table; the
+    top-1 pick is a tie-pinned max over (count, −key), no global
+    sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_partkey").alias("key")) \
+        .agg(F.count("*").alias("c"))
+    st = k.agg(F.count("*").alias("n_keys"),
+               F.sum("c").cast("bigint").alias("n_rows"),
+               F.expr("percentile(c, 0.99)").alias("p99"))
+    top = (k.agg(F.max(F.struct(F.col("c").alias("c"),
+                                (-F.col("key")).alias("nk"))).alias("m"))
+           .select((-F.col("m.nk")).alias("top_key"),
+                   F.col("m.c").alias("top_rows")))
+    return (st.crossJoin(F.broadcast(top))
+            .select("n_keys", "n_rows", "top_key",
+                    F.col("top_rows").cast("bigint").alias("top_rows"),
+                    F.round(F.col("top_rows").cast("double")
+                            * F.col("n_keys") / F.col("n_rows"), 4)
+                    .alias("skew_factor"),
+                    F.round("p99", 4).alias("p99_rows_per_key")))
+
+
+@query("emb_lsh_bucket_balance", sql=f"""
+WITH bk AS (SELECT {_bucket_sql('embedding')} AS bucket FROM embeddings),
+c AS (SELECT bucket, count(*) AS c FROM bk GROUP BY 1)
+SELECT count(*)::BIGINT AS n_buckets, min(c)::BIGINT AS min_size,
+       max(c)::BIGINT AS max_size,
+       round(sum(c)::BIGINT::DOUBLE / count(*), 4) AS mean_size,
+       round(max(c)::DOUBLE * count(*) / sum(c)::BIGINT, 4) AS imbalance,
+       sum(c * (c - 1) // 2)::BIGINT AS candidate_pairs
+FROM c
+""")
+def emb_lsh_bucket_balance(spark, sf_dir):
+    """ANN bucket-balance diagnostics: the size distribution of the
+    hyperplane-LSH buckets and Σ c·(c−1)/2 — the EXACT number of
+    candidate pairs a bucketed self-join would generate. This is the
+    cost model that tunes plane count before committing a 10⁹-vector
+    near-dup run; imbalance ≫ 1 means a hot bucket will straggle. Two
+    combinable aggregates, rows never leave the executors."""
+    e = _t(spark, sf_dir, "embeddings")
+    c = (e.select(SIM.hyperplane_bucket_col("embedding", 4).alias("bucket"))
+         .groupBy("bucket").agg(F.count("*").alias("c")))
+    return c.agg(
+        F.count("*").alias("n_buckets"),
+        F.min("c").alias("min_size"), F.max("c").alias("max_size"),
+        F.round(F.sum("c").cast("double") / F.count("*"), 4)
+        .alias("mean_size"),
+        F.round(F.max("c").cast("double") * F.count("*") / F.sum("c"), 4)
+        .alias("imbalance"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("bigint")
+        .alias("candidate_pairs"))
+
+
+_STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+@query("ss_table_stats", sql="\nUNION ALL\n".join(f"""
+SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       count(DISTINCT {c})::BIGINT AS ndv,
+       min({c})::DOUBLE AS min_v, max({c})::DOUBLE AS max_v
+FROM lineitem""" for c in _STATS_COLS))
+def ss_table_stats(spark, sf_dir):
+    """ANALYZE-TABLE-style column statistics (row count, null count,
+    exact NDV, min/max) for lineitem's measure columns — the catalog
+    stats a cost-based optimizer feeds on. One aggregate per column,
+    each scanning ONLY its own parquet column (columnar pruning makes
+    four 1-column passes cheaper at scale than one 4×-expanded
+    multi-distinct pass; doc_hll_distinct is the sketched alternative
+    when exact NDV is too expensive)."""
+    li = _t(spark, sf_dir, "lineitem")
+    parts = []
+    for c in _STATS_COLS:
+        parts.append(li.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_null"),
+            F.countDistinct(c).alias("ndv"),
+            F.min(c).cast("double").alias("min_v"),
+            F.max(c).cast("double").alias("max_v"))
+            .select(F.lit(c).alias("col_name"), "n_rows", "n_null",
+                    "ndv", "min_v", "max_v"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query("ts_streak_runs", sql="""
+WITH v AS (SELECT event_type, ts, event_id, value FROM events
+           WHERE value IS NOT NULL),
+d AS (SELECT event_type, ts, event_id,
+             CASE WHEN value > lag(value) OVER w THEN 1
+                  WHEN value < lag(value) OVER w THEN -1
+                  ELSE 0 END AS s
+      FROM v WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+g AS (SELECT event_type, s,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY event_type, s
+                                  ORDER BY ts, event_id) AS grp
+      FROM d),
+runs AS (SELECT event_type, s, grp, count(*) AS len
+         FROM g GROUP BY 1, 2, 3)
+SELECT event_type,
+       max(CASE WHEN s = 1 THEN len ELSE 0 END)::BIGINT AS longest_up,
+       max(CASE WHEN s = -1 THEN len ELSE 0 END)::BIGINT AS longest_down,
+       sum(CASE WHEN s = 1 AND len >= 5 THEN 1 ELSE 0 END)::BIGINT
+           AS n_up_runs_ge5,
+       sum(CASE WHEN s = -1 AND len >= 5 THEN 1 ELSE 0 END)::BIGINT
+           AS n_down_runs_ge5
+FROM runs GROUP BY 1
+""")
+def ts_streak_runs(spark, sf_dir):
+    """Monotone-streak detection per series: longest strictly
+    increasing / decreasing run and the count of runs ≥ 5 — the
+    ramp/trend-onset primitive (pump-up events, sensor drift onsets).
+    Classic gaps-and-islands via the double-row_number trick: two keyed
+    windows and two combinable aggregates, no self-join."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pv = F.lag("value").over(w)
+    d = ev.select(
+        "event_type", "ts", "event_id",
+        F.when(F.col("value") > pv, 1)
+        .when(F.col("value") < pv, -1).otherwise(0).alias("s"))
+    ws = Window.partitionBy("event_type", "s").orderBy("ts", "event_id")
+    g = d.select("event_type", "s",
+                 (F.row_number().over(w) - F.row_number().over(ws))
+                 .alias("grp"))
+    runs = g.groupBy("event_type", "s", "grp").agg(
+        F.count("*").alias("len"))
+    up = F.when(F.col("s") == 1, F.col("len")).otherwise(0)
+    dn = F.when(F.col("s") == -1, F.col("len")).otherwise(0)
+    return (runs.groupBy("event_type").agg(
+        F.max(up).cast("bigint").alias("longest_up"),
+        F.max(dn).cast("bigint").alias("longest_down"),
+        F.sum(F.when((F.col("s") == 1) & (F.col("len") >= 5), 1)
+              .otherwise(0)).cast("bigint").alias("n_up_runs_ge5"),
+        F.sum(F.when((F.col("s") == -1) & (F.col("len") >= 5), 1)
+              .otherwise(0)).cast("bigint").alias("n_down_runs_ge5")))
+
+
+@query("emb_matryoshka_eval", sql=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+fs AS (SELECT q.query_id, e.vec_id,
+              {_COS_SQL.format(a='e.embedding', b='q.qv')} AS cos
+       FROM embeddings e, q),
+brute AS (SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM fs) WHERE rank <= 10),
+ts_ AS (SELECT q.query_id, e.vec_id,
+               {_COS_SQL.format(a='e.embedding[1:8]', b='q.qv[1:8]')} AS cos
+        FROM embeddings e, q),
+tr AS (SELECT query_id, vec_id FROM (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id ASC) AS rank
+         FROM ts_) WHERE rank <= 10)
+SELECT b.query_id,
+       round(count(tr.vec_id)::DOUBLE / 10.0, 6) AS recall_at_10
+FROM brute b LEFT JOIN tr ON tr.query_id = b.query_id
+                         AND tr.vec_id = b.vec_id
+GROUP BY 1
+""")
+def emb_matryoshka_eval(spark, sf_dir):
+    """Matryoshka-truncation eval: recall@10 of cosine search over the
+    FIRST 8 dims against the full-dimension exact top-10, per query —
+    the measurement that decides how far MRL-style embeddings can be
+    truncated before retrieval degrades (an 8× scan-cost / memory
+    saving at 10⁹ vectors). Both sides are the broadcast-query
+    single-scan brute plan."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.where(F.col("vec_id").isin(0, 1, 2)) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    e8 = e.withColumn("embedding", F.slice("embedding", 1, 8))
+    q8 = q.withColumn("embedding", F.slice("embedding", 1, 8))
+    brute = SIM.knn_brute_force(e, q, k=10).select("query_id", "vec_id")
+    tr = (SIM.knn_brute_force(e8, q8, k=10)
+          .select("query_id", F.col("vec_id").alias("tr_id")))
+    j = brute.join(tr, (tr.query_id == brute.query_id)
+                   & (F.col("tr_id") == brute.vec_id), "left") \
+        .select(brute.query_id, "tr_id")
+    return (j.groupBy("query_id")
+            .agg(F.round(F.count("tr_id") / 10.0, 6).alias("recall_at_10")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -5708,6 +5918,8 @@ _REGISTRATION_ORDER = [
     "ss_rich_idle_customers", "ts_changepoint",
     "doc_winnow_fingerprints", "doc_ngram_novelty", "doc_rare_token_ratio",
     "ts_outage_days", "ts_anomaly_diurnal",
+    "ss_key_skew_profile", "emb_lsh_bucket_balance", "ss_table_stats",
+    "ts_streak_runs", "emb_matryoshka_eval",
 ]
 
 

@@ -5836,6 +5836,192 @@ def emb_matryoshka_eval(spark, sf_dir):
             .agg(F.round(F.count("tr_id") / 10.0, 6).alias("recall_at_10")))
 
 
+@query("ss_basket_pairs", sql="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS a_part, b.l_partkey AS b_part
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey)
+SELECT a_part, b_part, count(*)::BIGINT AS support
+FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+""")
+def ss_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence pairs: parts bought together in ≥ 2
+    orders (the A-priori support-counting kernel). The self-join fans
+    out C(basket,2) per order — bounded by basket size, never by table
+    size, so it's shuffle-safe at any order count; the pair count is
+    one map-side-combinable aggregate."""
+    li = _t(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("a_part"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("b_part"))
+    return (a.join(b, "l_orderkey")
+            .where(F.col("a_part") < F.col("b_part"))
+            .groupBy("a_part", "b_part")
+            .agg(F.count("*").alias("support"))
+            .where(F.col("support") >= 2))
+
+
+@query("ss_late_shipment_priority", sql="""
+SELECT o.o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1
+""")
+def ss_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q4-shaped late-shipment report: orders with ≥ 1 line
+    shipped more than 30 days after order date, counted by priority.
+    The EXISTS pattern as a left-semi join (dedup-free — semi stops at
+    the first match per order), with the lateness predicate evaluated
+    inside the join condition so no intermediate wide rows
+    materialize."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        li, (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi")
+    return (sem.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders")))
+
+
+@query("ts_haar_energy", sql="""
+WITH v AS (SELECT event_type, ts, event_id, value FROM events
+           WHERE value IS NOT NULL),
+ix AS (SELECT event_type, value,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) - 1 AS i
+       FROM v),
+lv AS (SELECT l FROM (VALUES (1), (2), (3)) AS t(l)),
+blk AS (SELECT ix.event_type, lv.l, ix.i // (1 << lv.l) AS b,
+               count(*) AS n,
+               sum((ix.value
+                    * (1 - 2 * ((ix.i // (1 << (lv.l - 1))) % 2)))
+                   ::DECIMAL(30,12)) AS d
+        FROM ix, lv
+        GROUP BY 1, 2, 3),
+en AS (SELECT event_type, l, count(*) AS n_blocks,
+              sum(((d::DOUBLE) * (d::DOUBLE))::DECIMAL(38,10)) AS e
+       FROM blk WHERE n = (1 << l) GROUP BY 1, 2)
+SELECT event_type, l::BIGINT AS level, n_blocks::BIGINT AS n_blocks,
+       round(e::DOUBLE / (1 << (2 * (l - 1))), 4) AS energy
+FROM en
+""")
+def ts_haar_energy(spark, sf_dir):
+    """Haar wavelet detail energy at dyadic scales 1–3 per series — the
+    multi-resolution variance decomposition (which timescale carries
+    the signal's power: sample-to-sample noise vs slower swings).
+    Detail sums use the ±1 parity trick inside ONE grouped aggregate
+    per (series, level, block) — no level-to-level joins, no window
+    beyond the initial index; squares are decimal-summed from
+    deterministic doubles so no float sum-order flap. Incomplete tail
+    blocks are excluded (n = 2^level only)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ix = ev.select("event_type", "value",
+                   (F.row_number().over(w) - 1).alias("i"))
+    lv = spark.range(1, 4).select(F.col("id").cast("int").alias("l"))
+    dec = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    sign = 1 - 2 * (F.expr("i div (1 << (l - 1))") % 2)
+    blk = (ix.crossJoin(F.broadcast(lv))
+           .groupBy("event_type", "l", F.expr("i div (1 << l)").alias("b"))
+           .agg(F.count("*").alias("n"),
+                F.sum(dec(F.col("value") * sign)).alias("d")))
+    dd = F.col("d").cast("double")
+    en = (blk.where(F.col("n") == F.expr("1 << l"))
+          .groupBy("event_type", "l")
+          .agg(F.count("*").alias("n_blocks"),
+               F.sum((dd * dd).cast("decimal(38,10)")).alias("e")))
+    return en.select(
+        "event_type", F.col("l").cast("bigint").alias("level"),
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.round(F.col("e").cast("double")
+                / F.expr("1 << (2 * (l - 1))"), 4).alias("energy"))
+
+
+@query("doc_dup_degree_stats", sql=f"""
+WITH {_SHINGLE_SQL},
+sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY 1),
+bk AS (SELECT doc_id, b, k FROM (
+         SELECT doc_id, unnest(range(4)) AS b,
+                unnest([{_BAND_KEYS_SQL}]) AS k
+         FROM sig)),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM bk a JOIN bk b ON a.b = b.b AND a.k = b.k
+                   AND a.doc_id < b.doc_id),
+v AS (SELECT c.a_id, c.b_id, ({_AGREE_SQL}) / 8.0 AS est
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.a_id
+      JOIN sig sb ON sb.doc_id = c.b_id),
+p AS (SELECT a_id, b_id FROM v WHERE est >= 0.25),
+deg AS (SELECT doc_id, count(*) AS d FROM (
+          SELECT a_id AS doc_id FROM p
+          UNION ALL SELECT b_id AS doc_id FROM p) GROUP BY 1),
+ec AS (SELECT count(*)::BIGINT AS n_edges FROM p)
+SELECT count(*)::BIGINT AS n_nodes, ec.n_edges,
+       max(deg.d)::BIGINT AS max_degree,
+       round(sum(deg.d)::BIGINT::DOUBLE / count(*), 4) AS mean_degree
+FROM deg, ec GROUP BY ec.n_edges
+""")
+def doc_dup_degree_stats(spark, sf_dir):
+    """Degree statistics of the near-dup similarity graph (LSH pairs ≥
+    0.25): node/edge counts, hottest node, mean degree — the shape
+    check run before connected components (a power-law dup graph with a
+    huge hub means a mega-cluster that needs the keep-best policy, not
+    naive pair removal). Pure aggregates over the bucketed pair
+    table."""
+    d = _t(spark, sf_dir, "documents")
+    p = D.minhash_lsh_pairs(d, num_hashes=8, bands=4, threshold=0.25) \
+        .select("a_id", "b_id")
+    deg = (p.select(F.col("a_id").alias("doc_id"))
+           .unionAll(p.select(F.col("b_id").alias("doc_id")))
+           .groupBy("doc_id").agg(F.count("*").alias("d")))
+    ec = p.agg(F.count("*").alias("n_edges"))
+    return (deg.agg(F.count("*").alias("n_nodes"),
+                    F.max("d").cast("bigint").alias("max_degree"),
+                    F.round(F.sum("d").cast("double") / F.count("*"), 4)
+                    .alias("mean_degree"))
+            .crossJoin(F.broadcast(ec))
+            .select("n_nodes", "n_edges", "max_degree", "mean_degree"))
+
+
+@query("ts_user_sessions", sql="""
+WITH d AS (SELECT user_id,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                            OR ts - lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)
+                               > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS ns
+           FROM events)
+SELECT user_id, sum(ns)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events,
+       round(count(*)::DOUBLE / sum(ns), 4) AS events_per_session
+FROM d GROUP BY 1
+""")
+def ts_user_sessions(spark, sf_dir):
+    """Per-user session summary (30-min inactivity gap): session count,
+    event count, events/session — the engagement rollup over the
+    user_id dimension (ts_sessionize's per-series machinery keyed by
+    user instead). One keyed window + one combinable aggregate; users
+    scale out across executors."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pv = F.lag("ts").over(w)
+    d = ev.select(
+        "user_id",
+        F.when(pv.isNull()
+               | (F.unix_micros(F.col("ts")) - F.unix_micros(pv)
+                  > 1800 * 1_000_000),
+               1).otherwise(0).alias("ns"))
+    return (d.groupBy("user_id")
+            .agg(F.sum("ns").cast("bigint").alias("n_sessions"),
+                 F.count("*").alias("n_events"),
+                 F.round(F.count("*") / F.sum("ns"), 4)
+                 .alias("events_per_session")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -5920,6 +6106,8 @@ _REGISTRATION_ORDER = [
     "ts_outage_days", "ts_anomaly_diurnal",
     "ss_key_skew_profile", "emb_lsh_bucket_balance", "ss_table_stats",
     "ts_streak_runs", "emb_matryoshka_eval",
+    "ss_basket_pairs", "ss_late_shipment_priority", "ts_haar_energy",
+    "doc_dup_degree_stats", "ts_user_sessions",
 ]
 
 

@@ -5502,16 +5502,25 @@ def doc_ngram_novelty(spark, sf_dir):
     map-side-combinable min per shingle; one membership join back —
     never pairwise."""
     d = _t(spark, sf_dir, "documents")
-    sh = d.select("doc_id",
-                  F.explode(TX.word_shingles("text", 3)).alias("s"))
-    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
-                  .otherwise(0))
-    return (sh.join(first, "s")
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_shingles"),
-                 novel.cast("bigint").alias("n_novel"),
-                 F.round(novel / F.count("*"), 6).alias("novelty")))
+    # heavy explode: spread regardless of input bytes (same rationale
+    # as ngram_jaccard_pairs — the shuffle write happens in the scan task)
+    sh = (PT.ensure_parallelism(d.select("doc_id", "text"), min_bytes=0)
+          .select("doc_id", F.explode(TX.word_shingles("text", 3))
+                  .alias("s")))
+    # every shingle has exactly ONE first_doc, so per-doc novel counts
+    # are derivable from the first-occurrence table alone — no join of
+    # the corpus-sized index back onto itself (18 s → <1 s at sf0.1;
+    # at 100 TB this is the difference between two combinable aggs +
+    # a per-doc-sized join and re-shuffling the full inverted index)
+    nsh = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    novel = (sh.groupBy("s").agg(F.min("doc_id").alias("doc_id"))
+             .groupBy("doc_id").agg(F.count("*").alias("n_novel")))
+    return (nsh.join(novel, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint")
+                    .alias("n_novel"),
+                    F.round(F.coalesce(F.col("n_novel"), F.lit(0))
+                            / F.col("n_shingles"), 6).alias("novelty")))
 
 
 @query("doc_rare_token_ratio", sql="""

@@ -351,3 +351,42 @@ def test_xcorr_single_raw_shuffle(spark):
     side before the 13-lag fan-out — the lag join runs on bucket rows."""
     plan = _plan(QUERIES["ts_xcorr_lag"](spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_new_pair_ops_no_cartesian(spark):
+    """Round-3 pair generators (SimHash banding, containment inverted
+    index, winnowing) must never fall back to a cartesian/nested-loop
+    product — candidate generation is equi-join-bucketed by design."""
+    for name in ["doc_simhash_pairs", "doc_containment_pairs",
+                 "doc_winnow_fingerprints", "ss_basket_pairs"]:
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    # degree stats carries ONE legitimate broadcast-1-row crossJoin
+    # (the scalar edge count); anything beyond that is a regression
+    plan = _plan(QUERIES["doc_dup_degree_stats"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_novelty_no_index_self_join(spark):
+    """doc_ngram_novelty derives novel counts from the first-occurrence
+    table alone: exactly the explode exchange + two aggregate exchanges
+    + the per-doc join — re-joining the corpus-sized inverted index
+    would roughly double the exchanges."""
+    plan = _plan(QUERIES["doc_ngram_novelty"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # explode spread + 2 aggs + per-doc join (+ AQE reuse nodes); the
+    # corpus-index self-join plan sits well above this bound
+    assert plan.count("Exchange") <= 6, plan.count("Exchange")
+
+
+def test_diagnostics_single_scan_aggregates(spark):
+    """Skew profile / bucket balance / table stats are pure aggregate
+    pipelines: no joins beyond 1-row broadcasts, no Python eval."""
+    for name in ["ss_key_skew_profile", "emb_lsh_bucket_balance",
+                 "ss_table_stats"]:
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "SortMergeJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name

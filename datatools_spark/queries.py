@@ -6031,6 +6031,211 @@ def ts_user_sessions(spark, sf_dir):
                  .alias("events_per_session")))
 
 
+@query("ss_cube_revenue", sql="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       grouping(l_returnflag)::BIGINT AS g_rf,
+       grouping(l_linestatus)::BIGINT AS g_ls,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,12))
+             ::DOUBLE, 4) AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def ss_cube_revenue(spark, sf_dir):
+    """CUBE rollup of revenue over (returnflag, linestatus) with
+    explicit per-column grouping flags — all 2² aggregation levels in
+    ONE pass (Spark expands the grouping sets map-side and partial-
+    combines before a single exchange; no per-level rescans). The
+    grouping() flags disambiguate a real NULL from a rolled-up level,
+    engine-portably."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(30,12)"))
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.grouping("l_returnflag").cast("bigint").alias("g_rf"),
+                 F.grouping("l_linestatus").cast("bigint").alias("g_ls"),
+                 F.round(rev.cast("double"), 4).alias("revenue"),
+                 F.count("*").alias("n_lines"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL"))
+                    .alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL"))
+                    .alias("linestatus"),
+                    "g_rf", "g_ls", "revenue", "n_lines"))
+
+
+@query("ss_customer_deciles", sql="""
+WITH d AS (SELECT c_mktsegment, c_acctbal,
+                  ntile(10) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS decile
+           FROM customer)
+SELECT c_mktsegment, decile::BIGINT AS decile, count(*)::BIGINT AS n,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal,
+       round(sum(c_acctbal::DECIMAL(30,6))::DOUBLE / count(*), 4)
+           AS mean_bal
+FROM d GROUP BY 1, 2
+""")
+def ss_customer_deciles(spark, sf_dir):
+    """Per-segment account-balance deciles (NTILE) with band stats —
+    the quantile-band report. The window partitions by segment so the
+    sort scales out across keys (a GLOBAL ntile would serialize into
+    one partition — at 100 TB you'd bucket by percent_rank from a
+    sampled CDF instead; the keyed form is the honest scalable one).
+    Ties pinned by custkey."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    d = c.withColumn("decile", F.ntile(10).over(w))
+    return (d.groupBy("c_mktsegment",
+                      F.col("decile").cast("bigint").alias("decile"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+                 F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+                 F.round(F.sum(F.col("c_acctbal").cast("decimal(30,6)"))
+                         .cast("double") / F.count("*"), 4)
+                 .alias("mean_bal")))
+
+
+@query("ts_peak_detect", sql="""
+WITH v AS (SELECT event_id, event_type, ts, value FROM events
+           WHERE value IS NOT NULL),
+n AS (SELECT event_id, event_type, ts, value,
+             lag(value, 1) OVER w AS p1, lag(value, 2) OVER w AS p2,
+             lead(value, 1) OVER w AS n1, lead(value, 2) OVER w AS n2
+      FROM v WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+SELECT event_id, event_type, ts, value
+FROM n
+WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+  AND n1 IS NOT NULL AND n2 IS NOT NULL
+  AND value > p1 AND value > p2 AND value > n1 AND value > n2
+""")
+def ts_peak_detect(spark, sf_dir):
+    """Strict local-maximum peak detection (higher than 2 neighbors on
+    each side; series edges and ties excluded) — the event-onset
+    primitive behind the reference's manual extrema picking
+    (diurnal.py picks), automated. One keyed window computing 4
+    lag/lead columns in a single sort; raw-value comparisons are
+    engine-exact."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    n = ev.select(
+        "event_id", "event_type", "ts", "value",
+        F.lag("value", 1).over(w).alias("p1"),
+        F.lag("value", 2).over(w).alias("p2"),
+        F.lead("value", 1).over(w).alias("n1"),
+        F.lead("value", 2).over(w).alias("n2"))
+    c = F.col
+    return (n.where(c("p1").isNotNull() & c("p2").isNotNull()
+                    & c("n1").isNotNull() & c("n2").isNotNull()
+                    & (c("value") > c("p1")) & (c("value") > c("p2"))
+                    & (c("value") > c("n1")) & (c("value") > c("n2")))
+            .select("event_id", "event_type", "ts", "value"))
+
+
+@query("doc_cooccurrence_pmi", sql="""
+WITH tok AS (SELECT DISTINCT doc_id,
+                    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                        AS w
+             FROM documents),
+top AS (SELECT w FROM (
+          SELECT w, row_number() OVER (ORDER BY count(*) DESC, w ASC) AS rn
+          FROM tok GROUP BY w) WHERE rn <= 50),
+tt AS (SELECT t.doc_id, t.w FROM tok t JOIN top USING (w)),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+cw AS (SELECT w, count(*) AS c FROM tt GROUP BY 1),
+cp AS (SELECT a.w AS w_a, b.w AS w_b, count(*) AS c_ab
+       FROM tt a JOIN tt b ON a.doc_id = b.doc_id AND a.w < b.w
+       GROUP BY 1, 2)
+SELECT cp.w_a, cp.w_b, cp.c_ab::BIGINT AS c_ab,
+       round(ln(cp.c_ab::DOUBLE * nd.n / (ca.c::DOUBLE * cb.c)), 4) AS pmi
+FROM cp
+JOIN cw ca ON ca.w = cp.w_a
+JOIN cw cb ON cb.w = cp.w_b
+CROSS JOIN nd
+WHERE cp.c_ab >= 5
+""")
+def doc_cooccurrence_pmi(spark, sf_dir):
+    """Pointwise mutual information of word co-occurrence (doc-level,
+    top-50 vocabulary only) — the word2vec-era association statistic
+    that surfaces collocations and template boilerplate. The vocabulary
+    cap bounds the per-doc pair fan-out at C(50,2) regardless of doc
+    length, so the self-join is doc-bounded, never corpus²; counts are
+    exact integers and the single log runs on identical exact ratios
+    in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.explode(TX.words_col("text")).alias("w"))
+           .distinct())
+    vc = tok.groupBy("w").agg(F.count("*").alias("c"))
+    rk = Window.orderBy(F.desc("c"), F.asc("w"))
+    top = (vc.withColumn("rn", F.row_number().over(rk))
+           .where(F.col("rn") <= 50).select("w"))
+    tt = tok.join(F.broadcast(top), "w")
+    nd = tok.agg(F.countDistinct("doc_id").alias("n"))
+    cw = tt.groupBy("w").agg(F.count("*").alias("c"))
+    a = tt.select("doc_id", F.col("w").alias("w_a"))
+    b = tt.select("doc_id", F.col("w").alias("w_b"))
+    cp = (a.join(b, "doc_id").where(F.col("w_a") < F.col("w_b"))
+          .groupBy("w_a", "w_b").agg(F.count("*").alias("c_ab"))
+          .where(F.col("c_ab") >= 5))
+    ca = cw.select(F.col("w").alias("w_a"), F.col("c").alias("ca"))
+    cb = cw.select(F.col("w").alias("w_b"), F.col("c").alias("cb"))
+    return (cp.join(F.broadcast(ca), "w_a").join(F.broadcast(cb), "w_b")
+            .crossJoin(F.broadcast(nd))
+            .select("w_a", "w_b", F.col("c_ab").cast("bigint").alias("c_ab"),
+                    F.round(F.log(F.col("c_ab").cast("double") * F.col("n")
+                                  / (F.col("ca").cast("double")
+                                     * F.col("cb"))), 4).alias("pmi")))
+
+
+@query("ss_supplier_concentration", sql="""
+WITH sr AS (SELECT s.s_nationkey,
+                   l.l_suppkey,
+                   sum((l.l_extendedprice * (1 - l.l_discount))
+                       ::DECIMAL(30,12)) AS rev
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            GROUP BY 1, 2),
+nt AS (SELECT s_nationkey, sum(rev) AS tot, count(*) AS n_suppliers
+       FROM sr GROUP BY 1)
+SELECT n.n_name AS nation, nt.n_suppliers::BIGINT AS n_suppliers,
+       round(nt.tot::DOUBLE, 4) AS total_revenue,
+       round(sum(((sr.rev::DOUBLE / nt.tot::DOUBLE)
+                  * (sr.rev::DOUBLE / nt.tot::DOUBLE))::DECIMAL(38,12))
+             ::DOUBLE, 6) AS hhi
+FROM sr
+JOIN nt USING (s_nationkey)
+JOIN nation n ON n.n_nationkey = sr.s_nationkey
+GROUP BY 1, 2, 3
+""")
+def ss_supplier_concentration(spark, sf_dir):
+    """Herfindahl–Hirschman concentration index of supplier revenue per
+    nation — the market-structure metric (HHI → 1 means one supplier
+    dominates; → 1/n means fragmentation). Shares derive from exact
+    DECIMAL revenue sums; squared shares are decimal-re-summed so the
+    reduction is order-proof. Supplier dim broadcasts into the fact;
+    everything after the first aggregate is broadcast-sized."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sr = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+          .groupBy("s_nationkey", "l_suppkey")
+          .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                     .cast("decimal(30,12)")).alias("rev")))
+    nt = sr.groupBy("s_nationkey").agg(
+        F.sum("rev").alias("tot"), F.count("*").alias("n_suppliers"))
+    share = F.col("rev").cast("double") / F.col("tot").cast("double")
+    return (sr.join(F.broadcast(nt), "s_nationkey")
+            .join(F.broadcast(n),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.col("n_suppliers").cast("bigint")
+                     .alias("n_suppliers"),
+                     F.round(F.col("tot").cast("double"), 4)
+                     .alias("total_revenue"))
+            .agg(F.round(F.sum((share * share).cast("decimal(38,12)"))
+                         .cast("double"), 6).alias("hhi")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -6117,6 +6322,8 @@ _REGISTRATION_ORDER = [
     "ts_streak_runs", "emb_matryoshka_eval",
     "ss_basket_pairs", "ss_late_shipment_priority", "ts_haar_energy",
     "doc_dup_degree_stats", "ts_user_sessions",
+    "ss_cube_revenue", "ss_customer_deciles", "ts_peak_detect",
+    "doc_cooccurrence_pmi", "ss_supplier_concentration",
 ]
 
 

@@ -6236,6 +6236,140 @@ def ss_supplier_concentration(spark, sf_dir):
                          .cast("double"), 6).alias("hhi")))
 
 
+@query("ss_cheapest_supplier", sql="""
+WITH ps AS (SELECT l_partkey, l_suppkey,
+                   sum(l_extendedprice::DECIMAL(30,2)) AS tot,
+                   sum(l_quantity::DECIMAL(20,1)) AS qty
+            FROM lineitem GROUP BY 1, 2),
+pr AS (SELECT l_partkey, l_suppkey,
+              tot::DOUBLE / qty::DOUBLE AS unit_price
+       FROM ps WHERE qty > 0),
+m AS (SELECT l_partkey, l_suppkey, unit_price FROM (
+        SELECT l_partkey, l_suppkey, unit_price,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY unit_price ASC,
+                                           l_suppkey ASC) AS rn
+        FROM pr) WHERE rn = 1)
+-- portable half-up: 2dp sums / small-int quantities constantly land
+-- exactly on the .xxxx5 tie, where Spark rounds HALF_UP and DuckDB
+-- half-even — floor(x*1e4 + 0.5)/1e4 is pure IEEE arithmetic on
+-- identical doubles, so both engines agree on every tie
+SELECT m.l_partkey, s.s_name,
+       floor(m.unit_price * 10000 + 0.5) / 10000 AS unit_price
+FROM m JOIN supplier s ON s.s_suppkey = m.l_suppkey
+""")
+def ss_cheapest_supplier(spark, sf_dir):
+    """TPC-H Q2-shaped cheapest-supplier-per-part: observed unit price
+    per (part, supplier), argmin per part (tie → lowest suppkey),
+    supplier detail joined back. The correlated-min join-back pattern;
+    the rank window runs over the already-aggregated (part, supplier)
+    table — orders of magnitude smaller than the fact — and unit
+    prices divide exact DECIMAL sums so the argmin can't flip between
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,2)"))
+               .alias("tot"),
+               F.sum(F.col("l_quantity").cast("decimal(20,1)"))
+               .alias("qty")))
+    pr = (ps.where(F.col("qty") > 0)
+          .withColumn("unit_price",
+                      F.col("tot").cast("double")
+                      / F.col("qty").cast("double")))
+    w = Window.partitionBy("l_partkey").orderBy(F.asc("unit_price"),
+                                                F.asc("l_suppkey"))
+    m = (pr.withColumn("rn", F.row_number().over(w))
+         .where(F.col("rn") == 1))
+    return (m.join(F.broadcast(s), m.l_suppkey == s.s_suppkey)
+            .select("l_partkey", "s_name",
+                    (F.floor(F.col("unit_price") * 10000 + 0.5) / 10000)
+                    .alias("unit_price")))
+
+
+@query("ts_downsample_m4", sql="""
+WITH v AS (SELECT event_type, ts, event_id, value FROM events
+           WHERE value IS NOT NULL),
+b AS (SELECT event_type,
+             make_timestamp(epoch_us(date_trunc('day', ts))
+                            + (epoch_us(ts)
+                               - epoch_us(date_trunc('day', ts)))
+                              // 21600000000 * 21600000000) AS bucket,
+             ts, event_id, value
+      FROM v),
+r AS (SELECT event_type, bucket, value,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts ASC, event_id ASC) AS rf,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM b)
+SELECT event_type, bucket, count(*)::BIGINT AS n,
+       min(value) AS v_min, max(value) AS v_max,
+       min(CASE WHEN rf = 1 THEN value END) AS v_first,
+       min(CASE WHEN rl = 1 THEN value END) AS v_last
+FROM r GROUP BY 1, 2
+""")
+def ts_downsample_m4(spark, sf_dir):
+    """M4 visualization downsampling (Jugel et al., VLDB'14): per
+    (series, 6 h pixel bucket) keep min/max/first/last — the lossless
+    set for line-chart rendering at any zoom (extends plot_envelope's
+    min/max with the tie-pinned endpoints that make connecting
+    segments exact). One keyed window for the endpoint ranks + one
+    combinable aggregate."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.unix_micros(F.date_trunc("day", "ts"))
+    bucket = F.timestamp_micros(
+        day + F.expr("(unix_micros(ts) - unix_micros(date_trunc('day', ts)))"
+                     " div 21600000000") * 21_600_000_000)
+    b = ev.select("event_type", bucket.alias("bucket"), "ts", "event_id",
+                  "value")
+    wf = Window.partitionBy("event_type", "bucket") \
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+    wl = Window.partitionBy("event_type", "bucket") \
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+    r = b.select("event_type", "bucket", "value",
+                 F.row_number().over(wf).alias("rf"),
+                 F.row_number().over(wl).alias("rl"))
+    return (r.groupBy("event_type", "bucket")
+            .agg(F.count("*").alias("n"),
+                 F.min("value").alias("v_min"),
+                 F.max("value").alias("v_max"),
+                 F.min(F.when(F.col("rf") == 1, F.col("value")))
+                 .alias("v_first"),
+                 F.min(F.when(F.col("rl") == 1, F.col("value")))
+                 .alias("v_last")))
+
+
+@query("doc_df_histogram", sql=f"""
+WITH {_SHINGLE_SQL},
+dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+bins AS (SELECT CASE WHEN df < 2 THEN 0 WHEN df < 4 THEN 1 WHEN df < 8 THEN 2 WHEN df < 16 THEN 3 WHEN df < 32 THEN 4 WHEN df < 64 THEN 5 WHEN df < 128 THEN 6 WHEN df < 256 THEN 7 WHEN df < 512 THEN 8 WHEN df < 1024 THEN 9 ELSE 10 END AS log2_bin, df
+         FROM dfreq)
+SELECT log2_bin::BIGINT AS log2_bin, count(*)::BIGINT AS n_shingles,
+       sum(df)::BIGINT AS posting_rows,
+       sum((df * (df - 1) // 2))::BIGINT AS pair_mass
+FROM bins GROUP BY 1
+""")
+def doc_df_histogram(spark, sf_dir):
+    """Document-frequency histogram of shingles in log₂ bins, with the
+    posting-row and candidate-pair mass each bin would contribute to an
+    inverted-index join — THE tuning report for the max_df stop-shingle
+    guard (the top bin's quadratic pair_mass is exactly what the guard
+    amputates). Two combinable aggregates; log2 of an integer binned
+    via floor is engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    sh = (PT.ensure_parallelism(d.select("doc_id", "text"), min_bytes=0)
+          .select(F.explode(TX.word_shingles("text", 3)).alias("s")))
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    bin_ = F.expr("CASE WHEN df < 2 THEN 0 WHEN df < 4 THEN 1 WHEN df < 8 THEN 2 WHEN df < 16 THEN 3 WHEN df < 32 THEN 4 WHEN df < 64 THEN 5 WHEN df < 128 THEN 6 WHEN df < 256 THEN 7 WHEN df < 512 THEN 8 WHEN df < 1024 THEN 9 ELSE 10 END")
+    return (dfreq.select(bin_.alias("log2_bin"), "df")
+            .groupBy(F.col("log2_bin").cast("bigint").alias("log2_bin"))
+            .agg(F.count("*").alias("n_shingles"),
+                 F.sum("df").cast("bigint").alias("posting_rows"),
+                 F.sum(F.expr("df * (df - 1) div 2")).cast("bigint")
+                 .alias("pair_mass")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -6324,6 +6458,7 @@ _REGISTRATION_ORDER = [
     "doc_dup_degree_stats", "ts_user_sessions",
     "ss_cube_revenue", "ss_customer_deciles", "ts_peak_detect",
     "doc_cooccurrence_pmi", "ss_supplier_concentration",
+    "ss_cheapest_supplier", "ts_downsample_m4", "doc_df_histogram",
 ]
 
 

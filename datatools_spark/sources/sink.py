@@ -22,7 +22,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_partitioned", "write_bucketed_table"]
+__all__ = ["write_partitioned", "write_bucketed_table",
+           "write_corpus", "read_corpus"]
 
 
 def write_partitioned(df: DataFrame, path: str,
@@ -59,3 +60,48 @@ def write_bucketed_table(df: DataFrame, table: str,
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+_FORMATS = {"parquet", "orc", "json", "csv"}
+
+
+def write_corpus(df: DataFrame, path: str, fmt: str = "parquet",
+                 partition_by: Sequence[str] = (),
+                 compression: str | None = None) -> None:
+    """Format-matrix corpus sink: parquet (columnar + stats, the
+    default), ORC (columnar alternative, same pruning story), JSON
+    lines / CSV (interchange; splittable when uncompressed). One writer
+    per export contract so downstream consumers pick their format
+    without bespoke code paths.
+
+    Columnar formats keep row-group stats pruning; JSON/CSV lose types
+    and stats — the docstring-level warning IS the guidance: use them
+    for interchange exports, never as the analytical store.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {sorted(_FORMATS)}, got {fmt}")
+    w = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if compression is not None:
+        w = w.option("compression", compression)
+    if fmt == "csv":
+        # header keeps the file self-describing; timestamps serialized
+        # ISO so a re-read with an explicit schema round-trips
+        w = w.option("header", "true")
+    w.save(path)
+
+
+def read_corpus(spark, path: str, fmt: str = "parquet", schema=None):
+    """Counterpart reader. For JSON/CSV an EXPLICIT schema is required
+    (schema inference is a full extra pass over the data at 100 TB and
+    silently widens types); columnar formats carry their own."""
+    r = spark.read.format(fmt)
+    if fmt in ("json", "csv"):
+        if schema is None:
+            raise ValueError(f"{fmt} read requires an explicit schema "
+                             "(inference is a full extra scan)")
+        r = r.schema(schema)
+        if fmt == "csv":
+            r = r.option("header", "true")
+    return r.load(path)

@@ -189,3 +189,21 @@ def run_file_stream(spark: SparkSession, src_dir: str, schema,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def streaming_distinct_users(events: DataFrame, window: str = "1 hour",
+                             watermark: str = "2 hours",
+                             key: str = "user_id") -> DataFrame:
+    """Windowed approximate distinct users on a stream:
+    ``approx_count_distinct`` (HLL++) per (event_type, window) with a
+    watermark so state expires. HLL registers reduce by element-wise
+    max — order- and partitioning-insensitive — so the streamed result
+    over any micro-batch split equals the batch aggregate over the same
+    rows (asserted in tests), and per-window state is register-sized
+    (KB), not user-set-sized: the cardinality op that still works when
+    the window holds 10⁹ distinct keys."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.approx_count_distinct(key).alias("n_users"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_users"))

@@ -264,3 +264,51 @@ def test_streaming_interval_join_equals_batch(spark, tmp_path):
     want = sorted(tuple(r) for r in
                   streaming_interval_join(ldf, rdf).collect())
     assert got == want and len(got) > 0
+
+
+def test_streaming_distinct_users_equals_batch(spark, events_dir):
+    from datatools_spark.streaming.demo import streaming_distinct_users
+    base, src, df = events_dir
+    tr = lambda d: streaming_distinct_users(d, key="event_id")  # noqa: E731
+    got = _run(spark, base, src, df.schema, tr, "distinct_users")
+    expect = tr(df)
+    # HLL++ registers reduce by element-wise max (order/partitioning
+    # insensitive), so stream-over-micro-batches == one-shot batch
+    assert _rounded(got) == _rounded(expect)
+    # sketch sanity: within documented 5% rsd of the exact count
+    import pyspark.sql.functions as F
+    exact = {(r.window_start, r.event_type): r.n
+             for r in df.groupBy(F.window("ts", "1 hour").alias("w"),
+                                 "event_type")
+             .agg(F.countDistinct("event_id").alias("n"))
+             .select(F.col("w.start").alias("window_start"), "event_type",
+                     "n").collect()}
+    for r in got.collect():
+        e = exact[(r.window_start, r.event_type)]
+        assert abs(r.n_users - e) <= max(2, 0.15 * e)
+
+
+def test_corpus_format_matrix_roundtrip(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from datatools_spark.sources.sink import read_corpus, write_corpus
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+        (F.col("id") % 7).alias("grp"))
+    rows = sorted((r.doc_id, r.text, r.grp) for r in df.collect())
+    for fmt in ["parquet", "orc", "json", "csv"]:
+        path = str(tmp_path / fmt)
+        write_corpus(df, path, fmt=fmt)
+        back = read_corpus(spark, path, fmt=fmt, schema=df.schema)
+        assert sorted((r.doc_id, r.text, r.grp)
+                      for r in back.collect()) == rows, fmt
+    # partitioned columnar write prunes by directory
+    path = str(tmp_path / "part_orc")
+    write_corpus(df, path, fmt="orc", partition_by=["grp"])
+    pruned = read_corpus(spark, path, fmt="orc").where(F.col("grp") == 3)
+    assert pruned.count() == sum(1 for _, _, g in rows if g == 3)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_corpus(spark, path, fmt="csv")
+    with _pytest.raises(ValueError):
+        write_corpus(df, path, fmt="avro")

@@ -126,3 +126,79 @@ def theil_sen(df: DataFrame, series_col: str, ts_col: str = "ts",
     return icept.select(series_col, "n_days",
                         F.round("m", 6).alias("slope_per_day"),
                         F.round("b", 6).alias("intercept"))
+
+
+def dtw_pair_distances(df: DataFrame, pairs: DataFrame,
+                       series_col: str = "series", ts_col: str = "ts",
+                       val_col: str = "value", grain: str = "HOUR",
+                       band: int | None = None) -> DataFrame:
+    """Dynamic-time-warping distance between series pairs — the elastic
+    similarity xcorr can't express (xcorr aligns with ONE global lag;
+    DTW warps locally, matching series whose events stretch and
+    compress). Sakoe–Chiba banding (``band``) bounds the warp window.
+
+    This is a genuinely sequential O(n·m) dynamic program — not
+    expressible as SQL/window algebra — so it takes the repo's
+    documented escape hatch: an Arrow-batched pandas grouped-map
+    (`applyInPandas`), never a per-row Python UDF. The DP itself is
+    vectorized per anti-row in numpy.
+
+    Scale shape: the raw series reduce FIRST through the combinable
+    :func:`bucket_mean` aggregate (one data-sized shuffle); each
+    DTW then runs on two bucket arrays whose length is the TIME grain,
+    not the sample count — a year of hourly buckets is 8.8k floats, and
+    each (pair) row is an independent task slot. Per-series bucket
+    arrays must fit executor memory; coarsen ``grain`` first if not.
+
+    ``pairs``: DataFrame with columns ``a, b`` naming series keys.
+    Output: ``a, b, n_a, n_b, dtw`` (float64; deterministic — fixed
+    per-pair accumulation order, no cross-partition reduction).
+    """
+    bm = bucket_mean(df, series_col, ts_col, val_col, grain)
+    arr = (bm.groupBy(F.col(series_col).alias("_k"))
+           .agg(F.array_sort(F.collect_list(F.struct("bkt", "v")))
+                .alias("_sv"))
+           .select("_k", F.expr("transform(_sv, x -> x.v)").alias("_vs")))
+    j = (pairs.join(arr.withColumnRenamed("_k", "a")
+                    .withColumnRenamed("_vs", "_va"), "a")
+         .join(arr.withColumnRenamed("_k", "b")
+               .withColumnRenamed("_vs", "_vb"), "b"))
+
+    import pandas as pd  # local import: Arrow path only
+
+    def _dtw_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        out = []
+        # zip over columns: itertuples positionally renames _-prefixed
+        # fields, and iterrows boxes every value
+        for a, b, va, vb in zip(pdf["a"], pdf["b"], pdf["_va"], pdf["_vb"]):
+            x = np.asarray(va, dtype=np.float64)
+            y = np.asarray(vb, dtype=np.float64)
+            n, m = len(x), len(y)
+            w = max(band, abs(n - m)) if band is not None else None
+            prev = np.full(m + 1, np.inf)
+            prev[0] = 0.0
+            for i in range(1, n + 1):
+                cur = np.full(m + 1, np.inf)
+                lo = 1 if w is None else max(1, i - w)
+                hi = m if w is None else min(m, i + w)
+                if lo > hi:
+                    prev = cur
+                    continue
+                d = np.abs(x[i - 1] - y[lo - 1:hi])
+                # cur[j] = d + min(prev[j-1], prev[j], cur[j-1]) — the
+                # cur[j-1] term is the sequential recurrence; keep the
+                # scan explicit (np.minimum.accumulate can't fold the
+                # running term with the elementwise min of two arrays)
+                base = np.minimum(prev[lo - 1:hi], prev[lo:hi + 1])
+                acc = np.inf
+                for k in range(hi - lo + 1):
+                    acc = d[k] + min(base[k], acc)
+                    cur[lo + k] = acc
+                prev = cur
+            out.append((a, b, n, m, float(prev[m])))
+        return pd.DataFrame(out, columns=["a", "b", "n_a", "n_b", "dtw"])
+
+    schema = ("a string, b string, n_a long, n_b long, dtw double")
+    return (j.repartition("a", "b")
+            .groupBy("a", "b").applyInPandas(_dtw_batch, schema=schema))

@@ -6370,6 +6370,31 @@ def doc_df_histogram(spark, sf_dir):
                  .alias("pair_mass")))
 
 
+@query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
+# correctness is pinned by test_dtw_pair_distances_matches_reference
+def ts_dtw_pairs(spark, sf_dir):
+    """Dynamic-time-warping distance between every pair of event-type
+    series (hourly-mean grain, Sakoe–Chiba band 48) — the elastic
+    similarity measure for series whose dynamics stretch/compress
+    (xcorr's single-global-lag alignment can't capture it). The one
+    data-sized pass is the combinable bucket_mean aggregate; each DTW
+    runs vectorized in an Arrow-batched applyInPandas over two
+    bucket arrays (operators/correlate.py dtw_pair_distances — the
+    repo's documented non-SQL escape hatch, never a per-row UDF)."""
+    from .operators import correlate as CO
+    ev = _t(spark, sf_dir, "events")
+    types = [r[0] for r in
+             ev.select("event_type").distinct().orderBy("event_type")
+             .collect()]
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(types) for b in types[i + 1:]],
+        ["a", "b"])
+    out = CO.dtw_pair_distances(ev, pairs, series_col="event_type",
+                                grain="HOUR", band=48)
+    return out.select("a", "b", "n_a", "n_b",
+                      F.round("dtw", 4).alias("dtw"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -6459,6 +6484,7 @@ _REGISTRATION_ORDER = [
     "ss_cube_revenue", "ss_customer_deciles", "ts_peak_detect",
     "doc_cooccurrence_pmi", "ss_supplier_concentration",
     "ss_cheapest_supplier", "ts_downsample_m4", "doc_df_histogram",
+    "ts_dtw_pairs",
 ]
 
 

@@ -437,3 +437,45 @@ def test_winnow_fingerprints_guarantee(spark):
     # density sanity: selections are a strict subset of windows
     n_windows_doc1 = (12 - 3 + 1) - 4 + 1
     assert 0 < len(by_doc[1]) <= n_windows_doc1
+
+
+def test_dtw_pair_distances_matches_reference(spark):
+    import itertools
+    import math
+    from datatools_spark.operators.correlate import dtw_pair_distances
+
+    def ref_dtw(x, y):
+        n, m = len(x), len(y)
+        D = [[math.inf] * (m + 1) for _ in range(n + 1)]
+        D[0][0] = 0.0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                d = abs(x[i - 1] - y[j - 1])
+                D[i][j] = d + min(D[i - 1][j - 1], D[i - 1][j], D[i][j - 1])
+        return D[n][m]
+
+    import datetime as dtm
+    t0 = dtm.datetime(2024, 1, 1)
+    series = {
+        "a": [1.0, 2.0, 3.0, 2.0, 1.0, 0.0],
+        "b": [1.0, 1.0, 2.0, 3.0, 3.0, 2.0, 1.0, 0.0],  # a, stretched
+        "c": [5.0, 5.0, 5.0, 5.0, 5.0, 5.0],
+    }
+    rows = [(k, t0 + dtm.timedelta(hours=i), v)
+            for k, vs in series.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, ["series", "ts", "value"])
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(sorted(series), 2)]
+        + [("a", "a")], ["a", "b"])
+    got = {(r.a, r.b): r for r in
+           dtw_pair_distances(df, pairs, grain="HOUR").collect()}
+    for (a, b), r in got.items():
+        assert r.dtw == ref_dtw(series[a], series[b]), (a, b)
+        assert (r.n_a, r.n_b) == (len(series[a]), len(series[b]))
+    assert got[("a", "a")].dtw == 0.0
+    # elasticity: the stretched copy is far closer than the flat line
+    assert got[("a", "b")].dtw < got[("a", "c")].dtw
+    # a wide Sakoe-Chiba band reproduces the unbanded distance
+    banded = {(r.a, r.b): r.dtw for r in
+              dtw_pair_distances(df, pairs, grain="HOUR", band=10).collect()}
+    assert banded == {k: v.dtw for k, v in got.items()}

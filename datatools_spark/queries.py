@@ -6370,6 +6370,200 @@ def doc_df_histogram(spark, sf_dir):
                  .alias("pair_mass")))
 
 
+@query("ts_flatline_detect", sql="""
+WITH v AS (SELECT event_type, ts, event_id, value FROM events
+           WHERE value IS NOT NULL),
+d AS (SELECT event_type, ts, event_id, value,
+             CASE WHEN value = lag(value) OVER (
+                      PARTITION BY event_type ORDER BY ts, event_id)
+                  THEN 0 ELSE 1 END AS brk
+      FROM v),
+g AS (SELECT event_type, value,
+             sum(brk) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM d),
+runs AS (SELECT event_type, grp, count(*) AS len
+         FROM g GROUP BY 1, 2)
+SELECT event_type,
+       max(len)::BIGINT AS longest_flatline,
+       sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_flatlines_ge3,
+       sum(CASE WHEN len >= 3 THEN len ELSE 0 END)::BIGINT
+           AS n_stuck_samples
+FROM runs GROUP BY 1
+""")
+def ts_flatline_detect(spark, sf_dir):
+    """Stuck-sensor / flatline detection: runs of EXACTLY repeated
+    values per series (a rail-saturated or frozen sensor repeats its
+    last reading — the classic failure the reference excises by hand
+    with drop windows). Gaps-and-islands on a value-equality break
+    flag; raw equality comparisons are engine-exact."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type", "ts", "event_id", "value",
+        F.when(F.col("value") == F.lag("value").over(w), 0)
+        .otherwise(1).alias("brk"))
+    g = d.select("event_type",
+                 F.sum("brk").over(
+                     w.rowsBetween(Window.unboundedPreceding, 0))
+                 .alias("grp"))
+    runs = g.groupBy("event_type", "grp").agg(F.count("*").alias("len"))
+    return (runs.groupBy("event_type").agg(
+        F.max("len").cast("bigint").alias("longest_flatline"),
+        F.sum(F.when(F.col("len") >= 3, 1).otherwise(0)).cast("bigint")
+        .alias("n_flatlines_ge3"),
+        F.sum(F.when(F.col("len") >= 3, F.col("len")).otherwise(0))
+        .cast("bigint").alias("n_stuck_samples")))
+
+
+@query("doc_dedup_compare", sql=f"""
+WITH {_SHINGLE_SQL},
+-- exact: distinct normalized-text fingerprints
+ex AS (SELECT count(DISTINCT md5(trim(lower(text)))) AS kept
+       FROM documents),
+-- minhash-lsh: docs minus (pair members - cluster representatives);
+-- keep the min doc_id of each dup component approximated by pairs:
+-- a doc is DROPPED if it appears as the b-side of any pair (a<b keeps
+-- the smallest member — the doc_neardup_retention rule)
+sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY 1),
+bk AS (SELECT doc_id, b, k FROM (
+         SELECT doc_id, unnest(range(4)) AS b,
+                unnest([{_BAND_KEYS_SQL}]) AS k
+         FROM sig)),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM bk a JOIN bk b ON a.b = b.b AND a.k = b.k
+                   AND a.doc_id < b.doc_id),
+v AS (SELECT c.a_id, c.b_id FROM cand c
+      JOIN sig sa ON sa.doc_id = c.a_id
+      JOIN sig sb ON sb.doc_id = c.b_id
+      WHERE ({_AGREE_SQL}) / 8.0 >= 0.25),
+mh AS (SELECT (SELECT count(*) FROM documents)
+              - count(DISTINCT b_id) AS kept FROM v),
+n AS (SELECT count(*) AS total FROM documents)
+SELECT 'exact' AS strategy, n.total::BIGINT AS n_docs,
+       ex.kept::BIGINT AS n_kept,
+       round(ex.kept::DOUBLE / n.total, 6) AS retention
+FROM ex, n
+UNION ALL
+SELECT 'minhash_lsh', n.total::BIGINT, mh.kept::BIGINT,
+       round(mh.kept::DOUBLE / n.total, 6)
+FROM mh, n
+""")
+def doc_dedup_compare(spark, sf_dir):
+    """Side-by-side retention of the two production dedup strategies on
+    the same corpus — exact fingerprint vs MinHash-LSH near-dup (keep
+    the smallest member of each pair, the doc_neardup_retention rule).
+    The report a curation team reads before picking aggressiveness:
+    near-dup always keeps ≤ exact. Both branches are the engine's own
+    bucketed plans sharing one corpus scan."""
+    d = _t(spark, sf_dir, "documents")
+    total = d.count()
+    ex_kept = (d.select(F.md5(F.trim(F.lower("text"))).alias("fp"))
+               .agg(F.countDistinct("fp").alias("k")))
+    pairs = D.minhash_lsh_pairs(d, num_hashes=8, bands=4, threshold=0.25)
+    dropped = pairs.agg(F.countDistinct("b_id").alias("d"))
+    ex_row = ex_kept.select(
+        F.lit("exact").alias("strategy"),
+        F.lit(total).cast("bigint").alias("n_docs"),
+        F.col("k").cast("bigint").alias("n_kept"),
+        F.round(F.col("k") / F.lit(float(total)), 6).alias("retention"))
+    mh_row = dropped.select(
+        F.lit("minhash_lsh").alias("strategy"),
+        F.lit(total).cast("bigint").alias("n_docs"),
+        (F.lit(total) - F.col("d")).cast("bigint").alias("n_kept"),
+        F.round((F.lit(total) - F.col("d")) / F.lit(float(total)), 6)
+        .alias("retention"))
+    return ex_row.unionByName(mh_row)
+
+
+@query("ss_ship_latency", sql="""
+WITH lat AS (SELECT o.o_orderpriority,
+                    (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                        // 86400000000 AS days
+             FROM lineitem l
+             JOIN orders o ON o.o_orderkey = l.l_orderkey)
+SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+       round(quantile_cont(days, 0.5), 4) AS p50_days,
+       round(quantile_cont(days, 0.95), 4) AS p95_days,
+       max(days)::BIGINT AS max_days
+FROM lat GROUP BY 1
+""")
+def ss_ship_latency(spark, sf_dir):
+    """Order-to-ship latency distribution by priority (exact p50/p95 in
+    whole days) — the fulfillment SLA report. Latency derives from
+    exact integer micros division; percentiles are the interpolated
+    exact form both engines share. Orders side joins broadcast
+    (AQE-sized); one combinable aggregate after."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                           "o_orderdate", "o_orderpriority")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    # tables read these as TIMESTAMP_NTZ; cast to TIMESTAMP (session is
+    # UTC everywhere — same instant) since unix_micros rejects NTZ
+    days = F.expr("(unix_micros(cast(l_shipdate AS timestamp))"
+                  " - unix_micros(cast(o_orderdate AS timestamp)))"
+                  " div 86400000000")
+    return (j.select("o_orderpriority", days.alias("days"))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_lines"),
+                 F.round(F.expr("percentile(days, 0.5)"), 4)
+                 .alias("p50_days"),
+                 F.round(F.expr("percentile(days, 0.95)"), 4)
+                 .alias("p95_days"),
+                 F.max("days").cast("bigint").alias("max_days")))
+
+
+@query("ts_seasonal_strength", sql="""
+WITH v AS (SELECT event_type, hour(ts) AS hr, value FROM events
+           WHERE value IS NOT NULL),
+cl AS (SELECT event_type, hr,
+              sum(value::DECIMAL(30,12)) AS s, count(*) AS n
+       FROM v GROUP BY 1, 2),
+tot AS (SELECT event_type, sum(s) AS st, sum(n)::BIGINT AS nt
+        FROM cl GROUP BY 1),
+r AS (SELECT v.event_type, v.value,
+             cl.s::DOUBLE / cl.n AS mu_h,
+             tot.st::DOUBLE / tot.nt AS mu
+      FROM v JOIN cl USING (event_type, hr)
+             JOIN tot USING (event_type)),
+ss AS (SELECT event_type,
+              sum(((value - mu) * (value - mu))::DECIMAL(38,12)) AS sst,
+              sum(((value - mu_h) * (value - mu_h))::DECIMAL(38,12)) AS ssr
+       FROM r GROUP BY 1)
+SELECT event_type,
+       round(1.0 - ssr::DOUBLE / sst::DOUBLE, 6) AS seasonal_strength
+FROM ss WHERE sst::DOUBLE > 0
+""")
+def ts_seasonal_strength(spark, sf_dir):
+    """Seasonal strength per series: R² of the hour-of-day climatology
+    (1 − SS_resid/SS_total) — how much of a sensor's variance the
+    diurnal cycle explains, i.e. whether deseasonalizing is worth it.
+    Means from exact decimal sums, squared deviations decimal-re-summed
+    (order-proof); two combinable aggregates + broadcast-sized joins."""
+    ev = (_t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+          .withColumn("hr", F.hour("ts")))
+    dec = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    cl = ev.groupBy("event_type", "hr").agg(
+        F.sum(dec(F.col("value"))).alias("s"), F.count("*").alias("n"))
+    tot = cl.groupBy("event_type").agg(
+        F.sum("s").alias("st"), F.sum("n").cast("bigint").alias("nt"))
+    r = (ev.join(F.broadcast(cl), ["event_type", "hr"])
+         .join(F.broadcast(tot), "event_type")
+         .select("event_type", "value",
+                 (F.col("s").cast("double") / F.col("n")).alias("mu_h"),
+                 (F.col("st").cast("double") / F.col("nt")).alias("mu")))
+    d1 = F.col("value") - F.col("mu")
+    d2 = F.col("value") - F.col("mu_h")
+    ss = r.groupBy("event_type").agg(
+        F.sum((d1 * d1).cast("decimal(38,12)")).alias("sst"),
+        F.sum((d2 * d2).cast("decimal(38,12)")).alias("ssr"))
+    return (ss.where(F.col("sst").cast("double") > 0)
+            .select("event_type",
+                    F.round(1.0 - F.col("ssr").cast("double")
+                            / F.col("sst").cast("double"), 6)
+                    .alias("seasonal_strength")))
+
+
 @query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
 # correctness is pinned by test_dtw_pair_distances_matches_reference
 def ts_dtw_pairs(spark, sf_dir):
@@ -6484,7 +6678,8 @@ _REGISTRATION_ORDER = [
     "ss_cube_revenue", "ss_customer_deciles", "ts_peak_detect",
     "doc_cooccurrence_pmi", "ss_supplier_concentration",
     "ss_cheapest_supplier", "ts_downsample_m4", "doc_df_histogram",
-    "ts_dtw_pairs",
+    "ts_dtw_pairs", "ts_flatline_detect", "doc_dedup_compare",
+    "ss_ship_latency", "ts_seasonal_strength",
 ]
 
 

@@ -6564,6 +6564,144 @@ def ts_seasonal_strength(spark, sf_dir):
                     .alias("seasonal_strength")))
 
 
+@query("doc_weighted_jaccard_pairs", sql=f"""
+WITH {_SHINGLE_SQL},
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM sh),
+dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+idf AS (SELECT dfq.s, round(ln(nd.n::DOUBLE / dfq.df), 6) AS w
+        FROM dfq, nd),
+rare AS (SELECT s FROM dfq WHERE df <= 100),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         WHERE a.s IN (SELECT s FROM rare)),
+wsum AS (SELECT sh.doc_id, sum(idf.w::DECIMAL(30,6)) AS tw
+         FROM sh JOIN idf USING (s) GROUP BY 1),
+inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 sum(idf.w::DECIMAL(30,6)) AS iw
+          FROM sh a
+          JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          JOIN idf ON idf.s = a.s
+          GROUP BY 1, 2)
+SELECT i.a_id, i.b_id,
+       round(i.iw::DOUBLE / (wa.tw + wb.tw - i.iw)::DOUBLE, 6) AS wjaccard
+FROM inter i
+JOIN cand c ON c.a_id = i.a_id AND c.b_id = i.b_id
+JOIN wsum wa ON wa.doc_id = i.a_id
+JOIN wsum wb ON wb.doc_id = i.b_id
+WHERE i.iw::DOUBLE / (wa.tw + wb.tw - i.iw)::DOUBLE >= 0.1
+""")
+def doc_weighted_jaccard_pairs(spark, sf_dir):
+    """IDF-weighted Jaccard near-dup pairs: shared boilerplate shingles
+    (low IDF) contribute almost nothing, so two docs glued together by
+    a common template no longer look like near-dups — the
+    boilerplate-robust upgrade of doc_ngram_pairs. Because the weight
+    is a function of the SHINGLE alone, Σmin/Σmax collapses to
+    I/(A+B−I) over IDF sums — the identical inverted-index machinery
+    with weighted (decimal, order-proof) partial sums; the max_df
+    guard still caps candidate generation. IDF rounded to 6 before
+    summation so both engines aggregate identical exact values."""
+    d = _t(spark, sf_dir, "documents")
+    sh = (PT.ensure_parallelism(d.select("doc_id", "text"), min_bytes=0)
+          .select("doc_id", F.explode(TX.word_shingles("text", 3))
+                  .alias("s")))
+    nd = sh.agg(F.countDistinct("doc_id").alias("n"))
+    dfq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    idf = (dfq.crossJoin(F.broadcast(nd))
+           .select("s", F.round(F.log(F.col("n").cast("double")
+                                      / F.col("df")), 6).alias("w")))
+    dec6 = lambda c: c.cast("decimal(30,6)")  # noqa: E731
+    shw = sh.join(idf, "s")
+    wsum = shw.groupBy("doc_id").agg(F.sum(dec6(F.col("w"))).alias("tw"))
+    rare = dfq.where(F.col("df") <= 100).select("s")
+    a = shw.select(F.col("doc_id").alias("a_id"), "s", "w")
+    b = shw.select(F.col("doc_id").alias("b_id"), "s")
+    inter = (a.join(b, "s").where(F.col("a_id") < F.col("b_id"))
+             .groupBy("a_id", "b_id")
+             .agg(F.sum(dec6(F.col("w"))).alias("iw")))
+    cand = (sh.join(F.broadcast(rare), "s")
+            .select(F.col("doc_id").alias("a_id"), "s"))
+    candp = (cand.join(sh.join(F.broadcast(rare), "s")
+                       .select(F.col("doc_id").alias("b_id"), "s"), "s")
+             .where(F.col("a_id") < F.col("b_id"))
+             .select("a_id", "b_id").distinct())
+    wj = (F.col("iw").cast("double")
+          / (F.col("tw_a") + F.col("tw_b") - F.col("iw")).cast("double"))
+    return (inter.join(candp, ["a_id", "b_id"])
+            .join(wsum.select(F.col("doc_id").alias("a_id"),
+                              F.col("tw").alias("tw_a")), "a_id")
+            .join(wsum.select(F.col("doc_id").alias("b_id"),
+                              F.col("tw").alias("tw_b")), "b_id")
+            .withColumn("wjaccard", F.round(wj, 6))
+            .where(F.col("wjaccard") >= 0.1)
+            .select("a_id", "b_id", "wjaccard"))
+
+
+@query("ss_scd2_order_status", sql="""
+WITH h AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                  lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate,
+                                                   o_orderkey) AS eff_to
+           FROM orders)
+SELECT o_custkey, o_orderstatus, o_orderdate AS eff_from, eff_to,
+       CASE WHEN eff_to IS NULL THEN 1 ELSE 0 END AS is_current
+FROM h
+""")
+def ss_scd2_order_status(spark, sf_dir):
+    """Slowly-changing-dimension type-2 history build: each customer's
+    order-status timeline becomes validity intervals
+    [eff_from, eff_to) with an is_current flag — the warehouse pattern
+    that turns an event log into an as-of-joinable dimension (pairs
+    with J1 asof_join / interval_lookup_join for time-travel lookups).
+    One keyed window, ties pinned by orderkey."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (o.select("o_custkey", "o_orderstatus",
+                     F.col("o_orderdate").alias("eff_from"),
+                     F.lead("o_orderdate").over(w).alias("eff_to"))
+            .withColumn("is_current",
+                        F.when(F.col("eff_to").isNull(), 1).otherwise(0)))
+
+
+@query("doc_lsh_threshold_sweep", sql=f"""
+WITH {_SHINGLE_SQL},
+sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY 1),
+bk AS (SELECT doc_id, b, k FROM (
+         SELECT doc_id, unnest(range(4)) AS b,
+                unnest([{_BAND_KEYS_SQL}]) AS k
+         FROM sig)),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM bk a JOIN bk b ON a.b = b.b AND a.k = b.k
+                   AND a.doc_id < b.doc_id),
+v AS (SELECT ({_AGREE_SQL}) / 8.0 AS est
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.a_id
+      JOIN sig sb ON sb.doc_id = c.b_id),
+th AS (SELECT unnest(range(1, 9)) AS i)
+SELECT (th.i::DOUBLE / 8.0) AS threshold,
+       sum(CASE WHEN v.est >= th.i::DOUBLE / 8.0 THEN 1 ELSE 0 END)
+           ::BIGINT AS n_pairs
+FROM th, v
+GROUP BY 1
+""")
+def doc_lsh_threshold_sweep(spark, sf_dir):
+    """Near-dup pair counts across the whole verification-threshold
+    sweep (1/8 … 8/8 signature agreement) in ONE pass over the
+    candidate set — the operating-curve a curation team reads to pick
+    dedup aggressiveness (doc_dedup_compare shows two points; this
+    shows the curve). Candidates come from the bucketed band join
+    once; the sweep is 8 conditional sums, not 8 runs."""
+    d = _t(spark, sf_dir, "documents")
+    v = D.minhash_lsh_pairs(d, num_hashes=8, bands=4, threshold=0.0) \
+        .select("jaccard_est")
+    th = spark.range(1, 9).select(
+        (F.col("id").cast("double") / 8.0).alias("threshold"))
+    return (v.crossJoin(F.broadcast(th))
+            .groupBy("threshold")
+            .agg(F.sum(F.when(F.col("jaccard_est") >= F.col("threshold"),
+                              1).otherwise(0)).cast("bigint")
+                 .alias("n_pairs")))
+
+
 @query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
 # correctness is pinned by test_dtw_pair_distances_matches_reference
 def ts_dtw_pairs(spark, sf_dir):
@@ -6680,6 +6818,8 @@ _REGISTRATION_ORDER = [
     "ss_cheapest_supplier", "ts_downsample_m4", "doc_df_histogram",
     "ts_dtw_pairs", "ts_flatline_detect", "doc_dedup_compare",
     "ss_ship_latency", "ts_seasonal_strength",
+    "doc_weighted_jaccard_pairs", "ss_scd2_order_status",
+    "doc_lsh_threshold_sweep",
 ]
 
 

@@ -6601,32 +6601,52 @@ def doc_weighted_jaccard_pairs(spark, sf_dir):
     guard still caps candidate generation. IDF rounded to 6 before
     summation so both engines aggregate identical exact values."""
     d = _t(spark, sf_dir, "documents")
+    # the exploded index feeds FIVE subtrees (doc-count, df, weighted
+    # sums, rare lists, stop membership) — persist it, and persist the
+    # weighted index too, or each branch re-runs the explode+join
     sh = (PT.ensure_parallelism(d.select("doc_id", "text"), min_bytes=0)
           .select("doc_id", F.explode(TX.word_shingles("text", 3))
-                  .alias("s")))
+                  .alias("s"))).persist()
     nd = sh.agg(F.countDistinct("doc_id").alias("n"))
     dfq = sh.groupBy("s").agg(F.count("*").alias("df"))
     idf = (dfq.crossJoin(F.broadcast(nd))
            .select("s", F.round(F.log(F.col("n").cast("double")
                                       / F.col("df")), 6).alias("w")))
     dec6 = lambda c: c.cast("decimal(30,6)")  # noqa: E731
-    shw = sh.join(idf, "s")
+    shw = sh.join(idf, "s").persist()
     wsum = shw.groupBy("doc_id").agg(F.sum(dec6(F.col("w"))).alias("tw"))
-    rare = dfq.where(F.col("df") <= 100).select("s")
-    a = shw.select(F.col("doc_id").alias("a_id"), "s", "w")
-    b = shw.select(F.col("doc_id").alias("b_id"), "s")
-    inter = (a.join(b, "s").where(F.col("a_id") < F.col("b_id"))
-             .groupBy("a_id", "b_id")
-             .agg(F.sum(dec6(F.col("w"))).alias("iw")))
-    cand = (sh.join(F.broadcast(rare), "s")
-            .select(F.col("doc_id").alias("a_id"), "s"))
-    candp = (cand.join(sh.join(F.broadcast(rare), "s")
-                       .select(F.col("doc_id").alias("b_id"), "s"), "s")
-             .where(F.col("a_id") < F.col("b_id"))
-             .select("a_id", "b_id").distinct())
-    wj = (F.col("iw").cast("double")
-          / (F.col("tw_a") + F.col("tw_b") - F.col("iw")).cast("double"))
-    return (inter.join(candp, ["a_id", "b_id"])
+    # guarded structure mirrors ngram_jaccard_pairs: stop shingles
+    # (df > 100) are excluded from candidate generation AND from the
+    # weighted pair join (the df² hazard), then their exact weight mass
+    # is restored with a candidate-side correction join — 6.6 s → the
+    # ngram_pairs cost band at sf0.1, and hot-shingle-proof at 100 TB
+    stop = dfq.where(F.col("df") > 100).select("s").persist()
+    rare_idx = shw.join(F.broadcast(stop), "s", "left_anti")
+    # bounded posting-list pair generation (df ≤ 100 after the stop
+    # anti-join): ONE index shuffle instead of a two-sided self-join —
+    # the _pair_counts_bounded trick, weight carried per shingle
+    lists = rare_idx.groupBy("s").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("_ids"),
+        F.first("w").alias("w"))
+    cap = (lists.select("w", F.explode(F.expr(
+               "flatten(transform(_ids, (x, i) -> "
+               "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
+               "y -> struct(x AS a, y AS b))))")).alias("_p"))
+           .groupBy(F.col("_p.a").alias("a_id"),
+                    F.col("_p.b").alias("b_id"))
+           .agg(F.sum(dec6(F.col("w"))).alias("iw_r")))
+    sidx = shw.join(F.broadcast(stop), "s")
+    sa = sidx.select(F.col("doc_id").alias("a_id"), "s", "w")
+    sb = sidx.select(F.col("doc_id").alias("b_id"), "s")
+    corr = (cap.select("a_id", "b_id")
+            .join(sa, "a_id").join(sb, ["s", "b_id"])
+            .groupBy("a_id", "b_id")
+            .agg(F.sum(dec6(F.col("w"))).alias("iw_s")))
+    iw = F.col("iw_r") + F.coalesce(F.col("iw_s"), F.lit(0).cast(
+        "decimal(30,6)"))
+    wj = (iw.cast("double")
+          / (F.col("tw_a") + F.col("tw_b") - iw).cast("double"))
+    return (cap.join(corr, ["a_id", "b_id"], "left")
             .join(wsum.select(F.col("doc_id").alias("a_id"),
                               F.col("tw").alias("tw_a")), "a_id")
             .join(wsum.select(F.col("doc_id").alias("b_id"),

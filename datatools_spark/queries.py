@@ -6722,6 +6722,169 @@ def doc_lsh_threshold_sweep(spark, sf_dir):
                  .alias("n_pairs")))
 
 
+def _pq_distortion_sql() -> str:
+    """DuckDB twin of the per-subspace PQ reconstruction error, from the
+    SAME pq_codebook constants as the Spark plan."""
+    book = SIM.pq_codebook(4, 8, 64)
+    sub = 16
+    mins = []
+    for si in range(4):
+        ds = []
+        for c in range(8):
+            lits = ", ".join(repr(x) for x in book[si][c])
+            e = (f"(embedding[{si*sub} + i]::DOUBLE"
+                 f" - (list_value({lits})[i])::DOUBLE)")
+            ds.append(f"list_sum(list_transform(range(1, {sub+1}), "
+                      f"i -> {e} * {e}))")
+        l = "list_value(" + ", ".join(ds) + ")"
+        mins.append(f"round(list_min({l}), 6) AS d{si}")
+    parts = []
+    for si in range(4):
+        parts.append(f"""
+SELECT {si} AS subspace, count(*)::BIGINT AS n,
+       round(sum(d{si}::DECIMAL(30,6))::DOUBLE / count(*), 6) AS mean_d,
+       round(max(d{si}), 6) AS max_d
+FROM d""")
+    return ("WITH d AS (SELECT vec_id, " + ", ".join(mins)
+            + " FROM embeddings)" + "\nUNION ALL".join(parts))
+
+
+@query("emb_pq_distortion", sql=_pq_distortion_sql())
+def emb_pq_distortion(spark, sf_dir):
+    """Per-subspace PQ reconstruction error (each vector's squared
+    distance to its assigned codeword = the min of its codeword
+    distances): mean and max distortion per subspace — the quality
+    gauge that decides codebook size / subspace count before committing
+    a billion-vector PQ index (pairs with emb_pq_adc_knn's documented
+    accuracy bound). Same literal codebook as emb_pq_codes, one
+    shuffle-free scan + 4 combinable aggregates; distortions rounded
+    then decimal-summed (order-proof)."""
+    book = SIM.pq_codebook(4, 8, 64)
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    sub = 16
+    dcols = []
+    for si in range(4):
+        sl = F.slice(F.col("embedding"), si * sub + 1, sub)
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(sl, F.array(*[F.lit(x) for x in book[si][c]]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v)
+            for c in range(8)])
+        dcols.append(F.round(F.array_min(dists), 6).alias(f"d{si}"))
+    d = e.select(*dcols)
+    parts = []
+    for si in range(4):
+        parts.append(d.agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col(f"d{si}").cast("decimal(30,6)"))
+                    .cast("double") / F.count("*"), 6).alias("mean_d"),
+            F.round(F.max(f"d{si}"), 6).alias("max_d"))
+            .select(F.lit(si).cast("bigint").alias("subspace"),
+                    "n", "mean_d", "max_d"))
+    out = parts[0]
+    for pp in parts[1:]:
+        out = out.unionByName(pp)
+    return out
+
+
+@query("ts_sensor_beta", sql="""
+WITH b AS (SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS bkt,
+                  sum(value::DECIMAL(30,12))::DOUBLE / count(value) AS v
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+p AS (SELECT a.event_type AS sa, b.event_type AS sb, a.v AS va, b.v AS vb
+      FROM b a JOIN b b ON a.bkt = b.bkt AND a.event_type < b.event_type),
+m AS (SELECT sa, sb, count(*) AS n,
+             sum(va::DECIMAL(30,12)) AS sva,
+             sum(vb::DECIMAL(30,12)) AS svb,
+             sum((va * vb)::DECIMAL(38,12)) AS svab,
+             sum((va * va)::DECIMAL(38,12)) AS svaa
+      FROM p GROUP BY 1, 2)
+SELECT sa, sb, n::BIGINT AS n,
+       round((svab::DOUBLE - sva::DOUBLE * svb::DOUBLE / n)
+             / (svaa::DOUBLE - sva::DOUBLE * sva::DOUBLE / n), 6) AS beta
+FROM m
+WHERE (svaa::DOUBLE - sva::DOUBLE * sva::DOUBLE / n) != 0
+""")
+def ts_sensor_beta(spark, sf_dir):
+    """Cross-sensor OLS response slope β(b|a) = cov(a,b)/var(a) on
+    matched hourly buckets, for every series pair — the melt→velocity
+    response coefficient of the reference's paired-sensor analyses
+    (xcorr gives the LAG; β gives the GAIN). Raw data reduces through
+    one combinable hourly aggregate; the pair join runs on bucket rows;
+    all moments decimal-summed so β is engine-exact."""
+    from .operators import correlate as CO
+    ev = _t(spark, sf_dir, "events")
+    b = CO.bucket_mean(ev, "event_type", "ts", "value", "HOUR")
+    a2 = b.select(F.col("event_type").alias("sa"), "bkt",
+                  F.col("v").alias("va"))
+    b2 = b.select(F.col("event_type").alias("sb"), "bkt",
+                  F.col("v").alias("vb"))
+    p = a2.join(b2, "bkt").where(F.col("sa") < F.col("sb"))
+    dec = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    dec38 = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    m = p.groupBy("sa", "sb").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("va"))).alias("sva"),
+        F.sum(dec(F.col("vb"))).alias("svb"),
+        F.sum(dec38(F.col("va") * F.col("vb"))).alias("svab"),
+        F.sum(dec38(F.col("va") * F.col("va"))).alias("svaa"))
+    var = (F.col("svaa").cast("double")
+           - F.col("sva").cast("double") * F.col("sva").cast("double")
+           / F.col("n"))
+    cov = (F.col("svab").cast("double")
+           - F.col("sva").cast("double") * F.col("svb").cast("double")
+           / F.col("n"))
+    return (m.where(var != 0)
+            .select("sa", "sb", F.col("n").cast("bigint").alias("n"),
+                    F.round(cov / var, 6).alias("beta")))
+
+
+@query("ss_customer_recency", sql="""
+WITH last AS (SELECT o_custkey, max(o_orderdate) AS lo,
+                     count(*) AS n_orders
+              FROM orders GROUP BY 1),
+mx AS (SELECT max(o_orderdate) AS now FROM orders),
+r AS (SELECT c.c_mktsegment,
+             (epoch_us(mx.now) - epoch_us(last.lo)) // 86400000000 AS days,
+             last.n_orders
+      FROM last
+      JOIN customer c ON c.c_custkey = last.o_custkey
+      CROSS JOIN mx)
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+       round(quantile_cont(days, 0.5), 4) AS p50_recency_days,
+       round(quantile_cont(days, 0.95), 4) AS p95_recency_days,
+       round(sum(n_orders)::BIGINT::DOUBLE / count(*), 4)
+           AS mean_orders
+FROM r GROUP BY 1
+""")
+def ss_customer_recency(spark, sf_dir):
+    """RFM-style recency report per market segment: days since each
+    customer's last order (vs the dataset's frontier date), exact
+    p50/p95, and mean order count — the churn-risk rollup. One
+    combinable per-customer aggregate, 1-row frontier broadcast, exact
+    integer-micros day arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    last = o.groupBy("o_custkey").agg(F.max("o_orderdate").alias("lo"),
+                                      F.count("*").alias("n_orders"))
+    mx = o.agg(F.max("o_orderdate").alias("now"))
+    days = F.expr("(unix_micros(cast(now AS timestamp))"
+                  " - unix_micros(cast(lo AS timestamp))) div 86400000000")
+    r = (last.join(F.broadcast(c), last.o_custkey == c.c_custkey)
+         .crossJoin(F.broadcast(mx))
+         .select("c_mktsegment", days.alias("days"), "n_orders"))
+    return (r.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.expr("percentile(days, 0.5)"), 4)
+                 .alias("p50_recency_days"),
+                 F.round(F.expr("percentile(days, 0.95)"), 4)
+                 .alias("p95_recency_days"),
+                 F.round(F.sum("n_orders").cast("double") / F.count("*"),
+                         4).alias("mean_orders")))
+
+
 @query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
 # correctness is pinned by test_dtw_pair_distances_matches_reference
 def ts_dtw_pairs(spark, sf_dir):
@@ -6840,6 +7003,7 @@ _REGISTRATION_ORDER = [
     "ss_ship_latency", "ts_seasonal_strength",
     "doc_weighted_jaccard_pairs", "ss_scd2_order_status",
     "doc_lsh_threshold_sweep",
+    "emb_pq_distortion", "ts_sensor_beta", "ss_customer_recency",
 ]
 
 

@@ -67,6 +67,14 @@ EXTENDED_QUERIES = [
     "mm_spectrogram",         # PCM16 DFT via mapInPandas
     "ts_hll_overlap",         # HLL inclusion-exclusion
     "ss_join_size_estimate",  # CMS join sizing
+    "doc_simhash_pairs",      # banded Hamming near-dup pairs
+    "doc_containment_pairs",  # directed quote/sub-doc detection
+    "doc_winnow_fingerprints",  # MOSS winnowing selection
+    "ts_changepoint",         # prefix-sum binary-segmentation step
+    "ts_active_coverage",     # interval-union islands
+    "doc_weighted_jaccard_pairs",  # IDF-weighted near-dup pairs
+    "ts_dtw_pairs",           # banded DTW via applyInPandas
+    "emb_matryoshka_eval",    # truncated-dim recall eval
 ]
 
 

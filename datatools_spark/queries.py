@@ -6885,6 +6885,125 @@ def ss_customer_recency(spark, sf_dir):
                          4).alias("mean_orders")))
 
 
+@query("doc_winnow_pairs", sql="""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+           FROM documents),
+g AS (SELECT doc_id, i - 1 AS pos,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+            FROM w WHERE len(ws) >= 3)),
+h AS (SELECT doc_id, pos,
+             ('0x' || substr(md5('11:' || sh), 1, 8))::BIGINT * 1048576
+                 + pos AS key
+      FROM g),
+k AS (SELECT doc_id, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND 3 FOLLOWING) AS wmin,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM h),
+fp AS (SELECT DISTINCT doc_id, (wmin // 1048576)::BIGINT AS fp_hash
+       FROM k WHERE pos + 4 <= n),
+rare AS (SELECT fp_hash FROM fp GROUP BY 1 HAVING count(*) <= 100)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       count(*)::BIGINT AS shared_fps
+FROM fp a
+JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+WHERE a.fp_hash IN (SELECT fp_hash FROM rare)
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""")
+def doc_winnow_pairs(spark, sf_dir):
+    """Span-duplication pair detection from winnowing fingerprints:
+    docs sharing ≥ 2 selected fingerprint HASHES (position-independent
+    — a quoted run matches wherever it sits in each doc). The MOSS
+    match step: guaranteed to catch any shared ≥ 6-word run long
+    enough to yield 2 selections, at fingerprint (not shingle)
+    density. Inverted-index join on the (already ~2/5-thinned)
+    fingerprint table with the same max_df hot-key guard as the
+    Jaccard family."""
+    d = _t(spark, sf_dir, "documents")
+    fp = D.winnow_fingerprints(d, shingle_n=3, window=4) \
+        .select("doc_id", "fp_hash").distinct()
+    dfq = fp.groupBy("fp_hash").agg(F.count("*").alias("_df"))
+    rare = dfq.where(F.col("_df") <= 100).select("fp_hash")
+    idx = fp.join(F.broadcast(rare), "fp_hash")
+    a = idx.select(F.col("doc_id").alias("a_id"), "fp_hash")
+    b = idx.select(F.col("doc_id").alias("b_id"), "fp_hash")
+    return (a.join(b, "fp_hash").where(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("shared_fps"))
+            .where(F.col("shared_fps") >= 2))
+
+
+@query("ts_weekly_profile", sql="""
+SELECT event_type, dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hr,
+       count(value)::BIGINT AS n,
+       round(sum(value::DECIMAL(30,12))::DOUBLE / count(value), 6)
+           AS mean_value
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2, 3
+""")
+def ts_weekly_profile(spark, sf_dir):
+    """Weekly seasonality matrix: mean value per (series, day-of-week,
+    hour-of-day) — the 7×24 climatology that separates weekday/weekend
+    regimes where the diurnal profile alone blurs them. ONE combinable
+    aggregate; output is metadata-sized (series × 168)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    dec = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    # DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based — align
+    return (ev.groupBy("event_type",
+                       (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+                       F.hour("ts").cast("bigint").alias("hr"))
+            .agg(F.count("value").alias("n"),
+                 F.round(F.sum(dec(F.col("value"))).cast("double")
+                         / F.count("value"), 6).alias("mean_value")))
+
+
+@query("ss_yearly_growth", sql="""
+WITH y AS (SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+                  sum((l.l_extendedprice * (1 - l.l_discount))
+                      ::DECIMAL(30,12)) AS rev
+           FROM lineitem l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN nation n ON n.n_nationkey = c.c_nationkey
+           GROUP BY 1, 2)
+SELECT nation, yr::BIGINT AS yr, round(rev::DOUBLE, 4) AS revenue,
+       round(CASE WHEN lag(rev) OVER (PARTITION BY nation ORDER BY yr)
+                       IS NOT NULL
+                  THEN rev::DOUBLE / (lag(rev) OVER (PARTITION BY nation
+                                                     ORDER BY yr))::DOUBLE
+                       - 1.0 END, 6) AS yoy_growth
+FROM y
+""")
+def ss_yearly_growth(spark, sf_dir):
+    """Year-over-year revenue growth per customer nation: the
+    aggregate-then-window pattern (the lag window runs over the
+    nation×year table — metadata-sized — never the fact). Revenue in
+    exact DECIMAL; the growth ratio divides identical doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                           "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    y = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+         .groupBy(F.col("n_name").alias("nation"),
+                  F.year("o_orderdate").alias("yr"))
+         .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(30,12)")).alias("rev")))
+    w = Window.partitionBy("nation").orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return y.select(
+        "nation", F.col("yr").cast("bigint").alias("yr"),
+        F.round(F.col("rev").cast("double"), 4).alias("revenue"),
+        F.round(F.when(prev.isNotNull(),
+                       F.col("rev").cast("double") / prev.cast("double")
+                       - 1.0), 6).alias("yoy_growth"))
+
+
 @query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
 # correctness is pinned by test_dtw_pair_distances_matches_reference
 def ts_dtw_pairs(spark, sf_dir):
@@ -7004,6 +7123,7 @@ _REGISTRATION_ORDER = [
     "doc_weighted_jaccard_pairs", "ss_scd2_order_status",
     "doc_lsh_threshold_sweep",
     "emb_pq_distortion", "ts_sensor_beta", "ss_customer_recency",
+    "doc_winnow_pairs", "ts_weekly_profile", "ss_yearly_growth",
 ]
 
 

@@ -7004,6 +7004,156 @@ def ss_yearly_growth(spark, sf_dir):
                        - 1.0), 6).alias("yoy_growth"))
 
 
+@query("doc_perplexity_buckets", sql=r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0),
+bg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) - 1 >= 1
+         THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+         ELSE []::VARCHAR[] END) AS g
+  FROM w),
+b AS (SELECT g, count(*)::BIGINT AS cb FROM bg GROUP BY 1),
+u AS (SELECT split_part(g, ' ', 1) AS p, count(*)::BIGINT AS cu
+      FROM bg GROUP BY 1),
+ce AS (SELECT bg.doc_id,
+              round(sum(round(log2(u.cu) - log2(b.cb), 10)
+                        ::DECIMAL(38,10))::DOUBLE / count(*), 6) AS h
+       FROM bg
+       JOIN b USING (g)
+       JOIN u ON u.p = split_part(bg.g, ' ', 1)
+       GROUP BY bg.doc_id),
+t AS (SELECT d.doc_id, d.source, ce.h,
+             ntile(3) OVER (PARTITION BY d.source
+                            ORDER BY ce.h ASC, d.doc_id ASC) AS b3
+      FROM ce JOIN documents d USING (doc_id))
+SELECT doc_id, source, h AS cross_entropy,
+       CASE b3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+FROM t
+""")
+def doc_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality buckets (Wenzek et al. 2020): per
+    SOURCE terciles of LM cross-entropy — head = lowest perplexity
+    (cleanest), tail = candidate-drop. The actual CCNet selection step
+    on top of doc_lm_perplexity's scores; the tercile window runs per
+    source over rounded (engine-identical) entropies, ties pinned by
+    doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    ce = doc_lm_perplexity(spark, sf_dir) \
+        .select("doc_id", F.col("cross_entropy").alias("h"))
+    w = Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
+    t = (ce.join(d.select("doc_id", "source"), "doc_id")
+         .withColumn("b3", F.ntile(3).over(w)))
+    return t.select(
+        "doc_id", "source", F.col("h").alias("cross_entropy"),
+        F.when(F.col("b3") == 1, "head")
+        .when(F.col("b3") == 2, "middle")
+        .otherwise("tail").alias("bucket"))
+
+
+@query("ts_completeness", sql="""
+WITH g AS (SELECT event_type,
+                  round(epoch(ts) - epoch(lag(ts) OVER (
+                      PARTITION BY event_type ORDER BY ts, event_id)))
+                      ::BIGINT AS gap_s
+           FROM events),
+cnt AS (SELECT event_type, gap_s, count(*) AS n FROM g
+        WHERE gap_s IS NOT NULL AND gap_s > 0 GROUP BY 1, 2),
+modal AS (SELECT event_type, gap_s AS mg FROM (
+            SELECT event_type, gap_s, n,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY n DESC, gap_s ASC) AS rn
+            FROM cnt) WHERE rn = 1),
+wk AS (SELECT event_type, date_trunc('week', ts)::TIMESTAMP AS week,
+              count(*) AS n
+       FROM events GROUP BY 1, 2)
+SELECT wk.event_type, wk.week, wk.n::BIGINT AS n_samples,
+       modal.mg::BIGINT AS modal_gap_s,
+       round(wk.n::DOUBLE / (604800.0 / modal.mg), 6) AS completeness
+FROM wk JOIN modal USING (event_type)
+""")
+def ts_completeness(spark, sf_dir):
+    """Weekly completeness score per series: actual samples ÷ expected
+    samples at the series' own modal cadence (A17 infer_sampling
+    generalized into the data-SLA metric; edge weeks read < 1 by
+    construction). Modal gap from the keyed gap histogram (count desc,
+    gap asc tie pin); one weekly combinable count; broadcast-sized
+    join."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = (ev.withColumn("gap_s", F.round(
+            F.col("ts").cast("double")
+            - F.lag("ts").over(w).cast("double")).cast("bigint"))
+         .where(F.col("gap_s").isNotNull() & (F.col("gap_s") > 0)))
+    cnt = g.groupBy("event_type", "gap_s").agg(F.count("*").alias("n"))
+    r = Window.partitionBy("event_type").orderBy(F.desc("n"),
+                                                 F.asc("gap_s"))
+    modal = (cnt.withColumn("rn", F.row_number().over(r))
+             .where(F.col("rn") == 1)
+             .select("event_type", F.col("gap_s").alias("mg")))
+    wk = (ev.groupBy("event_type",
+                     F.date_trunc("week", "ts").alias("week"))
+          .agg(F.count("*").alias("n")))
+    return (wk.join(F.broadcast(modal), "event_type")
+            .select("event_type", "week",
+                    F.col("n").cast("bigint").alias("n_samples"),
+                    F.col("mg").cast("bigint").alias("modal_gap_s"),
+                    F.round(F.col("n") / (604800.0 / F.col("mg")), 6)
+                    .alias("completeness")))
+
+
+@query("ss_abc_parts", sql="""
+WITH pr AS (SELECT l_partkey,
+                   sum((l_extendedprice * (1 - l_discount))
+                       ::DECIMAL(30,12)) AS rev
+            FROM lineitem GROUP BY 1),
+tot AS (SELECT sum(rev) AS t FROM pr),
+r AS (SELECT pr.l_partkey, pr.rev, tot.t,
+             sum(pr.rev) OVER (ORDER BY pr.rev DESC, pr.l_partkey ASC
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM pr, tot),
+cl AS (SELECT CASE WHEN (cum - rev)::DOUBLE / t::DOUBLE < 0.8 THEN 'A'
+                   WHEN (cum - rev)::DOUBLE / t::DOUBLE < 0.95 THEN 'B'
+                   ELSE 'C' END AS abc_class, rev, t
+       FROM r)
+SELECT abc_class, count(*)::BIGINT AS n_parts,
+       round(sum(rev)::DOUBLE, 4) AS revenue,
+       round(sum(rev)::DOUBLE / max(t::DOUBLE), 6) AS revenue_share
+FROM cl GROUP BY 1
+""")
+def ss_abc_parts(spark, sf_dir):
+    """ABC (Pareto) part classification: parts are ranked by revenue
+    and assigned A (first 80% of cumulative revenue), B (next 15%),
+    C (tail) — the inventory-prioritization standard. The running sum
+    uses the PRIOR cumulative so the part crossing a boundary belongs
+    to the upper class; cumulative sums stay in exact DECIMAL, the
+    share boundaries compare identical doubles. The global window runs
+    over the aggregated part table (fact-size reduced first)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(30,12)")).alias("rev"))
+    tot = pr.agg(F.sum("rev").alias("t"))
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    r = (pr.crossJoin(F.broadcast(tot))
+         .withColumn("cum", F.sum("rev").over(w)))
+    prior_share = ((F.col("cum") - F.col("rev")).cast("double")
+                   / F.col("t").cast("double"))
+    cl = r.select(
+        F.when(prior_share < 0.8, "A")
+        .when(prior_share < 0.95, "B").otherwise("C").alias("abc_class"),
+        "rev", "t")
+    return (cl.groupBy("abc_class")
+            .agg(F.count("*").alias("n_parts"),
+                 F.round(F.sum("rev").cast("double"), 4).alias("revenue"),
+                 F.round(F.sum("rev").cast("double")
+                         / F.max(F.col("t").cast("double")), 6)
+                 .alias("revenue_share")))
+
+
 @query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
 # correctness is pinned by test_dtw_pair_distances_matches_reference
 def ts_dtw_pairs(spark, sf_dir):
@@ -7124,6 +7274,7 @@ _REGISTRATION_ORDER = [
     "doc_lsh_threshold_sweep",
     "emb_pq_distortion", "ts_sensor_beta", "ss_customer_recency",
     "doc_winnow_pairs", "ts_weekly_profile", "ss_yearly_growth",
+    "doc_perplexity_buckets", "ts_completeness", "ss_abc_parts",
 ]
 
 

@@ -375,6 +375,9 @@ def test_novelty_no_index_self_join(spark):
     table alone: exactly the explode exchange + two aggregate exchanges
     + the per-doc join — re-joining the corpus-sized inverted index
     would roughly double the exchanges."""
+    # other tests persist same-lineage shingle indexes; a cache hit
+    # rewrites this plan's scan and shifts the exchange count
+    spark.catalog.clearCache()
     plan = _plan(QUERIES["doc_ngram_novelty"](spark, SF))
     assert "CartesianProduct" not in plan
     # explode spread + 2 aggs + per-doc join (+ AQE reuse nodes); the

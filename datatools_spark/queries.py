@@ -7154,6 +7154,105 @@ def ss_abc_parts(spark, sf_dir):
                  .alias("revenue_share")))
 
 
+@query("emb_silhouette_lite", sql=f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+           FROM embeddings WHERE vec_id < 8),
+s AS (SELECT e.vec_id, c.centroid_id,
+             {_COS_SQL.format(a='e.embedding', b='c.cv')} AS cos
+      FROM embeddings e, c),
+r AS (SELECT vec_id, centroid_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, centroid_id ASC) AS rn
+      FROM s),
+ab AS (SELECT a.vec_id, a.centroid_id,
+              round(1.0 - a.cos, 6) AS da, round(1.0 - b.cos, 6) AS db
+       FROM (SELECT * FROM r WHERE rn = 1) a
+       JOIN (SELECT * FROM r WHERE rn = 2) b USING (vec_id)),
+sil AS (SELECT centroid_id,
+               CASE WHEN greatest(da, db) > 0
+                    THEN (db - da) / greatest(da, db) ELSE 0.0 END AS s
+        FROM ab)
+SELECT centroid_id, count(*)::BIGINT AS n,
+       round(sum(round(s, 6)::DECIMAL(30,6))::DOUBLE / count(*), 6)
+           AS mean_silhouette
+FROM sil GROUP BY 1
+""")
+def emb_silhouette_lite(spark, sf_dir):
+    """Simplified silhouette score per cluster (Rousseeuw's s with
+    centroid distances standing in for mean pairwise distances — the
+    O(n·k) form used at scale instead of O(n²)): s = (d₂nd − d₁st) /
+    max(d₁st, d₂nd) in cosine distance. Near 1 = tight well-separated
+    cluster; near 0 = boundary vectors — the clustering-quality gauge
+    for the IVF/k-means layout. One corpus scan against 8 broadcast
+    centroids, top-2 from the same rank window, rounded-then-decimal
+    mean."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cent = e.where(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    ecos = (e.crossJoin(F.broadcast(
+                cent.select(F.col("centroid_id"),
+                            F.col("embedding").alias("cv"))))
+            .select("vec_id", "centroid_id",
+                    SIM.cosine_expr(F.col("embedding"),
+                                    F.col("cv")).alias("cos")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"),
+                                             F.asc("centroid_id"))
+    r = ecos.withColumn("rn", F.row_number().over(w))
+    a = r.where(F.col("rn") == 1).select(
+        "vec_id", "centroid_id", F.round(1.0 - F.col("cos"), 6).alias("da"))
+    b = r.where(F.col("rn") == 2).select(
+        "vec_id", F.round(1.0 - F.col("cos"), 6).alias("db"))
+    ab = a.join(b, "vec_id")
+    s = F.when(F.greatest("da", "db") > 0,
+               (F.col("db") - F.col("da")) / F.greatest("da", "db")) \
+        .otherwise(0.0)
+    return (ab.select("centroid_id", F.round(s, 6).alias("s"))
+            .groupBy("centroid_id")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.col("s").cast("decimal(30,6)"))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("mean_silhouette")))
+
+
+@query("ts_resample_fidelity", sql="""
+WITH v AS (SELECT event_type, ts, event_id, value FROM events
+           WHERE value IS NOT NULL),
+h AS (SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS bkt,
+             sum(value::DECIMAL(30,12))::DOUBLE / count(*) AS hv
+      FROM v GROUP BY 1, 2),
+j AS (SELECT v.event_type, v.value, h.hv
+      FROM v JOIN h ON h.event_type = v.event_type
+                   AND h.bkt = date_trunc('hour', v.ts)::TIMESTAMP)
+SELECT event_type, count(*)::BIGINT AS n,
+       round(sum(abs(value - hv)::DECIMAL(30,12))::DOUBLE / count(*), 6)
+           AS mae,
+       round(max(abs(value - hv)), 6) AS max_err
+FROM j GROUP BY 1
+""")
+def ts_resample_fidelity(spark, sf_dir):
+    """Resampling-fidelity report: reconstruction error (MAE / max) of
+    representing each sample by its hourly-mean bucket — the
+    quantitative answer to "can this series be stored at hourly grain"
+    (the downsampling decision every 100 TB retention policy makes).
+    One combinable hourly aggregate + a broadcast join back; errors
+    decimal-summed."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    dec = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    h = (ev.groupBy("event_type",
+                    F.date_trunc("hour", "ts").alias("bkt"))
+         .agg((F.sum(dec(F.col("value"))).cast("double") / F.count("*"))
+              .alias("hv")))
+    j = ev.withColumn("bkt", F.date_trunc("hour", "ts")) \
+        .join(F.broadcast(h), ["event_type", "bkt"])
+    err = F.abs(F.col("value") - F.col("hv"))
+    return (j.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(dec(err)).cast("double") / F.count("*"), 6)
+                 .alias("mae"),
+                 F.round(F.max(err), 6).alias("max_err")))
+
+
 @query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
 # correctness is pinned by test_dtw_pair_distances_matches_reference
 def ts_dtw_pairs(spark, sf_dir):
@@ -7275,6 +7374,7 @@ _REGISTRATION_ORDER = [
     "emb_pq_distortion", "ts_sensor_beta", "ss_customer_recency",
     "doc_winnow_pairs", "ts_weekly_profile", "ss_yearly_growth",
     "doc_perplexity_buckets", "ts_completeness", "ss_abc_parts",
+    "emb_silhouette_lite", "ts_resample_fidelity",
 ]
 
 

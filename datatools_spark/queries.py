@@ -7253,6 +7253,118 @@ def ts_resample_fidelity(spark, sf_dir):
                  F.round(F.max(err), 6).alias("max_err")))
 
 
+@query("ts_burst_detect", sql="""
+WITH h AS (SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS hr,
+                  count(*) AS c
+           FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, median(c) AS med FROM h GROUP BY 1)
+SELECT h.event_type, h.hr, h.c::BIGINT AS n_events,
+       round(m.med, 2) AS median_hourly,
+       round(h.c::DOUBLE / m.med, 4) AS burst_ratio
+FROM h JOIN m USING (event_type)
+WHERE h.c > 3 * m.med
+""")
+def ts_burst_detect(spark, sf_dir):
+    """Rate-burst detection: hours where a series' event count exceeds
+    3× its median hourly rate — the traffic-spike / sensor-storm
+    flag (Kleinberg's burst model reduced to its robust-threshold
+    form). Two combinable aggregates + a per-series 1-row broadcast;
+    the median is the exact interpolated percentile over integer
+    counts."""
+    ev = _t(spark, sf_dir, "events")
+    h = (ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+         .agg(F.count("*").alias("c")))
+    m = h.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.5)").alias("med"))
+    return (h.join(F.broadcast(m), "event_type")
+            .where(F.col("c") > 3 * F.col("med"))
+            .select("event_type", "hr",
+                    F.col("c").cast("bigint").alias("n_events"),
+                    F.round("med", 2).alias("median_hourly"),
+                    F.round(F.col("c") / F.col("med"), 4)
+                    .alias("burst_ratio")))
+
+
+_PLANE_SWEEP_KS = [2, 3, 4, 5, 6]
+
+@query("emb_plane_sweep", sql="\nUNION ALL\n".join(f"""
+SELECT {k} AS planes, count(*)::BIGINT AS n_buckets,
+       max(c)::BIGINT AS max_size,
+       round(max(c)::DOUBLE * count(*) / sum(c)::BIGINT, 4) AS imbalance,
+       sum(c * (c - 1) // 2)::BIGINT AS candidate_pairs
+FROM (SELECT {_bucket_sql('embedding', k)} AS bucket, count(*) AS c
+      FROM embeddings GROUP BY 1)""" for k in _PLANE_SWEEP_KS))
+def emb_plane_sweep(spark, sf_dir):
+    """Hyperplane-count tuning curve: bucket count / hot-bucket size /
+    imbalance / exact candidate-pair mass for 2–6 LSH planes — the
+    recall-vs-cost frontier read before fixing the ANN banding at
+    10⁹ vectors (emb_lsh_bucket_balance is one point; this is the
+    curve). Each plane count is one combinable aggregate over its own
+    scan — at scale you'd fold all k bucket ids into one projection;
+    the per-k form keeps the oracle 1:1."""
+    e = _t(spark, sf_dir, "embeddings")
+    parts = []
+    for k in _PLANE_SWEEP_KS:
+        c = (e.select(SIM.hyperplane_bucket_col("embedding", k)
+                      .alias("bucket"))
+             .groupBy("bucket").agg(F.count("*").alias("c")))
+        parts.append(c.agg(
+            F.count("*").alias("n_buckets"),
+            F.max("c").cast("bigint").alias("max_size"),
+            F.round(F.max("c").cast("double") * F.count("*")
+                    / F.sum("c"), 4).alias("imbalance"),
+            F.sum(F.expr("c * (c - 1) div 2")).cast("bigint")
+            .alias("candidate_pairs"))
+            .select(F.lit(k).cast("bigint").alias("planes"),
+                    F.col("n_buckets").cast("bigint").alias("n_buckets"),
+                    "max_size", "imbalance", "candidate_pairs"))
+    out = parts[0]
+    for pp in parts[1:]:
+        out = out.unionByName(pp)
+    return out
+
+
+@query("doc_template_signature", sql=f"""
+WITH {_SHINGLE_SQL},
+j AS (SELECT d.source, sh.s
+      FROM sh JOIN documents d USING (doc_id)),
+c AS (SELECT source, s, count(*) AS n FROM j GROUP BY 1, 2),
+t AS (SELECT source, count(DISTINCT s) AS n_shingles FROM j GROUP BY 1)
+SELECT c.source, c.s AS top_shingle, c.n::BIGINT AS n_docs_approx,
+       t.n_shingles::BIGINT AS n_distinct_shingles
+FROM (SELECT source, s, n,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n DESC, s ASC) AS rn
+      FROM c) c
+JOIN t USING (source)
+WHERE c.rn = 1
+""")
+def doc_template_signature(spark, sf_dir):
+    """Per-source template signature: the most frequent shingle and the
+    source's distinct-shingle count — the 10-second boilerplate
+    triage (a crawl slice whose top shingle covers most docs is
+    template-dominated and needs doc_weighted_jaccard_pairs, not plain
+    Jaccard). Two combinable aggregates; the rank window runs over the
+    per-source shingle-count table."""
+    d = _t(spark, sf_dir, "documents")
+    sh = (PT.ensure_parallelism(d.select("doc_id", "text"), min_bytes=0)
+          .select("doc_id", F.explode(TX.word_shingles("text", 3))
+                  .alias("s")))
+    j = sh.join(F.broadcast(d.select("doc_id", "source")), "doc_id") \
+        .select("source", "s")
+    c = j.groupBy("source", "s").agg(F.count("*").alias("n"))
+    t = j.groupBy("source").agg(
+        F.countDistinct("s").alias("n_shingles"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("s"))
+    top = (c.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1))
+    return (top.join(F.broadcast(t), "source")
+            .select("source", F.col("s").alias("top_shingle"),
+                    F.col("n").cast("bigint").alias("n_docs_approx"),
+                    F.col("n_shingles").cast("bigint")
+                    .alias("n_distinct_shingles")))
+
+
 @query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
 # correctness is pinned by test_dtw_pair_distances_matches_reference
 def ts_dtw_pairs(spark, sf_dir):
@@ -7375,6 +7487,7 @@ _REGISTRATION_ORDER = [
     "doc_winnow_pairs", "ts_weekly_profile", "ss_yearly_growth",
     "doc_perplexity_buckets", "ts_completeness", "ss_abc_parts",
     "emb_silhouette_lite", "ts_resample_fidelity",
+    "ts_burst_detect", "emb_plane_sweep", "doc_template_signature",
 ]
 
 

@@ -7365,6 +7365,122 @@ def doc_template_signature(spark, sf_dir):
                     .alias("n_distinct_shingles")))
 
 
+@query("emb_nprobe_sweep", sql=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+fs AS (SELECT q.query_id, e.vec_id,
+              {_COS_SQL.format(a='e.embedding', b='q.qv')} AS cos
+       FROM embeddings e, q),
+brute AS (SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM fs) WHERE rank <= 10),
+cen AS (SELECT vec_id AS centroid_id, embedding AS cv
+        FROM embeddings WHERE vec_id < 8),
+assign AS (SELECT vec_id, centroid_id FROM (
+             SELECT e.vec_id, cen.centroid_id,
+                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                      {_COS_SQL.format(a='e.embedding', b='cen.cv')} DESC,
+                      cen.centroid_id ASC) AS rn
+             FROM embeddings e, cen) WHERE rn = 1),
+qc AS (SELECT query_id, centroid_id, crank FROM (
+         SELECT q.query_id, cen.centroid_id,
+                row_number() OVER (PARTITION BY q.query_id ORDER BY
+                  {_COS_SQL.format(a='q.qv', b='cen.cv')} DESC,
+                  cen.centroid_id ASC) AS crank
+         FROM q, cen)),
+np AS (SELECT unnest(range(1, 5)) AS nprobe),
+cells AS (SELECT qc.query_id, qc.crank, e.vec_id
+          FROM embeddings e
+          JOIN assign a ON a.vec_id = e.vec_id
+          JOIN qc ON qc.centroid_id = a.centroid_id),
+iv AS (SELECT np.nprobe, cells.query_id, cells.vec_id
+       FROM np, cells WHERE cells.crank <= np.nprobe),
+rk AS (SELECT nprobe, query_id, vec_id FROM (
+         SELECT iv.nprobe, iv.query_id, iv.vec_id,
+                row_number() OVER (PARTITION BY iv.nprobe, iv.query_id
+                  ORDER BY {_COS_SQL.format(a='e.embedding', b='q.qv')}
+                           DESC, iv.vec_id ASC) AS rank
+         FROM iv
+         JOIN embeddings e ON e.vec_id = iv.vec_id
+         JOIN q ON q.query_id = iv.query_id)
+       WHERE rank <= 10)
+SELECT b.query_id, np.nprobe::BIGINT AS nprobe,
+       round(count(rk.vec_id)::DOUBLE / 10.0, 6) AS recall_at_10
+FROM brute b
+CROSS JOIN np
+LEFT JOIN rk ON rk.nprobe = np.nprobe AND rk.query_id = b.query_id
+            AND rk.vec_id = b.vec_id
+GROUP BY 1, 2
+""")
+def emb_nprobe_sweep(spark, sf_dir):
+    """IVF nprobe tuning curve: recall@10 vs exact for nprobe 1–4, per
+    query — the recall-vs-cells-scanned frontier that sets the ANN
+    latency/quality knob (emb_recall_eval is the nprobe=2 point; this
+    is the curve). Probed-cell membership is computed ONCE; the sweep
+    reuses it with a rank filter per nprobe."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cent = e.where(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    q = e.where(F.col("vec_id").isin(0, 1, 2)) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    brute = SIM.knn_brute_force(e, q, k=10).select("query_id", "vec_id")
+    rows = []
+    for nprobe in [1, 2, 3, 4]:
+        iv = (SIM.ivf_search(e, cent, q, k=10, nprobe=nprobe)
+              .select("query_id", F.col("vec_id").alias("iv_id"),
+                      F.lit(nprobe).cast("bigint").alias("nprobe")))
+        rows.append(iv)
+    iv_all = rows[0]
+    for r_ in rows[1:]:
+        iv_all = iv_all.unionByName(r_)
+    nps = spark.range(1, 5).select(F.col("id").cast("bigint")
+                                   .alias("np"))
+    j2 = (brute.crossJoin(F.broadcast(nps))
+          .join(iv_all,
+                (iv_all.query_id == brute.query_id)
+                & (iv_all.nprobe == F.col("np"))
+                & (iv_all.iv_id == brute.vec_id), "left")
+          .select(brute.query_id, F.col("np").alias("nprobe"), "iv_id"))
+    return (j2.groupBy("query_id", "nprobe")
+            .agg(F.round(F.count("iv_id") / 10.0, 6).alias("recall_at_10")))
+
+
+@query("doc_source_diversity", sql="""
+WITH t AS (SELECT d.source,
+                  unnest(regexp_split_to_array(trim(lower(d.text)), '\\s+'))
+                      AS w
+           FROM documents d),
+per AS (SELECT source, w, count(*) AS c FROM t GROUP BY 1, 2)
+SELECT source, sum(c)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_distinct,
+       round(log2(sum(c))
+             - sum(round(c::DOUBLE * log2(c), 10)::DECIMAL(38,10))::DOUBLE
+               / sum(c), 6) AS entropy_bits
+FROM per GROUP BY 1
+""")
+def doc_source_diversity(spark, sf_dir):
+    """Lexical diversity per source: Shannon entropy of the source's
+    word distribution — low entropy flags template/boilerplate-heavy
+    crawl slices (the corpus-level sibling of doc_word_entropy's
+    per-doc score, same algebraic H = log2 n − Σc·log2c/n with
+    10-dp-rounded decimal-summed terms)."""
+    d = _t(spark, sf_dir, "documents")
+    t = (PT.ensure_parallelism(d.select("source", "text"), min_bytes=0)
+         .select("source", F.explode(TX.words_col("text")).alias("w")))
+    per = t.groupBy("source", "w").agg(F.count("*").alias("c"))
+    term = F.round(F.col("c").cast("double") * F.log2("c"), 10) \
+        .cast("decimal(38,10)")
+    return (per.groupBy("source")
+            .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                 F.count("*").alias("n_distinct"),
+                 F.round(F.log2(F.sum("c"))
+                         - F.sum(term).cast("double") / F.sum("c"), 6)
+                 .alias("entropy_bits")))
+
+
 @query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
 # correctness is pinned by test_dtw_pair_distances_matches_reference
 def ts_dtw_pairs(spark, sf_dir):
@@ -7488,6 +7604,7 @@ _REGISTRATION_ORDER = [
     "doc_perplexity_buckets", "ts_completeness", "ss_abc_parts",
     "emb_silhouette_lite", "ts_resample_fidelity",
     "ts_burst_detect", "emb_plane_sweep", "doc_template_signature",
+    "emb_nprobe_sweep", "doc_source_diversity",
 ]
 
 

@@ -7481,6 +7481,48 @@ def doc_source_diversity(spark, sf_dir):
                  .alias("entropy_bits")))
 
 
+@query("mm_payload_entropy", sql="""
+WITH t AS (SELECT doc_id AS media_id, text FROM documents
+           WHERE length(text) > 0),
+b AS (SELECT media_id, ascii(substr(text, i::INT, 1)) AS v
+      FROM (SELECT media_id, text,
+                   unnest(range(1, length(text) + 1)) AS i
+            FROM t)),
+per AS (SELECT media_id, v, count(*) AS c FROM b GROUP BY 1, 2)
+SELECT media_id, sum(c)::BIGINT AS n_bytes,
+       count(*)::BIGINT AS n_distinct_bytes,
+       round(log2(sum(c))
+             - sum(round(c::DOUBLE * log2(c), 10)::DECIMAL(38,10))::DOUBLE
+               / sum(c), 6) AS entropy_bits
+FROM per GROUP BY 1
+""")
+def mm_payload_entropy(spark, sf_dir):
+    """Byte-level Shannon entropy per media payload — the
+    compressibility / corruption gauge (near-8-bit entropy on a
+    supposedly-raw payload means it's already compressed or encrypted;
+    near-zero means padding). Byte histogram as one explode + two
+    combinable aggregates, 10-dp-rounded decimal-summed terms (the
+    word_entropy convention at byte granularity); text stands in for
+    payload bytes per the mm byte==codepoint convention."""
+    d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    b = (PT.ensure_parallelism(
+            d.select(F.col("doc_id").alias("media_id"), "text"),
+            min_bytes=0)
+         .select("media_id",
+                 F.explode(F.sequence(F.lit(1), F.length("text")))
+                 .alias("i"), "text")
+         .select("media_id", F.expr("ascii(substr(text, i, 1))").alias("v")))
+    per = b.groupBy("media_id", "v").agg(F.count("*").alias("c"))
+    term = F.round(F.col("c").cast("double") * F.log2("c"), 10) \
+        .cast("decimal(38,10)")
+    return (per.groupBy("media_id")
+            .agg(F.sum("c").cast("bigint").alias("n_bytes"),
+                 F.count("*").alias("n_distinct_bytes"),
+                 F.round(F.log2(F.sum("c"))
+                         - F.sum(term).cast("double") / F.sum("c"), 6)
+                 .alias("entropy_bits")))
+
+
 @query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
 # correctness is pinned by test_dtw_pair_distances_matches_reference
 def ts_dtw_pairs(spark, sf_dir):
@@ -7604,7 +7646,7 @@ _REGISTRATION_ORDER = [
     "doc_perplexity_buckets", "ts_completeness", "ss_abc_parts",
     "emb_silhouette_lite", "ts_resample_fidelity",
     "ts_burst_detect", "emb_plane_sweep", "doc_template_signature",
-    "emb_nprobe_sweep", "doc_source_diversity",
+    "emb_nprobe_sweep", "doc_source_diversity", "mm_payload_entropy",
 ]
 
 

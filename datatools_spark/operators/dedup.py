@@ -140,6 +140,10 @@ def simhash_col(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Output: ``id_col, simhash`` (bigint in [0, 2^bits)).
     """
+    if bits > 62:
+        raise ValueError(
+            f"bits={bits}: signatures are signed BIGINT and bit weights "
+            "are 1 << j literals — 62 bits is the maximum")
     work = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
     tok = work.select(F.col(id_col), F.explode(words_col(text_col)).alias("_w"))
     h = _hash32(F.col("_w"), 7)
@@ -167,8 +171,9 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     shape is the same as MinHash-LSH: an explode to ``bands`` narrow
     rows per doc, one bucket self-join, never n². At 100 TB the band
     tables are written once and each band join is an equi-join a
-    1000-executor shuffle handles; widen ``bits`` (64) / ``bands`` to
-    keep buckets selective on larger corpora.
+    1000-executor shuffle handles; widen ``bits`` (up to the signed-
+    bigint cap of 62) / ``bands`` to keep buckets selective on larger
+    corpora.
 
     Output: ``a_id, b_id, hamming`` with a < b, hamming <= max_hamming.
     """
@@ -453,11 +458,18 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     from .text import word_ngrams_all
     tok = (ensure_parallelism(df.select(F.col(id_col), F.col(text_col)),
                               min_bytes=0)
+           .withColumn("_words", words_col(text_col))
            .select(F.col(id_col),
-                   F.posexplode(word_ngrams_all(text_col, shingle_n))
+                   F.posexplode(word_ngrams_all(
+                       text_col, shingle_n, from_words_col="_words"))
                    .alias("_pos", "_sh")))
     key = _hash32(F.col("_sh"), 11) * F.lit(1 << 20) + F.col("_pos")
-    keyed = tok.select(F.col(id_col), F.col("_pos"), key.alias("_key"))
+    keyed = tok.select(
+        F.col(id_col), F.col("_pos"), key.alias("_key"),
+        F.assert_true(F.col("_pos") < F.lit(1 << 20),
+                      F.lit("winnow_fingerprints: doc exceeds 2^20 "
+                            "shingles — chunk it first (doc_chunk)"))
+        .alias("_bound")).drop("_bound")
     wfull = Window.partitionBy(id_col)
     wmin = Window.partitionBy(id_col).orderBy("_pos") \
         .rowsBetween(0, window - 1)

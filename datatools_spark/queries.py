@@ -4911,7 +4911,8 @@ def emb_recall_eval(spark, sf_dir):
 
 
 @query("ts_seasonal_backtest", sql="""
-WITH b AS (SELECT min(ts) + INTERVAL 21 DAY AS cut FROM events),
+WITH b AS (SELECT min(ts) + INTERVAL 21 DAY AS cut FROM events
+          WHERE value IS NOT NULL),
 tr AS (SELECT e.event_type, hour(e.ts) AS hr, e.value
        FROM events e, b WHERE e.ts < b.cut AND e.value IS NOT NULL),
 cl AS (SELECT event_type, hr,
@@ -5505,8 +5506,9 @@ def doc_ngram_novelty(spark, sf_dir):
     # heavy explode: spread regardless of input bytes (same rationale
     # as ngram_jaccard_pairs — the shuffle write happens in the scan task)
     sh = (PT.ensure_parallelism(d.select("doc_id", "text"), min_bytes=0)
-          .select("doc_id", F.explode(TX.word_shingles("text", 3))
-                  .alias("s")))
+          .withColumn("_words", TX.words_col("text"))
+          .select("doc_id", F.explode(TX.word_shingles(
+              "text", 3, from_words_col="_words")).alias("s")))
     # every shingle has exactly ONE first_doc, so per-doc novel counts
     # are derivable from the first-occurrence table alone — no join of
     # the corpus-sized index back onto itself (18 s → <1 s at sf0.1;
@@ -5991,6 +5993,7 @@ def doc_dup_degree_stats(spark, sf_dir):
                     F.max("d").cast("bigint").alias("max_degree"),
                     F.round(F.sum("d").cast("double") / F.count("*"), 4)
                     .alias("mean_degree"))
+            .where(F.col("n_nodes") > 0)  # oracle emits 0 rows when no pairs
             .crossJoin(F.broadcast(ec))
             .select("n_nodes", "n_edges", "max_degree", "mean_degree"))
 
@@ -6359,7 +6362,9 @@ def doc_df_histogram(spark, sf_dir):
     via floor is engine-exact."""
     d = _t(spark, sf_dir, "documents")
     sh = (PT.ensure_parallelism(d.select("doc_id", "text"), min_bytes=0)
-          .select(F.explode(TX.word_shingles("text", 3)).alias("s")))
+          .withColumn("_words", TX.words_col("text"))
+          .select(F.explode(TX.word_shingles(
+              "text", 3, from_words_col="_words")).alias("s")))
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
     bin_ = F.expr("CASE WHEN df < 2 THEN 0 WHEN df < 4 THEN 1 WHEN df < 8 THEN 2 WHEN df < 16 THEN 3 WHEN df < 32 THEN 4 WHEN df < 64 THEN 5 WHEN df < 128 THEN 6 WHEN df < 256 THEN 7 WHEN df < 512 THEN 8 WHEN df < 1024 THEN 9 ELSE 10 END")
     return (dfreq.select(bin_.alias("log2_bin"), "df")
@@ -6457,22 +6462,25 @@ def doc_dedup_compare(spark, sf_dir):
     near-dup always keeps ≤ exact. Both branches are the engine's own
     bucketed plans sharing one corpus scan."""
     d = _t(spark, sf_dir, "documents")
-    total = d.count()
+    tot = d.agg(F.count("*").alias("total"))  # lazy 1-row broadcast
     ex_kept = (d.select(F.md5(F.trim(F.lower("text"))).alias("fp"))
                .agg(F.countDistinct("fp").alias("k")))
     pairs = D.minhash_lsh_pairs(d, num_hashes=8, bands=4, threshold=0.25)
     dropped = pairs.agg(F.countDistinct("b_id").alias("d"))
-    ex_row = ex_kept.select(
-        F.lit("exact").alias("strategy"),
-        F.lit(total).cast("bigint").alias("n_docs"),
-        F.col("k").cast("bigint").alias("n_kept"),
-        F.round(F.col("k") / F.lit(float(total)), 6).alias("retention"))
-    mh_row = dropped.select(
-        F.lit("minhash_lsh").alias("strategy"),
-        F.lit(total).cast("bigint").alias("n_docs"),
-        (F.lit(total) - F.col("d")).cast("bigint").alias("n_kept"),
-        F.round((F.lit(total) - F.col("d")) / F.lit(float(total)), 6)
-        .alias("retention"))
+    ex_row = (ex_kept.crossJoin(F.broadcast(tot))
+              .select(F.lit("exact").alias("strategy"),
+                      F.col("total").cast("bigint").alias("n_docs"),
+                      F.col("k").cast("bigint").alias("n_kept"),
+                      F.round(F.col("k") / F.col("total").cast("double"),
+                              6).alias("retention")))
+    mh_row = (dropped.crossJoin(F.broadcast(tot))
+              .select(F.lit("minhash_lsh").alias("strategy"),
+                      F.col("total").cast("bigint").alias("n_docs"),
+                      (F.col("total") - F.col("d")).cast("bigint")
+                      .alias("n_kept"),
+                      F.round((F.col("total") - F.col("d"))
+                              / F.col("total").cast("double"), 6)
+                      .alias("retention")))
     return ex_row.unionByName(mh_row)
 
 
@@ -6605,8 +6613,9 @@ def doc_weighted_jaccard_pairs(spark, sf_dir):
     # sums, rare lists, stop membership) — persist it, and persist the
     # weighted index too, or each branch re-runs the explode+join
     sh = (PT.ensure_parallelism(d.select("doc_id", "text"), min_bytes=0)
-          .select("doc_id", F.explode(TX.word_shingles("text", 3))
-                  .alias("s"))).persist()
+          .withColumn("_words", TX.words_col("text"))
+          .select("doc_id", F.explode(TX.word_shingles(
+              "text", 3, from_words_col="_words")).alias("s"))).persist()
     nd = sh.agg(F.countDistinct("doc_id").alias("n"))
     dfq = sh.groupBy("s").agg(F.count("*").alias("df"))
     idf = (dfq.crossJoin(F.broadcast(nd))
@@ -6651,8 +6660,8 @@ def doc_weighted_jaccard_pairs(spark, sf_dir):
                               F.col("tw").alias("tw_a")), "a_id")
             .join(wsum.select(F.col("doc_id").alias("b_id"),
                               F.col("tw").alias("tw_b")), "b_id")
+            .where(wj >= 0.1)
             .withColumn("wjaccard", F.round(wj, 6))
-            .where(F.col("wjaccard") >= 0.1)
             .select("a_id", "b_id", "wjaccard"))
 
 
@@ -7348,8 +7357,9 @@ def doc_template_signature(spark, sf_dir):
     per-source shingle-count table."""
     d = _t(spark, sf_dir, "documents")
     sh = (PT.ensure_parallelism(d.select("doc_id", "text"), min_bytes=0)
-          .select("doc_id", F.explode(TX.word_shingles("text", 3))
-                  .alias("s")))
+          .withColumn("_words", TX.words_col("text"))
+          .select("doc_id", F.explode(TX.word_shingles(
+              "text", 3, from_words_col="_words")).alias("s")))
     j = sh.join(F.broadcast(d.select("doc_id", "source")), "doc_id") \
         .select("source", "s")
     c = j.groupBy("source", "s").agg(F.count("*").alias("n"))

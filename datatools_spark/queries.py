@@ -7533,6 +7533,137 @@ def mm_payload_entropy(spark, sf_dir):
                  .alias("entropy_bits")))
 
 
+@query("emb_diversity_sample", sql=f"""
+WITH smp AS (SELECT vec_id, embedding
+             FROM (SELECT vec_id, embedding,
+                          row_number() OVER (
+                              ORDER BY md5('div:' || vec_id::VARCHAR),
+                                       vec_id) AS rn
+                   FROM embeddings) WHERE rn <= 32),
+p AS (SELECT round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6)
+          AS cos
+      FROM smp a JOIN smp b ON a.vec_id < b.vec_id)
+SELECT count(*)::BIGINT AS n_pairs,
+       round(sum(cos::DECIMAL(30,6))::DOUBLE / count(*), 6) AS mean_cos,
+       round(min(cos), 6) AS min_cos, round(max(cos), 6) AS max_cos
+FROM p
+""")
+def emb_diversity_sample(spark, sf_dir):
+    """Corpus embedding diversity on a deterministic md5-ordered sample
+    of 32 vectors: mean/min/max pairwise cosine — high mean cosine
+    flags a collapsed (non-diverse) embedding space before training on
+    it. The sample bound caps the pair fan-out at C(32,2) = 496
+    regardless of corpus size (the honest way to estimate pairwise
+    stats at 10⁹ vectors); the md5 order makes the sample layout- and
+    engine-independent."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    w = Window.orderBy(
+        F.md5(F.concat(F.lit("div:"), F.col("vec_id").cast("string"))),
+        F.col("vec_id"))
+    smp = (e.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") <= 32).select("vec_id", "embedding"))
+    a = smp.select(F.col("vec_id").alias("a_id"),
+                   F.col("embedding").alias("va"))
+    b = smp.select(F.col("vec_id").alias("b_id"),
+                   F.col("embedding").alias("vb"))
+    p = (F.broadcast(a).crossJoin(F.broadcast(b))
+         .where(F.col("a_id") < F.col("b_id"))
+         .select(F.round(SIM.cosine_expr(F.col("va"), F.col("vb")), 6)
+                 .alias("cos")))
+    return p.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum(F.col("cos").cast("decimal(30,6)")).cast("double")
+                / F.count("*"), 6).alias("mean_cos"),
+        F.round(F.min("cos"), 6).alias("min_cos"),
+        F.round(F.max("cos"), 6).alias("max_cos"))
+
+
+@query("ss_fk_integrity", sql="""
+SELECT 'lineitem_orphan_order' AS check_name,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+           AS n_violations
+UNION ALL
+SELECT 'order_orphan_customer',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))::BIGINT
+UNION ALL
+SELECT 'lineitem_orphan_part',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))::BIGINT
+UNION ALL
+SELECT 'customer_orphan_nation',
+       (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))::BIGINT
+""")
+def ss_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit: orphan counts for the four core
+    foreign keys (lineitem→orders, orders→customer, lineitem→part,
+    customer→nation) — the data-contract check a lakehouse runs after
+    every ingest, since nothing enforces FKs at rest. Each check is an
+    anti join (broadcast where the parent is dimension-sized) reduced
+    to one count; 0 everywhere = clean."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+
+    def check(name, child, parent, ck, pk, bc):
+        par = parent.select(pk)
+        if bc:
+            par = F.broadcast(par)
+        return (child.join(par, child[ck] == F.col(pk), "left_anti")
+                .agg(F.count("*").alias("n_violations"))
+                .select(F.lit(name).alias("check_name"),
+                        F.col("n_violations").cast("bigint")
+                        .alias("n_violations")))
+
+    out = check("lineitem_orphan_order", li, o, "l_orderkey",
+                "o_orderkey", False)
+    for args in [("order_orphan_customer", o, c, "o_custkey", "c_custkey",
+                  True),
+                 ("lineitem_orphan_part", li, p, "l_partkey", "p_partkey",
+                  True),
+                 ("customer_orphan_nation", c, n, "c_nationkey",
+                  "n_nationkey", True)]:
+        out = out.unionByName(check(*args))
+    return out
+
+
+@query("ss_monthly_active", sql="""
+WITH m AS (SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+                  count(DISTINCT o_custkey) AS mac,
+                  count(*) AS n_orders
+           FROM orders GROUP BY 1)
+SELECT month, mac::BIGINT AS active_customers,
+       n_orders::BIGINT AS n_orders,
+       (mac - lag(mac) OVER (ORDER BY month))::BIGINT AS mac_change
+FROM m
+""")
+def ss_monthly_active(spark, sf_dir):
+    """Monthly active customers with month-over-month change — the
+    engagement KPI as aggregate-then-window (the lag runs over the
+    month table, never the fact). Exact distinct per month; at 100 TB
+    swap count(DISTINCT) for the mergeable HLL registers
+    (doc_hll_distinct) and keep the same shape."""
+    o = _t(spark, sf_dir, "orders")
+    m = (o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+         .agg(F.countDistinct("o_custkey").alias("mac"),
+              F.count("*").alias("n_orders")))
+    w = Window.orderBy("month")
+    return m.select(
+        "month", F.col("mac").cast("bigint").alias("active_customers"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        (F.col("mac") - F.lag("mac").over(w)).cast("bigint")
+        .alias("mac_change"))
+
+
 @query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
 # correctness is pinned by test_dtw_pair_distances_matches_reference
 def ts_dtw_pairs(spark, sf_dir):
@@ -7657,6 +7788,7 @@ _REGISTRATION_ORDER = [
     "emb_silhouette_lite", "ts_resample_fidelity",
     "ts_burst_detect", "emb_plane_sweep", "doc_template_signature",
     "emb_nprobe_sweep", "doc_source_diversity", "mm_payload_entropy",
+    "emb_diversity_sample", "ss_fk_integrity", "ss_monthly_active",
 ]
 
 

@@ -7664,6 +7664,180 @@ def ss_monthly_active(spark, sf_dir):
         .alias("mac_change"))
 
 
+@query("doc_detector_agreement", sql=f"""
+WITH {_SHINGLE_SQL},
+sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY 1),
+bk AS (SELECT doc_id, b, k FROM (
+         SELECT doc_id, unnest(range(4)) AS b,
+                unnest([{_BAND_KEYS_SQL}]) AS k
+         FROM sig)),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM bk a JOIN bk b ON a.b = b.b AND a.k = b.k
+                   AND a.doc_id < b.doc_id),
+lsh AS (SELECT c.a_id, c.b_id FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a_id
+        JOIN sig sb ON sb.doc_id = c.b_id
+        WHERE ({_AGREE_SQL}) / 8.0 >= 0.25),
+rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+jcand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          WHERE a.s IN (SELECT s FROM rare)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT i.a_id, i.b_id FROM inter i
+        JOIN jcand c ON c.a_id = i.a_id AND c.b_id = i.b_id
+        JOIN sizes na ON na.doc_id = i.a_id
+        JOIN sizes nb ON nb.doc_id = i.b_id
+        WHERE i.i::DOUBLE / (na.n + nb.n - i.i) >= 0.25),
+onlyl AS (SELECT count(*) AS c FROM lsh l
+          WHERE NOT EXISTS (SELECT 1 FROM jac j
+                            WHERE j.a_id = l.a_id AND j.b_id = l.b_id)),
+onlyj AS (SELECT count(*) AS c FROM jac j
+          WHERE NOT EXISTS (SELECT 1 FROM lsh l
+                            WHERE l.a_id = j.a_id AND l.b_id = j.b_id)),
+bth AS (SELECT count(*) AS c FROM lsh l
+        WHERE EXISTS (SELECT 1 FROM jac j
+                      WHERE j.a_id = l.a_id AND j.b_id = l.b_id))
+SELECT bth.c::BIGINT AS n_both, onlyl.c::BIGINT AS n_lsh_only,
+       onlyj.c::BIGINT AS n_jaccard_only,
+       round(bth.c::DOUBLE
+             / greatest(bth.c + onlyl.c + onlyj.c, 1), 6) AS agreement
+FROM bth, onlyl, onlyj
+""")
+def doc_detector_agreement(spark, sf_dir):
+    """Cross-detector agreement report: the Venn decomposition of pairs
+    found by MinHash-LSH (estimated Jaccard ≥ 0.25) vs exact n-gram
+    Jaccard (≥ 0.25) — the calibration table that says whether the
+    cheap detector can stand in for the exact one on this corpus
+    (doc_lsh_eval gives precision/recall; this gives the symmetric
+    overlap). Both detectors are the engine's own bucketed plans; the
+    Venn counts are two anti joins + one semi join on narrow pair
+    ids."""
+    d = _t(spark, sf_dir, "documents")
+    lsh = D.minhash_lsh_pairs(d, num_hashes=8, bands=4, threshold=0.25) \
+        .select("a_id", "b_id")
+    jac = D.ngram_jaccard_pairs(d, threshold=0.25, max_df=100) \
+        .select("a_id", "b_id")
+    both = lsh.join(jac, ["a_id", "b_id"], "left_semi") \
+        .agg(F.count("*").alias("n_both"))
+    only_l = lsh.join(jac, ["a_id", "b_id"], "left_anti") \
+        .agg(F.count("*").alias("n_lsh_only"))
+    only_j = jac.join(lsh, ["a_id", "b_id"], "left_anti") \
+        .agg(F.count("*").alias("n_jaccard_only"))
+    u = F.greatest(F.col("n_both") + F.col("n_lsh_only")
+                   + F.col("n_jaccard_only"), F.lit(1))
+    return (both.crossJoin(F.broadcast(only_l))
+            .crossJoin(F.broadcast(only_j))
+            .select(F.col("n_both").cast("bigint").alias("n_both"),
+                    F.col("n_lsh_only").cast("bigint").alias("n_lsh_only"),
+                    F.col("n_jaccard_only").cast("bigint")
+                    .alias("n_jaccard_only"),
+                    F.round(F.col("n_both") / u, 6).alias("agreement")))
+
+
+@query("emb_split_stability", sql=f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+           FROM embeddings WHERE vec_id < 8),
+a AS (SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_COS_SQL.format(a='e.embedding', b='c.cv')} DESC,
+                 c.centroid_id ASC) AS rn
+        FROM embeddings e, c) WHERE rn = 1),
+mx AS (SELECT max(vec_id) AS m FROM embeddings),
+h AS (SELECT a.centroid_id,
+             CASE WHEN e.vec_id * 2 <= mx.m THEN 0 ELSE 1 END AS half,
+             e.embedding
+      FROM embeddings e JOIN a ON a.vec_id = e.vec_id CROSS JOIN mx),
+cm AS (SELECT centroid_id, half, count(*) AS n FROM h GROUP BY 1, 2)
+SELECT h0.centroid_id, h0.n::BIGINT AS n_first_half,
+       coalesce(h1.n, 0)::BIGINT AS n_second_half,
+       round(abs(h0.n - coalesce(h1.n, 0))::DOUBLE
+             / greatest(h0.n + coalesce(h1.n, 0), 1), 6) AS imbalance
+FROM (SELECT * FROM cm WHERE half = 0) h0
+LEFT JOIN (SELECT * FROM cm WHERE half = 1) h1 USING (centroid_id)
+""")
+def emb_split_stability(spark, sf_dir):
+    """Cluster-occupancy stability across corpus halves (first half of
+    ids = 'old' data, second = 'new'): per-cell counts and the
+    normalized occupancy shift — the drift monitor that says when the
+    IVF layout needs re-training (cells filling unevenly over time
+    degrade nprobe recall). One assignment scan + one combinable
+    count."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cent = e.where(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    a = SIM.ivf_assign(e, cent).select("vec_id", "centroid_id")
+    mx = e.agg(F.max("vec_id").alias("m"))
+    h = (a.crossJoin(F.broadcast(mx))
+         .select("centroid_id",
+                 F.when(F.col("vec_id") * 2 <= F.col("m"), 0)
+                 .otherwise(1).alias("half")))
+    cm = h.groupBy("centroid_id", "half").agg(F.count("*").alias("n"))
+    h0 = cm.where(F.col("half") == 0).select("centroid_id",
+                                             F.col("n").alias("n0"))
+    h1 = cm.where(F.col("half") == 1).select("centroid_id",
+                                             F.col("n").alias("n1"))
+    n1 = F.coalesce(F.col("n1"), F.lit(0))
+    return (h0.join(h1, "centroid_id", "left")
+            .select("centroid_id",
+                    F.col("n0").cast("bigint").alias("n_first_half"),
+                    n1.cast("bigint").alias("n_second_half"),
+                    F.round(F.abs(F.col("n0") - n1)
+                            / F.greatest(F.col("n0") + n1, F.lit(1)), 6)
+                    .alias("imbalance")))
+
+
+@query("ss_discount_quantity_corr", sql="""
+WITH j AS (SELECT p.p_brand, l.l_discount AS x, l.l_quantity AS y
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+m AS (SELECT p_brand, count(*) AS n,
+             sum(x::DECIMAL(30,12)) AS sx, sum(y::DECIMAL(30,12)) AS sy,
+             sum((x * y)::DECIMAL(38,12)) AS sxy,
+             sum((x * x)::DECIMAL(38,12)) AS sxx,
+             sum((y * y)::DECIMAL(38,12)) AS syy
+      FROM j GROUP BY 1)
+SELECT p_brand, n::BIGINT AS n_lines,
+       round((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n)
+             / sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n)
+                    * (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n)), 6)
+           AS corr_discount_qty
+FROM m
+WHERE (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) > 0
+  AND (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n) > 0
+""")
+def ss_discount_quantity_corr(spark, sf_dir):
+    """Discount-elasticity proxy: Pearson correlation between discount
+    and quantity per brand (does discounting move volume?). Algebraic
+    corr from five decimal-summed moments — one broadcast dim join +
+    one combinable aggregate, engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+         .select("p_brand", F.col("l_discount").alias("x"),
+                 F.col("l_quantity").alias("y")))
+    dec = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    dec38 = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    m = j.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec38(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec38(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec38(F.col("y") * F.col("y"))).alias("syy"))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    vx = dd("sxx") - dd("sx") * dd("sx") / F.col("n")
+    vy = dd("syy") - dd("sy") * dd("sy") / F.col("n")
+    cov = dd("sxy") - dd("sx") * dd("sy") / F.col("n")
+    return (m.where((vx > 0) & (vy > 0))
+            .select("p_brand", F.col("n").cast("bigint").alias("n_lines"),
+                    F.round(cov / F.sqrt(vx * vy), 6)
+                    .alias("corr_discount_qty")))
+
+
 @query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
 # correctness is pinned by test_dtw_pair_distances_matches_reference
 def ts_dtw_pairs(spark, sf_dir):
@@ -7789,6 +7963,8 @@ _REGISTRATION_ORDER = [
     "ts_burst_detect", "emb_plane_sweep", "doc_template_signature",
     "emb_nprobe_sweep", "doc_source_diversity", "mm_payload_entropy",
     "emb_diversity_sample", "ss_fk_integrity", "ss_monthly_active",
+    "doc_detector_agreement", "emb_split_stability",
+    "ss_discount_quantity_corr",
 ]
 
 

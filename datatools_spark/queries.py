@@ -7838,6 +7838,128 @@ def ss_discount_quantity_corr(spark, sf_dir):
                     .alias("corr_discount_qty")))
 
 
+@query("doc_vocab_growth", sql=f"""
+WITH {_SHINGLE_SQL},
+first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+mx AS (SELECT max(doc_id) AS m FROM documents),
+nb AS (SELECT least((first_doc * 20) // (mx.m + 1), 19) AS bucket,
+              count(*) AS new_shingles
+       FROM first, mx GROUP BY 1)
+SELECT bucket::BIGINT AS bucket, new_shingles::BIGINT AS new_shingles,
+       (sum(new_shingles) OVER (ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING))::BIGINT
+           AS cum_vocab
+FROM nb
+""")
+def doc_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve: new distinct shingles per
+    5%-of-corpus bucket (ingestion order) and the cumulative vocabulary
+    — still-steep growth at the tail means more crawl adds real
+    content; a flat tail means the corpus is saturated. Derives
+    entirely from the first-occurrence table (one combinable min per
+    shingle), so the curve costs no more than doc_ngram_novelty; the
+    window runs over 20 rows."""
+    d = _t(spark, sf_dir, "documents")
+    sh = (PT.ensure_parallelism(d.select("doc_id", "text"), min_bytes=0)
+          .withColumn("_words", TX.words_col("text"))
+          .select("doc_id", F.explode(TX.word_shingles(
+              "text", 3, from_words_col="_words")).alias("s")))
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    mx = d.agg(F.max("doc_id").alias("m"))
+    nb = (first.crossJoin(F.broadcast(mx))
+          .select(F.least(F.expr("(first_doc * 20) div (m + 1)"),
+                          F.lit(19)).alias("bucket"))
+          .groupBy("bucket").agg(F.count("*").alias("new_shingles")))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return nb.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("new_shingles").cast("bigint").alias("new_shingles"),
+        F.sum("new_shingles").over(w).cast("bigint").alias("cum_vocab"))
+
+
+@query("doc_zipf_slope", sql="""
+WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS w
+             FROM documents),
+c AS (SELECT w, count(*) AS f FROM tok GROUP BY 1),
+r AS (SELECT round(ln(row_number() OVER (ORDER BY f DESC, w ASC)), 10)
+          AS lx,
+             round(ln(f), 10) AS ly
+      FROM c
+      QUALIFY row_number() OVER (ORDER BY f DESC, w ASC) <= 200),
+m AS (SELECT count(*) AS n,
+             sum(lx::DECIMAL(38,10)) AS sx, sum(ly::DECIMAL(38,10)) AS sy,
+             sum((lx * ly)::DECIMAL(38,10)) AS sxy,
+             sum((lx * lx)::DECIMAL(38,10)) AS sxx
+      FROM r)
+SELECT n::BIGINT AS n_ranks,
+       round((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n)
+             / (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n), 6)
+           AS zipf_slope
+FROM m
+""")
+def doc_zipf_slope(spark, sf_dir):
+    """Zipf exponent of the corpus word distribution: OLS slope of
+    log-frequency on log-rank over the top 200 words — natural language
+    sits near −1; templated/synthetic corpora deviate sharply (the
+    one-number distributional health check). Rank window runs over the
+    word-count table; logs are 10-dp rounded then decimal-summed so
+    the regression moments are engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (PT.ensure_parallelism(d.select("text"), min_bytes=0)
+           .select(F.explode(TX.words_col("text")).alias("w")))
+    c = tok.groupBy("w").agg(F.count("*").alias("f"))
+    rk = Window.orderBy(F.desc("f"), F.asc("w"))
+    r = (c.withColumn("rn", F.row_number().over(rk))
+         .where(F.col("rn") <= 200)
+         .select(F.round(F.log(F.col("rn").cast("double")), 10)
+                 .alias("lx"),
+                 F.round(F.log(F.col("f").cast("double")), 10)
+                 .alias("ly")))
+    dec = lambda col: col.cast("decimal(38,10)")  # noqa: E731
+    m = r.agg(F.count("*").alias("n"),
+              F.sum(dec(F.col("lx"))).alias("sx"),
+              F.sum(dec(F.col("ly"))).alias("sy"),
+              F.sum(dec(F.col("lx") * F.col("ly"))).alias("sxy"),
+              F.sum(dec(F.col("lx") * F.col("lx"))).alias("sxx"))
+    dd = lambda col: F.col(col).cast("double")  # noqa: E731
+    slope = ((dd("sxy") - dd("sx") * dd("sy") / F.col("n"))
+             / (dd("sxx") - dd("sx") * dd("sx") / F.col("n")))
+    return m.select(F.col("n").cast("bigint").alias("n_ranks"),
+                    F.round(slope, 6).alias("zipf_slope"))
+
+
+@query("ss_repeat_purchase", sql="""
+WITH pc AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+j AS (SELECT c.c_mktsegment, coalesce(pc.n, 0) AS n
+      FROM customer c LEFT JOIN pc ON pc.o_custkey = c.c_custkey)
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+       sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_repeat,
+       sum(CASE WHEN n = 0 THEN 1 ELSE 0 END)::BIGINT AS n_never,
+       round(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS repeat_rate
+FROM j GROUP BY 1
+""")
+def ss_repeat_purchase(spark, sf_dir):
+    """Repeat-purchase rate per segment (≥ 2 orders), with the
+    never-ordered count from the customer side of a left join — the
+    loyalty KPI. One combinable per-customer count + a broadcast dim
+    join + one aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    pc = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    j = (c.join(pc, c.c_custkey == pc.o_custkey, "left")
+         .select("c_mktsegment", F.coalesce(F.col("n"), F.lit(0))
+                 .alias("n")))
+    rep = F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_customers"),
+                 rep.cast("bigint").alias("n_repeat"),
+                 F.sum(F.when(F.col("n") == 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_never"),
+                 F.round(rep / F.count("*"), 6).alias("repeat_rate")))
+
+
 @query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
 # correctness is pinned by test_dtw_pair_distances_matches_reference
 def ts_dtw_pairs(spark, sf_dir):
@@ -7965,6 +8087,7 @@ _REGISTRATION_ORDER = [
     "emb_diversity_sample", "ss_fk_integrity", "ss_monthly_active",
     "doc_detector_agreement", "emb_split_stability",
     "ss_discount_quantity_corr",
+    "doc_vocab_growth", "doc_zipf_slope", "ss_repeat_purchase",
 ]
 
 

@@ -7960,6 +7960,140 @@ def ss_repeat_purchase(spark, sf_dir):
                  F.round(rep / F.count("*"), 6).alias("repeat_rate")))
 
 
+@query("ts_value_hour_histogram", sql="""
+WITH v AS (SELECT event_type, hour(ts) AS hr, value FROM events
+           WHERE value IS NOT NULL),
+ex AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+       FROM v GROUP BY 1),
+b AS (SELECT v.event_type, v.hr,
+             CASE WHEN ex.hi = ex.lo THEN 0
+                  ELSE least(floor((v.value - ex.lo)
+                                   / (ex.hi - ex.lo) * 10)::INT, 9)
+             END AS vbin
+      FROM v JOIN ex USING (event_type))
+SELECT event_type, hr::BIGINT AS hr, vbin::BIGINT AS vbin,
+       count(*)::BIGINT AS n
+FROM b GROUP BY 1, 2, 3
+""")
+def ts_value_hour_histogram(spark, sf_dir):
+    """2-D density histogram per series: hour-of-day × value-decile-bin
+    counts — the heatmap behind 'when is this sensor hot'. Per-series
+    extent from one combinable aggregate broadcast back; bin index is
+    pure IEEE arithmetic on raw values (identical in both engines);
+    output is metadata-sized (series × 24 × 10)."""
+    ev = (_t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+          .select("event_type", F.hour("ts").alias("hr"), "value"))
+    ex = ev.groupBy("event_type").agg(F.min("value").alias("lo"),
+                                      F.max("value").alias("hi"))
+    vbin = F.when(F.col("hi") == F.col("lo"), 0).otherwise(
+        F.least(F.floor((F.col("value") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo")) * 10).cast("int"),
+                F.lit(9)))
+    return (ev.join(F.broadcast(ex), "event_type")
+            .select("event_type", "hr", vbin.alias("vbin"))
+            .groupBy("event_type", F.col("hr").cast("bigint").alias("hr"),
+                     F.col("vbin").cast("bigint").alias("vbin"))
+            .agg(F.count("*").alias("n")))
+
+
+@query("ss_rolling_quarter", sql="""
+WITH m AS (SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+                  sum(o_totalprice::DECIMAL(30,12)) AS rev
+           FROM orders GROUP BY 1)
+SELECT month, round(rev::DOUBLE, 4) AS month_revenue,
+       round((sum(rev) OVER (ORDER BY month
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+             ::DOUBLE, 4) AS rolling_quarter_revenue,
+       (count(*) OVER (ORDER BY month
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::BIGINT
+           AS n_months_in_window
+FROM m
+""")
+def ss_rolling_quarter(spark, sf_dir):
+    """Sliding-quarter (3-month) revenue: aggregate to months first,
+    then a 3-row frame over the month table — the canonical
+    aggregate-then-window downsampling that keeps the sliding sum off
+    the fact table entirely. DECIMAL partials inside the frame."""
+    o = _t(spark, sf_dir, "orders")
+    m = (o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+         .agg(F.sum(F.col("o_totalprice").cast("decimal(30,12)"))
+              .alias("rev")))
+    w = Window.orderBy("month").rowsBetween(-2, 0)
+    return m.select(
+        "month", F.round(F.col("rev").cast("double"), 4)
+        .alias("month_revenue"),
+        F.round(F.sum("rev").over(w).cast("double"), 4)
+        .alias("rolling_quarter_revenue"),
+        F.count("*").over(w).cast("bigint").alias("n_months_in_window"))
+
+
+@query("emb_label_separation", sql="""
+WITH x AS (SELECT label, i AS dim, embedding[i]::DOUBLE AS v
+           FROM (SELECT label, embedding,
+                        unnest(range(1, array_length(embedding) + 1)) AS i
+                 FROM embeddings)),
+lm AS (SELECT label, dim, count(*) AS n,
+              round(sum(v::DECIMAL(30,12))::DOUBLE / count(*), 8) AS mu,
+              sum((v * v)::DECIMAL(38,12)) AS sq,
+              sum(v::DECIMAL(30,12)) AS sv
+       FROM x GROUP BY 1, 2),
+wv AS (SELECT dim,
+              sum((sq::DOUBLE - sv::DOUBLE * sv::DOUBLE / n)
+                  ::DECIMAL(38,10)) AS ssw,
+              sum(n)::BIGINT AS nt, count(*) AS k,
+              round(sum(sv)::DOUBLE / sum(n), 8) AS gmu
+       FROM lm GROUP BY 1),
+bv AS (SELECT lm.dim,
+              sum((lm.n * (lm.mu - wv.gmu) * (lm.mu - wv.gmu))
+                  ::DECIMAL(38,10)) AS ssb
+       FROM lm JOIN wv USING (dim) GROUP BY 1)
+SELECT bv.dim::BIGINT AS dim,
+       round(bv.ssb::DOUBLE / greatest(wv.ssw::DOUBLE, 1e-12), 6)
+           AS fisher_ratio
+FROM bv JOIN wv USING (dim)
+ORDER BY fisher_ratio DESC, dim ASC
+LIMIT 10
+""")
+def emb_label_separation(spark, sf_dir):
+    """Per-dimension Fisher separability (between-class / within-class
+    scatter) over the labelled embeddings, top-10 most discriminative
+    dims — the classifier-readiness gauge that also drives
+    dimension-selection (keep high-Fisher dims; pairs with
+    emb_matryoshka_eval's truncation recall). One posexplode + two
+    combinable aggregates; means rounded to 8 then used identically in
+    both engines, scatters decimal-summed."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    x = e.select("label", F.posexplode("embedding").alias("dim0", "v")) \
+        .select("label", (F.col("dim0") + 1).alias("dim"), "v")
+    dec = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    dec38 = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    lm = x.groupBy("label", "dim").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(dec(F.col("v"))).cast("double") / F.count("*"), 8)
+        .alias("mu"),
+        F.sum(dec38(F.col("v") * F.col("v"))).alias("sq"),
+        F.sum(dec(F.col("v"))).alias("sv"))
+    wv = lm.groupBy("dim").agg(
+        F.sum((F.col("sq").cast("double")
+               - F.col("sv").cast("double") * F.col("sv").cast("double")
+               / F.col("n")).cast("decimal(38,10)")).alias("ssw"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.round(F.sum("sv").cast("double") / F.sum("n"), 8).alias("gmu"))
+    bv = (lm.join(F.broadcast(wv.select("dim", "gmu")), "dim")
+          .groupBy("dim")
+          .agg(F.sum((F.col("n") * (F.col("mu") - F.col("gmu"))
+                      * (F.col("mu") - F.col("gmu")))
+                     .cast("decimal(38,10)")).alias("ssb")))
+    out = (bv.join(F.broadcast(wv.select("dim", "ssw")), "dim")
+           .select(F.col("dim").cast("bigint").alias("dim"),
+                   F.round(F.col("ssb").cast("double")
+                           / F.greatest(F.col("ssw").cast("double"),
+                                        F.lit(1e-12)), 6)
+                   .alias("fisher_ratio")))
+    return (out.orderBy(F.desc("fisher_ratio"), F.asc("dim")).limit(10))
+
+
 @query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
 # correctness is pinned by test_dtw_pair_distances_matches_reference
 def ts_dtw_pairs(spark, sf_dir):
@@ -8088,6 +8222,8 @@ _REGISTRATION_ORDER = [
     "doc_detector_agreement", "emb_split_stability",
     "ss_discount_quantity_corr",
     "doc_vocab_growth", "doc_zipf_slope", "ss_repeat_purchase",
+    "ts_value_hour_histogram", "ss_rolling_quarter",
+    "emb_label_separation",
 ]
 
 

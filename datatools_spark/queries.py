@@ -8094,6 +8094,49 @@ def emb_label_separation(spark, sf_dir):
     return (out.orderBy(F.desc("fisher_ratio"), F.asc("dim")).limit(10))
 
 
+@query("ss_order_gaps", sql="""
+WITH g AS (SELECT o_custkey, o_orderdate, o_orderkey,
+                  (epoch_us(o_orderdate)
+                   - epoch_us(lag(o_orderdate) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)))
+                      // 86400000000 AS gap_days
+           FROM orders),
+j AS (SELECT c.c_mktsegment, g.gap_days
+      FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+      WHERE g.gap_days IS NOT NULL)
+SELECT c_mktsegment, count(*)::BIGINT AS n_gaps,
+       round(quantile_cont(gap_days, 0.5), 4) AS p50_days,
+       round(quantile_cont(gap_days, 0.95), 4) AS p95_days,
+       max(gap_days)::BIGINT AS max_days
+FROM j GROUP BY 1
+""")
+def ss_order_gaps(spark, sf_dir):
+    """Inter-order gap distribution per segment: days between a
+    customer's consecutive orders (exact p50/p95/max) — the purchase-
+    cadence profile that complements ss_customer_recency's last-order
+    view. One keyed window for the lag (partitioned by customer — the
+    sort scales out), integer-micros day arithmetic, exact
+    percentiles."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.expr("(unix_micros(cast(o_orderdate AS timestamp))"
+                 " - unix_micros(cast(lag_d AS timestamp)))"
+                 " div 86400000000")
+    g = (o.withColumn("lag_d", F.lag("o_orderdate").over(w))
+         .where(F.col("lag_d").isNotNull())
+         .select("o_custkey", gap.alias("gap_days")))
+    return (g.join(F.broadcast(c), g.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_gaps"),
+                 F.round(F.expr("percentile(gap_days, 0.5)"), 4)
+                 .alias("p50_days"),
+                 F.round(F.expr("percentile(gap_days, 0.95)"), 4)
+                 .alias("p95_days"),
+                 F.max("gap_days").cast("bigint").alias("max_days")))
+
+
 @query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
 # correctness is pinned by test_dtw_pair_distances_matches_reference
 def ts_dtw_pairs(spark, sf_dir):
@@ -8223,7 +8266,7 @@ _REGISTRATION_ORDER = [
     "ss_discount_quantity_corr",
     "doc_vocab_growth", "doc_zipf_slope", "ss_repeat_purchase",
     "ts_value_hour_histogram", "ss_rolling_quarter",
-    "emb_label_separation",
+    "emb_label_separation", "ss_order_gaps",
 ]
 
 

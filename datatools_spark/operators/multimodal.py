@@ -41,7 +41,7 @@ __all__ = [
     "extract_features_expr", "sample_frames", "resize_plan", "patch_grid",
     "decode_raw8", "decode_pcm16", "raw8_stats", "raw8_pool",
     "raw8_resize_nearest", "raw8_frame_stats", "pcm16_stats",
-    "pcm16_spectrogram",
+    "pcm16_spectrogram", "raw8_ahash", "ahash_pairs",
 ]
 
 MEDIA_SCHEMA = StructType([
@@ -553,3 +553,92 @@ def pcm16_resample_stats(df: DataFrame, up: int = 4, down: int = 3,
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     return df.select(id_col, payload_col).mapInPandas(_batches, out_schema)
+
+
+def raw8_ahash(df: DataFrame, width: int = 16, grid: int = 8,
+               payload_col: str = "payload",
+               id_col: str = "media_id") -> DataFrame:
+    """Perceptual average-hash (aHash) of RAW8 images — the standard
+    cheap image-dedup fingerprint (cf. pHash family): crop the leading
+    ``width``×``width`` square, block-mean it down to ``grid``×``grid``,
+    threshold each cell at the global mean, read the bits row-major.
+
+    Every intermediate is dyadic (block means are int-sums / block²,
+    the global mean is the int-sum / width², both powers of two), so the
+    strict ``>`` threshold is bit-exact in any IEEE engine and the hash
+    is reproducible from the raw bytes by a SQL oracle.
+
+    Output: ``id_col, ahash`` (a ``grid²``-char '0'/'1' string — kept as
+    a string so band keys are a substring and Hamming is a positional
+    compare, both pure SQL) plus ``n_ones``. Images shorter than
+    ``width²`` bytes are dropped. Decode is numpy inside ``mapInPandas``
+    (Arrow batches); the plan is a shuffle-free scan.
+    """
+    if width % grid != 0:
+        raise ValueError(f"width={width} not divisible by grid={grid}")
+    blk = width // grid
+    out_schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("ahash", StringType(), True),
+        StructField("n_ones", LongType(), True),
+    ])
+
+    def _batches(it: Iterator):
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_raw8(p, width)
+                if img is None or img.shape[0] < width:
+                    continue
+                sq = img[:width, :width].astype("float64")
+                pooled = sq.reshape(grid, blk, grid, blk).mean(axis=(1, 3))
+                bits = pooled > sq.mean()
+                rows.append((int(mid),
+                             "".join("1" if b else "0"
+                                     for b in bits.ravel()),
+                             int(bits.sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return df.select(id_col, payload_col).mapInPandas(_batches, out_schema)
+
+
+def ahash_pairs(sig: DataFrame, bands: int = 8, max_hamming: int = 7,
+                hash_col: str = "ahash",
+                id_col: str = "media_id") -> DataFrame:
+    """Near-duplicate image pairs from aHash bitstrings via the banded
+    Hamming scheme (same pigeonhole construction as
+    :func:`~datatools_spark.operators.dedup.simhash_pairs`): split the
+    hash into ``bands`` equal substrings, bucket-join on any shared
+    (band, key), verify candidates with the exact positional Hamming
+    distance. ``max_hamming <= bands - 1`` ⇒ zero false negatives.
+
+    The full hash rides along on the band rows, so verification needs no
+    join back to the signature table — one explode, one equi-join, one
+    distinct; never n². Output: ``a_id, b_id, hamming`` with a < b.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
+            "for the pigeonhole no-false-negative guarantee")
+    bk = sig.select(
+        F.col(id_col), F.col(hash_col),
+        F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("_b"),
+        (F.length(hash_col) / bands).cast("int").alias("_w")) \
+        .withColumn("_k", F.expr(
+            f"substring({hash_col}, _b * _w + 1, _w)")) \
+        .drop("_w")
+    a = bk.select(F.col(id_col).alias("a_id"),
+                  F.col(hash_col).alias("a_hash"), "_b", "_k")
+    b = bk.select(F.col(id_col).alias("b_id"),
+                  F.col(hash_col).alias("b_hash"), "_b", "_k")
+    cand = (a.join(b, on=["_b", "_k"])
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "a_hash", "b_hash").distinct())
+    ham = F.expr(
+        "aggregate(sequence(1, length(a_hash)), 0, (acc, i) -> acc + "
+        "IF(substring(a_hash, i, 1) <> substring(b_hash, i, 1), 1, 0))")
+    return (cand.withColumn("hamming", ham.cast("long"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("a_id", "b_id", "hamming"))

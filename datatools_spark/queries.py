@@ -8137,6 +8137,62 @@ def ss_order_gaps(spark, sf_dir):
                  F.max("gap_days").cast("bigint").alias("max_days")))
 
 
+_AHASH_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id,
+         list_transform(range(0, 64), k ->
+           (ascii(substr(text, (((k // 8) * 2) * 16 + (k % 8) * 2 + 1)::INT, 1))
+          + ascii(substr(text, (((k // 8) * 2) * 16 + (k % 8) * 2 + 2)::INT, 1))
+          + ascii(substr(text, (((k // 8) * 2 + 1) * 16 + (k % 8) * 2 + 1)::INT, 1))
+          + ascii(substr(text, (((k // 8) * 2 + 1) * 16 + (k % 8) * 2 + 2)::INT, 1)))
+           / 4.0) AS blk
+  FROM documents WHERE length(text) >= 256),
+m AS (SELECT media_id, blk, list_avg(blk) AS mu FROM b),
+h AS (SELECT media_id,
+             array_to_string(list_transform(blk,
+               x -> CASE WHEN x > mu THEN '1' ELSE '0' END), '') AS ahash,
+             list_sum(list_transform(blk,
+               x -> CASE WHEN x > mu THEN 1 ELSE 0 END))::BIGINT AS n_ones
+      FROM m)
+"""
+
+
+@query("mm_image_ahash", sql=_AHASH_SQL + """
+SELECT media_id, ahash, n_ones FROM h
+""")
+def mm_image_ahash(spark, sf_dir):
+    """Perceptual average-hash over REAL RAW8 image decode (numpy crop +
+    8×8 block-mean + threshold-at-mean inside mapInPandas) — the
+    standard cheap image-dedup fingerprint. Every intermediate is dyadic
+    (int sums over power-of-two denominators), so the strict ``>``
+    threshold is bit-exact and the byte-level DuckDB oracle rebuilds the
+    identical 64-bit hash (operators/multimodal.py raw8_ahash)."""
+    from .operators import multimodal as MM
+    return MM.raw8_ahash(_mm_payload(spark, sf_dir), width=16, grid=8)
+
+
+@query("mm_ahash_pairs", sql=_AHASH_SQL + """
+SELECT * FROM (
+  SELECT a.media_id AS a_id, b.media_id AS b_id,
+         list_sum(list_transform(range(1, 65), i ->
+           CASE WHEN substr(a.ahash, i::INT, 1) <> substr(b.ahash, i::INT, 1)
+                THEN 1 ELSE 0 END))::BIGINT AS hamming
+  FROM h a JOIN h b ON a.media_id < b.media_id)
+WHERE hamming <= 7
+""")
+def mm_ahash_pairs(spark, sf_dir):
+    """Near-duplicate image pairs by aHash Hamming distance ≤ 7: banded
+    bucket-join candidate generation (8 bands of 8 bits; pigeonhole ⇒
+    zero false negatives at ≤ bands−1), exact positional verify on
+    candidates only — the image sibling of doc_simhash_pairs, never n².
+    The oracle is the STRONGER all-pairs scan, so the driver row also
+    certifies the pigeonhole completeness of the banded plan
+    (operators/multimodal.py ahash_pairs)."""
+    from .operators import multimodal as MM
+    sig = MM.raw8_ahash(_mm_payload(spark, sf_dir), width=16, grid=8)
+    return MM.ahash_pairs(sig, bands=8, max_hamming=7)
+
+
 @query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
 # correctness is pinned by test_dtw_pair_distances_matches_reference
 def ts_dtw_pairs(spark, sf_dir):
@@ -8267,6 +8323,7 @@ _REGISTRATION_ORDER = [
     "doc_vocab_growth", "doc_zipf_slope", "ss_repeat_purchase",
     "ts_value_hour_histogram", "ss_rolling_quarter",
     "emb_label_separation", "ss_order_gaps",
+    "mm_image_ahash", "mm_ahash_pairs",
 ]
 
 

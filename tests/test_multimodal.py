@@ -217,3 +217,47 @@ def test_spectrogram_pure_tone_concentrates_in_bin(spark):
     fft_mag = np.abs(np.fft.fft(x))[:9]
     got = [rows[(1, 0, k)] for k in range(9)]
     assert np.allclose(got, fft_mag, atol=1e-3)
+
+
+def test_raw8_ahash_known_bits(spark):
+    # 16x16 image: left half 0, right half 200 -> bits = 8 cols of 0/1
+    img = bytes(([0] * 8 + [200] * 8) * 16)
+    df = spark.createDataFrame([(1, img), (2, bytes(100))],
+                               "media_id long, payload binary")
+    got = MM.raw8_ahash(df, width=16, grid=8).collect()
+    assert len(got) == 1  # short payload dropped
+    r = got[0]
+    assert r["ahash"] == ("0000" + "1111") * 8
+    assert r["n_ones"] == 32
+
+
+def test_raw8_ahash_threshold_is_strict(spark):
+    # constant image: no block exceeds the mean -> all zeros
+    df = spark.createDataFrame([(1, bytes([7] * 256))],
+                               "media_id long, payload binary")
+    r = MM.raw8_ahash(df, width=16, grid=8).collect()[0]
+    assert r["ahash"] == "0" * 64 and r["n_ones"] == 0
+
+
+def test_ahash_pairs_matches_bruteforce(spark):
+    import random
+    rng = random.Random(7)
+    base = [rng.randrange(256) for _ in range(256)]
+    payloads = {1: bytes(base), 2: bytes(base)}                 # exact dup
+    flip = list(base); flip[0] = (flip[0] + 90) % 256
+    payloads[3] = bytes(flip)                                   # near dup
+    payloads[4] = bytes(rng.randrange(256) for _ in range(256)) # unrelated
+    df = spark.createDataFrame(sorted(payloads.items()),
+                               "media_id long, payload binary")
+    sig = MM.raw8_ahash(df, width=16, grid=8)
+    hashes = {r["media_id"]: r["ahash"] for r in sig.collect()}
+    want = {}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(x != y for x, y in zip(hashes[a], hashes[b]))
+            if h <= 7:
+                want[(a, b)] = h
+    got = {(r["a_id"], r["b_id"]): r["hamming"]
+           for r in MM.ahash_pairs(sig, bands=8, max_hamming=7).collect()}
+    assert got == want and (1, 2) in got and got[(1, 2)] == 0

@@ -393,3 +393,12 @@ def test_diagnostics_single_scan_aggregates(spark):
         plan = _plan(QUERIES[name](spark, SF))
         assert "SortMergeJoin" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_mm_ahash_pairs_no_cartesian(spark):
+    """aHash near-dup pairs use the banded bucket equi-join — never a
+    cartesian/nested-loop over the corpus (the oracle is all-pairs; the
+    engine plan must not be)."""
+    plan = _plan(QUERIES["mm_ahash_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -75,6 +75,7 @@ EXTENDED_QUERIES = [
     "doc_weighted_jaccard_pairs",  # IDF-weighted near-dup pairs
     "ts_dtw_pairs",           # banded DTW via applyInPandas
     "emb_matryoshka_eval",    # truncated-dim recall eval
+    "mm_ahash_pairs",         # perceptual-hash image near-dup pairs
 ]
 
 

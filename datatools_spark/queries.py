@@ -8193,6 +8193,45 @@ def mm_ahash_pairs(spark, sf_dir):
     return MM.ahash_pairs(sig, bands=8, max_hamming=7)
 
 
+@query("mm_image_dedup", sql=_AHASH_SQL.replace(
+    "WITH b AS", "WITH RECURSIVE b AS") + """
+, p AS (SELECT a_id, b_id FROM (
+    SELECT a.media_id AS a_id, b.media_id AS b_id,
+           list_sum(list_transform(range(1, 65), i ->
+             CASE WHEN substr(a.ahash, i::INT, 1) <> substr(b.ahash, i::INT, 1)
+                  THEN 1 ELSE 0 END)) AS hamming
+    FROM h a JOIN h b ON a.media_id < b.media_id)
+  WHERE hamming <= 7),
+edges AS (SELECT a_id AS u, b_id AS v FROM p UNION SELECT b_id, a_id FROM p),
+reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+          UNION SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+comp AS (SELECT u AS media_id, min(r) AS component FROM reach GROUP BY 1)
+SELECT h.media_id,
+       coalesce(c.component, h.media_id)::BIGINT AS component,
+       (coalesce(c.component, h.media_id) = h.media_id)::INT AS retained
+FROM h LEFT JOIN comp c USING (media_id)
+""")
+def mm_image_dedup(spark, sf_dir):
+    """End-to-end IMAGE dedup composite: real RAW8 decode → aHash →
+    banded Hamming pairs → connected components (near-dup chains A~B~C
+    must collapse to ONE cluster) → keep-lowest-id retention flag per
+    image — the image twin of doc_neardup_retention with the
+    transitive-closure step doc_dup_components proves. All three stages
+    reuse declared operators; the oracle chains the all-pairs scan into
+    a DuckDB recursive-CTE closure, so the driver row certifies the
+    whole pipeline including pigeonhole completeness."""
+    from .operators import multimodal as MM
+    sig = MM.raw8_ahash(_mm_payload(spark, sf_dir), width=16, grid=8)
+    comp = G.connected_components(MM.ahash_pairs(sig, bands=8,
+                                                 max_hamming=7)) \
+        .withColumnRenamed("id", "media_id")
+    return (sig.select("media_id").join(comp, "media_id", "left")
+            .select("media_id",
+                    F.coalesce("component", "media_id").alias("component"),
+                    (F.coalesce("component", "media_id")
+                     == F.col("media_id")).cast("int").alias("retained")))
+
+
 @query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
 # correctness is pinned by test_dtw_pair_distances_matches_reference
 def ts_dtw_pairs(spark, sf_dir):
@@ -8323,7 +8362,7 @@ _REGISTRATION_ORDER = [
     "doc_vocab_growth", "doc_zipf_slope", "ss_repeat_purchase",
     "ts_value_hour_histogram", "ss_rolling_quarter",
     "emb_label_separation", "ss_order_gaps",
-    "mm_image_ahash", "mm_ahash_pairs",
+    "mm_image_ahash", "mm_ahash_pairs", "mm_image_dedup",
 ]
 
 

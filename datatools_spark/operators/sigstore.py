@@ -17,16 +17,22 @@ Typical loop:
     pairs = lsh_pairs_against_store(spark, new_docs, path)
     # → near-dup pairs of new batch vs (corpus + itself); feed to
     #   graph.connected_components / retention policy
+
+The image twin (``update_image_signature_store`` /
+``ahash_pairs_against_store``) keeps aHash signatures the same way, so
+incremental IMAGE dedup never re-decodes a stored payload.
 """
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import minhash_signature
 
-__all__ = ["update_signature_store", "lsh_pairs_against_store"]
+__all__ = ["update_signature_store", "lsh_pairs_against_store",
+           "update_image_signature_store", "ahash_pairs_against_store"]
 
 _NUM_HASHES = 16
 _BANDS = 4
@@ -51,7 +57,11 @@ def update_signature_store(spark: SparkSession, batch: DataFrame,
     try:
         existing = spark.read.parquet(path).select(id_col)
         new = batch.join(existing, id_col, "left_anti")
-    except Exception:  # noqa: BLE001 — first write, store doesn't exist
+    except AnalysisException:
+        # path-not-found ⇒ first write. Anything else (transient IO,
+        # corrupt footer, permissions) must PROPAGATE: silently treating
+        # it as first-write would skip the anti-join and append duplicate
+        # signatures for already-stored ids.
         pass
     out = _sig_frame(new, text_col, id_col)
     n = out.count()
@@ -102,3 +112,79 @@ def lsh_pairs_against_store(spark: SparkSession, batch: DataFrame,
             .withColumn("jaccard_est", est)
             .where(F.col("jaccard_est") >= threshold)
             .select("a_id", "b_id", "jaccard_est"))
+
+
+# --------------------------------------------------------------------------
+# Image twin: materialized aHash store for incremental IMAGE dedup.
+# Same contract as the MinHash store — sign each image once, band-join
+# new batches against the stored signatures, never re-hash the corpus.
+
+_AHASH_BANDS = 8
+_AHASH_MAX_HAMMING = 7  # <= bands - 1: pigeonhole-exact candidates
+
+
+def update_image_signature_store(spark: SparkSession, batch: DataFrame,
+                                 path: str, width: int = 16,
+                                 payload_col: str = "payload",
+                                 id_col: str = "media_id") -> int:
+    """aHash-sign the batch's images NOT already in the store and append
+    them (layout: ``(id_col, ahash)`` partitioned by the first band
+    byte). Idempotent per image id; decode runs once per image ever.
+    Returns the number of newly signed images."""
+    from .multimodal import raw8_ahash
+    new = batch
+    try:
+        existing = spark.read.parquet(path).select(id_col)
+        new = batch.join(existing, id_col, "left_anti")
+    except AnalysisException:
+        pass  # first write — see update_signature_store on why ONLY this
+    sig = raw8_ahash(new, width=width, payload_col=payload_col,
+                     id_col=id_col).select(id_col, "ahash") \
+        .withColumn("_pp", F.substring("ahash", 1, 8))
+    n = sig.count()
+    if n:
+        sig.write.mode("append").partitionBy("_pp").parquet(path)
+    return n
+
+
+def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
+                              path: str,
+                              id_col: str = "media_id") -> DataFrame:
+    """Near-dup image pairs between ``batch`` ids and the WHOLE store
+    (batch included, after ``update_image_signature_store``) without
+    re-decoding any payload: batch signatures come back from the store
+    by id semi-join, band keys (8×8-bit substrings) joined store-side,
+    candidates verified with the exact positional Hamming distance.
+    Output: ``a_id, b_id, hamming`` with a < b, hamming ≤ 7 —
+    pigeonhole-complete, and store-side cost scales with matching band
+    buckets, not corpus size."""
+    store = spark.read.parquet(path).select(id_col, "ahash")
+    bsig = store.join(batch.select(id_col), id_col, "left_semi")
+
+    def _idx(df):
+        w = 64 // _AHASH_BANDS
+        return df.select(
+            F.col(id_col), F.col("ahash"),
+            F.explode(F.array(*[F.lit(b) for b in range(_AHASH_BANDS)]))
+            .alias("_b")) \
+            .withColumn("_k", F.expr(f"substring(ahash, _b * {w} + 1, {w})"))
+
+    a = _idx(bsig).select(F.col(id_col).alias("x_id"),
+                          F.col("ahash").alias("x_hash"), "_b", "_k")
+    b = _idx(store).select(F.col(id_col).alias("y_id"),
+                           F.col("ahash").alias("y_hash"), "_b", "_k")
+    cand = (a.join(b, on=["_b", "_k"])
+            .where(F.col("x_id") != F.col("y_id"))
+            .select(F.least("x_id", "y_id").alias("a_id"),
+                    F.greatest("x_id", "y_id").alias("b_id"),
+                    F.when(F.col("x_id") < F.col("y_id"), F.col("x_hash"))
+                    .otherwise(F.col("y_hash")).alias("a_hash"),
+                    F.when(F.col("x_id") < F.col("y_id"), F.col("y_hash"))
+                    .otherwise(F.col("x_hash")).alias("b_hash"))
+            .distinct())
+    ham = F.expr(
+        "aggregate(sequence(1, length(a_hash)), 0, (acc, i) -> acc + "
+        "IF(substring(a_hash, i, 1) <> substring(b_hash, i, 1), 1, 0))")
+    return (cand.withColumn("hamming", ham.cast("long"))
+            .where(F.col("hamming") <= _AHASH_MAX_HAMMING)
+            .select("a_id", "b_id", "hamming"))

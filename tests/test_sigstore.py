@@ -43,3 +43,42 @@ def test_incremental_store_equals_full_lsh(spark, tmp_path):
     assert got  # the cross-batch duplicates are actually found
     # exact duplicates agree on all 16 hashes
     assert any(v == 1.0 for v in got.values())
+
+
+def test_image_store_equals_full_ahash_pairs(spark, tmp_path):
+    import random
+    from datatools_spark.operators.multimodal import ahash_pairs, raw8_ahash
+    from datatools_spark.operators.sigstore import (
+        ahash_pairs_against_store, update_image_signature_store)
+
+    def img(seed=None, near_of=None):
+        if near_of is not None:
+            b = list(near_of)
+            b[0] = (b[0] + 120) % 256   # one-pixel change: hamming-near
+            return bytes(b)
+        r = random.Random(seed)
+        return bytes(r.randrange(256) for _ in range(256))
+
+    b1_rows = [(i, img(seed=i)) for i in range(20)]
+    # batch 2: new images + near-copies of batch-1 images (cross-batch)
+    b2_rows = [(100 + i, img(seed=1000 + i)) for i in range(10)] \
+        + [(200 + k, img(near_of=p)) for k, (_, p) in enumerate(b1_rows[:4])]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "media_id long, payload binary")
+    b1, b2 = mk(b1_rows), mk(b2_rows)
+
+    path = str(tmp_path / "imgstore")
+    assert update_image_signature_store(spark, b1, path) == 20
+    assert update_image_signature_store(spark, b1, path) == 0  # idempotent
+    assert update_image_signature_store(spark, b2, path) == 14
+
+    got = {(r["a_id"], r["b_id"]): r["hamming"]
+           for r in ahash_pairs_against_store(spark, b2, path).collect()}
+
+    full_sig = raw8_ahash(b1.unionByName(b2), width=16, grid=8)
+    b2_ids = {r[0] for r in b2_rows}
+    want = {(r["a_id"], r["b_id"]): r["hamming"]
+            for r in ahash_pairs(full_sig, bands=8, max_hamming=7).collect()
+            if r["a_id"] in b2_ids or r["b_id"] in b2_ids}
+    assert got == want
+    assert any(a < 100 and b >= 200 for a, b in got)  # cross-batch dup seen

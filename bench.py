@@ -76,6 +76,7 @@ EXTENDED_QUERIES = [
     "ts_dtw_pairs",           # banded DTW via applyInPandas
     "emb_matryoshka_eval",    # truncated-dim recall eval
     "mm_ahash_pairs",         # perceptual-hash image near-dup pairs
+    "mm_image_dedup",         # aHash -> components -> retention composite
 ]
 
 

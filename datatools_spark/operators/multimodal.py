@@ -41,7 +41,7 @@ __all__ = [
     "extract_features_expr", "sample_frames", "resize_plan", "patch_grid",
     "decode_raw8", "decode_pcm16", "raw8_stats", "raw8_pool",
     "raw8_resize_nearest", "raw8_frame_stats", "pcm16_stats",
-    "pcm16_spectrogram", "raw8_ahash", "ahash_pairs",
+    "pcm16_spectrogram", "raw8_ahash", "ahash_pairs", "pcm16_energy_hash",
 ]
 
 MEDIA_SCHEMA = StructType([
@@ -642,3 +642,54 @@ def ahash_pairs(sig: DataFrame, bands: int = 8, max_hamming: int = 7,
     return (cand.withColumn("hamming", ham.cast("long"))
             .where(F.col("hamming") <= max_hamming)
             .select("a_id", "b_id", "hamming"))
+
+
+def pcm16_energy_hash(df: DataFrame, frames: int = 8, frame: int = 16,
+                      blocks: int = 8, payload_col: str = "payload",
+                      id_col: str = "media_id") -> DataFrame:
+    """Audio fingerprint over PCM16 clips: an energy-grid hash — the
+    exact-arithmetic cousin of the Haitsma-Kalker fingerprint (which
+    thresholds FFT band-energy differences; here the grid is time-domain
+    block energies, so every quantity is an INTEGER and the bit pattern
+    is bit-exact in any engine, SQL oracle included).
+
+    Grid: the leading ``frames``×``frame`` samples, each frame split
+    into ``blocks`` equal blocks; cell energy E(f,b) = Σ|s| (int64).
+    Bit(f,b) = 1 iff ``blocks·E(f,b) > ΣE(f,·)`` — the cell is louder
+    than its frame's average, compared in pure integers (no division).
+
+    Output: ``id_col, ehash`` (``frames·blocks``-char '0'/'1' string,
+    same layout contract as :func:`raw8_ahash` so :func:`ahash_pairs`
+    consumes it unchanged via ``hash_col="ehash"``) plus ``n_ones``.
+    Clips shorter than ``frames·frame`` samples are dropped. Decode is
+    numpy inside ``mapInPandas``; the plan is a shuffle-free scan.
+    """
+    if frame % blocks != 0:
+        raise ValueError(f"frame={frame} not divisible by blocks={blocks}")
+    need = frames * frame
+    blk = frame // blocks
+    out_schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("ehash", StringType(), True),
+        StructField("n_ones", LongType(), True),
+    ])
+
+    def _batches(it: Iterator):
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                s = decode_pcm16(p)
+                if s is None or s.size < need:
+                    continue
+                a = np.abs(s[:need].astype("int64"))
+                e = a.reshape(frames, blocks, blk).sum(axis=2)
+                bits = e * blocks > e.sum(axis=1, keepdims=True)
+                rows.append((int(mid),
+                             "".join("1" if b else "0"
+                                     for b in bits.ravel()),
+                             int(bits.sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return df.select(id_col, payload_col).mapInPandas(_batches, out_schema)

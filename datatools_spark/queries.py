@@ -8232,6 +8232,70 @@ def mm_image_dedup(spark, sf_dir):
                      == F.col("media_id")).cast("int").alias("retained")))
 
 
+_EHASH_SQL = """
+WITH b AS (SELECT doc_id AS media_id, text
+           FROM documents WHERE length(text) >= 256),
+sm AS (SELECT media_id,
+         list_transform(range(0, 128), i ->
+           CASE WHEN ascii(substr(text, (2*i+1)::INT, 1))
+                     + 256 * ascii(substr(text, (2*i+2)::INT, 1)) >= 32768
+                THEN ascii(substr(text, (2*i+1)::INT, 1))
+                     + 256 * ascii(substr(text, (2*i+2)::INT, 1)) - 65536
+                ELSE ascii(substr(text, (2*i+1)::INT, 1))
+                     + 256 * ascii(substr(text, (2*i+2)::INT, 1)) END) AS s
+       FROM b),
+e AS (SELECT media_id,
+        list_transform(range(0, 64), k ->
+          abs(s[(2*k+1)::INT]) + abs(s[(2*k+2)::INT])) AS eg
+      FROM sm),
+h AS (SELECT media_id,
+        array_to_string(list_transform(range(0, 64), k ->
+          CASE WHEN 8 * eg[(k+1)::INT] > list_sum(
+                 list_slice(eg, ((k//8)*8+1)::INT, ((k//8)*8+8)::INT))
+               THEN '1' ELSE '0' END), '') AS ehash,
+        list_sum(list_transform(range(0, 64), k ->
+          CASE WHEN 8 * eg[(k+1)::INT] > list_sum(
+                 list_slice(eg, ((k//8)*8+1)::INT, ((k//8)*8+8)::INT))
+               THEN 1 ELSE 0 END))::BIGINT AS n_ones
+      FROM e)
+"""
+
+
+@query("mm_audio_hash", sql=_EHASH_SQL + """
+SELECT media_id, ehash, n_ones FROM h
+""")
+def mm_audio_hash(spark, sf_dir):
+    """Audio fingerprint over REAL PCM16 decode: an 8×8 energy-grid hash
+    (per-frame block |amplitude| sums, bit = block louder than its
+    frame's average) — the exact-integer cousin of the Haitsma-Kalker
+    FFT-band fingerprint, so the byte-level DuckDB oracle rebuilds the
+    identical 64-bit pattern with no float in sight
+    (operators/multimodal.py pcm16_energy_hash)."""
+    from .operators import multimodal as MM
+    return MM.pcm16_energy_hash(_mm_payload(spark, sf_dir))
+
+
+@query("mm_audio_dup_pairs", sql=_EHASH_SQL + """
+SELECT * FROM (
+  SELECT a.media_id AS a_id, b.media_id AS b_id,
+         list_sum(list_transform(range(1, 65), i ->
+           CASE WHEN substr(a.ehash, i::INT, 1) <> substr(b.ehash, i::INT, 1)
+                THEN 1 ELSE 0 END))::BIGINT AS hamming
+  FROM h a JOIN h b ON a.media_id < b.media_id)
+WHERE hamming <= 7
+""")
+def mm_audio_dup_pairs(spark, sf_dir):
+    """Near-duplicate audio pairs by energy-hash Hamming ≤ 7: the SAME
+    banded pair engine as images consumes the audio fingerprint
+    unchanged (hash_col='ehash') — one signature contract, three
+    modalities of near-dup (text SimHash, image aHash, audio energy
+    hash). Oracle is the all-pairs scan, certifying pigeonhole
+    completeness of the banded plan."""
+    from .operators import multimodal as MM
+    sig = MM.pcm16_energy_hash(_mm_payload(spark, sf_dir))
+    return MM.ahash_pairs(sig, bands=8, max_hamming=7, hash_col="ehash")
+
+
 @query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
 # correctness is pinned by test_dtw_pair_distances_matches_reference
 def ts_dtw_pairs(spark, sf_dir):
@@ -8363,6 +8427,7 @@ _REGISTRATION_ORDER = [
     "ts_value_hour_histogram", "ss_rolling_quarter",
     "emb_label_separation", "ss_order_gaps",
     "mm_image_ahash", "mm_ahash_pairs", "mm_image_dedup",
+    "mm_audio_hash", "mm_audio_dup_pairs",
 ]
 
 

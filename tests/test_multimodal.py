@@ -261,3 +261,32 @@ def test_ahash_pairs_matches_bruteforce(spark):
     got = {(r["a_id"], r["b_id"]): r["hamming"]
            for r in MM.ahash_pairs(sig, bands=8, max_hamming=7).collect()}
     assert got == want and (1, 2) in got and got[(1, 2)] == 0
+
+
+def test_pcm16_energy_hash_known_bits(spark):
+    import struct
+    # 128 samples, all zero except s[0]=1000 (one loud block in frame 0)
+    samples = [0] * 128
+    samples[0] = 1000
+    samples[17] = -5      # frame 1, block 0: |−5| beats silent frame? no —
+    samples[30] = 5       # ...give frame 1 two equal quiet blocks instead
+    p = struct.pack("<128h", *samples)
+    df = spark.createDataFrame([(1, p), (2, p[:100])],
+                               "media_id long, payload binary")
+    got = MM.pcm16_energy_hash(df).collect()
+    assert len(got) == 1  # short clip dropped
+    h = got[0]["ehash"]
+    assert h[0] == "1" and h[1:8] == "0000000"          # frame 0: cell 0 only
+    # frame 1 (cells 8..15): energy 5 at block 0 (s[16..17]) and block 7
+    # (s[30..31]); 8*5=40 > 10 ⇒ both bits set, middle blocks 0
+    assert h[8] == "1" and h[15] == "1" and h[9:15] == "000000"
+    assert h[16:] == "0" * 48 and got[0]["n_ones"] == 3
+
+
+def test_pcm16_energy_hash_constant_frame_all_zero_bits(spark):
+    import struct
+    p = struct.pack("<128h", *([3] * 128))   # every block equals its frame avg
+    r = MM.pcm16_energy_hash(
+        spark.createDataFrame([(1, p)], "media_id long, payload binary")
+    ).collect()[0]
+    assert r["ehash"] == "0" * 64 and r["n_ones"] == 0

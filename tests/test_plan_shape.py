@@ -402,3 +402,11 @@ def test_mm_ahash_pairs_no_cartesian(spark):
     plan = _plan(QUERIES["mm_ahash_pairs"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mm_audio_dup_pairs_no_cartesian(spark):
+    """Audio energy-hash pairs ride the same banded engine — equi-join
+    on band keys, never n² over the clip corpus."""
+    plan = _plan(QUERIES["mm_audio_dup_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

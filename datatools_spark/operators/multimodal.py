@@ -42,6 +42,7 @@ __all__ = [
     "decode_raw8", "decode_pcm16", "raw8_stats", "raw8_pool",
     "raw8_resize_nearest", "raw8_frame_stats", "pcm16_stats",
     "pcm16_spectrogram", "raw8_ahash", "ahash_pairs", "pcm16_energy_hash",
+    "raw8_frame_ahash",
 ]
 
 MEDIA_SCHEMA = StructType([
@@ -690,6 +691,56 @@ def pcm16_energy_hash(df: DataFrame, frames: int = 8, frame: int = 16,
                              "".join("1" if b else "0"
                                      for b in bits.ravel()),
                              int(bits.sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return df.select(id_col, payload_col).mapInPandas(_batches, out_schema)
+
+
+def raw8_frame_ahash(df: DataFrame, frame_w: int = 16, frame_h: int = 16,
+                     grid: int = 8, payload_col: str = "payload",
+                     id_col: str = "media_id") -> DataFrame:
+    """Per-FRAME perceptual hash over RAW8 stacked-frame video: each
+    ``frame_w``×``frame_h`` frame gets its own aHash (block-mean grid,
+    threshold at the frame's mean — same dyadic-exact arithmetic as
+    :func:`raw8_ahash`). Trailing partial frames are cropped; videos
+    shorter than one frame are dropped.
+
+    Output: one row per frame — ``id_col, frame_idx, ahash, n_ones``.
+    The downstream uses are frame-level near-dup (feed
+    :func:`ahash_pairs`) and scene-cut detection (Hamming jump between
+    CONSECUTIVE frames — a keyed window, no pair join at all).
+    """
+    if frame_w % grid != 0 or frame_h % grid != 0:
+        raise ValueError(
+            f"frame {frame_w}x{frame_h} not divisible by grid={grid}")
+    fbytes = frame_w * frame_h
+    bw, bh = frame_w // grid, frame_h // grid
+    out_schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("frame_idx", LongType(), True),
+        StructField("ahash", StringType(), True),
+        StructField("n_ones", LongType(), True),
+    ])
+
+    def _batches(it: Iterator):
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None or len(p) < fbytes:
+                    continue
+                nf = len(p) // fbytes
+                v = np.frombuffer(p, dtype=np.uint8, count=nf * fbytes) \
+                    .reshape(nf, frame_h, frame_w).astype("float64")
+                pooled = v.reshape(nf, grid, bh, grid, bw).mean(axis=(2, 4))
+                bits = pooled > v.mean(axis=(1, 2), keepdims=False) \
+                    .reshape(nf, 1, 1)
+                for fi in range(nf):
+                    rows.append((int(mid), fi,
+                                 "".join("1" if b else "0"
+                                         for b in bits[fi].ravel()),
+                                 int(bits[fi].sum())))
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     return df.select(id_col, payload_col).mapInPandas(_batches, out_schema)

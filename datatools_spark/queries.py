@@ -8296,6 +8296,50 @@ def mm_audio_dup_pairs(spark, sf_dir):
     return MM.ahash_pairs(sig, bands=8, max_hamming=7, hash_col="ehash")
 
 
+@query("mm_scene_cuts", sql="""
+WITH x AS (SELECT doc_id AS media_id, text, length(text) // 256 AS nf
+           FROM documents WHERE length(text) >= 256),
+f AS (SELECT media_id, text, unnest(range(0, nf)) AS fi FROM x),
+b AS (SELECT media_id, fi, list_transform(range(0, 64), k ->
+        (ascii(substr(text, (fi*256 + ((k//8)*2)*16 + (k%8)*2 + 1)::INT, 1))
+       + ascii(substr(text, (fi*256 + ((k//8)*2)*16 + (k%8)*2 + 2)::INT, 1))
+       + ascii(substr(text, (fi*256 + ((k//8)*2+1)*16 + (k%8)*2 + 1)::INT, 1))
+       + ascii(substr(text, (fi*256 + ((k//8)*2+1)*16 + (k%8)*2 + 2)::INT, 1)))
+         / 4.0) AS blk
+      FROM f),
+m AS (SELECT media_id, fi, blk, list_avg(blk) AS mu FROM b),
+h AS (SELECT media_id, fi, array_to_string(list_transform(blk,
+        x -> CASE WHEN x > mu THEN '1' ELSE '0' END), '') AS ahash FROM m)
+SELECT media_id, frame_idx, hamming, (hamming >= 16)::INT AS is_cut
+FROM (
+  SELECT a.media_id, a.fi::BIGINT AS frame_idx,
+         list_sum(list_transform(range(1, 65), i ->
+           CASE WHEN substr(a.ahash, i::INT, 1) <> substr(p.ahash, i::INT, 1)
+                THEN 1 ELSE 0 END))::BIGINT AS hamming
+  FROM h a JOIN h p ON p.media_id = a.media_id AND p.fi = a.fi - 1)
+""")
+def mm_scene_cuts(spark, sf_dir):
+    """Scene-cut detection over RAW8 stacked-frame video: per-frame aHash
+    (real numpy decode of every frame, dyadic-exact bits), then the
+    Hamming jump between CONSECUTIVE frames via one keyed lag window —
+    no pair join at all, the cheapest possible shape (shuffle keyed by
+    video id, sort by frame index, both bounded per video). A jump ≥ 16
+    of 64 bits flags a cut — the shot-boundary gate a video-curation
+    pipeline runs before sampling frames for training
+    (operators/multimodal.py raw8_frame_ahash)."""
+    from .operators import multimodal as MM
+    sig = MM.raw8_frame_ahash(_mm_payload(spark, sf_dir))
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    ham = F.expr(
+        "aggregate(sequence(1, length(ahash)), 0, (acc, i) -> acc + "
+        "IF(substring(ahash, i, 1) <> substring(prev_hash, i, 1), 1, 0))")
+    return (sig.withColumn("prev_hash", F.lag("ahash").over(w))
+            .where(F.col("prev_hash").isNotNull())
+            .withColumn("hamming", ham.cast("long"))
+            .select("media_id", "frame_idx", "hamming",
+                    (F.col("hamming") >= 16).cast("int").alias("is_cut")))
+
+
 @query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
 # correctness is pinned by test_dtw_pair_distances_matches_reference
 def ts_dtw_pairs(spark, sf_dir):
@@ -8427,7 +8471,7 @@ _REGISTRATION_ORDER = [
     "ts_value_hour_histogram", "ss_rolling_quarter",
     "emb_label_separation", "ss_order_gaps",
     "mm_image_ahash", "mm_ahash_pairs", "mm_image_dedup",
-    "mm_audio_hash", "mm_audio_dup_pairs",
+    "mm_audio_hash", "mm_audio_dup_pairs", "mm_scene_cuts",
 ]
 
 

@@ -290,3 +290,18 @@ def test_pcm16_energy_hash_constant_frame_all_zero_bits(spark):
         spark.createDataFrame([(1, p)], "media_id long, payload binary")
     ).collect()[0]
     assert r["ehash"] == "0" * 64 and r["n_ones"] == 0
+
+
+def test_raw8_frame_ahash_and_scene_cut_semantics(spark):
+    import random
+    rng = random.Random(3)
+    f0 = bytes(rng.randrange(256) for _ in range(256))
+    f2 = bytes(rng.randrange(256) for _ in range(256))
+    video = f0 + f0 + f2          # frame 1 repeats frame 0, frame 2 differs
+    df = spark.createDataFrame([(1, video)], "media_id long, payload binary")
+    sig = {r["frame_idx"]: r["ahash"]
+           for r in MM.raw8_frame_ahash(df).collect()}
+    assert len(sig) == 3
+    assert sig[0] == sig[1]       # identical frames -> identical hash
+    h12 = sum(x != y for x, y in zip(sig[1], sig[2]))
+    assert h12 > 0                # different frame content -> hash moves

@@ -77,6 +77,8 @@ EXTENDED_QUERIES = [
     "emb_matryoshka_eval",    # truncated-dim recall eval
     "mm_ahash_pairs",         # perceptual-hash image near-dup pairs
     "mm_image_dedup",         # aHash -> components -> retention composite
+    "mm_audio_dup_pairs",     # energy-hash audio near-dup pairs
+    "mm_scene_cuts",          # per-frame aHash scene-cut lag window
 ]
 
 

@@ -122,6 +122,20 @@ def main():
     SIM.ivf_search(emb, cents, qv, k=5, nprobe=2) \
         .orderBy("query_id", "rank").show(15, truncate=False)
 
+    # 9. multimodal near-dup: the SAME banded pair engine over perceptual
+    #    hashes — image aHash here; audio plugs in via
+    #    MM.pcm16_energy_hash(..., hash_col="ehash") unchanged
+    from datatools_spark.operators import multimodal as MM
+    media = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"))
+    sig = MM.raw8_ahash(media, width=16, grid=8)
+    img_pairs = MM.ahash_pairs(sig, bands=8, max_hamming=7)
+    img_comp = GR.connected_components(img_pairs)
+    n_img_dups = img_comp.where(F.col("id") != F.col("component")).count()
+    print(f"image near-dup (aHash, hamming<=7): {img_pairs.count()} pairs, "
+          f"{n_img_dups} payloads droppable by keep-min retention")
+
 
 if __name__ == "__main__":
     main()

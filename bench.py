@@ -81,6 +81,14 @@ EXTENDED_QUERIES = [
     "mm_scene_cuts",          # per-frame aHash scene-cut lag window
 ]
 
+# the multimodal-dedup family also runs in the sf1-equiv pass (r4): its
+# r3 numbers exposed the one scale-unsafe plan in the suite, so the
+# scaling claim for the fixed engine is measured, not asserted
+MM_SF1_QUERIES = [
+    "mm_ahash_pairs", "mm_image_dedup", "mm_audio_dup_pairs",
+    "mm_scene_cuts",
+]
+
 
 def _measure(spark, sf_dir: str, repeats: int,
              names: list[str] | None = None) -> dict[str, float]:
@@ -162,8 +170,10 @@ def main() -> None:
             print(f"sf1_equiv generation failed: {exc}", file=sys.stderr)
     if want_sf1 and os.path.isdir(sf1_dir):
         t1 = _measure(spark, sf1_dir, repeats)
+        mm1 = _measure(spark, sf1_dir, max(2, repeats - 1),
+                       names=MM_SF1_QUERIES)
         out["sf1_equiv"] = {"value": round(sum(t1.values()), 3),
-                            "queries": t1}
+                            "queries": t1, "extended_mm": mm1}
 
     print(json.dumps(out))
 

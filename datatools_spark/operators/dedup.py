@@ -23,7 +23,8 @@ from .text import fingerprint_col, word_shingles, words_col
 
 __all__ = [
     "exact_dedup", "minhash_signature", "minhash_lsh_pairs",
-    "simhash_col", "ngram_jaccard_pairs", "ngram_jaccard_pairs_prefix",
+    "simhash_col", "simhash_pairs", "packed_hamming_pairs",
+    "ngram_jaccard_pairs", "ngram_jaccard_pairs_prefix",
     "embedding_dup_pairs", "span_dup_stats", "fuzzy_pairs_edit_distance",
     "segment_dedup",
 ]
@@ -157,6 +158,193 @@ def simhash_col(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return agg.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
 
 
+def _band_widths(total_bits: int, n_bands: int) -> list[int]:
+    """Split ``total_bits`` into ``n_bands`` near-equal widths (pigeonhole
+    holds for ANY partition of the bits; equal widths just balance key
+    selectivity)."""
+    q, r = divmod(total_bits, n_bands)
+    return [q + 1 if b < r else q for b in range(n_bands)]
+
+
+def packed_hamming_pairs(sig: DataFrame, hash_col: str, nbits: int,
+                         bands: int, max_hamming: int, id_col: str,
+                         hot_bucket_cap: int | None = 4096,
+                         max_candidate_mass: int | None = None) -> DataFrame:
+    """Shared banded-Hamming pair engine over a PACKED BIGINT hash
+    column — the one candidate generator behind text SimHash
+    (:func:`simhash_pairs`), image aHash and audio energy-hash
+    (``multimodal.ahash_pairs``). Pigeonhole construction
+    (Manku/Jain/Sarma WWW'07): ``max_hamming <= bands - 1`` ⇒ a
+    qualifying pair agrees on ≥ 1 band ⇒ candidate generation has zero
+    false negatives. Output: ``a_id, b_id, hamming`` with a < b.
+
+    Scale shape, each layer exact (certified by all-pairs oracles):
+
+    1. **Narrow candidates, early verify.** Band keys are
+       ``shiftrightunsigned & mask`` INTs; candidates carry 2 longs;
+       the ``bit_count(a ^ b)`` verify filters the join output
+       IN-STAGE, so the dedup exchange sees only true pairs.
+    2. **Distinct-hash reduction.** Banding runs over DISTINCT hashes;
+       id pairs expand afterwards by joining back to the (id, hash)
+       map. n/256 byte-identical members (the degenerate clustered
+       corpus) contribute ONE candidate row, and their hamming-0
+       cliques come from a separate group expansion whose output is
+       exactly the true pair set.
+    3. **Hot-bucket sub-band refinement.** Buckets over
+       ``hot_bucket_cap`` distinct hashes re-band their remaining
+       ``nbits − width`` bits into ``max_hamming + 1`` sub-bands —
+       members agree on the bucket's band, so remaining distance
+       ≤ max_hamming < sub-band count ⇒ pigeonhole again. The cap
+       bounds SKEW, not just total mass: one bucket's join output
+       lands in ONE reduce task, so the default 4096 caps any single
+       task at ~8M candidate rows.
+    4. **Fail-fast pre-flight.** ``max_candidate_mass`` (opt-in, one
+       tiny extra job over bucket counts) raises BEFORE the pair join
+       if the post-refinement Σ c·(c−1)/2 exceeds the budget — at
+       100 TB a degenerate corpus should fail the cost model
+       (`multimodal.pair_candidate_mass`), not pin a cluster.
+    """
+    if nbits % bands != 0:
+        raise ValueError(f"nbits={nbits} not divisible by bands={bands}")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
+            "for the pigeonhole no-false-negative guarantee")
+    w = nbits // bands
+    mask = (1 << w) - 1
+    ids = sig.select(F.col(id_col),
+                     F.col(hash_col).cast("long").alias("_h")).persist()
+    uniq = ids.groupBy("_h").agg(F.count("*").alias("_c")).persist()
+
+    # band index over DISTINCT hashes; _rem = the hash with band b's bits
+    # removed, carried for the hot-bucket sub-band refinement (literal
+    # shifts per array element — Java shifts are mod 64, so the top
+    # band's "bits above" term is pinned to 0 explicitly).
+    entries = []
+    for b in range(bands):
+        key = F.shiftrightunsigned(F.col("_h"), b * w) \
+            .bitwiseAND(F.lit(mask))
+        low = F.col("_h").bitwiseAND(F.lit((1 << (b * w)) - 1)) \
+            if b > 0 else F.lit(0)
+        if (b + 1) * w >= 64:
+            high = F.lit(0)
+        else:
+            high = F.expr(
+                f"shiftleft(shiftrightunsigned(_h, {(b + 1) * w}), {b * w})")
+        entries.append(F.struct(F.lit(b).alias("b"), key.alias("k"),
+                                (high.bitwiseOR(low)
+                                 if b > 0 or (b + 1) * w < 64
+                                 else F.lit(0)).cast("long").alias("rem")))
+    bk = uniq.select(F.col("_h"),
+                     F.explode(F.array(*entries)).alias("_bk")) \
+        .select("_h", F.col("_bk.b").alias("_b"), F.col("_bk.k").alias("_k"),
+                F.col("_bk.rem").alias("_rem"))
+
+    ham = F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2"))).cast("long")
+
+    def _self_pairs(idx: DataFrame, keys: list[str]) -> DataFrame:
+        a = idx.select(*keys, F.col("_h").alias("_h1"))
+        b = idx.select(*keys, F.col("_h").alias("_h2"))
+        return (a.join(b, on=keys)
+                .where(F.col("_h1") < F.col("_h2"))
+                .select("_h1", "_h2"))
+
+    def _mass(idx: DataFrame, keys: list[str]) -> int:
+        return (idx.groupBy(*keys).agg(F.count("*").alias("_c"))
+                .agg(F.sum(F.expr("_c * (_c - 1) div 2")))
+                .collect()[0][0]) or 0
+
+    def _sub_banded(hot: DataFrame) -> DataFrame:
+        # sub-band refinement over the remaining nbits - w bits: members
+        # of a hot bucket agree on its band, so a qualifying pair's
+        # remaining distance is <= max_hamming < sub_n ⇒ pigeonhole
+        rbits = nbits - w
+        sub_n = max_hamming + 1
+        sw = _band_widths(rbits, sub_n)
+        soff = [sum(sw[:sb]) for sb in range(sub_n)]
+        subs = [F.struct(
+            F.lit(sb).alias("sb"),
+            F.shiftrightunsigned(F.col("_rem"), soff[sb])
+            .bitwiseAND(F.lit((1 << sw[sb]) - 1)).alias("sk"))
+            for sb in range(sub_n)]
+        return hot.select(
+            "_b", "_k", "_h",
+            F.explode(F.array(*subs)).alias("_s")) \
+            .select("_b", "_k", F.col("_s.sb").alias("_sb"),
+                    F.col("_s.sk").alias("_sk"), "_h")
+
+    if hot_bucket_cap is not None:
+        # hot-bucket DETECTION runs driver-side (one small aggregation
+        # job over the persisted distinct-hash index): the common case —
+        # zero hot buckets — then pays NO counts join, no extra exchange,
+        # and the cold path is the plain banded join. The literal-split
+        # path covers up to 1000 hot buckets (well past any real corpus:
+        # hot buckets number <= n_distinct/cap); beyond that the
+        # join-based split is the safe fallback.
+        hot_keys = [((r["_b"] << w) | r["_k"]) for r in
+                    (bk.groupBy("_b", "_k").agg(F.count("*").alias("_n"))
+                     .where(F.col("_n") > hot_bucket_cap)
+                     .select("_b", "_k").collect())]
+        bkey = F.shiftleft(F.col("_b").cast("long"), w) \
+            .bitwiseOR(F.col("_k"))
+        if not hot_keys:
+            cold, hot_idx = bk, None
+        elif len(hot_keys) <= 1000:
+            cold = bk.where(~bkey.isin(hot_keys))
+            hot_idx = _sub_banded(bk.where(bkey.isin(hot_keys)))
+        else:
+            counts = bk.groupBy("_b", "_k").agg(F.count("*").alias("_n"))
+            bkc = bk.join(counts, ["_b", "_k"])
+            cold = bkc.where(F.col("_n") <= hot_bucket_cap)
+            hot_idx = _sub_banded(bkc.where(F.col("_n") > hot_bucket_cap))
+        if max_candidate_mass is not None:
+            total = _mass(cold, ["_b", "_k"]) + (
+                _mass(hot_idx, ["_b", "_k", "_sb", "_sk"])
+                if hot_idx is not None else 0)
+            if total > max_candidate_mass:
+                raise RuntimeError(
+                    f"packed_hamming_pairs: candidate mass {total} "
+                    f"(after hot-bucket refinement) exceeds "
+                    f"max_candidate_mass={max_candidate_mass}; the band "
+                    "keys are degenerate for this corpus — widen the "
+                    "signature or pre-cluster (see pair_candidate_mass)")
+        cand = _self_pairs(cold, ["_b", "_k"])
+        if hot_idx is not None:
+            cand = cand.unionByName(
+                _self_pairs(hot_idx, ["_b", "_k", "_sb", "_sk"]))
+    else:
+        if max_candidate_mass is not None:
+            mass = _mass(bk, ["_b", "_k"])
+            if mass > max_candidate_mass:
+                raise RuntimeError(
+                    f"packed_hamming_pairs: candidate mass {mass} exceeds "
+                    f"max_candidate_mass={max_candidate_mass}")
+        cand = _self_pairs(bk, ["_b", "_k"])
+
+    # verify BEFORE the dedup exchange: bit_count runs on the join output
+    # in-stage, so only true pairs reach the distinct's shuffle
+    hpairs = (cand.withColumn("hamming", ham)
+              .where(F.col("hamming") <= max_hamming)
+              .distinct())
+    # identical-hash groups join the SAME expansion as (h, h, 0) rows —
+    # one code path, no separate clique subtree
+    dup_h = (uniq.where(F.col("_c") >= 2)
+             .select(F.col("_h").alias("_h1"), F.col("_h").alias("_h2"),
+                     F.lit(0).cast("long").alias("hamming")))
+    hpairs = hpairs.unionByName(dup_h)
+
+    ma = ids.select(F.col("_h").alias("_h1"), F.col(id_col).alias("_xa"))
+    mb = ids.select(F.col("_h").alias("_h2"), F.col(id_col).alias("_xb"))
+    # distinct-hash pairs (_h1 < _h2) expand to every cross id pair,
+    # ordered by least/greatest; identical-hash rows (_h1 == _h2) expand
+    # to both orders + self-pairs, so keep only _xa < _xb there
+    return (hpairs.join(ma, "_h1").join(mb, "_h2")
+            .where((F.col("_h1") != F.col("_h2"))
+                   | (F.col("_xa") < F.col("_xb")))
+            .select(F.least("_xa", "_xb").alias("a_id"),
+                    F.greatest("_xa", "_xb").alias("b_id"), "hamming"))
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", bits: int = 32, bands: int = 4,
                   max_hamming: int = 3) -> DataFrame:
@@ -177,40 +365,15 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 
     Output: ``a_id, b_id, hamming`` with a < b, hamming <= max_hamming.
     """
-    if bits % bands != 0:
-        raise ValueError(f"bits={bits} not divisible by bands={bands}")
-    if max_hamming > bands - 1:
-        raise ValueError(
-            f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
-            "for the pigeonhole no-false-negative guarantee")
-    width = bits // bands
-    mask = (1 << width) - 1
-    # three subtrees consume the signature (band index + both verify
-    # sides) — persist so the ``bits``-sum aggregation runs ONCE, same
-    # rationale as minhash_lsh_pairs' cached signatures (r2: 3× win)
-    sig = simhash_col(df, text_col=text_col, id_col=id_col,
-                      bits=bits).persist()
-    bk = sig.select(
-        F.col(id_col),
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("b"),
-                     F.shiftright(F.col("simhash"), b * width)
-                     .bitwiseAND(F.lit(mask)).alias("k"))
-            for b in range(bands)])).alias("_bk")) \
-        .select(F.col(id_col), F.col("_bk.b").alias("_b"),
-                F.col("_bk.k").alias("_k"))
-    cand = (bk.alias("a").join(bk.alias("b"), ["_b", "_k"])
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(F.col(f"a.{id_col}").alias("a_id"),
-                    F.col(f"b.{id_col}").alias("b_id"))
-            .distinct())
-    sa = sig.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("_sa"))
-    sb = sig.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("_sb"))
-    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("bigint")
-    return (cand.join(sa, "a_id").join(sb, "b_id")
-            .withColumn("hamming", ham)
-            .where(F.col("hamming") <= max_hamming)
-            .select("a_id", "b_id", "hamming"))
+    # the heavy part (bits-sum aggregation) runs once: the shared engine
+    # persists its (id, hash) projection internally — same rationale as
+    # minhash_lsh_pairs' cached signatures (r2: 3× win); r4 delegates to
+    # packed_hamming_pairs (distinct-hash reduction, early bit_count
+    # verify, hot-bucket sub-banding) so all three near-dup modalities
+    # ride one engine.
+    sig = simhash_col(df, text_col=text_col, id_col=id_col, bits=bits)
+    return packed_hamming_pairs(sig, "simhash", bits, bands, max_hamming,
+                                id_col)
 
 
 def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str = "text",

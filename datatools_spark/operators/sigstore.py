@@ -47,6 +47,22 @@ def _sig_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .withColumn("_pp", (F.element_at("_sig", 1) % _PARTS).cast("int"))
 
 
+def _is_path_missing(exc: AnalysisException) -> bool:
+    """True only for the path-does-not-exist flavor of AnalysisException.
+    Everything else it can carry — empty/partially-written store dir
+    ('Unable to infer schema'), a parquet table missing the id column,
+    permission failures — must PROPAGATE: silently treating those as
+    first-write would skip the anti-join and append duplicate/foreign
+    signatures."""
+    try:
+        if exc.getCondition() == "PATH_NOT_FOUND":
+            return True
+    except Exception:  # noqa: BLE001 — condition absent on legacy forms
+        pass
+    msg = str(exc)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+
 def update_signature_store(spark: SparkSession, batch: DataFrame,
                            path: str, text_col: str = "text",
                            id_col: str = "doc_id") -> int:
@@ -57,12 +73,9 @@ def update_signature_store(spark: SparkSession, batch: DataFrame,
     try:
         existing = spark.read.parquet(path).select(id_col)
         new = batch.join(existing, id_col, "left_anti")
-    except AnalysisException:
-        # path-not-found ⇒ first write. Anything else (transient IO,
-        # corrupt footer, permissions) must PROPAGATE: silently treating
-        # it as first-write would skip the anti-join and append duplicate
-        # signatures for already-stored ids.
-        pass
+    except AnalysisException as exc:
+        if not _is_path_missing(exc):   # first write ONLY; see helper
+            raise
     out = _sig_frame(new, text_col, id_col)
     n = out.count()
     if n:
@@ -124,23 +137,38 @@ _AHASH_MAX_HAMMING = 7  # <= bands - 1: pigeonhole-exact candidates
 
 
 def update_image_signature_store(spark: SparkSession, batch: DataFrame,
-                                 path: str, width: int = 16,
+                                 path: str, width: int = 16, grid: int = 8,
                                  payload_col: str = "payload",
                                  id_col: str = "media_id") -> int:
     """aHash-sign the batch's images NOT already in the store and append
-    them (layout: ``(id_col, ahash)`` partitioned by the first band
-    byte). Idempotent per image id; decode runs once per image ever.
-    Returns the number of newly signed images."""
-    from .multimodal import raw8_ahash
+    them. Layout: ``(id_col, ahash64 BIGINT, _nbits, _pp)`` — the hash is
+    PACKED (pack_bits_expr) so the store pays ~8 bytes per signature
+    instead of a 64-char string and downstream joins verify with
+    ``bit_count``; ``_nbits = grid²`` rides along (RLE ≈ free) so the
+    pair reader derives band geometry from the DATA, not a constant that
+    could drift from the writer's grid. Partitioned by ``_pp`` (band-0
+    key) so a band join prunes to matching partitions. Idempotent per
+    image id; decode runs once per image ever. Returns the number of
+    newly signed images."""
+    from .multimodal import pack_bits_expr, raw8_ahash
+    nbits = grid * grid
+    if nbits > 64:
+        raise ValueError(f"grid={grid}: packed store holds <= 64 bits")
     new = batch
     try:
         existing = spark.read.parquet(path).select(id_col)
         new = batch.join(existing, id_col, "left_anti")
-    except AnalysisException:
-        pass  # first write — see update_signature_store on why ONLY this
-    sig = raw8_ahash(new, width=width, payload_col=payload_col,
-                     id_col=id_col).select(id_col, "ahash") \
-        .withColumn("_pp", F.substring("ahash", 1, 8))
+    except AnalysisException as exc:
+        if not _is_path_missing(exc):   # first write ONLY; see helper
+            raise
+    w = nbits // _AHASH_BANDS
+    sig = (raw8_ahash(new, width=width, grid=grid, payload_col=payload_col,
+                      id_col=id_col)
+           .select(F.col(id_col),
+                   pack_bits_expr("ahash", nbits).alias("ahash64"))
+           .withColumn("_nbits", F.lit(nbits))
+           .withColumn("_pp", F.shiftrightunsigned("ahash64", 0)
+                       .bitwiseAND(F.lit((1 << w) - 1)).cast("int")))
     n = sig.count()
     if n:
         sig.write.mode("append").partitionBy("_pp").parquet(path)
@@ -153,38 +181,51 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
     """Near-dup image pairs between ``batch`` ids and the WHOLE store
     (batch included, after ``update_image_signature_store``) without
     re-decoding any payload: batch signatures come back from the store
-    by id semi-join, band keys (8×8-bit substrings) joined store-side,
-    candidates verified with the exact positional Hamming distance.
+    by id semi-join, band keys (``shiftrightunsigned & mask`` over the
+    packed BIGINT) joined store-side, candidates verified with
+    ``bit_count(a ^ b)``. Band geometry comes from the store's own
+    ``_nbits`` column (parquet stats read, no scan) — a writer-side grid
+    change can never silently misalign the reader's band keys.
     Output: ``a_id, b_id, hamming`` with a < b, hamming ≤ 7 —
     pigeonhole-complete, and store-side cost scales with matching band
     buckets, not corpus size."""
-    store = spark.read.parquet(path).select(id_col, "ahash")
+    store = spark.read.parquet(path).select(id_col, "ahash64", "_nbits")
+    nbits_seen = [r[0] for r in
+                  store.select("_nbits").distinct().collect()]
+    if len(nbits_seen) != 1:
+        raise ValueError(
+            f"signature store at {path} holds mixed hash widths "
+            f"{sorted(nbits_seen)} — one store, one geometry")
+    nbits = nbits_seen[0]
+    w = nbits // _AHASH_BANDS
+    mask = (1 << w) - 1
+    store = store.select(id_col, "ahash64")
     bsig = store.join(batch.select(id_col), id_col, "left_semi")
 
     def _idx(df):
-        w = 64 // _AHASH_BANDS
+        keys = [F.struct(
+            F.lit(b).alias("b"),
+            F.shiftrightunsigned(F.col("ahash64"), b * w)
+            .bitwiseAND(F.lit(mask)).alias("k"))
+            for b in range(_AHASH_BANDS)]
         return df.select(
-            F.col(id_col), F.col("ahash"),
-            F.explode(F.array(*[F.lit(b) for b in range(_AHASH_BANDS)]))
-            .alias("_b")) \
-            .withColumn("_k", F.expr(f"substring(ahash, _b * {w} + 1, {w})"))
+            F.col(id_col), F.col("ahash64"),
+            F.explode(F.array(*keys)).alias("_bk")) \
+            .select(F.col(id_col), "ahash64",
+                    F.col("_bk.b").alias("_b"), F.col("_bk.k").alias("_k"))
 
     a = _idx(bsig).select(F.col(id_col).alias("x_id"),
-                          F.col("ahash").alias("x_hash"), "_b", "_k")
+                          F.col("ahash64").alias("x_hash"), "_b", "_k")
     b = _idx(store).select(F.col(id_col).alias("y_id"),
-                           F.col("ahash").alias("y_hash"), "_b", "_k")
-    cand = (a.join(b, on=["_b", "_k"])
+                           F.col("ahash64").alias("y_hash"), "_b", "_k")
+    ham = F.bit_count(F.col("x_hash").bitwiseXOR(F.col("y_hash"))) \
+        .cast("long")
+    # verify BEFORE the dedup exchange (cheap bit_count on the join
+    # output in-stage) so only true pairs reach the distinct
+    return (a.join(b, on=["_b", "_k"])
             .where(F.col("x_id") != F.col("y_id"))
-            .select(F.least("x_id", "y_id").alias("a_id"),
-                    F.greatest("x_id", "y_id").alias("b_id"),
-                    F.when(F.col("x_id") < F.col("y_id"), F.col("x_hash"))
-                    .otherwise(F.col("y_hash")).alias("a_hash"),
-                    F.when(F.col("x_id") < F.col("y_id"), F.col("y_hash"))
-                    .otherwise(F.col("x_hash")).alias("b_hash"))
-            .distinct())
-    ham = F.expr(
-        "aggregate(sequence(1, length(a_hash)), 0, (acc, i) -> acc + "
-        "IF(substring(a_hash, i, 1) <> substring(b_hash, i, 1), 1, 0))")
-    return (cand.withColumn("hamming", ham.cast("long"))
+            .withColumn("hamming", ham)
             .where(F.col("hamming") <= _AHASH_MAX_HAMMING)
-            .select("a_id", "b_id", "hamming"))
+            .select(F.least("x_id", "y_id").alias("a_id"),
+                    F.greatest("x_id", "y_id").alias("b_id"), "hamming")
+            .distinct())

@@ -8328,14 +8328,13 @@ def mm_scene_cuts(spark, sf_dir):
     pipeline runs before sampling frames for training
     (operators/multimodal.py raw8_frame_ahash)."""
     from .operators import multimodal as MM
-    sig = MM.raw8_frame_ahash(_mm_payload(spark, sf_dir))
+    sig = MM.raw8_frame_ahash(_mm_payload(spark, sf_dir)) \
+        .withColumn("_h", MM.pack_bits_expr("ahash", 64))
     w = Window.partitionBy("media_id").orderBy("frame_idx")
-    ham = F.expr(
-        "aggregate(sequence(1, length(ahash)), 0, (acc, i) -> acc + "
-        "IF(substring(ahash, i, 1) <> substring(prev_hash, i, 1), 1, 0))")
-    return (sig.withColumn("prev_hash", F.lag("ahash").over(w))
-            .where(F.col("prev_hash").isNotNull())
-            .withColumn("hamming", ham.cast("long"))
+    ham = F.bit_count(F.col("_h").bitwiseXOR(F.col("_prev"))).cast("long")
+    return (sig.withColumn("_prev", F.lag("_h").over(w))
+            .where(F.col("_prev").isNotNull())
+            .withColumn("hamming", ham)
             .select("media_id", "frame_idx", "hamming",
                     (F.col("hamming") >= 16).cast("int").alias("is_cut")))
 
@@ -8387,22 +8386,33 @@ _REGISTRATION_ORDER = [
     "ts_extrema_amplitude", "ts_extrema_boundary_check",
     "ts_calibrated_extrema", "ts_lag_table", "ts_velocity_grid",
     "ts_e1_pipeline", "ts_melt_pipeline", "ts_shadow_correction",
-    "ts_asof_align", "ts_resample_nearest", "ts_interval_lookup",
+    "ts_asof_align", "ts_interval_lookup",
     "ts_union_keep_first", "ts_ffill", "ts_interp_linear",
-    "ts_resample_gapfill", "ts_detrend_linear", "ts_rotate_flow",
+    "ts_detrend_linear", "ts_rotate_flow",
     "ts_mode_gap", "ts_decimal_hours", "ts_quadrature", "ts_quadrant",
-    "ts_overburden_fraction", "ts_sessionize", "ts_rollup_multires",
+    "ts_overburden_fraction", "ts_sessionize",
     # A10 (reference's showcase max_by albedo aggregation) gets a direct
     # driver row; the engine-add ts_except_errors moved past the cutoff
     "ts_albedo_daily",
-    "ss_window_counts", "ss_top_customers_per_nation", "ss_shipping_priority",
+    "ss_top_customers_per_nation", "ss_shipping_priority",
     "doc_lang_id", "doc_token_count", "doc_quality", "doc_fingerprint_dedup",
     "doc_minhash", "doc_lsh_pairs", "doc_simhash", "doc_ngram_pairs",
     "doc_source_stats", "doc_neardup_retention",
     "emb_knn_brute", "emb_dup_pairs", "emb_centroid_assign",
     "emb_ivf_search", "emb_knn_lsh",
     "mm_extract_features", "mm_frame_sample",
+    # r4: the multimodal-dedup family (aHash → banded-Hamming pairs →
+    # components, energy-hash audio pairs) promoted into the driver
+    # window; stood down to make room — rows whose §2 evidence is
+    # carried by an in-window sibling: ts_resample_nearest (J1 ←
+    # ts_asof_align), ts_resample_gapfill (A1 ← ts_resample_daily_mean),
+    # ss_window_counts (2.10 ← ts_sessionize), ts_rollup_multires
+    # (engine add, no §2 row)
+    "mm_image_ahash", "mm_ahash_pairs", "mm_image_dedup",
+    "mm_audio_dup_pairs",
     # —— past the cutoff: still oracle-backed, next-most-important first ——
+    "ts_resample_nearest", "ts_resample_gapfill", "ss_window_counts",
+    "ts_rollup_multires",
     "mm_decode_stats", "mm_frame_stats", "mm_pool2x2", "mm_pcm_stats",
     "doc_curation_pipeline", "doc_repetition", "doc_pii_scrub",
     "doc_decontaminate", "doc_balanced_sample", "ts_plot_envelope",
@@ -8470,8 +8480,7 @@ _REGISTRATION_ORDER = [
     "doc_vocab_growth", "doc_zipf_slope", "ss_repeat_purchase",
     "ts_value_hour_histogram", "ss_rolling_quarter",
     "emb_label_separation", "ss_order_gaps",
-    "mm_image_ahash", "mm_ahash_pairs", "mm_image_dedup",
-    "mm_audio_hash", "mm_audio_dup_pairs", "mm_scene_cuts",
+    "mm_audio_hash", "mm_scene_cuts",
 ]
 
 
@@ -8480,7 +8489,8 @@ def _reorder_registry() -> None:
     extra = set(QUERIES) - set(_REGISTRATION_ORDER)
     assert not missing and not extra, (
         f"_REGISTRATION_ORDER out of sync: missing={sorted(missing)} "
-        f"unlisted={sorted(extra)} — every @query needs an explicit slot")
+        f"unlisted={sorted(extra)} — every registered query needs an "
+        "explicit slot")
     q = {n: QUERIES[n] for n in _REGISTRATION_ORDER}
     QUERIES.clear()
     QUERIES.update(q)  # mutate in place: importers hold references

@@ -305,3 +305,98 @@ def test_raw8_frame_ahash_and_scene_cut_semantics(spark):
     assert sig[0] == sig[1]       # identical frames -> identical hash
     h12 = sum(x != y for x, y in zip(sig[1], sig[2]))
     assert h12 > 0                # different frame content -> hash moves
+
+
+def _brute_pairs(hashes, max_hamming=7):
+    want = {}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(x != y for x, y in zip(hashes[a], hashes[b]))
+            if h <= max_hamming:
+                want[(a, b)] = h
+    return want
+
+
+def test_pack_bits_expr_roundtrip(spark):
+    from pyspark.sql import functions as F
+    cases = ["0" * 64, "1" * 64, "1" + "0" * 63, "0" * 63 + "1",
+             "01" * 32, "1" + "0" * 62 + "1"]
+    df = spark.createDataFrame([(s,) for s in cases], "h string")
+    got = [r[0] for r in
+           df.select(MM.pack_bits_expr("h", 64)).collect()]
+    # signed 64-bit value whose two's-complement pattern == the bitstring
+    want = [int(s, 2) - (1 << 64 if s[0] == "1" else 0) for s in cases]
+    assert got == want
+    # wrong length raises, not silently mis-packs
+    bad = spark.createDataFrame([("0" * 63,)], "h string")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="pack_bits_expr"):
+        bad.select(MM.pack_bits_expr("h", 64)).collect()
+
+
+def test_ahash_pairs_hot_bucket_path_is_exact(spark):
+    # cap=0 forces EVERY bucket through the sub-band refinement; output
+    # must equal brute force (pigeonhole holds at both levels)
+    import random
+    rng = random.Random(11)
+    base = [rng.randrange(256) for _ in range(256)]
+    payloads = {1: bytes(base), 2: bytes(base)}
+    for i in range(3, 12):
+        mut = list(base)
+        for _ in range(rng.randrange(1, 40)):
+            mut[rng.randrange(256)] = rng.randrange(256)
+        payloads[i] = bytes(mut)
+    df = spark.createDataFrame(sorted(payloads.items()),
+                               "media_id long, payload binary")
+    sig = MM.raw8_ahash(df, width=16, grid=8)
+    hashes = {r["media_id"]: r["ahash"] for r in sig.collect()}
+    want = _brute_pairs(hashes)
+    got = {(r["a_id"], r["b_id"]): r["hamming"]
+           for r in MM.ahash_pairs(sig, bands=8, max_hamming=7,
+                                   hot_bucket_cap=0).collect()}
+    assert got == want and want  # non-trivial case
+
+
+def test_ahash_pairs_identical_hash_clique_expansion(spark):
+    # 5 byte-identical images -> one distinct hash -> C(5,2)=10 pairs at
+    # hamming 0 via the group expansion (never through the band join)
+    img = bytes(([0] * 8 + [200] * 8) * 16)
+    df = spark.createDataFrame([(i, img) for i in range(1, 6)],
+                               "media_id long, payload binary")
+    sig = MM.raw8_ahash(df, width=16, grid=8)
+    got = {(r["a_id"], r["b_id"]): r["hamming"]
+           for r in MM.ahash_pairs(sig).collect()}
+    assert len(got) == 10 and set(got.values()) == {0}
+
+
+def test_ahash_pairs_candidate_mass_guard(spark):
+    import pytest as _pytest
+    import random
+    rng = random.Random(5)
+    rows = [(i, bytes(rng.randrange(256) for _ in range(256)))
+            for i in range(1, 20)]
+    sig = MM.raw8_ahash(
+        spark.createDataFrame(rows, "media_id long, payload binary"))
+    with _pytest.raises(RuntimeError, match="candidate mass"):
+        MM.ahash_pairs(sig, max_candidate_mass=0).count()
+    # generous budget: passes and matches the unguarded run
+    a = {tuple(r) for r in
+         MM.ahash_pairs(sig, max_candidate_mass=10**9).collect()}
+    b = {tuple(r) for r in MM.ahash_pairs(sig).collect()}
+    assert a == b
+
+
+def test_pair_candidate_mass_matches_manual(spark):
+    df = spark.createDataFrame(
+        [(1, "0" * 64), (2, "0" * 64), (3, "1" * 64), (4, "1" * 32 + "0" * 32)],
+        "media_id long, ahash string")
+    out = {r["band"]: r for r in
+           MM.pair_candidate_mass(df, bands=8).collect()}
+    assert len(out) == 8
+    # distinct hashes: 3. bands 0-3 (low 32 bits): keys 0,0,255 -> one
+    # bucket of 2 -> mass 1; bands 4-7: keys 0,255,255 -> mass 1
+    for b in range(8):
+        assert out[b]["candidate_mass"] == 1
+        assert out[b]["max_bucket"] == 2
+        assert out[b]["n_buckets"] == 2

@@ -195,10 +195,13 @@ def test_driver_window_contains_flagships():
     names = list(QUERIES)[:50]
     for flagship in ["ts_e1_pipeline", "ts_melt_pipeline", "doc_lsh_pairs",
                      "emb_ivf_search", "emb_knn_lsh", "ts_shadow_correction",
-                     "ss_shipping_priority", "ts_rollup_multires",
-                     "ts_resample_gapfill", "ts_lag_table", "ts_quadrant",
+                     "ss_shipping_priority",
+                     "ts_lag_table", "ts_quadrant",
                      "doc_source_stats", "doc_neardup_retention",
-                     "mm_extract_features", "mm_frame_sample"]:
+                     "mm_extract_features", "mm_frame_sample",
+                     # r4 flagships: the multimodal-dedup family
+                     "mm_image_ahash", "mm_ahash_pairs", "mm_image_dedup",
+                     "mm_audio_dup_pairs"]:
         assert flagship in names, flagship
 
 

@@ -82,3 +82,37 @@ def test_image_store_equals_full_ahash_pairs(spark, tmp_path):
             if r["a_id"] in b2_ids or r["b_id"] in b2_ids}
     assert got == want
     assert any(a < 100 and b >= 200 for a, b in got)  # cross-batch dup seen
+
+
+def test_store_empty_dir_propagates_not_first_write(spark, tmp_path):
+    # an empty (partially-written) store dir must RAISE, not be silently
+    # treated as first write (which would append duplicate signatures)
+    import os
+    import pytest
+    from pyspark.errors import AnalysisException
+    path = str(tmp_path / "emptystore")
+    os.makedirs(path)
+    b = _docs(spark, _corpus("w", 0, 3))
+    with pytest.raises(AnalysisException):
+        update_signature_store(spark, b, path)
+
+
+def test_image_store_is_packed_and_width_checked(spark, tmp_path):
+    import pytest
+    from datatools_spark.operators.sigstore import (
+        ahash_pairs_against_store, update_image_signature_store)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "media_id long, payload binary")
+    import random
+    r = random.Random(2)
+    b1 = mk([(i, bytes(r.randrange(256) for _ in range(256)))
+             for i in range(5)])
+    path = str(tmp_path / "imgstore")
+    assert update_image_signature_store(spark, b1, path) == 5
+    df = spark.read.parquet(path)
+    assert dict(df.dtypes)["ahash64"] == "bigint"   # packed, not string
+    # a second geometry in the same store is rejected at read time
+    b2 = mk([(10, bytes(r.randrange(256) for _ in range(256)))])
+    update_image_signature_store(spark, b2, path, width=16, grid=4)
+    with pytest.raises(ValueError, match="mixed hash widths"):
+        ahash_pairs_against_store(spark, b1, path).count()

@@ -8339,6 +8339,102 @@ def mm_scene_cuts(spark, sf_dir):
                     (F.col("hamming") >= 16).cast("int").alias("is_cut")))
 
 
+@query("mm_curation_pipeline", sql="""
+WITH RECURSIVE b AS (
+  SELECT doc_id AS media_id, text,
+         (length(text) // 16)::BIGINT AS height
+  FROM documents WHERE length(text) >= 256),
+st AS (SELECT media_id, text, height, height * 16 AS n_px,
+              list_min(px) AS min_px, list_max(px) AS max_px,
+              list_sum(px) AS sum_px
+       FROM (SELECT media_id, text, height,
+                    list_transform(range(1, (height * 16 + 1)::INT),
+                                   i -> ascii(substr(text, i::INT, 1))) AS px
+             FROM b)),
+q AS (SELECT * FROM st
+      WHERE max_px - min_px >= 16
+        AND 32 * n_px <= sum_px AND sum_px <= 120 * n_px),
+hb AS (SELECT media_id, n_px,
+         list_transform(range(0, 64), k ->
+           (ascii(substr(text, (((k // 8) * 2) * 16 + (k % 8) * 2 + 1)::INT, 1))
+          + ascii(substr(text, (((k // 8) * 2) * 16 + (k % 8) * 2 + 2)::INT, 1))
+          + ascii(substr(text, (((k // 8) * 2 + 1) * 16 + (k % 8) * 2 + 1)::INT, 1))
+          + ascii(substr(text, (((k // 8) * 2 + 1) * 16 + (k % 8) * 2 + 2)::INT, 1)))
+           / 4.0) AS blk
+       FROM q),
+hm AS (SELECT media_id, n_px, blk, list_avg(blk) AS mu FROM hb),
+h AS (SELECT media_id, n_px,
+             array_to_string(list_transform(blk,
+               x -> CASE WHEN x > mu THEN '1' ELSE '0' END), '') AS ahash
+      FROM hm),
+p AS (SELECT a_id, b_id FROM (
+    SELECT a.media_id AS a_id, b.media_id AS b_id,
+           list_sum(list_transform(range(1, 65), i ->
+             CASE WHEN substr(a.ahash, i::INT, 1) <> substr(b.ahash, i::INT, 1)
+                  THEN 1 ELSE 0 END)) AS hamming
+    FROM h a JOIN h b ON a.media_id < b.media_id)
+  WHERE hamming <= 7),
+edges AS (SELECT a_id AS u, b_id AS v FROM p UNION SELECT b_id, a_id FROM p),
+reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+          UNION SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+comp AS (SELECT u AS media_id, min(r) AS c FROM reach GROUP BY 1),
+kept AS (SELECT h.media_id, h.n_px FROM h LEFT JOIN comp USING (media_id)
+         WHERE coalesce(comp.c, h.media_id) = h.media_id),
+samp AS (SELECT * FROM kept
+         WHERE ('0x' || substr(md5('mmcur:' || media_id), 1, 8))::BIGINT
+               / 4294967296.0 < 0.5)
+SELECT '0_decoded' AS stage, count(*)::BIGINT AS n_images,
+       coalesce(sum(n_px), 0)::BIGINT AS n_px FROM st
+UNION ALL SELECT '1_quality', count(*)::BIGINT,
+                 coalesce(sum(n_px), 0)::BIGINT FROM q
+UNION ALL SELECT '2_dedup', count(*)::BIGINT,
+                 coalesce(sum(n_px), 0)::BIGINT FROM kept
+UNION ALL SELECT '3_sampled', count(*)::BIGINT,
+                 coalesce(sum(n_px), 0)::BIGINT FROM samp
+""")
+def mm_curation_pipeline(spark, sf_dir):
+    """END-TO-END image-curation composite — the image twin of
+    doc_curation_pipeline, every stage the scale-shaped operator it
+    names: real RAW8 decode stats (one shuffle-free mapInPandas scan) →
+    integer-exact quality gates (dynamic range ≥ 16 so near-constant
+    frames drop; exposure band 32 ≤ mean ≤ 120 compared as integer
+    cross-products, no division) → aHash near-dup dedup via the packed
+    banded engine + connected components + keep-min retention →
+    deterministic md5 sampling (pure filter, reproducible on any
+    layout). Output: per-stage surviving image/pixel counts — the
+    funnel report an image-corpus curation run ships to its dashboard.
+    The oracle chains byte-level stats, the all-pairs Hamming scan and
+    a recursive-CTE closure, so the driver row certifies every stage
+    including banded completeness."""
+    from .operators import multimodal as MM
+    media = _mm_payload(spark, sf_dir).where(F.length("payload") >= 256)
+    st = MM.raw8_stats(media, width=16)
+    q = st.where((F.col("max_px") - F.col("min_px") >= 16)
+                 & (32 * F.col("n_px") <= F.col("sum_px"))
+                 & (F.col("sum_px") <= 120 * F.col("n_px")))
+    qm = media.join(q.select("media_id"), "media_id")
+    comp = G.connected_components(
+        MM.ahash_pairs(MM.raw8_ahash(qm, width=16, grid=8))) \
+        .withColumnRenamed("id", "media_id")
+    kept = (q.select("media_id", "n_px")
+            .join(comp, "media_id", "left")
+            .where(F.coalesce("component", "media_id") == F.col("media_id"))
+            .select("media_id", "n_px"))
+    samp = CU.deterministic_sample(kept, 0.5, key_col="media_id",
+                                   salt="mmcur")
+
+    def stage(name, df_):
+        return (df_.agg(F.count("*").alias("n_images"),
+                        F.coalesce(F.sum("n_px"), F.lit(0)).cast("long")
+                        .alias("n_px"))
+                .select(F.lit(name).alias("stage"), "n_images", "n_px"))
+
+    return (stage("0_decoded", st)
+            .unionByName(stage("1_quality", q))
+            .unionByName(stage("2_dedup", kept))
+            .unionByName(stage("3_sampled", samp)))
+
+
 @query("ts_dtw_pairs")  # sequential DP — no SQL oracle (rows-only check);
 # correctness is pinned by test_dtw_pair_distances_matches_reference
 def ts_dtw_pairs(spark, sf_dir):
@@ -8480,7 +8576,7 @@ _REGISTRATION_ORDER = [
     "doc_vocab_growth", "doc_zipf_slope", "ss_repeat_purchase",
     "ts_value_hour_histogram", "ss_rolling_quarter",
     "emb_label_separation", "ss_order_gaps",
-    "mm_audio_hash", "mm_scene_cuts",
+    "mm_audio_hash", "mm_scene_cuts", "mm_curation_pipeline",
 ]
 
 

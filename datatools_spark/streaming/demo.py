@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 __all__ = ["streaming_window_counts", "streaming_daily_extrema",
            "streaming_sessionize", "streaming_ingest_dedup",
            "streaming_interval_join", "streaming_upsert",
-           "run_file_stream"]
+           "streaming_image_ingest_dedup", "run_file_stream"]
 
 
 def streaming_window_counts(events: DataFrame, window: str = "1 hour",
@@ -167,6 +167,61 @@ def streaming_upsert(spark: SparkSession, changes: DataFrame,
     return (changes.writeStream
             .outputMode("append")
             .foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def streaming_image_ingest_dedup(media: DataFrame, store_dir: str,
+                                 pairs_dir: str, checkpoint_dir: str,
+                                 id_col: str = "media_id",
+                                 payload_col: str = "payload"):
+    """Continuous incremental IMAGE dedup — the streaming twin of
+    ``mm_image_dedup``'s hash→pairs stages, built on the packed aHash
+    signature store (``operators.sigstore``): each micro-batch
+
+    1. aHash-signs ONLY its genuinely new images into the store
+       (``update_image_signature_store`` — idempotent per id, so a
+       checkpoint-retried batch never double-signs), then
+    2. emits the new images' near-dup pairs against the WHOLE corpus
+       seen so far (``ahash_pairs_against_store`` — batch signatures
+       come back from the store; no payload is ever decoded twice).
+
+    Pair emission is complete and non-duplicating across batches: a
+    pair appears exactly when its LATER member arrives, and re-ingested
+    ids (already stored) produce no new rows because pairs are keyed to
+    the pre-update anti-join of batch ids vs stored ids. Per-batch cost
+    scales with batch size × matching band buckets, never corpus size —
+    the ingest-gate shape a 100 TB/day image crawl needs. The parquet
+    append to ``pairs_dir`` is at-least-once under mid-batch retries
+    (standard foreachBatch caveat); the pair set is a set, so readers
+    dedupe with one ``distinct()`` if a retry ever fires.
+    Returns the started query (availableNow trigger; caller awaits)."""
+    from ..operators.sigstore import (_is_path_missing,
+                                      ahash_pairs_against_store,
+                                      update_image_signature_store)
+    from pyspark.errors import AnalysisException
+
+    def _process(batch_df: DataFrame, batch_id: int):
+        sess = batch_df.sparkSession
+        new_ids = batch_df.select(id_col)
+        try:
+            stored = sess.read.parquet(store_dir).select(id_col)
+            new_ids = new_ids.join(stored, id_col, "left_anti")
+        except AnalysisException as exc:
+            if not _is_path_missing(exc):   # see sigstore._is_path_missing
+                raise
+        n = update_image_signature_store(sess, batch_df, store_dir,
+                                         payload_col=payload_col,
+                                         id_col=id_col)
+        if n:
+            (ahash_pairs_against_store(sess, new_ids, store_dir,
+                                       id_col=id_col)
+             .write.mode("append").parquet(pairs_dir))
+
+    return (media.writeStream
+            .outputMode("append")
+            .foreachBatch(_process)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())

@@ -312,3 +312,51 @@ def test_corpus_format_matrix_roundtrip(spark, tmp_path):
         read_corpus(spark, path, fmt="csv")
     with _pytest.raises(ValueError):
         write_corpus(df, path, fmt="avro")
+
+
+def test_streaming_image_ingest_dedup_equals_batch_pairs(spark, tmp_path):
+    """Micro-batched image ingest through the packed signature store
+    emits exactly the full-corpus pair set: each pair once (when its
+    later member arrives), re-ingested ids contribute nothing."""
+    import random
+    from datatools_spark.operators.multimodal import ahash_pairs, raw8_ahash
+    from datatools_spark.streaming.demo import streaming_image_ingest_dedup
+
+    def img(seed=None, near_of=None):
+        if near_of is not None:
+            b = list(near_of)
+            b[0] = (b[0] + 120) % 256
+            return bytes(b)
+        r = random.Random(seed)
+        return bytes(r.randrange(256) for _ in range(256))
+
+    b1 = [(i, img(seed=i)) for i in range(15)]
+    b2 = [(100 + i, img(seed=500 + i)) for i in range(8)] \
+        + [(200 + k, img(near_of=p)) for k, (_, p) in enumerate(b1[:3])] \
+        + [b1[0]]                       # re-ingested duplicate id
+    b3 = [(300 + k, img(near_of=p)) for k, (_, p) in enumerate(b2[:2])]
+    schema = "media_id long, payload binary"
+    src = str(tmp_path / "src")
+    # one file per batch; max_files_per_trigger=1 forces three
+    # micro-batches in arrival order
+    for i, rows in enumerate([b1, b2, b3]):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    store, pairs, ckpt = (str(tmp_path / d)
+                          for d in ["store", "pairs", "ckpt"])
+    q = streaming_image_ingest_dedup(stream, store, pairs, ckpt)
+    q.awaitTermination(180)
+
+    got_rows = spark.read.parquet(pairs).collect()
+    got = {(r["a_id"], r["b_id"]): r["hamming"] for r in got_rows}
+    assert len(got_rows) == len(got)    # no duplicate emissions
+    full = spark.createDataFrame(
+        {r[0]: r for r in b1 + b2 + b3}.values(), schema)
+    want = {(r["a_id"], r["b_id"]): r["hamming"]
+            for r in ahash_pairs(raw8_ahash(full, width=16, grid=8))
+            .collect()}
+    assert got == want
+    # the cross-batch near-dups were actually found
+    assert any(a < 100 and b >= 200 for a, b in got)

@@ -79,6 +79,8 @@ EXTENDED_QUERIES = [
     "mm_image_dedup",         # aHash -> components -> retention composite
     "mm_audio_dup_pairs",     # energy-hash audio near-dup pairs
     "mm_scene_cuts",          # per-frame aHash scene-cut lag window
+    "mm_ahash256_pairs",      # wide 256-bit hash pairs (32-bit band keys)
+    "mm_curation_pipeline",   # image funnel: gates -> dedup -> sample
 ]
 
 # the multimodal-dedup family also runs in the sf1-equiv pass (r4): its

@@ -24,6 +24,7 @@ from .text import fingerprint_col, word_shingles, words_col
 __all__ = [
     "exact_dedup", "minhash_signature", "minhash_lsh_pairs",
     "simhash_col", "simhash_pairs", "packed_hamming_pairs",
+    "packed_wide_pairs",
     "ngram_jaccard_pairs", "ngram_jaccard_pairs_prefix",
     "embedding_dup_pairs", "span_dup_stats", "fuzzy_pairs_edit_distance",
     "segment_dedup",
@@ -338,6 +339,97 @@ def packed_hamming_pairs(sig: DataFrame, hash_col: str, nbits: int,
     # distinct-hash pairs (_h1 < _h2) expand to every cross id pair,
     # ordered by least/greatest; identical-hash rows (_h1 == _h2) expand
     # to both orders + self-pairs, so keep only _xa < _xb there
+    return (hpairs.join(ma, "_h1").join(mb, "_h2")
+            .where((F.col("_h1") != F.col("_h2"))
+                   | (F.col("_xa") < F.col("_xb")))
+            .select(F.least("_xa", "_xb").alias("a_id"),
+                    F.greatest("_xa", "_xb").alias("b_id"), "hamming"))
+
+
+def packed_wide_pairs(sig: DataFrame, hash_col: str, nbits: int,
+                      bands: int, max_hamming: int, id_col: str,
+                      max_candidate_mass: int | None = None) -> DataFrame:
+    """Banded-Hamming pairs over WIDE packed hashes — ``nbits`` a
+    multiple of 64, stored as ``array<bigint>`` words
+    (``multimodal.pack_bits_words_expr`` layout). Same pigeonhole
+    construction and distinct-hash/early-verify layers as
+    :func:`packed_hamming_pairs`; the point of width is BAND-KEY
+    SELECTIVITY, which is the actual 100 TB lever for a fixed Hamming
+    budget: at ``max_hamming ≤ 7`` a 64-bit signature forces 8-bit band
+    keys (256 buckets — candidate mass Θ(n²/256) on ANY corpus past
+    ~10⁶ distinct hashes), while a 256-bit signature gives the same
+    budget 32-bit keys (4.3 · 10⁹ buckets — collision-driven mass stays
+    ~n²·bands/2^width, linear-regime at any realistic corpus size). A
+    hot-bucket refinement is deliberately absent here — selective keys
+    are the refinement; ``max_candidate_mass`` remains the opt-in
+    fail-fast (exact Σ c·(c−1)/2 pre-flight) for degenerate corpora.
+    Output: ``a_id, b_id, hamming`` with a < b.
+    """
+    if nbits % 64 != 0:
+        raise ValueError(f"nbits={nbits} must be a multiple of 64 "
+                         "(use packed_hamming_pairs below 64)")
+    if nbits % bands != 0:
+        raise ValueError(f"nbits={nbits} not divisible by bands={bands}")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
+            "for the pigeonhole no-false-negative guarantee")
+    w = nbits // bands
+    if not (w <= 64 and 64 % w == 0) and w % 64 != 0:
+        raise ValueError(
+            f"band width {w} must divide 64 or be a multiple of 64 "
+            "(keys never straddle a word boundary)")
+    ids = sig.select(F.col(id_col), F.col(hash_col).alias("_h")).persist()
+    uniq = ids.groupBy("_h").agg(F.count("*").alias("_c")).persist()
+
+    if w <= 64:
+        mask = (1 << w) - 1 if w < 64 else -1
+        keys = []
+        for b in range(bands):
+            wi, off = (b * w) // 64, (b * w) % 64
+            word = F.element_at("_h", wi + 1)
+            k = F.shiftrightunsigned(word, off)
+            if w < 64:
+                k = k.bitwiseAND(F.lit(mask))
+            keys.append(F.struct(F.lit(b).alias("b"),
+                                 F.array(k).alias("k")))
+    else:
+        wpb = w // 64   # whole words per band
+        keys = [F.struct(F.lit(b).alias("b"),
+                         F.slice("_h", b * wpb + 1, wpb).alias("k"))
+                for b in range(bands)]
+    bk = uniq.select(F.col("_h"),
+                     F.explode(F.array(*keys)).alias("_bk")) \
+        .select("_h", F.col("_bk.b").alias("_b"), F.col("_bk.k").alias("_k"))
+
+    if max_candidate_mass is not None:
+        mass = (bk.groupBy("_b", "_k").agg(F.count("*").alias("_c"))
+                .agg(F.sum(F.expr("_c * (_c - 1) div 2")))
+                .collect()[0][0]) or 0
+        if mass > max_candidate_mass:
+            raise RuntimeError(
+                f"packed_wide_pairs: candidate mass {mass} exceeds "
+                f"max_candidate_mass={max_candidate_mass}; widen the "
+                "signature/bands further or pre-cluster")
+
+    a = bk.select("_b", "_k", F.col("_h").alias("_h1"))
+    b = bk.select("_b", "_k", F.col("_h").alias("_h2"))
+    ham = F.aggregate(
+        F.zip_with("_h1", "_h2",
+                   lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    hpairs = (a.join(b, on=["_b", "_k"])
+              .where(F.col("_h1") < F.col("_h2"))
+              .select("_h1", "_h2")
+              .withColumn("hamming", ham)
+              .where(F.col("hamming") <= max_hamming)
+              .distinct())
+    dup_h = (uniq.where(F.col("_c") >= 2)
+             .select(F.col("_h").alias("_h1"), F.col("_h").alias("_h2"),
+                     F.lit(0).cast("long").alias("hamming")))
+    hpairs = hpairs.unionByName(dup_h)
+    ma = ids.select(F.col("_h").alias("_h1"), F.col(id_col).alias("_xa"))
+    mb = ids.select(F.col("_h").alias("_h2"), F.col(id_col).alias("_xb"))
     return (hpairs.join(ma, "_h1").join(mb, "_h2")
             .where((F.col("_h1") != F.col("_h2"))
                    | (F.col("_xa") < F.col("_xb")))

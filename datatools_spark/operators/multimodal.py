@@ -42,7 +42,8 @@ __all__ = [
     "decode_raw8", "decode_pcm16", "raw8_stats", "raw8_pool",
     "raw8_resize_nearest", "raw8_frame_stats", "pcm16_stats",
     "pcm16_spectrogram", "raw8_ahash", "ahash_pairs", "pcm16_energy_hash",
-    "raw8_frame_ahash", "pack_bits_expr", "pair_candidate_mass",
+    "raw8_frame_ahash", "pack_bits_expr", "pack_bits_words_expr",
+    "pair_candidate_mass",
 ]
 
 MEDIA_SCHEMA = StructType([
@@ -637,6 +638,30 @@ def pack_bits_expr(hash_col: str, nbits: int = 64):
                f"bitstring in {hash_col}')")).cast("long")
 
 
+def pack_bits_words_expr(hash_col: str, nbits: int):
+    """Column expression packing an ``nbits``-char '0'/'1' bitstring
+    (``nbits`` a multiple of 64) into an ``array<bigint>`` of
+    ``nbits/64`` words — word *i* is :func:`pack_bits_expr` of chars
+    ``[64i+1, 64i+64]``. The wide-signature layout consumed by
+    :func:`~datatools_spark.operators.dedup.packed_wide_pairs`:
+    Hamming distance is a 4-element ``zip_with``/``bit_count`` fold for
+    a 256-bit hash, and band keys are shift/mask extractions from the
+    owning word."""
+    if nbits < 64 or nbits % 64 != 0:
+        raise ValueError(f"nbits={nbits} must be a positive multiple of 64")
+    words = []
+    for wi in range(nbits // 64):
+        sub = (f"substring({hash_col}, {wi * 64 + 1}, 64)"
+               if wi else f"substring({hash_col}, 1, 64)")
+        hi = f"cast(conv(substring({sub}, 1, 32), 2, 10) as bigint)"
+        lo = f"cast(conv(substring({sub}, 33, 32), 2, 10) as bigint)"
+        words.append(F.expr(f"shiftleft({hi}, 32) | {lo}").cast("long"))
+    packed = F.array(*words)
+    return F.when(F.length(hash_col) == nbits, packed).otherwise(
+        F.expr(f"raise_error('pack_bits_words_expr: expected {nbits}-char "
+               f"bitstring in {hash_col}')"))
+
+
 def pair_candidate_mass(sig: DataFrame, bands: int = 8,
                         hash_col: str = "ahash",
                         nbits: int = 64) -> DataFrame:
@@ -701,7 +726,21 @@ def ahash_pairs(sig: DataFrame, bands: int = 8, max_hamming: int = 7,
     whose band keys are degenerate (cost model:
     :func:`pair_candidate_mass`). See the engine's docstring for why
     each layer is exact; the all-pairs oracles certify the composition.
+
+    Signatures wider than 64 bits (``nbits`` a multiple of 64, e.g. the
+    256-bit ``raw8_ahash(width=16, grid=16)``) dispatch to the WIDE
+    engine (:func:`~datatools_spark.operators.dedup.packed_wide_pairs`)
+    — array-of-words packing, and band keys wide enough that bucket
+    selectivity, not hot-bucket refinement, carries the 100 TB case.
     """
+    if nbits > 64:
+        from .dedup import packed_wide_pairs
+        sig = sig.select(F.col(id_col),
+                         pack_bits_words_expr(hash_col, nbits)
+                         .alias("_packed"))
+        return packed_wide_pairs(sig, "_packed", nbits, bands, max_hamming,
+                                 id_col,
+                                 max_candidate_mass=max_candidate_mass)
     from .dedup import packed_hamming_pairs
     sig = sig.select(F.col(id_col),
                      pack_bits_expr(hash_col, nbits).alias("_packed"))

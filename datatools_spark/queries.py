@@ -8339,6 +8339,39 @@ def mm_scene_cuts(spark, sf_dir):
                     (F.col("hamming") >= 16).cast("int").alias("is_cut")))
 
 
+@query("mm_ahash256_pairs", sql="""
+WITH b AS (SELECT doc_id AS media_id,
+                  list_transform(range(1, 257),
+                                 i -> ascii(substr(text, i::INT, 1))) AS px
+           FROM documents WHERE length(text) >= 256),
+m AS (SELECT media_id, px, list_sum(px) AS s FROM b),
+h AS (SELECT media_id, array_to_string(list_transform(px,
+        x -> CASE WHEN 256 * x > s THEN '1' ELSE '0' END), '') AS ahash
+      FROM m)
+SELECT * FROM (
+  SELECT a.media_id AS a_id, b.media_id AS b_id,
+         list_sum(list_transform(range(1, 257), i ->
+           CASE WHEN substr(a.ahash, i::INT, 1) <> substr(b.ahash, i::INT, 1)
+                THEN 1 ELSE 0 END))::BIGINT AS hamming
+  FROM h a JOIN h b ON a.media_id < b.media_id)
+WHERE hamming <= 7
+""")
+def mm_ahash256_pairs(spark, sf_dir):
+    """Near-duplicate image pairs over the WIDE 256-bit aHash
+    (grid=16: per-pixel threshold at the image mean — dyadic-exact like
+    the 64-bit hash) through the wide pair engine
+    (dedup.packed_wide_pairs): 8 bands of 32-BIT keys at the same
+    hamming ≤ 7 budget. Width is the real 100 TB lever — 64-bit
+    signatures force 8-bit band keys (256 buckets: candidate mass
+    Θ(n²/256) on any corpus past ~1M distinct hashes) while 32-bit keys
+    give 4.3e9 buckets, keeping collision mass ~n²·bands/2³² (linear
+    regime at any realistic corpus). Oracle is the all-pairs scan —
+    the driver row certifies the wide pigeonhole construction too."""
+    from .operators import multimodal as MM
+    sig = MM.raw8_ahash(_mm_payload(spark, sf_dir), width=16, grid=16)
+    return MM.ahash_pairs(sig, bands=8, max_hamming=7, nbits=256)
+
+
 @query("mm_curation_pipeline", sql="""
 WITH RECURSIVE b AS (
   SELECT doc_id AS media_id, text,
@@ -8408,7 +8441,10 @@ def mm_curation_pipeline(spark, sf_dir):
     including banded completeness."""
     from .operators import multimodal as MM
     media = _mm_payload(spark, sf_dir).where(F.length("payload") >= 256)
-    st = MM.raw8_stats(media, width=16)
+    # four funnel branches reuse the stats subtree — persist so the
+    # mapInPandas decode runs ONCE, not once per stage aggregate
+    # (4.7 -> ~2 s at sf0.1; stats rows are metadata-sized)
+    st = MM.raw8_stats(media, width=16).persist()
     q = st.where((F.col("max_px") - F.col("min_px") >= 16)
                  & (32 * F.col("n_px") <= F.col("sum_px"))
                  & (F.col("sum_px") <= 120 * F.col("n_px")))
@@ -8419,7 +8455,7 @@ def mm_curation_pipeline(spark, sf_dir):
     kept = (q.select("media_id", "n_px")
             .join(comp, "media_id", "left")
             .where(F.coalesce("component", "media_id") == F.col("media_id"))
-            .select("media_id", "n_px"))
+            .select("media_id", "n_px")).persist()
     samp = CU.deterministic_sample(kept, 0.5, key_col="media_id",
                                    salt="mmcur")
 
@@ -8577,6 +8613,7 @@ _REGISTRATION_ORDER = [
     "ts_value_hour_histogram", "ss_rolling_quarter",
     "emb_label_separation", "ss_order_gaps",
     "mm_audio_hash", "mm_scene_cuts", "mm_curation_pipeline",
+    "mm_ahash256_pairs",
 ]
 
 

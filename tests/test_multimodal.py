@@ -400,3 +400,70 @@ def test_pair_candidate_mass_matches_manual(spark):
         assert out[b]["candidate_mass"] == 1
         assert out[b]["max_bucket"] == 2
         assert out[b]["n_buckets"] == 2
+
+
+def test_pack_bits_words_roundtrip(spark):
+    cases = ["0" * 256, "1" * 256, ("10" * 32 + "0" * 192),
+             "0" * 255 + "1"]
+    df = spark.createDataFrame([(s,) for s in cases], "h string")
+    got = [r[0] for r in
+           df.select(MM.pack_bits_words_expr("h", 256)).collect()]
+    for s, words in zip(cases, got):
+        assert len(words) == 4
+        for wi, w in enumerate(words):
+            chunk = s[wi * 64:(wi + 1) * 64]
+            assert w == int(chunk, 2) - (1 << 64 if chunk[0] == "1" else 0)
+
+
+def test_wide_pairs_256bit_matches_bruteforce(spark):
+    # 256-bit grid=16 aHash (per-pixel threshold at the image mean):
+    # the wide engine (8 bands x 32-bit keys) must equal brute force
+    import random
+    rng = random.Random(23)
+    base = [rng.randrange(256) for _ in range(256)]
+    payloads = {1: bytes(base), 2: bytes(base)}            # exact dup
+    for i in range(3, 14):
+        mut = list(base)
+        for _ in range(rng.randrange(1, 30)):
+            mut[rng.randrange(256)] = rng.randrange(256)
+        payloads[i] = bytes(mut)
+    df = spark.createDataFrame(sorted(payloads.items()),
+                               "media_id long, payload binary")
+    sig = MM.raw8_ahash(df, width=16, grid=16)
+    hashes = {r["media_id"]: r["ahash"] for r in sig.collect()}
+    assert all(len(h) == 256 for h in hashes.values())
+    for mh, bands in [(7, 8), (15, 16)]:
+        want = _brute_pairs(hashes, max_hamming=mh)
+        got = {(r["a_id"], r["b_id"]): r["hamming"]
+               for r in MM.ahash_pairs(sig, bands=bands, max_hamming=mh,
+                                       nbits=256).collect()}
+        assert got == want, (mh, bands)
+    assert (1, 2) in _brute_pairs(hashes, 7)   # the clique case exercised
+
+
+def test_wide_pairs_candidate_mass_guard(spark):
+    # clustered corpus (single-pixel mutations of one base image) so
+    # band keys genuinely collide: with 32-bit keys, 30 random images
+    # would give mass 0 — the guard must price REAL collisions
+    import pytest as _pytest
+    import random
+    rng = random.Random(31)
+    base = [rng.randrange(256) for _ in range(256)]
+    rows = []
+    for i in range(30):
+        mut = list(base)
+        mut[rng.randrange(256)] = rng.randrange(256)
+        rows.append((i, bytes(mut)))
+    sig = MM.raw8_ahash(
+        spark.createDataFrame(rows, "media_id long, payload binary"),
+        width=16, grid=16)
+    with _pytest.raises(RuntimeError, match="candidate mass"):
+        MM.ahash_pairs(sig, bands=8, max_hamming=7, nbits=256,
+                       max_candidate_mass=0).count()
+    # generous budget passes and equals the unguarded run
+    a = {tuple(r) for r in
+         MM.ahash_pairs(sig, bands=8, max_hamming=7, nbits=256,
+                        max_candidate_mass=10**9).collect()}
+    b = {tuple(r) for r in
+         MM.ahash_pairs(sig, bands=8, max_hamming=7, nbits=256).collect()}
+    assert a == b and a

@@ -413,3 +413,14 @@ def test_mm_audio_dup_pairs_no_cartesian(spark):
     plan = _plan(QUERIES["mm_audio_dup_pairs"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mm_curation_pipeline_no_cartesian(spark):
+    """The image funnel composite (stats -> gates -> packed pair dedup ->
+    components -> sample) stays on equi-joins end to end — no
+    cartesian/nested-loop anywhere, and no row-at-a-time Python UDF
+    (mapInPandas decode is the declared Arrow path)."""
+    plan = _plan(QUERIES["mm_curation_pipeline"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -141,19 +141,21 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
                                  payload_col: str = "payload",
                                  id_col: str = "media_id") -> int:
     """aHash-sign the batch's images NOT already in the store and append
-    them. Layout: ``(id_col, ahash64 BIGINT, _nbits, _pp)`` — the hash is
-    PACKED (pack_bits_expr) so the store pays ~8 bytes per signature
-    instead of a 64-char string and downstream joins verify with
-    ``bit_count``; ``_nbits = grid²`` rides along (RLE ≈ free) so the
-    pair reader derives band geometry from the DATA, not a constant that
-    could drift from the writer's grid. Partitioned by ``_pp`` (band-0
-    key) so a band join prunes to matching partitions. Idempotent per
-    image id; decode runs once per image ever. Returns the number of
-    newly signed images."""
-    from .multimodal import pack_bits_expr, raw8_ahash
+    them. Layout: ``(id_col, ahash64 BIGINT, _nbits, _pp)`` for
+    ``grid² <= 64``, or ``(id_col, ahash_w ARRAY<BIGINT>, _nbits, _pp)``
+    for wide signatures (``grid=16`` → 256-bit) — the hash is PACKED
+    (pack_bits_expr / pack_bits_words_expr) so the store pays ~8 bytes
+    per 64 bits instead of a char per bit and downstream joins verify
+    with ``bit_count``; ``_nbits = grid²`` rides along (RLE ≈ free) so
+    the pair reader derives band geometry AND layout from the DATA, not
+    a constant that could drift from the writer's grid (mixed widths in
+    one store raise at read). Partitioned by ``_pp`` (band-0 low byte).
+    Idempotent per image id; decode runs once per image ever. Returns
+    the number of newly signed images."""
+    from .multimodal import pack_bits_expr, pack_bits_words_expr, raw8_ahash
     nbits = grid * grid
-    if nbits > 64:
-        raise ValueError(f"grid={grid}: packed store holds <= 64 bits")
+    if nbits > 64 and nbits % 64 != 0:
+        raise ValueError(f"grid={grid}: wide store needs nbits % 64 == 0")
     new = batch
     try:
         existing = spark.read.parquet(path).select(id_col)
@@ -161,14 +163,26 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
     except AnalysisException as exc:
         if not _is_path_missing(exc):   # first write ONLY; see helper
             raise
-    w = nbits // _AHASH_BANDS
-    sig = (raw8_ahash(new, width=width, grid=grid, payload_col=payload_col,
-                      id_col=id_col)
-           .select(F.col(id_col),
-                   pack_bits_expr("ahash", nbits).alias("ahash64"))
-           .withColumn("_nbits", F.lit(nbits))
-           .withColumn("_pp", F.shiftrightunsigned("ahash64", 0)
-                       .bitwiseAND(F.lit((1 << w) - 1)).cast("int")))
+    raw = raw8_ahash(new, width=width, grid=grid, payload_col=payload_col,
+                     id_col=id_col)
+    if nbits <= 64:
+        w = nbits // _AHASH_BANDS
+        sig = (raw.select(F.col(id_col),
+                          pack_bits_expr("ahash", nbits).alias("ahash64"))
+               .withColumn("_nbits", F.lit(nbits))
+               .withColumn("_pp", F.shiftrightunsigned("ahash64", 0)
+                           .bitwiseAND(F.lit((1 << w) - 1)).cast("int")))
+    else:
+        # wide layout: array-of-words column; partition by the first
+        # word's low byte (256 partitions — layout only, the 32-bit
+        # band keys themselves are far more selective than any
+        # practical partition count)
+        sig = (raw.select(F.col(id_col),
+                          pack_bits_words_expr("ahash", nbits)
+                          .alias("ahash_w"))
+               .withColumn("_nbits", F.lit(nbits))
+               .withColumn("_pp", F.element_at("ahash_w", 1)
+                           .bitwiseAND(F.lit(255)).cast("int")))
     n = sig.count()
     if n:
         sig.write.mode("append").partitionBy("_pp").parquet(path)
@@ -189,37 +203,55 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
     Output: ``a_id, b_id, hamming`` with a < b, hamming ≤ 7 —
     pigeonhole-complete, and store-side cost scales with matching band
     buckets, not corpus size."""
-    store = spark.read.parquet(path).select(id_col, "ahash64", "_nbits")
+    raw = spark.read.parquet(path)
     nbits_seen = [r[0] for r in
-                  store.select("_nbits").distinct().collect()]
+                  raw.select("_nbits").distinct().collect()]
     if len(nbits_seen) != 1:
         raise ValueError(
             f"signature store at {path} holds mixed hash widths "
             f"{sorted(nbits_seen)} — one store, one geometry")
     nbits = nbits_seen[0]
     w = nbits // _AHASH_BANDS
-    mask = (1 << w) - 1
-    store = store.select(id_col, "ahash64")
+    hash_col = "ahash64" if nbits <= 64 else "ahash_w"
+    store = raw.select(id_col, hash_col)
     bsig = store.join(batch.select(id_col), id_col, "left_semi")
 
-    def _idx(df):
+    if nbits <= 64:
+        mask = (1 << w) - 1
         keys = [F.struct(
             F.lit(b).alias("b"),
-            F.shiftrightunsigned(F.col("ahash64"), b * w)
-            .bitwiseAND(F.lit(mask)).alias("k"))
+            F.array(F.shiftrightunsigned(F.col(hash_col), b * w)
+                    .bitwiseAND(F.lit(mask))).alias("k"))
             for b in range(_AHASH_BANDS)]
+        ham = F.bit_count(F.col("x_hash").bitwiseXOR(F.col("y_hash"))) \
+            .cast("long")
+    else:
+        # wide layout: keys never straddle words (w=32 for 256-bit)
+        mask = (1 << w) - 1 if w < 64 else -1
+        keys = []
+        for b in range(_AHASH_BANDS):
+            wi, off = (b * w) // 64, (b * w) % 64
+            k = F.shiftrightunsigned(F.element_at(hash_col, wi + 1), off)
+            if w < 64:
+                k = k.bitwiseAND(F.lit(mask))
+            keys.append(F.struct(F.lit(b).alias("b"), F.array(k).alias("k")))
+        ham = F.aggregate(
+            F.zip_with("x_hash", "y_hash",
+                       lambda x, y: F.bit_count(x.bitwiseXOR(y))
+                       .cast("long")),
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    def _idx(df):
         return df.select(
-            F.col(id_col), F.col("ahash64"),
+            F.col(id_col), F.col(hash_col),
             F.explode(F.array(*keys)).alias("_bk")) \
-            .select(F.col(id_col), "ahash64",
+            .select(F.col(id_col), hash_col,
                     F.col("_bk.b").alias("_b"), F.col("_bk.k").alias("_k"))
 
     a = _idx(bsig).select(F.col(id_col).alias("x_id"),
-                          F.col("ahash64").alias("x_hash"), "_b", "_k")
+                          F.col(hash_col).alias("x_hash"), "_b", "_k")
     b = _idx(store).select(F.col(id_col).alias("y_id"),
-                           F.col("ahash64").alias("y_hash"), "_b", "_k")
-    ham = F.bit_count(F.col("x_hash").bitwiseXOR(F.col("y_hash"))) \
-        .cast("long")
+                           F.col(hash_col).alias("y_hash"), "_b", "_k")
     # verify BEFORE the dedup exchange (cheap bit_count on the join
     # output in-stage) so only true pairs reach the distinct
     return (a.join(b, on=["_b", "_k"])

@@ -175,7 +175,8 @@ def streaming_upsert(spark: SparkSession, changes: DataFrame,
 def streaming_image_ingest_dedup(media: DataFrame, store_dir: str,
                                  pairs_dir: str, checkpoint_dir: str,
                                  id_col: str = "media_id",
-                                 payload_col: str = "payload"):
+                                 payload_col: str = "payload",
+                                 grid: int = 8):
     """Continuous incremental IMAGE dedup — the streaming twin of
     ``mm_image_dedup``'s hash→pairs stages, built on the packed aHash
     signature store (``operators.sigstore``): each micro-batch
@@ -212,6 +213,7 @@ def streaming_image_ingest_dedup(media: DataFrame, store_dir: str,
             if not _is_path_missing(exc):   # see sigstore._is_path_missing
                 raise
         n = update_image_signature_store(sess, batch_df, store_dir,
+                                         grid=grid,
                                          payload_col=payload_col,
                                          id_col=id_col)
         if n:

@@ -116,3 +116,46 @@ def test_image_store_is_packed_and_width_checked(spark, tmp_path):
     update_image_signature_store(spark, b2, path, width=16, grid=4)
     with pytest.raises(ValueError, match="mixed hash widths"):
         ahash_pairs_against_store(spark, b1, path).count()
+
+
+def test_image_store_wide_256bit_equals_full_pairs(spark, tmp_path):
+    # grid=16 -> 256-bit signatures in the array-of-words store layout;
+    # incremental batch-vs-store pairs must equal the full-corpus wide
+    # engine restricted to the batch
+    import random
+    from datatools_spark.operators.multimodal import ahash_pairs, raw8_ahash
+    from datatools_spark.operators.sigstore import (
+        ahash_pairs_against_store, update_image_signature_store)
+
+    def img(seed=None, near_of=None):
+        if near_of is not None:
+            b = list(near_of)
+            b[0] = (b[0] + 120) % 256
+            return bytes(b)
+        r = random.Random(seed)
+        return bytes(r.randrange(256) for _ in range(256))
+
+    b1_rows = [(i, img(seed=i)) for i in range(12)]
+    b2_rows = [(100 + i, img(seed=700 + i)) for i in range(6)] \
+        + [(200 + k, img(near_of=p)) for k, (_, p) in enumerate(b1_rows[:3])]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "media_id long, payload binary")
+    b1, b2 = mk(b1_rows), mk(b2_rows)
+
+    path = str(tmp_path / "widestore")
+    assert update_image_signature_store(spark, b1, path, grid=16) == 12
+    assert update_image_signature_store(spark, b1, path, grid=16) == 0
+    assert update_image_signature_store(spark, b2, path, grid=16) == 9
+    df = spark.read.parquet(path)
+    assert dict(df.dtypes)["ahash_w"] == "array<bigint>"
+
+    got = {(r["a_id"], r["b_id"]): r["hamming"]
+           for r in ahash_pairs_against_store(spark, b2, path).collect()}
+    full_sig = raw8_ahash(b1.unionByName(b2), width=16, grid=16)
+    b2_ids = {r[0] for r in b2_rows}
+    want = {(r["a_id"], r["b_id"]): r["hamming"]
+            for r in ahash_pairs(full_sig, bands=8, max_hamming=7,
+                                 nbits=256).collect()
+            if r["a_id"] in b2_ids or r["b_id"] in b2_ids}
+    assert got == want
+    assert any(a < 100 and b >= 200 for a, b in got)

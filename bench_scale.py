@@ -104,6 +104,46 @@ def dedup_sweep(spark, results: dict, sizes: list[int]) -> None:
         sdf.unpersist()
 
 
+def melt_sweep(spark, results: dict, season_counts: list[int]) -> None:
+    """BASELINE.md planned benchmark: melt pipeline end-to-end at 1 →
+    1e4 station-seasons (120-day hourly seasons: Temp diurnal cycle,
+    solar with a reflected fraction). The full E3 plan per run: 2-h
+    rolling solar smoothing → daily albedo (max_by at solar peak) →
+    broadcast day-key join + ffill → gated melt expression."""
+    from pyspark.sql import functions as SF
+
+    from datatools_spark.melt import calc_melt
+
+    hours = 120 * 24
+    for k in season_counts:
+        n = k * hours
+        df = (spark.range(n)
+              .select((SF.col("id") % k).alias("station"),
+                      (SF.col("id") / k).cast("long").alias("h"))
+              .select("station",
+                      (SF.lit("2024-01-01 00:00:00").cast("timestamp")
+                       + SF.make_interval(hours=SF.col("h"))).alias("ts"),
+                      (SF.sin(SF.col("h") % 24 / 24.0 * 6.283) * 8
+                       + 1.0).alias("Temp"),
+                      (SF.greatest(SF.sin(SF.col("h") % 24 / 24.0 * 6.283),
+                                   SF.lit(0.0)) * 600).alias("Solar_incoming"))
+              .withColumn("Solar_reflected", SF.col("Solar_incoming") * 0.4)
+              .repartition(32).cache())
+        df.count()
+        t0 = time.perf_counter()
+        # aggregate over melt_rate, NOT count(*): a bare count lets the
+        # optimizer prune the rolling-solar window, albedo join and
+        # ffill as unused columns — the "pipeline" would be a row count
+        row = calc_melt(df, partition_by=["station"]).agg(
+            SF.count("*").alias("n"),
+            SF.sum("melt_rate").alias("chk")).collect()[0]
+        el = time.perf_counter() - t0
+        results[f"melt_pipeline_{k}_seasons"] = {
+            "rows": n, "out": row["n"], "sec": round(el, 3),
+            "rows_per_s": round(n / el)}
+        df.unpersist()
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     sizes = [100_000, 1_000_000] if quick else [100_000, 1_000_000, 10_000_000]
@@ -142,8 +182,20 @@ def main() -> None:
         sdf.unpersist()
 
     dedup_sweep(spark, results, [100_000] if quick else [100_000, 1_000_000])
+    melt_sweep(spark, results, [1, 100] if quick else [1, 100, 10_000])
 
+    # preserve every curated "## ..." section below the kernel table —
+    # this file only owns the leading section it generates
     os.makedirs("bench", exist_ok=True)
+    preserved = ""
+    try:
+        with open("bench/SCALE_NOTES.md") as fh:
+            prev = fh.read()
+        cut = prev.find("\n## ")
+        if cut != -1:
+            preserved = prev[cut:]
+    except FileNotFoundError:
+        pass
     with open("bench/SCALE_NOTES.md", "w") as fh:
         fh.write("# Kernel scale sweep (local[32], synthetic 15-s GPS series)\n\n")
         fh.write("Velocity kernel: 30-min stat window, 4-h separation "
@@ -172,6 +224,7 @@ def main() -> None:
             f"while the Spark plan partitions across any cluster; its only "
             f"full-data shuffle is the per-bucket median (approx=True removes "
             f"even that via partially-aggregatable sketches).\n")
+        fh.write(preserved)
     print(json.dumps({"metric": "kernel_scale_sweep", "results": results}))
 
 

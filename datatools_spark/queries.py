@@ -5060,6 +5060,265 @@ def ss_volume_shipping(spark, sf_dir):
                  F.count("*").alias("n_lines")))
 
 
+_REV_DEC = "(l.l_extendedprice * (1 - l.l_discount))::DECIMAL(30,12)"
+
+
+@query("ss_supplier_share", sql=f"""
+SELECT yr, round(share, 6) AS share, round(total_rev, 4) AS total_rev,
+       n_lines
+FROM (
+  SELECT year(o.o_orderdate)::BIGINT AS yr,
+         sum(CASE WHEN ns.n_name = 'NATION_5' THEN {_REV_DEC}
+                  ELSE 0::DECIMAL(30,12) END)::DOUBLE
+          / sum({_REV_DEC})::DOUBLE AS share,
+         sum({_REV_DEC})::DOUBLE AS total_rev,
+         count(*)::BIGINT AS n_lines
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  GROUP BY 1)
+""")
+def ss_supplier_share(spark, sf_dir):
+    """TPC-H Q8-shaped supply-side market share: of everything sold to
+    ASIA customers, the fraction supplied by one nation's suppliers,
+    per order year. Demand-side twin of ss_market_share; the share is a
+    ratio of two DECIMAL sums inside one aggregate (no second pass),
+    all five dimension sides broadcast against the lineitem fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nc = (n.join(r, n.n_regionkey == r.r_regionkey)
+          .where(F.col("r_name") == "ASIA").select("n_nationkey"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(30,12)")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(nc), F.col("c_nationkey") == nc.n_nationkey)
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(n.select(F.col("n_nationkey").alias("sk"),
+                                    F.col("n_name").alias("supp_nation"))),
+               F.col("s_nationkey") == F.col("sk")))
+    zero = F.lit(0).cast("decimal(30,12)")
+    return (j.groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+            .agg(F.round(F.sum(F.when(F.col("supp_nation") == "NATION_5",
+                                      rev).otherwise(zero)).cast("double")
+                         / F.sum(rev).cast("double"), 6).alias("share"),
+                 F.round(F.sum(rev).cast("double"), 4).alias("total_rev"),
+                 F.count("*").alias("n_lines")))
+
+
+@query("ss_product_profit", sql="""
+SELECT supp_nation, yr, round(profit, 4) AS profit, n_lines
+FROM (
+  SELECT ns.n_name AS supp_nation, year(o.o_orderdate)::BIGINT AS yr,
+         sum((l.l_extendedprice * (1 - l.l_discount)
+              - 0.8 * p.p_retailprice * l.l_quantity)::DECIMAL(30,12))
+             ::DOUBLE AS profit,
+         count(*)::BIGINT AS n_lines
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2)
+""")
+def ss_product_profit(spark, sf_dir):
+    """TPC-H Q9-shaped product-type profit by supplier nation and year
+    (cost term re-based on p_retailprice — the schema carries no
+    partsupp supply cost). The part-name LIKE filter lands on the
+    broadcast dimension BEFORE the fact join, so the fact scan's join
+    fan-in shrinks to matching parts only; one exchange for the final
+    (nation, year) group."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%")) \
+        .select("p_partkey", "p_retailprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.8 * F.col("p_retailprice") * F.col("l_quantity")) \
+        .cast("decimal(30,12)")
+    j = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+         .join(o, li.l_orderkey == o.o_orderkey))
+    return (j.groupBy(F.col("n_name").alias("supp_nation"),
+                      F.year("o_orderdate").cast("bigint").alias("yr"))
+            .agg(F.round(F.sum(amount).cast("double"), 4).alias("profit"),
+                 F.count("*").alias("n_lines")))
+
+
+@query("ss_returned_customers", sql="""
+SELECT c_custkey, c_name, n_name,
+       round(rev_exact::DOUBLE, 4) AS revenue
+FROM (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(30,12))
+             AS rev_exact
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+       AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY 1, 2, 3
+  ORDER BY rev_exact DESC, c_custkey
+  LIMIT 20)
+""")
+def ss_returned_customers(spark, sf_dir):
+    """TPC-H Q10-shaped returned-item reporting: top-20 customers by
+    revenue lost to returns in one quarter. Rank runs on the EXACT
+    DECIMAL sum (ties decided identically in any engine; custkey breaks
+    residual ties), rounding only on output. TakeOrderedAndProject: the
+    top-k never materializes the full sorted set."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01"))
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(30,12)")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey))
+    agg = j.groupBy("c_custkey", "c_name", "n_name") \
+        .agg(F.sum(rev).alias("_rev"))
+    return (agg.orderBy(F.col("_rev").desc(), F.col("c_custkey"))
+            .limit(20)
+            .select("c_custkey", "c_name", "n_name",
+                    F.round(F.col("_rev").cast("double"), 4)
+                    .alias("revenue")))
+
+
+@query("ss_promo_revenue", sql="""
+SELECT round(100.0 * promo::DOUBLE / total::DOUBLE, 6) AS promo_pct,
+       n_lines
+FROM (
+  SELECT sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN (l.l_extendedprice * (1 - l.l_discount))::DECIMAL(30,12)
+                  ELSE 0::DECIMAL(30,12) END) AS promo,
+         sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(30,12))
+             AS total,
+         count(*)::BIGINT AS n_lines
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= '1996-03-01' AND l.l_shipdate < '1996-04-01')
+""")
+def ss_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-shaped promotion effect: percent of one month's revenue
+    from PROMO-type parts — conditional/total DECIMAL sums in ONE
+    aggregate (no separate scans), part side broadcast, the shipdate
+    range pushed to the fact scan. Output is a single row."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01"))
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(30,12)")
+    zero = F.lit(0).cast("decimal(30,12)")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                              .otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double"), 6).alias("promo_pct"),
+                F.count("*").alias("n_lines")))
+
+
+@query("ss_disjunctive_revenue", sql="""
+SELECT round(revenue, 4) AS revenue, n_lines
+FROM (
+  SELECT sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(30,12))
+             ::DOUBLE AS revenue,
+         count(*)::BIGINT AS n_lines
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+         AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+     OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
+         AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+     OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 1 AND 35
+         AND l.l_quantity >= 20 AND l.l_quantity <= 30))
+""")
+def ss_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three OR'd
+    (brand, size-band, quantity-band) groups across the part-lineitem
+    join — the classic test that a disjunction over both sides still
+    evaluates as a post-join filter without blocking the equi-join
+    itself (no cartesian; part side broadcast). One scalar output row."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(30,12)")
+    g1 = ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+          & F.col("l_quantity").between(1, 11))
+    g2 = ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(1, 25)
+          & F.col("l_quantity").between(10, 20))
+    g3 = ((F.col("p_brand") == "Brand#33") & F.col("p_size").between(1, 35)
+          & F.col("l_quantity").between(20, 30))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .where(g1 | g2 | g3)
+            .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+@query("ss_forecast_revenue", sql="""
+SELECT round(revenue, 4) AS revenue, n_lines
+FROM (
+  SELECT sum((l_extendedprice * l_discount)::DECIMAL(30,12))::DOUBLE
+             AS revenue,
+         count(*)::BIGINT AS n_lines
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+    AND l_discount >= 0.02 AND l_discount <= 0.04
+    AND l_quantity < 24)
+""")
+def ss_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-shaped forecast-revenue-change: the pure scan-filter
+    aggregate — every predicate (date range, discount band, quantity
+    cap) pushes to the parquet scan, zero joins, one partial+final
+    DECIMAL sum. The cheapest plan in the ss family by construction."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24))
+    return li.agg(
+        F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                      .cast("decimal(30,12)")).cast("double"), 4)
+        .alias("revenue"),
+        F.count("*").alias("n_lines"))
+
+
+@query("ss_customer_order_counts", sql="""
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1)
+GROUP BY 1
+""")
+def ss_customer_order_counts(spark, sf_dir):
+    """TPC-H Q13-shaped customer order-count distribution INCLUDING the
+    zero-order bucket (the left join is the point — an inner join
+    silently drops idle customers). Two aggregates: per-customer count
+    (shuffle on custkey), then the metadata-sized histogram."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("c_count")))
+    return per.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
 _SIMHASH32_SUMS = ",\n       ".join(
     f"sum(CASE WHEN (hv // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{j}"
     for j in range(32))
@@ -8610,6 +8869,9 @@ _REGISTRATION_ORDER = [
     "doc_detector_agreement", "emb_split_stability",
     "ss_discount_quantity_corr",
     "doc_vocab_growth", "doc_zipf_slope", "ss_repeat_purchase",
+    "ss_supplier_share", "ss_product_profit", "ss_returned_customers",
+    "ss_promo_revenue", "ss_disjunctive_revenue", "ss_forecast_revenue",
+    "ss_customer_order_counts",
     "ts_value_hour_histogram", "ss_rolling_quarter",
     "emb_label_separation", "ss_order_gaps",
     "mm_audio_hash", "mm_scene_cuts", "mm_curation_pipeline",

@@ -136,6 +136,18 @@ def main():
     print(f"image near-dup (aHash, hamming<=7): {img_pairs.count()} pairs, "
           f"{n_img_dups} payloads droppable by keep-min retention")
 
+    # 10. corpora past ~1e6 distinct hashes: widen the signature instead
+    #     of fighting 8-bit band keys — 256-bit aHash through the wide
+    #     engine gets 32-bit keys at the same hamming budget, and the
+    #     pre-flight prices the candidate mass BEFORE any shuffle
+    mass = MM.pair_candidate_mass(sig, bands=8)
+    print("64-bit band-key cost model (candidate mass per band):")
+    mass.show(8, truncate=False)
+    wide_sig = MM.raw8_ahash(media, width=16, grid=16)   # 256-bit
+    wide_pairs = MM.ahash_pairs(wide_sig, bands=8, max_hamming=7,
+                                nbits=256)
+    print(f"wide 256-bit pairs (32-bit band keys): {wide_pairs.count()}")
+
 
 if __name__ == "__main__":
     main()

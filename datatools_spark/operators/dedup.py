@@ -204,7 +204,23 @@ def packed_hamming_pairs(sig: DataFrame, hash_col: str, nbits: int,
        if the post-refinement Σ c·(c−1)/2 exceeds the budget — at
        100 TB a degenerate corpus should fail the cost model
        (`multimodal.pair_candidate_mass`), not pin a cluster.
+
+    Construction-time cost note: hot-bucket DETECTION (and the opt-in
+    mass guard) run one small aggregation job when the DataFrame is
+    BUILT, materializing the persisted (id, hash) projection that the
+    main run then reuses — so the upstream signature computation (e.g.
+    a payload decode) executes once overall, not once for detection and
+    once for pairing. The persisted frames stay cached for the session
+    (Spark keys the cache by plan, so repeated identical calls share
+    one entry rather than accumulating); pass
+    ``hot_bucket_cap=None, max_candidate_mass=None`` for a fully lazy
+    plan (e.g. explain-only callers).
     """
+    if nbits < 1 or nbits > 64:
+        raise ValueError(
+            f"nbits={nbits} not in [1, 64] — Java shifts are mod 64, so a "
+            "wider hash would silently alias band keys and lose the "
+            "no-false-negative guarantee; use packed_wide_pairs instead")
     if nbits % bands != 0:
         raise ValueError(f"nbits={nbits} not divisible by bands={bands}")
     if max_hamming > bands - 1:
@@ -212,6 +228,9 @@ def packed_hamming_pairs(sig: DataFrame, hash_col: str, nbits: int,
             f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
             "for the pigeonhole no-false-negative guarantee")
     w = nbits // bands
+    if w >= 64:
+        raise ValueError("bands must be >= 2 (a single 64-bit band key "
+                         "is the whole hash — use exact grouping instead)")
     mask = (1 << w) - 1
     ids = sig.select(F.col(id_col),
                      F.col(hash_col).cast("long").alias("_h")).persist()
@@ -383,7 +402,7 @@ def packed_wide_pairs(sig: DataFrame, hash_col: str, nbits: int,
     uniq = ids.groupBy("_h").agg(F.count("*").alias("_c")).persist()
 
     if w <= 64:
-        mask = (1 << w) - 1 if w < 64 else -1
+        mask = (1 << w) - 1   # unused when w == 64 (no AND needed)
         keys = []
         for b in range(bands):
             wi, off = (b * w) // 64, (b * w) % 64

@@ -651,8 +651,7 @@ def pack_bits_words_expr(hash_col: str, nbits: int):
         raise ValueError(f"nbits={nbits} must be a positive multiple of 64")
     words = []
     for wi in range(nbits // 64):
-        sub = (f"substring({hash_col}, {wi * 64 + 1}, 64)"
-               if wi else f"substring({hash_col}, 1, 64)")
+        sub = f"substring({hash_col}, {wi * 64 + 1}, 64)"
         hi = f"cast(conv(substring({sub}, 1, 32), 2, 10) as bigint)"
         lo = f"cast(conv(substring({sub}, 33, 32), 2, 10) as bigint)"
         words.append(F.expr(f"shiftleft({hi}, 32) | {lo}").cast("long"))
@@ -692,10 +691,13 @@ def pair_candidate_mass(sig: DataFrame, bands: int = 8,
     bk = uniq.select(F.explode(F.array(*keys)).alias("_bk")) \
         .select(F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key"))
     per_bucket = bk.groupBy("band", "key").agg(F.count("*").alias("_c"))
+    # integer arithmetic end to end: c*(c-1) div 2 summed as BIGINT —
+    # float division would round past 2^53 on exactly the degenerate
+    # buckets this report exists to expose
     return (per_bucket.groupBy("band")
             .agg(F.count("*").alias("n_buckets"),
                  F.max("_c").alias("max_bucket"),
-                 F.sum(F.col("_c") * (F.col("_c") - 1) / 2)
+                 F.sum(F.expr("_c * (_c - 1) div 2"))
                  .cast("long").alias("candidate_mass"))
             .orderBy("band"))
 

@@ -136,10 +136,50 @@ _AHASH_BANDS = 8
 _AHASH_MAX_HAMMING = 7  # <= bands - 1: pigeonhole-exact candidates
 
 
+def _check_ahash_geometry(nbits: int) -> None:
+    """Fail a bad geometry at WRITE time, before it persists: the pair
+    readers band into ``_AHASH_BANDS`` keys, so every width this store
+    accepts must band cleanly (wide keys must not straddle words —
+    e.g. grid=24 → 576 bits → 72-bit keys would)."""
+    if nbits % _AHASH_BANDS != 0:
+        raise ValueError(f"nbits={nbits} not divisible by "
+                         f"{_AHASH_BANDS} bands")
+    if nbits > 64:
+        if nbits % 64 != 0:
+            raise ValueError(f"wide store needs nbits % 64 == 0, "
+                             f"got {nbits}")
+        w = nbits // _AHASH_BANDS
+        if not (w <= 64 and 64 % w == 0) and w % 64 != 0:
+            raise ValueError(
+                f"band width {w} (nbits={nbits} / {_AHASH_BANDS} bands) "
+                "must divide 64 or be a multiple of 64 — keys would "
+                "straddle a word boundary")
+
+
+def _check_store_layout(existing: DataFrame, path: str, nbits: int) -> None:
+    """The store being appended to must carry the packed layout at the
+    SAME width — appending a second geometry (or appending packed rows
+    into a legacy string-hash store) would poison every later read with
+    no repair path short of re-decoding the corpus."""
+    if "_nbits" not in existing.columns:
+        raise ValueError(
+            f"store at {path} has no _nbits column — it predates the "
+            "packed layout (or is not an image signature store); "
+            "rebuild it from payloads once with "
+            "update_image_signature_store on an empty path")
+    seen = [r[0] for r in existing.select("_nbits").distinct().collect()]
+    if seen and (len(seen) != 1 or seen[0] != nbits):
+        raise ValueError(
+            f"store at {path} holds {sorted(seen)}-bit signatures; "
+            f"refusing to append {nbits}-bit rows — one store, one "
+            "geometry")
+
+
 def update_image_signature_store(spark: SparkSession, batch: DataFrame,
                                  path: str, width: int = 16, grid: int = 8,
                                  payload_col: str = "payload",
-                                 id_col: str = "media_id") -> int:
+                                 id_col: str = "media_id",
+                                 batch_is_new: bool = False) -> int:
     """aHash-sign the batch's images NOT already in the store and append
     them. Layout: ``(id_col, ahash64 BIGINT, _nbits, _pp)`` for
     ``grid² <= 64``, or ``(id_col, ahash_w ARRAY<BIGINT>, _nbits, _pp)``
@@ -150,16 +190,22 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
     the pair reader derives band geometry AND layout from the DATA, not
     a constant that could drift from the writer's grid (mixed widths in
     one store raise at read). Partitioned by ``_pp`` (band-0 low byte).
-    Idempotent per image id; decode runs once per image ever. Returns
-    the number of newly signed images."""
+    Idempotent per image id; decode runs once per image ever.
+    ``batch_is_new=True`` skips the internal stored-id anti-join for
+    callers that ALREADY filtered the batch against the store (the
+    streaming ingest loop does — one store read per micro-batch, not
+    two); pass it only with such a pre-filtered batch, or duplicate
+    signatures will append. Returns the number of newly signed
+    images."""
     from .multimodal import pack_bits_expr, pack_bits_words_expr, raw8_ahash
     nbits = grid * grid
-    if nbits > 64 and nbits % 64 != 0:
-        raise ValueError(f"grid={grid}: wide store needs nbits % 64 == 0")
+    _check_ahash_geometry(nbits)
     new = batch
     try:
-        existing = spark.read.parquet(path).select(id_col)
-        new = batch.join(existing, id_col, "left_anti")
+        existing = spark.read.parquet(path)
+        _check_store_layout(existing, path, nbits)
+        if not batch_is_new:
+            new = batch.join(existing.select(id_col), id_col, "left_anti")
     except AnalysisException as exc:
         if not _is_path_missing(exc):   # first write ONLY; see helper
             raise
@@ -196,10 +242,11 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
     (batch included, after ``update_image_signature_store``) without
     re-decoding any payload: batch signatures come back from the store
     by id semi-join, band keys (``shiftrightunsigned & mask`` over the
-    packed BIGINT) joined store-side, candidates verified with
-    ``bit_count(a ^ b)``. Band geometry comes from the store's own
-    ``_nbits`` column (parquet stats read, no scan) — a writer-side grid
-    change can never silently misalign the reader's band keys.
+    packed BIGINT, or per-word for wide signatures) joined store-side,
+    candidates verified with ``bit_count(a ^ b)``. Band geometry comes
+    from the store's own ``_nbits`` column (one tiny single-column scan,
+    RLE-compressed) — a writer-side grid change can never silently
+    misalign the reader's band keys.
     Output: ``a_id, b_id, hamming`` with a < b, hamming ≤ 7 —
     pigeonhole-complete, and store-side cost scales with matching band
     buckets, not corpus size."""
@@ -227,7 +274,7 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
             .cast("long")
     else:
         # wide layout: keys never straddle words (w=32 for 256-bit)
-        mask = (1 << w) - 1 if w < 64 else -1
+        mask = (1 << w) - 1   # unused when w == 64 (no AND needed)
         keys = []
         for b in range(_AHASH_BANDS):
             wi, off = (b * w) // 64, (b * w) % 64

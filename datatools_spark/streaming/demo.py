@@ -205,20 +205,33 @@ def streaming_image_ingest_dedup(media: DataFrame, store_dir: str,
 
     def _process(batch_df: DataFrame, batch_id: int):
         sess = batch_df.sparkSession
-        new_ids = batch_df.select(id_col)
+        # ONE store read per micro-batch: the anti-join here both picks
+        # the pair-emission ids and pre-filters the signing batch
+        # (batch_is_new=True skips the updater's internal anti-join).
+        # A checkpoint-retried batch recomputes against the already-
+        # updated store -> new_batch empty -> nothing re-signs/re-emits.
+        # localCheckpoint, NOT persist: the store write below triggers
+        # Spark's recache of any CACHED plan that reads the store path,
+        # which would recompute this anti-join against the post-write
+        # store to EMPTY and silently drop every pair emission; the
+        # checkpoint materializes the batch content and cuts the lineage
+        # so the write cannot reach back into it.
+        new_batch = batch_df
         try:
             stored = sess.read.parquet(store_dir).select(id_col)
-            new_ids = new_ids.join(stored, id_col, "left_anti")
+            new_batch = batch_df.join(stored, id_col, "left_anti")
         except AnalysisException as exc:
             if not _is_path_missing(exc):   # see sigstore._is_path_missing
                 raise
-        n = update_image_signature_store(sess, batch_df, store_dir,
+        new_batch = new_batch.localCheckpoint(eager=True)
+        n = update_image_signature_store(sess, new_batch, store_dir,
                                          grid=grid,
                                          payload_col=payload_col,
-                                         id_col=id_col)
+                                         id_col=id_col,
+                                         batch_is_new=True)
         if n:
-            (ahash_pairs_against_store(sess, new_ids, store_dir,
-                                       id_col=id_col)
+            (ahash_pairs_against_store(sess, new_batch.select(id_col),
+                                       store_dir, id_col=id_col)
              .write.mode("append").parquet(pairs_dir))
 
     return (media.writeStream

@@ -111,11 +111,13 @@ def test_image_store_is_packed_and_width_checked(spark, tmp_path):
     assert update_image_signature_store(spark, b1, path) == 5
     df = spark.read.parquet(path)
     assert dict(df.dtypes)["ahash64"] == "bigint"   # packed, not string
-    # a second geometry in the same store is rejected at read time
+    # a second geometry is rejected at WRITE time (r4: fail before the
+    # store is poisoned, not on the next read)
     b2 = mk([(10, bytes(r.randrange(256) for _ in range(256)))])
-    update_image_signature_store(spark, b2, path, width=16, grid=4)
-    with pytest.raises(ValueError, match="mixed hash widths"):
-        ahash_pairs_against_store(spark, b1, path).count()
+    with pytest.raises(ValueError, match="one store, one"):
+        update_image_signature_store(spark, b2, path, width=16, grid=4)
+    # and the store still reads fine afterwards
+    assert ahash_pairs_against_store(spark, b1, path).count() >= 0
 
 
 def test_image_store_wide_256bit_equals_full_pairs(spark, tmp_path):
@@ -159,3 +161,25 @@ def test_image_store_wide_256bit_equals_full_pairs(spark, tmp_path):
             if r["a_id"] in b2_ids or r["b_id"] in b2_ids}
     assert got == want
     assert any(a < 100 and b >= 200 for a, b in got)
+
+
+def test_store_rejects_bad_geometry_and_mixed_append(spark, tmp_path):
+    import pytest
+    from datatools_spark.operators.sigstore import (
+        update_image_signature_store)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "media_id long, payload binary")
+    import random
+    r = random.Random(9)
+    b = mk([(1, bytes(r.randrange(256) for _ in range(600)))])
+    path = str(tmp_path / "geom")
+    # grid=24 -> 576 bits -> 72-bit band keys straddle words: refused
+    # BEFORE anything persists
+    with pytest.raises(ValueError, match="straddle"):
+        update_image_signature_store(spark, b, path, width=24, grid=24)
+    import os
+    assert not os.path.exists(path)
+    # a second geometry cannot be appended into an existing store
+    assert update_image_signature_store(spark, b, path) == 1
+    with pytest.raises(ValueError, match="one store, one"):
+        update_image_signature_store(spark, b, path, grid=4)

@@ -25,7 +25,8 @@ __all__ = [
     "occurrences", "lang_scores", "lang_id_col", "token_count_col",
     "quality_score_cols", "fingerprint_col", "word_shingles", "words_col",
     "subword_count_col", "word_ngrams_all", "repetition_stats", "scrub_cols",
-    "word_entropy", "bm25_scores", "bpe_train", "gopher_rules_cols",
+    "word_entropy", "bm25_scores", "bpe_train", "bpe_encode",
+    "gopher_rules_cols",
     "GOPHER_STOPWORDS",
 ]
 
@@ -449,3 +450,37 @@ def bpe_train(df: DataFrame, text_col: str = "text",
         toks.unpersist()
         toks = nxt
     return merges, toks
+
+
+def bpe_encode(df: DataFrame, merges, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Apply a trained merge list (:func:`bpe_train`'s output, in
+    training order) to every word of every document — the ENCODE half
+    of the tokenizer loop: what the training-data pipeline runs over
+    the full corpus once the vocabulary is frozen.
+
+    Same greedy left-to-right string fold as training (pure-JVM
+    ``aggregate`` over the char array; a merge never overlaps its own
+    output), chained once per merge inside ONE projection — the plan is
+    a shuffle-free scan however many merges are applied. Length-1 words
+    pass through untouched (the fold's seed is the whole token list).
+    Output: one row per word — ``id_col, t array<string>``.
+    """
+    toks = (df.where(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col),
+                    F.explode(words_col(text_col)).alias("_w"))
+            .select(F.col(id_col), F.expr(
+                "transform(sequence(1, length(_w)), "
+                "i -> substring(_w, CAST(i AS INT), 1))").alias("t")))
+    for m in merges:
+        pair = m[1] if isinstance(m, (tuple, list)) else m
+        a, b = pair.split(" ", 1)
+        ab = a + b
+        fold = (
+            "split(aggregate(slice(t, 2, size(t) - 1), element_at(t, 1), "
+            "(acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]+$', 0) = "
+            f"'{_sq(a)}' AND x = '{_sq(b)}' THEN "
+            "concat(regexp_replace(acc, '[^ ]+$', ''), "
+            f"'{_sq(ab)}') ELSE concat(acc, ' ', x) END), ' ')")
+        toks = toks.select(F.col(id_col), F.expr(fold).alias("t"))
+    return toks

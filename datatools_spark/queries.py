@@ -4041,6 +4041,64 @@ def doc_bpe_train(spark, sf_dir):
         [(r, p, n) for r, p, n in merges], "round int, pair string, n long")
 
 
+def _bpe_encode_sql(rounds: int = 3) -> str:
+    """Unrolled BPE-ENCODE oracle: recompute each round's winning pair
+    exactly as _bpe_train_sql does, replay the merges over EVERY word
+    (length-1 words ride through the fold untouched — list_reduce over
+    one element is that element), then aggregate per document."""
+    parts = [r"""
+w0 AS (SELECT doc_id,
+              list_transform(range(1, length(w) + 1), i -> substr(w, i, 1))
+                  AS t
+       FROM (SELECT doc_id,
+                    unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                        AS w
+             FROM documents WHERE length(trim(text)) > 0))"""]
+    for r in range(rounds):
+        parts.append(f"""
+p{r} AS (SELECT unnest(list_transform(range(1, len(t)),
+                       i -> t[i] || ' ' || t[i+1])) AS pair
+        FROM w{r} WHERE len(t) >= 2),
+b{r} AS (SELECT pair, count(*)::BIGINT AS n FROM p{r} GROUP BY 1
+        ORDER BY n DESC, pair LIMIT 1),
+w{r + 1} AS (SELECT doc_id, string_split(list_reduce(t, (acc, x) ->
+           CASE WHEN regexp_extract(acc, '[^ ]+$') =
+                     split_part(b{r}.pair, ' ', 1)
+                 AND x = split_part(b{r}.pair, ' ', 2)
+           THEN regexp_replace(acc, '[^ ]+$', '')
+                || replace(b{r}.pair, ' ', '')
+           ELSE acc || ' ' || x END), ' ') AS t
+        FROM w{r} CROSS JOIN b{r})""")
+    return ("WITH " + ",".join(parts)
+            + f"""
+SELECT doc_id, count(*)::BIGINT AS n_words,
+       sum(list_sum(list_transform(t, x -> length(x))))::BIGINT AS n_chars,
+       sum(len(t))::BIGINT AS n_bpe_tokens
+FROM w{rounds} GROUP BY 1""")
+
+
+@query("doc_bpe_encode", sql=_bpe_encode_sql())
+def doc_bpe_encode(spark, sf_dir):
+    """BPE tokenizer ENCODE over the whole corpus with the 3-round
+    trained merges (operators/text.py:bpe_encode): per document, word /
+    char / BPE-token counts — the compression report a tokenizer change
+    ships, and the encode pass every training run pays once per corpus.
+    Training is the model-sized driver sync (bpe_train); the encode
+    itself is ONE shuffle-free projection chaining the greedy merge
+    fold per merge, then a single per-doc aggregate. The oracle retrains
+    the identical winners in SQL and replays them token for token."""
+    d = _t(spark, sf_dir, "documents")
+    merges, toks = TX.bpe_train(d, rounds=3)
+    toks.unpersist()
+    enc = TX.bpe_encode(d, merges)
+    return (enc.groupBy("doc_id")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum(F.expr(
+                     "aggregate(t, 0, (acc, x) -> acc + length(x))"))
+                 .cast("long").alias("n_chars"),
+                 F.sum(F.size("t")).cast("long").alias("n_bpe_tokens")))
+
+
 def _hll_side_sql(name: str, etype: str) -> str:
     """Register-table CTE for one event-type's user_id HLL (b=8,
     matching sketches.hll_registers defaults)."""
@@ -8833,7 +8891,8 @@ _REGISTRATION_ORDER = [
     "ss_bloom_semi_join", "emb_kmeans_train", "emb_cov_stats",
     "doc_segment_dedup", "doc_temperature_sample",
     "doc_cms_estimate", "doc_hll_distinct", "ts_rollup_incremental",
-    "doc_bpe_train", "doc_quality_classifier", "doc_gopher_rules",
+    "doc_bpe_train", "doc_bpe_encode", "doc_quality_classifier",
+    "doc_gopher_rules",
     "emb_hard_negatives", "ss_pagerank", "ts_attribution",
     "ts_funnel", "ts_retention_cohorts", "ts_transition_matrix",
     "doc_weighted_sample", "mm_spectrogram",

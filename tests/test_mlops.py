@@ -231,6 +231,29 @@ def test_bpe_train_matches_sequential_reference(spark):
     assert got == sorted(map(tuple, want_toks))
 
 
+def test_bpe_encode_applies_merges_in_order(spark):
+    from datatools_spark.operators.text import bpe_encode, bpe_train
+    words = ["hello", "hell", "help", "banana", "bandana", "aaa",
+             "abababab", "x", "lowlow"]
+    df = spark.createDataFrame([(0, " ".join(words))],
+                               "doc_id long, text string")
+    merges, toks = bpe_train(df, rounds=4)
+    # encoding the TRAINING corpus reproduces the trained tokenization
+    # for every length>=2 word, and passes length-1 words through whole
+    enc = {tuple(r["t"]) for r in bpe_encode(df, merges).collect()}
+    want = {tuple(r["t"]) for r in toks.collect()} | {("x",)}
+    toks.unpersist()
+    assert enc == want
+    # a NEW document reuses the frozen merges (no retraining): "hehe"
+    # gets the round-1 "h e" merge applied greedily left-to-right
+    pair0 = merges[0][1]
+    df2 = spark.createDataFrame([(1, "hehe zz")], "doc_id long, text string")
+    enc2 = {tuple(r["t"]) for r in bpe_encode(df2, merges).collect()}
+    if pair0 == "h e":
+        assert ("he", "he") in enc2
+    assert ("z", "z") in enc2 or ("zz",) in enc2
+
+
 # ------------------------------------------------------------ sketches
 
 @pytest.fixture(scope="module")

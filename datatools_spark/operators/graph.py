@@ -145,16 +145,52 @@ def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
 
 def connected_components(edges: DataFrame, src: str = "a_id",
                          dst: str = "b_id",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         small_graph_threshold: int = 100_000) -> DataFrame:
     """Component labels for every node appearing in ``edges``
     (undirected). Output: ``id, component`` where component = min node
     id reachable; deterministic regardless of partitioning.
+
+    Size gate: a dedup graph is usually TINY relative to the corpus it
+    came from (edges = verified near-dup pairs), and the distributed
+    loop pays 3-4 jobs per iteration — pure overhead at that size. Up
+    to ``small_graph_threshold`` edges (the materialized, deduped edge
+    list is counted from its checkpoint — no extra scan) the labels
+    come from a driver-side union-find with path compression: identical
+    min-label output, one job end-to-end. Bigger graphs take the
+    min-label-propagation + pointer-jump loop unchanged — the
+    O(log diameter)-round plan a billion-edge graph needs. Pass
+    ``small_graph_threshold=0`` to force the distributed path.
     """
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .unionByName(edges.select(F.col(dst).alias("u"),
                                    F.col(src).alias("v")))
          .distinct()
          .localCheckpoint())
+    if e.count() <= small_graph_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:        # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in e.collect():
+            u, v = row["u"], row["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:                 # union by MIN id ⇒ root = min
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        rows = [(x, find(x)) for x in parent]
+        dtype = dict(e.dtypes)["u"]
+        return e.sparkSession.createDataFrame(
+            rows, f"id {dtype}, component {dtype}")
     labels = (e.select(F.col("u").alias("id"))
               .distinct()
               .withColumn("component", F.col("id"))

@@ -558,3 +558,25 @@ def test_hll_overlap_inclusion_exclusion_close(spark):
     eu = hll_estimate_from_registers(hll_merge(ra, rb)).first()["hll_est"]
     overlap = ea + eb - eu                    # true overlap = 1000
     assert 600 < overlap < 1400               # I-E noise compounds; ~3σ band
+
+
+def test_connected_components_driver_gate_equals_distributed(spark):
+    import random
+    from datatools_spark.operators.graph import connected_components
+    rnd = random.Random(17)
+    # random graph: chains, a big clique, singleton-free by construction
+    edges = [(rnd.randrange(200), rnd.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    fast = {(r["id"], r["component"])
+            for r in connected_components(df).collect()}
+    slow = {(r["id"], r["component"])
+            for r in connected_components(
+                df, small_graph_threshold=0).collect()}
+    assert fast == slow and fast
+    # min-label semantics: every component label is the min member id
+    comp = {}
+    for i, c in fast:
+        comp.setdefault(c, []).append(i)
+    for c, members in comp.items():
+        assert c == min(members)

@@ -29,6 +29,7 @@ from .partitioning import ensure_parallelism, input_bytes
 
 __all__ = [
     "dot_expr", "norm_expr", "cosine_expr", "knn_brute_force",
+    "knn_brute_matmul",
     "hard_negatives", "hard_negatives_ivf",
     "hyperplane_bucket_col", "md5_plane", "md5_bucket_col", "probe_masks",
     "knn_lsh", "knn_lsh_multi", "ivf_assign", "ivf_search",
@@ -68,6 +69,81 @@ def knn_brute_force(df: DataFrame, query: DataFrame, k: int = 10,
               .withColumn("cosine", cosine_expr(F.col(vec_col), F.col("_qv"))))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, id_col, "cosine", "rank"))
+
+
+def knn_brute_matmul(df: DataFrame, query: DataFrame, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     query_id_col: str = "query_id",
+                     round_dp: int = 6) -> DataFrame:
+    """Exact top-k cosine via per-batch numpy MATMUL — the brute-force
+    path you actually run at 1e8+ vectors: the query matrix (model-
+    sized) is normalized once on the driver and shipped to every Arrow
+    batch, which computes all batch×query cosines in ONE BLAS matmul
+    and emits only its per-query top-k (``k·|Q|`` rows per batch, not
+    batch×|Q|). A final window over the per-batch survivors cuts the
+    global top-k.
+
+    Exactness of the batch cut: both levels rank by the SAME total
+    order — (HALF-UP-rounded cosine desc, id asc) — so the global
+    top-k is a prefix of the union of batch top-ks (no margin factor
+    needed). Rounding is sign-aware floor(|x|·10^dp + 0.5) to match
+    Spark/DuckDB ``round`` (numpy rounds half-even — the repo's known
+    tie hazard); ranking on the rounded value keeps the numpy-vs-SQL
+    summation-order noise (~1e-16) from ever flipping a rank.
+    Output: ``query_id, vec_id, cosine, rank`` (cosine rounded).
+    """
+    import numpy as np
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    qrows = query.select(query_id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("knn_brute_matmul: empty query set")
+    qids = np.array([int(r[0]) for r in qrows], dtype="int64")
+    Q = np.array([[float(x) for x in r[1]] for r in qrows], dtype="float64")
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = np.inf
+    Qt = (Q / qn).T                        # d × |Q|
+    scale = float(10 ** round_dp)
+    out_schema = StructType([
+        StructField(query_id_col, LongType(), False),
+        StructField(id_col, LongType(), False),
+        StructField("cosine", DoubleType(), True),
+    ])
+
+    def _batches(it):
+        import pandas as pd
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.array(pdf[vec_col].tolist(), dtype="float64")
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            cn[cn == 0] = np.inf
+            cos = (C / cn) @ Qt            # batch × |Q|
+            # HALF_UP to round_dp (sign-aware) BEFORE the cut so the
+            # batch order equals the global order
+            r = np.sign(cos) * np.floor(np.abs(cos) * scale + 0.5) / scale
+            kk = min(k, len(ids))
+            # per-query top-k under (rounded desc, id asc): lexsort on
+            # (-rounded, id) — stable and total
+            out_q, out_i, out_c = [], [], []
+            for j in range(r.shape[1]):
+                order = np.lexsort((ids, -r[:, j]))[:kk]
+                out_q.append(np.full(kk, qids[j], dtype="int64"))
+                out_i.append(ids[order])
+                out_c.append(r[order, j])
+            yield pd.DataFrame({
+                query_id_col: np.concatenate(out_q),
+                id_col: np.concatenate(out_i),
+                "cosine": np.concatenate(out_c)})
+
+    survivors = (ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
+                 .mapInPandas(_batches, out_schema))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
+                                                 F.col(id_col))
+    return (survivors.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(query_id_col, id_col, "cosine", "rank"))
 

@@ -891,6 +891,36 @@ def emb_knn_brute(spark, sf_dir):
     return out.select("query_id", "vec_id", _r(F.col("cosine")).alias("cosine"), "rank")
 
 
+@query("emb_knn_matmul", sql=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+s AS (SELECT q.query_id, e.vec_id,
+             round({_COS_SQL.format(a='e.embedding', b='q.qv')}, 6) AS cos
+      FROM embeddings e, q),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, cos AS cosine, rank
+FROM r WHERE rank <= 10
+""")
+def emb_knn_matmul(spark, sf_dir):
+    """Exact cosine top-k via the MATMUL brute-force path
+    (similarity.py:knn_brute_matmul): normalized query matrix broadcast
+    to every Arrow batch, one BLAS matmul per batch, per-batch top-k
+    survivors only (k·|Q| rows, not batch×|Q|) — what exact search over
+    1e8+ vectors actually runs. Both engines rank on the HALF-UP-rounded
+    cosine with id tie-break, so the summation-order gap between numpy
+    matmul and the SQL fold can never flip a rank; the oracle is the
+    same all-pairs scan as emb_knn_brute re-ranked on the rounded
+    value."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.where(F.col("vec_id").isin(0, 1, 2)) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return SIM.knn_brute_matmul(e, q, k=10)
+
+
 def _bucket_sql(col: str, planes: int = 4) -> str:
     terms = []
     for h in range(planes):
@@ -8891,7 +8921,8 @@ _REGISTRATION_ORDER = [
     "ss_bloom_semi_join", "emb_kmeans_train", "emb_cov_stats",
     "doc_segment_dedup", "doc_temperature_sample",
     "doc_cms_estimate", "doc_hll_distinct", "ts_rollup_incremental",
-    "doc_bpe_train", "doc_bpe_encode", "doc_quality_classifier",
+    "doc_bpe_train", "doc_bpe_encode", "emb_knn_matmul",
+    "doc_quality_classifier",
     "doc_gopher_rules",
     "emb_hard_negatives", "ss_pagerank", "ts_attribution",
     "ts_funnel", "ts_retention_cohorts", "ts_transition_matrix",

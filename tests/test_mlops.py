@@ -580,3 +580,36 @@ def test_connected_components_driver_gate_equals_distributed(spark):
         comp.setdefault(c, []).append(i)
     for c, members in comp.items():
         assert c == min(members)
+
+
+def test_knn_matmul_equals_bruteforce_reranked(spark):
+    import random
+    from datatools_spark.operators.similarity import (
+        knn_brute_force, knn_brute_matmul)
+    from pyspark.sql import functions as F
+    rnd = random.Random(29)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)])
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # force many small batches so the per-batch cut is actually exercised
+    df = df.repartition(16)
+    q = spark.createDataFrame(rows[:4],
+                              "query_id long, embedding array<double>")
+    got = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+           for r in knn_brute_matmul(df, q, k=7).collect()}
+    # reference: brute force re-ranked under the SAME rounded total order
+    bf = knn_brute_force(df, q, k=500)
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cosine", 6).desc(), F.col("vec_id"))
+    want = {(r["query_id"], r["rank"]): (r["vec_id"],
+                                         round(r["cosine"], 6))
+            for r in bf.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 7)
+            .select("query_id", "vec_id",
+                    F.round("cosine", 6).alias("cosine"), "rank")
+            .collect()}
+    assert got == want
+    # self-match is rank 1 with cosine 1.0
+    for qid in range(4):
+        assert got[(qid, 1)] == (qid, 1.0)

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["build_file_stats", "update_file_stats", "prune_files",
-           "skipping_read"]
+           "skipping_read", "plan_compaction", "apply_compaction"]
 
 
 def build_file_stats(spark: SparkSession, path: str,
@@ -98,3 +98,67 @@ def skipping_read(spark: SparkSession, manifest: DataFrame,
         if hi is not None:
             df = df.where(F.col(c) <= F.lit(hi))
     return df
+
+
+def plan_compaction(manifest: DataFrame,
+                    target_rows: int = 1_000_000) -> DataFrame:
+    """Small-file compaction plan from the manifest — the maintenance
+    pass behind Delta/Iceberg ``OPTIMIZE``: thousands of tiny files
+    (streaming ingest, over-parallel writes) cost a task + footer read
+    each; packing them toward ``target_rows`` restores scan efficiency
+    and keeps the skipping manifest short.
+
+    Deterministic next-fit in file-name order over files SMALLER than
+    the target: group = prior-cumulative-rows div target (one window
+    over the metadata-sized manifest — this never touches data). Files
+    already at/over target keep a singleton group (rewriting them buys
+    nothing). Output: ``file, n_rows, group_id, group_rows, n_files``,
+    group ids dense from 0; ``n_files > 1`` rows are the rewrite
+    candidates.
+    """
+    from pyspark.sql import Window
+    small = manifest.where(F.col("n_rows") < target_rows)
+    big = manifest.where(F.col("n_rows") >= target_rows)
+    w = Window.orderBy("file").rowsBetween(Window.unboundedPreceding, -1)
+    packed = small.select(
+        "file", "n_rows",
+        (F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+         / target_rows).cast("long").alias("_g"))
+    # dense group ids: smalls first (by group), then singleton bigs
+    gw = Window.orderBy("_g")
+    packed = packed.withColumn("group_id", F.dense_rank().over(gw) - 1)
+    n_small_groups = packed.agg(
+        F.coalesce(F.max("group_id") + 1, F.lit(0))).collect()[0][0]
+    bw = Window.orderBy("file")
+    bigs = big.select(
+        "file", "n_rows",
+        (F.row_number().over(bw) - 1 + F.lit(n_small_groups))
+        .alias("group_id"))
+    out = packed.select("file", "n_rows", "group_id").unionByName(bigs)
+    gsum = Window.partitionBy("group_id")
+    return (out.withColumn("group_rows",
+                           F.sum("n_rows").over(gsum).cast("long"))
+            .withColumn("n_files", F.count("*").over(gsum))
+            .select("file", F.col("n_rows").cast("long").alias("n_rows"),
+                    "group_id", "group_rows", "n_files"))
+
+
+def apply_compaction(spark: SparkSession, plan: DataFrame,
+                     out_path: str) -> int:
+    """Execute a :func:`plan_compaction` plan: every multi-file group is
+    rewritten as ONE parquet file under ``out_path/group=<id>``;
+    singleton groups are rewritten as a single file too (same layout,
+    so the output directory is self-contained and readable as one
+    table). Returns the number of output groups. The per-group read
+    lists exact file paths — no directory-glob rescan — and the write
+    is ``coalesce(1)`` per group, the one place a forced single task is
+    correct (each group is ≤ target-sized by construction)."""
+    groups = (plan.groupBy("group_id")
+              .agg(F.collect_list("file").alias("files"))
+              .collect())
+    for row in sorted(groups, key=lambda r: r["group_id"]):
+        (spark.read.parquet(*row["files"])
+         .coalesce(1)
+         .write.mode("overwrite")
+         .parquet(f"{out_path}/group={row['group_id']}"))
+    return len(groups)

@@ -86,3 +86,52 @@ def test_manifest_build_is_one_combinable_agg(spark, lake):
     plan = man._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") == 2  # partial + final
     assert "Join" not in plan
+
+
+def test_plan_compaction_next_fit_and_targets(spark, tmp_path):
+    from datatools_spark.operators.skipping import (
+        build_file_stats, plan_compaction)
+    src = str(tmp_path / "frag")
+    # 10 tiny files of 100 rows + 1 big file of 5000
+    for i in range(10):
+        spark.range(i * 100, i * 100 + 100).coalesce(1) \
+            .write.mode("append").parquet(src)
+    spark.range(10_000, 15_000).coalesce(1) \
+        .write.mode("append").parquet(src)
+    man = build_file_stats(spark, src, ["id"])
+    plan = plan_compaction(man, target_rows=350)
+    rows = plan.collect()
+    assert len(rows) == 11
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["group_id"], []).append(r)
+    # the big file sits alone; the smalls pack toward >= target
+    big_groups = [g for g, m in by_group.items()
+                  if any(r["n_rows"] == 5000 for r in m)]
+    assert len(big_groups) == 1 and len(by_group[big_groups[0]]) == 1
+    small_groups = [m for g, m in by_group.items() if g not in big_groups]
+    assert len(small_groups) == 3          # 1000 rows / 350 next-fit
+    for m in small_groups:
+        assert m[0]["group_rows"] == sum(r["n_rows"] for r in m)
+    # next-fit invariant: every group except possibly the last crosses
+    # the target once it takes its final member
+    sizes = sorted((m[0]["group_rows"] for m in small_groups), reverse=True)
+    assert sizes[0] >= 350
+
+
+def test_apply_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
+    from datatools_spark.operators.skipping import (
+        apply_compaction, build_file_stats, plan_compaction)
+    src = str(tmp_path / "frag2")
+    for i in range(8):
+        spark.range(i * 50, i * 50 + 50).coalesce(1) \
+            .write.mode("append").parquet(src)
+    man = build_file_stats(spark, src, ["id"])
+    plan = plan_compaction(man, target_rows=200)
+    out = str(tmp_path / "compact")
+    n_groups = apply_compaction(spark, plan, out)
+    before = spark.read.parquet(src)
+    after = spark.read.parquet(out)
+    assert sorted(r["id"] for r in after.collect()) \
+        == sorted(r["id"] for r in before.collect())
+    assert len(after.inputFiles()) == n_groups < len(before.inputFiles())

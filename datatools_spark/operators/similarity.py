@@ -30,7 +30,7 @@ from .partitioning import ensure_parallelism, input_bytes
 __all__ = [
     "dot_expr", "norm_expr", "cosine_expr", "knn_brute_force",
     "knn_brute_matmul",
-    "hard_negatives", "hard_negatives_ivf",
+    "hard_negatives", "hard_negatives_ivf", "hard_negatives_matmul",
     "hyperplane_bucket_col", "md5_plane", "md5_bucket_col", "probe_masks",
     "knn_lsh", "knn_lsh_multi", "ivf_assign", "ivf_search",
     "quantize_uint8", "random_projection", "pq_codebook", "pq_codes",
@@ -146,6 +146,83 @@ def knn_brute_matmul(df: DataFrame, query: DataFrame, k: int = 10,
     return (survivors.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(query_id_col, id_col, "cosine", "rank"))
+
+
+def hard_negatives_matmul(df: DataFrame, query: DataFrame, k: int = 5,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          label_col: str = "label",
+                          query_id_col: str = "query_id",
+                          round_dp: int = 6) -> DataFrame:
+    """MATMUL variant of :func:`hard_negatives` — hard-negative mining
+    runs over the WHOLE corpus with MANY queries (every anchor in a
+    fine-tuning set), which is exactly the regime where the per-batch
+    BLAS matmul beats the crossJoin expression path ~20× (see
+    SCALE_NOTES' kNN sweep). Same construction as
+    :func:`knn_brute_matmul` — per-batch cosines in one matmul, the
+    label-inequality mask applied to each query's column BEFORE the
+    per-batch cut, both cut levels ranked by the identical
+    (HALF-UP-rounded cosine desc, id asc) total order ⇒ the global
+    top-k is a prefix of the batch survivors. Output matches
+    :func:`hard_negatives` re-ranked on the rounded cosine:
+    ``query_id, vec_id, label, cosine, rank``.
+    """
+    import numpy as np
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    qrows = query.select(query_id_col, vec_col, label_col).collect()
+    if not qrows:
+        raise ValueError("hard_negatives_matmul: empty query set")
+    qids = [int(r[0]) for r in qrows]
+    qlabels = [r[2] for r in qrows]
+    Q = np.array([[float(x) for x in r[1]] for r in qrows], dtype="float64")
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = np.inf
+    Qt = (Q / qn).T
+    scale = float(10 ** round_dp)
+    out_schema = StructType([
+        StructField(query_id_col, LongType(), False),
+        StructField(id_col, LongType(), False),
+        StructField(label_col, LongType(), True),
+        StructField("cosine", DoubleType(), True),
+    ])
+
+    def _batches(it):
+        import pandas as pd
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.array(pdf[vec_col].tolist(), dtype="float64")
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            labs = pdf[label_col].to_numpy(dtype="int64")
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            cn[cn == 0] = np.inf
+            r = (C / cn) @ Qt
+            r = np.sign(r) * np.floor(np.abs(r) * scale + 0.5) / scale
+            frames = []
+            for j in range(r.shape[1]):
+                valid = np.nonzero(labs != qlabels[j])[0]
+                if not len(valid):
+                    continue
+                rj, iv = r[valid, j], ids[valid]
+                order = np.lexsort((iv, -rj))[:min(k, len(valid))]
+                frames.append(pd.DataFrame({
+                    query_id_col: np.full(len(order), qids[j],
+                                          dtype="int64"),
+                    id_col: iv[order],
+                    label_col: labs[valid][order],
+                    "cosine": rj[order]}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    survivors = (ensure_parallelism(
+        df.select(F.col(id_col), F.col(vec_col), F.col(label_col)))
+        .mapInPandas(_batches, out_schema))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
+                                                 F.col(id_col))
+    return (survivors.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, id_col, label_col, "cosine", "rank"))
 
 
 def hard_negatives(df: DataFrame, query: DataFrame, k: int = 5,

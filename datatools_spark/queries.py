@@ -4523,6 +4523,35 @@ def emb_hard_negatives(spark, sf_dir):
                       _r(F.col("cosine")).alias("cosine"), "rank")
 
 
+@query("emb_hard_negatives_matmul", sql=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+s AS (SELECT q.query_id, e.vec_id, e.label,
+             round({_COS_SQL.format(a='e.embedding', b='q.qv')}, 6) AS cos
+      FROM embeddings e, q WHERE e.label <> q.ql),
+r AS (SELECT query_id, vec_id, label, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, label, cos AS cosine, rank
+FROM r WHERE rank <= 5
+""")
+def emb_hard_negatives_matmul(spark, sf_dir):
+    """Hard-negative mining via the per-batch BLAS matmul path
+    (similarity.py:hard_negatives_matmul) — mining runs every anchor of
+    a fine-tuning set against the whole corpus, the many-query regime
+    where the matmul beats the crossJoin expression path ~20× (kNN
+    sweep in SCALE_NOTES). Label-inequality masked per query column
+    before the per-batch cut; both cut levels share the HALF-UP-rounded
+    (cosine, id) total order, so the oracle is the all-pairs scan
+    re-ranked on the rounded value."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.where(F.col("vec_id").isin(0, 1, 2)) \
+        .select(F.col("vec_id").alias("query_id"), "embedding", "label")
+    return SIM.hard_negatives_matmul(e, q, k=5)
+
+
 @query("doc_gopher_rules", sql=r"""
 WITH f AS (
   SELECT doc_id,
@@ -8922,7 +8951,7 @@ _REGISTRATION_ORDER = [
     "doc_segment_dedup", "doc_temperature_sample",
     "doc_cms_estimate", "doc_hll_distinct", "ts_rollup_incremental",
     "doc_bpe_train", "doc_bpe_encode", "emb_knn_matmul",
-    "doc_quality_classifier",
+    "emb_hard_negatives_matmul", "doc_quality_classifier",
     "doc_gopher_rules",
     "emb_hard_negatives", "ss_pagerank", "ts_attribution",
     "ts_funnel", "ts_retention_cohorts", "ts_transition_matrix",

@@ -613,3 +613,33 @@ def test_knn_matmul_equals_bruteforce_reranked(spark):
     # self-match is rank 1 with cosine 1.0
     for qid in range(4):
         assert got[(qid, 1)] == (qid, 1.0)
+
+
+def test_hard_negatives_matmul_equals_expression_reranked(spark):
+    import random
+    from datatools_spark.operators.similarity import (
+        hard_negatives, hard_negatives_matmul)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    rnd = random.Random(41)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)], i % 3)
+            for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long") \
+        .repartition(16)
+    q = spark.createDataFrame(
+        rows[:5], "query_id long, embedding array<double>, label long")
+    got = {(r["query_id"], r["rank"]): (r["vec_id"], r["label"],
+                                        r["cosine"])
+           for r in hard_negatives_matmul(df, q, k=6).collect()}
+    bf = hard_negatives(df, q, k=400)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cosine", 6).desc(), F.col("vec_id"))
+    want = {(r["query_id"], r["rank"]): (r["vec_id"], r["label"],
+                                         round(r["cosine"], 6))
+            for r in bf.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 6).collect()}
+    assert got == want and got
+    # no negative shares its query's label
+    for (qid, _), (_, lab, _) in got.items():
+        assert lab != qid % 3

@@ -375,3 +375,64 @@ def test_selectk_quantiles_bit_equal_builtin_percentile(spark):
         got = {r.k: (r.p25, r.p50, r.p95) for r in exact_grouped_quantiles(
             df, ["k"], "value", [0.25, 0.50, 0.95], bins=bins).collect()}
         assert got == want
+
+
+def _rand_hashes(seed, nbits):
+    rng = random.Random(seed)
+    n = rng.randint(30, 70)
+    bases = [rng.getrandbits(nbits) for _ in range(4)]
+    rows = []
+    for i in range(n):
+        h = rng.choice(bases)
+        for _ in range(rng.randint(0, 10)):
+            h ^= 1 << rng.randrange(nbits)
+        if rng.random() < 0.2 and rows:          # exact duplicates too
+            h = int(rows[rng.randrange(len(rows))][1], 2)
+        rows.append((i, format(h, f"0{nbits}b")))
+    return rng, rows
+
+
+def _brute_hamming(rows, max_h):
+    out = {}
+    for x in range(len(rows)):
+        for y in range(x + 1, len(rows)):
+            d = bin(int(rows[x][1], 2) ^ int(rows[y][1], 2)).count("1")
+            if d <= max_h:
+                out[(rows[x][0], rows[y][0])] = d
+    return out
+
+
+@pytest.mark.parametrize("seed", [3, 19, 77])
+def test_packed_pair_engine_equals_bruteforce_random(spark, seed):
+    """Randomized clustered 64-bit hashes (mutated bases + exact dups),
+    random (bands, max_hamming), every hot-cap mode: the banded engine's
+    output must equal brute force — pigeonhole at both levels, clique
+    expansion, and the cold/hot split are all exercised."""
+    from datatools_spark.operators.multimodal import ahash_pairs
+    rng, rows = _rand_hashes(seed, 64)
+    bands = rng.choice([4, 8, 16])
+    max_h = rng.randint(0, bands - 1)
+    want = _brute_hamming(rows, max_h)
+    df = spark.createDataFrame(rows, "media_id long, ahash string")
+    for cap in (None, 4096, 0):
+        got = {(r["a_id"], r["b_id"]): r["hamming"]
+               for r in ahash_pairs(df, bands=bands, max_hamming=max_h,
+                                    hot_bucket_cap=cap).collect()}
+        assert got == want, (seed, bands, max_h, cap)
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_wide_pair_engine_equals_bruteforce_random(spark, seed):
+    """Same invariant for the 256-bit wide engine across band widths
+    that exercise both sub-word (16/32-bit) and whole-word (64-bit)
+    keys."""
+    from datatools_spark.operators.multimodal import ahash_pairs
+    rng, rows = _rand_hashes(seed, 256)
+    bands = rng.choice([4, 8, 16])
+    max_h = rng.randint(0, bands - 1)
+    want = _brute_hamming(rows, max_h)
+    df = spark.createDataFrame(rows, "media_id long, ahash string")
+    got = {(r["a_id"], r["b_id"]): r["hamming"]
+           for r in ahash_pairs(df, bands=bands, max_hamming=max_h,
+                                nbits=256).collect()}
+    assert got == want, (seed, bands, max_h)

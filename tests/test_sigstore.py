@@ -183,3 +183,42 @@ def test_store_rejects_bad_geometry_and_mixed_append(spark, tmp_path):
     assert update_image_signature_store(spark, b, path) == 1
     with pytest.raises(ValueError, match="one store, one"):
         update_image_signature_store(spark, b, path, grid=4)
+
+
+def test_ivf_index_search_equals_inline_and_prunes(spark, tmp_path):
+    """The materialized IVF index returns exactly what the inline
+    ivf_search computes from the same centroids, incremental appends are
+    idempotent, and the data scan's plan carries a centroid_id
+    PartitionFilter (cells prune before IO)."""
+    import random
+    from datatools_spark.operators.ivfstore import (
+        build_ivf_index, ivf_index_search, update_ivf_index)
+    from datatools_spark.operators.similarity import ivf_search
+    rnd = random.Random(13)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)])
+            for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(j, rows[j][1]) for j in range(6)],
+        "centroid_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    b1 = emb.where("vec_id < 200")
+    b2 = emb.where("vec_id >= 200")
+    assert build_ivf_index(spark, b1, cents, path) == 200
+    assert update_ivf_index(spark, b2, path) == 100
+    assert update_ivf_index(spark, b2, path) == 0      # idempotent
+    q = emb.where("vec_id in (0, 5, 9)") \
+        .select("vec_id", "embedding") \
+        .withColumnRenamed("vec_id", "query_id")
+    got = {(r["query_id"], r["rank"]): (r["vec_id"],
+                                        round(r["cosine"], 9))
+           for r in ivf_index_search(spark, path, q, k=5,
+                                     nprobe=2).collect()}
+    want = {(r["query_id"], r["rank"]): (r["vec_id"],
+                                         round(r["cosine"], 9))
+            for r in ivf_search(emb, cents, q, k=5, nprobe=2).collect()}
+    assert got == want and got
+    # plan shape: the index scan prunes on the partition column
+    plan = ivf_index_search(spark, path, q, k=5, nprobe=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan

@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 __all__ = ["streaming_window_counts", "streaming_daily_extrema",
            "streaming_sessionize", "streaming_ingest_dedup",
            "streaming_interval_join", "streaming_upsert",
-           "streaming_image_ingest_dedup", "run_file_stream"]
+           "streaming_image_ingest_dedup", "streaming_embedding_ingest",
+           "run_file_stream"]
 
 
 def streaming_window_counts(events: DataFrame, window: str = "1 hour",
@@ -235,6 +236,66 @@ def streaming_image_ingest_dedup(media: DataFrame, store_dir: str,
              .write.mode("append").parquet(pairs_dir))
 
     return (media.writeStream
+            .outputMode("append")
+            .foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def streaming_embedding_ingest(vectors: DataFrame, index_path: str,
+                               matches_dir: str, checkpoint_dir: str,
+                               k: int = 5, nprobe: int = 2,
+                               threshold: float = 0.95,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id"):
+    """Continuous embedding ingest against the materialized IVF index
+    (operators/ivfstore.py) — the ANN twin of
+    :func:`streaming_image_ingest_dedup`: each micro-batch
+
+    1. appends its genuinely new vectors to the cell-partitioned index,
+       assigned with the STORED centroids (``update_ivf_index`` —
+       idempotent per id, so a checkpoint-retried batch appends
+       nothing), then
+    2. searches the index for each new vector's top-k neighbours and
+       emits the pairs at cosine ≥ ``threshold`` — the streaming
+       semantic-near-dup gate over everything ingested so far,
+       touching only probed cells (partition-pruned scan).
+
+    The new-ids frame is localCheckpoint-materialized BEFORE the index
+    write for the same reason as the image path: a cached plan reading
+    the index would be recached against the post-write files and
+    silently empty the emission. Per-batch cost scales with batch ×
+    probed cells, never index size. Emission is at-least-once under
+    mid-batch retries (readers dedupe with distinct()).
+    Returns the started query (availableNow trigger; caller awaits)."""
+    from ..operators.ivfstore import ivf_index_search, update_ivf_index
+
+    def _process(batch_df: DataFrame, batch_id: int):
+        sess = batch_df.sparkSession
+        try:
+            stored = sess.read.parquet(f"{index_path}/data").select(id_col)
+        except AnalysisException as exc:
+            if not _is_path_missing(exc):
+                raise
+            raise ValueError(
+                f"streaming_embedding_ingest: no index at {index_path} — "
+                "build_ivf_index once (centroids are the model; a stream "
+                "must not invent its own)") from exc
+        new_batch = (batch_df.join(stored, id_col, "left_anti")
+                     .localCheckpoint(eager=True))
+        n = update_ivf_index(sess, new_batch, index_path,
+                             vec_col=vec_col, id_col=id_col)
+        if n:
+            q = new_batch.select(F.col(id_col).alias("query_id"),
+                                 F.col(vec_col))
+            (ivf_index_search(sess, index_path, q, k=k, nprobe=nprobe,
+                              vec_col=vec_col, id_col=id_col)
+             .where((F.col("cosine") >= threshold)
+                    & (F.col("query_id") != F.col(id_col)))
+             .write.mode("append").parquet(matches_dir))
+
+    return (vectors.writeStream
             .outputMode("append")
             .foreachBatch(_process)
             .option("checkpointLocation", checkpoint_dir)

@@ -360,3 +360,49 @@ def test_streaming_image_ingest_dedup_equals_batch_pairs(spark, tmp_path):
     assert got == want
     # the cross-batch near-dups were actually found
     assert any(a < 100 and b >= 200 for a, b in got)
+
+
+def test_streaming_embedding_ingest_finds_cross_batch_neardups(spark, tmp_path):
+    """Micro-batched vector ingest through the IVF index: near-dup
+    matches (cosine >= threshold) appear when the later member arrives,
+    re-ingested ids emit nothing, and the index ends complete."""
+    import random
+    from datatools_spark.operators.ivfstore import build_ivf_index
+    from datatools_spark.streaming.demo import streaming_embedding_ingest
+    rnd = random.Random(37)
+
+    def vec(seed=None, near_of=None):
+        if near_of is not None:
+            return [x + rnd.uniform(-0.01, 0.01) for x in near_of]
+        return [rnd.uniform(-1, 1) for _ in range(8)]
+
+    b1 = [(i, vec(seed=i)) for i in range(40)]
+    b2 = [(100 + i, vec(seed=500 + i)) for i in range(10)] \
+        + [(200 + j, vec(near_of=b1[j][1])) for j in range(3)] + [b1[0]]
+    schema = "vec_id long, embedding array<double>"
+    # the model: centroids trained/sampled up front
+    cents = spark.createDataFrame(
+        [(j, b1[j][1]) for j in range(6)],
+        "centroid_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, spark.createDataFrame(b1[:1], schema),
+                    cents, idx)
+    src = str(tmp_path / "src")
+    for rows in [b1, b2]:
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    matches, ckpt = str(tmp_path / "m"), str(tmp_path / "c")
+    q = streaming_embedding_ingest(stream, idx, matches, ckpt,
+                                   threshold=0.95)
+    q.awaitTermination(180)
+    idx_ids = {r["vec_id"] for r in
+               spark.read.parquet(f"{idx}/data").select("vec_id").collect()}
+    assert idx_ids == {i for i, _ in b1} | {i for i, _ in b2}
+    got = spark.read.parquet(matches).collect()
+    pairs = {(r["query_id"], r["vec_id"]) for r in got}
+    # each planted near-dup found against its batch-1 original
+    for j in range(3):
+        assert (200 + j, j) in pairs
+    assert all(a != b for a, b in pairs)

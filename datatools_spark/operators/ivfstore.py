@@ -45,17 +45,27 @@ def build_ivf_index(spark: SparkSession, df: DataFrame,
 
 def update_ivf_index(spark: SparkSession, batch: DataFrame, path: str,
                      vec_col: str = "embedding", id_col: str = "vec_id",
-                     centroid_id_col: str = "centroid_id") -> int:
+                     centroid_id_col: str = "centroid_id",
+                     batch_is_new: bool = False) -> int:
     """Append a batch's vectors NOT already indexed, assigned with the
     STORED centroids (the index's geometry never silently drifts from
     its model). Idempotent per id — same contract as the signature
-    stores. Returns the number of newly indexed vectors."""
+    stores. ``batch_is_new=True`` skips the internal stored-id
+    anti-join for callers that already filtered the batch (the
+    streaming loop does — one store read per micro-batch); pass it only
+    with a pre-filtered batch. The assignment is localCheckpoint-
+    materialized once, so the count and the write do not each re-run
+    the anti-join + assignment plan. Returns the number of newly
+    indexed vectors."""
     cents = spark.read.parquet(f"{path}/centroids")
-    existing = spark.read.parquet(f"{path}/data").select(id_col)
-    new = batch.join(existing, id_col, "left_anti")
+    new = batch
+    if not batch_is_new:
+        existing = spark.read.parquet(f"{path}/data").select(id_col)
+        new = batch.join(existing, id_col, "left_anti")
     assigned = ivf_assign(new, cents, vec_col, id_col, centroid_id_col,
                           keep_vec=True) \
-        .select(F.col(id_col), F.col(vec_col), F.col(centroid_id_col))
+        .select(F.col(id_col), F.col(vec_col), F.col(centroid_id_col)) \
+        .localCheckpoint(eager=True)
     n = assigned.count()
     if n:
         assigned.write.mode("append").partitionBy(centroid_id_col) \
@@ -84,9 +94,14 @@ def ivf_index_search(spark: SparkSession, path: str, query: DataFrame,
           .withColumn("_cos", cosine_expr(F.col("_qv"), F.col("_cv"))))
     wq = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(),
                                                   F.col(centroid_id_col))
+    # localCheckpoint, not persist: two consumers (the driver-side cell
+    # collect and the scoring join) share one materialization without
+    # leaking a cached plan per call — a streaming loop calls this every
+    # micro-batch
     probes = (qs.withColumn("_rn", F.row_number().over(wq))
               .where(F.col("_rn") <= nprobe)
-              .select(query_id_col, centroid_id_col, "_qv")).persist()
+              .select(query_id_col, centroid_id_col, "_qv")
+              .localCheckpoint(eager=True))
     probe_cells = sorted({r[0] for r in
                           probes.select(centroid_id_col).distinct()
                           .collect()})

@@ -165,7 +165,12 @@ def hard_negatives_matmul(df: DataFrame, query: DataFrame, k: int = 5,
     (HALF-UP-rounded cosine desc, id asc) total order ⇒ the global
     top-k is a prefix of the batch survivors. Output matches
     :func:`hard_negatives` re-ranked on the rounded cosine:
-    ``query_id, vec_id, label, cosine, rank``.
+    ``query_id, vec_id, label, cosine, rank``. Contract limits: ids and
+    labels must be integral non-null (int64 numpy mask path — a null
+    query label raises instead of silently returning every row, where
+    SQL's ``label <> NULL`` returns none); string labels and zero-norm
+    vectors (NaN-vs-0 divergence, see :func:`knn_brute_matmul`) use the
+    expression variant.
     """
     import numpy as np
     from pyspark.sql.types import (DoubleType, LongType, StructField,
@@ -175,6 +180,11 @@ def hard_negatives_matmul(df: DataFrame, query: DataFrame, k: int = 5,
         raise ValueError("hard_negatives_matmul: empty query set")
     qids = [int(r[0]) for r in qrows]
     qlabels = [r[2] for r in qrows]
+    if any(lab is None for lab in qlabels):
+        raise ValueError(
+            "hard_negatives_matmul: null query label — SQL's "
+            "'label <> NULL' matches nothing, the numpy mask would "
+            "match everything; filter null-labelled queries first")
     Q = np.array([[float(x) for x in r[1]] for r in qrows], dtype="float64")
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     qn[qn == 0] = np.inf

@@ -108,57 +108,63 @@ def plan_compaction(manifest: DataFrame,
     each; packing them toward ``target_rows`` restores scan efficiency
     and keeps the skipping manifest short.
 
-    Deterministic next-fit in file-name order over files SMALLER than
-    the target: group = prior-cumulative-rows div target (one window
-    over the metadata-sized manifest — this never touches data). Files
-    already at/over target keep a singleton group (rewriting them buys
-    nothing). Output: ``file, n_rows, group_id, group_rows, n_files``,
-    group ids dense from 0; ``n_files > 1`` rows are the rewrite
-    candidates.
+    TRUE next-fit, planned driver-side over the metadata-sized manifest
+    (one row per file — the same legitimate collect as
+    :func:`prune_files`' path list; an interval-arithmetic window
+    formulation was tried first and quietly left every just-under-
+    target file in its own singleton bin): files SMALLER than the
+    target, in file-name order, fill the current bin until it reaches
+    ``target_rows``, then the bin closes — so every small-file bin
+    except possibly the last holds ≥ target rows. Files already
+    at/over target keep a singleton group (rewriting them buys
+    nothing). Output: ``file, n_rows, group_id, group_rows, n_files``;
+    ``n_files > 1`` rows are the rewrite candidates.
     """
+    rows = sorted((r["file"], int(r["n_rows"]))
+                  for r in manifest.select("file", "n_rows").collect())
+    plans, gid, fill = [], 0, 0
+    smalls = [(f, n) for f, n in rows if n < target_rows]
+    for f, n in smalls:
+        plans.append((f, n, gid))
+        fill += n
+        if fill >= target_rows:        # bin closes ON crossing
+            gid, fill = gid + 1, 0
+    if fill:
+        gid += 1
+    for f, n in rows:
+        if n >= target_rows:
+            plans.append((f, n, gid))
+            gid += 1
+    spark = manifest.sparkSession
+    out = spark.createDataFrame(
+        plans, "file string, n_rows long, group_id long")
     from pyspark.sql import Window
-    small = manifest.where(F.col("n_rows") < target_rows)
-    big = manifest.where(F.col("n_rows") >= target_rows)
-    w = Window.orderBy("file").rowsBetween(Window.unboundedPreceding, -1)
-    packed = small.select(
-        "file", "n_rows",
-        (F.coalesce(F.sum("n_rows").over(w), F.lit(0))
-         / target_rows).cast("long").alias("_g"))
-    # dense group ids: smalls first (by group), then singleton bigs
-    gw = Window.orderBy("_g")
-    packed = packed.withColumn("group_id", F.dense_rank().over(gw) - 1)
-    n_small_groups = packed.agg(
-        F.coalesce(F.max("group_id") + 1, F.lit(0))).collect()[0][0]
-    bw = Window.orderBy("file")
-    bigs = big.select(
-        "file", "n_rows",
-        (F.row_number().over(bw) - 1 + F.lit(n_small_groups))
-        .alias("group_id"))
-    out = packed.select("file", "n_rows", "group_id").unionByName(bigs)
-    gsum = Window.partitionBy("group_id")
+    g = Window.partitionBy("group_id")
     return (out.withColumn("group_rows",
-                           F.sum("n_rows").over(gsum).cast("long"))
-            .withColumn("n_files", F.count("*").over(gsum))
-            .select("file", F.col("n_rows").cast("long").alias("n_rows"),
-                    "group_id", "group_rows", "n_files"))
+                           F.sum("n_rows").over(g).cast("long"))
+            .withColumn("n_files", F.count("*").over(g)))
 
 
 def apply_compaction(spark: SparkSession, plan: DataFrame,
                      out_path: str) -> int:
-    """Execute a :func:`plan_compaction` plan: every multi-file group is
-    rewritten as ONE parquet file under ``out_path/group=<id>``;
-    singleton groups are rewritten as a single file too (same layout,
-    so the output directory is self-contained and readable as one
-    table). Returns the number of output groups. The per-group read
-    lists exact file paths — no directory-glob rescan — and the write
-    is ``coalesce(1)`` per group, the one place a forced single task is
-    correct (each group is ≤ target-sized by construction)."""
-    groups = (plan.groupBy("group_id")
+    """Execute a :func:`plan_compaction` plan: every MULTI-file group is
+    rewritten as one parquet file under ``out_path/cg=<id>``; singleton
+    groups (at/over-target files, and any lone small file) are LEFT IN
+    PLACE — a maintenance pass must cost O(small files), not a full
+    table rewrite. Returns the number of groups rewritten. The
+    compacted table = ``out_path`` ∪ the untouched originals (the
+    returned count and the plan's ``n_files == 1`` rows identify them);
+    readers of ``out_path`` see one extra ``cg`` partition column.
+    Per-group reads list exact file paths — no directory-glob rescan —
+    and the ``coalesce(1)`` single task is bounded: multi-file groups
+    are < target + one file's rows by the next-fit construction."""
+    groups = (plan.where(F.col("n_files") > 1)
+              .groupBy("group_id")
               .agg(F.collect_list("file").alias("files"))
               .collect())
     for row in sorted(groups, key=lambda r: r["group_id"]):
         (spark.read.parquet(*row["files"])
          .coalesce(1)
          .write.mode("overwrite")
-         .parquet(f"{out_path}/group={row['group_id']}"))
+         .parquet(f"{out_path}/cg={row['group_id']}"))
     return len(groups)

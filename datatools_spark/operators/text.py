@@ -393,6 +393,21 @@ def _sq(s: str) -> str:
     return s.replace("\\", "\\\\").replace("'", "\\'")
 
 
+def _merge_fold_expr(a: str, b: str) -> str:
+    """The greedy left-to-right BPE merge as ONE SQL fold over a token
+    array ``t`` — shared by training and encoding so the two can never
+    desynchronize (the DuckDB oracles replay this construction token for
+    token): walk the tokens, and whenever the accumulated string ends in
+    ``a`` and the next token is ``b``, replace that tail with ``ab``."""
+    ab = a + b
+    return (
+        "split(aggregate(slice(t, 2, size(t) - 1), element_at(t, 1), "
+        "(acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]+$', 0) = "
+        f"'{_sq(a)}' AND x = '{_sq(b)}' THEN "
+        "concat(regexp_replace(acc, '[^ ]+$', ''), "
+        f"'{_sq(ab)}') ELSE concat(acc, ' ', x) END), ' ')")
+
+
 def bpe_train(df: DataFrame, text_col: str = "text",
               rounds: int = 3) -> tuple[list[tuple[int, str, int]], DataFrame]:
     """Iterative BPE tokenizer training (the full loop whose single
@@ -438,14 +453,8 @@ def bpe_train(df: DataFrame, text_col: str = "text",
         pair, n = top[0]["pair"], top[0]["n"]
         merges.append((r, pair, int(n)))
         a, b = pair.split(" ", 1)
-        ab = a + b
-        fold = (
-            "split(aggregate(slice(t, 2, size(t) - 1), element_at(t, 1), "
-            "(acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]+$', 0) = "
-            f"'{_sq(a)}' AND x = '{_sq(b)}' THEN "
-            "concat(regexp_replace(acc, '[^ ]+$', ''), "
-            f"'{_sq(ab)}') ELSE concat(acc, ' ', x) END), ' ')")
-        nxt = toks.select(F.expr(fold).alias("t")).persist()
+        nxt = toks.select(F.expr(_merge_fold_expr(a, b)).alias("t")) \
+            .persist()
         nxt.count()          # materialize before dropping the parent
         toks.unpersist()
         toks = nxt
@@ -475,12 +484,6 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
     for m in merges:
         pair = m[1] if isinstance(m, (tuple, list)) else m
         a, b = pair.split(" ", 1)
-        ab = a + b
-        fold = (
-            "split(aggregate(slice(t, 2, size(t) - 1), element_at(t, 1), "
-            "(acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]+$', 0) = "
-            f"'{_sq(a)}' AND x = '{_sq(b)}' THEN "
-            "concat(regexp_replace(acc, '[^ ]+$', ''), "
-            f"'{_sq(ab)}') ELSE concat(acc, ' ', x) END), ' ')")
-        toks = toks.select(F.col(id_col), F.expr(fold).alias("t"))
+        toks = toks.select(F.col(id_col),
+                           F.expr(_merge_fold_expr(a, b)).alias("t"))
     return toks

@@ -189,15 +189,17 @@ def streaming_image_ingest_dedup(media: DataFrame, store_dir: str,
        seen so far (``ahash_pairs_against_store`` — batch signatures
        come back from the store; no payload is ever decoded twice).
 
-    Pair emission is complete and non-duplicating across batches: a
-    pair appears exactly when its LATER member arrives, and re-ingested
-    ids (already stored) produce no new rows because pairs are keyed to
-    the pre-update anti-join of batch ids vs stored ids. Per-batch cost
-    scales with batch size × matching band buckets, never corpus size —
-    the ingest-gate shape a 100 TB/day image crawl needs. The parquet
-    append to ``pairs_dir`` is at-least-once under mid-batch retries
-    (standard foreachBatch caveat); the pair set is a set, so readers
-    dedupe with one ``distinct()`` if a retry ever fires.
+    Pair emission is complete and AT-LEAST-ONCE: pairs are emitted for
+    every id present in THIS batch (not just the unseen ones), so a
+    checkpoint-retried batch — foreachBatch replays the same content —
+    re-emits even when the store append already committed; keying
+    emission to "new ids only" would silently LOSE a batch's pairs if
+    the worker died between the two writes. The cost of that guarantee
+    is possible duplicates (a retry, or a producer re-sending an id);
+    the pair set is a set, so readers dedupe with one ``distinct()`` on
+    (a_id, b_id). Per-batch cost scales with batch size × matching
+    band buckets, never corpus size — the ingest-gate shape a
+    100 TB/day image crawl needs.
     Returns the started query (availableNow trigger; caller awaits)."""
     from ..operators.sigstore import (_is_path_missing,
                                       ahash_pairs_against_store,
@@ -206,32 +208,34 @@ def streaming_image_ingest_dedup(media: DataFrame, store_dir: str,
 
     def _process(batch_df: DataFrame, batch_id: int):
         sess = batch_df.sparkSession
-        # ONE store read per micro-batch: the anti-join here both picks
-        # the pair-emission ids and pre-filters the signing batch
-        # (batch_is_new=True skips the updater's internal anti-join).
-        # A checkpoint-retried batch recomputes against the already-
-        # updated store -> new_batch empty -> nothing re-signs/re-emits.
-        # localCheckpoint, NOT persist: the store write below triggers
-        # Spark's recache of any CACHED plan that reads the store path,
-        # which would recompute this anti-join against the post-write
-        # store to EMPTY and silently drop every pair emission; the
-        # checkpoint materializes the batch content and cuts the lineage
-        # so the write cannot reach back into it.
-        new_batch = batch_df
+        # ONE store read per micro-batch: the anti-join pre-filters the
+        # signing batch (batch_is_new=True skips the updater's internal
+        # anti-join); a retried batch finds everything stored and signs
+        # nothing. localCheckpoint, NOT persist: the store write below
+        # triggers Spark's recache of any CACHED plan that reads the
+        # store path, which would recompute this anti-join against the
+        # post-write store to EMPTY; the checkpoint materializes the
+        # content and cuts the lineage so the write cannot reach back.
+        new_batch, store_exists = batch_df, True
         try:
             stored = sess.read.parquet(store_dir).select(id_col)
             new_batch = batch_df.join(stored, id_col, "left_anti")
         except AnalysisException as exc:
             if not _is_path_missing(exc):   # see sigstore._is_path_missing
                 raise
+            store_exists = False
         new_batch = new_batch.localCheckpoint(eager=True)
         n = update_image_signature_store(sess, new_batch, store_dir,
                                          grid=grid,
                                          payload_col=payload_col,
                                          id_col=id_col,
                                          batch_is_new=True)
-        if n:
-            (ahash_pairs_against_store(sess, new_batch.select(id_col),
+        # emission keyed to the BATCH's ids (replayed verbatim on
+        # retry), never to the new-id set — see at-least-once note.
+        # Skip only when the store STILL does not exist (empty first
+        # batch): there is nothing to join.
+        if store_exists or n:
+            (ahash_pairs_against_store(sess, batch_df.select(id_col),
                                        store_dir, id_col=id_col)
              .write.mode("append").parquet(pairs_dir))
 
@@ -257,7 +261,7 @@ def streaming_embedding_ingest(vectors: DataFrame, index_path: str,
        assigned with the STORED centroids (``update_ivf_index`` —
        idempotent per id, so a checkpoint-retried batch appends
        nothing), then
-    2. searches the index for each new vector's top-k neighbours and
+    2. searches the index for each BATCH vector's top-k neighbours and
        emits the pairs at cosine ≥ ``threshold`` — the streaming
        semantic-near-dup gate over everything ingested so far,
        touching only probed cells (partition-pruned scan).
@@ -265,11 +269,19 @@ def streaming_embedding_ingest(vectors: DataFrame, index_path: str,
     The new-ids frame is localCheckpoint-materialized BEFORE the index
     write for the same reason as the image path: a cached plan reading
     the index would be recached against the post-write files and
-    silently empty the emission. Per-batch cost scales with batch ×
-    probed cells, never index size. Emission is at-least-once under
-    mid-batch retries (readers dedupe with distinct()).
+    silently empty the append. Emission is keyed to the BATCH's ids —
+    foreachBatch replays the same content on retry, so a worker death
+    between the index append and the matches write re-emits instead of
+    silently losing the batch's matches (keying to "new ids only"
+    would: the retry's anti-join finds everything stored and skips the
+    search). AT-LEAST-ONCE: duplicates possible on retry or producer
+    re-send; readers dedupe with distinct(). Per-batch cost scales
+    with batch × probed cells, never index size.
     Returns the started query (availableNow trigger; caller awaits)."""
+    from pyspark.errors import AnalysisException
+
     from ..operators.ivfstore import ivf_index_search, update_ivf_index
+    from ..operators.sigstore import _is_path_missing
 
     def _process(batch_df: DataFrame, batch_id: int):
         sess = batch_df.sparkSession
@@ -284,16 +296,16 @@ def streaming_embedding_ingest(vectors: DataFrame, index_path: str,
                 "must not invent its own)") from exc
         new_batch = (batch_df.join(stored, id_col, "left_anti")
                      .localCheckpoint(eager=True))
-        n = update_ivf_index(sess, new_batch, index_path,
-                             vec_col=vec_col, id_col=id_col)
-        if n:
-            q = new_batch.select(F.col(id_col).alias("query_id"),
-                                 F.col(vec_col))
-            (ivf_index_search(sess, index_path, q, k=k, nprobe=nprobe,
-                              vec_col=vec_col, id_col=id_col)
-             .where((F.col("cosine") >= threshold)
-                    & (F.col("query_id") != F.col(id_col)))
-             .write.mode("append").parquet(matches_dir))
+        update_ivf_index(sess, new_batch, index_path,
+                         vec_col=vec_col, id_col=id_col,
+                         batch_is_new=True)
+        q = batch_df.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col))
+        (ivf_index_search(sess, index_path, q, k=k, nprobe=nprobe,
+                          vec_col=vec_col, id_col=id_col)
+         .where((F.col("cosine") >= threshold)
+                & (F.col("query_id") != F.col(id_col)))
+         .write.mode("append").parquet(matches_dir))
 
     return (vectors.writeStream
             .outputMode("append")

@@ -135,3 +135,19 @@ def test_apply_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
     assert sorted(r["id"] for r in after.collect()) \
         == sorted(r["id"] for r in before.collect())
     assert len(after.inputFiles()) == n_groups < len(before.inputFiles())
+
+
+def test_plan_compaction_near_target_files_still_pack(spark, tmp_path):
+    # regression: interval-arithmetic grouping left every just-under-
+    # target file in its own singleton bin; true next-fit must pack them
+    from datatools_spark.operators.skipping import (
+        build_file_stats, plan_compaction)
+    src = str(tmp_path / "near")
+    for i in range(6):
+        spark.range(i * 349, (i + 1) * 349).coalesce(1) \
+            .write.mode("append").parquet(src)
+    plan = plan_compaction(build_file_stats(spark, src, ["id"]),
+                           target_rows=350)
+    multi = plan.where("n_files > 1")
+    assert multi.count() == 6        # every file lands in a 2-file bin
+    assert plan.where("n_files = 1").count() == 0

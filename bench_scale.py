@@ -35,6 +35,17 @@ from datatools_spark.session import get_spark  # noqa: E402
 STAT_S, SEP_S = 1800, 4 * 3600   # 30-min stat window, 4-h separation
 
 
+def force_count(df) -> int:
+    """Row count that also forces every output column. A bare count()
+    lets Catalyst prune aggregate EXPRESSIONS (the grid medians, max_by
+    payloads) and keep only the grouping keys — the kernel would be
+    timed as a distinct-count. Same fix as bench.force_value."""
+    from pyspark.sql import functions as F
+    row = df.agg(F.count(F.lit(1)).alias("n"),
+                 F.bit_xor(F.xxhash64(*df.columns)).alias("_chk")).collect()[0]
+    return row["n"]
+
+
 def synth_positions(n: int, cadence_s: int = 15) -> pd.DataFrame:
     t0 = dt.datetime(2024, 1, 1)
     ts = pd.date_range(t0, periods=n, freq=f"{cadence_s}s")
@@ -96,7 +107,7 @@ def dedup_sweep(spark, results: dict, sizes: list[int]) -> None:
             ("simhash", lambda d: simhash_col(d)),
         ):
             t0 = time.perf_counter()
-            out = fn(sdf).count()
+            out = force_count(fn(sdf))
             el = time.perf_counter() - t0
             results[f"dedup_spark_{label}_{n}"] = {
                 "rows": n, "out": out, "sec": round(el, 3),
@@ -166,15 +177,16 @@ def main() -> None:
         sdf.count()
         for label in ("exact", "approx", "selectk"):
             t0 = time.perf_counter()
-            cnt = calc_velocity(sdf, ["value"], stat_window=STAT_S,
-                                separation_window=SEP_S,
-                                median_mode=label).count()
+            cnt = force_count(calc_velocity(sdf, ["value"],
+                                            stat_window=STAT_S,
+                                            separation_window=SEP_S,
+                                            median_mode=label))
             el = time.perf_counter() - t0
             results[f"velocity_spark_{label}_{n}"] = {
                 "rows": n, "grid_points": cnt, "sec": round(el, 3),
                 "rows_per_s": round(n / el)}
         t0 = time.perf_counter()
-        days = daily_extrema(sdf).count()
+        days = force_count(daily_extrema(sdf))
         el = time.perf_counter() - t0
         results[f"extrema_spark_{n}"] = {
             "rows": n, "days": days, "sec": round(el, 3),

@@ -202,6 +202,52 @@ def test_chunked_rolling_equals_plain(spark):
         assert a == b
 
 
+def test_blocked_median_equals_declarative(spark):
+    """rolling_median_blocked (the scale-safe default: time chunks + halo
+    rows + pandas skiplist median) is EXACTLY equal to the declarative
+    per-row frame median — centered and trailing, with nulls, duplicate
+    timestamps, boundary-exact offsets, and min_periods."""
+    import datetime as dt
+    import random
+    from datatools_spark.operators.rolling import (c_rolling,
+                                                   rolling_median_blocked)
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for series in ("a", "b"):
+        t = t0
+        for _ in range(300):
+            # steps in whole hours sometimes → frame-boundary-exact hits;
+            # zero steps → duplicate timestamps
+            t += dt.timedelta(minutes=rng.choice([0, 5, 60, 180, 400]))
+            v = None if rng.random() < 0.08 else rng.uniform(-5, 5)
+            rows.append((series, t, v))
+    df = spark.createDataFrame(rows, "s string, ts timestamp, value double")
+    for center in (True, False):
+        for mp in (None, 3):
+            a = {(r.s, r.ts, None if r.m is None else round(r.m, 9))
+                 for r in c_rolling(df, "value", "6H", "median",
+                                    partition_by=["s"], min_periods=mp,
+                                    out_col="m", center=center).collect()}
+            b = {(r.s, r.ts, None if r.m is None else round(r.m, 9))
+                 for r in rolling_median_blocked(df, "value", "6H",
+                                                 partition_by=["s"],
+                                                 chunk="12H", min_periods=mp,
+                                                 out_col="m",
+                                                 center=center).collect()}
+            assert a == b, f"center={center} mp={mp}"
+
+
+def test_blocked_median_chunk_too_small_raises(spark):
+    import datetime as dt
+    from datatools_spark.operators.rolling import rolling_median_blocked
+    df = spark.createDataFrame([(dt.datetime(2024, 1, 1), 1.0)],
+                               "ts timestamp, value double")
+    import pytest
+    with pytest.raises(ValueError, match="chunk"):
+        rolling_median_blocked(df, "value", "6H", chunk="1H")
+
+
 def test_resample_gapfill_complete_grid_and_ffill(spark):
     import datetime as dt
     from datatools_spark.operators.resample import resample_gapfill

@@ -8908,13 +8908,20 @@ _REGISTRATION_ORDER = [
     # A10 (reference's showcase max_by albedo aggregation) gets a direct
     # driver row; the engine-add ts_except_errors moved past the cutoff
     "ts_albedo_daily",
-    "ss_top_customers_per_nation", "ss_shipping_priority",
+    # r5: ss_shipping_priority → emb_knn_matmul and mm_extract_features →
+    # mm_ahash256_pairs, so the round-4 flagships (per-Arrow-batch BLAS
+    # kNN; the wide 256-bit pair engine) get independent driver proof.
+    # §2.6 sorts/top-k evidence is carried in-window by
+    # ss_top_customers_per_nation (rank window + top-k per group);
+    # mm_extract_features' stub-feature twin is equality-tested locally
+    # (tests/test_multimodal.py) and stays oracle-backed past the cutoff.
+    "ss_top_customers_per_nation", "emb_knn_matmul",
     "doc_lang_id", "doc_token_count", "doc_quality", "doc_fingerprint_dedup",
     "doc_minhash", "doc_lsh_pairs", "doc_simhash", "doc_ngram_pairs",
     "doc_source_stats", "doc_neardup_retention",
     "emb_knn_brute", "emb_dup_pairs", "emb_centroid_assign",
     "emb_ivf_search", "emb_knn_lsh",
-    "mm_extract_features", "mm_frame_sample",
+    "mm_ahash256_pairs", "mm_frame_sample",
     # r4: the multimodal-dedup family (aHash → banded-Hamming pairs →
     # components, energy-hash audio pairs) promoted into the driver
     # window; stood down to make room — rows whose §2 evidence is
@@ -8925,6 +8932,7 @@ _REGISTRATION_ORDER = [
     "mm_image_ahash", "mm_ahash_pairs", "mm_image_dedup",
     "mm_audio_dup_pairs",
     # —— past the cutoff: still oracle-backed, next-most-important first ——
+    "ss_shipping_priority", "mm_extract_features",
     "ts_resample_nearest", "ts_resample_gapfill", "ss_window_counts",
     "ts_rollup_multires",
     "mm_decode_stats", "mm_frame_stats", "mm_pool2x2", "mm_pcm_stats",
@@ -8956,7 +8964,7 @@ _REGISTRATION_ORDER = [
     "ss_bloom_semi_join", "emb_kmeans_train", "emb_cov_stats",
     "doc_segment_dedup", "doc_temperature_sample",
     "doc_cms_estimate", "doc_hll_distinct", "ts_rollup_incremental",
-    "doc_bpe_train", "doc_bpe_encode", "emb_knn_matmul",
+    "doc_bpe_train", "doc_bpe_encode",
     "emb_hard_negatives_matmul", "doc_quality_classifier",
     "doc_gopher_rules",
     "emb_hard_negatives", "ss_pagerank", "ts_attribution",
@@ -9000,7 +9008,6 @@ _REGISTRATION_ORDER = [
     "ts_value_hour_histogram", "ss_rolling_quarter",
     "emb_label_separation", "ss_order_gaps",
     "mm_audio_hash", "mm_scene_cuts", "mm_curation_pipeline",
-    "mm_ahash256_pairs",
 ]
 
 

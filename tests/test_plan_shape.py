@@ -195,13 +195,16 @@ def test_driver_window_contains_flagships():
     names = list(QUERIES)[:50]
     for flagship in ["ts_e1_pipeline", "ts_melt_pipeline", "doc_lsh_pairs",
                      "emb_ivf_search", "emb_knn_lsh", "ts_shadow_correction",
-                     "ss_shipping_priority",
                      "ts_lag_table", "ts_quadrant",
                      "doc_source_stats", "doc_neardup_retention",
-                     "mm_extract_features", "mm_frame_sample",
+                     "mm_frame_sample",
                      # r4 flagships: the multimodal-dedup family
                      "mm_image_ahash", "mm_ahash_pairs", "mm_image_dedup",
-                     "mm_audio_dup_pairs"]:
+                     "mm_audio_dup_pairs",
+                     # r5 rotation: the wide pair engine + matmul kNN
+                     # (ss_shipping_priority / mm_extract_features stood
+                     # down; §2.6 carried by ss_top_customers_per_nation)
+                     "mm_ahash256_pairs", "emb_knn_matmul"]:
         assert flagship in names, flagship
 
 

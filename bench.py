@@ -116,6 +116,9 @@ EXTENDED_QUERIES = [
 MM_SF1_QUERIES = [
     "mm_ahash_pairs", "mm_image_dedup", "mm_audio_dup_pairs",
     "mm_scene_cuts",
+    # r5: the wide 256-bit pair engine and the full curation funnel ride
+    # the scale pass too, so their scale curves are measured every round
+    "mm_ahash256_pairs", "mm_curation_pipeline",
 ]
 
 

@@ -159,6 +159,26 @@ def simhash_col(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return agg.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
 
 
+# Default candidate-mass budget for the "auto" pre-flight:
+# budget = FACTOR × bands × corpus_rows. A healthy banded corpus has mass
+# ≈ bands × n × (avg bucket hit rate ~1), so the factor is the allowed
+# headroom per band — band-count-invariant — while an ~n² degenerate
+# corpus (near-constant signatures) overshoots by orders of magnitude and
+# is refused in seconds instead of pinning a cluster. Callers pass an int
+# to set an explicit budget, or None to disable the pre-flight entirely.
+MASS_BUDGET_FACTOR = 64
+
+
+def _resolve_mass_budget(max_candidate_mass, uniq: DataFrame,
+                         bands: int) -> int | None:
+    """Turn the ``"auto"`` sentinel into FACTOR × bands × corpus rows
+    (one tiny aggregation over the checkpointed (hash, count) frame)."""
+    if max_candidate_mass != "auto":
+        return max_candidate_mass
+    n = uniq.agg(F.sum("_c")).collect()[0][0] or 0
+    return MASS_BUDGET_FACTOR * bands * max(int(n), 1)
+
+
 def _band_widths(total_bits: int, n_bands: int) -> list[int]:
     """Split ``total_bits`` into ``n_bands`` near-equal widths (pigeonhole
     holds for ANY partition of the bits; equal widths just balance key
@@ -170,7 +190,8 @@ def _band_widths(total_bits: int, n_bands: int) -> list[int]:
 def packed_hamming_pairs(sig: DataFrame, hash_col: str, nbits: int,
                          bands: int, max_hamming: int, id_col: str,
                          hot_bucket_cap: int | None = 4096,
-                         max_candidate_mass: int | None = None) -> DataFrame:
+                         max_candidate_mass: int | str | None = None
+                         ) -> DataFrame:
     """Shared banded-Hamming pair engine over a PACKED BIGINT hash
     column — the one candidate generator behind text SimHash
     (:func:`simhash_pairs`), image aHash and audio energy-hash
@@ -199,22 +220,30 @@ def packed_hamming_pairs(sig: DataFrame, hash_col: str, nbits: int,
        bounds SKEW, not just total mass: one bucket's join output
        lands in ONE reduce task, so the default 4096 caps any single
        task at ~8M candidate rows.
-    4. **Fail-fast pre-flight.** ``max_candidate_mass`` (opt-in, one
-       tiny extra job over bucket counts) raises BEFORE the pair join
-       if the post-refinement Σ c·(c−1)/2 exceeds the budget — at
-       100 TB a degenerate corpus should fail the cost model
-       (`multimodal.pair_candidate_mass`), not pin a cluster.
+    4. **Fail-fast pre-flight.** ``max_candidate_mass`` (one tiny extra
+       job over bucket counts) raises BEFORE the pair join if the
+       post-refinement Σ c·(c−1)/2 exceeds the budget — at 100 TB a
+       degenerate corpus should fail the cost model
+       (`multimodal.pair_candidate_mass`), not pin a cluster. Pass an
+       int for an explicit budget, ``"auto"`` for
+       ``MASS_BUDGET_FACTOR × bands × corpus_rows`` (the media-path
+       default — ``multimodal.ahash_pairs``), or None to skip.
 
-    Construction-time cost note: hot-bucket DETECTION (and the opt-in
-    mass guard) run one small aggregation job when the DataFrame is
-    BUILT, materializing the persisted (id, hash) projection that the
-    main run then reuses — so the upstream signature computation (e.g.
-    a payload decode) executes once overall, not once for detection and
-    once for pairing. The persisted frames stay cached for the session
-    (Spark keys the cache by plan, so repeated identical calls share
-    one entry rather than accumulating); pass
-    ``hot_bucket_cap=None, max_candidate_mass=None`` for a fully lazy
-    plan (e.g. explain-only callers).
+    Construction-time cost note: hot-bucket DETECTION (and the mass
+    guard) run one small aggregation job when the DataFrame is BUILT,
+    materializing the (id, hash) projection that the main run then
+    reuses — so the upstream signature computation (e.g. a payload
+    decode) executes once overall, not once for detection and once for
+    pairing. The internal frames are LAZY LOCAL CHECKPOINTS, not
+    ``persist()``: a persisted plan stays pinned in the session's cache
+    registry forever (a long-lived/streaming session running many
+    corpora accumulates unbounded executor storage), while checkpoint
+    blocks are reference-tracked — they are freed when the returned
+    DataFrame is garbage-collected. The trade is that two *separate*
+    calls over the same input no longer share a cache entry (each call
+    materializes its own projection); hold the returned frame and reuse
+    it instead. Pass ``hot_bucket_cap=None, max_candidate_mass=None``
+    for a fully lazy plan (e.g. explain-only callers).
     """
     if nbits < 1 or nbits > 64:
         raise ValueError(
@@ -233,8 +262,11 @@ def packed_hamming_pairs(sig: DataFrame, hash_col: str, nbits: int,
                          "is the whole hash — use exact grouping instead)")
     mask = (1 << w) - 1
     ids = sig.select(F.col(id_col),
-                     F.col(hash_col).cast("long").alias("_h")).persist()
-    uniq = ids.groupBy("_h").agg(F.count("*").alias("_c")).persist()
+                     F.col(hash_col).cast("long").alias("_h")) \
+        .localCheckpoint(eager=False)
+    uniq = ids.groupBy("_h").agg(F.count("*").alias("_c")) \
+        .localCheckpoint(eager=False)
+    max_candidate_mass = _resolve_mass_budget(max_candidate_mass, uniq, bands)
 
     # band index over DISTINCT hashes; _rem = the hash with band b's bits
     # removed, carried for the hot-bucket sub-band refinement (literal
@@ -367,7 +399,8 @@ def packed_hamming_pairs(sig: DataFrame, hash_col: str, nbits: int,
 
 def packed_wide_pairs(sig: DataFrame, hash_col: str, nbits: int,
                       bands: int, max_hamming: int, id_col: str,
-                      max_candidate_mass: int | None = None) -> DataFrame:
+                      max_candidate_mass: int | str | None = None
+                      ) -> DataFrame:
     """Banded-Hamming pairs over WIDE packed hashes — ``nbits`` a
     multiple of 64, stored as ``array<bigint>`` words
     (``multimodal.pack_bits_words_expr`` layout). Same pigeonhole
@@ -380,9 +413,13 @@ def packed_wide_pairs(sig: DataFrame, hash_col: str, nbits: int,
     budget 32-bit keys (4.3 · 10⁹ buckets — collision-driven mass stays
     ~n²·bands/2^width, linear-regime at any realistic corpus size). A
     hot-bucket refinement is deliberately absent here — selective keys
-    are the refinement; ``max_candidate_mass`` remains the opt-in
-    fail-fast (exact Σ c·(c−1)/2 pre-flight) for degenerate corpora.
-    Output: ``a_id, b_id, hamming`` with a < b.
+    are the refinement; ``max_candidate_mass`` remains the fail-fast
+    (exact Σ c·(c−1)/2 pre-flight) for degenerate corpora: an int budget,
+    ``"auto"`` for ``MASS_BUDGET_FACTOR × bands × corpus_rows`` (the
+    media-path default), or None to skip. Internal frames are lazy local
+    checkpoints, not ``persist()`` — see :func:`packed_hamming_pairs` for
+    the cache-hygiene rationale. Output: ``a_id, b_id, hamming`` with
+    a < b.
     """
     if nbits % 64 != 0:
         raise ValueError(f"nbits={nbits} must be a multiple of 64 "
@@ -398,8 +435,11 @@ def packed_wide_pairs(sig: DataFrame, hash_col: str, nbits: int,
         raise ValueError(
             f"band width {w} must divide 64 or be a multiple of 64 "
             "(keys never straddle a word boundary)")
-    ids = sig.select(F.col(id_col), F.col(hash_col).alias("_h")).persist()
-    uniq = ids.groupBy("_h").agg(F.count("*").alias("_c")).persist()
+    ids = sig.select(F.col(id_col), F.col(hash_col).alias("_h")) \
+        .localCheckpoint(eager=False)
+    uniq = ids.groupBy("_h").agg(F.count("*").alias("_c")) \
+        .localCheckpoint(eager=False)
+    max_candidate_mass = _resolve_mass_budget(max_candidate_mass, uniq, bands)
 
     if w <= 64:
         mask = (1 << w) - 1   # unused when w == 64 (no AND needed)

@@ -706,7 +706,7 @@ def ahash_pairs(sig: DataFrame, bands: int = 8, max_hamming: int = 7,
                 hash_col: str = "ahash",
                 id_col: str = "media_id", nbits: int = 64,
                 hot_bucket_cap: int | None = 4096,
-                max_candidate_mass: int | None = None) -> DataFrame:
+                max_candidate_mass: int | str | None = "auto") -> DataFrame:
     """Near-duplicate media pairs from ``nbits``-bit perceptual-hash
     bitstrings via the banded Hamming scheme (same pigeonhole
     construction as :func:`~datatools_spark.operators.dedup.simhash_pairs`,
@@ -724,10 +724,15 @@ def ahash_pairs(sig: DataFrame, bands: int = 8, max_hamming: int = 7,
     separately at exactly true-output size), buckets over
     ``hot_bucket_cap`` re-band their remaining bits into
     ``max_hamming + 1`` pigeonhole-exact sub-bands, and
-    ``max_candidate_mass`` is the opt-in fail-fast against a corpus
-    whose band keys are degenerate (cost model:
-    :func:`pair_candidate_mass`). See the engine's docstring for why
-    each layer is exact; the all-pairs oracles certify the composition.
+    ``max_candidate_mass`` fail-fasts against a corpus whose band keys
+    are degenerate (cost model: :func:`pair_candidate_mass`). The
+    DEFAULT is ``"auto"`` — budget
+    ``dedup.MASS_BUDGET_FACTOR × bands × corpus_rows`` — so at 100 TB a
+    near-constant-signature corpus is refused through the ordinary query
+    path in seconds rather than by an operator who remembered the
+    opt-in; pass an int for an explicit budget or None to disable. See
+    the engine's docstring for why each layer is exact; the all-pairs
+    oracles certify the composition.
 
     Signatures wider than 64 bits (``nbits`` a multiple of 64, e.g. the
     256-bit ``raw8_ahash(width=16, grid=16)``) dispatch to the WIDE

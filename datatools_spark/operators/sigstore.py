@@ -229,6 +229,11 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
                .withColumn("_nbits", F.lit(nbits))
                .withColumn("_pp", F.element_at("ahash_w", 1)
                            .bitwiseAND(F.lit(255)).cast("int")))
+    # materialize ONCE before count+write: without this the raw8_ahash
+    # mapInPandas decode executes twice per batch (count job + write
+    # job). Same rationale as ivfstore.update_ivf_index; localCheckpoint
+    # rather than persist so nothing pins the session cache registry.
+    sig = sig.localCheckpoint(eager=True)
     n = sig.count()
     if n:
         sig.write.mode("append").partitionBy("_pp").parquet(path)
@@ -237,7 +242,9 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
 
 def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
                               path: str,
-                              id_col: str = "media_id") -> DataFrame:
+                              id_col: str = "media_id",
+                              max_candidate_mass: int | str | None = "auto"
+                              ) -> DataFrame:
     """Near-dup image pairs between ``batch`` ids and the WHOLE store
     (batch included, after ``update_image_signature_store``) without
     re-decoding any payload: batch signatures come back from the store
@@ -249,10 +256,24 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
     misalign the reader's band keys.
     Output: ``a_id, b_id, hamming`` with a < b, hamming ≤ 7 —
     pigeonhole-complete, and store-side cost scales with matching band
-    buckets, not corpus size."""
+    buckets, not corpus size.
+
+    ``max_candidate_mass``: fail-fast against a store whose band buckets
+    are degenerate for this batch (near-constant signatures). The
+    default ``"auto"`` budgets
+    ``dedup.MASS_BUDGET_FACTOR × bands × batch_rows`` and prices the
+    REAL join — Σ |batch bucket| × |store bucket| over matching (band,
+    key) buckets, one small aggregation pass — before shuffling any
+    candidate. Pass an int for an explicit budget or None to skip (e.g.
+    a tight streaming loop that already pre-flighted the store)."""
     raw = spark.read.parquet(path)
     nbits_seen = [r[0] for r in
                   raw.select("_nbits").distinct().collect()]
+    if not nbits_seen:
+        raise ValueError(
+            f"signature store at {path} is empty — run "
+            "update_image_signature_store on the batch first (the pair "
+            "reader joins batch signatures back from the store)")
     if len(nbits_seen) != 1:
         raise ValueError(
             f"signature store at {path} holds mixed hash widths "
@@ -299,6 +320,26 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
                           F.col(hash_col).alias("x_hash"), "_b", "_k")
     b = _idx(store).select(F.col(id_col).alias("y_id"),
                            F.col(hash_col).alias("y_hash"), "_b", "_k")
+
+    if max_candidate_mass is not None:
+        from .dedup import MASS_BUDGET_FACTOR
+        if max_candidate_mass == "auto":
+            batch_n = bsig.count()
+            max_candidate_mass = (MASS_BUDGET_FACTOR * _AHASH_BANDS
+                                  * max(int(batch_n), 1))
+        bc = a.groupBy("_b", "_k").agg(F.count("*").alias("_bn"))
+        sc = b.groupBy("_b", "_k").agg(F.count("*").alias("_sn"))
+        mass = (bc.join(sc, ["_b", "_k"])
+                .agg(F.sum(F.col("_bn") * F.col("_sn")))
+                .collect()[0][0]) or 0
+        if mass > max_candidate_mass:
+            raise RuntimeError(
+                f"ahash_pairs_against_store: candidate mass {mass} "
+                f"(Σ batch×store bucket products) exceeds "
+                f"max_candidate_mass={max_candidate_mass}; the store's "
+                "band buckets are degenerate for this batch — widen the "
+                "signature (grid=16) or pre-cluster before pairing")
+
     # verify BEFORE the dedup exchange (cheap bit_count on the join
     # output in-stage) so only true pairs reach the distinct
     return (a.join(b, on=["_b", "_k"])

@@ -467,3 +467,56 @@ def test_wide_pairs_candidate_mass_guard(spark):
     b = {tuple(r) for r in
          MM.ahash_pairs(sig, bands=8, max_hamming=7, nbits=256).collect()}
     assert a == b and a
+
+
+def test_degenerate_corpus_fail_fasts_through_query_path(spark, tmp_path):
+    """The 64-bit media pair queries carry the candidate-mass pre-flight
+    BY DEFAULT (max_candidate_mass="auto"): a planted degenerate corpus
+    — 256 distinct aHashes that differ only inside one 8-bit band, so
+    every pair collides in the other 7 bands (mass ~7·C(256,2), far over
+    the auto budget of 64·bands·n) — must be REFUSED through the
+    ordinary QUERY path, before any pair shuffle."""
+    import pytest as _pytest
+    from datatools_spark.queries import QUERIES
+
+    lo, hi = "!", "~"   # ASCII 33 / 126 — block means far from global mean
+
+    def img_text(pattern: int) -> str:
+        # 16x16 chars; aHash(width=16, grid=8) blocks are 2x2, bits
+        # row-major. Rows 0-1 (block-row 0 = one 8-bit band): block j
+        # high iff bit j of pattern. Rows 2-15: block-rows alternate
+        # all-low/all-high - 56 bits identical across the corpus.
+        r01 = "".join((hi if (pattern >> j) & 1 else lo) * 2
+                      for j in range(8))
+        rows = [r01, r01]
+        for br in range(1, 8):
+            rows += [(hi if br % 2 else lo) * 16] * 2
+        return "".join(rows)
+
+    rows = [(i, img_text(i), "en", "synthetic", 256) for i in range(256)]
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .write.parquet(f"{tmp_path}/documents.parquet"))
+
+    with _pytest.raises(RuntimeError, match="candidate mass"):
+        QUERIES["mm_ahash_pairs"](spark, str(tmp_path)).count()
+
+
+def test_pair_engines_leave_no_session_cache(spark):
+    """Cache hygiene (r5): the pair engines use lazy local checkpoints,
+    not persist() — a long-lived session running many corpora must not
+    accumulate entries in the session's cache registry (persist()d plans
+    are pinned there until an explicit unpersist; checkpoint blocks are
+    reference-tracked and freed on GC). Run both engines over distinct
+    corpora and assert the cache manager holds nothing."""
+    import random
+    rng = random.Random(11)
+    for seed in (1, 2):
+        rows = [(i, bytes((rng.randrange(256)) for _ in range(256)))
+                for i in range(seed * 10, seed * 10 + 12)]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        MM.ahash_pairs(MM.raw8_ahash(df, width=16, grid=8)).collect()
+        MM.ahash_pairs(MM.raw8_ahash(df, width=16, grid=16),
+                       bands=8, nbits=256).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

@@ -154,20 +154,23 @@ def connected_components(edges: DataFrame, src: str = "a_id",
     Size gate: a dedup graph is usually TINY relative to the corpus it
     came from (edges = verified near-dup pairs), and the distributed
     loop pays 3-4 jobs per iteration — pure overhead at that size. Up
-    to ``small_graph_threshold`` edges (the materialized, deduped edge
-    list is counted from its checkpoint — no extra scan) the labels
-    come from a driver-side union-find with path compression: identical
-    min-label output, one job end-to-end. Bigger graphs take the
-    min-label-propagation + pointer-jump loop unchanged — the
-    O(log diameter)-round plan a billion-edge graph needs. Pass
-    ``small_graph_threshold=0`` to force the distributed path.
+    to ``small_graph_threshold`` UNDIRECTED edges — the materialized
+    bidirectional edge list is counted from its checkpoint (no extra
+    scan) and holds each undirected edge twice, so the gate compares
+    against 2× the threshold and the driver collect is bounded by
+    2 × threshold rows — the labels come from a driver-side union-find
+    with path compression: identical min-label output, one job
+    end-to-end. Bigger graphs take the min-label-propagation +
+    pointer-jump loop unchanged — the O(log diameter)-round plan a
+    billion-edge graph needs. Pass ``small_graph_threshold=0`` to force
+    the distributed path.
     """
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .unionByName(edges.select(F.col(dst).alias("u"),
                                    F.col(src).alias("v")))
          .distinct()
          .localCheckpoint())
-    if e.count() <= small_graph_threshold:
+    if e.count() <= 2 * small_graph_threshold:
         parent: dict = {}
 
         def find(x):

@@ -40,6 +40,35 @@ __all__ = [
 ]
 
 
+def _round_half_up_np(a, dp: int):
+    """Vectorized HALF_UP to ``dp`` decimals that matches Spark/DuckDB's
+    DECIMAL-based round on every input. The fast path
+    (``floor(|x|·10^dp + 0.5)``) evaluates the tie test in BINARY
+    floating point, so a cosine whose shortest decimal representation
+    sits exactly on the .5 boundary can land on the other side of the
+    boundary than the engines' decimal-string rounding — a rank could
+    flip vs the oracle on adversarial inputs. Elements within 1e-8 of a
+    boundary (a measure-zero sliver of any real batch) are re-rounded
+    through ``Decimal(repr(x)).quantize(HALF_UP)`` — exactly the
+    shortest-repr decimal semantics Java's ``BigDecimal.valueOf`` and
+    DuckDB apply — so the composite is boundary-exact AND stays one
+    numpy pass in the common case. Ties round away from zero in all
+    three implementations."""
+    import numpy as np
+    scale = float(10 ** dp)
+    r = np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
+    frac = np.abs(a) * scale
+    near = np.abs(frac - np.floor(frac) - 0.5) < 1e-8
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+        q = Decimal(1).scaleb(-dp)
+        r[near] = np.array(
+            [float(Decimal(repr(float(x))).quantize(q,
+                                                    rounding=ROUND_HALF_UP))
+             for x in np.atleast_1d(a[near])], dtype="float64")
+    return r
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
@@ -105,7 +134,6 @@ def knn_brute_matmul(df: DataFrame, query: DataFrame, k: int = 10,
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     qn[qn == 0] = np.inf
     Qt = (Q / qn).T                        # d × |Q|
-    scale = float(10 ** round_dp)
     out_schema = StructType([
         StructField(query_id_col, LongType(), False),
         StructField(id_col, LongType(), False),
@@ -122,9 +150,9 @@ def knn_brute_matmul(df: DataFrame, query: DataFrame, k: int = 10,
             cn = np.linalg.norm(C, axis=1, keepdims=True)
             cn[cn == 0] = np.inf
             cos = (C / cn) @ Qt            # batch × |Q|
-            # HALF_UP to round_dp (sign-aware) BEFORE the cut so the
-            # batch order equals the global order
-            r = np.sign(cos) * np.floor(np.abs(cos) * scale + 0.5) / scale
+            # HALF_UP to round_dp BEFORE the cut so the batch order
+            # equals the global order; boundary-exact vs decimal round
+            r = _round_half_up_np(cos, round_dp)
             kk = min(k, len(ids))
             # per-query top-k under (rounded desc, id asc): lexsort on
             # (-rounded, id) — stable and total
@@ -189,7 +217,6 @@ def hard_negatives_matmul(df: DataFrame, query: DataFrame, k: int = 5,
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     qn[qn == 0] = np.inf
     Qt = (Q / qn).T
-    scale = float(10 ** round_dp)
     out_schema = StructType([
         StructField(query_id_col, LongType(), False),
         StructField(id_col, LongType(), False),
@@ -208,7 +235,7 @@ def hard_negatives_matmul(df: DataFrame, query: DataFrame, k: int = 5,
             cn = np.linalg.norm(C, axis=1, keepdims=True)
             cn[cn == 0] = np.inf
             r = (C / cn) @ Qt
-            r = np.sign(r) * np.floor(np.abs(r) * scale + 0.5) / scale
+            r = _round_half_up_np(r, round_dp)
             frames = []
             for j in range(r.shape[1]):
                 valid = np.nonzero(labs != qlabels[j])[0]

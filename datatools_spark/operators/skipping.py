@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["build_file_stats", "update_file_stats", "prune_files",
-           "skipping_read", "plan_compaction", "apply_compaction"]
+           "skipping_read", "plan_compaction", "apply_compaction",
+           "refresh_manifest_after_compaction"]
 
 
 def build_file_stats(spark: SparkSession, path: str,
@@ -151,13 +152,34 @@ def apply_compaction(spark: SparkSession, plan: DataFrame,
     rewritten as one parquet file under ``out_path/cg=<id>``; singleton
     groups (at/over-target files, and any lone small file) are LEFT IN
     PLACE — a maintenance pass must cost O(small files), not a full
-    table rewrite. Returns the number of groups rewritten. The
-    compacted table = ``out_path`` ∪ the untouched originals (the
-    returned count and the plan's ``n_files == 1`` rows identify them);
-    readers of ``out_path`` see one extra ``cg`` partition column.
-    Per-group reads list exact file paths — no directory-glob rescan —
-    and the ``coalesce(1)`` single task is bounded: multi-file groups
-    are < target + one file's rows by the next-fit construction."""
+    table rewrite. Returns the number of groups rewritten.
+
+    ``out_path`` must be EMPTY (or absent): group ids are positional in
+    the plan, so a re-run after the file set changed would assign the
+    same ``cg=<id>`` names to different groups — ``overwrite`` would
+    replace some directories and leave the rest stale, and a reader of
+    ``out_path`` would silently see duplicated/stale rows. Refusing is
+    the only safe contract (same rule as Delta's ``OPTIMIZE`` writing
+    fresh files): point each run at a fresh directory.
+
+    The rewritten source paths are recorded at
+    ``out_path/_replaced`` (underscore-prefixed — invisible to parquet
+    directory readers, like ``_delta_log``), so the compacted table is
+    assembled WITHOUT trusting the caller to remember the plan:
+    originals − replaced ∪ ``out_path``;
+    :func:`refresh_manifest_after_compaction` folds exactly that into a
+    skipping manifest. Per-group reads list exact file paths — no
+    directory-glob rescan — and the ``coalesce(1)`` single task is
+    bounded: multi-file groups are < target + one file's rows by the
+    next-fit construction."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath) and len(fs.listStatus(jpath)) > 0:
+        raise ValueError(
+            f"apply_compaction: out_path {out_path} is not empty — group "
+            "ids are plan-positional, so mixing runs leaves stale cg= "
+            "directories a reader cannot distinguish from live ones; "
+            "write each compaction to a fresh directory")
     groups = (plan.where(F.col("n_files") > 1)
               .groupBy("group_id")
               .agg(F.collect_list("file").alias("files"))
@@ -167,4 +189,29 @@ def apply_compaction(spark: SparkSession, plan: DataFrame,
          .coalesce(1)
          .write.mode("overwrite")
          .parquet(f"{out_path}/cg={row['group_id']}"))
+    replaced = [(f, int(row["group_id"]))
+                for row in groups for f in row["files"]]
+    if replaced:
+        (spark.createDataFrame(replaced, "file string, group_id long")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{out_path}/_replaced"))
     return len(groups)
+
+
+def refresh_manifest_after_compaction(spark: SparkSession,
+                                      manifest: DataFrame, out_path: str,
+                                      cols: list[str]) -> DataFrame:
+    """Skipping manifest for the COMPACTED table: drop the rows for
+    source files :func:`apply_compaction` rewrote (read from the
+    ``out_path/_replaced`` record it emitted) and append fresh stats for
+    the ``cg=`` files — one stats pass over the compacted bytes only.
+    ``prune_files`` / ``skipping_read`` over the result read the
+    compacted table with no duplicated and no stale rows."""
+    rp = spark._jvm.org.apache.hadoop.fs.Path(f"{out_path}/_replaced")
+    fs = rp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(rp):
+        return manifest   # nothing was rewritten (all-singleton plan)
+    replaced = spark.read.parquet(f"{out_path}/_replaced").select("file")
+    kept = manifest.join(replaced, "file", "left_anti")
+    fresh = build_file_stats(spark, out_path, cols)
+    return kept.unionByName(fresh)

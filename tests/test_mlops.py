@@ -643,3 +643,23 @@ def test_hard_negatives_matmul_equals_expression_reranked(spark):
     # no negative shares its query's label
     for (qid, _), (_, lab, _) in got.items():
         assert lab != qid % 3
+
+
+def test_round_half_up_np_boundary_exact():
+    """ADVICE r4: floor(|x|*10^dp + 0.5) evaluates the tie in binary FP,
+    so decimal-boundary cosines can round opposite to Spark/DuckDB's
+    decimal-string HALF_UP. The helper must match Decimal(repr) HALF_UP
+    on exact-boundary, near-boundary, and ordinary values, both signs."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+    from datatools_spark.operators.similarity import _round_half_up_np
+
+    vals = np.array([0.1234565, -0.1234565, 0.9999995, -0.9999995,
+                     0.0000005, 0.1234564999, 0.123456, 0.7071067811865476,
+                     -0.5000005, 1.0, -1.0, 0.0])
+    got = _round_half_up_np(vals.copy(), 6)
+    q = Decimal("1e-6")
+    want = np.array([float(Decimal(repr(float(x)))
+                           .quantize(q, rounding=ROUND_HALF_UP))
+                     for x in vals])
+    assert np.array_equal(got, want), (got, want)

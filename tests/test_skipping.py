@@ -151,3 +151,53 @@ def test_plan_compaction_near_target_files_still_pack(spark, tmp_path):
     multi = plan.where("n_files > 1")
     assert multi.count() == 6        # every file lands in a 2-file bin
     assert plan.where("n_files = 1").count() == 0
+
+
+def test_apply_compaction_refuses_nonempty_out_path(spark, tmp_path):
+    """Group ids are plan-positional: a re-run after the file set changed
+    would mix this plan's cg= dirs with stale ones from the previous
+    plan, and a reader would silently see duplicated/stale rows — the
+    executor must refuse a non-empty out_path."""
+    import pytest
+    from datatools_spark.operators.skipping import (
+        apply_compaction, build_file_stats, plan_compaction)
+    src = str(tmp_path / "frag3")
+    for i in range(4):
+        spark.range(i * 50, i * 50 + 50).coalesce(1) \
+            .write.mode("append").parquet(src)
+    plan = plan_compaction(build_file_stats(spark, src, ["id"]),
+                           target_rows=200)
+    out = str(tmp_path / "compact3")
+    assert apply_compaction(spark, plan, out) >= 1
+    with pytest.raises(ValueError, match="not empty"):
+        apply_compaction(spark, plan, out)
+
+
+def test_refresh_manifest_after_compaction_reads_clean(spark, tmp_path):
+    """The compacted table must be assemblable WITHOUT the caller
+    remembering the plan: apply_compaction records the rewritten source
+    paths at out_path/_replaced, and the refreshed manifest (originals
+    minus replaced, plus stats over the cg= files) reads every row
+    exactly once through skipping_read."""
+    from datatools_spark.operators.skipping import (
+        apply_compaction, build_file_stats, plan_compaction,
+        refresh_manifest_after_compaction, skipping_read)
+    src = str(tmp_path / "frag4")
+    # 6 tiny files (will compact) + 1 big file (left in place)
+    for i in range(6):
+        spark.range(i * 50, i * 50 + 50).coalesce(1) \
+            .write.mode("append").parquet(src)
+    spark.range(1000, 2000).coalesce(1).write.mode("append").parquet(src)
+    man = build_file_stats(spark, src, ["id"])
+    plan = plan_compaction(man, target_rows=120)
+    out = str(tmp_path / "compact4")
+    apply_compaction(spark, plan, out)
+    man2 = refresh_manifest_after_compaction(spark, man, out, ["id"])
+    got = sorted(r["id"] for r in
+                 skipping_read(spark, man2, {"id": (None, None)}).collect())
+    want = sorted(list(range(0, 300)) + list(range(1000, 2000)))
+    assert got == want                     # no dup, no loss
+    # the untouched big file is read from its ORIGINAL path
+    files = {r["file"] for r in man2.select("file").collect()}
+    assert any("frag4" in f for f in files)
+    assert any("/cg=" in f for f in files)

@@ -509,8 +509,11 @@ def test_pair_engines_leave_no_session_cache(spark):
     accumulate entries in the session's cache registry (persist()d plans
     are pinned there until an explicit unpersist; checkpoint blocks are
     reference-tracked and freed on GC). Run both engines over distinct
-    corpora and assert the cache manager holds nothing."""
+    corpora and assert the cache manager holds nothing. (Other suites'
+    operators persist() legitimately — clear first so the assertion is
+    about THESE calls, not shared-session leftovers.)"""
     import random
+    spark.catalog.clearCache()
     rng = random.Random(11)
     for seed in (1, 2):
         rows = [(i, bytes((rng.randrange(256)) for _ in range(256)))

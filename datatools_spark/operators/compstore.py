@@ -1,0 +1,248 @@
+"""Incremental near-dup COMPONENT store — canonical cluster ids that
+survive streaming ingest (engine add; no reference analogue — the
+reference dedups eager in-memory frames).
+
+The signature stores (``operators.sigstore``) make pair GENERATION
+incremental: a new batch signs once and band-joins against the corpus.
+This module closes the remaining gap: turning those pairs into stable
+component (cluster) labels WITHOUT re-running connected components over
+every edge ever seen. At 100 TB that recompute is a full-corpus job per
+batch; here each batch costs two bounded joins plus driver work
+proportional to the batch's pairs.
+
+Design — the Delta-log / checkpoint shape applied to union-find:
+
+- ``{path}/members``: append-only parquet ``(id, comp)`` — one row per
+  corpus id, written ONCE at first ingest, labeled with the component
+  root resolved AT WRITE TIME. Never rewritten by updates.
+- ``{path}/merges``: append-only parquet ``(child, parent)`` — a merge
+  event log. When a batch's pairs connect existing components, the
+  losing roots are appended as ``child`` pointing at the new group
+  minimum. Component labels in ``members`` may therefore be STALE
+  (they name a root that later lost a merge); the TRUE label is
+  recovered by following the merge forest — a driver-side transitive
+  closure over the log, which is sized by MERGE EVENTS since the last
+  compaction, not by corpus rows. Readers apply it as one broadcast
+  join (:func:`read_components`).
+- :func:`compact_component_store` is the OPTIMIZE pass: rewrite
+  ``members`` fully resolved into a FRESH directory and start an empty
+  log, bounding the resolution map between compactions. It refuses a
+  non-empty target — same rationale as ``skipping.apply_compaction``:
+  mixing two compactions' outputs is unreadable.
+
+Invariant (equivalence-tested against ``graph.connected_components``):
+after any sequence of batches, ``read_components`` labels every
+registered id with the MINIMUM id reachable through every pair ever
+ingested; ids with no pairs keep their own id.
+
+Scale audit of one ``update_component_store`` call:
+- batch ids anti-join members (idempotent re-ingest) — bounded by
+  batch × store-index, the sigstore cost class;
+- pairs join members twice (comp lookup per endpoint) — bounded by
+  batch pair count, which the upstream pair engines' candidate-mass
+  pre-flight already fail-fasts on degenerate corpora;
+- the driver collects only DISTINCT (comp_a, comp_b) adjacencies —
+  ≤ pairs, typically ≪ (near-dup clusters touched per batch);
+- appends: one members write (new ids) + one merges write (lost roots).
+Nothing in the loop scales with corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["update_component_store", "read_components",
+           "compact_component_store"]
+
+
+def _members_path(path: str) -> str:
+    return f"{path}/members"
+
+
+def _merges_path(path: str) -> str:
+    return f"{path}/merges"
+
+
+def _fs(spark: SparkSession, p: str):
+    jp = spark._jvm.org.apache.hadoop.fs.Path(p)
+    return jp.getFileSystem(spark._jsc.hadoopConfiguration()), jp
+
+
+def _exists(spark: SparkSession, p: str) -> bool:
+    fs, jp = _fs(spark, p)
+    return fs.exists(jp)
+
+
+def _merge_map(spark: SparkSession, path: str) -> dict:
+    """Driver-side closure of the merge log: ``{stale_root: true_root}``.
+    Sized by merge events since compaction (see module docstring), with
+    path compression so chained merges across batches resolve in one
+    lookup."""
+    if not _exists(spark, _merges_path(path)):
+        return {}
+    rows = spark.read.parquet(_merges_path(path)).collect()
+    parent: dict = {}
+    for r in rows:
+        c, p = r["child"], r["parent"]
+        parent.setdefault(c, c)
+        parent.setdefault(p, p)
+        # union by value: the smaller id is always the surviving root
+        rc, rp = _find(parent, c), _find(parent, p)
+        if rc != rp:
+            lo, hi = (rc, rp) if rc < rp else (rp, rc)
+            parent[hi] = lo
+    return {x: _find(parent, x) for x in parent}
+
+
+def _find(parent: dict, x):
+    r = x
+    while parent[r] != r:
+        r = parent[r]
+    while parent[x] != r:            # path compression
+        parent[x], x = r, parent[x]
+    return r
+
+
+def read_components(spark: SparkSession, path: str) -> DataFrame:
+    """Current ``(id, component)`` labels: members with the merge-log
+    closure applied as ONE broadcast join — the log is merge-event-sized
+    (compaction keeps it small), the members scan is the only
+    corpus-sized input, and no shuffle is needed."""
+    members = spark.read.parquet(_members_path(path))
+    mm = _merge_map(spark, path)
+    remap = [(c, r) for c, r in mm.items() if c != r]
+    if not remap:
+        return members.select("id", F.col("comp").alias("component"))
+    remap_df = F.broadcast(spark.createDataFrame(
+        remap, "comp long, _root long"))
+    return (members.join(remap_df, "comp", "left")
+            .select("id", F.coalesce("_root", "comp").alias("component")))
+
+
+def update_component_store(spark: SparkSession, ids: DataFrame,
+                           pairs: DataFrame, path: str,
+                           id_col: str = "doc_id") -> int:
+    """Register a batch and fold its near-dup pairs into the store.
+
+    ``ids``: this batch's corpus ids (singletons welcome — every id gets
+    a member row). ``pairs``: near-dup edges ``(a_id, b_id)`` whose
+    endpoints are all in ``ids`` or already registered (typically the
+    output of ``sigstore.lsh_pairs_against_store`` /
+    ``ahash_pairs_against_store`` for this batch) — an endpoint known to
+    neither RAISES: silently inventing a member row for it would let a
+    pair-generator bug corrupt the store. Idempotent per id and per
+    merge: a checkpoint-retried batch registers nothing new and derives
+    no new merges. Returns the number of newly registered ids.
+    """
+    ids = ids.select(F.col(id_col).cast("long").alias("id")).distinct() \
+        .localCheckpoint(eager=True)
+    pr = pairs.select(F.col("a_id").cast("long").alias("a"),
+                      F.col("b_id").cast("long").alias("b")).distinct()
+
+    have_store = _exists(spark, _members_path(path))
+    if have_store:
+        # localCheckpoint, not a cached plan: the members APPEND below
+        # must not recache/recompute anything reading the members path
+        # (the sigstore recache lesson, r4)
+        members = spark.read.parquet(_members_path(path)) \
+            .localCheckpoint(eager=True)
+        new_ids = ids.join(members.select("id"), "id", "left_anti")
+    else:
+        members, new_ids = None, ids
+    new_ids = new_ids.localCheckpoint(eager=True)
+
+    mm = _merge_map(spark, path) if have_store else {}
+
+    # endpoint → current component: member label (stale ok — resolved
+    # through the merge map driver-side below) or own id for batch ids
+    known = ids.select("id")
+    if members is not None:
+        lab = members
+        known = known.unionByName(members.select("id")).distinct()
+    else:
+        lab = spark.createDataFrame([], "id long, comp long")
+    unknown = (pr.select(F.col("a").alias("id"))
+               .unionByName(pr.select(F.col("b").alias("id")))
+               .distinct().join(known, "id", "left_anti"))
+    n_unknown = unknown.count()
+    if n_unknown:
+        sample = [r["id"] for r in unknown.limit(5).collect()]
+        raise ValueError(
+            f"update_component_store: {n_unknown} pair endpoint(s) are "
+            f"neither registered nor in this batch (e.g. {sample}) — "
+            "pairs must come from the registered corpus + this batch")
+
+    la = lab.select(F.col("id").alias("a"), F.col("comp").alias("_ca"))
+    lb = lab.select(F.col("id").alias("b"), F.col("comp").alias("_cb"))
+    adj = (pr.join(la, "a", "left").join(lb, "b", "left")
+           .select(F.coalesce("_ca", "a").alias("ca"),
+                   F.coalesce("_cb", "b").alias("cb"))
+           .where(F.col("ca") != F.col("cb"))
+           .distinct()
+           .collect())     # distinct component adjacencies — batch-sized
+
+    # driver union-find over CURRENT roots (merge map applied first)
+    parent: dict = {}
+    for r in adj:
+        ca = mm.get(r["ca"], r["ca"])
+        cb = mm.get(r["cb"], r["cb"])
+        parent.setdefault(ca, ca)
+        parent.setdefault(cb, cb)
+        ra, rb = _find(parent, ca), _find(parent, cb)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    group_root = {x: _find(parent, x) for x in parent}
+
+    # merge events: every EXISTING root that lost. New ids' labels are
+    # written already-resolved, so they never need a merge row — and
+    # which losers are "existing" is checked with one adjacency-sized
+    # semi-join, not a driver collect of the whole batch.
+    losers = [x for x, root in group_root.items() if x != root]
+    if losers and members is not None:
+        losers_df = spark.createDataFrame([(x,) for x in losers],
+                                          "child long")
+        existing = {r["child"] for r in
+                    losers_df.join(members.select(F.col("id")
+                                                  .alias("child")),
+                                   "child", "left_semi").collect()}
+        merges = [(x, group_root[x]) for x in losers if x in existing]
+        if merges:
+            (spark.createDataFrame(merges, "child long, parent long")
+             .coalesce(1).write.mode("append")
+             .parquet(_merges_path(path)))
+
+    # member rows for new ids, labeled with their FINAL root
+    n_new = new_ids.count()
+    if n_new:
+        bmap = [(x, r) for x, r in group_root.items() if x != r]
+        if bmap:
+            remap = F.broadcast(spark.createDataFrame(
+                bmap, "id long, _root long"))
+            rows = (new_ids.join(remap, "id", "left")
+                    .select("id", F.coalesce("_root", "id").alias("comp")))
+        else:
+            rows = new_ids.select("id", F.col("id").alias("comp"))
+        rows.write.mode("append").parquet(_members_path(path))
+    return n_new
+
+
+def compact_component_store(spark: SparkSession, path: str,
+                            out_path: str) -> int:
+    """OPTIMIZE pass: write a fully-resolved copy of the store at
+    ``out_path`` (fresh directory — refuses non-empty, the
+    ``apply_compaction`` contract) with an EMPTY merge log, bounding
+    future resolution maps. Returns the number of member rows written.
+    The source store is untouched (swap directories at the catalog
+    level, the standard metadata flip)."""
+    fs, jp = _fs(spark, out_path)
+    if fs.exists(jp) and len(fs.listStatus(jp)) > 0:
+        raise ValueError(
+            f"compact_component_store: out_path {out_path} is not empty "
+            "— mixing two compactions' members is unreadable; use a "
+            "fresh directory")
+    resolved = read_components(spark, path) \
+        .select("id", F.col("component").alias("comp"))
+    resolved.write.mode("overwrite").parquet(_members_path(out_path))
+    return spark.read.parquet(_members_path(out_path)).count()

@@ -23,6 +23,7 @@ __all__ = ["streaming_window_counts", "streaming_daily_extrema",
            "streaming_sessionize", "streaming_ingest_dedup",
            "streaming_interval_join", "streaming_upsert",
            "streaming_image_ingest_dedup", "streaming_embedding_ingest",
+           "streaming_image_ingest_components",
            "run_file_stream"]
 
 
@@ -238,6 +239,68 @@ def streaming_image_ingest_dedup(media: DataFrame, store_dir: str,
             (ahash_pairs_against_store(sess, batch_df.select(id_col),
                                        store_dir, id_col=id_col)
              .write.mode("append").parquet(pairs_dir))
+
+    return (media.writeStream
+            .outputMode("append")
+            .foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def streaming_image_ingest_components(media: DataFrame, store_dir: str,
+                                      comp_dir: str, checkpoint_dir: str,
+                                      id_col: str = "media_id",
+                                      payload_col: str = "payload",
+                                      grid: int = 8):
+    """The COMPLETE incremental dedup loop: each micro-batch signs its
+    new images into the aHash store, band-joins the batch against the
+    corpus for near-dup pairs, and folds those pairs into the
+    COMPONENT store (``operators.compstore``) — so a stable canonical
+    cluster id per image is maintained continuously, without ever
+    re-running connected components over the corpus (per-batch cost:
+    two bounded joins + driver work ∝ the batch's pairs; the
+    equivalence with a full recompute is pinned by
+    tests/test_compstore.py).
+
+    Idempotence does the at-least-once heavy lifting here: a
+    checkpoint-retried batch re-signs nothing
+    (``update_image_signature_store`` anti-joins), re-derives the same
+    pairs, and ``update_component_store`` registers no ids and appends
+    no merges for already-merged adjacencies — so replay converges
+    instead of duplicating state. A reader asks
+    ``compstore.read_components(spark, comp_dir)`` at any time; a
+    maintenance job runs ``compact_component_store`` when the merge log
+    grows. Returns the started query (availableNow trigger; caller
+    awaits)."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.compstore import update_component_store
+    from ..operators.sigstore import (_is_path_missing,
+                                      ahash_pairs_against_store,
+                                      update_image_signature_store)
+
+    def _process(batch_df: DataFrame, batch_id: int):
+        sess = batch_df.sparkSession
+        new_batch, store_exists = batch_df, True
+        try:
+            stored = sess.read.parquet(store_dir).select(id_col)
+            new_batch = batch_df.join(stored, id_col, "left_anti")
+        except AnalysisException as exc:
+            if not _is_path_missing(exc):
+                raise
+            store_exists = False
+        new_batch = new_batch.localCheckpoint(eager=True)
+        n = update_image_signature_store(sess, new_batch, store_dir,
+                                         grid=grid,
+                                         payload_col=payload_col,
+                                         id_col=id_col,
+                                         batch_is_new=True)
+        if store_exists or n:
+            pairs = ahash_pairs_against_store(
+                sess, batch_df.select(id_col), store_dir, id_col=id_col)
+            update_component_store(sess, batch_df.select(id_col), pairs,
+                                   comp_dir, id_col=id_col)
 
     return (media.writeStream
             .outputMode("append")

@@ -1,0 +1,115 @@
+"""Incremental component store vs batch connected components.
+
+The invariant: after ANY sequence of (ids, pairs) batches,
+``read_components`` equals ``graph.connected_components`` over the union
+of all pairs, plus own-id singletons for ids never paired — i.e. the
+incremental store is indistinguishable from a full recompute.
+"""
+
+import pytest
+
+from datatools_spark.operators.compstore import (
+    compact_component_store, read_components, update_component_store)
+from datatools_spark.operators.graph import connected_components
+
+
+def _ids(spark, xs):
+    return spark.createDataFrame([(x,) for x in xs], "doc_id long")
+
+
+def _pairs(spark, ps):
+    return spark.createDataFrame(list(ps) or [], "a_id long, b_id long")
+
+
+def _batch_truth(spark, all_ids, all_pairs):
+    comp = {i: i for i in all_ids}
+    if all_pairs:
+        got = {r["id"]: r["component"] for r in
+               connected_components(_pairs(spark, all_pairs)).collect()}
+        comp.update(got)
+    return comp
+
+
+def _store_labels(spark, path):
+    return {r["id"]: r["component"]
+            for r in read_components(spark, path).collect()}
+
+
+def test_incremental_equals_batch_over_hostile_batches(spark, tmp_path):
+    """Chain merges across batches, old-old merges, new-id-as-new-min,
+    singletons, duplicate pairs — after every batch the store equals the
+    full recompute."""
+    path = str(tmp_path / "cs")
+    batches = [
+        # batch 1: two clusters {10,20}, {30,40}; singleton 99
+        ([10, 20, 30, 40, 99], [(10, 20), (30, 40)]),
+        # batch 2: old-old merge (20-30 joins both clusters) + new
+        # cluster {50,60} + duplicate pair re-sent
+        ([50, 60], [(20, 30), (50, 60), (10, 20)]),
+        # batch 3: NEW id 5 smaller than every existing root joins the
+        # big cluster -> existing root 10 must lose to 5
+        ([5], [(5, 40)]),
+        # batch 4: chain through the singleton; 99 joins {50,60}
+        ([], [(60, 99)]),
+        # batch 5: ids only, no pairs
+        ([70, 71], []),
+    ]
+    seen_ids: set = set()
+    seen_pairs: list = []
+    for ids, pairs in batches:
+        seen_ids.update(ids)
+        seen_pairs.extend(pairs)
+        update_component_store(spark, _ids(spark, ids),
+                               _pairs(spark, pairs), path)
+        assert _store_labels(spark, path) == \
+            _batch_truth(spark, seen_ids, seen_pairs)
+    # final shape sanity: 5 owns the big cluster, 50 the other
+    labels = _store_labels(spark, path)
+    assert labels[40] == 5 and labels[10] == 5
+    assert labels[99] == 50 and labels[70] == 70
+
+
+def test_update_is_idempotent_on_retry(spark, tmp_path):
+    """A checkpoint-retried batch (same ids, same pairs) registers
+    nothing, appends no merges, and leaves labels unchanged."""
+    path = str(tmp_path / "cs2")
+    ids, pairs = [1, 2, 3], [(1, 2)]
+    n1 = update_component_store(spark, _ids(spark, ids),
+                                _pairs(spark, pairs), path)
+    before = _store_labels(spark, path)
+    n2 = update_component_store(spark, _ids(spark, ids),
+                                _pairs(spark, pairs), path)
+    assert (n1, n2) == (3, 0)
+    assert _store_labels(spark, path) == before
+
+
+def test_unknown_pair_endpoint_raises(spark, tmp_path):
+    path = str(tmp_path / "cs3")
+    update_component_store(spark, _ids(spark, [1, 2]),
+                           _pairs(spark, [(1, 2)]), path)
+    with pytest.raises(ValueError, match="neither registered"):
+        update_component_store(spark, _ids(spark, [3]),
+                               _pairs(spark, [(3, 777)]), path)
+
+
+def test_compaction_resolves_and_refuses_nonempty(spark, tmp_path):
+    path = str(tmp_path / "cs4")
+    update_component_store(spark, _ids(spark, [10, 20, 30, 40]),
+                           _pairs(spark, [(10, 20), (30, 40)]), path)
+    update_component_store(spark, _ids(spark, []),
+                           _pairs(spark, [(20, 30)]), path)   # merge
+    before = _store_labels(spark, path)
+    out = str(tmp_path / "cs4_compact")
+    n = compact_component_store(spark, path, out)
+    assert n == 4
+    assert _store_labels(spark, out) == before
+    # compacted store has an empty log: members carry final labels
+    got = {r["comp"] for r in
+           spark.read.parquet(f"{out}/members").collect()}
+    assert got == {10}
+    with pytest.raises(ValueError, match="not empty"):
+        compact_component_store(spark, path, out)
+    # updates continue against the compacted store
+    update_component_store(spark, _ids(spark, [5]),
+                           _pairs(spark, [(5, 40)]), out)
+    assert _store_labels(spark, out)[30] == 5

@@ -406,3 +406,55 @@ def test_streaming_embedding_ingest_finds_cross_batch_neardups(spark, tmp_path):
     for j in range(3):
         assert (200 + j, j) in pairs
     assert all(a != b for a, b in pairs)
+
+
+def test_streaming_image_ingest_components_equals_batch(spark, tmp_path):
+    """The full incremental dedup loop (sign -> pairs vs store ->
+    component-store update) ends with EXACTLY the labels a batch
+    pipeline computes over the whole corpus: connected components of
+    the full pair set, own-id singletons elsewhere."""
+    import random
+    from datatools_spark.operators.compstore import read_components
+    from datatools_spark.operators.graph import connected_components
+    from datatools_spark.operators.multimodal import ahash_pairs, raw8_ahash
+    from datatools_spark.streaming.demo import (
+        streaming_image_ingest_components)
+
+    def img(seed=None, near_of=None):
+        if near_of is not None:
+            b = list(near_of)
+            b[0] = (b[0] + 120) % 256
+            return bytes(b)
+        r = random.Random(seed)
+        return bytes(r.randrange(256) for _ in range(256))
+
+    b1 = [(i, img(seed=i)) for i in range(12)]
+    b2 = [(100 + i, img(seed=700 + i)) for i in range(6)] \
+        + [(200 + k, img(near_of=p)) for k, (_, p) in enumerate(b1[:3])] \
+        + [b1[0]]                        # re-ingested duplicate id
+    b3 = [(300 + k, img(near_of=p)) for k, (_, p) in enumerate(b2[:2])]
+    schema = "media_id long, payload binary"
+    src = str(tmp_path / "src")
+    for rows in [b1, b2, b3]:
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    store, comps, ckpt = (str(tmp_path / d)
+                          for d in ["store", "comps", "ckpt"])
+    q = streaming_image_ingest_components(stream, store, comps, ckpt,
+                                          id_col="media_id")
+    q.awaitTermination(180)
+
+    got = {r["id"]: r["component"]
+           for r in read_components(spark, comps).collect()}
+    full_rows = list({r[0]: r for r in b1 + b2 + b3}.values())
+    full = spark.createDataFrame(full_rows, schema)
+    pairs = ahash_pairs(raw8_ahash(full, width=16, grid=8))
+    want = {i: i for i, _ in full_rows}
+    want.update({r["id"]: r["component"]
+                 for r in connected_components(pairs).collect()})
+    assert got == want
+    # the incremental loop really chained across batches:
+    # 300-family joins the b2[0]-rooted cluster
+    assert got[300] == got[100]

@@ -119,7 +119,12 @@ def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
         ew = ew.localCheckpoint()
         nodes = nodes.localCheckpoint()
     else:
-        ew, nodes = ew.cache(), nodes.cache()
+        # localCheckpoint, not cache(): a cached plan pins the session's
+        # cache registry per distinct input forever (the r5 pair-engine
+        # hygiene rule); checkpoint blocks free on GC, and the count()
+        # below materializes eagerly either way
+        ew = ew.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
     # (1-d)/n is built from the SAME primitive ops an external SQL twin
     # would use — literal subtraction and division in the engine, never

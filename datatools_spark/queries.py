@@ -4684,8 +4684,12 @@ def doc_quality_classifier(spark, sf_dir):
     every reduction pins the model bit-for-bit across engines."""
     from .operators import classifier as CL
     d = _t(spark, sf_dir, "documents")
+    # localCheckpoint, not cache(): three consumers (2 GD iterations +
+    # scoring) share one materialization without pinning a session-cache
+    # entry per corpus (r5 hygiene rule)
     feats = CL.hashed_features(
-        d, label=(F.col("lang") == "en"), dim=16).cache()
+        d, label=(F.col("lang") == "en"), dim=16) \
+        .localCheckpoint(eager=False)
     w, bias = CL.train_logreg(feats, dim=16, iters=2, lr=8.0)
     return CL.score_logreg(feats, w, bias)
 

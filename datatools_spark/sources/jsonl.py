@@ -64,14 +64,18 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     pattern every ingestion DAG needs so bad lines are auditable, not
     silently dropped).
 
-    The parsed frame is cached first: Spark refuses plans that read ONLY
-    the internal corrupt column straight off a raw JSON scan
+    The parsed frame is checkpointed first: Spark refuses plans that
+    read ONLY the internal corrupt column straight off a raw JSON scan
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — the scan
     would otherwise prune away the very parse that populates it), and
     the quarantine branch is exactly that shape. Both forks share the
-    one cached parse, which the clean branch needs anyway.
+    one materialized parse, which the clean branch needs anyway. A lazy
+    localCheckpoint (not ``cache()``) keeps the call plan-only while
+    avoiding a session-cache entry per ingested file set (the r5
+    hygiene rule: checkpoint blocks free on GC, cache registry entries
+    never do).
     """
-    df = df.cache()
+    df = df.localCheckpoint(eager=False)
     clean = df.where(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
     bad = df.where(F.col(_CORRUPT).isNotNull()).select(F.col(_CORRUPT))
     return clean, bad

@@ -2961,10 +2961,18 @@ def mm_patchify(spark, sf_dir):
 
 def _mm_payload(spark, sf_dir):
     """documents' text bytes as stand-in RAW8/PCM payloads (ASCII text ⇒
-    byte == codepoint, so byte-level DuckDB oracles see identical data)."""
-    return _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "utf-8").alias("payload"))
+    byte == codepoint, so byte-level DuckDB oracles see identical data).
+
+    Spread across cores first: every mm_* decode (numpy in mapInPandas)
+    runs in the SCAN stage, so a single-file corpus would serialize the
+    whole family onto 1-2 tasks (the doc_quality lesson, r5); the
+    repartition moves only (media_id, payload) and is byte-gated off for
+    tiny inputs."""
+    from .operators.partitioning import ensure_parallelism
+    return ensure_parallelism(
+        _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload")))
 
 
 @query("mm_decode_stats", sql="""

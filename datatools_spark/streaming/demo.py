@@ -24,6 +24,7 @@ __all__ = ["streaming_window_counts", "streaming_daily_extrema",
            "streaming_interval_join", "streaming_upsert",
            "streaming_image_ingest_dedup", "streaming_embedding_ingest",
            "streaming_image_ingest_components",
+           "streaming_text_ingest_components",
            "run_file_stream"]
 
 
@@ -303,6 +304,47 @@ def streaming_image_ingest_components(media: DataFrame, store_dir: str,
                                    comp_dir, id_col=id_col)
 
     return (media.writeStream
+            .outputMode("append")
+            .foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def streaming_text_ingest_components(docs: DataFrame, store_dir: str,
+                                     comp_dir: str, checkpoint_dir: str,
+                                     id_col: str = "doc_id",
+                                     text_col: str = "text",
+                                     threshold: float = 0.5):
+    """Text twin of :func:`streaming_image_ingest_components`: MinHash
+    store instead of the aHash store, pairs at estimated Jaccard ≥
+    ``threshold`` — the continuous corpus-dedup loop a crawl ingests
+    through. Each micro-batch signs only its new docs
+    (``update_signature_store``), band-joins the batch against the
+    corpus (``lsh_pairs_against_store``), and folds the pairs into the
+    component store; per-batch cost never scales with corpus size, and
+    replayed batches converge by idempotence (see the image twin's
+    docstring for the at-least-once analysis — identical here).
+    Returns the started query (availableNow trigger; caller awaits)."""
+    from ..operators.compstore import update_component_store
+    from ..operators.sigstore import (lsh_pairs_against_store,
+                                      update_signature_store)
+
+    def _process(batch_df: DataFrame, batch_id: int):
+        sess = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if batch_df.isEmpty():
+            return
+        update_signature_store(sess, batch_df, store_dir,
+                               text_col=text_col, id_col=id_col)
+        pairs = lsh_pairs_against_store(sess, batch_df.select(id_col),
+                                        store_dir, text_col=text_col,
+                                        id_col=id_col,
+                                        threshold=threshold)
+        update_component_store(sess, batch_df.select(id_col), pairs,
+                               comp_dir, id_col=id_col)
+
+    return (docs.writeStream
             .outputMode("append")
             .foreachBatch(_process)
             .option("checkpointLocation", checkpoint_dir)

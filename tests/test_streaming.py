@@ -458,3 +458,44 @@ def test_streaming_image_ingest_components_equals_batch(spark, tmp_path):
     # the incremental loop really chained across batches:
     # 300-family joins the b2[0]-rooted cluster
     assert got[300] == got[100]
+
+
+def test_streaming_text_ingest_components_equals_batch(spark, tmp_path):
+    """Text twin: MinHash-store ingest folds cross-batch near-dup pairs
+    into the same component labels a full-corpus batch run derives."""
+    from datatools_spark.operators.compstore import read_components
+    from datatools_spark.operators.dedup import minhash_lsh_pairs
+    from datatools_spark.operators.graph import connected_components
+    from datatools_spark.streaming.demo import (
+        streaming_text_ingest_components)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    b1 = [(1, base), (2, "completely different words about spark "
+                         "engines and parquet files and shuffles"),
+          (3, base + " extra tail")]
+    b2 = [(10, base + " extra tail tweak"), (11, "unrelated banana "
+          "apple cherry orange grape melon kiwi pear plum fig date")]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    for rows in [b1, b2]:
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    store, comps, ckpt = (str(tmp_path / d)
+                          for d in ["store", "comps", "ckpt"])
+    q = streaming_text_ingest_components(stream, store, comps, ckpt,
+                                         threshold=0.5)
+    q.awaitTermination(180)
+
+    got = {r["id"]: r["component"]
+           for r in read_components(spark, comps).collect()}
+    full = spark.createDataFrame(b1 + b2, schema)
+    pairs = minhash_lsh_pairs(full, threshold=0.5)
+    want = {i: i for i, _ in b1 + b2}
+    want.update({r["id"]: r["component"]
+                 for r in connected_components(pairs).collect()})
+    assert got == want
+    # the near-identical docs really clustered across batches
+    assert got[10] == got[1]

@@ -25,6 +25,7 @@ __all__ = ["streaming_window_counts", "streaming_daily_extrema",
            "streaming_image_ingest_dedup", "streaming_embedding_ingest",
            "streaming_image_ingest_components",
            "streaming_text_ingest_components",
+           "streaming_embedding_ingest_components",
            "run_file_stream"]
 
 
@@ -411,6 +412,69 @@ def streaming_embedding_ingest(vectors: DataFrame, index_path: str,
          .where((F.col("cosine") >= threshold)
                 & (F.col("query_id") != F.col(id_col)))
          .write.mode("append").parquet(matches_dir))
+
+    return (vectors.writeStream
+            .outputMode("append")
+            .foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def streaming_embedding_ingest_components(vectors: DataFrame,
+                                          index_path: str, comp_dir: str,
+                                          checkpoint_dir: str,
+                                          k: int = 5, nprobe: int = 2,
+                                          threshold: float = 0.95,
+                                          vec_col: str = "embedding",
+                                          id_col: str = "vec_id"):
+    """Embedding modality of the component-store loop — completes the
+    trio (text MinHash / image aHash / embedding IVF): each micro-batch
+    appends its new vectors to the IVF index, searches probed cells for
+    cosine ≥ ``threshold`` semantic near-dups against everything
+    ingested so far, and folds those matches into the component store —
+    SemDeDup-style canonical cluster ids maintained continuously.
+    Same at-least-once/idempotence analysis as the image twin; the ANN
+    search is approximate (probed cells only), so cluster labels are
+    exactly the components of the EMITTED match set — the recall
+    contract is the index's (see ivfstore), not this loop's.
+    Returns the started query (availableNow trigger; caller awaits)."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.compstore import update_component_store
+    from ..operators.ivfstore import ivf_index_search, update_ivf_index
+    from ..operators.sigstore import _is_path_missing
+
+    def _process(batch_df: DataFrame, batch_id: int):
+        sess = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if batch_df.isEmpty():
+            return
+        try:
+            stored = sess.read.parquet(f"{index_path}/data").select(id_col)
+        except AnalysisException as exc:
+            if not _is_path_missing(exc):
+                raise
+            raise ValueError(
+                f"streaming_embedding_ingest_components: no index at "
+                f"{index_path} — build_ivf_index once (centroids are "
+                "the model; a stream must not invent its own)") from exc
+        new_batch = (batch_df.join(stored, id_col, "left_anti")
+                     .localCheckpoint(eager=True))
+        update_ivf_index(sess, new_batch, index_path,
+                         vec_col=vec_col, id_col=id_col,
+                         batch_is_new=True)
+        q = batch_df.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col))
+        pairs = (ivf_index_search(sess, index_path, q, k=k, nprobe=nprobe,
+                                  vec_col=vec_col, id_col=id_col)
+                 .where((F.col("cosine") >= threshold)
+                        & (F.col("query_id") != F.col(id_col)))
+                 .select(F.least("query_id", id_col).alias("a_id"),
+                         F.greatest("query_id", id_col).alias("b_id"))
+                 .distinct())
+        update_component_store(sess, batch_df.select(id_col), pairs,
+                               comp_dir, id_col=id_col)
 
     return (vectors.writeStream
             .outputMode("append")

@@ -499,3 +499,58 @@ def test_streaming_text_ingest_components_equals_batch(spark, tmp_path):
     assert got == want
     # the near-identical docs really clustered across batches
     assert got[10] == got[1]
+
+
+def test_streaming_embedding_ingest_components(spark, tmp_path):
+    """Embedding modality of the component loop: cross-batch semantic
+    near-dups (cosine >= threshold through the IVF index) end up under
+    one canonical id; unrelated vectors stay singletons; the labels
+    equal connected components of the emitted match set."""
+    import random
+    from datatools_spark.operators.compstore import read_components
+    from datatools_spark.operators.ivfstore import build_ivf_index
+    from datatools_spark.streaming.demo import (
+        streaming_embedding_ingest_components)
+    rnd = random.Random(41)
+
+    def vec(seed=None, near_of=None):
+        if near_of is not None:
+            return [x + rnd.uniform(-0.005, 0.005) for x in near_of]
+        return [rnd.uniform(-1, 1) for _ in range(8)]
+
+    b1 = [(i, vec(seed=i)) for i in range(30)]
+    b2 = [(100 + i, vec(seed=900 + i)) for i in range(8)] \
+        + [(200 + j, vec(near_of=b1[j][1])) for j in range(3)] + [b1[0]]
+    schema = "vec_id long, embedding array<double>"
+    cents = spark.createDataFrame(
+        [(j, b1[j][1]) for j in range(6)],
+        "centroid_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, spark.createDataFrame(b1[:1], schema),
+                    cents, idx)
+    src = str(tmp_path / "src")
+    for rows in [b1, b2]:
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    comps, ckpt = str(tmp_path / "comps"), str(tmp_path / "ckpt")
+    q = streaming_embedding_ingest_components(stream, idx, comps, ckpt,
+                                              threshold=0.95)
+    q.awaitTermination(180)
+
+    got = {r["id"]: r["component"]
+           for r in read_components(spark, comps).collect()}
+    all_ids = {i for i, _ in b1} | {i for i, _ in b2}
+    assert set(got) == all_ids
+    # the planted near-dups clustered with their b1 partners
+    for j in range(3):
+        assert got[200 + j] == got[j], (j, got[200 + j], got[j])
+    # labels == components of whatever matches the loop emitted: every
+    # non-singleton label is the min id of its cluster
+    from collections import defaultdict
+    clusters = defaultdict(set)
+    for i, c in got.items():
+        clusters[c].add(i)
+    for c, members in clusters.items():
+        assert c == min(members)

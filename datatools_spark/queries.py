@@ -108,8 +108,13 @@ def _r(c, n: int = 6):
 
 
 def ensure_parallelism_docs(d):
+    # 256 KB gate, not the default 2 MB: the consumers of this helper do
+    # HEAVY per-char expression work in the scan stage (regex passes,
+    # marker counts), where one serial core costs ~1 s/MB — spreading a
+    # 0.6 MB corpus wins 2x (measured r5); truly tiny inputs still skip
     from .operators.partitioning import ensure_parallelism
-    return ensure_parallelism(d.select("doc_id", "text"))
+    return ensure_parallelism(d.select("doc_id", "text"),
+                              min_bytes=256 << 10)
 
 
 # --------------------------------------------------------------------------
@@ -2969,6 +2974,10 @@ def _mm_payload(spark, sf_dir):
     repartition moves only (media_id, payload) and is byte-gated off for
     tiny inputs."""
     from .operators.partitioning import ensure_parallelism
+    # default 2 MB gate (NOT the doc family's 256 KB): the pair engines
+    # downstream checkpoint/band per partition, so spreading a sub-MB
+    # payload costs more than the serial decode saves (A/B-measured r5);
+    # the sf1-equiv corpus (5.9 MB) still spreads and won 2-3x there
     return ensure_parallelism(
         _t(spark, sf_dir, "documents").select(
             F.col("doc_id").alias("media_id"),

@@ -8045,6 +8045,61 @@ def ss_fk_integrity(spark, sf_dir):
     return out
 
 
+@query("ss_check_suite", sql="""
+WITH m AS (
+  SELECT count(*)::DOUBLE AS n,
+         (count(*) - count(l_orderkey))::DOUBLE AS nn_ok,
+         (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::DOUBLE
+             AS dup_keys,
+         sum(CASE WHEN l_quantity IS NOT NULL
+                   AND (l_quantity < 1 OR l_quantity > 50)
+             THEN 1 ELSE 0 END)::DOUBLE AS oob_qty,
+         sum(CASE WHEN l_discount IS NOT NULL
+                   AND (l_discount < 0.0 OR l_discount > 0.05)
+             THEN 1 ELSE 0 END)::DOUBLE AS oob_disc,
+         sum(CASE WHEN l_returnflag IS NOT NULL
+                   AND l_returnflag NOT IN ('A', 'N', 'R')
+             THEN 1 ELSE 0 END)::DOUBLE AS bad_flag,
+         round(sum(CASE WHEN regexp_matches(l_linestatus, '^[OF]$')
+                   THEN 1 ELSE 0 END)::DOUBLE
+               / count(l_linestatus), 6) AS ls_frac
+  FROM lineitem)
+SELECT 'not_null(l_orderkey)' AS check_name, nn_ok AS observed,
+       0.0::DOUBLE AS bound, (nn_ok <= 0)::INT AS passed FROM m
+UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', dup_keys, 0.0::DOUBLE,
+       (dup_keys <= 0)::INT FROM m
+UNION ALL SELECT 'in_range(l_quantity,1,50)', oob_qty, 0.0::DOUBLE,
+       (oob_qty <= 0)::INT FROM m
+UNION ALL SELECT 'in_range(l_discount,0.0,0.05)', oob_disc, 0.0::DOUBLE,
+       (oob_disc <= 0)::INT FROM m
+UNION ALL SELECT 'accepted_values(l_returnflag)', bad_flag, 0.0::DOUBLE,
+       (bad_flag <= 0)::INT FROM m
+UNION ALL SELECT 'matches_regex(l_linestatus)', ls_frac, 1.0::DOUBLE,
+       (ls_frac >= 1.0)::INT FROM m
+UNION ALL SELECT 'row_count_between(1,None)', n, 1.0::DOUBLE,
+       (n >= 1)::INT FROM m
+""")
+def ss_check_suite(spark, sf_dir):
+    """Declarative data-quality contract (operators/checks.py — the
+    Deequ/dbt-test shape): 7 rules over lineitem evaluated in ONE
+    aggregation pass (Catalyst computes every rule's counters in a
+    single scan; uniqueness rides the Expand-based multi-distinct), the
+    report built from the one scalar counter row. The synthetic data
+    genuinely FAILS two rules (duplicate (orderkey, linenumber) keys,
+    discounts above 0.05) so both verdict paths are driver-checked."""
+    from .operators import checks as CK
+    li = _t(spark, sf_dir, "lineitem")
+    return CK.check_suite(li, [
+        CK.not_null("l_orderkey"),
+        CK.unique(["l_orderkey", "l_linenumber"]),
+        CK.in_range("l_quantity", 1, 50),
+        CK.in_range("l_discount", 0.0, 0.05),
+        CK.accepted_values("l_returnflag", ["A", "N", "R"]),
+        CK.matches_regex("l_linestatus", "^[OF]$", min_fraction=1.0),
+        CK.row_count_between(1, None),
+    ])
+
+
 @query("ss_monthly_active", sql="""
 WITH m AS (SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
                   count(DISTINCT o_custkey) AS mac,
@@ -9025,7 +9080,8 @@ _REGISTRATION_ORDER = [
     "emb_silhouette_lite", "ts_resample_fidelity",
     "ts_burst_detect", "emb_plane_sweep", "doc_template_signature",
     "emb_nprobe_sweep", "doc_source_diversity", "mm_payload_entropy",
-    "emb_diversity_sample", "ss_fk_integrity", "ss_monthly_active",
+    "emb_diversity_sample", "ss_fk_integrity", "ss_check_suite",
+    "ss_monthly_active",
     "doc_detector_agreement", "emb_split_stability",
     "ss_discount_quantity_corr",
     "doc_vocab_growth", "doc_zipf_slope", "ss_repeat_purchase",

@@ -529,3 +529,51 @@ def test_priority_sample_rank_cut_is_pushed_map_side(spark):
     plan = priority_sample_per_group(df, "source", "w", k=3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_check_suite_verdicts_and_one_pass(spark):
+    """Declarative quality contract: each rule's observed metric and
+    verdict on a table with planted violations; the whole suite is ONE
+    aggregation pass (a single scan in the plan)."""
+    from datatools_spark.operators import checks as CK
+    rows = [
+        (1, 1, 10.0, "A", "ok"),
+        (1, 1, 10.0, "A", "ok"),        # duplicate key
+        (2, 1, None, "N", "ok"),        # null measure (not a violation)
+        (3, None, 99.0, "X", "bad!"),   # null key part, oob, bad enum
+        (4, 2, -5.0, "R", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k1 int, k2 int, v double, flag string, s string")
+    checks = [
+        CK.not_null("k1"),
+        CK.unique(["k1", "k2"]),
+        CK.in_range("v", 0.0, 50.0),
+        CK.accepted_values("flag", ["A", "N", "R"]),
+        CK.matches_regex("s", "^[a-z]+$", min_fraction=0.8),
+        CK.row_count_between(1, 10),
+    ]
+    got = {r["check_name"]: (r["observed"], r["passed"])
+           for r in CK.check_suite(df, checks).collect()}
+    assert got["not_null(k1)"] == (0.0, 1)
+    # 1 dup + 1 null-keyed row = 2 violations
+    assert got["unique(k1,k2)"] == (2.0, 0)
+    assert got["in_range(v,0.0,50.0)"] == (2.0, 0)      # 99 and -5
+    assert got["accepted_values(flag)"] == (1.0, 0)     # X
+    # 3 of 4 non-null s match ^[a-z]+$ -> 0.75 < 0.8
+    assert got["matches_regex(s)"] == (0.75, 0)
+    assert got["row_count_between(1,10)"] == (5.0, 1)
+
+    import pytest
+    with pytest.raises(ValueError, match="unique"):
+        CK.assert_checks(df, checks)
+    # clean subset passes the gate
+    clean = df.where("k1 = 4")
+    CK.assert_checks(clean, [CK.not_null("k1"),
+                             CK.in_range("v", -10.0, 0.0)])
+
+    # one pass: the aggregation plan scans the input exactly once
+    aggs = [obs.cast("double").alias(f"_c{i}")
+            for i, (_, obs, _, _) in enumerate(checks)]
+    plan = df.agg(*aggs)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1

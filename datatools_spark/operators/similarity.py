@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from .partitioning import ensure_parallelism, input_bytes
 
 __all__ = [
+    "rrf_fuse",
     "dot_expr", "norm_expr", "cosine_expr", "knn_brute_force",
     "knn_brute_matmul",
     "hard_negatives", "hard_negatives_ivf", "hard_negatives_matmul",
@@ -67,6 +68,42 @@ def _round_half_up_np(a, dp: int):
                                                     rounding=ROUND_HALF_UP))
              for x in np.atleast_1d(a[near])], dtype="float64")
     return r
+
+
+def rrf_fuse(legs: Sequence[DataFrame], id_col: str = "doc_id",
+             rank_col: str = "rank", k_const: int = 60,
+             round_dp: int = 6) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09) — the
+    standard way to combine a lexical (BM25) and a semantic (kNN)
+    ranking without score calibration: fused = Σ_legs 1/(k + rank),
+    missing-from-a-leg contributes 0. Ranks are INTEGERS, so the fused
+    double is a fixed-order sum of exact reciprocals — engine-exact
+    after rounding, unlike score-weighted fusion.
+
+    Plan: each leg arrives already cut to its top-k (tiny), so the
+    full-outer joins and the final rank window run on k·legs rows —
+    driver/model-sized work after corpus-sized legs, no corpus shuffle
+    here. Output: ``id_col, fused, rank`` (rank over fused desc, id
+    asc)."""
+    if not legs:
+        raise ValueError("rrf_fuse: no legs")
+    fused = None
+    terms = []
+    for i, leg in enumerate(legs):
+        part = leg.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k_const)) + F.col(rank_col)))
+            .alias(f"_s{i}"))
+        fused = part if fused is None else fused.join(part, id_col,
+                                                      "full_outer")
+        terms.append(F.coalesce(F.col(f"_s{i}"), F.lit(0.0)))
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    w = Window.orderBy(F.col("fused").desc(), F.col(id_col))
+    return (fused.withColumn("fused", F.round(score, round_dp))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .select(id_col, "fused", "rank"))
 
 
 def dot_expr(a: Column, b: Column) -> Column:

@@ -3560,8 +3560,7 @@ def ts_zorder_key(spark, sf_dir):
                     .alias("zkey")))
 
 
-@query("doc_bm25_topk", sql=r"""
-WITH d AS (
+_BM25_CTE = r"""d AS (
   SELECT doc_id,
          (CASE WHEN length(trim(text)) = 0 THEN 0
                ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT
@@ -3582,10 +3581,14 @@ s AS (SELECT tf.doc_id,
                    10)::DECIMAL(38,10) AS c
       FROM tf JOIN dfq USING (w) JOIN d USING (doc_id) CROSS JOIN sc),
 agg AS (SELECT doc_id, round(sum(c)::DOUBLE, 6) AS score FROM s GROUP BY 1),
-r AS (SELECT doc_id, score,
+bm25r AS (SELECT doc_id, score,
              row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank
-      FROM agg)
-SELECT doc_id, score, rank FROM r WHERE rank <= 15
+      FROM agg)"""
+
+
+@query("doc_bm25_topk", sql=f"""
+WITH {_BM25_CTE}
+SELECT doc_id, score, rank FROM bm25r WHERE rank <= 15
 """)
 def doc_bm25_topk(spark, sf_dir):
     """BM25 keyword retrieval (operators/text.py:bm25_scores): top-15
@@ -3602,6 +3605,54 @@ def doc_bm25_topk(spark, sf_dir):
                               F.row_number().over(w).cast("bigint"))
             .where(F.col("rank") <= 15)
             .select("doc_id", "score", "rank"))
+
+
+@query("doc_hybrid_rrf", sql=f"""
+WITH {_BM25_CTE},
+lex AS (SELECT doc_id, rank FROM bm25r WHERE rank <= 15),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sc2 AS (SELECT e.vec_id AS doc_id,
+               {_COS_SQL.format(a='e.embedding', b='qv.qv')} AS cos
+        FROM embeddings e, qv),
+sem AS (SELECT doc_id, cos,
+               row_number() OVER (ORDER BY cos DESC, doc_id)::BIGINT AS rank
+        FROM sc2),
+sem15 AS (SELECT doc_id, rank FROM sem WHERE rank <= 15),
+f AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             round(coalesce(1.0 / (60 + l.rank), 0)
+                   + coalesce(1.0 / (60 + s.rank), 0), 6) AS fused
+      FROM lex l FULL OUTER JOIN sem15 s ON l.doc_id = s.doc_id),
+fr AS (SELECT doc_id, fused,
+              row_number() OVER (ORDER BY fused DESC, doc_id)::BIGINT
+                  AS rank
+       FROM f)
+SELECT doc_id, fused, rank FROM fr WHERE rank <= 10
+""")
+def doc_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-15 + brute-cosine semantic
+    top-15 fused by reciprocal rank (similarity.py:rrf_fuse, k=60) —
+    the calibration-free lexical+vector combination every RAG corpus
+    search ships. Both legs are corpus-scan-then-top-k; the fusion
+    itself joins two 15-row lists, so nothing after the legs is
+    corpus-sized. Ranks are integers, making the fused double a
+    fixed-order sum of exact reciprocals — engine-exact at 6 dp."""
+    d = _t(spark, sf_dir, "documents")
+    lex = TX.bm25_scores(d, ["spark", "merge", "window"])
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex = (lex.withColumn("rank", F.row_number().over(wl).cast("bigint"))
+           .where(F.col("rank") <= 15).select("doc_id", "rank"))
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    qv = e.where(F.col("vec_id") == 0) \
+        .select(F.col("embedding").alias("_qv"))
+    ws = Window.orderBy(F.col("_cos").desc(), F.col("doc_id"))
+    sem = (e.crossJoin(F.broadcast(qv))
+           .select(F.col("vec_id").alias("doc_id"),
+                   SIM.cosine_expr(F.col("embedding"),
+                                   F.col("_qv")).alias("_cos"))
+           .withColumn("rank", F.row_number().over(ws).cast("bigint"))
+           .where(F.col("rank") <= 15).select("doc_id", "rank"))
+    return SIM.rrf_fuse([lex, sem]).where(F.col("rank") <= 10)
 
 
 @query("doc_source_cap", sql=r"""
@@ -9041,7 +9092,8 @@ _REGISTRATION_ORDER = [
     "ss_market_share", "ts_zorder_key", "doc_fuzzy_key_pairs",
     "doc_record_linkage", "ts_median_selectk", "ts_upsert_latest",
     # round-3 engine adds
-    "doc_bm25_topk", "emb_semantic_dedup", "doc_source_cap",
+    "doc_bm25_topk", "doc_hybrid_rrf", "emb_semantic_dedup",
+    "doc_source_cap",
     "doc_epoch_shard", "ts_drift_psi", "doc_bpe_pairs",
     "ss_bloom_semi_join", "emb_kmeans_train", "emb_cov_stats",
     "doc_segment_dedup", "doc_temperature_sample",

@@ -663,3 +663,22 @@ def test_round_half_up_np_boundary_exact():
                            .quantize(q, rounding=ROUND_HALF_UP))
                      for x in vals])
     assert np.array_equal(got, want), (got, want)
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: fused = sum 1/(60+rank) over legs, missing leg contributes
+    0, ties broken by id; a doc ranked well in BOTH legs beats a doc
+    ranked top in only one."""
+    from datatools_spark.operators.similarity import rrf_fuse
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                                "doc_id long, rank long")
+    sem = spark.createDataFrame([(2, 1), (3, 2), (9, 3)],
+                                "doc_id long, rank long")
+    got = {r["doc_id"]: (r["fused"], r["rank"])
+           for r in rrf_fuse([lex, sem]).collect()}
+    assert set(got) == {1, 2, 3, 9}
+    # doc 2: 1/62 + 1/61 > doc 1: 1/61 alone
+    assert got[2][1] == 1 and got[3][1] == 2
+    assert got[1][0] == round(1 / 61, 6)
+    assert got[2][0] == round(1 / 62 + 1 / 61, 6)
+    assert got[9][0] == round(1 / 63, 6)

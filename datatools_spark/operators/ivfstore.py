@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 from .similarity import cosine_expr, ivf_assign
 
-__all__ = ["build_ivf_index", "update_ivf_index", "ivf_index_search"]
+__all__ = ["build_ivf_index", "update_ivf_index", "ivf_index_search",
+           "ivf_index_stats"]
 
 
 def build_ivf_index(spark: SparkSession, df: DataFrame,
@@ -115,3 +116,65 @@ def ivf_index_search(spark: SparkSession, path: str, query: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(query_id_col, id_col, "cosine", "rank"))
+
+
+def ivf_index_stats(spark: SparkSession, path: str,
+                    vec_col: str = "embedding",
+                    centroid_id_col: str = "centroid_id",
+                    skew_warn: float = 4.0,
+                    residual_warn: float = 1.3) -> DataFrame:
+    """Index-health report — the maintenance signal every production ANN
+    deployment watches (FAISS's imbalance_factor, Milvus's segment
+    stats): one row per cell with fill count and mean cosine residual
+    (1 − cos(vector, its centroid)), plus index-level skew and drift
+    verdicts broadcast onto every row:
+
+    - ``fill_skew`` = max cell fill / (total / k) — FAISS's imbalance
+      factor, with the mean over ALL k stored centroids so EMPTY cells
+      (wasted lists) count against balance. Probing cost is per-cell:
+      one hot cell makes every probe of it scan ``skew``× the average
+      — past ``skew_warn`` the index needs re-clustering (or the hot
+      cell split).
+    - ``drift_ratio`` = overall mean residual / mean residual of the
+      BEST-fitting cell. Appends are assigned to STORED centroids
+      (update_ivf_index), so distribution shift shows up as residuals
+      inflating relative to the tightest cell — past ``residual_warn``
+      the stored model no longer fits the data and recall at fixed
+      nprobe decays; retrain centroids and rebuild.
+
+    Cost: ONE pass over the index data (cosine vs own centroid is a
+    broadcast join on the model-sized centroid table + per-row
+    expression), one hash aggregate to cells (k rows), driver work on
+    the k-row report only. Emit it after each ingest window; gate
+    re-clustering on ``needs_recluster``/``needs_retrain``.
+    Output: ``centroid_id, n_vectors, mean_residual, fill_skew,
+    drift_ratio, needs_recluster, needs_retrain``."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    c = F.broadcast(cents.select(F.col(centroid_id_col),
+                                 F.col(vec_col).alias("_cv")))
+    data = spark.read.parquet(f"{path}/data")
+    res = (data.join(c, on=centroid_id_col)
+           .withColumn("_res",
+                       F.lit(1.0) - cosine_expr(F.col(vec_col),
+                                                F.col("_cv"))))
+    cells = (res.groupBy(centroid_id_col)
+             .agg(F.count("*").alias("n_vectors"),
+                  F.round(F.avg("_res"), 6).alias("mean_residual")))
+    k_cells = cents.count()
+    agg = cells.agg(
+        F.max("n_vectors").alias("_max_n"),
+        F.sum("n_vectors").alias("_total_n"),
+        (F.sum(F.col("mean_residual") * F.col("n_vectors"))
+         / F.sum("n_vectors")).alias("_overall_res"),
+        F.min("mean_residual").alias("_best_res")).collect()[0]
+    mean_fill = float(agg["_total_n"]) / max(k_cells, 1)
+    fill_skew = round(float(agg["_max_n"]) / max(mean_fill, 1e-9), 6)
+    best = max(float(agg["_best_res"]), 1e-9)
+    drift = round(float(agg["_overall_res"]) / best, 6)
+    return (cells
+            .withColumn("fill_skew", F.lit(fill_skew))
+            .withColumn("drift_ratio", F.lit(drift))
+            .withColumn("needs_recluster",
+                        F.lit(int(fill_skew > skew_warn)))
+            .withColumn("needs_retrain",
+                        F.lit(int(drift > residual_warn))))

@@ -682,3 +682,72 @@ def test_rrf_fuse_semantics(spark):
     assert got[1][0] == round(1 / 61, 6)
     assert got[2][0] == round(1 / 62 + 1 / 61, 6)
     assert got[9][0] == round(1 / 63, 6)
+
+
+def test_ivf_index_stats_detects_hot_cell_and_drift(spark, tmp_path):
+    """Index health: a planted hot cell trips the skew verdict; vectors
+    far from every stored centroid inflate drift_ratio; a balanced
+    well-fitted index passes both."""
+    import math
+    import random
+    from datatools_spark.operators.ivfstore import (build_ivf_index,
+                                                    ivf_index_stats)
+    rnd = random.Random(7)
+    schema = "vec_id long, embedding array<double>"
+
+    def around(base, n, start_id, eps=0.02):
+        return [(start_id + i,
+                 [x + rnd.uniform(-eps, eps) for x in base])
+                for i in range(n)]
+
+    # 4 orthogonal centroids, balanced tight clusters -> healthy
+    dim = 4
+    cvecs = []
+    for j in range(dim):
+        v = [0.0] * dim
+        v[j] = 1.0
+        cvecs.append(v)
+    c0, c1 = cvecs[0], cvecs[1]
+    cents = spark.createDataFrame(
+        list(enumerate(cvecs)), "centroid_id long, embedding array<double>")
+    healthy = sum((around(cvecs[j], 20, j * 100) for j in range(dim)), [])
+    idx1 = str(tmp_path / "healthy")
+    build_ivf_index(spark, spark.createDataFrame(healthy, schema),
+                    cents, idx1)
+    h = ivf_index_stats(spark, idx1).collect()
+    assert all(r["needs_recluster"] == 0 and r["needs_retrain"] == 0
+               for r in h)
+    assert {r["centroid_id"]: r["n_vectors"] for r in h} \
+        == {j: 20 for j in range(dim)}
+
+    # hot cell needs k=8: with one hot cell, skew = hot/(total/k)
+    # asymptotes at k, so k=4 can never trip the 4.0 threshold -- at
+    # k=8, 199 of 200 in one cell gives 199/25 = 7.96 > 4.
+    dim8 = 8
+    cvecs8 = []
+    for j in range(dim8):
+        v = [0.0] * dim8
+        v[j] = 1.0
+        cvecs8.append(v)
+    cents8 = spark.createDataFrame(
+        list(enumerate(cvecs8)), "centroid_id long, embedding array<double>")
+    hot_schema = schema
+    hot = [(i, [1.0 if d == 0 else rnd.uniform(-0.02, 0.02)
+                for d in range(dim8)]) for i in range(199)] \
+        + [(500, [1.0 if d == 1 else 0.0 for d in range(dim8)])]
+    idx2 = str(tmp_path / "hot")
+    build_ivf_index(spark, spark.createDataFrame(hot, hot_schema),
+                    cents8, idx2)
+    s = ivf_index_stats(spark, idx2).collect()
+    # 199 / (200/8 = 25) = 7.96 > 4
+    assert all(r["needs_recluster"] == 1 for r in s)
+
+    # drift: half the corpus sits between/far from both centroids ->
+    # overall residual >> best cell's residual
+    far = [0.5 * math.sqrt(2), 0.5 * math.sqrt(2), 0.0, 0.0]
+    drifted = around(c0, 20, 0, eps=0.001) + around(far, 20, 700, eps=0.01)
+    idx3 = str(tmp_path / "drift")
+    build_ivf_index(spark, spark.createDataFrame(drifted, schema),
+                    cents, idx3)
+    d = ivf_index_stats(spark, idx3).collect()
+    assert all(r["needs_retrain"] == 1 for r in d)

@@ -108,6 +108,8 @@ EXTENDED_QUERIES = [
     "mm_scene_cuts",          # per-frame aHash scene-cut lag window
     "mm_ahash256_pairs",      # wide 256-bit hash pairs (32-bit band keys)
     "mm_curation_pipeline",   # image funnel: gates -> dedup -> sample
+    "doc_hybrid_rrf",         # r5: BM25 + cosine reciprocal-rank fusion
+    "ss_check_suite",         # r5: one-pass declarative quality contract
 ]
 
 # the multimodal-dedup family also runs in the sf1-equiv pass (r4): its

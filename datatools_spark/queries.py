@@ -173,6 +173,28 @@ def ts_rolling_median_6h(spark, sf_dir):
     return out.select("event_id", _r(F.col("roll_median")).alias("roll_median"))
 
 
+@query("ts_rolling_p90_6h", sql="""
+SELECT event_id,
+       round(quantile_cont(value, 0.9) OVER (
+             PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 3 HOUR PRECEDING
+                       AND INTERVAL 3 HOUR FOLLOWING), 6) AS roll_p90
+FROM events
+""")
+def ts_rolling_p90_6h(spark, sf_dir):
+    """Rolling p90 envelope (sensor-QA band; engine add generalizing
+    A2's median). Blocked-exact percentile_cont: the chunk+halo pandas
+    path computes the two bracketing order statistics by pure element
+    selection and combines them with the SQL lerp lo*(1-f)+hi*f, so the
+    result is bit-equal to the oracle's quantile_cont (pandas' own lerp
+    is 1 ulp off - see operators/rolling.py)."""
+    ev = _t(spark, sf_dir, "events")
+    out = RL.rolling_quantile_blocked(ev, "value", "6h", q=0.9,
+                                      partition_by=["event_type"],
+                                      out_col="roll_p90")
+    return out.select("event_id", _r(F.col("roll_p90")).alias("roll_p90"))
+
+
 _EXTREMA_RANKED = """
 ranked AS (
   SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day, value, ts,
@@ -9067,7 +9089,7 @@ _REGISTRATION_ORDER = [
     # —— past the cutoff: still oracle-backed, next-most-important first ——
     "ss_shipping_priority", "mm_extract_features",
     "ts_resample_nearest", "ts_resample_gapfill", "ss_window_counts",
-    "ts_rollup_multires",
+    "ts_rollup_multires", "ts_rolling_p90_6h",
     "mm_decode_stats", "mm_frame_stats", "mm_pool2x2", "mm_pcm_stats",
     "doc_curation_pipeline", "doc_repetition", "doc_pii_scrub",
     "doc_decontaminate", "doc_balanced_sample", "ts_plot_envelope",

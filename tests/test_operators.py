@@ -525,3 +525,52 @@ def test_dtw_pair_distances_matches_reference(spark):
     banded = {(r.a, r.b): r.dtw for r in
               dtw_pair_distances(df, pairs, grain="HOUR", band=10).collect()}
     assert banded == {k: v.dtw for k, v in got.items()}
+
+
+def test_blocked_quantile_equals_declarative(spark):
+    """rolling_quantile_blocked == the declarative percentile_cont frame
+    expression, bit-for-bit, on hostile shapes (nulls, duplicate ts,
+    boundary-exact offsets, trailing + centered, min_periods, q=0/1
+    edges); q=0.5 also equals rolling_median_blocked exactly."""
+    import datetime as dt
+    import random
+    from datatools_spark.operators.rolling import (
+        c_rolling, rolling_median_blocked, rolling_quantile_blocked)
+    rng = random.Random(23)
+    t0 = dt.datetime(2024, 5, 1)
+    rows = []
+    for series in ("a", "b"):
+        t = t0
+        for _ in range(250):
+            t += dt.timedelta(minutes=rng.choice([0, 5, 60, 180, 400]))
+            v = None if rng.random() < 0.08 else rng.uniform(-5, 5)
+            rows.append((series, t, v))
+    df = spark.createDataFrame(rows, "s string, ts timestamp, value double")
+
+    def vals(out):
+        return {(r.s, r.ts, None if r.m is None else r.m)
+                for r in out.collect()}
+
+    for qq in (0.0, 0.1, 0.5, 0.9, 1.0):
+        for center in (True, False):
+            a = vals(c_rolling(df, "value", "6H", "quantile",
+                               partition_by=["s"], out_col="m",
+                               center=center, q=qq))
+            b = vals(rolling_quantile_blocked(df, "value", "6H", q=qq,
+                                              partition_by=["s"],
+                                              chunk="12H", out_col="m",
+                                              center=center))
+            assert a == b, f"q={qq} center={center}"
+    # q=0.5 == the median path, bit-for-bit
+    m = vals(rolling_median_blocked(df, "value", "6H",
+                                    partition_by=["s"], out_col="m"))
+    h = vals(rolling_quantile_blocked(df, "value", "6H", q=0.5,
+                                      partition_by=["s"], out_col="m"))
+    assert m == h
+    # min_periods gates identically
+    a = vals(c_rolling(df, "value", "6H", "quantile", partition_by=["s"],
+                       min_periods=3, out_col="m", q=0.9))
+    b = vals(rolling_quantile_blocked(df, "value", "6H", q=0.9,
+                                      partition_by=["s"], min_periods=3,
+                                      out_col="m"))
+    assert a == b

@@ -12,6 +12,11 @@ one composition over `documents` + `embeddings`:
   6. source-balanced deterministic sampling + token budgeting
   7. train/valid/test split + sequence packing (concat-then-chunk bins)
   8. ANN neighbors      (IVF nprobe search over embeddings)
+  9-10. multimodal near-dup (banded perceptual-hash pair engine + the
+                         wide 256-bit variant and its cost model)
+  11. ingest data contract (one-pass check suite) + incremental
+                         component-store dedup cluster ids
+  12. hybrid retrieval  (BM25 + cosine fused by reciprocal rank)
 
 The oracle-checked composite `queries.doc_curation_pipeline` runs the
 same funnel under the hash-parity gate; this script is the narrative
@@ -147,6 +152,72 @@ def main():
     wide_pairs = MM.ahash_pairs(wide_sig, bands=8, max_hamming=7,
                                 nbits=256)
     print(f"wide 256-bit pairs (32-bit band keys): {wide_pairs.count()}")
+
+    # 11. (r5) the INGEST-TIME pieces a production pipeline runs before
+    #     any of the above: a declarative data contract gated in ONE
+    #     aggregation pass, and canonical dedup-cluster ids maintained
+    #     incrementally (no full-corpus recompute per batch)
+    import tempfile
+
+    from datatools_spark.operators import checks as CK
+    from datatools_spark.operators.compstore import (read_components,
+                                                     update_component_store)
+    contract = CK.check_suite(
+        spark.read.parquet(f"{sf}/documents.parquet"),
+        [CK.not_null("doc_id"), CK.unique("doc_id"),
+         CK.in_range("n_chars", 1, 100_000),
+         CK.row_count_between(1, None)])
+    print("ingest data contract (one scan):")
+    contract.show(truncate=False)
+
+    # two ingest batches; per batch: LSH pairs of (corpus-so-far)
+    # restricted to edges touching the batch — exactly what
+    # sigstore.lsh_pairs_against_store emits in the streaming loop
+    # (streaming_text_ingest_components packages all of this)
+    comp_dir = tempfile.mkdtemp(prefix="compstore_demo_") + "/comps"
+    all_docs = spark.read.parquet(f"{sf}/documents.parquet")
+    mid = all_docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    seen = all_docs.limit(0)
+    for batch in [all_docs.where(F.col("doc_id") <= mid),
+                  all_docs.where(F.col("doc_id") > mid)]:
+        seen = seen.unionByName(batch)
+        in_batch = batch.select("doc_id")
+        bp = (D.minhash_lsh_pairs(seen, num_hashes=8, bands=4,
+                                  threshold=0.5)
+              .join(in_batch.withColumnRenamed("doc_id", "a_id"),
+                    "a_id", "left_semi")
+              .unionByName(
+                  D.minhash_lsh_pairs(seen, num_hashes=8, bands=4,
+                                      threshold=0.5)
+                  .join(in_batch.withColumnRenamed("doc_id", "b_id"),
+                        "b_id", "left_semi"))
+              .distinct())
+        update_component_store(spark, in_batch, bp, comp_dir)
+    labels = read_components(spark, comp_dir)
+    n_clustered = labels.where(F.col("id") != F.col("component")).count()
+    print(f"incremental component store after 2 batches: "
+          f"{labels.count()} ids, {n_clustered} non-canonical")
+
+    # 12. (r5) hybrid retrieval: BM25 lexical + cosine semantic fused by
+    #     reciprocal rank (no score calibration needed)
+    from datatools_spark.operators.similarity import rrf_fuse
+    lex = TX.bm25_scores(all_docs, ["spark", "merge", "window"])
+    from pyspark.sql import Window as W
+    lex = (lex.withColumn("rank", F.row_number().over(
+        W.orderBy(F.col("score").desc(), F.col("doc_id"))).cast("bigint"))
+        .where(F.col("rank") <= 15).select("doc_id", "rank"))
+    qv2 = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qv"))
+    sem = (emb.crossJoin(F.broadcast(qv2))
+           .select(F.col("vec_id").alias("doc_id"),
+                   SIM.cosine_expr(F.col("embedding"),
+                                   F.col("_qv")).alias("_c"))
+           .withColumn("rank", F.row_number().over(
+               W.orderBy(F.col("_c").desc(), F.col("doc_id")))
+               .cast("bigint"))
+           .where(F.col("rank") <= 15).select("doc_id", "rank"))
+    print("hybrid RRF top-5:")
+    rrf_fuse([lex, sem]).where(F.col("rank") <= 5).show(truncate=False)
 
 
 if __name__ == "__main__":

@@ -157,9 +157,13 @@ def ivf_index_stats(spark: SparkSession, path: str,
            .withColumn("_res",
                        F.lit(1.0) - cosine_expr(F.col(vec_col),
                                                 F.col("_cv"))))
+    # k-row materialization: the index-level aggregate below AND the
+    # returned per-cell frame both read it — without this the corpus
+    # scan would run twice (the report's contract is ONE pass)
     cells = (res.groupBy(centroid_id_col)
              .agg(F.count("*").alias("n_vectors"),
-                  F.round(F.avg("_res"), 6).alias("mean_residual")))
+                  F.round(F.avg("_res"), 6).alias("mean_residual"))
+             .localCheckpoint(eager=True))
     k_cells = cents.count()
     agg = cells.agg(
         F.max("n_vectors").alias("_max_n"),

@@ -47,15 +47,20 @@ def main() -> None:
             lo = b * batch
             ids = spark.range(lo, lo + batch) \
                 .selectExpr("id as doc_id")
-            # ~1% pairs: half intra-batch neighbors, half reaching back
-            # into the previous batch (cross-batch merges every round)
-            intra = spark.range(lo, lo + batch // 200) \
-                .selectExpr("id * 2 as a_id", "id * 2 + 1 as b_id") \
-                .where(f"a_id >= {lo} and b_id < {lo + batch}")
+            # ~1% pairs: half intra-batch neighbor pairs, half reaching
+            # back into the previous batch (cross-batch merges every
+            # round). Offsets are applied to a 0-based range — the
+            # original `id*2` over the already-offset range landed past
+            # the batch bound and silently emptied every intra set
+            # after batch 0 (r5 self-review).
+            intra = spark.range(0, batch // 400) \
+                .selectExpr(f"{lo} + id * 2 as a_id",
+                            f"{lo} + id * 2 + 1 as b_id")
             pairs = intra
             if b > 0:
-                cross = spark.range(lo, lo + batch // 200) \
-                    .selectExpr(f"id - {batch} as a_id", "id as b_id")
+                cross = spark.range(0, batch // 400) \
+                    .selectExpr(f"{lo - batch} + id as a_id",
+                                f"{lo} + id as b_id")
                 pairs = intra.unionByName(cross)
             t0 = time.perf_counter()
             update_component_store(spark, ids, pairs, path)

@@ -15,7 +15,7 @@ driver: the collect is one row of counters.
         unique(["l_orderkey", "l_linenumber"]),
         in_range("l_quantity", 1, 50),
         accepted_values("l_returnflag", ["A", "N", "R"]),
-        matches_regex("l_shipinstruct", "^[A-Z ]+$", min_fraction=1.0),
+        matches_regex("l_shipinstruct", "^[A-Z ]+$"),
         row_count_between(1, None),
     ])
     # -> (check_name, observed, bound, passed) one row per check
@@ -89,17 +89,19 @@ def accepted_values(col: str, values: Sequence):
                 lambda obs, b: obs <= b)
 
 
-def matches_regex(col: str, pattern: str, min_fraction: float = 1.0):
-    """Observed = fraction of non-null values matching ``pattern``
-    (6-dp rounded so the verdict is engine-exact); passes at
-    ≥ ``min_fraction``. An all-null column matches vacuously."""
+def matches_regex(col: str, pattern: str, max_violations: int = 0):
+    """Violations = non-null values NOT matching ``pattern``; passes at
+    ≤ ``max_violations``. An EXACT count, not a fraction threshold: a
+    rounded match-fraction verdict silently passes tables whose
+    violation share is below the rounding grain (at 10⁷ rows a 6-dp
+    fraction hides single-digit violators — r5 self-review), while a
+    count contract is scale-invariant. Nulls are not violations (pair
+    with :func:`not_null` to forbid them)."""
     c = F.col(col)
-    hits = F.sum(F.when(c.rlike(pattern), 1).otherwise(0))
-    n = F.count(c)
-    frac = F.round(F.when(n > 0, hits.cast("double") / n)
-                   .otherwise(F.lit(1.0)), 6)
-    return _chk(f"matches_regex({col})", frac, float(min_fraction),
-                lambda obs, b: obs >= b)
+    return _chk(f"matches_regex({col})",
+                F.sum(F.when(c.isNotNull() & ~c.rlike(pattern), 1)
+                      .otherwise(0)), float(max_violations),
+                lambda obs, b: obs <= b)
 
 
 def row_count_between(lo=None, hi=None):

@@ -137,8 +137,13 @@ def update_component_store(spark: SparkSession, ids: DataFrame,
     """
     ids = ids.select(F.col(id_col).cast("long").alias("id")).distinct() \
         .localCheckpoint(eager=True)
+    # materialize the caller's pairs plan ONCE: two separate actions
+    # consume it (the unknown-endpoint audit and the adjacency collect),
+    # and in the streaming loops that plan is the banded store join —
+    # the batch's most expensive step
     pr = pairs.select(F.col("a_id").cast("long").alias("a"),
-                      F.col("b_id").cast("long").alias("b")).distinct()
+                      F.col("b_id").cast("long").alias("b")).distinct() \
+        .localCheckpoint(eager=True)
 
     have_store = _exists(spark, _members_path(path))
     if have_store:

@@ -160,23 +160,41 @@ def simhash_col(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 # Default candidate-mass budget for the "auto" pre-flight:
-# budget = FACTOR × bands × corpus_rows. A healthy banded corpus has mass
-# ≈ bands × n × (avg bucket hit rate ~1), so the factor is the allowed
-# headroom per band — band-count-invariant — while an ~n² degenerate
-# corpus (near-constant signatures) overshoots by orders of magnitude and
-# is refused in seconds instead of pinning a cluster. Callers pass an int
-# to set an explicit budget, or None to disable the pre-flight entirely.
+#
+#   budget = FACTOR·bands·n  +  SLACK·bands·n²/2^(w+1)
+#
+# The second term is the STRUCTURAL collision mass of n uniformly
+# distributed hashes under w-bit band keys — E[Σ C(c,2)] per band ≈
+# n²/2^(w+1) — which a correct corpus cannot avoid paying: a linear-only
+# budget would start refusing HEALTHY 64-bit corpora (w=8 keys) past
+# n ≈ FACTOR·2^(w+1) ≈ 32k distinct hashes (found in the r5 self-review).
+# SLACK=8 over the expectation separates inherent mass from degeneracy:
+# a near-constant-signature corpus concentrates ~n²·bands/2 in few
+# buckets — orders of magnitude past the slack at any width — while for
+# 32-bit wide keys the quadratic term stays negligible to n ~ 10⁹, so
+# the wide engine remains effectively linear-budgeted as its design
+# intends. Callers pass an int for an explicit budget, or None to
+# disable the pre-flight entirely.
 MASS_BUDGET_FACTOR = 64
+MASS_SLACK_FACTOR = 8
+
+
+def auto_mass_budget(n: int, bands: int, key_width: int) -> int:
+    """The ``"auto"`` candidate-mass budget for ``n`` hashes under
+    ``bands`` bands of ``key_width``-bit keys (see module comment)."""
+    n = max(int(n), 1)
+    structural = (MASS_SLACK_FACTOR * bands * n * n) >> (key_width + 1)
+    return MASS_BUDGET_FACTOR * bands * n + structural
 
 
 def _resolve_mass_budget(max_candidate_mass, uniq: DataFrame,
-                         bands: int) -> int | None:
-    """Turn the ``"auto"`` sentinel into FACTOR × bands × corpus rows
-    (one tiny aggregation over the checkpointed (hash, count) frame)."""
+                         bands: int, key_width: int) -> int | None:
+    """Turn the ``"auto"`` sentinel into :func:`auto_mass_budget` (one
+    tiny aggregation over the checkpointed (hash, count) frame)."""
     if max_candidate_mass != "auto":
         return max_candidate_mass
     n = uniq.agg(F.sum("_c")).collect()[0][0] or 0
-    return MASS_BUDGET_FACTOR * bands * max(int(n), 1)
+    return auto_mass_budget(n, bands, key_width)
 
 
 def _band_widths(total_bits: int, n_bands: int) -> list[int]:
@@ -266,7 +284,8 @@ def packed_hamming_pairs(sig: DataFrame, hash_col: str, nbits: int,
         .localCheckpoint(eager=False)
     uniq = ids.groupBy("_h").agg(F.count("*").alias("_c")) \
         .localCheckpoint(eager=False)
-    max_candidate_mass = _resolve_mass_budget(max_candidate_mass, uniq, bands)
+    max_candidate_mass = _resolve_mass_budget(max_candidate_mass, uniq,
+                                              bands, w)
 
     # band index over DISTINCT hashes; _rem = the hash with band b's bits
     # removed, carried for the hot-bucket sub-band refinement (literal
@@ -439,7 +458,8 @@ def packed_wide_pairs(sig: DataFrame, hash_col: str, nbits: int,
         .localCheckpoint(eager=False)
     uniq = ids.groupBy("_h").agg(F.count("*").alias("_c")) \
         .localCheckpoint(eager=False)
-    max_candidate_mass = _resolve_mass_budget(max_candidate_mass, uniq, bands)
+    max_candidate_mass = _resolve_mass_budget(max_candidate_mass, uniq,
+                                              bands, min(w, 62))
 
     if w <= 64:
         mask = (1 << w) - 1   # unused when w == 64 (no AND needed)

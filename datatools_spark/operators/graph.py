@@ -101,8 +101,9 @@ def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
     ``localCheckpoint`` per round keeps the logical plan constant-size
     (same rationale as :func:`connected_components`) — but each eager
     checkpoint is a full materialization, so for short runs (≤4
-    iterations) the rank chain stays lazy: Catalyst handles 4 nested
-    join+agg layers easily and the whole run collapses into one job.
+    iterations) the RANK chain stays lazy: Catalyst handles 4 nested
+    join+agg layers easily. (The edge/node frames are always
+    checkpointed once up front — they feed every iteration.)
 
     Every reduction is rounded at ``round_dp`` BEFORE feeding the next
     step, so the trajectory is bit-reproducible across engines and
@@ -113,18 +114,13 @@ def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     deg = e.groupBy("u").agg(F.count("*").alias("_outdeg"))
     checkpoint = iters > 4
-    ew = e.join(deg, "u")
-    nodes = deg.select(F.col("u").alias("id"))
-    if checkpoint:
-        ew = ew.localCheckpoint()
-        nodes = nodes.localCheckpoint()
-    else:
-        # localCheckpoint, not cache(): a cached plan pins the session's
-        # cache registry per distinct input forever (the r5 pair-engine
-        # hygiene rule); checkpoint blocks free on GC, and the count()
-        # below materializes eagerly either way
-        ew = ew.localCheckpoint(eager=True)
-        nodes = nodes.localCheckpoint(eager=True)
+    # localCheckpoint, not cache(): a cached plan pins the session's
+    # cache registry per distinct input forever (the r5 pair-engine
+    # hygiene rule); checkpoint blocks free on GC, and the count()
+    # below materializes eagerly either way. The `checkpoint` flag now
+    # gates only the PER-ITERATION rank checkpoint (long chains).
+    ew = e.join(deg, "u").localCheckpoint(eager=True)
+    nodes = deg.select(F.col("u").alias("id")).localCheckpoint(eager=True)
     n = nodes.count()
     # (1-d)/n is built from the SAME primitive ops an external SQL twin
     # would use — literal subtraction and division in the engine, never

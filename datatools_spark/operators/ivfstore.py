@@ -32,16 +32,28 @@ def build_ivf_index(spark: SparkSession, df: DataFrame,
                     centroid_id_col: str = "centroid_id") -> int:
     """Assign every corpus vector to its nearest centroid and write the
     cell-partitioned index (overwrite semantics — building is a full
-    [re]index; use :func:`update_ivf_index` for batches). Returns the
-    number of indexed vectors."""
-    centroids.select(F.col(centroid_id_col), F.col(vec_col)) \
-        .write.mode("overwrite").parquet(f"{path}/centroids")
+    [re]index; use :func:`update_ivf_index` for batches). The centroids
+    table also records each cell's BUILD-TIME mean cosine residual
+    (``build_residual``) — the drift baseline :func:`ivf_index_stats`
+    compares against (one extra scan of the at-rest data, no re-compute
+    of the assignment). Returns the number of indexed vectors."""
     assigned = ivf_assign(df, centroids, vec_col, id_col, centroid_id_col,
                           keep_vec=True) \
         .select(F.col(id_col), F.col(vec_col), F.col(centroid_id_col))
     assigned.write.mode("overwrite").partitionBy(centroid_id_col) \
         .parquet(f"{path}/data")
-    return spark.read.parquet(f"{path}/data").count()
+    data = spark.read.parquet(f"{path}/data")
+    c = F.broadcast(centroids.select(F.col(centroid_id_col),
+                                     F.col(vec_col).alias("_cv")))
+    baseline = (data.join(c, on=centroid_id_col)
+                .withColumn("_res", F.lit(1.0)
+                            - cosine_expr(F.col(vec_col), F.col("_cv")))
+                .groupBy(centroid_id_col)
+                .agg(F.round(F.avg("_res"), 10).alias("build_residual")))
+    centroids.select(F.col(centroid_id_col), F.col(vec_col)) \
+        .join(baseline, centroid_id_col, "left") \
+        .write.mode("overwrite").parquet(f"{path}/centroids")
+    return data.count()
 
 
 def update_ivf_index(spark: SparkSession, batch: DataFrame, path: str,
@@ -135,12 +147,18 @@ def ivf_index_stats(spark: SparkSession, path: str,
       one hot cell makes every probe of it scan ``skew``× the average
       — past ``skew_warn`` the index needs re-clustering (or the hot
       cell split).
-    - ``drift_ratio`` = overall mean residual / mean residual of the
-      BEST-fitting cell. Appends are assigned to STORED centroids
-      (update_ivf_index), so distribution shift shows up as residuals
-      inflating relative to the tightest cell — past ``residual_warn``
-      the stored model no longer fits the data and recall at fixed
-      nprobe decays; retrain centroids and rebuild.
+    - ``drift_ratio`` = current fill-weighted mean residual / the
+      BUILD-TIME baseline (per-cell ``build_residual`` recorded by
+      :func:`build_ivf_index`, weighted by each cell's CURRENT fill so
+      population shift between cells doesn't fake drift). Appends are
+      assigned to STORED centroids (update_ivf_index), so distribution
+      shift shows up as residuals inflating past what the model fit at
+      build — past ``residual_warn`` recall at fixed nprobe decays;
+      retrain centroids and rebuild. A self-relative denominator (e.g.
+      the tightest current cell) is NOT robust: a singleton cell whose
+      vector coincides with its centroid would make every healthy index
+      scream drift (r5 self-review). Indexes built before the baseline
+      column existed report ``drift_ratio`` null / ``needs_retrain`` 0.
 
     Cost: ONE pass over the index data (cosine vs own centroid is a
     broadcast join on the model-sized centroid table + per-row
@@ -165,20 +183,46 @@ def ivf_index_stats(spark: SparkSession, path: str,
                   F.round(F.avg("_res"), 6).alias("mean_residual"))
              .localCheckpoint(eager=True))
     k_cells = cents.count()
-    agg = cells.agg(
-        F.max("n_vectors").alias("_max_n"),
-        F.sum("n_vectors").alias("_total_n"),
-        (F.sum(F.col("mean_residual") * F.col("n_vectors"))
-         / F.sum("n_vectors")).alias("_overall_res"),
-        F.min("mean_residual").alias("_best_res")).collect()[0]
+    have_baseline = "build_residual" in cents.columns
+    aggs = [F.max("n_vectors").alias("_max_n"),
+            F.sum("n_vectors").alias("_total_n"),
+            (F.sum(F.col("mean_residual") * F.col("n_vectors"))
+             / F.sum("n_vectors")).alias("_overall_res")]
+    cj = cells
+    if have_baseline:
+        cj = cells.join(
+            F.broadcast(cents.select(centroid_id_col, "build_residual")),
+            centroid_id_col, "left")
+        aggs.append(
+            (F.sum(F.col("build_residual") * F.col("n_vectors"))
+             / F.sum(F.when(F.col("build_residual").isNotNull(),
+                            F.col("n_vectors")))).alias("_base_res"))
+    agg = cj.agg(*aggs).collect()[0]
+    if agg["_total_n"] is None:      # empty index: report no cells
+        return cells.select(
+            centroid_id_col, "n_vectors", "mean_residual",
+            F.lit(None).cast("double").alias("fill_skew"),
+            F.lit(None).cast("double").alias("drift_ratio"),
+            F.lit(0).alias("needs_recluster"),
+            F.lit(0).alias("needs_retrain"))
     mean_fill = float(agg["_total_n"]) / max(k_cells, 1)
     fill_skew = round(float(agg["_max_n"]) / max(mean_fill, 1e-9), 6)
-    best = max(float(agg["_best_res"]), 1e-9)
-    drift = round(float(agg["_overall_res"]) / best, 6)
+    drift = None
+    if have_baseline and agg["_base_res"] is not None:
+        base = float(agg["_base_res"])
+        cur = float(agg["_overall_res"])
+        if base > 0:
+            drift = round(cur / base, 6)
+        else:
+            # a bit-perfect build (base 0): any measurable residual now
+            # IS drift; a still-perfect index is ratio 1
+            drift = float("inf") if cur > 1e-9 else 1.0
     return (cells
             .withColumn("fill_skew", F.lit(fill_skew))
-            .withColumn("drift_ratio", F.lit(drift))
+            .withColumn("drift_ratio",
+                        F.lit(drift).cast("double"))
             .withColumn("needs_recluster",
                         F.lit(int(fill_skew > skew_warn)))
             .withColumn("needs_retrain",
-                        F.lit(int(drift > residual_warn))))
+                        F.lit(int(drift is not None
+                                  and drift > residual_warn))))

@@ -726,10 +726,11 @@ def ahash_pairs(sig: DataFrame, bands: int = 8, max_hamming: int = 7,
     ``max_hamming + 1`` pigeonhole-exact sub-bands, and
     ``max_candidate_mass`` fail-fasts against a corpus whose band keys
     are degenerate (cost model: :func:`pair_candidate_mass`). The
-    DEFAULT is ``"auto"`` — budget
-    ``dedup.MASS_BUDGET_FACTOR × bands × corpus_rows`` — so at 100 TB a
-    near-constant-signature corpus is refused through the ordinary query
-    path in seconds rather than by an operator who remembered the
+    DEFAULT is ``"auto"`` — ``dedup.auto_mass_budget``: a linear term
+    plus slack × the structural random-collision expectation for this
+    key width, so healthy corpora of ANY size pass while
+    near-constant-signature corpora are refused through the ordinary
+    query path in seconds rather than by an operator who remembered the
     opt-in; pass an int for an explicit budget or None to disable. See
     the engine's docstring for why each layer is exact; the all-pairs
     oracles certify the composition.

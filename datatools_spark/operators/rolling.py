@@ -270,10 +270,17 @@ def _rolling_blocked(df: DataFrame, value_col: str, window, roll_fn,
         .drop("_a")
 
     # fresh StructType: .add() mutates in place, and DataFrame.schema is
-    # cached on the instance — mutating it corrupts later calls
+    # cached on the instance — mutating it corrupts later calls. An
+    # existing out column is REPLACED in place (withColumn semantics —
+    # the declarative path these forms are bit-equal to), not duplicated.
     from pyspark.sql.types import DoubleType, StructField, StructType
-    out_schema = StructType(list(df.schema.fields) +
-                            [StructField(out, DoubleType())])
+    if out in df.columns:
+        out_schema = StructType([
+            StructField(out, DoubleType()) if f.name == out else f
+            for f in df.schema.fields])
+    else:
+        out_schema = StructType(list(df.schema.fields) +
+                                [StructField(out, DoubleType())])
     win_td = pd.Timedelta(microseconds=w_us)
     mp = 1 if min_periods is None else max(1, min_periods)
 

@@ -260,10 +260,12 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
 
     ``max_candidate_mass``: fail-fast against a store whose band buckets
     are degenerate for this batch (near-constant signatures). The
-    default ``"auto"`` budgets
-    ``dedup.MASS_BUDGET_FACTOR × bands × batch_rows`` and prices the
-    REAL join — Σ |batch bucket| × |store bucket| over matching (band,
-    key) buckets, one small aggregation pass — before shuffling any
+    default ``"auto"`` budgets a linear batch term plus the structural
+    batch×store random-collision expectation
+    (``FACTOR·bands·B + SLACK·bands·B·N/2^w`` — see
+    ``dedup.auto_mass_budget``'s rationale), and prices the REAL join —
+    Σ |batch bucket| × |store bucket| over matching (band, key)
+    buckets, one small aggregation pass — before shuffling any
     candidate. Pass an int for an explicit budget or None to skip (e.g.
     a tight streaming loop that already pre-flighted the store)."""
     raw = spark.read.parquet(path)
@@ -322,11 +324,20 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
                            F.col(hash_col).alias("y_hash"), "_b", "_k")
 
     if max_candidate_mass is not None:
-        from .dedup import MASS_BUDGET_FACTOR
         if max_candidate_mass == "auto":
-            batch_n = bsig.count()
-            max_candidate_mass = (MASS_BUDGET_FACTOR * _AHASH_BANDS
-                                  * max(int(batch_n), 1))
+            # budget = linear term in the BATCH plus the structural
+            # batch×store random-collision expectation (bands·B·N/2^w) ×
+            # slack — without the second term a healthy store past
+            # ~2^w·FACTOR distinct hashes would be refused (r5
+            # self-review). store_n is a parquet metadata-cheap count;
+            # batch_n a pruned semi-join count. Pass an int to skip both.
+            from .dedup import MASS_BUDGET_FACTOR, MASS_SLACK_FACTOR
+            batch_n = max(int(bsig.count()), 1)
+            store_n = max(int(raw.count()), 1)
+            max_candidate_mass = (
+                MASS_BUDGET_FACTOR * _AHASH_BANDS * batch_n
+                + ((MASS_SLACK_FACTOR * _AHASH_BANDS * batch_n * store_n)
+                   >> w))
         bc = a.groupBy("_b", "_k").agg(F.count("*").alias("_bn"))
         sc = b.groupBy("_b", "_k").agg(F.count("*").alias("_sn"))
         mass = (bc.join(sc, ["_b", "_k"])

@@ -8122,7 +8122,9 @@ def ss_fk_integrity(spark, sf_dir):
 WITH m AS (
   SELECT count(*)::DOUBLE AS n,
          (count(*) - count(l_orderkey))::DOUBLE AS nn_ok,
-         (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::DOUBLE
+         (count(*) - count(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+                   AND l_linenumber IS NOT NULL
+                   THEN (l_orderkey, l_linenumber) END))::DOUBLE
              AS dup_keys,
          sum(CASE WHEN l_quantity IS NOT NULL
                    AND (l_quantity < 1 OR l_quantity > 50)
@@ -8133,9 +8135,9 @@ WITH m AS (
          sum(CASE WHEN l_returnflag IS NOT NULL
                    AND l_returnflag NOT IN ('A', 'N', 'R')
              THEN 1 ELSE 0 END)::DOUBLE AS bad_flag,
-         round(sum(CASE WHEN regexp_matches(l_linestatus, '^[OF]$')
-                   THEN 1 ELSE 0 END)::DOUBLE
-               / count(l_linestatus), 6) AS ls_frac
+         sum(CASE WHEN l_linestatus IS NOT NULL
+                   AND NOT regexp_matches(l_linestatus, '^[OF]$')
+             THEN 1 ELSE 0 END)::DOUBLE AS ls_bad
   FROM lineitem)
 SELECT 'not_null(l_orderkey)' AS check_name, nn_ok AS observed,
        0.0::DOUBLE AS bound, (nn_ok <= 0)::INT AS passed FROM m
@@ -8147,8 +8149,8 @@ UNION ALL SELECT 'in_range(l_discount,0.0,0.05)', oob_disc, 0.0::DOUBLE,
        (oob_disc <= 0)::INT FROM m
 UNION ALL SELECT 'accepted_values(l_returnflag)', bad_flag, 0.0::DOUBLE,
        (bad_flag <= 0)::INT FROM m
-UNION ALL SELECT 'matches_regex(l_linestatus)', ls_frac, 1.0::DOUBLE,
-       (ls_frac >= 1.0)::INT FROM m
+UNION ALL SELECT 'matches_regex(l_linestatus)', ls_bad, 0.0::DOUBLE,
+       (ls_bad <= 0)::INT FROM m
 UNION ALL SELECT 'row_count_between(1,None)', n, 1.0::DOUBLE,
        (n >= 1)::INT FROM m
 """)
@@ -8168,7 +8170,7 @@ def ss_check_suite(spark, sf_dir):
         CK.in_range("l_quantity", 1, 50),
         CK.in_range("l_discount", 0.0, 0.05),
         CK.accepted_values("l_returnflag", ["A", "N", "R"]),
-        CK.matches_regex("l_linestatus", "^[OF]$", min_fraction=1.0),
+        CK.matches_regex("l_linestatus", "^[OF]$"),
         CK.row_count_between(1, None),
     ])
 

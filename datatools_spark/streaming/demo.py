@@ -284,6 +284,8 @@ def streaming_image_ingest_components(media: DataFrame, store_dir: str,
 
     def _process(batch_df: DataFrame, batch_id: int):
         sess = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return   # an empty trigger must not pay the store scans
         new_batch, store_exists = batch_df, True
         try:
             stored = sess.read.parquet(store_dir).select(id_col)

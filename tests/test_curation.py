@@ -550,7 +550,7 @@ def test_check_suite_verdicts_and_one_pass(spark):
         CK.unique(["k1", "k2"]),
         CK.in_range("v", 0.0, 50.0),
         CK.accepted_values("flag", ["A", "N", "R"]),
-        CK.matches_regex("s", "^[a-z]+$", min_fraction=0.8),
+        CK.matches_regex("s", "^[a-z]+$"),
         CK.row_count_between(1, 10),
     ]
     got = {r["check_name"]: (r["observed"], r["passed"])
@@ -560,9 +560,15 @@ def test_check_suite_verdicts_and_one_pass(spark):
     assert got["unique(k1,k2)"] == (2.0, 0)
     assert got["in_range(v,0.0,50.0)"] == (2.0, 0)      # 99 and -5
     assert got["accepted_values(flag)"] == (1.0, 0)     # X
-    # 3 of 4 non-null s match ^[a-z]+$ -> 0.75 < 0.8
-    assert got["matches_regex(s)"] == (0.75, 0)
+    # exactly 1 of 4 non-null s violates ^[a-z]+$ ("bad!") -> count,
+    # not a rounded fraction (a fraction hides violators at scale)
+    assert got["matches_regex(s)"] == (1.0, 0)
     assert got["row_count_between(1,10)"] == (5.0, 1)
+    # a tolerance is an explicit violation budget
+    tol = {r["check_name"]: r["passed"] for r in CK.check_suite(
+        df, [CK.matches_regex("s", "^[a-z]+$", max_violations=1)])
+        .collect()}
+    assert tol["matches_regex(s)"] == 1
 
     import pytest
     with pytest.raises(ValueError, match="unique"):

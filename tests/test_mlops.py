@@ -742,12 +742,25 @@ def test_ivf_index_stats_detects_hot_cell_and_drift(spark, tmp_path):
     # 199 / (200/8 = 25) = 7.96 > 4
     assert all(r["needs_recluster"] == 1 for r in s)
 
-    # drift: half the corpus sits between/far from both centroids ->
-    # overall residual >> best cell's residual
+    # drift is BASELINE-relative (vs build_residual recorded at build
+    # time): build on tight clusters, then APPEND vectors sitting far
+    # from every stored centroid -> current residual inflates past the
+    # baseline and the retrain verdict fires; the build itself reports
+    # drift_ratio ~1 (a self-relative denominator would scream drift on
+    # any index containing one perfectly-fitting cell)
+    from datatools_spark.operators.ivfstore import update_ivf_index
     far = [0.5 * math.sqrt(2), 0.5 * math.sqrt(2), 0.0, 0.0]
-    drifted = around(c0, 20, 0, eps=0.001) + around(far, 20, 700, eps=0.01)
     idx3 = str(tmp_path / "drift")
-    build_ivf_index(spark, spark.createDataFrame(drifted, schema),
+    build_ivf_index(spark,
+                    spark.createDataFrame(around(c0, 20, 0)
+                                          + around(c1, 20, 100), schema),
                     cents, idx3)
+    at_build = ivf_index_stats(spark, idx3).collect()
+    assert all(r["needs_retrain"] == 0 for r in at_build)
+    assert all(abs(r["drift_ratio"] - 1.0) < 0.01 for r in at_build)
+    update_ivf_index(spark,
+                     spark.createDataFrame(around(far, 40, 700, eps=0.01),
+                                           schema), idx3)
     d = ivf_index_stats(spark, idx3).collect()
     assert all(r["needs_retrain"] == 1 for r in d)
+    assert all(r["drift_ratio"] > 10 for r in d)

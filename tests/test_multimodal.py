@@ -523,3 +523,25 @@ def test_pair_engines_leave_no_session_cache(spark):
         MM.ahash_pairs(MM.raw8_ahash(df, width=16, grid=16),
                        bands=8, nbits=256).collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_auto_mass_budget_passes_healthy_corpora(spark):
+    """r5 self-review regression: the auto budget must include the
+    STRUCTURAL random-collision term — a linear-only budget refused
+    healthy 64-bit corpora past ~32k distinct hashes. 40k uniform
+    hashes must construct (pre-flight included) without raising, while
+    the planted-degenerate query-path test keeps proving refusal."""
+    from datatools_spark.operators.dedup import (auto_mass_budget,
+                                                 packed_hamming_pairs)
+    from pyspark.sql import functions as F
+    sig = spark.range(40_000).select(
+        F.col("id").alias("media_id"),
+        F.xxhash64(F.col("id")).alias("_h"))
+    # construction runs hot-bucket detection + the auto mass pre-flight
+    packed_hamming_pairs(sig, "_h", 64, 8, 7, "media_id",
+                         max_candidate_mass="auto")
+    # formula shape: structural term dominates for narrow keys at this
+    # n; stays negligible for 32-bit wide keys until ~1e9
+    n = 40_000
+    assert auto_mass_budget(n, 8, 8) > (8 * 8 * n * n) >> 9  # > E[mass]
+    assert auto_mass_budget(n, 8, 32) < 70 * 8 * n           # ~linear

@@ -95,20 +95,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """Candidate pairs via banded LSH, verified with estimated Jaccard
     (fraction of agreeing minhashes).
 
-    Plan: signatures (computed ONCE — persisted unless
+    Plan: signatures (computed ONCE — checkpoint-materialized unless
     ``cache_signatures=False``, since three subtrees consume them) →
     ids-only band index → self-equi-join on (band, key) → distinct narrow
     pairs → verify by joining the candidate set (small; AQE broadcasts
-    it) back against the cached signatures twice. Shuffles scale with
-    data size × bands, never n²; signature bytes cross the wire once.
-    Output: ``a_id, b_id, jaccard_est`` with a<b.
+    it) back against the materialized signatures twice. Shuffles scale
+    with data size × bands, never n²; signature bytes cross the wire
+    once. LocalCheckpoint rather than persist (r5 hygiene rule): a
+    persisted signature frame per distinct corpus pins the session cache
+    registry forever; checkpoint blocks free on GC. Callers wanting
+    cross-call reuse hold the DataFrame (or use ``sigstore``, the
+    at-rest answer). Output: ``a_id, b_id, jaccard_est`` with a<b.
     """
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
     sig = sig.select(
         F.col(id_col),
         F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("_sig"))
     if cache_signatures:
-        sig = sig.persist()
+        # EAGER: a lazy checkpoint materializes only at first-job end, so
+        # the three sig-consuming branches inside one job would each
+        # recompute the signature aggregation
+        sig = sig.localCheckpoint(eager=True)
     rows_per_band = num_hashes // bands
     band_keys = [
         F.struct(F.lit(b).alias("band"),
@@ -638,9 +645,13 @@ def _pair_intersections(sh: DataFrame, id_col: str,
         # no-op we can drop from the plan entirely. Either way the
         # observed df is bounded, so the one-shuffle posting-list pair
         # generation applies.
-        stop = dfreq.where(F.col("_df") > max_df).select("_sh").persist()
+        # localCheckpoint, not persist: one registry entry per distinct
+        # corpus would leak across a long session (r5 hygiene rule);
+        # blocks free on GC and the broadcasts below read the same
+        # materialization
+        stop = dfreq.where(F.col("_df") > max_df).select("_sh") \
+            .localCheckpoint(eager=True)
         if stop.isEmpty():
-            stop.unpersist()
             stop = None
 
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))

@@ -438,7 +438,7 @@ def bpe_train(df: DataFrame, text_col: str = "text",
             .select(F.expr(
                 "transform(sequence(1, length(_w)), "
                 "i -> substring(_w, CAST(i AS INT), 1))").alias("t")))
-    toks = toks.persist()
+    toks = toks.localCheckpoint(eager=True)
     merges: list[tuple[int, str, int]] = []
     for r in range(rounds):
         pairs = (toks.where(F.size("t") >= 2)
@@ -453,10 +453,10 @@ def bpe_train(df: DataFrame, text_col: str = "text",
         pair, n = top[0]["pair"], top[0]["n"]
         merges.append((r, pair, int(n)))
         a, b = pair.split(" ", 1)
+        # eager checkpoint materializes before the parent's blocks are
+        # released by GC; no cache-registry entries accumulate per round
         nxt = toks.select(F.expr(_merge_fold_expr(a, b)).alias("t")) \
-            .persist()
-        nxt.count()          # materialize before dropping the parent
-        toks.unpersist()
+            .localCheckpoint(eager=True)
         toks = nxt
     return merges, toks
 

@@ -108,9 +108,10 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
     side_keys = p + ["_t0", "_k", "_side"]
     if median_mode == "selectk":
         from .selectk import exact_grouped_median
-        # persist: the count pass + 3 passes per value column all re-read
-        # the exploded frame
-        exploded = exploded.persist()
+        # checkpoint: the count pass + 3 passes per value column all
+        # re-read the exploded frame (localCheckpoint, not persist — no
+        # session-cache entry per call, r5 hygiene rule)
+        exploded = exploded.localCheckpoint(eager=True)
         per_side = exploded.groupBy(*side_keys).agg(
             F.count(F.col(value_cols[0])).alias("_n"))
         for c in value_cols:

@@ -7092,26 +7092,32 @@ def doc_weighted_jaccard_pairs(spark, sf_dir):
     summation so both engines aggregate identical exact values."""
     d = _t(spark, sf_dir, "documents")
     # the exploded index feeds FIVE subtrees (doc-count, df, weighted
-    # sums, rare lists, stop membership) — persist it, and persist the
+    # sums, rare lists, stop membership) — checkpoint it, and the
     # weighted index too, or each branch re-runs the explode+join
+    # (localCheckpoint, not persist: r5 hygiene rule — no session-cache
+    # entry per corpus; EAGER, because a lazy checkpoint only
+    # materializes at first-job END — branches evaluated within one
+    # multi-branch job would each recompute the subtree)
     sh = (PT.ensure_parallelism(d.select("doc_id", "text"), min_bytes=0)
           .withColumn("_words", TX.words_col("text"))
           .select("doc_id", F.explode(TX.word_shingles(
-              "text", 3, from_words_col="_words")).alias("s"))).persist()
+              "text", 3, from_words_col="_words")).alias("s"))) \
+        .localCheckpoint(eager=True)
     nd = sh.agg(F.countDistinct("doc_id").alias("n"))
     dfq = sh.groupBy("s").agg(F.count("*").alias("df"))
     idf = (dfq.crossJoin(F.broadcast(nd))
            .select("s", F.round(F.log(F.col("n").cast("double")
                                       / F.col("df")), 6).alias("w")))
     dec6 = lambda c: c.cast("decimal(30,6)")  # noqa: E731
-    shw = sh.join(idf, "s").persist()
+    shw = sh.join(idf, "s").localCheckpoint(eager=True)
     wsum = shw.groupBy("doc_id").agg(F.sum(dec6(F.col("w"))).alias("tw"))
     # guarded structure mirrors ngram_jaccard_pairs: stop shingles
     # (df > 100) are excluded from candidate generation AND from the
     # weighted pair join (the df² hazard), then their exact weight mass
     # is restored with a candidate-side correction join — 6.6 s → the
     # ngram_pairs cost band at sf0.1, and hot-shingle-proof at 100 TB
-    stop = dfq.where(F.col("df") > 100).select("s").persist()
+    stop = dfq.where(F.col("df") > 100).select("s") \
+        .localCheckpoint(eager=True)
     rare_idx = shw.join(F.broadcast(stop), "s", "left_anti")
     # bounded posting-list pair generation (df ≤ 100 after the stop
     # anti-join): ONE index shuffle instead of a two-sided self-join —
@@ -8980,10 +8986,11 @@ def mm_curation_pipeline(spark, sf_dir):
     including banded completeness."""
     from .operators import multimodal as MM
     media = _mm_payload(spark, sf_dir).where(F.length("payload") >= 256)
-    # four funnel branches reuse the stats subtree — persist so the
+    # four funnel branches reuse the stats subtree — checkpoint so the
     # mapInPandas decode runs ONCE, not once per stage aggregate
-    # (4.7 -> ~2 s at sf0.1; stats rows are metadata-sized)
-    st = MM.raw8_stats(media, width=16).persist()
+    # (4.7 -> ~2 s at sf0.1; stats rows are metadata-sized; checkpoint
+    # not persist per the r5 hygiene rule)
+    st = MM.raw8_stats(media, width=16).localCheckpoint(eager=True)
     q = st.where((F.col("max_px") - F.col("min_px") >= 16)
                  & (32 * F.col("n_px") <= F.col("sum_px"))
                  & (F.col("sum_px") <= 120 * F.col("n_px")))
@@ -8994,7 +9001,7 @@ def mm_curation_pipeline(spark, sf_dir):
     kept = (q.select("media_id", "n_px")
             .join(comp, "media_id", "left")
             .where(F.coalesce("component", "media_id") == F.col("media_id"))
-            .select("media_id", "n_px")).persist()
+            .select("media_id", "n_px")).localCheckpoint(eager=True)
     samp = CU.deterministic_sample(kept, 0.5, key_col="media_id",
                                    salt="mmcur")
 

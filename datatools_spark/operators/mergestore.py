@@ -1,0 +1,295 @@
+"""Copy-on-write MERGE (upsert / delete) over a parquet store
+(engine add; no reference analogue — the reference mutates pandas
+frames in RAM. A 100 TB lake is immutable files, and "update these
+5 M rows" must not rewrite 100 TB).
+
+What Delta/Iceberg ``MERGE INTO`` gives managed tables, as plain
+DataFrames over a directory layout this module owns:
+
+- ``{root}/gen-<n>/``      data files written by generation n
+  (gen-0 is the initial load; each merge adds one generation)
+- ``{root}/_stats/gen-<n>`` per-file key min/max + row counts for the
+  files that generation wrote (the skipping-manifest shape of
+  skipping.py, maintained INCREMENTALLY — each merge stats only the
+  bytes it wrote)
+- ``{root}/_log/gen-<n>``   the generation's COMMIT record: the source
+  file paths it tombstoned (possibly zero rows). A generation is
+  visible to readers only once its log exists, and the log is written
+  LAST — so a crash mid-merge leaves an invisible orphan directory,
+  never a reader that double-counts rewritten rows.
+
+The copy-on-write contract: a merge rewrites ONLY the files whose
+[key_min, key_max] box can contain an update key. Candidate selection
+is a broadcast range-join of the metadata-sized live manifest against
+the batch-sized distinct update keys — zero data IO; then the touched
+files are read, matched rows are anti-joined out, and survivors plus
+the update batch become the new generation. Cost is O(touched bytes +
+batch), not O(table) — on a store laid out by key (writers naturally
+append key-clustered batches; partitioning.py's Z-order tightens the
+boxes further) the touched set is a sliver of the table.
+
+Matched/inserted/deleted counts are derived from MANIFEST arithmetic
+(touched-file row counts vs the new generation's stats), not from
+extra scans: the merge itself is the only pass over the touched bytes.
+
+Under many small merges the store accretes small files; the live
+manifest (:func:`merge_store_stats`) feeds ``skipping.plan_compaction``
+unchanged — the same maintenance pass Delta users run as ``OPTIMIZE``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .skipping import build_file_stats
+
+__all__ = ["init_merge_store", "merge_into", "read_merge_store",
+           "merge_store_stats", "merge_store_live_files"]
+
+_GEN = "gen-"
+
+
+def _fs(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _gen_numbers(spark: SparkSession, root: str, sub: str = "") -> list[int]:
+    """Generation numbers present under ``root/sub`` (data dirs when sub
+    is empty, commit records under ``_log``)."""
+    base = f"{root}/{sub}" if sub else root
+    fs, jpath = _fs(spark, base)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(_GEN):
+            out.append(int(name[len(_GEN):]))
+    return sorted(out)
+
+
+def _committed_gens(spark: SparkSession, root: str) -> list[int]:
+    """Generations visible to readers: data dir AND commit record exist.
+    Orphan data dirs (crash before the log write) are invisible."""
+    have_log = set(_gen_numbers(spark, root, "_log"))
+    return [g for g in _gen_numbers(spark, root) if g in have_log]
+
+
+def _parquet_files(spark: SparkSession, path: str) -> list[str]:
+    fs, jpath = _fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return sorted(str(st.getPath()) for st in fs.listStatus(jpath)
+                  if st.getPath().getName().endswith(".parquet"))
+
+
+def _write_gen_stats(spark: SparkSession, root: str, gen: int,
+                     key_cols: list[str], empty_schema=None) -> None:
+    gen_dir = f"{root}/{_GEN}{gen}"
+    if _parquet_files(spark, gen_dir):
+        stats = build_file_stats(spark, gen_dir, key_cols)
+    else:
+        # an all-delete merge can write an empty generation; its stats
+        # are an empty manifest in the LIVE manifest's exact schema, so
+        # the _stats/* union read stays type-consistent
+        stats = spark.createDataFrame([], empty_schema)
+    stats.coalesce(1).write.mode("overwrite") \
+        .parquet(f"{root}/_stats/{_GEN}{gen}")
+
+
+def _commit(spark: SparkSession, root: str, gen: int,
+            tombstones: list[str]) -> None:
+    """The commit point: tombstoned source paths (possibly none) land at
+    ``_log/gen-<n>``; the generation becomes visible atomically with
+    this directory's appearance."""
+    rows = [(f,) for f in tombstones]
+    df = spark.createDataFrame(rows, "file string") if rows \
+        else spark.createDataFrame([], "file string")
+    df.coalesce(1).write.mode("overwrite") \
+        .parquet(f"{root}/_log/{_GEN}{gen}")
+
+
+def _tombstoned(spark: SparkSession, root: str,
+                gens: list[int]) -> DataFrame:
+    paths = [f"{root}/_log/{_GEN}{g}" for g in gens]
+    paths = [p for p in paths if _parquet_files(spark, p)]
+    if not paths:
+        return spark.createDataFrame([], "file string")
+    return spark.read.parquet(*paths).select("file")
+
+
+def merge_store_stats(spark: SparkSession, root: str) -> DataFrame:
+    """The LIVE skipping manifest: union of every committed
+    generation's per-file stats, minus tombstoned files. Metadata-sized
+    (one row per live file); feeds ``skipping.prune_files`` /
+    ``plan_compaction`` directly."""
+    gens = _committed_gens(spark, root)
+    paths = [f"{root}/_stats/{_GEN}{g}" for g in gens]
+    paths = [p for p in paths if _parquet_files(spark, p)]
+    if not paths:
+        raise ValueError(f"merge store at {root} has no committed "
+                         "generations — init_merge_store first")
+    stats = spark.read.parquet(*paths)
+    return stats.join(_tombstoned(spark, root, gens), "file", "left_anti")
+
+
+def merge_store_live_files(spark: SparkSession, root: str) -> list[str]:
+    """Live data file paths (the legitimate metadata-sized collect —
+    it feeds the reader's path list, like a catalog partition listing)."""
+    return sorted(r["file"] for r in
+                  merge_store_stats(spark, root).select("file").collect())
+
+
+def read_merge_store(spark: SparkSession, root: str) -> DataFrame:
+    """Current table contents: exactly the live files, by explicit path
+    list — no directory glob, so orphan and tombstoned files are never
+    scanned."""
+    files = merge_store_live_files(spark, root)
+    if not files:
+        # fully-deleted store: recover the schema from any tombstoned
+        # file (immutable — deletes tombstone, never erase bytes)
+        gens = _committed_gens(spark, root)
+        dead = [r["file"] for r in
+                _tombstoned(spark, root, gens).limit(1).collect()]
+        if not dead:
+            raise ValueError(f"merge store at {root} is empty with no "
+                             "history — nothing to infer a schema from")
+        return spark.read.parquet(dead[0]).where(F.lit(False))
+    return spark.read.parquet(*files)
+
+
+def init_merge_store(spark: SparkSession, df: DataFrame, root: str,
+                     key_cols: list[str]) -> int:
+    """Write ``df`` as generation 0 and stat its files on ``key_cols``.
+    Refuses a root that already holds generations (same contract as
+    ``apply_compaction``: mixing runs corrupts the log's meaning).
+    Returns the number of data files written."""
+    if _gen_numbers(spark, root):
+        raise ValueError(f"init_merge_store: {root} already holds "
+                         "generations — point each store at a fresh root")
+    _check_keys(df, key_cols, "init_merge_store")
+    gen_dir = f"{root}/{_GEN}0"
+    df.write.mode("errorifexists").parquet(gen_dir)
+    if not _parquet_files(spark, gen_dir):
+        raise ValueError("init_merge_store: the frame wrote no data "
+                         "files — an empty store has no key types to "
+                         "manifest; load at least one row")
+    _write_gen_stats(spark, root, 0, key_cols)
+    _commit(spark, root, 0, [])
+    return len(_parquet_files(spark, gen_dir))
+
+
+def _check_keys(df: DataFrame, key_cols: list[str], who: str) -> None:
+    missing = [k for k in key_cols if k not in df.columns]
+    if missing:
+        raise ValueError(f"{who}: key columns {missing} not in frame "
+                         f"columns {df.columns}")
+
+
+def merge_into(spark: SparkSession, root: str, updates: DataFrame,
+               key_cols: list[str],
+               when_matched: str = "update") -> dict:
+    """Copy-on-write MERGE of ``updates`` into the store.
+
+    ``when_matched="update"`` — upsert: store rows matching an update
+    key (equality on every key column) are replaced by the update row;
+    unmatched update rows are inserted. ``updates`` must carry the full
+    store schema and be unique on the key (a MERGE with two sources for
+    one target row is non-deterministic — Delta raises here too).
+
+    ``when_matched="delete"`` — matching store rows are removed;
+    ``updates`` needs only the key columns; unmatched keys are ignored.
+
+    Only files whose per-column [min, max] key box can contain an
+    update key are rewritten (broadcast range-semi-join of the
+    metadata manifest against the distinct batch keys — zero data IO to
+    plan). Returns ``{"generation", "files_rewritten",
+    "files_live_before", "rows_matched", "rows_inserted",
+    "rows_deleted"}``; the row counts come from manifest arithmetic,
+    not extra table scans.
+    """
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be 'update' or 'delete', "
+                         f"got {when_matched!r}")
+    _check_keys(updates, key_cols, "merge_into")
+    stats = merge_store_stats(spark, root)
+    store_cols = read_merge_store(spark, root).columns
+    if when_matched == "update" and set(updates.columns) != set(store_cols):
+        raise ValueError(
+            f"merge_into(update): updates columns {sorted(updates.columns)} "
+            f"must equal store columns {sorted(store_cols)}")
+
+    u = updates if when_matched == "update" \
+        else updates.select(*key_cols)
+    null_key = u.where(F.greatest(*[F.col(k).isNull() for k in key_cols])
+                       if len(key_cols) > 1
+                       else F.col(key_cols[0]).isNull())
+    if null_key.limit(1).count():
+        raise ValueError("merge_into: null key values in the update "
+                         "batch — equality MERGE cannot match them")
+    keys = u.select(*key_cols).distinct()
+    dup = (u.groupBy(*key_cols).count().where(F.col("count") > 1))
+    if when_matched == "update" and dup.limit(1).count():
+        raise ValueError("merge_into: update batch has duplicate keys — "
+                         "the replacement row would be non-deterministic")
+
+    # candidate files: every key column's value inside the file's box.
+    # File stats may be typed differently than the key (strings in the
+    # stats schema for empty gens) — compare in the key's own type via
+    # the joined manifest columns, which carry the build's native types.
+    cond = None
+    for k in key_cols:
+        c = (stats[f"{k}_min"] <= keys[k]) & (keys[k] <= stats[f"{k}_max"])
+        cond = c if cond is None else (cond & c)
+    cand_rows = (stats.join(F.broadcast(keys), cond, "left_semi")
+                 .select("file", "n_rows").collect())
+    cand_files = sorted(r["file"] for r in cand_rows)
+    touched_rows = sum(int(r["n_rows"]) for r in cand_rows)
+    files_live_before = stats.count()
+
+    gen = max(_gen_numbers(spark, root) +
+              _gen_numbers(spark, root, "_log")) + 1
+    gen_dir = f"{root}/{_GEN}{gen}"
+
+    u_count = u.count() if when_matched == "update" else 0
+    if cand_files:
+        touched = spark.read.parquet(*cand_files)
+        remain = touched.join(F.broadcast(keys), key_cols, "left_anti")
+    else:
+        if when_matched == "delete":
+            # nothing can match: a no-op, and no generation is burned
+            return {"generation": None, "files_rewritten": 0,
+                    "files_live_before": files_live_before,
+                    "rows_matched": 0, "rows_inserted": 0,
+                    "rows_deleted": 0}
+        remain = None
+
+    if when_matched == "update":
+        ordered = updates.select(*store_cols)
+        out = ordered if remain is None \
+            else remain.select(*store_cols).unionByName(ordered)
+    else:
+        out = remain
+    out.write.mode("errorifexists").parquet(gen_dir)
+    _write_gen_stats(spark, root, gen, key_cols,
+                     empty_schema=stats.schema)
+    _commit(spark, root, gen, cand_files)
+
+    gen_stats = spark.read.parquet(f"{root}/_stats/{_GEN}{gen}")
+    gen_rows = (gen_stats.agg(F.coalesce(F.sum("n_rows"), F.lit(0)))
+                .collect()[0][0])
+    if when_matched == "update":
+        survivors = gen_rows - u_count
+        matched = touched_rows - survivors
+        return {"generation": gen, "files_rewritten": len(cand_files),
+                "files_live_before": files_live_before,
+                "rows_matched": int(matched),
+                "rows_inserted": int(u_count - matched),
+                "rows_deleted": 0}
+    return {"generation": gen, "files_rewritten": len(cand_files),
+            "files_live_before": files_live_before,
+            "rows_matched": int(touched_rows - gen_rows),
+            "rows_inserted": 0,
+            "rows_deleted": int(touched_rows - gen_rows)}

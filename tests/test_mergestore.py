@@ -1,0 +1,186 @@
+"""Copy-on-write MERGE store: upserts/deletes must be value-exact vs a
+pandas-style reference merge, must rewrite ONLY the files whose key box
+can match (the 100 TB contract), must survive generation chains, and
+must hide uncommitted orphan generations from readers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatools_spark.operators.mergestore import (
+    init_merge_store, merge_into, merge_store_live_files,
+    merge_store_stats, read_merge_store,
+)
+
+KEY = ["id"]
+
+
+def _base_df(spark, n=2_000, files=8):
+    # range-clustered by id so every file owns a compact id interval —
+    # the layout under which copy-on-write should touch few files
+    df = (spark.range(0, n)
+          .select(F.col("id"),
+                  (F.col("id") % 97).alias("v"),
+                  F.concat(F.lit("s"), (F.col("id") % 13).cast("string"))
+                  .alias("tag")))
+    return df.repartitionByRange(files, "id").sortWithinPartitions("id")
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    root = str(tmp_path / "store")
+    init_merge_store(spark, _base_df(spark), root, KEY)
+    return root
+
+
+def _as_dict(df):
+    return {r["id"]: (r["v"], r["tag"]) for r in df.collect()}
+
+
+def test_init_and_read_roundtrip(spark, store):
+    got = _as_dict(read_merge_store(spark, store))
+    want = _as_dict(_base_df(spark))
+    assert got == want
+    assert len(merge_store_live_files(spark, store)) == 8
+
+
+def test_upsert_updates_and_inserts(spark, store):
+    # 3 existing keys updated, 2 new keys inserted
+    upd = spark.createDataFrame(
+        [(10, -1, "upd"), (500, -2, "upd"), (1999, -3, "upd"),
+         (5000, -4, "new"), (5001, -5, "new")],
+        "id long, v long, tag string")
+    res = merge_into(spark, store, upd, KEY, "update")
+    assert res["rows_matched"] == 3
+    assert res["rows_inserted"] == 2
+    assert res["rows_deleted"] == 0
+    got = _as_dict(read_merge_store(spark, store))
+    want = _as_dict(_base_df(spark))
+    want.update({10: (-1, "upd"), 500: (-2, "upd"), 1999: (-3, "upd"),
+                 5000: (-4, "new"), 5001: (-5, "new")})
+    assert got == want
+
+
+def test_copy_on_write_touches_only_matching_files(spark, store):
+    # keys 0..9 live in exactly one of the 8 range-clustered files
+    upd = (spark.range(0, 10)
+           .select("id", F.lit(-1).alias("v"), F.lit("u").alias("tag")))
+    res = merge_into(spark, store, upd, KEY, "update")
+    assert res["files_rewritten"] == 1
+    assert res["files_live_before"] == 8
+    assert res["rows_matched"] == 10 and res["rows_inserted"] == 0
+
+
+def test_delete_removes_only_matched(spark, store):
+    dels = spark.createDataFrame([(7,), (8,), (123456,)], "id long")
+    res = merge_into(spark, store, dels, KEY, "delete")
+    assert res["rows_deleted"] == 2        # 123456 doesn't exist
+    got = _as_dict(read_merge_store(spark, store))
+    assert 7 not in got and 8 not in got
+    assert len(got) == 1998
+
+
+def test_delete_no_candidates_is_noop(spark, store):
+    dels = spark.createDataFrame([(10**9,)], "id long")
+    res = merge_into(spark, store, dels, KEY, "delete")
+    assert res["generation"] is None and res["files_rewritten"] == 0
+    assert read_merge_store(spark, store).count() == 2_000
+
+
+def test_generation_chain_and_composite_semantics(spark, store):
+    # upsert → delete → upsert over the SAME keys; final state must
+    # reflect the chain order
+    u1 = spark.createDataFrame([(42, -1, "a"), (9000, -2, "b")],
+                               "id long, v long, tag string")
+    merge_into(spark, store, u1, KEY, "update")
+    merge_into(spark, store,
+               spark.createDataFrame([(42,)], "id long"), KEY, "delete")
+    u2 = spark.createDataFrame([(42, -9, "c")],
+                               "id long, v long, tag string")
+    res = merge_into(spark, store, u2, KEY, "update")
+    assert res["rows_inserted"] == 1 and res["rows_matched"] == 0
+    got = _as_dict(read_merge_store(spark, store))
+    assert got[42] == (-9, "c") and got[9000] == (-2, "b")
+    assert len(got) == 2_001
+    # live manifest row count equals live file count, and no tombstoned
+    # file is ever listed
+    stats = merge_store_stats(spark, store)
+    files = merge_store_live_files(spark, store)
+    assert stats.count() == len(files)
+
+
+def test_uncommitted_generation_is_invisible(spark, store, tmp_path):
+    # simulate a crash AFTER the data write but BEFORE the commit log:
+    # readers must not see the orphan generation
+    before = _as_dict(read_merge_store(spark, store))
+    orphan = f"{store}/gen-99"
+    spark.range(0, 5).select(
+        "id", F.lit(0).alias("v"), F.lit("x").alias("tag")) \
+        .write.parquet(orphan)
+    assert _as_dict(read_merge_store(spark, store)) == before
+    # and the next merge burns a FRESH generation number past the orphan
+    upd = spark.createDataFrame([(0, -1, "u")],
+                                "id long, v long, tag string")
+    res = merge_into(spark, store, upd, KEY, "update")
+    assert res["generation"] == 100
+
+
+def test_update_requires_full_schema_and_unique_keys(spark, store):
+    with pytest.raises(ValueError, match="must equal store columns"):
+        merge_into(spark, store,
+                   spark.createDataFrame([(1,)], "id long"), KEY, "update")
+    dup = spark.createDataFrame([(1, 0, "a"), (1, 1, "b")],
+                                "id long, v long, tag string")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into(spark, store, dup, KEY, "update")
+    nul = spark.createDataFrame([(None, 0, "a")],
+                                "id long, v long, tag string")
+    with pytest.raises(ValueError, match="null key"):
+        merge_into(spark, store, nul, KEY, "update")
+
+
+def test_delete_everything_then_read_keeps_schema(spark, tmp_path):
+    root = str(tmp_path / "tiny")
+    df = spark.range(0, 4).select(
+        "id", F.lit(1).alias("v"), F.lit("t").alias("tag"))
+    init_merge_store(spark, df.coalesce(1), root, KEY)
+    res = merge_into(spark, root, spark.range(0, 4).select("id"),
+                     KEY, "delete")
+    assert res["rows_deleted"] == 4
+    empty = read_merge_store(spark, root)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "v", "tag"}
+    # and the store still accepts inserts after total deletion
+    res2 = merge_into(spark, root, df.coalesce(1), KEY, "update")
+    assert res2["rows_inserted"] == 4
+    assert read_merge_store(spark, root).count() == 4
+
+
+def test_composite_key_merge(spark, tmp_path):
+    root = str(tmp_path / "comp")
+    df = (spark.range(0, 300)
+          .select((F.col("id") % 3).alias("region"),
+                  F.col("id").alias("seq"),
+                  (F.col("id") * 2).alias("v")))
+    init_merge_store(spark, df.repartitionByRange(4, "region", "seq"),
+                     root, ["region", "seq"])
+    upd = spark.createDataFrame([(0, 0, -1), (2, 299, -2), (9, 9, -3)],
+                                "region long, seq long, v long")
+    res = merge_into(spark, root, upd, ["region", "seq"], "update")
+    assert res["rows_matched"] == 2 and res["rows_inserted"] == 1
+    got = {(r["region"], r["seq"]): r["v"]
+           for r in read_merge_store(spark, root).collect()}
+    assert got[(0, 0)] == -1 and got[(2, 299)] == -2 and got[(9, 9)] == -3
+    assert len(got) == 301
+
+
+def test_manifest_feeds_compaction_planner(spark, store):
+    # the live manifest is the skipping-manifest shape — plan_compaction
+    # accepts it unchanged (many tiny merge generations → OPTIMIZE)
+    from datatools_spark.operators.skipping import plan_compaction
+    for i in range(3):
+        upd = spark.createDataFrame([(i, -i, "u")],
+                                    "id long, v long, tag string")
+        merge_into(spark, store, upd, KEY, "update")
+    plan = plan_compaction(merge_store_stats(spark, store),
+                           target_rows=10_000)
+    assert plan.where(F.col("n_files") > 1).count() > 0

@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 __all__ = ["cms_bucket_col", "cms_build", "cms_estimate",
            "cms_inner_product",
            "hll_bucket_rho", "hll_registers", "hll_estimate_sql_terms",
-           "hll_estimate", "hll_estimate_from_registers", "hll_merge"]
+           "hll_estimate", "hll_estimate_from_registers", "hll_merge",
+           "kmv_hash52", "kmv_sketch", "kmv_estimate_col",
+           "kmv_merge_col", "kmv_jaccard_col"]
 
 _H32 = 4294967296  # 2^32
 
@@ -181,3 +183,97 @@ def hll_estimate_sql_terms(b: int = 8, salt: str = "hll") -> dict:
     m = 1 << b
     return {"m": m, "alpha": 0.7213 / (1.0 + 1.079 / m),
             "nbits": 32 - b, "salt": salt}
+
+
+# ------------------------------------------- KMV (bottom-k / theta-style)
+
+_H52 = 1 << 52    # 52-bit hashes fit a double exactly — portable
+
+
+def kmv_hash52(col: Column, salt: str = "kmv") -> Column:
+    """First 52 bits of md5(salt:value) as bigint. 52 bits so the
+    normalized value is exactly representable as a double in every
+    engine (no 64-bit→double rounding divergence)."""
+    return F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), col.cast("string"))), 1, 13),
+        16, 10).cast("bigint")
+
+
+def kmv_sketch(df: DataFrame, group_cols, item_col: str, k: int = 64,
+               salt: str = "kmv", margin: float = 4.0) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` SMALLEST distinct 52-bit item
+    hashes, as a sorted array — the bottom-k/theta sketch family
+    (Bar-Yossef et al.; Dasu/Johnson "theta sketch"). Unlike HLL it
+    supports INTERSECTION/Jaccard estimates (:func:`kmv_jaccard_col`),
+    and the sketch is a plain value mergeable with array ops
+    (:func:`kmv_merge_col`) — no engine-native state.
+
+    Scale shape: one distinct exchange over (group, hash) — the same
+    exchange any exact count-distinct pays — then the bottom-k is
+    ranked over SURVIVORS of a per-group threshold ``margin·k/ndv``
+    (hashes are uniform, so ~margin·k rows per group survive; the
+    full-ndv per-group sort never happens). Groups where the filter
+    under-collected (< k survivors despite ndv ≥ k —
+    Chernoff-improbable at the default margin but handled, not assumed
+    away) are re-ranked without the filter via a lazy union branch
+    that stays empty in every normal run (the tests force it with a
+    degenerate margin). Output:
+    ``<group_cols>, hs array<bigint>`` with ``size(hs) = min(k, ndv)``.
+
+    ndv here counts distinct HASHES (52-bit collisions are the standard
+    KMV error term, negligible under ~2^26 distinct items per group).
+    """
+    from pyspark.sql import Window
+    g = list(group_cols)
+    pairs = (df.select(*g, kmv_hash52(F.col(item_col), salt).alias("_h"))
+             .distinct())
+    nd = pairs.groupBy(*g).agg(F.count(F.lit(1)).alias("_nd"))
+    j = pairs.join(nd, g)
+    thresh = F.lit(margin * k) / F.col("_nd") * F.lit(float(_H52))
+    surv = j.where((F.col("_nd") <= F.lit(margin * k))
+                   | (F.col("_h") < thresh))
+    w = Window.partitionBy(*g).orderBy("_h")
+
+    def _bottom_k(rows: DataFrame) -> DataFrame:
+        return (rows.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= k)
+                .groupBy(*g)
+                .agg(F.array_sort(F.collect_list("_h")).alias("hs"),
+                     F.max("_nd").alias("_nd")))
+
+    fast = _bottom_k(surv)
+    # lazy exactness net: every group must surface min(k, ndv) hashes —
+    # compare against the FULL group list (nd), not fast's groups, or a
+    # group whose survivors were all filtered away vanishes silently
+    ok = (fast.where(F.size("hs") >= F.least(F.lit(k), F.col("_nd")))
+          .select(*g))
+    short = nd.select(*g).join(ok, g, "left_anti")
+    redo = _bottom_k(j.join(short, g, "left_semi"))
+    return (fast.join(short, g, "left_anti").unionByName(redo)
+            .select(*g, "hs"))
+
+
+def kmv_estimate_col(hs: Column, k: int) -> Column:
+    """Distinct-count estimate from a sketch array: exact size when the
+    group never filled the sketch, else the classic (k−1)/h_(k)
+    (normalized k-th minimum) estimator."""
+    return F.when(F.size(hs) < k, F.size(hs).cast("double")) \
+        .otherwise(F.lit(float(k - 1)) * F.lit(float(_H52))
+                   / F.element_at(hs, k).cast("double"))
+
+
+def kmv_merge_col(a: Column, b: Column, k: int) -> Column:
+    """Sketch of the UNION of two groups from their sketches alone:
+    the k smallest of the combined arrays (every candidate for the
+    union's bottom-k is in one input's bottom-k). Associative and
+    order-free — the cross-corpus mergeability HLL has, with set ops."""
+    return F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+
+
+def kmv_jaccard_col(a: Column, b: Column, k: int) -> Column:
+    """Jaccard estimate between two sketched sets: among the union
+    sketch's cells (the k smallest combined hashes — a uniform sample
+    of the union), the fraction present in BOTH inputs."""
+    u = kmv_merge_col(a, b, k)
+    both = F.size(F.array_intersect(F.array_intersect(u, a), b))
+    return both.cast("double") / F.size(u).cast("double")

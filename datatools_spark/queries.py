@@ -4097,6 +4097,63 @@ def doc_hll_distinct(spark, sf_dir):
     return exact.crossJoin(est)
 
 
+@query("doc_kmv_vocab", sql="""
+WITH tok AS (SELECT source,
+                    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                        AS w
+             FROM documents),
+h AS (SELECT DISTINCT source,
+             ('0x' || substr(md5('kmv:' || w), 1, 13))::BIGINT AS h
+      FROM tok),
+r AS (SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY source) AS nd
+      FROM h),
+sk AS (SELECT source, max(nd) AS nd, count(*) AS kmv_size,
+              max(CASE WHEN rn = 64 THEN h END) AS h_k
+       FROM r WHERE rn <= 64 GROUP BY source)
+SELECT source, kmv_size::BIGINT AS kmv_size,
+       floor((CASE WHEN kmv_size < 64 THEN kmv_size::DOUBLE
+              ELSE 63.0 * 4503599627370496.0 / h_k END) * 10000 + 0.5)
+           / 10000 AS ndv_est,
+       nd::BIGINT AS ndv_distinct
+FROM sk ORDER BY source
+""")
+def doc_kmv_vocab(spark, sf_dir):
+    """Per-source KMV (bottom-k / theta-style) distinct-vocabulary
+    sketch (operators/sketches.py:kmv_sketch): the k=64 smallest
+    md5-derived 52-bit token hashes per source; estimate (k−1)/h_(k),
+    exact when the sketch never filled. Unlike HLL, the KMV sketch
+    supports set INTERSECTION/Jaccard between sketched groups
+    (kmv_jaccard_col), and the sketch itself is a plain sorted array —
+    engine-portable, so the oracle rebuilds it cell-for-cell. Scale
+    shape: one distinct exchange over (source, hash), then bottom-k is
+    ranked over survivors of the 4k/ndv uniform-hash threshold — the
+    full per-group sort never runs (the selectk.py survivors trick
+    applied to sketching). Exact hash-distinct count alongside; HALF-UP
+    4 dp via the portable floor(x·1e4+0.5) form on both sides.
+    """
+    from .operators import sketches as SK
+    k = 64
+    d = _t(spark, sf_dir, "documents")
+    tok = (PT.ensure_parallelism(d.select("source", "text"), min_bytes=0)
+           .select("source", F.explode(TX.words_col("text")).alias("w")))
+    sk = SK.kmv_sketch(tok, ["source"], "w", k=k)
+    exact = (tok.select("source", SK.kmv_hash52(F.col("w")).alias("_h"))
+             .distinct().groupBy("source")
+             .agg(F.count(F.lit(1)).alias("ndv_distinct")))
+    est = F.when(F.size("hs") < k, F.size("hs").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) * F.lit(float(1 << 52))
+                   / F.element_at("hs", k).cast("double"))
+    return (sk.join(exact, "source")
+            .select("source", F.size("hs").cast("bigint").alias("kmv_size"),
+                    (F.floor(est * F.lit(10000.0) + F.lit(0.5))
+                     / F.lit(10000.0)).alias("ndv_est"),
+                    F.col("ndv_distinct").cast("bigint")
+                    .alias("ndv_distinct"))
+            .orderBy("source"))
+
+
 @query("ts_rollup_incremental", sql="""
 SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
        round((sum(value::DECIMAL(30,10)))::DOUBLE / count(value), 6)
@@ -9174,6 +9231,7 @@ _REGISTRATION_ORDER = [
     "ts_value_hour_histogram", "ss_rolling_quarter",
     "emb_label_separation", "ss_order_gaps",
     "mm_audio_hash", "mm_scene_cuts", "mm_curation_pipeline",
+    "doc_kmv_vocab",
 ]
 
 

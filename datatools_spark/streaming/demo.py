@@ -16,7 +16,7 @@ sides watermarked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = ["streaming_window_counts", "streaming_daily_extrema",
@@ -521,3 +521,65 @@ def streaming_distinct_users(events: DataFrame, window: str = "1 hour",
             .agg(F.approx_count_distinct(key).alias("n_users"))
             .select(F.col("w.start").alias("window_start"), "event_type",
                     "n_users"))
+
+
+def streaming_merge_store_apply(changes: DataFrame, root: str,
+                                checkpoint_dir: str, key_cols,
+                                op_col: str = "op", seq_col: str = "seq",
+                                tiebreak_cols=()):
+    """Continuously apply a CDC change stream to a COPY-ON-WRITE merge
+    store (``operators.mergestore``) — the file-pruned upgrade of
+    :func:`streaming_upsert`, whose snapshot swap rewrites the WHOLE
+    table every micro-batch. Here each batch rewrites only the files
+    whose key boxes its change keys can touch, so per-batch cost is
+    O(touched files + batch), not O(table) — the shape a 100 TB
+    continuously-merged dimension needs.
+
+    Change rows carry the store schema plus ``op`` (``'U'`` upsert /
+    ``'D'`` delete) and ``seq`` (the change-log ordering — commit LSN,
+    Kafka offset; any total order per key). Each micro-batch first
+    collapses to the LATEST change per key by (seq, tiebreaks) — after
+    the collapse a key is either an upsert or a delete, so the two
+    ``merge_into`` calls commute within the batch. An unknown op value
+    FAILS the batch (checkpoint retries it) rather than guessing.
+
+    The store must already exist (``init_merge_store``) — a missing
+    store fails the batch for the same reason ``streaming_upsert``
+    refuses to re-seed from one batch: silent re-initialization from a
+    mid-stream batch would masquerade as the table. Replayed batches
+    (worker death after a partial apply) re-merge the same collapsed
+    changes; re-upserting identical rows and re-deleting absent keys
+    both converge to the same state, so the loop is at-least-once with
+    idempotent effect — the retry burns extra generations, which the
+    compaction pass reclaims. Returns the started query (availableNow
+    trigger; caller awaits)."""
+    from ..operators.mergestore import merge_into
+
+    key_cols = list(key_cols)
+    tiebreak_cols = list(tiebreak_cols)
+
+    def _apply(batch_df: DataFrame, batch_id: int):
+        sess = batch_df.sparkSession
+        if batch_df.where(~F.col(op_col).isin("U", "D")).limit(1).count():
+            raise ValueError(
+                f"streaming_merge_store_apply: op column {op_col!r} "
+                "holds values outside {'U','D'} — refusing to guess")
+        order = [F.col(seq_col).desc()] + \
+            [F.col(c).desc() for c in tiebreak_cols]
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        latest = (batch_df.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1).drop("_rn")
+                  .localCheckpoint(eager=True))   # one eval, two readers
+        dels = latest.where(F.col(op_col) == "D").select(*key_cols)
+        ups = latest.where(F.col(op_col) == "U").drop(op_col, seq_col)
+        if dels.limit(1).count():
+            merge_into(sess, root, dels, key_cols, "delete")
+        if ups.limit(1).count():
+            merge_into(sess, root, ups, key_cols, "update")
+
+    return (changes.writeStream
+            .outputMode("append")
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

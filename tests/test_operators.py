@@ -574,3 +574,105 @@ def test_blocked_quantile_equals_declarative(spark):
                                       partition_by=["s"], min_periods=3,
                                       out_col="m"))
     assert a == b
+
+
+# ------------------------------------------------------------------ KMV
+
+class TestKMV:
+    def _items(self, spark, groups=3, per=500):
+        return (spark.range(0, groups * per)
+                .select((F.col("id") % groups).alias("g"),
+                        F.concat(F.lit("w"),
+                                 (F.col("id") % (100 * (F.lit(1)
+                                  + F.col("id") % groups))).cast("string"))
+                        .alias("item")))
+
+    def test_bottom_k_matches_bruteforce(self, spark):
+        from datatools_spark.operators.sketches import (kmv_hash52,
+                                                        kmv_sketch)
+        df = self._items(spark)
+        k = 16
+        got = {r["g"]: r["hs"]
+               for r in kmv_sketch(df, ["g"], "item", k=k).collect()}
+        brute = (df.select("g", kmv_hash52(F.col("item")).alias("h"))
+                 .distinct().collect())
+        import collections
+        by_g = collections.defaultdict(list)
+        for r in brute:
+            by_g[r["g"]].append(r["h"])
+        for g, hs in by_g.items():
+            assert got[g] == sorted(hs)[:k]
+
+    def test_degenerate_margin_forces_exactness_net(self, spark):
+        # margin≈0 sends every group through the lazy re-rank branch;
+        # the result must be identical to the default path
+        from datatools_spark.operators.sketches import kmv_sketch
+        df = self._items(spark)
+        a = {r["g"]: r["hs"]
+             for r in kmv_sketch(df, ["g"], "item", k=16).collect()}
+        b = {r["g"]: r["hs"]
+             for r in kmv_sketch(df, ["g"], "item", k=16,
+                                 margin=1e-9).collect()}
+        assert a == b
+
+    def test_estimate_accuracy_and_small_group_exactness(self, spark):
+        from datatools_spark.operators.sketches import (kmv_estimate_col,
+                                                        kmv_sketch)
+        # one group with ndv far over k, one with ndv under k
+        big = spark.range(0, 20_000).select(
+            F.lit("big").alias("g"),
+            F.concat(F.lit("x"), (F.col("id") % 5_000).cast("string"))
+            .alias("item"))
+        small = spark.range(0, 100).select(
+            F.lit("small").alias("g"),
+            F.concat(F.lit("y"), (F.col("id") % 40).cast("string"))
+            .alias("item"))
+        k = 64
+        sk = kmv_sketch(big.unionByName(small), ["g"], "item", k=k)
+        est = {r["g"]: r["e"] for r in sk.select(
+            "g", kmv_estimate_col(F.col("hs"), k).alias("e")).collect()}
+        assert est["small"] == 40.0          # under-filled sketch: exact
+        assert abs(est["big"] - 5_000) / 5_000 < 0.35  # ~1/sqrt(k) regime
+
+    def test_merge_equals_sketch_of_union(self, spark):
+        from datatools_spark.operators.sketches import (kmv_merge_col,
+                                                        kmv_sketch)
+        k = 32
+        a = spark.range(0, 3_000).select(
+            F.lit(1).alias("g"),
+            F.concat(F.lit("a"), (F.col("id") % 800).cast("string"))
+            .alias("item"))
+        b = spark.range(0, 3_000).select(
+            F.lit(1).alias("g"),
+            F.concat(F.lit("a"), ((F.col("id") % 800) + 400)
+                     .cast("string")).alias("item"))
+        ska = kmv_sketch(a, ["g"], "item", k=k) \
+            .select("g", F.col("hs").alias("ha"))
+        skb = kmv_sketch(b, ["g"], "item", k=k) \
+            .select("g", F.col("hs").alias("hb"))
+        merged = ska.join(skb, "g").select(
+            "g", kmv_merge_col(F.col("ha"), F.col("hb"), k).alias("hs"))
+        direct = kmv_sketch(a.unionByName(b), ["g"], "item", k=k)
+        got = merged.collect()[0]["hs"]
+        want = direct.collect()[0]["hs"]
+        assert got == want
+
+    def test_jaccard_estimate_tracks_truth(self, spark):
+        from datatools_spark.operators.sketches import (kmv_jaccard_col,
+                                                        kmv_sketch)
+        k = 128
+        # |A|=900, |B|=900, overlap 600 → J = 600/1200 = 0.5
+        a = spark.range(0, 900).select(
+            F.lit(1).alias("g"),
+            F.concat(F.lit("t"), F.col("id").cast("string")).alias("item"))
+        b = spark.range(300, 1200).select(
+            F.lit(1).alias("g"),
+            F.concat(F.lit("t"), F.col("id").cast("string")).alias("item"))
+        ska = kmv_sketch(a, ["g"], "item", k=k) \
+            .select("g", F.col("hs").alias("ha"))
+        skb = kmv_sketch(b, ["g"], "item", k=k) \
+            .select("g", F.col("hs").alias("hb"))
+        j = (ska.join(skb, "g")
+             .select(kmv_jaccard_col(F.col("ha"), F.col("hb"), k)
+                     .alias("j")).collect()[0]["j"])
+        assert abs(j - 0.5) < 0.15

@@ -6,6 +6,7 @@ import datetime as dt
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from datatools_spark.streaming.demo import (
     run_file_stream, streaming_daily_extrema, streaming_sessionize,
@@ -554,3 +555,80 @@ def test_streaming_embedding_ingest_components(spark, tmp_path):
         clusters[c].add(i)
     for c, members in clusters.items():
         assert c == min(members)
+
+
+def test_streaming_merge_store_apply_converges_and_prunes(spark, tmp_path):
+    """Three CDC micro-batches into a copy-on-write merge store converge
+    to the latest-per-key state (in-batch seq ordering respected: a
+    delete followed by a later upsert of the same key in one batch is an
+    upsert), and each batch rewrites only key-box-matching files."""
+    from datatools_spark.operators.mergestore import (
+        init_merge_store, merge_store_live_files, read_merge_store)
+    from datatools_spark.streaming.demo import streaming_merge_store_apply
+
+    root = str(tmp_path / "cdc_store")
+    base = (spark.range(0, 1_000)
+            .select(F.col("id"), (F.col("id") % 31).alias("v"))
+            .repartitionByRange(4, "id").sortWithinPartitions("id"))
+    init_merge_store(spark, base, root, ["id"])
+
+    schema = "id long, v long, op string, seq long"
+    src = str(tmp_path / "cdc_src")
+    # batch 1: update 3 keys, delete 1; key 5 gets D(seq=1) then U(seq=2)
+    # in the SAME batch — the later upsert must win
+    spark.createDataFrame(
+        [(5, 0, "D", 1), (5, -5, "U", 2), (10, -10, "U", 1),
+         (20, -20, "U", 1), (30, 0, "D", 1)], schema).write.parquet(src)
+    # batch 2: re-delete key 5, insert a brand-new key
+    spark.createDataFrame(
+        [(5, 0, "D", 3), (5000, -1, "U", 3)], schema) \
+        .write.mode("append").parquet(src)
+    # batch 3: resurrect key 30
+    spark.createDataFrame(
+        [(30, -30, "U", 4)], schema).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming_merge_store_apply(stream, root, str(tmp_path / "ck"),
+                                    ["id"])
+    q.awaitTermination(180)
+
+    got = {r["id"]: r["v"] for r in read_merge_store(spark, root).collect()}
+    assert 5 not in got                      # batch-2 delete is final
+    assert got[10] == -10 and got[20] == -20
+    assert got[30] == -30                    # deleted then resurrected
+    assert got[5000] == -1
+    assert got[0] == 0 and len(got) == 1_000
+    # copy-on-write held: the untouched upper-range base files survive
+    live = merge_store_live_files(spark, root)
+    gen0 = [f for f in live if "/gen-0/" in f]
+    assert len(gen0) >= 2
+
+    # replaying the same source through a FRESH checkpoint (the
+    # worker-death worst case: every batch re-applied) converges to the
+    # identical state — at-least-once with idempotent effect
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    q2 = streaming_merge_store_apply(stream2, root, str(tmp_path / "ck2"),
+                                     ["id"])
+    q2.awaitTermination(180)
+    again = {r["id"]: r["v"]
+             for r in read_merge_store(spark, root).collect()}
+    assert again == got
+
+
+def test_streaming_merge_store_apply_rejects_unknown_op(spark, tmp_path):
+    from datatools_spark.operators.mergestore import init_merge_store
+    from datatools_spark.streaming.demo import streaming_merge_store_apply
+    root = str(tmp_path / "badop_store")
+    init_merge_store(
+        spark, spark.range(0, 10).select("id", F.lit(0).alias("v"))
+        .coalesce(1), root, ["id"])
+    schema = "id long, v long, op string, seq long"
+    src = str(tmp_path / "badop_src")
+    spark.createDataFrame([(1, 1, "X", 1)], schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming_merge_store_apply(stream, root, str(tmp_path / "ckb"),
+                                    ["id"])
+    with pytest.raises(Exception, match="outside"):
+        q.awaitTermination(120)

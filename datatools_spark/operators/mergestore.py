@@ -45,7 +45,8 @@ from pyspark.sql import functions as F
 from .skipping import build_file_stats
 
 __all__ = ["init_merge_store", "merge_into", "read_merge_store",
-           "merge_store_stats", "merge_store_live_files"]
+           "merge_store_stats", "merge_store_live_files",
+           "vacuum_merge_store"]
 
 _GEN = "gen-"
 
@@ -120,12 +121,38 @@ def _tombstoned(spark: SparkSession, root: str,
     return spark.read.parquet(*paths).select("file")
 
 
-def merge_store_stats(spark: SparkSession, root: str) -> DataFrame:
-    """The LIVE skipping manifest: union of every committed
-    generation's per-file stats, minus tombstoned files. Metadata-sized
-    (one row per live file); feeds ``skipping.prune_files`` /
-    ``plan_compaction`` directly."""
+def _vacuum_watermark(spark: SparkSession, root: str) -> int:
+    """Lowest generation still time-travel-readable (0 until a vacuum
+    physically reclaims history)."""
+    p = f"{root}/_vacuum"
+    if not _parquet_files(spark, p):
+        return 0
+    return int(spark.read.parquet(p)
+               .agg(F.max("min_readable_gen")).collect()[0][0])
+
+
+def merge_store_stats(spark: SparkSession, root: str,
+                      at_generation: int | None = None) -> DataFrame:
+    """The skipping manifest: union of every committed generation's
+    per-file stats, minus tombstoned files. Metadata-sized (one row per
+    live file); feeds ``skipping.prune_files`` / ``plan_compaction``
+    directly. ``at_generation`` TIME-TRAVELS: stats and tombstones are
+    both truncated to generations ≤ it, which reconstructs that commit's
+    exact state (a file tombstoned later is live again; a file written
+    later never existed)."""
     gens = _committed_gens(spark, root)
+    if at_generation is not None:
+        wm = _vacuum_watermark(spark, root)
+        if at_generation < wm:
+            raise ValueError(
+                f"merge store at {root}: generation {at_generation} was "
+                f"vacuumed (min readable generation is {wm}) — its "
+                "tombstoned files are physically gone")
+        if gens and at_generation > gens[-1]:
+            raise ValueError(
+                f"merge store at {root}: generation {at_generation} does "
+                f"not exist yet (latest committed is {gens[-1]})")
+        gens = [g for g in gens if g <= at_generation]
     paths = [f"{root}/_stats/{_GEN}{g}" for g in gens]
     paths = [p for p in paths if _parquet_files(spark, p)]
     if not paths:
@@ -135,29 +162,72 @@ def merge_store_stats(spark: SparkSession, root: str) -> DataFrame:
     return stats.join(_tombstoned(spark, root, gens), "file", "left_anti")
 
 
-def merge_store_live_files(spark: SparkSession, root: str) -> list[str]:
+def merge_store_live_files(spark: SparkSession, root: str,
+                           at_generation: int | None = None) -> list[str]:
     """Live data file paths (the legitimate metadata-sized collect —
     it feeds the reader's path list, like a catalog partition listing)."""
     return sorted(r["file"] for r in
-                  merge_store_stats(spark, root).select("file").collect())
+                  merge_store_stats(spark, root, at_generation)
+                  .select("file").collect())
 
 
-def read_merge_store(spark: SparkSession, root: str) -> DataFrame:
-    """Current table contents: exactly the live files, by explicit path
-    list — no directory glob, so orphan and tombstoned files are never
-    scanned."""
-    files = merge_store_live_files(spark, root)
+def read_merge_store(spark: SparkSession, root: str,
+                     at_generation: int | None = None) -> DataFrame:
+    """Table contents as of ``at_generation`` (default: current):
+    exactly that commit's live files, by explicit path list — no
+    directory glob, so orphan and tombstoned files are never scanned.
+    Time travel is free metadata work because data files are immutable;
+    it reaches back to the last :func:`vacuum_merge_store` watermark."""
+    files = merge_store_live_files(spark, root, at_generation)
     if not files:
         # fully-deleted store: recover the schema from any tombstoned
-        # file (immutable — deletes tombstone, never erase bytes)
+        # file that vacuum hasn't reclaimed yet
         gens = _committed_gens(spark, root)
         dead = [r["file"] for r in
-                _tombstoned(spark, root, gens).limit(1).collect()]
-        if not dead:
-            raise ValueError(f"merge store at {root} is empty with no "
-                             "history — nothing to infer a schema from")
-        return spark.read.parquet(dead[0]).where(F.lit(False))
+                _tombstoned(spark, root, gens).collect()]
+        fs, _ = _fs(spark, root)
+        for f in sorted(dead):
+            if fs.exists(spark._jvm.org.apache.hadoop.fs.Path(f)):
+                return spark.read.parquet(f).where(F.lit(False))
+        raise ValueError(f"merge store at {root} is empty and every "
+                         "historical file was vacuumed — nothing to "
+                         "infer a schema from")
     return spark.read.parquet(*files)
+
+
+def vacuum_merge_store(spark: SparkSession, root: str,
+                       retain_generations: int = 2) -> dict:
+    """Physically delete files whose tombstone is old enough that no
+    retained time-travel read can reach them — the ``VACUUM`` pass.
+
+    A file tombstoned at generation n is invisible to every read at
+    generation ≥ n, so deleting all files tombstoned at generations
+    ≤ watermark (latest − ``retain_generations``) preserves every read
+    at or above the watermark; reads below it are refused thereafter
+    (the watermark is recorded at ``{root}/_vacuum`` and checked by the
+    readers). Idempotent: re-running deletes nothing new and never
+    raises on already-gone files. The current table is NEVER touched —
+    only tombstoned (dead) files are candidates. Returns
+    ``{"watermark", "files_deleted", "files_retained_dead"}``."""
+    gens = _committed_gens(spark, root)
+    if not gens:
+        raise ValueError(f"merge store at {root} has no committed "
+                         "generations — nothing to vacuum")
+    wm = max(0, gens[-1] - retain_generations)
+    dead_old = [r["file"] for r in _tombstoned(
+        spark, root, [g for g in gens if g <= wm]).collect()]
+    dead_all = _tombstoned(spark, root, gens).count()
+    fs, _ = _fs(spark, root)
+    deleted = 0
+    for f in sorted(dead_old):
+        p = spark._jvm.org.apache.hadoop.fs.Path(f)
+        if fs.exists(p):
+            fs.delete(p, False)
+            deleted += 1
+    (spark.createDataFrame([(wm,)], "min_readable_gen long")
+     .coalesce(1).write.mode("append").parquet(f"{root}/_vacuum"))
+    return {"watermark": wm, "files_deleted": deleted,
+            "files_retained_dead": int(dead_all - len(dead_old))}
 
 
 def init_merge_store(spark: SparkSession, df: DataFrame, root: str,

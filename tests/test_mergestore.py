@@ -184,3 +184,58 @@ def test_manifest_feeds_compaction_planner(spark, store):
     plan = plan_compaction(merge_store_stats(spark, store),
                            target_rows=10_000)
     assert plan.where(F.col("n_files") > 1).count() > 0
+
+
+def _chain(spark, store):
+    """Three merges on top of gen 0; returns the expected state AFTER
+    each generation (gen -> {id: (v, tag)})."""
+    base = _as_dict(_base_df(spark))
+    states = {0: dict(base)}
+    u1 = spark.createDataFrame([(10, -1, "g1"), (5000, -2, "g1")],
+                               "id long, v long, tag string")
+    merge_into(spark, store, u1, KEY, "update")
+    s1 = dict(states[0]); s1.update({10: (-1, "g1"), 5000: (-2, "g1")})
+    states[1] = s1
+    merge_into(spark, store,
+               spark.createDataFrame([(10,), (11,)], "id long"),
+               KEY, "delete")
+    s2 = dict(s1); del s2[10]; del s2[11]
+    states[2] = s2
+    u3 = spark.createDataFrame([(11, -3, "g3")],
+                               "id long, v long, tag string")
+    merge_into(spark, store, u3, KEY, "update")
+    s3 = dict(s2); s3[11] = (-3, "g3")
+    states[3] = s3
+    return states
+
+
+def test_time_travel_reconstructs_every_commit(spark, store):
+    states = _chain(spark, store)
+    for g, want in states.items():
+        got = _as_dict(read_merge_store(spark, store, at_generation=g))
+        assert got == want, f"generation {g} mismatch"
+    # default read = latest
+    assert _as_dict(read_merge_store(spark, store)) == states[3]
+    with pytest.raises(ValueError, match="does not exist yet"):
+        read_merge_store(spark, store, at_generation=7)
+
+
+def test_vacuum_deletes_only_unreachable_dead_files(spark, store):
+    from datatools_spark.operators.mergestore import vacuum_merge_store
+    states = _chain(spark, store)            # latest gen = 3
+    res = vacuum_merge_store(spark, store, retain_generations=2)
+    assert res["watermark"] == 1
+    # every read at or above the watermark still works, value-exact
+    for g in (1, 2, 3):
+        assert _as_dict(read_merge_store(spark, store,
+                                         at_generation=g)) == states[g]
+    # below-watermark history is refused with the vacuum explanation
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_merge_store(spark, store, at_generation=0)
+    # idempotent: a second run deletes nothing new
+    res2 = vacuum_merge_store(spark, store, retain_generations=2)
+    assert res2["files_deleted"] == 0
+    # retain 0: everything dead goes; current read still exact
+    res3 = vacuum_merge_store(spark, store, retain_generations=0)
+    assert res3["files_retained_dead"] == 0
+    assert _as_dict(read_merge_store(spark, store)) == states[3]

@@ -342,6 +342,16 @@ def merge_into(spark: SparkSession, root: str, updates: DataFrame,
             else remain.select(*store_cols).unionByName(ordered)
     else:
         out = remain
+    # re-cluster the generation by key before writing: without this the
+    # rewrite of N scattered files lands in files with WIDE key boxes,
+    # and every later merge's candidate set degrades toward all-files
+    # (measured in bench/mergestore_sweep.py: hot-region rewrites grew
+    # 2 → 9 files in 5 merges). Range-partitioning the touched+batch
+    # rows keeps boxes tight; the exchange is bounded by the touched
+    # set, never the table.
+    n_out = max(1, len(cand_files))
+    out = out.repartitionByRange(n_out, *key_cols) \
+        .sortWithinPartitions(*key_cols)
     out.write.mode("errorifexists").parquet(gen_dir)
     _write_gen_stats(spark, root, gen, key_cols,
                      empty_schema=stats.schema)

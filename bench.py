@@ -110,6 +110,7 @@ EXTENDED_QUERIES = [
     "mm_curation_pipeline",   # image funnel: gates -> dedup -> sample
     "doc_hybrid_rrf",         # r5: BM25 + cosine reciprocal-rank fusion
     "ss_check_suite",         # r5: one-pass declarative quality contract
+    "doc_kmv_vocab",          # r5: KMV bottom-k distinct sketch
 ]
 
 # the multimodal-dedup family also runs in the sf1-equiv pass (r4): its

@@ -4154,6 +4154,79 @@ def doc_kmv_vocab(spark, sf_dir):
             .orderBy("source"))
 
 
+@query("doc_kmv_source_overlap", sql="""
+WITH tok AS (SELECT source,
+                    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                        AS w
+             FROM documents),
+h AS (SELECT DISTINCT source,
+             ('0x' || substr(md5('kmv:' || w), 1, 13))::BIGINT AS h
+      FROM tok),
+r AS (SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM h),
+sk AS (SELECT source, h FROM r WHERE rn <= 64),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (SELECT a.source AS src_a, b.source AS src_b
+          FROM srcs a JOIN srcs b ON a.source < b.source),
+cells AS (SELECT p.src_a, p.src_b, s.h
+          FROM pairs p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+          GROUP BY 1, 2, 3),
+uk AS (SELECT src_a, src_b, h,
+              row_number() OVER (PARTITION BY src_a, src_b
+                                 ORDER BY h) AS urn
+       FROM cells),
+top AS (SELECT src_a, src_b, h, urn FROM uk WHERE urn <= 64),
+m AS (SELECT t.src_a, t.src_b, count(*) AS usize,
+             sum(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+                      THEN 1 ELSE 0 END) AS nboth,
+             max(CASE WHEN t.urn = 64 THEN t.h END) AS h_k
+      FROM top t
+      LEFT JOIN sk ia ON ia.source = t.src_a AND ia.h = t.h
+      LEFT JOIN sk ib ON ib.source = t.src_b AND ib.h = t.h
+      GROUP BY 1, 2)
+SELECT src_a, src_b,
+       floor((nboth::DOUBLE / usize) * 10000 + 0.5) / 10000 AS jaccard_est,
+       floor(((nboth::DOUBLE / usize)
+              * (CASE WHEN usize < 64 THEN usize::DOUBLE
+                 ELSE 63.0 * 4503599627370496.0 / h_k END)) * 10000 + 0.5)
+           / 10000 AS overlap_est
+FROM m ORDER BY src_a, src_b
+""")
+def doc_kmv_source_overlap(spark, sf_dir):
+    """Pairwise vocabulary overlap between sources from KMV sketches
+    ALONE — the set-operation capability HLL lacks: for every source
+    pair, Jaccard = fraction of the union sketch's cells present in
+    both inputs, and the estimated shared-vocabulary size = Jaccard ×
+    union estimate. The expensive part (one distinct exchange + the
+    survivors-ranked bottom-k per source) runs ONCE; the pairwise stage
+    joins the GROUP-SIZED sketch table to itself (20 sources → 190
+    rows of pure array arithmetic) — the crawl-slice redundancy matrix
+    costs nothing more than sketching each slice. Oracle rebuilds the
+    sketches cell-for-cell and takes the union bottom-k with window
+    ranks. HALF-UP 4 dp on both sides."""
+    from .operators import sketches as SK
+    k = 64
+    d = _t(spark, sf_dir, "documents")
+    tok = (PT.ensure_parallelism(d.select("source", "text"), min_bytes=0)
+           .select("source", F.explode(TX.words_col("text")).alias("w")))
+    # two consumers (both join sides) of the group-sized sketch table;
+    # eager=False keeps plan-only callers lazy per the r5 hygiene rule
+    sk = SK.kmv_sketch(tok, ["source"], "w", k=k) \
+        .localCheckpoint(eager=False)
+    a = sk.select(F.col("source").alias("src_a"), F.col("hs").alias("ha"))
+    b = sk.select(F.col("source").alias("src_b"), F.col("hs").alias("hb"))
+    p = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+    jac = SK.kmv_jaccard_col(F.col("ha"), F.col("hb"), k)
+    uni = SK.kmv_estimate_col(SK.kmv_merge_col(F.col("ha"), F.col("hb"),
+                                               k), k)
+    hup = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+    return (p.select("src_a", "src_b",
+                     hup(jac).alias("jaccard_est"),
+                     hup(jac * uni).alias("overlap_est"))
+            .orderBy("src_a", "src_b"))
+
+
 @query("ts_rollup_incremental", sql="""
 SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
        round((sum(value::DECIMAL(30,10)))::DOUBLE / count(value), 6)
@@ -9231,7 +9304,7 @@ _REGISTRATION_ORDER = [
     "ts_value_hour_histogram", "ss_rolling_quarter",
     "emb_label_separation", "ss_order_gaps",
     "mm_audio_hash", "mm_scene_cuts", "mm_curation_pipeline",
-    "doc_kmv_vocab",
+    "doc_kmv_vocab", "doc_kmv_source_overlap",
 ]
 
 

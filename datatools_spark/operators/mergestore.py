@@ -46,7 +46,7 @@ from .skipping import build_file_stats
 
 __all__ = ["init_merge_store", "merge_into", "read_merge_store",
            "merge_store_stats", "merge_store_live_files",
-           "vacuum_merge_store"]
+           "vacuum_merge_store", "read_change_feed"]
 
 _GEN = "gen-"
 
@@ -258,9 +258,52 @@ def _check_keys(df: DataFrame, key_cols: list[str], who: str) -> None:
                          f"columns {df.columns}")
 
 
+def read_change_feed(spark: SparkSession, root: str,
+                     from_generation: int = 1,
+                     to_generation: int | None = None) -> DataFrame:
+    """Row-level changes across a committed generation range — the
+    Delta/Iceberg CHANGE DATA FEED: store-schema rows plus
+    ``_change_type`` (``insert`` / ``update_preimage`` /
+    ``update_postimage`` / ``delete``) and ``_generation``. Feeds
+    incremental view maintenance: a downstream aggregate folds in
+    post-images/inserts and retracts pre-images/deletes without
+    rescanning the table (equivalence pinned in
+    tests/test_mergestore.py). Only merges run with
+    ``change_feed=True`` record changes; a generation in range without
+    them RAISES — silently skipping a gap would hand consumers a
+    feed that no longer reconciles to the table."""
+    gens = [g for g in _committed_gens(spark, root)
+            if g >= max(1, from_generation)
+            and (to_generation is None or g <= to_generation)]
+    if to_generation is not None:
+        all_g = _committed_gens(spark, root)
+        if not all_g or to_generation > all_g[-1]:
+            raise ValueError(
+                f"merge store at {root}: change feed requested through "
+                f"generation {to_generation}, but latest committed is "
+                f"{all_g[-1] if all_g else 'none'}")
+    missing = [g for g in gens
+               if not _parquet_files(spark, f"{root}/_changes/{_GEN}{g}")]
+    if missing:
+        raise ValueError(
+            f"merge store at {root}: generations {missing} have no "
+            "change feed (merge_into ran with change_feed=False) — a "
+            "gapped feed cannot reconcile; recompute the view instead")
+    if not gens:
+        raise ValueError(f"merge store at {root}: no committed "
+                         "generations in the requested feed range")
+    parts = [spark.read.parquet(f"{root}/_changes/{_GEN}{g}")
+             .withColumn("_generation", F.lit(g)) for g in gens]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def merge_into(spark: SparkSession, root: str, updates: DataFrame,
                key_cols: list[str],
-               when_matched: str = "update") -> dict:
+               when_matched: str = "update",
+               change_feed: bool = False) -> dict:
     """Copy-on-write MERGE of ``updates`` into the store.
 
     ``when_matched="update"`` — upsert: store rows matching an update
@@ -271,6 +314,12 @@ def merge_into(spark: SparkSession, root: str, updates: DataFrame,
 
     ``when_matched="delete"`` — matching store rows are removed;
     ``updates`` needs only the key columns; unmatched keys are ignored.
+
+    ``change_feed=True`` additionally records the generation's
+    row-level changes (pre-images, post-images, inserts, deletes) under
+    ``{root}/_changes`` for :func:`read_change_feed` — one extra pass
+    over the TOUCHED rows only (they are localCheckpointed so the
+    files are still read once).
 
     Only files whose per-column [min, max] key box can contain an
     update key are rewritten (broadcast range-semi-join of the
@@ -324,8 +373,17 @@ def merge_into(spark: SparkSession, root: str, updates: DataFrame,
     gen_dir = f"{root}/{_GEN}{gen}"
 
     u_count = u.count() if when_matched == "update" else 0
+    if when_matched == "update" and u_count == 0:
+        # empty batch: burn nothing (mirrors the delete no-op)
+        return {"generation": None, "files_rewritten": 0,
+                "files_live_before": files_live_before,
+                "rows_matched": 0, "rows_inserted": 0, "rows_deleted": 0}
     if cand_files:
         touched = spark.read.parquet(*cand_files)
+        if change_feed:
+            # the feed reads touched twice (pre-images + survivors);
+            # checkpoint so the candidate files are scanned once
+            touched = touched.localCheckpoint(eager=False)
         remain = touched.join(F.broadcast(keys), key_cols, "left_anti")
     else:
         if when_matched == "delete":
@@ -355,6 +413,30 @@ def merge_into(spark: SparkSession, root: str, updates: DataFrame,
     out.write.mode("errorifexists").parquet(gen_dir)
     _write_gen_stats(spark, root, gen, key_cols,
                      empty_schema=stats.schema)
+    if change_feed:
+        ct = "_change_type"
+        matched_pre = (touched.join(F.broadcast(keys), key_cols,
+                                    "left_semi")
+                       if cand_files else None)
+        if when_matched == "update":
+            pre = None if matched_pre is None else \
+                matched_pre.withColumn(ct, F.lit("update_preimage"))
+            matched_keys = (spark.createDataFrame([], keys.schema)
+                            if matched_pre is None
+                            else matched_pre.select(*key_cols))
+            ordered = updates.select(*store_cols)
+            post = (ordered.join(F.broadcast(matched_keys), key_cols,
+                                 "left_semi")
+                    .withColumn(ct, F.lit("update_postimage")))
+            ins = (ordered.join(F.broadcast(matched_keys), key_cols,
+                                "left_anti")
+                   .withColumn(ct, F.lit("insert")))
+            feed = post.unionByName(ins) if pre is None \
+                else pre.unionByName(post).unionByName(ins)
+        else:
+            feed = matched_pre.withColumn(ct, F.lit("delete"))
+        feed.write.mode("errorifexists") \
+            .parquet(f"{root}/_changes/{_GEN}{gen}")
     _commit(spark, root, gen, cand_files)
 
     gen_stats = spark.read.parquet(f"{root}/_stats/{_GEN}{gen}")

@@ -26,6 +26,7 @@ __all__ = ["streaming_window_counts", "streaming_daily_extrema",
            "streaming_image_ingest_components",
            "streaming_text_ingest_components",
            "streaming_embedding_ingest_components",
+           "streaming_merge_store_apply",
            "run_file_stream"]
 
 
@@ -526,7 +527,8 @@ def streaming_distinct_users(events: DataFrame, window: str = "1 hour",
 def streaming_merge_store_apply(changes: DataFrame, root: str,
                                 checkpoint_dir: str, key_cols,
                                 op_col: str = "op", seq_col: str = "seq",
-                                tiebreak_cols=()):
+                                tiebreak_cols=(),
+                                change_feed: bool = False):
     """Continuously apply a CDC change stream to a COPY-ON-WRITE merge
     store (``operators.mergestore``) — the file-pruned upgrade of
     :func:`streaming_upsert`, whose snapshot swap rewrites the WHOLE
@@ -552,7 +554,9 @@ def streaming_merge_store_apply(changes: DataFrame, root: str,
     both converge to the same state, so the loop is at-least-once with
     idempotent effect — the retry burns extra generations, which the
     compaction pass reclaims. Returns the started query (availableNow
-    trigger; caller awaits)."""
+    trigger; caller awaits). ``change_feed=True`` records every
+    batch's row-level changes for ``read_change_feed`` — the stream
+    then maintains DOWNSTREAM aggregates incrementally too."""
     from ..operators.mergestore import merge_into
 
     key_cols = list(key_cols)
@@ -573,9 +577,11 @@ def streaming_merge_store_apply(changes: DataFrame, root: str,
         dels = latest.where(F.col(op_col) == "D").select(*key_cols)
         ups = latest.where(F.col(op_col) == "U").drop(op_col, seq_col)
         if dels.limit(1).count():
-            merge_into(sess, root, dels, key_cols, "delete")
+            merge_into(sess, root, dels, key_cols, "delete",
+                       change_feed=change_feed)
         if ups.limit(1).count():
-            merge_into(sess, root, ups, key_cols, "update")
+            merge_into(sess, root, ups, key_cols, "update",
+                       change_feed=change_feed)
 
     return (changes.writeStream
             .outputMode("append")

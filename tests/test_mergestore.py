@@ -239,3 +239,77 @@ def test_vacuum_deletes_only_unreachable_dead_files(spark, store):
     res3 = vacuum_merge_store(spark, store, retain_generations=0)
     assert res3["files_retained_dead"] == 0
     assert _as_dict(read_merge_store(spark, store)) == states[3]
+
+
+def test_change_feed_reconciles_and_maintains_rollup(spark, store):
+    """CDF parity: the recorded changes reconcile the table transition
+    exactly, and a per-tag (sum, count) rollup maintained ONLY from the
+    feed equals a recompute over the current table."""
+    from datatools_spark.operators.mergestore import read_change_feed
+
+    # gen 1: upsert 2 existing + 1 new; gen 2: delete 2
+    u1 = spark.createDataFrame(
+        [(10, -1, "cf"), (20, -2, "cf"), (9000, -3, "cf")],
+        "id long, v long, tag string")
+    merge_into(spark, store, u1, KEY, "update", change_feed=True)
+    merge_into(spark, store,
+               spark.createDataFrame([(10,), (77,)], "id long"),
+               KEY, "delete", change_feed=True)
+
+    feed = read_change_feed(spark, store).collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert {r["id"] for r in by_type["update_preimage"]} == {10, 20}
+    assert {r["id"] for r in by_type["update_postimage"]} == {10, 20}
+    assert {r["id"] for r in by_type["insert"]} == {9000}
+    assert {r["id"] for r in by_type["delete"]} == {10, 77}
+    # pre-images carry the OLD values, post-images the new
+    pre20 = next(r for r in by_type["update_preimage"] if r["id"] == 20)
+    assert pre20["v"] == 20 % 97 and pre20["tag"] != "cf"
+    assert all(r["v"] == -2 for r in by_type["update_postimage"]
+               if r["id"] == 20)
+
+    # incremental view maintenance: fold ONLY the feed into the gen-0
+    # rollup; equals a recompute over the live table
+    base = (read_merge_store(spark, store, at_generation=0)
+            .groupBy("tag").agg(F.sum("v").alias("s"),
+                                F.count("*").alias("n")))
+    signed = read_change_feed(spark, store).select(
+        "tag", "v",
+        F.when(F.col("_change_type").isin("insert", "update_postimage"),
+               F.lit(1)).otherwise(F.lit(-1)).alias("sign"))
+    delta = signed.groupBy("tag").agg(
+        F.sum(F.col("v") * F.col("sign")).alias("ds"),
+        F.sum("sign").alias("dn"))
+    maintained = (base.join(delta, "tag", "full")
+                  .select("tag",
+                          (F.coalesce("s", F.lit(0))
+                           + F.coalesce("ds", F.lit(0))).alias("s"),
+                          (F.coalesce("n", F.lit(0))
+                           + F.coalesce("dn", F.lit(0))).alias("n"))
+                  .where(F.col("n") > 0))
+    direct = (read_merge_store(spark, store)
+              .groupBy("tag").agg(F.sum("v").alias("s"),
+                                  F.count("*").alias("n")))
+    got = {r["tag"]: (r["s"], r["n"]) for r in maintained.collect()}
+    want = {r["tag"]: (r["s"], r["n"]) for r in direct.collect()}
+    assert got == want
+
+
+def test_change_feed_gap_raises_and_empty_batch_is_noop(spark, store):
+    from datatools_spark.operators.mergestore import read_change_feed
+    u1 = spark.createDataFrame([(1, -1, "a")],
+                               "id long, v long, tag string")
+    merge_into(spark, store, u1, KEY, "update", change_feed=True)
+    u2 = spark.createDataFrame([(2, -2, "b")],
+                               "id long, v long, tag string")
+    merge_into(spark, store, u2, KEY, "update")   # no feed
+    with pytest.raises(ValueError, match="no change feed"):
+        read_change_feed(spark, store)
+    # a range that stops before the gap still reads
+    assert read_change_feed(spark, store, 1, 1).count() == 2
+    # empty update batch burns no generation
+    empty = spark.createDataFrame([], "id long, v long, tag string")
+    res = merge_into(spark, store, empty, KEY, "update")
+    assert res["generation"] is None

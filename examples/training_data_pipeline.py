@@ -17,6 +17,9 @@ one composition over `documents` + `embeddings`:
   11. ingest data contract (one-pass check suite) + incremental
                          component-store dedup cluster ids
   12. hybrid retrieval  (BM25 + cosine fused by reciprocal rank)
+  13. canonical corpus table (copy-on-write merge store: re-scrub
+                         upserts + takedown deletes rewrite only
+                         touched files; change feed maintains stats)
 
 The oracle-checked composite `queries.doc_curation_pipeline` runs the
 same funnel under the hash-parity gate; this script is the narrative
@@ -218,6 +221,41 @@ def main():
            .where(F.col("rank") <= 15).select("doc_id", "rank"))
     print("hybrid RRF top-5:")
     rrf_fuse([lex, sem]).where(F.col("rank") <= 5).show(truncate=False)
+
+    # 13. (r5) the curated corpus as a MANAGED table: corrections and
+    #     takedowns arrive forever, and "rewrite the 100 TB corpus" is
+    #     not an answer. The copy-on-write merge store rewrites only the
+    #     files whose key boxes the batch touches, and its change feed
+    #     maintains downstream stats without a rescan.
+    from datatools_spark.operators.mergestore import (
+        init_merge_store, merge_into, read_change_feed, read_merge_store)
+    root = tempfile.mkdtemp(prefix="corpus_store_") + "/t"
+    canon = (all_docs.select("doc_id", "source", "text")
+             .repartitionByRange(8, "doc_id")
+             .sortWithinPartitions("doc_id"))
+    init_merge_store(spark, canon, root, ["doc_id"])
+    # a PII re-scrub lands as an upsert batch ...
+    fix = (read_merge_store(spark, root).where(F.col("doc_id") % 97 == 0)
+           .withColumn("text", TX.scrub_cols("text")["scrubbed"]))
+    r1 = merge_into(spark, root, fix, ["doc_id"], "update",
+                    change_feed=True)
+    # ... and a takedown request as a delete batch
+    gone = read_merge_store(spark, root).where(F.col("doc_id") % 131 == 0) \
+        .select("doc_id")
+    r2 = merge_into(spark, root, gone, ["doc_id"], "delete",
+                    change_feed=True)
+    print(f"merge store: re-scrub touched {r1['files_rewritten']} of "
+          f"{r1['files_live_before']} files ({r1['rows_matched']} rows); "
+          f"takedown removed {r2['rows_deleted']} rows")
+    # per-source doc counts maintained from the FEED alone
+    delta = (read_change_feed(spark, root)
+             .select("source", F.when(
+                 F.col("_change_type").isin("insert", "update_postimage"),
+                 1).when(F.col("_change_type") == "delete", -1)
+                 .otherwise(-1).alias("d"))
+             .groupBy("source").agg(F.sum("d").alias("delta_docs")))
+    print("per-source doc-count delta from the change feed:")
+    delta.where(F.col("delta_docs") != 0).orderBy("source").show(5)
 
 
 if __name__ == "__main__":

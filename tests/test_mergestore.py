@@ -313,3 +313,17 @@ def test_change_feed_gap_raises_and_empty_batch_is_noop(spark, store):
     empty = spark.createDataFrame([], "id long, v long, tag string")
     res = merge_into(spark, store, empty, KEY, "update")
     assert res["generation"] is None
+
+
+def test_store_manifest_drives_skipping_read(spark, store):
+    # the live manifest IS the skipping-manifest shape: a range read
+    # through skipping_read prunes to the matching files and returns
+    # exactly the filtered table
+    from datatools_spark.operators.skipping import (prune_files,
+                                                    skipping_read)
+    man = merge_store_stats(spark, store)
+    files = prune_files(man, {"id": (100, 220)})
+    assert 0 < len(files) < 8            # a real subset of the 8 files
+    got = sorted(r["id"] for r in
+                 skipping_read(spark, man, {"id": (100, 220)}).collect())
+    assert got == list(range(100, 221))

@@ -334,7 +334,11 @@ def merge_into(spark: SparkSession, root: str, updates: DataFrame,
                          f"got {when_matched!r}")
     _check_keys(updates, key_cols, "merge_into")
     stats = merge_store_stats(spark, root)
-    store_cols = read_merge_store(spark, root).columns
+    first = stats.select("file").limit(1).collect()
+    if first:   # schema from one live file — no second manifest assembly
+        store_cols = spark.read.parquet(first[0]["file"]).columns
+    else:       # fully-deleted store: schema via the dead-file fallback
+        store_cols = read_merge_store(spark, root).columns
     if when_matched == "update" and set(updates.columns) != set(store_cols):
         raise ValueError(
             f"merge_into(update): updates columns {sorted(updates.columns)} "
@@ -342,17 +346,21 @@ def merge_into(spark: SparkSession, root: str, updates: DataFrame,
 
     u = updates if when_matched == "update" \
         else updates.select(*key_cols)
-    null_key = u.where(F.greatest(*[F.col(k).isNull() for k in key_cols])
-                       if len(key_cols) > 1
-                       else F.col(key_cols[0]).isNull())
-    if null_key.limit(1).count():
+    # one pass over the batch-sized frame for all three key-hygiene
+    # facts: total rows, null-key rows, distinct keys
+    anynull = F.greatest(*[F.col(k).isNull() for k in key_cols]) \
+        if len(key_cols) > 1 else F.col(key_cols[0]).isNull()
+    chk = u.agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(anynull, 1).otherwise(0)).alias("nn"),
+                F.count_distinct(*[F.col(k) for k in key_cols])
+                .alias("nk")).first()
+    if chk["nn"]:
         raise ValueError("merge_into: null key values in the update "
                          "batch — equality MERGE cannot match them")
-    keys = u.select(*key_cols).distinct()
-    dup = (u.groupBy(*key_cols).count().where(F.col("count") > 1))
-    if when_matched == "update" and dup.limit(1).count():
+    if when_matched == "update" and chk["nk"] < chk["n"]:
         raise ValueError("merge_into: update batch has duplicate keys — "
                          "the replacement row would be non-deterministic")
+    keys = u.select(*key_cols).distinct()
 
     # candidate files: every key column's value inside the file's box.
     # File stats may be typed differently than the key (strings in the
@@ -372,7 +380,7 @@ def merge_into(spark: SparkSession, root: str, updates: DataFrame,
               _gen_numbers(spark, root, "_log")) + 1
     gen_dir = f"{root}/{_GEN}{gen}"
 
-    u_count = u.count() if when_matched == "update" else 0
+    u_count = int(chk["n"]) if when_matched == "update" else 0
     if when_matched == "update" and u_count == 0:
         # empty batch: burn nothing (mirrors the delete no-op)
         return {"generation": None, "files_rewritten": 0,

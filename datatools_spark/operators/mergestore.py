@@ -350,10 +350,13 @@ def merge_into(spark: SparkSession, root: str, updates: DataFrame,
     # facts: total rows, null-key rows, distinct keys
     anynull = F.greatest(*[F.col(k).isNull() for k in key_cols]) \
         if len(key_cols) > 1 else F.col(key_cols[0]).isNull()
+    envelope = [a for k in key_cols
+                for a in (F.min(k).alias(f"_lo_{k}"),
+                          F.max(k).alias(f"_hi_{k}"))]
     chk = u.agg(F.count(F.lit(1)).alias("n"),
                 F.sum(F.when(anynull, 1).otherwise(0)).alias("nn"),
                 F.count_distinct(*[F.col(k) for k in key_cols])
-                .alias("nk")).first()
+                .alias("nk"), *envelope).first()
     if chk["nn"]:
         raise ValueError("merge_into: null key values in the update "
                          "batch — equality MERGE cannot match them")
@@ -363,14 +366,21 @@ def merge_into(spark: SparkSession, root: str, updates: DataFrame,
     keys = u.select(*key_cols).distinct()
 
     # candidate files: every key column's value inside the file's box.
-    # File stats may be typed differently than the key (strings in the
-    # stats schema for empty gens) — compare in the key's own type via
-    # the joined manifest columns, which carry the build's native types.
+    # The per-key test is a broadcast nested-loop semi-join (non-equi),
+    # so pre-filter the manifest with the BATCH ENVELOPE first (global
+    # min/max per key, free from the hygiene aggregation): the NLJ then
+    # runs over envelope-overlapping files × keys, not all files × keys.
+    boxed = stats
+    for k in key_cols:
+        boxed = boxed.where(
+            (F.col(f"{k}_min") <= F.lit(chk[f"_hi_{k}"]))
+            & (F.col(f"{k}_max") >= F.lit(chk[f"_lo_{k}"]))
+            & F.col(f"{k}_min").isNotNull())
     cond = None
     for k in key_cols:
-        c = (stats[f"{k}_min"] <= keys[k]) & (keys[k] <= stats[f"{k}_max"])
+        c = (boxed[f"{k}_min"] <= keys[k]) & (keys[k] <= boxed[f"{k}_max"])
         cond = c if cond is None else (cond & c)
-    cand_rows = (stats.join(F.broadcast(keys), cond, "left_semi")
+    cand_rows = (boxed.join(F.broadcast(keys), cond, "left_semi")
                  .select("file", "n_rows").collect())
     cand_files = sorted(r["file"] for r in cand_rows)
     touched_rows = sum(int(r["n_rows"]) for r in cand_rows)

@@ -35,6 +35,14 @@ extra scans: the merge itself is the only pass over the touched bytes.
 Under many small merges the store accretes small files; the live
 manifest (:func:`merge_store_stats`) feeds ``skipping.plan_compaction``
 unchanged — the same maintenance pass Delta users run as ``OPTIMIZE``.
+
+SINGLE WRITER: there is no optimistic-concurrency loop (Delta's
+conflict detection needs an atomic log commit this layout does not
+have). Two concurrent merges race to the same generation number; the
+loser's ``errorifexists`` data write fails BEFORE it records stats,
+changes, or a commit, so the store stays consistent and the loser can
+simply retry — but serialize writers by construction (the streaming
+loop is one) rather than leaning on the race.
 """
 
 from __future__ import annotations
@@ -207,7 +215,9 @@ def vacuum_merge_store(spark: SparkSession, root: str,
     (the watermark is recorded at ``{root}/_vacuum`` and checked by the
     readers). Idempotent: re-running deletes nothing new and never
     raises on already-gone files. The current table is NEVER touched —
-    only tombstoned (dead) files are candidates. Returns
+    only tombstoned (dead) files are candidates, and ``_changes``
+    feeds are always retained (they are copies, not references — the
+    IVM log survives history reclamation). Returns
     ``{"watermark", "files_deleted", "files_retained_dead"}``."""
     gens = _committed_gens(spark, root)
     if not gens:

@@ -327,3 +327,48 @@ def test_store_manifest_drives_skipping_read(spark, store):
     got = sorted(r["id"] for r in
                  skipping_read(spark, man, {"id": (100, 220)}).collect())
     assert got == list(range(100, 221))
+
+
+def test_random_merge_sequences_match_model(spark, tmp_path):
+    """Seeded randomized upsert/delete sequences against a dict-model
+    reference: after every operation the store equals the model, and at
+    the end every generation time-travels to its recorded snapshot."""
+    import random
+    rng = random.Random(20260814)
+    root = str(tmp_path / "rand")
+    base = {i: (i % 7, f"t{i % 5}") for i in range(0, 400, 2)}  # evens
+    df = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in sorted(base.items())],
+        "id long, v long, tag string")
+    init_merge_store(spark, df.repartitionByRange(4, "id")
+                     .sortWithinPartitions("id"), root, KEY)
+    model = dict(base)
+    history = {0: dict(model)}
+    for step in range(6):
+        op = rng.choice(["update", "delete"])
+        ks = rng.sample(range(0, 420), rng.randint(1, 25))
+        if op == "update":
+            rows = [(k, rng.randint(-99, 99), f"s{step}") for k in ks]
+            upd = spark.createDataFrame(rows,
+                                        "id long, v long, tag string")
+            res = merge_into(spark, root, upd, KEY, "update")
+            n_matched = sum(1 for k in ks if k in model)
+            assert res["rows_matched"] == n_matched
+            assert res["rows_inserted"] == len(ks) - n_matched
+            for k, v, t in rows:
+                model[k] = (v, t)
+        else:
+            dels = spark.createDataFrame([(k,) for k in ks], "id long")
+            res = merge_into(spark, root, dels, KEY, "delete")
+            n_del = sum(1 for k in ks if k in model)
+            assert res["rows_deleted"] == n_del
+            for k in ks:
+                model.pop(k, None)
+        if res["generation"] is not None:
+            history[res["generation"]] = dict(model)
+        assert _as_dict(read_merge_store(spark, root)) == model, \
+            f"state diverged after step {step} ({op})"
+    for g, snap in history.items():
+        assert _as_dict(read_merge_store(spark, root,
+                                         at_generation=g)) == snap, \
+            f"time travel to generation {g} diverged"

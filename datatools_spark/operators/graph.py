@@ -87,7 +87,7 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
 
 def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
              iters: int = 3, damping: float = 0.85,
-             round_dp: int = 9) -> DataFrame:
+             round_dp: int = 9, assume_distinct: bool = False) -> DataFrame:
     """PageRank on a directed edge list where EVERY node has at least
     one out-edge (symmetrize first when that is not guaranteed —
     dangling-mass redistribution is deliberately out of scope so the
@@ -111,14 +111,24 @@ def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
     operators/classifier.py) — which is what lets an unrolled SQL
     oracle hash-match the full iteration.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not assume_distinct:
+        # duplicate edges would double-count contributions; callers
+        # whose edge list is distinct BY CONSTRUCTION (e.g. a distinct
+        # list unioned with its disjoint reverse) skip this full-edge
+        # exchange with assume_distinct=True
+        e = e.distinct()
+    # checkpoint the EDGE LIST first: ew and nodes both derive from it,
+    # and without this each of their eager checkpoints re-executes the
+    # caller's whole edge construction (measured 2× a 4.8 s
+    # join+distinct at sf0.1 in ss_pagerank — the upstream runs once
+    # now). localCheckpoint, not cache(): a cached plan pins the
+    # session's cache registry per distinct input forever (the r5
+    # pair-engine hygiene rule); checkpoint blocks free on GC.
+    e = e.localCheckpoint(eager=True)
     deg = e.groupBy("u").agg(F.count("*").alias("_outdeg"))
-    checkpoint = iters > 4
-    # localCheckpoint, not cache(): a cached plan pins the session's
-    # cache registry per distinct input forever (the r5 pair-engine
-    # hygiene rule); checkpoint blocks free on GC, and the count()
-    # below materializes eagerly either way. The `checkpoint` flag now
-    # gates only the PER-ITERATION rank checkpoint (long chains).
+    checkpoint = iters > 4   # gates only the PER-ITERATION rank
+    # checkpoint (long chains); short rank chains stay lazy
     ew = e.join(deg, "u").localCheckpoint(eager=True)
     nodes = deg.select(F.col("u").alias("id")).localCheckpoint(eager=True)
     n = nodes.count()

@@ -4716,12 +4716,14 @@ def ss_pagerank(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     el = (o.join(li, o.o_orderkey == li.l_orderkey)
+          .select("o_custkey", "l_suppkey").distinct()   # ints, then tag
           .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("u"),
-                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("v"))
-          .distinct())
+                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("v")))
     e = el.unionByName(
         el.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    pr = G.pagerank(e, iters=3)
+    # el is distinct and the reversed half is disjoint (c*/s* prefixes),
+    # so the union is distinct by construction — skip the 2|E| exchange
+    pr = G.pagerank(e, iters=3, assume_distinct=True)
     return pr.select("id", F.round("pr", 6).alias("pr"))
 
 

@@ -54,7 +54,8 @@ from .skipping import build_file_stats
 
 __all__ = ["init_merge_store", "merge_into", "read_merge_store",
            "merge_store_stats", "merge_store_live_files",
-           "vacuum_merge_store", "read_change_feed"]
+           "vacuum_merge_store", "read_change_feed",
+           "init_feed_rollup", "refresh_feed_rollup", "read_feed_rollup"]
 
 _GEN = "gen-"
 
@@ -483,3 +484,104 @@ def merge_into(spark: SparkSession, root: str, updates: DataFrame,
             "rows_matched": int(touched_rows - gen_rows),
             "rows_inserted": 0,
             "rows_deleted": int(touched_rows - gen_rows)}
+
+
+# ------------------------------------------------- incremental rollup
+
+def _applied_through(spark: SparkSession, state_dir: str) -> int:
+    p = f"{state_dir}/_applied"
+    if not _parquet_files(spark, p):
+        raise ValueError(f"feed rollup at {state_dir} not initialized — "
+                         "init_feed_rollup first")
+    return int(spark.read.parquet(p)
+               .agg(F.max("applied_through")).collect()[0][0])
+
+
+def _rollup_agg(df: DataFrame, group_cols: list[str],
+                val_col) -> DataFrame:
+    return df.groupBy(*group_cols).agg(
+        F.sum(F.col(val_col).cast("decimal(30,6)") * F.col("_sign"))
+        .alias("s"),
+        F.sum("_sign").cast("long").alias("n"))
+
+
+def init_feed_rollup(spark: SparkSession, root: str, state_dir: str,
+                     group_cols, val_col: str) -> dict:
+    """Materialize ``group_cols → (sum(val), count)`` over the merge
+    store's CURRENT state and record the generation it reflects. From
+    then on :func:`refresh_feed_rollup` maintains it from the change
+    feed alone — the incremental materialized view: refresh cost scales
+    with the CHANGES since the last refresh, never the table.
+
+    Only retraction-safe aggregates live here (decimal sum + count;
+    read avg off them) — min/max cannot be maintained under deletes
+    without a recompute, so they are deliberately absent."""
+    group_cols = list(group_cols)
+    g_now = _committed_gens(spark, root)[-1]
+    base = read_merge_store(spark, root).withColumn("_sign", F.lit(1))
+    _rollup_agg(base, group_cols, val_col) \
+        .write.mode("errorifexists").parquet(f"{state_dir}/rollup")
+    (spark.createDataFrame([(g_now,)], "applied_through long")
+     .coalesce(1).write.mode("errorifexists")
+     .parquet(f"{state_dir}/_applied"))
+    return {"applied_through": g_now}
+
+
+def refresh_feed_rollup(spark: SparkSession, root: str, state_dir: str,
+                        group_cols, val_col: str) -> dict:
+    """Fold every change-feed generation newer than the recorded
+    watermark into the stored rollup: inserts/post-images add, deletes/
+    pre-images retract — no table rescan. Requires every intervening
+    merge to have run with ``change_feed=True``
+    (:func:`read_change_feed` refuses gaps, so a feed hole fails loudly
+    instead of silently corrupting the view). Idempotent per
+    generation: the watermark advances atomically with the rewritten
+    rollup read (the rollup is checkpointed before its overwrite, so
+    the write never recomputes from the path it replaces)."""
+    group_cols = list(group_cols)
+    applied = _applied_through(spark, state_dir)
+    g_now = _committed_gens(spark, root)[-1]
+    if g_now <= applied:
+        return {"applied_from": None, "applied_through": applied,
+                "groups_touched": 0}
+    feed = read_change_feed(spark, root, applied + 1, g_now)
+    signed = feed.withColumn(
+        "_sign",
+        F.when(F.col("_change_type").isin("insert", "update_postimage"),
+               F.lit(1)).otherwise(F.lit(-1)))
+    delta = _rollup_agg(signed, group_cols, val_col)
+    # eager checkpoint BEFORE overwriting the path the plan reads —
+    # the sigstore recache lesson: a lazy plan over rollup/ would be
+    # re-evaluated against the half-overwritten directory
+    cur = spark.read.parquet(f"{state_dir}/rollup") \
+        .localCheckpoint(eager=True)
+    d = delta.select(*group_cols, F.col("s").alias("_ds"),
+                     F.col("n").alias("_dn")).localCheckpoint(eager=True)
+    merged = (cur.join(d, group_cols, "full")
+              .select(*group_cols,
+                      (F.coalesce("s", F.lit(0).cast("decimal(30,6)"))
+                       + F.coalesce("_ds",
+                                    F.lit(0).cast("decimal(30,6)")))
+                      .cast("decimal(30,6)").alias("s"),
+                      (F.coalesce("n", F.lit(0))
+                       + F.coalesce("_dn", F.lit(0))).cast("long")
+                      .alias("n"))
+              .where(F.col("n") > 0))
+    merged.write.mode("overwrite").parquet(f"{state_dir}/rollup")
+    (spark.createDataFrame([(g_now,)], "applied_through long")
+     .coalesce(1).write.mode("append").parquet(f"{state_dir}/_applied"))
+    return {"applied_from": applied + 1, "applied_through": g_now,
+            "groups_touched": int(d.count())}
+
+
+def read_feed_rollup(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained view: group cols + ``sum_val`` (double),
+    ``n_rows``, ``avg_val`` — derived off the retraction-safe
+    partials."""
+    r = spark.read.parquet(f"{state_dir}/rollup")
+    gcols = [c for c in r.columns if c not in ("s", "n")]
+    return r.select(*gcols,
+                    F.col("s").cast("double").alias("sum_val"),
+                    F.col("n").alias("n_rows"),
+                    (F.col("s").cast("double") / F.col("n"))
+                    .alias("avg_val"))

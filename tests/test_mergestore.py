@@ -372,3 +372,55 @@ def test_random_merge_sequences_match_model(spark, tmp_path):
         assert _as_dict(read_merge_store(spark, root,
                                          at_generation=g)) == snap, \
             f"time travel to generation {g} diverged"
+
+
+def test_feed_rollup_maintains_view_incrementally(spark, tmp_path):
+    """init → merges → refresh equals a direct recompute; refresh is
+    watermark-idempotent; a second merge+refresh cycle still matches."""
+    from datatools_spark.operators.mergestore import (
+        init_feed_rollup, init_merge_store, read_feed_rollup,
+        refresh_feed_rollup)
+    root = str(tmp_path / "ivm_store")
+    state = str(tmp_path / "ivm_state")
+    df = (spark.range(0, 500)
+          .select(F.col("id"), (F.col("id") % 5).alias("grp"),
+                  (F.col("id") % 13).cast("double").alias("v")))
+    init_merge_store(spark, df.repartitionByRange(4, "id")
+                     .sortWithinPartitions("id"), root, KEY)
+    r = init_feed_rollup(spark, root, state, ["grp"], "v")
+    assert r["applied_through"] == 0
+
+    def direct():
+        cur = read_merge_store(spark, root)
+        return {row["grp"]: (row["s"], row["n"]) for row in
+                cur.groupBy("grp").agg(
+                    F.sum("v").alias("s"), F.count("*").alias("n"))
+                .collect()}
+
+    def maintained():
+        return {row["grp"]: (row["sum_val"], row["n_rows"]) for row in
+                read_feed_rollup(spark, state).collect()}
+
+    # cycle 1: upserts (group moves: id 7 goes grp 1 → 4) + deletes
+    u = spark.createDataFrame(
+        [(7, 4, 99.0), (10, 0, -5.0), (1000, 2, 3.5)],
+        "id long, grp long, v double")
+    merge_into(spark, root, u, KEY, "update", change_feed=True)
+    merge_into(spark, root,
+               spark.createDataFrame([(3,), (4,)], "id long"),
+               KEY, "delete", change_feed=True)
+    res = refresh_feed_rollup(spark, root, state, ["grp"], "v")
+    assert res["applied_from"] == 1 and res["applied_through"] == 2
+    assert maintained() == direct()
+    # idempotent no-op
+    res2 = refresh_feed_rollup(spark, root, state, ["grp"], "v")
+    assert res2["applied_from"] is None and res2["groups_touched"] == 0
+    # cycle 2
+    merge_into(spark, root,
+               spark.createDataFrame([(1000,)], "id long"),
+               KEY, "delete", change_feed=True)
+    u2 = spark.createDataFrame([(7, 1, 1.0)],
+                               "id long, grp long, v double")
+    merge_into(spark, root, u2, KEY, "update", change_feed=True)
+    refresh_feed_rollup(spark, root, state, ["grp"], "v")
+    assert maintained() == direct()

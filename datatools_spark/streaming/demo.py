@@ -528,7 +528,10 @@ def streaming_merge_store_apply(changes: DataFrame, root: str,
                                 checkpoint_dir: str, key_cols,
                                 op_col: str = "op", seq_col: str = "seq",
                                 tiebreak_cols=(),
-                                change_feed: bool = False):
+                                change_feed: bool = False,
+                                rollup_state_dir: str | None = None,
+                                rollup_group_cols=(),
+                                rollup_val_col: str | None = None):
     """Continuously apply a CDC change stream to a COPY-ON-WRITE merge
     store (``operators.mergestore``) — the file-pruned upgrade of
     :func:`streaming_upsert`, whose snapshot swap rewrites the WHOLE
@@ -556,8 +559,15 @@ def streaming_merge_store_apply(changes: DataFrame, root: str,
     compaction pass reclaims. Returns the started query (availableNow
     trigger; caller awaits). ``change_feed=True`` records every
     batch's row-level changes for ``read_change_feed`` — the stream
-    then maintains DOWNSTREAM aggregates incrementally too."""
-    from ..operators.mergestore import merge_into
+    then maintains DOWNSTREAM aggregates incrementally too; pass
+    ``rollup_state_dir``/``rollup_group_cols``/``rollup_val_col`` (an
+    ``init_feed_rollup`` state) to refresh that materialized view at
+    the end of every micro-batch. The whole loop stays replay-safe: a
+    replayed identical upsert emits pre/post-images that cancel
+    exactly, and a replayed delete of absent keys emits nothing, so
+    the rollup converges to the same state a single application
+    reaches."""
+    from ..operators.mergestore import merge_into, refresh_feed_rollup
 
     key_cols = list(key_cols)
     tiebreak_cols = list(tiebreak_cols)
@@ -582,6 +592,13 @@ def streaming_merge_store_apply(changes: DataFrame, root: str,
         if ups.limit(1).count():
             merge_into(sess, root, ups, key_cols, "update",
                        change_feed=change_feed)
+        if rollup_state_dir is not None:
+            if not change_feed:
+                raise ValueError(
+                    "streaming_merge_store_apply: maintaining a feed "
+                    "rollup requires change_feed=True")
+            refresh_feed_rollup(sess, root, rollup_state_dir,
+                                list(rollup_group_cols), rollup_val_col)
 
     return (changes.writeStream
             .outputMode("append")

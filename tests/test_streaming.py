@@ -632,3 +632,47 @@ def test_streaming_merge_store_apply_rejects_unknown_op(spark, tmp_path):
                                     ["id"])
     with pytest.raises(Exception, match="outside"):
         q.awaitTermination(120)
+
+
+def test_streaming_merge_store_apply_maintains_rollup(spark, tmp_path):
+    """The CDC loop refreshes a feed-maintained materialized view at
+    every micro-batch; after the stream drains the view equals a direct
+    recompute over the final table."""
+    from datatools_spark.operators.mergestore import (
+        init_feed_rollup, init_merge_store, read_feed_rollup,
+        read_merge_store)
+    from datatools_spark.streaming.demo import streaming_merge_store_apply
+
+    root = str(tmp_path / "ivm_cdc_store")
+    state = str(tmp_path / "ivm_cdc_state")
+    base = (spark.range(0, 300)
+            .select(F.col("id"), (F.col("id") % 4).alias("grp"),
+                    (F.col("id") % 11).cast("double").alias("v")))
+    init_merge_store(spark, base.repartitionByRange(3, "id")
+                     .sortWithinPartitions("id"), root, ["id"])
+    init_feed_rollup(spark, root, state, ["grp"], "v")
+
+    schema = "id long, grp long, v double, op string, seq long"
+    src = str(tmp_path / "ivm_cdc_src")
+    spark.createDataFrame(
+        [(10, 3, 50.0, "U", 1), (11, 0, -7.0, "U", 1),
+         (900, 2, 4.0, "U", 1)], schema).write.parquet(src)
+    spark.createDataFrame(
+        [(10, 3, 60.0, "U", 2), (0, 0, 0.0, "D", 2)], schema) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming_merge_store_apply(
+        stream, root, str(tmp_path / "ivm_ck"), ["id"],
+        change_feed=True, rollup_state_dir=state,
+        rollup_group_cols=["grp"], rollup_val_col="v")
+    q.awaitTermination(180)
+
+    got = {r["grp"]: (r["sum_val"], r["n_rows"]) for r in
+           read_feed_rollup(spark, state).collect()}
+    want = {r["grp"]: (r["s"], r["n"]) for r in
+            read_merge_store(spark, root).groupBy("grp")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()}
+    assert got == want and len(got) == 4

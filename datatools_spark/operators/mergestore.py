@@ -488,13 +488,31 @@ def merge_into(spark: SparkSession, root: str, updates: DataFrame,
 
 # ------------------------------------------------- incremental rollup
 
+def _rollup_gens(spark: SparkSession, state_dir: str) -> list[int]:
+    """COMMITTED rollup snapshots: ``rollup-g<gen>`` dirs whose
+    _SUCCESS marker exists (Spark writes it last, so its appearance is
+    the atomic commit point — a crashed refresh leaves a markerless
+    orphan that is never read and is overwritten by the retry)."""
+    fs, jpath = _fs(spark, state_dir)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("rollup-g"):
+            ok = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{state_dir}/{name}/_SUCCESS")
+            if fs.exists(ok):
+                out.append(int(name[len("rollup-g"):]))
+    return sorted(out)
+
+
 def _applied_through(spark: SparkSession, state_dir: str) -> int:
-    p = f"{state_dir}/_applied"
-    if not _parquet_files(spark, p):
+    gens = _rollup_gens(spark, state_dir)
+    if not gens:
         raise ValueError(f"feed rollup at {state_dir} not initialized — "
                          "init_feed_rollup first")
-    return int(spark.read.parquet(p)
-               .agg(F.max("applied_through")).collect()[0][0])
+    return gens[-1]
 
 
 def _rollup_agg(df: DataFrame, group_cols: list[str],
@@ -508,36 +526,43 @@ def _rollup_agg(df: DataFrame, group_cols: list[str],
 def init_feed_rollup(spark: SparkSession, root: str, state_dir: str,
                      group_cols, val_col: str) -> dict:
     """Materialize ``group_cols → (sum(val), count)`` over the merge
-    store's CURRENT state and record the generation it reflects. From
-    then on :func:`refresh_feed_rollup` maintains it from the change
-    feed alone — the incremental materialized view: refresh cost scales
-    with the CHANGES since the last refresh, never the table.
+    store's CURRENT state as the ``rollup-g<gen>`` snapshot. From then
+    on :func:`refresh_feed_rollup` maintains it from the change feed
+    alone — the incremental materialized view: refresh cost scales with
+    the CHANGES since the last refresh, never the table.
 
     Only retraction-safe aggregates live here (decimal sum + count;
     read avg off them) — min/max cannot be maintained under deletes
     without a recompute, so they are deliberately absent."""
     group_cols = list(group_cols)
+    if _rollup_gens(spark, state_dir):
+        raise ValueError(f"feed rollup at {state_dir} already "
+                         "initialized — point each view at a fresh dir")
     g_now = _committed_gens(spark, root)[-1]
     base = read_merge_store(spark, root).withColumn("_sign", F.lit(1))
     _rollup_agg(base, group_cols, val_col) \
-        .write.mode("errorifexists").parquet(f"{state_dir}/rollup")
-    (spark.createDataFrame([(g_now,)], "applied_through long")
-     .coalesce(1).write.mode("errorifexists")
-     .parquet(f"{state_dir}/_applied"))
+        .write.mode("errorifexists") \
+        .parquet(f"{state_dir}/rollup-g{g_now}")
     return {"applied_through": g_now}
 
 
 def refresh_feed_rollup(spark: SparkSession, root: str, state_dir: str,
                         group_cols, val_col: str) -> dict:
-    """Fold every change-feed generation newer than the recorded
-    watermark into the stored rollup: inserts/post-images add, deletes/
-    pre-images retract — no table rescan. Requires every intervening
-    merge to have run with ``change_feed=True``
+    """Fold every change-feed generation newer than the last committed
+    snapshot into a NEW ``rollup-g<gen>`` snapshot: inserts/post-images
+    add, deletes/pre-images retract — no table rescan. Requires every
+    intervening merge to have run with ``change_feed=True``
     (:func:`read_change_feed` refuses gaps, so a feed hole fails loudly
-    instead of silently corrupting the view). Idempotent per
-    generation: the watermark advances atomically with the rewritten
-    rollup read (the rollup is checkpointed before its overwrite, so
-    the write never recomputes from the path it replaces)."""
+    instead of silently corrupting the view).
+
+    CRASH-SAFE by construction: the snapshot's watermark is its
+    directory name and its commit point is the _SUCCESS marker Spark
+    writes last — there is no separate watermark record to fall out of
+    sync with the data (an earlier draft updated a watermark file after
+    overwriting the rollup; a crash between the two steps would have
+    double-counted the feed on retry). A crashed refresh leaves a
+    markerless orphan the retry overwrites. Snapshots before the
+    previous one are pruned."""
     group_cols = list(group_cols)
     applied = _applied_through(spark, state_dir)
     g_now = _committed_gens(spark, root)[-1]
@@ -550,11 +575,7 @@ def refresh_feed_rollup(spark: SparkSession, root: str, state_dir: str,
         F.when(F.col("_change_type").isin("insert", "update_postimage"),
                F.lit(1)).otherwise(F.lit(-1)))
     delta = _rollup_agg(signed, group_cols, val_col)
-    # eager checkpoint BEFORE overwriting the path the plan reads —
-    # the sigstore recache lesson: a lazy plan over rollup/ would be
-    # re-evaluated against the half-overwritten directory
-    cur = spark.read.parquet(f"{state_dir}/rollup") \
-        .localCheckpoint(eager=True)
+    cur = spark.read.parquet(f"{state_dir}/rollup-g{applied}")
     d = delta.select(*group_cols, F.col("s").alias("_ds"),
                      F.col("n").alias("_dn")).localCheckpoint(eager=True)
     merged = (cur.join(d, group_cols, "full")
@@ -567,9 +588,14 @@ def refresh_feed_rollup(spark: SparkSession, root: str, state_dir: str,
                        + F.coalesce("_dn", F.lit(0))).cast("long")
                       .alias("n"))
               .where(F.col("n") > 0))
-    merged.write.mode("overwrite").parquet(f"{state_dir}/rollup")
-    (spark.createDataFrame([(g_now,)], "applied_through long")
-     .coalesce(1).write.mode("append").parquet(f"{state_dir}/_applied"))
+    # overwrite handles a markerless orphan from a crashed prior try;
+    # the source snapshot (rollup-g<applied>) is a DIFFERENT directory,
+    # so this write never reads the path it replaces
+    merged.write.mode("overwrite").parquet(f"{state_dir}/rollup-g{g_now}")
+    fs, _ = _fs(spark, state_dir)
+    for g in _rollup_gens(spark, state_dir)[:-2]:   # keep last two
+        fs.delete(spark._jvm.org.apache.hadoop.fs.Path(
+            f"{state_dir}/rollup-g{g}"), True)
     return {"applied_from": applied + 1, "applied_through": g_now,
             "groups_touched": int(d.count())}
 
@@ -577,8 +603,9 @@ def refresh_feed_rollup(spark: SparkSession, root: str, state_dir: str,
 def read_feed_rollup(spark: SparkSession, state_dir: str) -> DataFrame:
     """The maintained view: group cols + ``sum_val`` (double),
     ``n_rows``, ``avg_val`` — derived off the retraction-safe
-    partials."""
-    r = spark.read.parquet(f"{state_dir}/rollup")
+    partials, read from the newest committed snapshot."""
+    g = _applied_through(spark, state_dir)
+    r = spark.read.parquet(f"{state_dir}/rollup-g{g}")
     gcols = [c for c in r.columns if c not in ("s", "n")]
     return r.select(*gcols,
                     F.col("s").cast("double").alias("sum_val"),

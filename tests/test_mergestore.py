@@ -424,3 +424,42 @@ def test_feed_rollup_maintains_view_incrementally(spark, tmp_path):
     merge_into(spark, root, u2, KEY, "update", change_feed=True)
     refresh_feed_rollup(spark, root, state, ["grp"], "v")
     assert maintained() == direct()
+
+
+def test_feed_rollup_crashed_refresh_is_invisible_and_retried(spark, tmp_path):
+    """A refresh that died before its _SUCCESS marker leaves an orphan
+    snapshot: readers keep serving the last committed one, and the
+    retried refresh overwrites the orphan and converges."""
+    import os
+    from datatools_spark.operators.mergestore import (
+        init_feed_rollup, init_merge_store, read_feed_rollup,
+        refresh_feed_rollup)
+    root = str(tmp_path / "crash_store")
+    state = str(tmp_path / "crash_state")
+    df = spark.range(0, 100).select(
+        "id", (F.col("id") % 3).alias("grp"),
+        F.col("id").cast("double").alias("v"))
+    init_merge_store(spark, df.coalesce(2), root, KEY)
+    init_feed_rollup(spark, root, state, ["grp"], "v")
+    u = spark.createDataFrame([(5, 0, 500.0)],
+                              "id long, grp long, v double")
+    merge_into(spark, root, u, KEY, "update", change_feed=True)
+    # simulate the crash: a refresh output dir WITHOUT its marker
+    orphan = f"{state}/rollup-g1"
+    spark.createDataFrame([(0, 1.0, 1)], "grp long, s double, n long") \
+        .write.parquet(orphan)
+    os.remove(f"{orphan}/_SUCCESS")
+    # reader still serves the committed gen-0 snapshot
+    before = {r["grp"]: r["n_rows"]
+              for r in read_feed_rollup(spark, state).collect()}
+    assert sum(before.values()) == 100
+    # retry commits over the orphan and matches a direct recompute
+    res = refresh_feed_rollup(spark, root, state, ["grp"], "v")
+    assert res["applied_through"] == 1
+    got = {r["grp"]: (r["sum_val"], r["n_rows"])
+           for r in read_feed_rollup(spark, state).collect()}
+    want = {r["grp"]: (r["s"], r["n"]) for r in
+            read_merge_store(spark, root).groupBy("grp")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()}
+    assert got == want

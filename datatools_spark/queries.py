@@ -9212,7 +9212,11 @@ _REGISTRATION_ORDER = [
     # mm_extract_features' stub-feature twin is equality-tested locally
     # (tests/test_multimodal.py) and stays oracle-backed past the cutoff.
     "ss_top_customers_per_nation", "emb_knn_matmul",
-    "doc_lang_id", "doc_token_count", "doc_quality", "doc_fingerprint_dedup",
+    # r5: doc_token_count → doc_kmv_vocab, so the sketch family gets a
+    # driver row (token counting stays evidenced by doc_quality's
+    # n_tokens column; doc_token_count remains oracle-backed past the
+    # cutoff)
+    "doc_lang_id", "doc_kmv_vocab", "doc_quality", "doc_fingerprint_dedup",
     "doc_minhash", "doc_lsh_pairs", "doc_simhash", "doc_ngram_pairs",
     "doc_source_stats", "doc_neardup_retention",
     "emb_knn_brute", "emb_dup_pairs", "emb_centroid_assign",
@@ -9306,7 +9310,7 @@ _REGISTRATION_ORDER = [
     "ts_value_hour_histogram", "ss_rolling_quarter",
     "emb_label_separation", "ss_order_gaps",
     "mm_audio_hash", "mm_scene_cuts", "mm_curation_pipeline",
-    "doc_kmv_vocab", "doc_kmv_source_overlap",
+    "doc_token_count", "doc_kmv_source_overlap",
 ]
 
 

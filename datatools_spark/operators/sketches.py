@@ -33,7 +33,8 @@ __all__ = ["cms_bucket_col", "cms_build", "cms_estimate",
            "hll_bucket_rho", "hll_registers", "hll_estimate_sql_terms",
            "hll_estimate", "hll_estimate_from_registers", "hll_merge",
            "kmv_hash52", "kmv_sketch", "kmv_estimate_col",
-           "kmv_merge_col", "kmv_jaccard_col"]
+           "kmv_merge_col", "kmv_jaccard_col",
+           "update_kmv_store", "read_kmv_store"]
 
 _H32 = 4294967296  # 2^32
 
@@ -277,3 +278,77 @@ def kmv_jaccard_col(a: Column, b: Column, k: int) -> Column:
     u = kmv_merge_col(a, b, k)
     both = F.size(F.array_intersect(F.array_intersect(u, a), b))
     return both.cast("double") / F.size(u).cast("double")
+
+
+# ------------------------------------------- incremental KMV store
+
+def _kmv_snapshots(spark, path: str) -> list[int]:
+    """Committed ``kmv-b<batch>`` snapshot numbers (the _SUCCESS marker
+    is the atomic commit point — same pattern as the merge store's
+    feed rollup)."""
+    jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jp):
+        return []
+    out = []
+    for st in fs.listStatus(jp):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("kmv-b"):
+            ok = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{path}/{name}/_SUCCESS")
+            if fs.exists(ok):
+                out.append(int(name[len("kmv-b"):]))
+    return sorted(out)
+
+
+def update_kmv_store(spark, batch: DataFrame, path: str, group_cols,
+                     item_col: str, k: int = 64,
+                     salt: str = "kmv") -> dict:
+    """Fold a batch into per-group KMV sketches maintained AT REST —
+    cardinality/overlap tracking over a growing corpus with per-batch
+    cost ∝ batch: sketch the batch (one distinct exchange over batch
+    items), then merge with the stored sketches via
+    :func:`kmv_merge_col` (bottom-k merge is EXACT, so the store always
+    equals a from-scratch sketch of everything ever ingested — pinned
+    in tests). Snapshots are ``kmv-b<n>`` dirs committed by their
+    _SUCCESS marker; a crashed update leaves a markerless orphan the
+    retry overwrites, and older snapshots past the previous one are
+    pruned. NOT idempotent under replay — KMV is a set sketch, so
+    re-ingesting the same items is harmless (identical hashes merge to
+    the identical sketch): replay a batch freely, the store converges.
+    Returns ``{"batch", "groups"}``."""
+    group_cols = list(group_cols)
+    snaps = _kmv_snapshots(spark, path)
+    bsk = kmv_sketch(batch, group_cols, item_col, k=k, salt=salt)
+    if snaps:
+        cur = spark.read.parquet(f"{path}/kmv-b{snaps[-1]}")
+        merged = (cur.withColumnRenamed("hs", "_old")
+                  .join(bsk.withColumnRenamed("hs", "_new"),
+                        group_cols, "full")
+                  .select(*group_cols,
+                          F.when(F.col("_old").isNull(), F.col("_new"))
+                          .when(F.col("_new").isNull(), F.col("_old"))
+                          .otherwise(kmv_merge_col(F.col("_old"),
+                                                   F.col("_new"), k))
+                          .alias("hs")))
+        nxt = snaps[-1] + 1
+    else:
+        merged, nxt = bsk, 0
+    merged.coalesce(1).write.mode("overwrite") \
+        .parquet(f"{path}/kmv-b{nxt}")
+    jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    for b in _kmv_snapshots(spark, path)[:-2]:     # keep last two
+        fs.delete(spark._jvm.org.apache.hadoop.fs.Path(
+            f"{path}/kmv-b{b}"), True)
+    n = merged.count()
+    return {"batch": nxt, "groups": int(n)}
+
+
+def read_kmv_store(spark, path: str) -> DataFrame:
+    """The newest committed sketch table: ``<group_cols>, hs``."""
+    snaps = _kmv_snapshots(spark, path)
+    if not snaps:
+        raise ValueError(f"KMV store at {path} has no committed "
+                         "snapshots — update_kmv_store first")
+    return spark.read.parquet(f"{path}/kmv-b{snaps[-1]}")

@@ -676,3 +676,36 @@ class TestKMV:
              .select(kmv_jaccard_col(F.col("ha"), F.col("hb"), k)
                      .alias("j")).collect()[0]["j"])
         assert abs(j - 0.5) < 0.15
+
+    def test_kmv_store_incremental_equals_full(self, spark, tmp_path):
+        """Three batch updates (overlapping items, new groups mid-way)
+        produce EXACTLY the sketch of the full corpus — bottom-k merge
+        is exact — and replaying a batch changes nothing."""
+        from datatools_spark.operators.sketches import (
+            kmv_sketch, read_kmv_store, update_kmv_store)
+        path = str(tmp_path / "kmv_store")
+        k = 32
+        b1 = spark.range(0, 600).select(
+            (F.col("id") % 2).alias("g"),
+            F.concat(F.lit("w"), (F.col("id") % 250).cast("string"))
+            .alias("item"))
+        b2 = spark.range(200, 900).select(
+            (F.col("id") % 2).alias("g"),
+            F.concat(F.lit("w"), (F.col("id") % 400).cast("string"))
+            .alias("item"))
+        b3 = spark.range(0, 150).select(
+            F.lit(7).alias("g"),                      # brand-new group
+            F.concat(F.lit("z"), F.col("id").cast("string")).alias("item"))
+        for b in (b1, b2, b3):
+            update_kmv_store(spark, b, path, ["g"], "item", k=k)
+        got = {r["g"]: r["hs"]
+               for r in read_kmv_store(spark, path).collect()}
+        want = {r["g"]: r["hs"] for r in kmv_sketch(
+            b1.unionByName(b2).unionByName(b3), ["g"], "item",
+            k=k).collect()}
+        assert got == want
+        # replay convergence: re-ingesting b2 is a no-op on the sketch
+        update_kmv_store(spark, b2, path, ["g"], "item", k=k)
+        again = {r["g"]: r["hs"]
+                 for r in read_kmv_store(spark, path).collect()}
+        assert again == got

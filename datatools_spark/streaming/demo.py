@@ -26,7 +26,7 @@ __all__ = ["streaming_window_counts", "streaming_daily_extrema",
            "streaming_image_ingest_components",
            "streaming_text_ingest_components",
            "streaming_embedding_ingest_components",
-           "streaming_merge_store_apply",
+           "streaming_merge_store_apply", "streaming_kmv_ingest",
            "run_file_stream"]
 
 
@@ -603,6 +603,36 @@ def streaming_merge_store_apply(changes: DataFrame, root: str,
     return (changes.writeStream
             .outputMode("append")
             .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def streaming_kmv_ingest(items: DataFrame, store_dir: str,
+                         checkpoint_dir: str, group_cols,
+                         item_col: str, k: int = 64,
+                         salt: str = "kmv"):
+    """Continuous per-group cardinality/overlap tracking: each
+    micro-batch folds into the at-rest KMV sketch store
+    (``operators.sketches.update_kmv_store``) — the sketch-family
+    member of the ingest-loop family (sigstore / ivfstore / compstore
+    twins). Per-batch cost ∝ batch (one distinct exchange over batch
+    items + a group-sized sketch merge); the store stays EXACTLY equal
+    to a from-scratch sketch of everything ingested, and replays
+    converge because re-ingesting identical items merges to the
+    identical sketch. Returns the started query (availableNow trigger;
+    caller awaits)."""
+    from ..operators.sketches import update_kmv_store
+
+    group_cols = list(group_cols)
+
+    def _fold(batch_df: DataFrame, batch_id: int):
+        update_kmv_store(batch_df.sparkSession, batch_df, store_dir,
+                         group_cols, item_col, k=k, salt=salt)
+
+    return (items.writeStream
+            .outputMode("append")
+            .foreachBatch(_fold)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())

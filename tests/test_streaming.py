@@ -676,3 +676,33 @@ def test_streaming_merge_store_apply_maintains_rollup(spark, tmp_path):
             .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
             .collect()}
     assert got == want and len(got) == 4
+
+
+def test_streaming_kmv_ingest_equals_full_sketch(spark, tmp_path):
+    """Two micro-batches through the KMV ingest loop leave the store
+    exactly equal to a from-scratch sketch of the full corpus."""
+    from datatools_spark.operators.sketches import (kmv_sketch,
+                                                    read_kmv_store)
+    from datatools_spark.streaming.demo import streaming_kmv_ingest
+    schema = "g long, item string"
+    src = str(tmp_path / "kmv_src")
+    store = str(tmp_path / "kmv_store")
+    b1 = spark.range(0, 500).select(
+        (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("w"), (F.col("id") % 200).cast("string"))
+        .alias("item"))
+    b2 = spark.range(100, 800).select(
+        (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("w"), (F.col("id") % 350).cast("string"))
+        .alias("item"))
+    b1.write.parquet(src)
+    b2.write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming_kmv_ingest(stream, store, str(tmp_path / "kmv_ck"),
+                             ["g"], "item", k=32)
+    q.awaitTermination(180)
+    got = {r["g"]: r["hs"] for r in read_kmv_store(spark, store).collect()}
+    want = {r["g"]: r["hs"] for r in
+            kmv_sketch(b1.unionByName(b2), ["g"], "item", k=32).collect()}
+    assert got == want and len(got) == 3

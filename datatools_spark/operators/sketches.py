@@ -313,9 +313,9 @@ def update_kmv_store(spark, batch: DataFrame, path: str, group_cols,
     in tests). Snapshots are ``kmv-b<n>`` dirs committed by their
     _SUCCESS marker; a crashed update leaves a markerless orphan the
     retry overwrites, and older snapshots past the previous one are
-    pruned. NOT idempotent under replay — KMV is a set sketch, so
-    re-ingesting the same items is harmless (identical hashes merge to
-    the identical sketch): replay a batch freely, the store converges.
+    pruned. Replay-IDEMPOTENT without any dedup bookkeeping — KMV is a
+    set sketch, so re-ingesting the same items merges identical hashes
+    to the identical sketch: a checkpoint-retried batch converges.
     Returns ``{"batch", "groups"}``."""
     group_cols = list(group_cols)
     snaps = _kmv_snapshots(spark, path)

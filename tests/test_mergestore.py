@@ -463,3 +463,31 @@ def test_feed_rollup_crashed_refresh_is_invisible_and_retried(spark, tmp_path):
             .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
             .collect()}
     assert got == want
+
+
+def test_merge_ops_leave_no_session_cache(spark, tmp_path):
+    """Cache hygiene (r5 rule): the merge store uses lazy/eager local
+    checkpoints, never persist() — a long-lived CDC session must not
+    accumulate cache-registry entries across merges, refreshes, and
+    vacuum passes."""
+    from datatools_spark.operators.mergestore import (
+        init_feed_rollup, init_merge_store, refresh_feed_rollup,
+        vacuum_merge_store)
+    spark.catalog.clearCache()
+    root = str(tmp_path / "hyg_store")
+    state = str(tmp_path / "hyg_state")
+    df = spark.range(0, 200).select(
+        "id", (F.col("id") % 3).alias("grp"),
+        F.col("id").cast("double").alias("v"))
+    init_merge_store(spark, df.coalesce(2), root, KEY)
+    init_feed_rollup(spark, root, state, ["grp"], "v")
+    for i in range(2):
+        u = spark.createDataFrame([(i, 0, -1.0), (500 + i, 1, 2.0)],
+                                  "id long, grp long, v double")
+        merge_into(spark, root, u, KEY, "update", change_feed=True)
+        merge_into(spark, root,
+                   spark.createDataFrame([(i + 10,)], "id long"),
+                   KEY, "delete", change_feed=True)
+        refresh_feed_rollup(spark, root, state, ["grp"], "v")
+    vacuum_merge_store(spark, root, retain_generations=1)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

@@ -67,12 +67,18 @@ def hashed_features(docs: DataFrame, *, text_col: str = "text",
     d = (docs.where(F.length(F.trim(F.col(text_col))) > 0)
          .select("doc_id", label.cast("double").alias("y"),
                  toks.alias("_toks")))
+    # hash each token ONCE into an int bucket array, then count per
+    # bucket with integer compares. Filtering the token array per
+    # bucket writes the md5 into dim lambda bodies; at dim=16 the
+    # end-to-end cost is the same (A/B-measured — the md5 term is small
+    # against the aggregate passes), but the single-hash form does not
+    # lean on expression dedup and stays flat as dim grows
+    d = d.withColumn("_b", F.transform(
+        F.col("_toks"), lambda t: token_bucket_col(t, dim, salt)))
     n = F.greatest(F.size("_toks"), F.lit(1)).cast("double")
     x = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda b: F.size(F.filter(
-            F.col("_toks"),
-            lambda t: token_bucket_col(t, dim, salt) == b)) / n)
+        lambda b: F.size(F.filter(F.col("_b"), lambda v: v == b)) / n)
     return d.select("doc_id", "y", x.alias("x"))
 
 

@@ -4905,7 +4905,12 @@ def doc_quality_classifier(spark, sf_dir):
     oracle unrolls both iterations in SQL; fixed-decimal rounding of
     every reduction pins the model bit-for-bit across engines."""
     from .operators import classifier as CL
-    d = _t(spark, sf_dir, "documents")
+    # spread the narrow projection first: the per-token hashing runs in
+    # the SCAN stage, and a single-file input leaves it on 1-2 cores
+    # (the doc_quality lesson; same 256 KB gate)
+    d = PT.ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        min_bytes=256 << 10)
     # localCheckpoint, not cache(): three consumers (2 GD iterations +
     # scoring) share one materialization without pinning a session-cache
     # entry per corpus (r5 hygiene rule)

@@ -4684,7 +4684,8 @@ def _pagerank_sql(iters: int = 3, d: float = 0.85, dp: int = 9) -> str:
     order graph — mirrors operators/graph.py:pagerank step for step,
     including the fixed-decimal rounding of every reduction."""
     parts = ["""
-el AS (SELECT DISTINCT 'c' || o_custkey AS u, 's' || l_suppkey AS v
+el AS (SELECT DISTINCT (o_custkey * 2)::BIGINT AS u,
+              (l_suppkey * 2 + 1)::BIGINT AS v
        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
 e AS (SELECT u, v FROM el UNION SELECT v AS u, u AS v FROM el),
 deg AS (SELECT u, count(*) AS outdeg FROM e GROUP BY u),
@@ -4716,12 +4717,15 @@ def ss_pagerank(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     el = (o.join(li, o.o_orderkey == li.l_orderkey)
-          .select("o_custkey", "l_suppkey").distinct()   # ints, then tag
-          .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("u"),
-                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("v")))
+          .select("o_custkey", "l_suppkey").distinct()
+          # PACKED LONG node ids (customer→2k, supplier→2k+1), not 'c'/
+          # 's' string tags: iteration shuffles key on node id, and a
+          # long key halves the exchange bytes of a decimal string
+          .select((F.col("o_custkey") * 2).cast("bigint").alias("u"),
+                  (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("v")))
     e = el.unionByName(
         el.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # el is distinct and the reversed half is disjoint (c*/s* prefixes),
+    # el is distinct and the reversed half is disjoint (even/odd ids),
     # so the union is distinct by construction — skip the 2|E| exchange
     pr = G.pagerank(e, iters=3, assume_distinct=True)
     return pr.select("id", F.round("pr", 6).alias("pr"))

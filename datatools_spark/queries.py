@@ -4349,7 +4349,9 @@ def doc_bpe_encode(spark, sf_dir):
     itself is ONE shuffle-free projection chaining the greedy merge
     fold per merge, then a single per-doc aggregate. The oracle retrains
     the identical winners in SQL and replays them token for token."""
-    d = _t(spark, sf_dir, "documents")
+    # spread first: the char-explode + per-merge folds run in the SCAN
+    # stage, serial on a single-file input (the doc_quality lesson)
+    d = ensure_parallelism_docs(_t(spark, sf_dir, "documents"))
     merges, toks = TX.bpe_train(d, rounds=3)
     toks.unpersist()
     enc = TX.bpe_encode(d, merges)

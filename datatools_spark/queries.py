@@ -4296,7 +4296,9 @@ def doc_bpe_train(spark, sf_dir):
     replays rounds 1..r. The oracle unrolls all three rounds in SQL and
     hash-matches every winning (pair, count) — the iteration is
     bit-reproducible across engines."""
-    d = _t(spark, sf_dir, "documents")
+    # spread first: round 0's char-explode checkpoint otherwise
+    # materializes from a serial single-file scan (doc_quality lesson)
+    d = ensure_parallelism_docs(_t(spark, sf_dir, "documents"))
     merges, toks = TX.bpe_train(d, rounds=3)
     toks.unpersist()
     return spark.createDataFrame(

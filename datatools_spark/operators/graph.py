@@ -32,57 +32,10 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components", "pagerank", "triangle_stats"]
 
 
-def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
-    """Triangle count + global clustering coefficient of an undirected
-    simple graph given as a deduplicated ``a < b`` edge list.
-
-    Physical design is the degree-ordered orientation (Cohen 2009 /
-    Suri–Vassilvitskii "MapReduce triangles"): orient every edge from
-    its lower-(degree, id) endpoint to the higher one, build wedges only
-    from each node's OUT-neighbours, and close them against oriented
-    edges.  The orientation makes every node's out-degree O(sqrt(m)) on
-    any graph, so the wedge fan-out — the one quadratic hazard — is
-    bounded by m^1.5 total and no hub node can melt an executor: the
-    10⁸-degree celebrity contributes wedges only via its (few) lower-
-    order neighbours.  Three shuffles: degree agg, wedge self-join,
-    closing join; the count is orientation-invariant, which is what the
-    (orientation-free) SQL oracle checks.
-
-    Output (1 row): ``n_nodes, n_edges, n_triangles, n_wedges,
-    clustering`` where clustering = 3·T / wedges (0 when wedge-free).
-    """
-    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
-    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = und.groupBy("u").agg(F.count("*").alias("deg"))
-    # orientation key: (degree, id) totally orders nodes
-    du = deg.select(F.col("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dv"))
-    keyed = e.join(du, "u").join(dv, "v")
-    fwd = (F.col("du") < F.col("dv")) | \
-          ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    orient = keyed.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(fwd, F.struct(F.col("dv").alias("d"), F.col("v").alias("n")))
-         .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
-         .alias("t"))
-    w1 = orient.select("s", F.col("t").alias("t1"))
-    w2 = orient.select("s", F.col("t").alias("t2"))
-    wedges = (w1.join(w2, "s")
-              .where(F.col("t1") < F.col("t2"))  # struct order = (deg, id)
-              .select(F.col("t1.n").alias("s"), F.col("t2.n").alias("nn")))
-    closing = orient.select("s", F.col("t.n").alias("nn"))
-    tri = wedges.join(closing, ["s", "nn"]).agg(
-        F.count("*").alias("n_triangles"))
-    tots = (deg.agg(F.count("*").alias("n_nodes"),
-                    (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
-                    F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
-                    .cast("bigint").alias("n_wedges")))
-    return (tots.crossJoin(tri)
-            .select("n_nodes", "n_edges", "n_triangles", "n_wedges",
-                    F.round(F.when(F.col("n_wedges") > 0,
-                                   3.0 * F.col("n_triangles")
-                                   / F.col("n_wedges")).otherwise(0.0), 6)
-                    .alias("clustering")))
+# triangle counting lives in graph_triangle.py (two physical plans —
+# sparse oriented-array and dense broadcast-bitset — behind one operator);
+# re-exported here so graph.py remains the single graph-operator namespace.
+from .graph_triangle import triangle_stats  # noqa: E402,F401
 
 
 def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",

@@ -29,7 +29,7 @@ from ..functions.timeutils import parse_duration_seconds
 
 __all__ = ["c_rolling", "c_rolling_chunked", "rolling_agg_col",
            "rolling_median_blocked", "rolling_quantile_blocked",
-           "ewma_cols"]
+           "rolling_stats_blocked", "ewma_cols"]
 
 _FUNCS = {
     "mean": F.avg,
@@ -238,6 +238,26 @@ def rolling_quantile_blocked(df: DataFrame, value_col: str, window,
                             center)
 
 
+def _halo_expand(df: DataFrame, ts_col: str, left: int, right: int,
+                 chunk_us: int) -> DataFrame:
+    """Replicate rows within ``left``/``right`` micros of a chunk edge
+    into the neighbor chunk (halo), tagging ownership — the shared
+    construction under every blocked rolling form."""
+    es = F.unix_micros(F.col(ts_col))
+    cid = F.floor(es / F.lit(chunk_us))
+    off = es - cid * chunk_us
+    assigns = F.array_compact(F.array(
+        F.struct(cid.alias("c"), F.lit(True).alias("own")),
+        F.when((off < right) & F.lit(right > 0),
+               F.struct((cid - 1).alias("c"), F.lit(False).alias("own"))),
+        F.when((off >= chunk_us - left) & F.lit(left > 0),
+               F.struct((cid + 1).alias("c"), F.lit(False).alias("own"))),
+    ))
+    return df.select("*", F.explode(assigns).alias("_a")) \
+        .select("*", F.col("_a.c").alias("_chunk"), F.col("_a.own").alias("_own")) \
+        .drop("_a")
+
+
 def _rolling_blocked(df: DataFrame, value_col: str, window, roll_fn,
                      ts_col: str, partition_by: Sequence[str], chunk,
                      min_periods: int | None, out_col: str | None,
@@ -255,19 +275,7 @@ def _rolling_blocked(df: DataFrame, value_col: str, window, roll_fn,
     out = out_col or f"{value_col}_roll"
     keys = list(partition_by)
 
-    es = F.unix_micros(F.col(ts_col))
-    cid = F.floor(es / F.lit(chunk_us))
-    off = es - cid * chunk_us
-    assigns = F.array_compact(F.array(
-        F.struct(cid.alias("c"), F.lit(True).alias("own")),
-        F.when((off < right) & F.lit(right > 0),
-               F.struct((cid - 1).alias("c"), F.lit(False).alias("own"))),
-        F.when((off >= chunk_us - left) & F.lit(left > 0),
-               F.struct((cid + 1).alias("c"), F.lit(False).alias("own"))),
-    ))
-    work = df.select("*", F.explode(assigns).alias("_a")) \
-        .select("*", F.col("_a.c").alias("_chunk"), F.col("_a.own").alias("_own")) \
-        .drop("_a")
+    work = _halo_expand(df, ts_col, left, right, chunk_us)
 
     # fresh StructType: .add() mutates in place, and DataFrame.schema is
     # cached on the instance — mutating it corrupts later calls. An
@@ -299,6 +307,77 @@ def _rolling_blocked(df: DataFrame, value_col: str, window, roll_fn,
         pdf = pdf.assign(**{out: rolled.to_numpy()})
         pdf = pdf[pdf["_own"]]
         return pdf.drop(columns=["_chunk", "_own"])
+
+    grouped = work.groupBy(*keys, "_chunk") if keys else work.groupBy("_chunk")
+    return grouped.applyInPandas(block, schema=out_schema)
+
+
+_BLOCK_STATS = ("mean", "std", "sum", "count", "min", "max", "var")
+
+
+def rolling_stats_blocked(df: DataFrame, value_col: str, window,
+                          stats: dict, ts_col: str = "ts",
+                          partition_by: Sequence[str] = (),
+                          chunk="1d", min_periods: int | None = None,
+                          center: bool = True) -> DataFrame:
+    """Several time-rolling stats over ONE shared frame in ONE blocked
+    pandas pass — ``stats`` maps output column name → stat name (one of
+    ``mean/std/sum/count/min/max/var``; std/var are sample, ddof=1,
+    matching ``stddev_samp``/``var_samp``).
+
+    Why not the declarative window: Spark evaluates a SLIDING range
+    frame by re-aggregating the whole frame per row, interpreted and
+    outside codegen — the 12-h z-score frame (~333 rows) over 100k
+    events costs ~7.5 s at sf0.1 with parallelism capped at the series
+    cardinality (5). pandas' rolling mean/std are O(n) incremental and
+    the chunk+halo construction (same as :func:`rolling_median_blocked`)
+    restores parallelism = series × (time_span / chunk): measured
+    7.5 s → ~1.3 s warm, values equal at 6-dp rounding (ulp-level float
+    drift only, absorbed exactly like the Spark-vs-DuckDB oracle gap).
+
+    At 100 TB this is the shape you want anyway: per-task state is one
+    time chunk + halos, never a whole series.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    bad = [s for s in stats.values() if s not in _BLOCK_STATS]
+    if bad:
+        raise ValueError(f"unsupported rolling stats {bad}; "
+                         f"one of {_BLOCK_STATS}")
+    w_us = int(parse_duration_seconds(window) * 1_000_000)
+    half = w_us // 2
+    left = half if center else w_us
+    right = half if center else 0
+    chunk_us = int(parse_duration_seconds(chunk) * 1_000_000)
+    if chunk_us < max(left, right):
+        raise ValueError("chunk must be >= the window reach so halos cover "
+                         "the frame")
+    keys = list(partition_by)
+    work = _halo_expand(df, ts_col, left, right, chunk_us)
+
+    base = [f for f in df.schema.fields if f.name not in stats]
+    out_schema = StructType(base + [StructField(o, DoubleType())
+                                    for o in stats])
+    order = [f.name for f in out_schema.fields]
+    win_td = pd.Timedelta(microseconds=w_us)
+    mp = 1 if min_periods is None else max(1, min_periods)
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        s = pd.Series(pdf[value_col].to_numpy(dtype="float64"),
+                      index=pd.DatetimeIndex(pdf[ts_col]))
+        r = s.rolling(win_td, center=center, closed="both", min_periods=mp)
+        outs = {}
+        for out, stat in stats.items():
+            rolled = getattr(r, stat)()
+            # value-based frame: duplicate timestamps share one frame
+            # (see _rolling_blocked) — no-op for centered windows.
+            rolled = rolled.groupby(level=0).transform("last")
+            outs[out] = rolled.to_numpy()
+        pdf = pdf.assign(**outs)
+        pdf = pdf[pdf["_own"]]
+        return pdf.drop(columns=["_chunk", "_own"])[order]
 
     grouped = work.groupBy(*keys, "_chunk") if keys else work.groupBy("_chunk")
     return grouped.applyInPandas(block, schema=out_schema)

@@ -709,3 +709,57 @@ class TestKMV:
         again = {r["g"]: r["hs"]
                  for r in read_kmv_store(spark, path).collect()}
         assert again == got
+
+
+def test_rolling_stats_blocked_matches_declarative(spark):
+    """rolling_stats_blocked (one pandas pass, several stats over the
+    shared frame) matches the declarative range-frame window to 9 dp —
+    pandas' incremental rolling mean/std drift from Spark's per-row
+    re-aggregation only at ulp level. Nulls, boundary-exact offsets and
+    min_periods included; count/min/max must be exactly equal."""
+    import datetime as dt
+    import random
+    from pyspark.sql import Window
+    from datatools_spark.operators.rolling import rolling_stats_blocked
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for series in ("a", "b"):
+        t = t0
+        for _ in range(300):
+            t += dt.timedelta(minutes=rng.choice([5, 60, 180, 400]))
+            v = None if rng.random() < 0.08 else rng.uniform(-5, 5)
+            rows.append((series, t, v))
+    df = spark.createDataFrame(rows, "s string, ts timestamp, value double")
+    got = {(r.s, r.ts): r for r in rolling_stats_blocked(
+        df, "value", "6H",
+        {"m": "mean", "sd": "std", "n": "count", "lo": "min", "hi": "max"},
+        partition_by=["s"], chunk="12H").collect()}
+    w = (Window.partitionBy("s").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-3 * 3600 * 1_000_000, 3 * 3600 * 1_000_000))
+    exp = df.select("s", "ts",
+                    F.avg("value").over(w).alias("m"),
+                    F.stddev_samp("value").over(w).alias("sd"),
+                    F.count("value").over(w).alias("n"),
+                    F.min("value").over(w).alias("lo"),
+                    F.max("value").over(w).alias("hi")).collect()
+    assert len(got) == len(exp)
+    for e in exp:
+        g = got[(e.s, e.ts)]
+        for c in ("m", "sd"):
+            a, b = getattr(g, c), getattr(e, c)
+            assert (a is None) == (b is None), (e.s, e.ts, c, a, b)
+            if a is not None:
+                assert abs(a - b) < 1e-9, (e.s, e.ts, c, a, b)
+        assert int(g.n) == e.n
+        assert g.lo == e.lo and g.hi == e.hi, (e.s, e.ts)
+
+
+def test_rolling_stats_blocked_rejects_unknown_stat(spark):
+    import datetime as dt
+    import pytest
+    from datatools_spark.operators.rolling import rolling_stats_blocked
+    df = spark.createDataFrame([(dt.datetime(2024, 1, 1), 1.0)],
+                               "ts timestamp, value double")
+    with pytest.raises(ValueError, match="unsupported"):
+        rolling_stats_blocked(df, "value", "6H", {"x": "kurtosis"})

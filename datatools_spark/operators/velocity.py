@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.timeutils import parse_duration_seconds
-from .rolling import rolling_agg_col
+from .rolling import c_rolling_chunked, rolling_agg_col
 
 __all__ = ["calc_velocity", "calc_velocity_range_join"]
 
@@ -70,8 +70,19 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
     work = df
     if smoothing is not None:
         for c in value_cols:
-            work = work.withColumn(c, rolling_agg_col(
-                c, smoothing, "mean", ts_col, p))
+            if p:
+                work = work.withColumn(c, rolling_agg_col(
+                    c, smoothing, "mean", ts_col, p))
+            else:
+                # unpartitioned smoothing = ONE giant series: the plain
+                # window plan lands the whole series in a single task
+                # (measured ~1.5 s of ts_velocity_smoothed's 2.3 s at
+                # sf0.1, and linear-in-series at scale). The chunked
+                # form (time chunks + halo rows, exactly equal results)
+                # spreads it over time_span/chunk tasks.
+                chunk_s = max(86400.0, parse_duration_seconds(smoothing))
+                work = c_rolling_chunked(work, c, smoothing, "mean",
+                                         ts_col, chunk=chunk_s, out_col=c)
 
     es = F.col(ts_col).cast("double")
     if grid_start is None or grid_end is None:

@@ -2045,11 +2045,15 @@ SELECT event_id,
 FROM events
 """)
 def ts_rolling_std_6h(spark, sf_dir):
-    """Centered rolling sample-stddev (W1 with func='stddev') — same
-    single-shuffle sorted-frame plan as the mean/median paths."""
+    """Centered rolling sample-stddev (W1 with func='stddev') via the
+    blocked pandas pass (rolling.py:rolling_stats_blocked) — the
+    declarative sliding frame re-aggregates the whole frame per row
+    with parallelism capped at the series count (same hazard the
+    z-score fix removed)."""
     ev = _t(spark, sf_dir, "events")
-    out = RL.c_rolling(ev, "value", 6 * 3600, "stddev",
-                       partition_by=["event_type"], out_col="roll_std")
+    out = RL.rolling_stats_blocked(ev, "value", 6 * 3600,
+                                   {"roll_std": "std"},
+                                   partition_by=["event_type"], chunk="1d")
     return out.select("event_id", _r(F.col("roll_std")).alias("roll_std"))
 
 

@@ -871,54 +871,11 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                 .where(F.col("cosine") >= threshold)
                 .select("a_id", "b_id", "cosine"))
 
+    from .similarity import grouped_gram_pairs
     work = work.withColumn(
         "_bkt", hyperplane_bucket_col(vec_col, bucket_hyperplanes))
-    from pyspark.sql.types import DoubleType, StructField, StructType
-    id_field = df.schema[id_col]
-    out_schema = StructType([StructField("a_id", id_field.dataType),
-                             StructField("b_id", id_field.dataType),
-                             StructField("cosine", DoubleType())])
-    cap = int(gram_bucket_cap)
-    thr = float(threshold)
-
-    def bucket_gram(pdf):
-        import numpy as np
-        import pandas as pd
-        n = len(pdf)
-        if n > cap:
-            raise ValueError(
-                f"LSH bucket holds {n} rows > gram_bucket_cap={cap}: "
-                f"a single-task gram would cost {n * (n - 1) // 2:.2e} "
-                f"pair-flops·d. Increase bucket_hyperplanes (each plane "
-                f"halves expected bucket size) or raise the cap.")
-        if n < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
-        pdf = pdf.sort_values("__id").reset_index(drop=True)
-        ids = pdf["__id"].to_numpy()
-        V = np.vstack([np.asarray(v, dtype=np.float64)
-                       for v in pdf["__vec"]])
-        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
-        outs = []
-        blk = 1024
-        with np.errstate(divide="ignore", invalid="ignore"):
-            for i0 in range(0, n, blk):
-                i1 = min(i0 + blk, n)
-                # cosine = dot / (na·nb): same operand shape as the
-                # declarative & oracle forms (only sum order differs)
-                S = (V[i0:i1] @ V.T) / np.outer(norms[i0:i1], norms)
-                jj, kk = np.nonzero(S >= thr)
-                keep = (jj + i0) < kk  # a<b in sorted-id order
-                outs.append((jj[keep] + i0, kk[keep],
-                             S[jj[keep], kk[keep]]))
-        aa = np.concatenate([o[0] for o in outs])
-        bb = np.concatenate([o[1] for o in outs])
-        cc = np.concatenate([o[2] for o in outs])
-        return pd.DataFrame({"a_id": ids[aa], "b_id": ids[bb],
-                             "cosine": cc})
-
-    renamed = work.select(F.col("_bkt"), F.col(id_col).alias("__id"),
-                          F.col(vec_col).alias("__vec"))
-    return renamed.groupBy("_bkt").applyInPandas(bucket_gram, out_schema)
+    return grouped_gram_pairs(work, "_bkt", id_col, vec_col, threshold,
+                              group_cap=gram_bucket_cap)
 
 
 def fuzzy_pairs_edit_distance(df: DataFrame, text_col: str = "text",

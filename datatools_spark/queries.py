@@ -3877,7 +3877,15 @@ def ss_bloom_semi_join(spark, sf_dir):
     carries only bloom survivors. The explicit filter works on any Spark
     build and is persistable/reusable, unlike the optimizer's runtime
     bloom injection."""
-    o = _t(spark, sf_dir, "orders")
+    from .operators.partitioning import ensure_parallelism
+    # narrow projection first, then spread: the probe's 4-md5 bloom
+    # test ran on ONE core here (single ~20 MB parquet file splits to
+    # one input partition locally — ~2 s of the query). The spread is
+    # a no-op at scale, where the scan already yields >= parallelism
+    # splits; the shuffle moves only the three columns the query needs.
+    o = ensure_parallelism(_t(spark, sf_dir, "orders")
+                           .select("o_custkey", "o_orderpriority",
+                                   "o_totalprice"))
     c = (_t(spark, sf_dir, "customer")
          .where(F.col("c_mktsegment") == "BUILDING"))
     kept = BL.bloom_semi_join(o, c, "o_custkey", "c_custkey")

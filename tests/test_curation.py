@@ -583,3 +583,20 @@ def test_check_suite_verdicts_and_one_pass(spark):
             for i, (_, obs, _, _) in enumerate(checks)]
     plan = df.agg(*aggs)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LogicalRDD") == 1
+
+
+def test_grouped_gram_pairs_cap_and_string_ids(spark):
+    """grouped_gram_pairs: string ids order like the SQL a<b predicate,
+    and an over-cap group fails fast naming the fix."""
+    from datatools_spark.operators.similarity import grouped_gram_pairs
+    rows = [("g", "idB", [1.0, 0.0]), ("g", "idA", [1.0, 0.001]),
+            ("g", "idC", [0.0, 1.0])]
+    df = spark.createDataFrame(
+        rows, "grp string, vec_id string, embedding array<double>")
+    got = {(r.a_id, r.b_id) for r in grouped_gram_pairs(
+        df, "grp", threshold=0.9).collect()}
+    assert got == {("idA", "idB")}
+    import pytest
+    with pytest.raises(Exception, match="group_cap"):
+        grouped_gram_pairs(df, "grp", threshold=0.9,
+                           group_cap=2).collect()

@@ -10,7 +10,14 @@ The reference runs per-day Python loops for shadow correction
   showcase);
 - melt: pure column expression (functions.physics.melt_expr).
 
-No Python UDFs anywhere; every step whole-stage-codegens.
+The 2-h channel smoothing runs through the blocked rolling engine
+(Arrow-batched ``applyInPandas`` over day chunks + halo rows,
+rolling.py:rolling_stats_blocked): Spark evaluates a sliding RANGE
+frame by re-aggregating the whole frame per row — O(n·w) at dense
+cadence with parallelism capped at the series count — while the
+blocked pass is O(n) and chunk-parallel, exactly equal at the 6-dp
+output rounding. Everything else is built-in column expressions and
+whole-stage-codegens; no row-at-a-time Python anywhere.
 """
 
 from __future__ import annotations
@@ -22,7 +29,7 @@ from pyspark.sql import functions as F
 
 from .functions.physics import melt_expr
 from .operators.fillna import ffill, interpolate_linear
-from .operators.rolling import rolling_agg_col
+from .operators.rolling import rolling_stats_blocked
 
 __all__ = ["apply_shadow_correction", "calc_daily_albedo", "calc_melt"]
 
@@ -67,9 +74,15 @@ def calc_daily_albedo(df: DataFrame, incoming_col: str = "Solar_incoming",
     values ≥ 1 masked; output one row per day:
     ``partition_by + (day, albedo)``."""
     p = list(partition_by)
-    sm_in = rolling_agg_col(incoming_col, smoothing, "mean", ts_col, p)
-    sm_out = rolling_agg_col(reflected_col, smoothing, "mean", ts_col, p)
-    work = (df.withColumn("_in", sm_in).withColumn("_out", sm_out)
+    # BOTH channels smoothed over the shared frame in ONE blocked pandas
+    # pass (rolling.py:rolling_stats_blocked): the declarative RANGE
+    # frame re-aggregates the whole ~2-h frame per row with parallelism
+    # capped at the series count — O(n·w) at dense cadence, the exact
+    # shape the blocked engines were built to remove (r6 directive 1).
+    work = (rolling_stats_blocked(
+                df, incoming_col, smoothing,
+                {"_in": "mean", "_out": (reflected_col, "mean")},
+                ts_col=ts_col, partition_by=p, chunk="1d")
             .where(F.col("_in").isNotNull()))
     # tie-pinned argmax: max incoming, earliest ts (pandas idxmax parity)
     s = F.min(F.struct((-F.col("_in")).alias("ni"), F.col(ts_col).alias("t"),
@@ -96,8 +109,11 @@ def calc_melt(df: DataFrame, temp_col: str = "Temp",
     p = list(partition_by)
     albedo = calc_daily_albedo(df, incoming_col, reflected_col, ts_col,
                                partition_by=p)
-    work = (df.withColumn("_in_sm",
-                          rolling_agg_col(incoming_col, "2h", "mean", ts_col, p))
+    # blocked rolling mean (chunk-parallel O(n)), not the declarative
+    # per-row frame re-aggregation — see calc_daily_albedo
+    work = (rolling_stats_blocked(df, incoming_col, "2h",
+                                  {"_in_sm": "mean"}, ts_col=ts_col,
+                                  partition_by=p, chunk="1d")
             .withColumn("day", F.date_trunc("DAY", F.col(ts_col)))
             .join(F.broadcast(albedo), on=p + ["day"], how="left"))
     work = ffill(work, ["albedo"], ts_col, p)

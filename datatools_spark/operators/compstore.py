@@ -135,15 +135,32 @@ def update_component_store(spark: SparkSession, ids: DataFrame,
     merge: a checkpoint-retried batch registers nothing new and derives
     no new merges. Returns the number of newly registered ids.
     """
-    ids = ids.select(F.col(id_col).cast("long").alias("id")).distinct() \
-        .localCheckpoint(eager=True)
+    # try_cast, not cast: under ANSI mode a malformed id would abort the
+    # checkpoint with an opaque JVM NumberFormatException mid-plan; under
+    # legacy mode it would silently become NULL and surface later as a
+    # misleading "endpoint not registered" error. try_cast makes the
+    # failure observable as NULL, and the explicit check below raises it
+    # as the type error it is, naming the columns.
+    ids = ids.select(F.col(id_col).try_cast("long").alias("id")) \
+        .distinct().localCheckpoint(eager=True)
     # materialize the caller's pairs plan ONCE: two separate actions
     # consume it (the unknown-endpoint audit and the adjacency collect),
     # and in the streaming loops that plan is the banded store join —
     # the batch's most expensive step
-    pr = pairs.select(F.col("a_id").cast("long").alias("a"),
-                      F.col("b_id").cast("long").alias("b")).distinct() \
+    pr = pairs.select(F.col("a_id").try_cast("long").alias("a"),
+                      F.col("b_id").try_cast("long").alias("b")).distinct() \
         .localCheckpoint(eager=True)
+    # Counted on the already-checkpointed batch-sized frames, so the
+    # validation costs no recompute of the caller's plans.
+    bad_ids = ids.where(F.col("id").isNull()).count()
+    bad_pr = pr.where(F.col("a").isNull() | F.col("b").isNull()).count()
+    if bad_ids or bad_pr:
+        raise TypeError(
+            f"update_component_store: {bad_ids} id rows / {bad_pr} pair "
+            f"rows have ids that are NULL after cast to long — non-"
+            f"numeric or missing ids in {id_col!r}/a_id/b_id; the store "
+            "keys members by integer id (use integer doc ids, or map "
+            "string ids through a dictionary first)")
 
     have_store = _exists(spark, _members_path(path))
     if have_store:

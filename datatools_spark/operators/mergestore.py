@@ -81,10 +81,25 @@ def _gen_numbers(spark: SparkSession, root: str, sub: str = "") -> list[int]:
 
 
 def _committed_gens(spark: SparkSession, root: str) -> list[int]:
-    """Generations visible to readers: data dir AND commit record exist.
-    Orphan data dirs (crash before the log write) are invisible."""
-    have_log = set(_gen_numbers(spark, root, "_log"))
-    return [g for g in _gen_numbers(spark, root) if g in have_log]
+    """Generations visible to readers: data dir AND a COMPLETE commit
+    record exist. Completeness is gated on the log write's _SUCCESS
+    marker (Spark writes it last) AND its parquet payload — bare
+    directory existence is NOT commit: Spark creates the output dir at
+    job start, so a crash mid-log-write would otherwise leave a
+    generation whose data is reader-visible while its tombstones are
+    lost, and every rewritten row double-counts forever (the exact
+    failure the module contract rules out). Same gate the rollup
+    snapshots use (:func:`_rollup_gens`). Orphan data dirs (crash before
+    the log write starts) are likewise invisible."""
+    fs, _ = _fs(spark, root)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    out = []
+    for g in _gen_numbers(spark, root):
+        log_dir = f"{root}/_log/{_GEN}{g}"
+        if fs.exists(jvm_path(f"{log_dir}/_SUCCESS")) \
+                and _parquet_files(spark, log_dir):
+            out.append(g)
+    return out
 
 
 def _parquet_files(spark: SparkSession, path: str) -> list[str]:
@@ -257,6 +272,30 @@ def init_merge_store(spark: SparkSession, df: DataFrame, root: str,
         raise ValueError("init_merge_store: the frame wrote no data "
                          "files — an empty store has no key types to "
                          "manifest; load at least one row")
+    # Key hygiene, enforced at the door: merge_into's manifest-arithmetic
+    # counters assume ONE store row per key (rows_inserted goes negative
+    # when an update key matches several), and a NULL key can never be
+    # matched by an equality MERGE — the same two rules every update
+    # batch already gets. Checked as a key-column-pruned read-back of
+    # the bytes just written (cheaper than re-running the caller's input
+    # plan), and BEFORE the commit: a failed check leaves an orphan
+    # generation readers never see.
+    anynull = F.greatest(*[F.col(k).isNull() for k in key_cols]) \
+        if len(key_cols) > 1 else F.col(key_cols[0]).isNull()
+    chk = (spark.read.parquet(gen_dir).select(*key_cols)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(anynull, 1).otherwise(0)).alias("nn"),
+                F.count_distinct(*[F.col(k) for k in key_cols])
+                .alias("nk")).first())
+    if chk["nn"]:
+        raise ValueError("init_merge_store: null key values in the "
+                         "initial load — equality MERGE can never match "
+                         "them")
+    if chk["nk"] < chk["n"]:
+        raise ValueError(
+            f"init_merge_store: initial load has {chk['n'] - chk['nk']} "
+            "duplicate-key rows — merge_into's matched/inserted counters "
+            "assume one store row per key; dedup the load first")
     _write_gen_stats(spark, root, 0, key_cols)
     _commit(spark, root, 0, [])
     return len(_parquet_files(spark, gen_dir))
@@ -575,11 +614,21 @@ def refresh_feed_rollup(spark: SparkSession, root: str, state_dir: str,
         F.when(F.col("_change_type").isin("insert", "update_postimage"),
                F.lit(1)).otherwise(F.lit(-1)))
     delta = _rollup_agg(signed, group_cols, val_col)
-    cur = spark.read.parquet(f"{state_dir}/rollup-g{applied}")
+    cur = spark.read.parquet(f"{state_dir}/rollup-g{applied}").alias("_cur")
     d = delta.select(*group_cols, F.col("s").alias("_ds"),
-                     F.col("n").alias("_dn")).localCheckpoint(eager=True)
-    merged = (cur.join(d, group_cols, "full")
-              .select(*group_cols,
+                     F.col("n").alias("_dn")).localCheckpoint(eager=True) \
+        .alias("_d")
+    # eqNullSafe, not a name-list join: a NULL group key is a legitimate
+    # group, and plain equality (NULL != NULL) would fork it into two
+    # rows on every refresh — the snapshot would accrete conflicting
+    # duplicates for that group forever
+    on = None
+    for g in group_cols:
+        c = F.col(f"_cur.{g}").eqNullSafe(F.col(f"_d.{g}"))
+        on = c if on is None else on & c
+    merged = (cur.join(d, on, "full")
+              .select(*[F.coalesce(F.col(f"_cur.{g}"), F.col(f"_d.{g}"))
+                        .alias(g) for g in group_cols],
                       (F.coalesce("s", F.lit(0).cast("decimal(30,6)"))
                        + F.coalesce("_ds",
                                     F.lit(0).cast("decimal(30,6)")))

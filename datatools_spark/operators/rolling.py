@@ -304,7 +304,15 @@ def _rolling_blocked(df: DataFrame, value_col: str, window, roll_fn,
         # range frame. (No-op for centered: pandas centered windows are
         # already value-bounded on both sides.)
         rolled = rolled.groupby(level=0).transform("last")
-        pdf = pdf.assign(**{out: rolled.to_numpy()})
+        # NaN → NULL: pandas yields NaN where the frame is undefined
+        # (all-null frame, min_periods unmet), but the declarative
+        # window and the SQL oracles yield NULL there — and Spark
+        # orders NaN ABOVE every number, so a leaked NaN flips
+        # comparisons (`sd > 0` passes on an isolated point). The
+        # nullable-Float64 array masks NaN as NA, which Arrow hands to
+        # Spark as a proper NULL.
+        pdf = pdf.assign(**{out: pd.array(rolled.to_numpy(),
+                                          dtype="Float64")})
         pdf = pdf[pdf["_own"]]
         return pdf.drop(columns=["_chunk", "_own"])
 
@@ -323,7 +331,11 @@ def rolling_stats_blocked(df: DataFrame, value_col: str, window,
     """Several time-rolling stats over ONE shared frame in ONE blocked
     pandas pass — ``stats`` maps output column name → stat name (one of
     ``mean/std/sum/count/min/max/var``; std/var are sample, ddof=1,
-    matching ``stddev_samp``/``var_samp``).
+    matching ``stddev_samp``/``var_samp``). A stat may also be a
+    ``(source_col, stat)`` tuple to roll a DIFFERENT column over the
+    same frame (the melt pipeline smooths two solar channels at once —
+    one shuffle, one Arrow pass, instead of one per channel);
+    ``value_col`` is the default source.
 
     Why not the declarative window: Spark evaluates a SLIDING range
     frame by re-aggregating the whole frame per row, interpreted and
@@ -341,10 +353,16 @@ def rolling_stats_blocked(df: DataFrame, value_col: str, window,
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    bad = [s for s in stats.values() if s not in _BLOCK_STATS]
+    specs = {out: (s if isinstance(s, tuple) else (value_col, s))
+             for out, s in stats.items()}
+    bad = [s for _, s in specs.values() if s not in _BLOCK_STATS]
     if bad:
         raise ValueError(f"unsupported rolling stats {bad}; "
                          f"one of {_BLOCK_STATS}")
+    missing = sorted({c for c, _ in specs.values()} - set(df.columns))
+    if missing:
+        raise ValueError(f"rolling_stats_blocked: source columns "
+                         f"{missing} not in frame columns {df.columns}")
     w_us = int(parse_duration_seconds(window) * 1_000_000)
     half = w_us // 2
     left = half if center else w_us
@@ -365,16 +383,23 @@ def rolling_stats_blocked(df: DataFrame, value_col: str, window,
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col, kind="mergesort")
-        s = pd.Series(pdf[value_col].to_numpy(dtype="float64"),
-                      index=pd.DatetimeIndex(pdf[ts_col]))
-        r = s.rolling(win_td, center=center, closed="both", min_periods=mp)
+        idx = pd.DatetimeIndex(pdf[ts_col])
+        rollers = {}
+        for src in {c for c, _ in specs.values()}:
+            s = pd.Series(pdf[src].to_numpy(dtype="float64"), index=idx)
+            rollers[src] = s.rolling(win_td, center=center,
+                                     closed="both", min_periods=mp)
         outs = {}
-        for out, stat in stats.items():
-            rolled = getattr(r, stat)()
+        for out, (src, stat) in specs.items():
+            rolled = getattr(rollers[src], stat)()
             # value-based frame: duplicate timestamps share one frame
             # (see _rolling_blocked) — no-op for centered windows.
             rolled = rolled.groupby(level=0).transform("last")
-            outs[out] = rolled.to_numpy()
+            # NaN → NULL (see _rolling_blocked): std/var over a
+            # 1-observation frame is pandas NaN but stddev_samp NULL;
+            # NaN sorts above every double in Spark, so `sd > 0` would
+            # wrongly pass on an isolated point.
+            outs[out] = pd.array(rolled.to_numpy(), dtype="Float64")
         pdf = pdf.assign(**outs)
         pdf = pdf[pdf["_own"]]
         return pdf.drop(columns=["_chunk", "_own"])[order]

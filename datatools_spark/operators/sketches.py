@@ -226,19 +226,25 @@ def kmv_sketch(df: DataFrame, group_cols, item_col: str, k: int = 64,
     """
     from pyspark.sql import Window
     g = list(group_cols)
-    pairs = (df.select(*g, kmv_hash52(F.col(item_col), salt).alias("_h"))
+    # Internal joins run on ONE struct surrogate key: struct equality is
+    # null-safe in Spark (row-ordering semantics), so a NULL group key
+    # stays one group instead of being silently DROPPED by a name-list
+    # inner join (NULL != NULL) — same bug class as the store-merge
+    # null-fork finding, caught one layer deeper (r7).
+    gk = F.struct(*[F.col(c) for c in g]).alias("_gk")
+    pairs = (df.select(gk, kmv_hash52(F.col(item_col), salt).alias("_h"))
              .distinct())
-    nd = pairs.groupBy(*g).agg(F.count(F.lit(1)).alias("_nd"))
-    j = pairs.join(nd, g)
+    nd = pairs.groupBy("_gk").agg(F.count(F.lit(1)).alias("_nd"))
+    j = pairs.join(nd, "_gk")
     thresh = F.lit(margin * k) / F.col("_nd") * F.lit(float(_H52))
     surv = j.where((F.col("_nd") <= F.lit(margin * k))
                    | (F.col("_h") < thresh))
-    w = Window.partitionBy(*g).orderBy("_h")
+    w = Window.partitionBy("_gk").orderBy("_h")
 
     def _bottom_k(rows: DataFrame) -> DataFrame:
         return (rows.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") <= k)
-                .groupBy(*g)
+                .groupBy("_gk")
                 .agg(F.array_sort(F.collect_list("_h")).alias("hs"),
                      F.max("_nd").alias("_nd")))
 
@@ -247,11 +253,11 @@ def kmv_sketch(df: DataFrame, group_cols, item_col: str, k: int = 64,
     # compare against the FULL group list (nd), not fast's groups, or a
     # group whose survivors were all filtered away vanishes silently
     ok = (fast.where(F.size("hs") >= F.least(F.lit(k), F.col("_nd")))
-          .select(*g))
-    short = nd.select(*g).join(ok, g, "left_anti")
-    redo = _bottom_k(j.join(short, g, "left_semi"))
-    return (fast.join(short, g, "left_anti").unionByName(redo)
-            .select(*g, "hs"))
+          .select("_gk"))
+    short = nd.select("_gk").join(ok, "_gk", "left_anti")
+    redo = _bottom_k(j.join(short, "_gk", "left_semi"))
+    return (fast.join(short, "_gk", "left_anti").unionByName(redo)
+            .select(F.col("_gk.*"), "hs"))
 
 
 def kmv_estimate_col(hs: Column, k: int) -> Column:
@@ -321,11 +327,20 @@ def update_kmv_store(spark, batch: DataFrame, path: str, group_cols,
     snaps = _kmv_snapshots(spark, path)
     bsk = kmv_sketch(batch, group_cols, item_col, k=k, salt=salt)
     if snaps:
-        cur = spark.read.parquet(f"{path}/kmv-b{snaps[-1]}")
-        merged = (cur.withColumnRenamed("hs", "_old")
-                  .join(bsk.withColumnRenamed("hs", "_new"),
-                        group_cols, "full")
-                  .select(*group_cols,
+        cur = spark.read.parquet(f"{path}/kmv-b{snaps[-1]}") \
+            .withColumnRenamed("hs", "_old").alias("_c")
+        new = bsk.withColumnRenamed("hs", "_new").alias("_b")
+        # eqNullSafe, not a name-list join: a NULL group key is a
+        # legitimate group, and plain equality (NULL != NULL) would fork
+        # it into two store rows on every update instead of merging its
+        # sketches — the store would accrete conflicting duplicates
+        on = None
+        for g in group_cols:
+            c = F.col(f"_c.{g}").eqNullSafe(F.col(f"_b.{g}"))
+            on = c if on is None else on & c
+        merged = (cur.join(new, on, "full")
+                  .select(*[F.coalesce(F.col(f"_c.{g}"), F.col(f"_b.{g}"))
+                            .alias(g) for g in group_cols],
                           F.when(F.col("_old").isNull(), F.col("_new"))
                           .when(F.col("_new").isNull(), F.col("_old"))
                           .otherwise(kmv_merge_col(F.col("_old"),

@@ -92,6 +92,26 @@ def test_unknown_pair_endpoint_raises(spark, tmp_path):
                                _pairs(spark, [(3, 777)]), path)
 
 
+def test_non_numeric_id_raises_type_error_not_unregistered(spark, tmp_path):
+    """The long cast used to turn non-numeric string ids into NULLs that
+    surfaced as a misleading "endpoint not registered" error (r6-advice
+    low finding 5). They must fail as the type error they are, naming
+    the id columns."""
+    path = str(tmp_path / "cs_typed")
+    ids = spark.createDataFrame([("doc-a",), ("doc-b",)], "doc_id string")
+    pairs = spark.createDataFrame([("doc-a", "doc-b")],
+                                  "a_id string, b_id string")
+    with pytest.raises(TypeError, match="NULL after cast to long"):
+        update_component_store(spark, ids, pairs, path)
+    # numeric-valued strings still coerce cleanly (the documented path)
+    ok_ids = spark.createDataFrame([("1",), ("2",)], "doc_id string")
+    ok_pairs = spark.createDataFrame([("1", "2")],
+                                     "a_id string, b_id string")
+    n = update_component_store(spark, ok_ids, ok_pairs, path)
+    assert n == 2
+    assert len(set(_store_labels(spark, path).values())) == 1
+
+
 def test_compaction_resolves_and_refuses_nonempty(spark, tmp_path):
     path = str(tmp_path / "cs4")
     update_component_store(spark, _ids(spark, [10, 20, 30, 40]),

@@ -69,6 +69,49 @@ def test_calc_melt_gate_and_equation(spark):
         assert r["melt_rate"] > 0.0
 
 
+def test_calc_melt_blocked_smoothing_equals_declarative(spark):
+    """r6 directive: the pipeline's three 2-h sliding means now run
+    through the blocked pandas engine (O(n), chunk-parallel) instead of
+    the per-row-re-aggregated declarative RANGE frame. Exactness is not
+    assumed: re-derive the whole pipeline with the declarative
+    rolling_agg_col means and compare per row (pandas' incremental
+    rolling mean drifts from Spark's per-frame sum only at ulp level;
+    null patterns must be identical)."""
+    from datatools_spark.functions.physics import melt_expr
+    from datatools_spark.operators.fillna import ffill
+    from datatools_spark.operators.rolling import rolling_agg_col
+
+    df = _weather(spark, days=5).withColumn(
+        "s", (F.dayofmonth("ts") % 2).cast("string"))
+    got = {(r["s"], r["ts"]): r["melt_rate"]
+           for r in calc_melt(df, partition_by=["s"]).collect()}
+
+    p = ["s"]
+    sm_in = rolling_agg_col("Solar_incoming", "2h", "mean", "ts", p)
+    sm_out = rolling_agg_col("Solar_reflected", "2h", "mean", "ts", p)
+    work = (df.withColumn("_in", sm_in).withColumn("_out", sm_out)
+            .where(F.col("_in").isNotNull()))
+    s = F.min(F.struct((-F.col("_in")).alias("ni"), F.col("ts").alias("t"),
+                       F.col("_out").alias("o")))
+    daily = (work.groupBy("s", F.date_trunc("DAY", F.col("ts")).alias("day"))
+             .agg(s["o"].alias("_o"), F.max("_in").alias("_m")))
+    alb = F.col("_o") / F.col("_m")
+    albedo = daily.select(
+        "s", "day", F.when(alb >= 1.0, F.lit(None)).otherwise(alb)
+        .alias("albedo"))
+    ref = (df.withColumn("_in_sm", sm_in)
+           .withColumn("day", F.date_trunc("DAY", F.col("ts")))
+           .join(F.broadcast(albedo), on=["s", "day"], how="left"))
+    ref = ffill(ref, ["albedo"], "ts", p)
+    m = melt_expr(F.col("Temp"), F.col("_in_sm"), F.col("albedo"),
+                  threshold_temp=0.0)
+    want = {(r["s"], r["ts"]): r["mr"] for r in ref.select(
+        "s", "ts", F.coalesce(m, F.lit(0.0)).alias("mr")).collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert abs(got[k] - w) < 1e-9, (k, got[k], w)
+
+
 def test_weather_station_facade(spark):
     ws = WeatherStation(_weather(spark))
     assert ws.get_data_with("temp") == "Temp"

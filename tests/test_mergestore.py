@@ -124,6 +124,88 @@ def test_uncommitted_generation_is_invisible(spark, store, tmp_path):
     assert res["generation"] == 100
 
 
+def test_crashed_commit_log_is_invisible(spark, store):
+    """The r6-advice crash window: Spark creates the _log/gen-<n> dir at
+    job start, so a crash DURING the log write leaves a generation whose
+    data exists but whose tombstones are lost. Bare dir existence must
+    not count as commit — otherwise every rewritten row double-counts.
+    Commit is gated on the log's _SUCCESS marker + parquet payload."""
+    import os
+    import shutil
+    before = _as_dict(read_merge_store(spark, store))
+    upd = spark.createDataFrame(
+        [(10, -1, "upd"), (5000, -2, "new")], "id long, v long, tag string")
+    res = merge_into(spark, store, upd, KEY, "update")
+    gen = res["generation"]
+    log_dir = f"{store}/_log/gen-{gen}"
+    # crash flavor 1: log dir created, nothing written yet (empty dir)
+    saved = f"{store}/_saved_log"
+    shutil.move(log_dir, saved)
+    os.makedirs(log_dir)
+    got = _as_dict(read_merge_store(spark, store))
+    assert got == before, "bare log dir must not commit the generation"
+    assert len(got) == len(before), "no double-counted rewritten rows"
+    # crash flavor 2: partial payload, no _SUCCESS marker yet
+    shutil.rmtree(log_dir)
+    shutil.copytree(saved, log_dir)
+    os.remove(f"{log_dir}/_SUCCESS")
+    got = _as_dict(read_merge_store(spark, store))
+    assert got == before
+    # the completed log commits: full post-merge state, counted once
+    shutil.rmtree(log_dir)
+    shutil.move(saved, log_dir)
+    want = dict(before)
+    want.update({10: (-1, "upd"), 5000: (-2, "new")})
+    assert _as_dict(read_merge_store(spark, store)) == want
+
+
+def test_init_rejects_duplicate_and_null_keys(spark, tmp_path):
+    """merge_into's manifest-arithmetic counters assume one store row
+    per key, and equality MERGE can never match a NULL key — both are
+    now refused at init (r6-advice low findings), and the failed init
+    leaves no committed generation behind."""
+    dup = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")],
+                                "id long, tag string")
+    root = str(tmp_path / "dup_store")
+    with pytest.raises(ValueError, match="duplicate-key"):
+        init_merge_store(spark, dup, root, KEY)
+    nul = spark.createDataFrame([(None, "a"), (2, "b")],
+                                "id long, tag string")
+    root2 = str(tmp_path / "null_store")
+    with pytest.raises(ValueError, match="null key"):
+        init_merge_store(spark, nul, root2, KEY)
+    # the failed init commits nothing: the orphan gen-0 dir is invisible
+    with pytest.raises(ValueError, match="no committed generations"):
+        merge_store_stats(spark, root)
+
+
+def test_feed_rollup_null_group_key_is_one_group(spark, tmp_path):
+    """A NULL group key is a legitimate group: the snapshot⨝delta merge
+    must be null-safe (r6-advice medium finding 3) — plain equality
+    forks the NULL group into duplicate rows on every refresh."""
+    from datatools_spark.operators.mergestore import (
+        init_feed_rollup, init_merge_store, read_feed_rollup,
+        refresh_feed_rollup)
+    root = str(tmp_path / "ng_store")
+    state = str(tmp_path / "ng_state")
+    df = spark.createDataFrame(
+        [(0, None, 1.0), (1, None, 2.0), (2, "g1", 3.0)],
+        "id long, grp string, v double")
+    init_merge_store(spark, df.coalesce(1), root, KEY)
+    init_feed_rollup(spark, root, state, ["grp"], "v")
+    for i, (k, g, v) in enumerate([(10, None, 5.0), (11, None, 7.0),
+                                   (12, "g1", 1.0)]):
+        u = spark.createDataFrame([(k, g, v)],
+                                  "id long, grp string, v double")
+        merge_into(spark, root, u, KEY, "update", change_feed=True)
+        refresh_feed_rollup(spark, root, state, ["grp"], "v")
+    rows = read_feed_rollup(spark, state).collect()
+    got = {r["grp"]: (r["sum_val"], r["n_rows"]) for r in rows}
+    assert len(rows) == 2, f"NULL group forked: {rows}"
+    assert got[None] == (15.0, 4)
+    assert got["g1"] == (4.0, 2)
+
+
 def test_update_requires_full_schema_and_unique_keys(spark, store):
     with pytest.raises(ValueError, match="must equal store columns"):
         merge_into(spark, store,

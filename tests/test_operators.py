@@ -710,6 +710,31 @@ class TestKMV:
                  for r in read_kmv_store(spark, path).collect()}
         assert again == got
 
+    def test_kmv_store_null_group_key_merges_not_forks(self, spark,
+                                                       tmp_path):
+        """A NULL group key is a legitimate group: the snapshot⨝batch
+        merge must be null-safe (r6-advice medium finding 3) — plain
+        equality would fork the NULL group into a new store row on
+        every update instead of merging its sketches."""
+        from datatools_spark.operators.sketches import (
+            kmv_sketch, read_kmv_store, update_kmv_store)
+        path = str(tmp_path / "kmv_null_store")
+        k = 16
+        b1 = spark.createDataFrame(
+            [(None, "w1"), (None, "w2"), ("g1", "w3")],
+            "g string, item string")
+        b2 = spark.createDataFrame(
+            [(None, "w2"), (None, "w4"), ("g1", "w5")],
+            "g string, item string")
+        for b in (b1, b2):
+            update_kmv_store(spark, b, path, ["g"], "item", k=k)
+        rows = read_kmv_store(spark, path).collect()
+        assert len(rows) == 2, f"NULL group forked: {rows}"
+        got = {r["g"]: r["hs"] for r in rows}
+        want = {r["g"]: r["hs"] for r in kmv_sketch(
+            b1.unionByName(b2), ["g"], "item", k=k).collect()}
+        assert got == want
+
 
 def test_rolling_stats_blocked_matches_declarative(spark):
     """rolling_stats_blocked (one pandas pass, several stats over the
@@ -763,3 +788,66 @@ def test_rolling_stats_blocked_rejects_unknown_stat(spark):
                                "ts timestamp, value double")
     with pytest.raises(ValueError, match="unsupported"):
         rolling_stats_blocked(df, "value", "6H", {"x": "kurtosis"})
+
+
+def test_rolling_blocked_isolated_point_yields_null_not_nan(spark):
+    """The r6-advice latent bug: pandas emits NaN where the frame is
+    degenerate — std over a 1-observation frame (ddof=1), median over an
+    all-null frame — while stddev_samp/the declarative window yield
+    NULL. Spark orders NaN ABOVE every double, so a leaked NaN makes
+    `sd > 0` (the ts_anomaly_zscore gate) pass on an isolated point.
+    Every blocked engine must mask NaN→NULL, matching the declarative
+    plan exactly on the isolated-point fixture."""
+    import datetime as dt
+    import math
+    from pyspark.sql import Window
+    from datatools_spark.operators.rolling import (
+        rolling_median_blocked, rolling_quantile_blocked,
+        rolling_stats_blocked)
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [
+        ("a", t0, 3.0),                                 # isolated: 1-row frame
+        ("a", t0 + dt.timedelta(hours=10), 1.0),        # pair within one frame
+        ("a", t0 + dt.timedelta(hours=10, minutes=20), 5.0),
+        ("a", t0 + dt.timedelta(hours=20), None),       # isolated all-null frame
+    ]
+    df = spark.createDataFrame(rows, "s string, ts timestamp, value double")
+
+    st = {(r.s, r.ts): r for r in rolling_stats_blocked(
+        df, "value", "1H", {"m": "mean", "sd": "std", "va": "var"},
+        partition_by=["s"], chunk="6H").collect()}
+    med = {(r.s, r.ts): r for r in rolling_median_blocked(
+        df, "value", "1H", partition_by=["s"], chunk="6H",
+        out_col="md").collect()}
+    q90 = {(r.s, r.ts): r for r in rolling_quantile_blocked(
+        df, "value", "1H", 0.9, partition_by=["s"], chunk="6H",
+        out_col="p90").collect()}
+    for d in (st, med, q90):
+        for r in d.values():
+            for c in ("m", "sd", "va", "md", "p90"):
+                v = getattr(r, c, None)
+                assert v is None or not math.isnan(v), (r, c)
+    iso = ("a", t0)
+    assert st[iso].sd is None and st[iso].va is None
+    assert st[iso].m == 3.0
+    nullf = ("a", t0 + dt.timedelta(hours=20))
+    assert st[nullf].m is None and st[nullf].sd is None
+    assert med[nullf].md is None and q90[nullf].p90 is None
+
+    # blocked == declarative on the whole fixture, nulls included
+    w = (Window.partitionBy("s").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-1800 * 1_000_000, 1800 * 1_000_000))
+    exp = {(r.s, r.ts): r for r in df.select(
+        "s", "ts", F.avg("value").over(w).alias("m"),
+        F.stddev_samp("value").over(w).alias("sd")).collect()}
+    for key, e in exp.items():
+        g = st[key]
+        assert (g.sd is None) == (e.sd is None), key
+        assert (g.m is None) == (e.m is None), key
+        if g.sd is not None:
+            assert abs(g.sd - e.sd) < 1e-9
+    # and the anomaly gate itself: sd > 0 must be NULL-false, not NaN-true
+    flagged = (rolling_stats_blocked(df, "value", "1H", {"sd": "std"},
+                                     partition_by=["s"], chunk="6H")
+               .where(F.col("sd") > 0).count())
+    assert flagged == 2  # only the genuine pair rows have sd > 0

@@ -107,17 +107,35 @@ def calc_melt(df: DataFrame, temp_col: str = "Temp",
     ffill is the cleaner equivalent-intended plan), melt expression with
     the temperature gate, nulls→0 (:541). Adds ``melt_rate``."""
     p = list(partition_by)
-    albedo = calc_daily_albedo(df, incoming_col, reflected_col, ts_col,
-                               partition_by=p)
-    # blocked rolling mean (chunk-parallel O(n)), not the declarative
-    # per-row frame re-aggregation — see calc_daily_albedo
-    work = (rolling_stats_blocked(df, incoming_col, "2h",
-                                  {"_in_sm": "mean"}, ts_col=ts_col,
-                                  partition_by=p, chunk="1d")
-            .withColumn("day", F.date_trunc("DAY", F.col(ts_col)))
-            .join(F.broadcast(albedo), on=p + ["day"], how="left"))
+    # ONE blocked pass smooths both channels (see calc_daily_albedo);
+    # the daily-albedo aggregate and the melt expression both consume
+    # it, so the pass is localCheckpointed (lazy) — materialize once
+    # instead of recomputing the Arrow pass per consumer. The albedo
+    # branch reduces map-side to one row per (partition, day); the
+    # join back is a broadcast — no full-row shuffle anywhere before
+    # the ffill window.
+    sm = rolling_stats_blocked(
+        df, incoming_col, "2h",
+        {"_in_sm": "mean", "_out_sm": (reflected_col, "mean")},
+        ts_col=ts_col, partition_by=p, chunk="1d") \
+        .withColumn("day", F.date_trunc("DAY", F.col(ts_col))) \
+        .localCheckpoint(eager=False)
+    # daily albedo from the shared smoothed channels — same tie-pinned
+    # argmax + ≥1 mask as calc_daily_albedo (A10 semantics)
+    s = F.min(F.struct((-F.col("_in_sm")).alias("ni"),
+                       F.col(ts_col).alias("t"),
+                       F.col("_out_sm").alias("o")))
+    daily = (sm.where(F.col("_in_sm").isNotNull())
+             .groupBy(*[F.col(c) for c in p], "day")
+             .agg(s["o"].alias("_out_at_max"),
+                  F.max("_in_sm").alias("_max_in")))
+    alb = F.col("_out_at_max") / F.col("_max_in")
+    albedo = daily.select(
+        *p, "day",
+        F.when(alb >= 1.0, F.lit(None)).otherwise(alb).alias("albedo"))
+    work = sm.join(F.broadcast(albedo), on=p + ["day"], how="left")
     work = ffill(work, ["albedo"], ts_col, p)
     m = melt_expr(F.col(temp_col), F.col("_in_sm"), F.col("albedo"),
                   threshold_temp=threshold_temp)
     return (work.withColumn("melt_rate", F.coalesce(m, F.lit(0.0)))
-            .drop("_in_sm", "day"))
+            .drop("_in_sm", "_out_sm", "day"))

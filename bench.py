@@ -1,7 +1,17 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+exactly ONE stdout line — a COMPACT headline JSON (suite totals +
+per-query headline seconds), sized to survive the driver's 2 KB tail
+capture (the previous all-detail line exceeded it, so six rounds of
+BENCH artifacts carried ``"parsed": null``). The full detail — extended
+suites, the sf1-equivalent scale pass, and per-query PLAN COUNTERS —
+is written to ``bench/BENCH_full.json``.
+
+Plan counters (``plans``: shuffle bytes/rows written + executor task
+ms per query, via the UI REST stage API, captured once per query on its
+first measured run) make second-scale wall-clock movers adjudicable:
+wall time on a shared box swings ±20 % with co-tenant load, but a plan
+regression moves shuffle bytes or task time deterministically.
 
 Each query is forced with a hash-aggregate over EVERY output column
 (full plan execution, no driver-side collect of payloads). A bare
@@ -125,15 +135,55 @@ MM_SF1_QUERIES = [
 ]
 
 
+def _plan_snapshot(spark):
+    """Completed-stage metrics via the UI REST API (one HTTP call —
+    cheap enough to bracket every first run; the py4j stage-store walk
+    costs ~1 ms per field per stage and is not). None when the UI is
+    off (counters are then skipped, never guessed)."""
+    import urllib.request
+    sc = spark.sparkContext
+    if not sc.uiWebUrl:
+        return None
+    url = (f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+           "/stages?status=complete")
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            data = json.load(r)
+    except Exception:  # noqa: BLE001 — counters are best-effort
+        return None
+    return {(d["stageId"], d["attemptId"]):
+            (d.get("shuffleWriteBytes", 0),
+             d.get("shuffleWriteRecords", 0),
+             d.get("executorRunTime", 0)) for d in data}
+
+
+def _plan_diff(before, after):
+    if before is None or after is None:
+        return None
+    new = [v for k, v in after.items() if k not in before]
+    return {"shuffle_bytes": int(sum(v[0] for v in new)),
+            "shuffle_rows": int(sum(v[1] for v in new)),
+            "task_ms": int(sum(v[2] for v in new))}
+
+
 def _measure(spark, sf_dir: str, repeats: int,
-             names: list[str] | None = None) -> dict[str, float]:
+             names: list[str] | None = None,
+             plans: dict | None = None) -> dict[str, float]:
     queries = names if names is not None else BENCH_QUERIES
     samples: dict[str, list[float]] = {n: [] for n in queries}
 
     def run(name: str) -> None:
+        # plan counters on the FIRST measured run only: shuffle bytes /
+        # rows and task time are deterministic per plan, unlike wall
+        snap = (_plan_snapshot(spark)
+                if plans is not None and name not in plans else None)
         t0 = time.perf_counter()
         force_value(QUERIES[name](spark, sf_dir))
         samples[name].append(round(time.perf_counter() - t0, 3))
+        if snap is not None:
+            d = _plan_diff(snap, _plan_snapshot(spark))
+            if d is not None:
+                plans[name] = d
 
     for _ in range(repeats):
         for name in queries:
@@ -154,7 +204,11 @@ def _measure(spark, sf_dir: str, repeats: int,
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark("datatools-bench")
+    # UI on (random port, console progress off) purely for the REST
+    # stage API the plan counters read; the engine default stays off
+    spark = get_spark("datatools-bench", extra_conf={
+        "spark.ui.enabled": "true", "spark.ui.port": "0",
+        "spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: tiny sf to JIT/codegen-prime every plan shape
@@ -170,9 +224,10 @@ def main() -> None:
     # inflate a full min-of-2 pass ~2x uniformly; a third sample makes
     # the per-query min far more robust for ~1 min extra wall.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    times = _measure(spark, sf_dir, repeats)
+    plans: dict = {}
+    times = _measure(spark, sf_dir, repeats, plans=plans)
     ext = _measure(spark, sf_dir, max(2, repeats - 1),
-                   names=EXTENDED_QUERIES)
+                   names=EXTENDED_QUERIES, plans=plans)
     out = {
         "metric": "headline_query_wall_time",
         "value": round(sum(times.values()), 3),
@@ -180,6 +235,7 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "extended": ext,
+        "plans": plans,
     }
 
     # cross-scale trend: re-run the same suite at the sf1-equivalent
@@ -204,13 +260,36 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"sf1_equiv generation failed: {exc}", file=sys.stderr)
     if want_sf1 and os.path.isdir(sf1_dir):
-        t1 = _measure(spark, sf1_dir, repeats)
+        plans1: dict = {}
+        t1 = _measure(spark, sf1_dir, repeats, plans=plans1)
         mm1 = _measure(spark, sf1_dir, max(2, repeats - 1),
-                       names=MM_SF1_QUERIES)
+                       names=MM_SF1_QUERIES, plans=plans1)
         out["sf1_equiv"] = {"value": round(sum(t1.values()), 3),
-                            "queries": t1, "extended_mm": mm1}
+                            "queries": t1, "extended_mm": mm1,
+                            "plans": plans1}
 
-    print(json.dumps(out))
+    # full detail to a file; stdout gets ONE compact line the driver's
+    # 2 KB tail capture can actually parse (suite totals + headline
+    # per-query seconds — the all-detail line was ~6 KB and six rounds
+    # of BENCH artifacts recorded "parsed": null)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench", "BENCH_full.json")
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"full detail -> {full_path}", file=sys.stderr)
+    compact = {
+        "metric": "headline_query_wall_time",
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "queries": {n: round(s, 2) for n, s in times.items()},
+        "extended_total": round(sum(ext.values()), 2),
+    }
+    if "sf1_equiv" in out:
+        compact["sf1_equiv_total"] = out["sf1_equiv"]["value"]
+        compact["sf1_mm_total"] = round(
+            sum(out["sf1_equiv"]["extended_mm"].values()), 2)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

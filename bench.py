@@ -113,7 +113,9 @@ EXTENDED_QUERIES = [
     "ts_dtw_pairs",           # banded DTW via applyInPandas
     "emb_matryoshka_eval",    # truncated-dim recall eval
     "mm_ahash_pairs",         # perceptual-hash image near-dup pairs
+    "mm_ahash_pairs_store",   # r7: steady-state sign-once/pair-vs-store twin
     "mm_image_dedup",         # aHash -> components -> retention composite
+    "mm_image_dedup_store",   # r7: incremental compstore dedup twin
     "mm_audio_dup_pairs",     # energy-hash audio near-dup pairs
     "mm_scene_cuts",          # per-frame aHash scene-cut lag window
     "mm_ahash256_pairs",      # wide 256-bit hash pairs (32-bit band keys)
@@ -132,6 +134,10 @@ MM_SF1_QUERIES = [
     # r5: the wide 256-bit pair engine and the full curation funnel ride
     # the scale pass too, so their scale curves are measured every round
     "mm_ahash256_pairs", "mm_curation_pipeline",
+    # r7: the store-backed steady-state twins — the declared 100 TB
+    # architecture (sign once, pair batch-vs-store, fold components
+    # incrementally) tracked at the scale point every round
+    "mm_ahash_pairs_store", "mm_image_dedup_store",
 ]
 
 

@@ -79,7 +79,14 @@ def update_signature_store(spark: SparkSession, batch: DataFrame,
     out = _sig_frame(new, text_col, id_col)
     n = out.count()
     if n:
-        (out.write.mode("append").partitionBy("_pp").parquet(path))
+        # cluster on _pp before the partitioned write: without this
+        # every write task holding rows for a _pp value emits its own
+        # file there — T tasks × P values files per update (measured
+        # 6 000+ tiny files on one 36 k-row seed), and every later
+        # store read pays per-file open/schedule cost. One batch-sized
+        # shuffle buys one file per touched partition value.
+        (out.repartition("_pp")
+         .write.mode("append").partitionBy("_pp").parquet(path))
     return n
 
 
@@ -236,7 +243,11 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
     sig = sig.localCheckpoint(eager=True)
     n = sig.count()
     if n:
-        sig.write.mode("append").partitionBy("_pp").parquet(path)
+        # cluster on _pp first — one file per touched partition value
+        # per update, not one per (write task × value); see
+        # update_signature_store for the measured tiny-file blowup
+        sig.repartition("_pp").write.mode("append") \
+            .partitionBy("_pp").parquet(path)
     return n
 
 

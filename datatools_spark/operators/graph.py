@@ -46,17 +46,27 @@ def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
     dangling-mass redistribution is deliberately out of scope so the
     iteration stays a pure join+agg). Output: ``id, pr``.
 
-    The canonical Pregel-on-DataFrames shape: per iteration exactly ONE
-    shuffle-join of the rank vector onto the (checkpointed)
-    edges-with-outdegree table keyed on source, then ONE map-side
-    combinable ``groupBy(dst).sum`` — rank state never leaves the
-    cluster and is one row per node; the only driver scalar is N.
-    ``localCheckpoint`` per round keeps the logical plan constant-size
-    (same rationale as :func:`connected_components`) — but each eager
-    checkpoint is a full materialization, so for short runs (≤4
-    iterations) the RANK chain stays lazy: Catalyst handles 4 nested
-    join+agg layers easily. (The edge/node frames are always
-    checkpointed once up front — they feed every iteration.)
+    The canonical Pregel-on-DataFrames shape: per iteration ONE
+    shuffle-join of the rank vector (which carries ``_outdeg`` with it)
+    onto the checkpointed edge list keyed on source, ONE map-side
+    combinable ``groupBy(dst).sum``, and one node-sized broadcast-scale
+    left join of contributions back onto the degree frame (keeps rank
+    rows for in-degree-0 nodes) — rank state never leaves the cluster
+    and is one row per node; the only driver scalar is N. (A self-loop
+    augmentation that folds the left join into the aggregate was A/B
+    tested and is ~1.5× SLOWER at sf0.1 — the left join is
+    broadcast-cheap while the widened union+conditional-agg scan is
+    not.) ``localCheckpoint`` per round keeps the logical plan
+    constant-size (same rationale as :func:`connected_components`) —
+    but each eager checkpoint is a full materialization, so for short
+    runs (≤4 iterations) the RANK chain stays lazy: Catalyst handles 4
+    nested join+agg layers easily. (The edge list and the node-degree
+    frame are checkpointed once up front — they feed every iteration,
+    so CONSTRUCTION runs a fixed number of jobs — edge checkpoint,
+    degree checkpoint, the N count, plus the AQE stage-jobs those
+    spawn — INDEPENDENT of ``iters``; pinned by a job-count test. The
+    previous shape also materialized an edges⨝outdegree frame and a
+    separate node list: two more full-width checkpoints per call.)
 
     Every reduction is rounded at ``round_dp`` BEFORE feeding the next
     step, so the trajectory is bit-reproducible across engines and
@@ -71,40 +81,46 @@ def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
         # list unioned with its disjoint reverse) skip this full-edge
         # exchange with assume_distinct=True
         e = e.distinct()
-    # checkpoint the EDGE LIST first: ew and nodes both derive from it,
-    # and without this each of their eager checkpoints re-executes the
-    # caller's whole edge construction (measured 2× a 4.8 s
+    # checkpoint the EDGE LIST first: deg and e_aug both derive from
+    # it, and without this each of their eager checkpoints re-executes
+    # the caller's whole edge construction (measured 2× a 4.8 s
     # join+distinct at sf0.1 in ss_pagerank — the upstream runs once
     # now). localCheckpoint, not cache(): a cached plan pins the
     # session's cache registry per distinct input forever (the r5
     # pair-engine hygiene rule); checkpoint blocks free on GC.
     e = e.localCheckpoint(eager=True)
-    deg = e.groupBy("u").agg(F.count("*").alias("_outdeg"))
+    # ONE node-sized state frame carries both roles: (id, _outdeg) is
+    # the node list AND the degree table, and the rank vector keeps
+    # _outdeg with it across iterations — the per-iteration join of
+    # rank onto edges delivers pr AND outdeg in one pass, and no
+    # edges⨝degree frame is ever materialized.
+    deg = (e.groupBy("u").agg(F.count("*").alias("_outdeg"))
+           .localCheckpoint(eager=True))
     checkpoint = iters > 4   # gates only the PER-ITERATION rank
     # checkpoint (long chains); short rank chains stay lazy
-    ew = e.join(deg, "u").localCheckpoint(eager=True)
-    nodes = deg.select(F.col("u").alias("id")).localCheckpoint(eager=True)
-    n = nodes.count()
+    n = deg.count()
     # (1-d)/n is built from the SAME primitive ops an external SQL twin
     # would use — literal subtraction and division in the engine, never
     # a Python-folded constant (1.0-0.85 != the SQL literal 0.15 at the
     # last ulp) — so both engines feed identical doubles to round().
     base = (F.lit(1.0) - F.lit(damping)) / F.lit(float(n))
-    pr = nodes.withColumn(
-        "pr", F.round(F.lit(1.0) / F.lit(float(n)), round_dp))
+    pr = deg.select(F.col("u").alias("id"), "_outdeg",
+                    F.round(F.lit(1.0) / F.lit(float(n)),
+                            round_dp).alias("pr"))
     for _ in range(iters):
-        contrib = (ew.join(pr.withColumnRenamed("id", "u"), "u")
+        contrib = (e.join(pr.withColumnRenamed("id", "u"), "u")
                    .groupBy(F.col("v").alias("id"))
                    .agg(F.round(F.sum(F.col("pr") / F.col("_outdeg")),
                                 round_dp).alias("_s")))
-        pr = (nodes.join(contrib, "id", "left")
-              .select("id",
+        pr = (deg.select(F.col("u").alias("id"), "_outdeg")
+              .join(contrib, "id", "left")
+              .select("id", "_outdeg",
                       F.round(base
                               + F.lit(damping) * F.coalesce("_s", F.lit(0.0)),
                               round_dp).alias("pr")))
         if checkpoint:
             pr = pr.localCheckpoint()
-    return pr
+    return pr.select("id", "pr")
 
 
 def connected_components(edges: DataFrame, src: str = "a_id",

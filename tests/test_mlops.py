@@ -512,6 +512,30 @@ def test_pagerank_uniform_on_regular_graph(spark):
     assert abs(pr[0] - 1 / 6) < 1e-6
 
 
+def test_pagerank_construction_jobs_constant(spark):
+    # Pin the fixed-overhead contract: building the pagerank frame runs
+    # a bounded, iteration-INDEPENDENT number of jobs (edge checkpoint,
+    # degree checkpoint, N count + their AQE stage-jobs). A regression
+    # that re-introduces a per-iteration materialization, or the old
+    # edges⨝outdegree / separate-node-list checkpoints, shows up as a
+    # higher or iters-dependent count.
+    from datatools_spark.operators.graph import pagerank
+    sc = spark.sparkContext
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "u long, v long"
+    ).localCheckpoint(eager=True)     # warm input → pure pagerank jobs
+    counts = {}
+    for iters in (2, 4):
+        group = f"pr-jobpin-{iters}"
+        sc.setJobGroup(group, group)
+        pagerank(e, iters=iters)      # construction only — no action
+        counts[iters] = len(sc.statusTracker().getJobIdsForGroup(group))
+    sc.setJobGroup("pr-jobpin-done", "clear")
+    assert counts[2] == counts[4]     # no per-iteration jobs
+    assert counts[2] <= 6             # measured shape: 6 on local[*]/AQE
+    # (edge ckpt, degree ckpt, N count + their AQE stage-jobs)
+
+
 # ------------------------------------------------------------- whitening
 
 def test_whiten_identity_covariance_and_no_shuffle(spark, vecs):

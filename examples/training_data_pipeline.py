@@ -67,7 +67,13 @@ def main():
     comp = GR.connected_components(pairs)
     drops = comp.where(F.col("id") != F.col("component")) \
         .select(F.col("id").alias("doc_id"))
-    docs = docs.join(drops, "doc_id", "left_anti")
+    # materialize the retention milestone: every downstream stage (and
+    # this script's per-stage counts) would otherwise replay
+    # exact-dedup + MinHash + LSH on each action — measured >2× of the
+    # whole run before this checkpoint. Production materializes the
+    # post-retention corpus for the same reason.
+    docs = docs.join(drops, "doc_id", "left_anti") \
+        .localCheckpoint(eager=True)
     n2 = docs.count()
 
     # 3. quality + repetition + language gates, then PII scrub
@@ -86,7 +92,10 @@ def main():
         .where(F.col("doc_id") < 30)
     clean = CU.contamination_counts(docs, bench, shingle_n=5) \
         .where(~F.col("contaminated")).select("doc_id")
-    docs = docs.join(clean, "doc_id")
+    # second milestone: stages 5-7 fan out into several independent
+    # actions (diagnostics, budget, split counts, packing) that would
+    # each replay the gate + scrub + decontamination expressions
+    docs = docs.join(clean, "doc_id").localCheckpoint(eager=True)
     n4 = docs.count()
 
     # 5. span-dup + entropy diagnostics (survivor corpus health report)
@@ -185,13 +194,18 @@ def main():
                   all_docs.where(F.col("doc_id") > mid)]:
         seen = seen.unionByName(batch)
         in_batch = batch.select("doc_id")
-        bp = (D.minhash_lsh_pairs(seen, num_hashes=8, bands=4,
-                                  threshold=0.5)
+        # sign the corpus-so-far ONCE per batch: the two semi-joins
+        # (edges touching the batch on either endpoint) re-read this
+        # materialized pair list instead of re-running MinHash+LSH
+        # twice — the pre-fix shape cost 2× the signing work per batch
+        bp_all = D.minhash_lsh_pairs(seen, num_hashes=8, bands=4,
+                                     threshold=0.5) \
+            .localCheckpoint(eager=True)
+        bp = (bp_all
               .join(in_batch.withColumnRenamed("doc_id", "a_id"),
                     "a_id", "left_semi")
               .unionByName(
-                  D.minhash_lsh_pairs(seen, num_hashes=8, bands=4,
-                                      threshold=0.5)
+                  bp_all
                   .join(in_batch.withColumnRenamed("doc_id", "b_id"),
                         "b_id", "left_semi"))
               .distinct())

@@ -290,6 +290,15 @@ def main() -> None:
         "sf": out["sf"],
         "queries": {n: round(s, 2) for n, s in times.items()},
         "extended_total": round(sum(ext.values()), 2),
+        # plan counters for the headline set, compacted to fit the
+        # driver's 2 KB tail capture: wall seconds alone proved
+        # unadjudicable (r5/r6 showed ±20-40 % no-code movers), so the
+        # parsed artifact carries the deterministic-per-plan signals
+        # too; full byte/row detail stays in bench/BENCH_full.json
+        "plans_legend": "[task_s, shuffle_mb]",
+        "plans": {q: [round(p["task_ms"] / 1000, 1),
+                      round(p["shuffle_bytes"] / 1e6, 1)]
+                  for q, p in plans.items() if q in times},
     }
     if "sf1_equiv" in out:
         compact["sf1_equiv_total"] = out["sf1_equiv"]["value"]

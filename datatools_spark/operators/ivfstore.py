@@ -6,13 +6,24 @@ scan"); this module IS that layout, with the same incremental contract
 as the signature stores (sigstore.py): assign each vector to its cell
 once, append-only batches, searches read only probed cells.
 
-Layout: ``{path}/centroids`` (the k cell centroids — the model) and
-``{path}/data`` partitioned by ``centroid_id``. A search resolves its
-probe cells driver-side (model-sized centroid collect, like every
-kmeans/codebook sync in similarity.py) and scans ``data`` with a static
-``centroid_id IN (...)`` predicate — PartitionFilters prune to
-nprobe/k_cells of the files before any IO, which is the whole point of
-IVF at 1e9 vectors.
+Layout: ``{path}/gen-N/centroids`` (the k cell centroids — the model)
+and ``{path}/gen-N/data`` partitioned by ``centroid_id``, where a
+generation is visible to readers only once its ``_COMMIT`` marker
+exists. A rebuild writes BOTH tables into a fresh generation and
+commits them atomically with the marker — without this, the old
+two-overwrite protocol had a torn-index crash window (data reflecting
+the NEW model under the OLD centroids: searches probe with geometry
+the assignments no longer match, silently losing recall; and a crash
+mid-overwrite destroyed the previous index outright). Same
+marker-gated pattern as the merge-store log and the KMV snapshots.
+Pre-generation stores (bare ``{path}/data``+``{path}/centroids``) are
+still readable; the first rebuild migrates them.
+
+A search resolves its probe cells driver-side (model-sized centroid
+collect, like every kmeans/codebook sync in similarity.py) and scans
+``data`` with a static ``centroid_id IN (...)`` predicate —
+PartitionFilters prune to nprobe/k_cells of the files before any IO,
+which is the whole point of IVF at 1e9 vectors.
 """
 
 from __future__ import annotations
@@ -26,6 +37,48 @@ __all__ = ["build_ivf_index", "update_ivf_index", "ivf_index_search",
            "ivf_index_stats"]
 
 
+def _fs(spark: SparkSession, p: str):
+    jp = spark._jvm.org.apache.hadoop.fs.Path(p)
+    return jp.getFileSystem(spark._jsc.hadoopConfiguration()), jp
+
+
+def _gen_numbers(spark: SparkSession, path: str,
+                 committed_only: bool) -> list[int]:
+    fs, jp = _fs(spark, path)
+    if not fs.exists(jp):
+        return []
+    gens = []
+    for st in fs.listStatus(jp):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("gen-"):
+            try:
+                n = int(name[4:])
+            except ValueError:
+                continue
+            # visible ⟺ the marker exists — a crashed build leaves a
+            # markerless orphan readers never resolve
+            if committed_only and not fs.exists(
+                    spark._jvm.org.apache.hadoop.fs.Path(
+                        f"{path}/{name}/_COMMIT")):
+                continue
+            gens.append(n)
+    return sorted(gens)
+
+
+def _committed_gens(spark: SparkSession, path: str) -> list[int]:
+    return _gen_numbers(spark, path, committed_only=True)
+
+
+def _resolve_root(spark: SparkSession, path: str) -> str:
+    """Directory holding the live ``data``/``centroids`` pair: the
+    latest committed generation, or the bare path for pre-generation
+    stores."""
+    gens = _committed_gens(spark, path)
+    if gens:
+        return f"{path}/gen-{gens[-1]:06d}"
+    return path
+
+
 def build_ivf_index(spark: SparkSession, df: DataFrame,
                     centroids: DataFrame, path: str,
                     vec_col: str = "embedding", id_col: str = "vec_id",
@@ -36,13 +89,25 @@ def build_ivf_index(spark: SparkSession, df: DataFrame,
     table also records each cell's BUILD-TIME mean cosine residual
     (``build_residual``) — the drift baseline :func:`ivf_index_stats`
     compares against (one extra scan of the at-rest data, no re-compute
-    of the assignment). Returns the number of indexed vectors."""
+    of the assignment). Both tables land in a fresh generation made
+    visible by ONE ``_COMMIT`` marker after both writes succeed —
+    readers (search/stats/update) keep resolving the previous committed
+    generation through any crash of this build. Superseded generations
+    are pruned after the commit (a reader mid-scan on the old
+    generation during a concurrent rebuild should pin its root via
+    ``_resolve_root`` once, which every reader here does). Returns the
+    number of indexed vectors."""
+    gens = _committed_gens(spark, path)
+    # number past EVERY existing generation dir, committed or orphaned —
+    # never write into a crashed build's leftovers
+    all_gens = _gen_numbers(spark, path, committed_only=False)
+    gen = f"{path}/gen-{(all_gens[-1] + 1 if all_gens else 0):06d}"
     assigned = ivf_assign(df, centroids, vec_col, id_col, centroid_id_col,
                           keep_vec=True) \
         .select(F.col(id_col), F.col(vec_col), F.col(centroid_id_col))
     assigned.write.mode("overwrite").partitionBy(centroid_id_col) \
-        .parquet(f"{path}/data")
-    data = spark.read.parquet(f"{path}/data")
+        .parquet(f"{gen}/data")
+    data = spark.read.parquet(f"{gen}/data")
     c = F.broadcast(centroids.select(F.col(centroid_id_col),
                                      F.col(vec_col).alias("_cv")))
     baseline = (data.join(c, on=centroid_id_col)
@@ -52,8 +117,21 @@ def build_ivf_index(spark: SparkSession, df: DataFrame,
                 .agg(F.round(F.avg("_res"), 10).alias("build_residual")))
     centroids.select(F.col(centroid_id_col), F.col(vec_col)) \
         .join(baseline, centroid_id_col, "left") \
-        .write.mode("overwrite").parquet(f"{path}/centroids")
-    return data.count()
+        .write.mode("overwrite").parquet(f"{gen}/centroids")
+    n = data.count()
+    fs, _ = _fs(spark, path)
+    fs.create(spark._jvm.org.apache.hadoop.fs.Path(
+        f"{gen}/_COMMIT")).close()
+    # prune superseded state only AFTER the new generation is live;
+    # a crash mid-prune leaves ignorable garbage, never a torn index
+    for old in gens:
+        fs.delete(spark._jvm.org.apache.hadoop.fs.Path(
+            f"{path}/gen-{old:06d}"), True)
+    for legacy in ("data", "centroids"):
+        lp = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/{legacy}")
+        if fs.exists(lp):
+            fs.delete(lp, True)
+    return n
 
 
 def update_ivf_index(spark: SparkSession, batch: DataFrame, path: str,
@@ -70,10 +148,11 @@ def update_ivf_index(spark: SparkSession, batch: DataFrame, path: str,
     materialized once, so the count and the write do not each re-run
     the anti-join + assignment plan. Returns the number of newly
     indexed vectors."""
-    cents = spark.read.parquet(f"{path}/centroids")
+    root = _resolve_root(spark, path)
+    cents = spark.read.parquet(f"{root}/centroids")
     new = batch
     if not batch_is_new:
-        existing = spark.read.parquet(f"{path}/data").select(id_col)
+        existing = spark.read.parquet(f"{root}/data").select(id_col)
         new = batch.join(existing, id_col, "left_anti")
     assigned = ivf_assign(new, cents, vec_col, id_col, centroid_id_col,
                           keep_vec=True) \
@@ -82,7 +161,7 @@ def update_ivf_index(spark: SparkSession, batch: DataFrame, path: str,
     n = assigned.count()
     if n:
         assigned.write.mode("append").partitionBy(centroid_id_col) \
-            .parquet(f"{path}/data")
+            .parquet(f"{root}/data")
     return n
 
 
@@ -99,7 +178,8 @@ def ivf_index_search(spark: SparkSession, path: str, query: DataFrame,
     probed cells. Identical results to `similarity.ivf_search` run over
     the same centroids (equality-tested).
     Output: ``query_id, vec_id, cosine, rank``."""
-    cents = spark.read.parquet(f"{path}/centroids")
+    root = _resolve_root(spark, path)
+    cents = spark.read.parquet(f"{root}/centroids")
     c = F.broadcast(cents.select(F.col(centroid_id_col),
                                  F.col(vec_col).alias("_cv")))
     qs = (query.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
@@ -118,7 +198,7 @@ def ivf_index_search(spark: SparkSession, path: str, query: DataFrame,
     probe_cells = sorted({r[0] for r in
                           probes.select(centroid_id_col).distinct()
                           .collect()})
-    data = (spark.read.parquet(f"{path}/data")
+    data = (spark.read.parquet(f"{root}/data")
             .where(F.col(centroid_id_col).isin(probe_cells)))
     scored = (data.join(F.broadcast(probes), on=centroid_id_col)
               .withColumn("cosine",
@@ -167,10 +247,11 @@ def ivf_index_stats(spark: SparkSession, path: str,
     re-clustering on ``needs_recluster``/``needs_retrain``.
     Output: ``centroid_id, n_vectors, mean_residual, fill_skew,
     drift_ratio, needs_recluster, needs_retrain``."""
-    cents = spark.read.parquet(f"{path}/centroids")
+    root = _resolve_root(spark, path)
+    cents = spark.read.parquet(f"{root}/centroids")
     c = F.broadcast(cents.select(F.col(centroid_id_col),
                                  F.col(vec_col).alias("_cv")))
-    data = spark.read.parquet(f"{path}/data")
+    data = spark.read.parquet(f"{root}/data")
     res = (data.join(c, on=centroid_id_col)
            .withColumn("_res",
                        F.lit(1.0) - cosine_expr(F.col(vec_col),

@@ -140,6 +140,13 @@ def grouped_gram_pairs(df: DataFrame, group_col: str,
     spelled out: a c-row group costs c²·d flops and c·d·8 bytes in ONE
     task — the same degenerate-corpus hazard the banded-Hamming engines
     refuse via ``max_candidate_mass``. Output: ``a_id, b_id, cosine``.
+
+    Zero-norm or non-finite vectors also fail fast (named error): their
+    cosine is 0/0, where numpy's NaN compares FALSE against the
+    threshold but Spark and DuckDB both order NaN above every number —
+    the engines would silently disagree on the pair set. A dedup corpus
+    with undefined-direction embeddings is a data bug; filter or
+    re-embed upstream.
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
     id_field = df.schema[id_col]
@@ -166,6 +173,13 @@ def grouped_gram_pairs(df: DataFrame, group_col: str,
         V = np.vstack([np.asarray(v, dtype=np.float64)
                        for v in pdf["__vec"]])
         norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+        if not np.isfinite(norms).all() or (norms == 0).any():
+            bad_ids = ids[~np.isfinite(norms) | (norms == 0)][:5]
+            raise ValueError(
+                f"grouped_gram_pairs: zero-norm or non-finite vectors "
+                f"(ids {bad_ids.tolist()}…): cosine is undefined and "
+                f"numpy-vs-SQL NaN ordering diverges on the pair set. "
+                f"Filter or re-embed these rows upstream.")
         outs = []
         blk = 1024
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -227,6 +241,14 @@ def knn_brute_matmul(df: DataFrame, query: DataFrame, k: int = 10,
     tie hazard); ranking on the rounded value keeps the numpy-vs-SQL
     summation-order noise (~1e-16) from ever flipping a rank.
     Output: ``query_id, vec_id, cosine, rank`` (cosine rounded).
+
+    Zero-norm contract (deliberate deviation): a zero-norm vector's
+    norm is mapped to ∞ so its cosine is a well-defined 0 and it ranks
+    LAST — the raw ``dot/(‖a‖·‖b‖)`` expression yields 0/0 = NaN, which
+    Spark and DuckDB order ABOVE every number, i.e. an undefined
+    direction would win rank 1 in the SQL form. A corpus with zero
+    vectors therefore diverges from the expression twin by design;
+    clean it upstream if oracle parity matters.
     """
     import numpy as np
     from pyspark.sql.types import (DoubleType, LongType, StructField,

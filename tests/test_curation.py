@@ -600,3 +600,34 @@ def test_grouped_gram_pairs_cap_and_string_ids(spark):
     with pytest.raises(Exception, match="group_cap"):
         grouped_gram_pairs(df, "grp", threshold=0.9,
                            group_cap=2).collect()
+
+
+def test_grouped_gram_pairs_zero_norm_fails_fast(spark):
+    """A zero-norm vector makes cosine 0/0: numpy drops the pair while
+    Spark/DuckDB NaN-ordering keeps it — the engine refuses the corpus
+    with a named error instead of silently picking a side."""
+    import pytest
+    from datatools_spark.operators.similarity import grouped_gram_pairs
+    rows = [("g", 1, [1.0, 0.0]), ("g", 2, [0.0, 0.0]),
+            ("g", 3, [1.0, 0.001])]
+    df = spark.createDataFrame(
+        rows, "grp string, vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="zero-norm"):
+        grouped_gram_pairs(df, "grp", threshold=0.9).collect()
+
+
+def test_knn_matmul_zero_norm_ranks_last(spark):
+    """knn_brute_matmul's documented deviation: a zero-norm corpus
+    vector gets cosine 0 (not the SQL form's rank-1 NaN) and can only
+    appear after every positive-cosine row."""
+    from datatools_spark.operators.similarity import knn_brute_matmul
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.9, 0.1]),
+            (4, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.0])],
+                              "query_id long, embedding array<double>")
+    got = {r.vec_id: (r.rank, r.cosine)
+           for r in knn_brute_matmul(df, q, k=4).collect()}
+    assert got[2][1] == 0.0                     # defined cosine, not NaN
+    assert got[2][0] > got[1][0] and got[2][0] > got[3][0]
+    assert got[2][0] < got[4][0]                # beats negative cosine

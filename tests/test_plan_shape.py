@@ -195,7 +195,7 @@ def test_driver_window_contains_flagships():
     names = list(QUERIES)[:50]
     for flagship in ["ts_e1_pipeline", "ts_melt_pipeline", "doc_lsh_pairs",
                      "emb_ivf_search", "emb_knn_lsh", "ts_shadow_correction",
-                     "ts_lag_table", "ts_quadrant",
+                     "ts_lag_table",
                      "doc_source_stats", "doc_neardup_retention",
                      "mm_frame_sample",
                      # r4 flagships: the multimodal-dedup family
@@ -204,7 +204,11 @@ def test_driver_window_contains_flagships():
                      # r5 rotation: the wide pair engine + matmul kNN
                      # (ss_shipping_priority / mm_extract_features stood
                      # down; §2.6 carried by ss_top_customers_per_nation)
-                     "mm_ahash256_pairs", "emb_knn_matmul"]:
+                     "mm_ahash256_pairs", "emb_knn_matmul",
+                     # r7 rotation: blocked quantile + KMV set-ops promoted
+                     # (ts_quadrant / ts_decimal_hours stood down — both
+                     # long-stable, siblings in-window per COVERAGE.md)
+                     "ts_rolling_p90_6h", "doc_kmv_source_overlap"]:
         assert flagship in names, flagship
 
 

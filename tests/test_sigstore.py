@@ -1,6 +1,8 @@
 """Incremental signature store: idempotent appends; batch-vs-store LSH
 pairs equal the full-corpus LSH restricted to the batch."""
 
+from pyspark.sql import functions as F
+
 from datatools_spark.operators.dedup import minhash_lsh_pairs
 from datatools_spark.operators.sigstore import (
     lsh_pairs_against_store, update_signature_store)
@@ -222,3 +224,69 @@ def test_ivf_index_search_equals_inline_and_prunes(spark, tmp_path):
     plan = ivf_index_search(spark, path, q, k=5, nprobe=2) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
+def test_ivf_index_crashed_rebuild_invisible_and_legacy_migrates(
+        spark, tmp_path):
+    """Generation protocol: a rebuild that dies before its _COMMIT
+    marker leaves readers on the previous committed index (the old
+    two-overwrite layout made the torn state silently readable), a
+    committed rebuild supersedes and prunes, and a pre-generation
+    (bare data/+centroids/) store stays readable until migrated."""
+    import random
+    from datatools_spark.operators.ivfstore import (
+        _resolve_root, build_ivf_index, ivf_index_search,
+        ivf_index_stats, update_ivf_index)
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(4)])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(j, rows[j][1]) for j in range(3)],
+        "centroid_id long, embedding array<double>")
+    q = emb.where("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    # legacy layout: tables at the bare path, no generation dirs
+    legacy = str(tmp_path / "legacy")
+    from datatools_spark.operators.similarity import ivf_assign
+    ivf_assign(emb, cents, keep_vec=True) \
+        .select("vec_id", "embedding", "centroid_id") \
+        .write.partitionBy("centroid_id").parquet(f"{legacy}/data")
+    cents.write.parquet(f"{legacy}/centroids")
+    assert _resolve_root(spark, legacy) == legacy
+    baseline = {(r["rank"], r["vec_id"]) for r in
+                ivf_index_search(spark, legacy, q, k=3).collect()}
+    assert baseline
+    # first build over the legacy store migrates it into gen-000000
+    build_ivf_index(spark, emb, cents, legacy)
+    assert _resolve_root(spark, legacy).endswith("gen-000000")
+    import os
+    assert not os.path.isdir(f"{legacy}/data")          # legacy pruned
+    assert {(r["rank"], r["vec_id"]) for r in
+            ivf_index_search(spark, legacy, q, k=3).collect()} == baseline
+
+    # crashed rebuild: a newer generation WITHOUT the marker must be
+    # invisible to search, stats, and update
+    path = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb.where("vec_id < 50"), cents, path)
+    good = {(r["rank"], r["vec_id"]) for r in
+            ivf_index_search(spark, path, q, k=3).collect()}
+    torn = f"{path}/gen-000001"
+    # the torn state the old protocol exposed: data under a NEW model,
+    # centroids still the old one — here simply garbage tables
+    emb.where("vec_id >= 58").select(
+        "vec_id", "embedding", F.lit(0).alias("centroid_id")) \
+        .write.partitionBy("centroid_id").parquet(f"{torn}/data")
+    assert _resolve_root(spark, path).endswith("gen-000000")
+    assert {(r["rank"], r["vec_id"]) for r in
+            ivf_index_search(spark, path, q, k=3).collect()} == good
+    assert ivf_index_stats(spark, path).count() == 3
+    # updates keep appending to the committed generation
+    assert update_ivf_index(spark, emb.where("vec_id >= 50"), path) == 10
+    assert update_ivf_index(spark, emb.where("vec_id >= 50"), path) == 0
+    # a COMMITTED rebuild supersedes gen-0 and prunes it (gen numbering
+    # skips past the orphan)
+    build_ivf_index(spark, emb, cents, path)
+    assert _resolve_root(spark, path).endswith("gen-000002")
+    assert not os.path.isdir(f"{path}/gen-000000")

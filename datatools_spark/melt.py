@@ -90,7 +90,11 @@ def calc_daily_albedo(df: DataFrame, incoming_col: str = "Solar_incoming",
     daily = (work.groupBy(*[F.col(c) for c in p],
                           F.date_trunc("DAY", F.col(ts_col)).alias("day"))
              .agg(s["o"].alias("_out_at_max"), F.max("_in").alias("_max_in")))
-    alb = F.col("_out_at_max") / F.col("_max_in")
+    # an all-zero-incoming day (polar night) makes _max_in 0: the raw
+    # division THROWS under ANSI; albedo is undefined there -> NULL
+    # (DuckDB's 0/0 is NULL, so the guarded form IS the oracle's value)
+    alb = F.when(F.col("_max_in") != 0.0,
+                 F.col("_out_at_max") / F.col("_max_in"))
     return daily.select(
         *p, "day",
         F.when(alb >= 1.0, F.lit(None)).otherwise(alb).alias("albedo"))
@@ -129,7 +133,9 @@ def calc_melt(df: DataFrame, temp_col: str = "Temp",
              .groupBy(*[F.col(c) for c in p], "day")
              .agg(s["o"].alias("_out_at_max"),
                   F.max("_in_sm").alias("_max_in")))
-    alb = F.col("_out_at_max") / F.col("_max_in")
+    # same ANSI guard as calc_daily_albedo: all-zero day -> NULL albedo
+    alb = F.when(F.col("_max_in") != 0.0,
+                 F.col("_out_at_max") / F.col("_max_in"))
     albedo = daily.select(
         *p, "day",
         F.when(alb >= 1.0, F.lit(None)).otherwise(alb).alias("albedo"))

@@ -81,8 +81,11 @@ def xcorr_lags(a: DataFrame, b: DataFrame, max_lag: int,
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy = F.col("sxy").cast("double")
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    corr = ((n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    # a constant series over the overlap zeroes the denominator: the
+    # raw division THROWS under ANSI; correlation is undefined there →
+    # NULL (exactly what DuckDB/SQL corr() returns for constant input)
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    corr = F.when(den != 0.0, (n * sxy - sx * sy) / den)
     w = Window.orderBy(F.col("_corr").desc(), F.col("lag").asc())
     return (g.withColumn("_corr", corr)
             .withColumn("is_best",

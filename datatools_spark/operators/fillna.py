@@ -70,8 +70,13 @@ def interpolate_linear(df: DataFrame, cols: Sequence[str], ts_col: str = "ts",
         prev_t = F.last(F.when(v.isNotNull(), es), ignorenulls=True).over(fwd)
         next_v = F.last(v, ignorenulls=True).over(bwd)
         next_t = F.last(F.when(v.isNotNull(), es), ignorenulls=True).over(bwd)
+        # duplicate timestamps make next_t == prev_t: the 0/0 frac would
+        # THROW under ANSI (every engine session here runs ANSI). The
+        # CASE branch short-circuits the division; the bracketing values
+        # share the instant, so the interpolant degenerates to prev_v.
         frac = (es - prev_t) / (next_t - prev_t)
-        interp = prev_v + (next_v - prev_v) * frac
+        interp = F.when(next_t != prev_t,
+                        prev_v + (next_v - prev_v) * frac).otherwise(prev_v)
         filled = F.when(v.isNotNull(), v)
         filled = filled.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
         if limit_area != "inside":

@@ -83,8 +83,10 @@ def rrf_fuse(legs: Sequence[DataFrame], id_col: str = "doc_id",
     Plan: each leg arrives already cut to its top-k (tiny), so the
     full-outer joins and the final rank window run on k·legs rows —
     driver/model-sized work after corpus-sized legs, no corpus shuffle
-    here. Output: ``id_col, fused, rank`` (rank over fused desc, id
-    asc)."""
+    here. Contract: leg ids must be non-null — a NULL id never matches
+    across legs under the plain equi-join, so it would surface as one
+    spurious single-leg row per leg instead of one fused row. Output:
+    ``id_col, fused, rank`` (rank over fused desc, id asc)."""
     if not legs:
         raise ValueError("rrf_fuse: no legs")
     fused = None
@@ -142,11 +144,14 @@ def grouped_gram_pairs(df: DataFrame, group_col: str,
     refuse via ``max_candidate_mass``. Output: ``a_id, b_id, cosine``.
 
     Zero-norm or non-finite vectors also fail fast (named error): their
-    cosine is 0/0, where numpy's NaN compares FALSE against the
-    threshold but Spark and DuckDB both order NaN above every number —
-    the engines would silently disagree on the pair set. A dedup corpus
-    with undefined-direction embeddings is a data bug; filter or
-    re-embed upstream.
+    cosine is 0/0, and the three engines disagree on what that means —
+    the declarative twin under this repo's ANSI sessions THROWS an
+    opaque DIVIDE_BY_ZERO mid-query, DuckDB's ``0/0`` is NULL (the pair
+    silently vanishes), and numpy's NaN compares FALSE against the
+    threshold (also silently vanishes). Failing fast matches the ANSI
+    form but names the offending ids and the fix. A dedup corpus with
+    undefined-direction embeddings is a data bug; filter or re-embed
+    upstream.
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
     id_field = df.schema[id_col]
@@ -177,9 +182,10 @@ def grouped_gram_pairs(df: DataFrame, group_col: str,
             bad_ids = ids[~np.isfinite(norms) | (norms == 0)][:5]
             raise ValueError(
                 f"grouped_gram_pairs: zero-norm or non-finite vectors "
-                f"(ids {bad_ids.tolist()}…): cosine is undefined and "
-                f"numpy-vs-SQL NaN ordering diverges on the pair set. "
-                f"Filter or re-embed these rows upstream.")
+                f"(ids {bad_ids.tolist()}…): cosine is 0/0 — the ANSI "
+                f"expression form throws, DuckDB and numpy silently "
+                f"drop the pair. Filter or re-embed these rows "
+                f"upstream.")
         outs = []
         blk = 1024
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -244,11 +250,11 @@ def knn_brute_matmul(df: DataFrame, query: DataFrame, k: int = 10,
 
     Zero-norm contract (deliberate deviation): a zero-norm vector's
     norm is mapped to ∞ so its cosine is a well-defined 0 and it ranks
-    LAST — the raw ``dot/(‖a‖·‖b‖)`` expression yields 0/0 = NaN, which
-    Spark and DuckDB order ABOVE every number, i.e. an undefined
-    direction would win rank 1 in the SQL form. A corpus with zero
-    vectors therefore diverges from the expression twin by design;
-    clean it upstream if oracle parity matters.
+    LAST. The raw ``dot/(‖a‖·‖b‖)`` expression yields 0/0 there — a
+    DIVIDE_BY_ZERO throw under this repo's ANSI sessions, a NULL (row
+    ordered by the engine's null-ordering rule) in DuckDB. A corpus
+    with zero vectors therefore diverges from the expression twin by
+    design; clean it upstream if oracle parity matters.
     """
     import numpy as np
     from pyspark.sql.types import (DoubleType, LongType, StructField,

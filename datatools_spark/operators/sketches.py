@@ -283,7 +283,10 @@ def kmv_jaccard_col(a: Column, b: Column, k: int) -> Column:
     of the union), the fraction present in BOTH inputs."""
     u = kmv_merge_col(a, b, k)
     both = F.size(F.array_intersect(F.array_intersect(u, a), b))
-    return both.cast("double") / F.size(u).cast("double")
+    # two empty sketches → empty union: 0/0 THROWS under ANSI; Jaccard
+    # of two empty sets is undefined → NULL (DuckDB's 0/0)
+    return F.when(F.size(u) > 0,
+                  both.cast("double") / F.size(u).cast("double"))
 
 
 # ------------------------------------------- incremental KMV store

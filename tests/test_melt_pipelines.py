@@ -45,6 +45,29 @@ def test_albedo_masks_ge_one(spark):
     assert all(r["albedo"] is None for r in out)
 
 
+def test_albedo_all_zero_day_is_null_not_ansi_throw(spark):
+    """A day whose incoming channel is all zeros (polar night) used to
+    hit 0/0 in the albedo ratio — DIVIDE_BY_ZERO under the ANSI
+    sessions everything here runs. Albedo is undefined there → NULL
+    (also DuckDB's 0/0), and calc_melt's gate then treats it like the
+    ≥1 mask does."""
+    import datetime as dt
+    rows = [(dt.datetime(2024, 1, 1, h), -2.0, 0.0, 0.0)
+            for h in range(24)]
+    rows += [(dt.datetime(2024, 1, 2, h), 1.0,
+              100.0 if 8 <= h <= 16 else 0.0,
+              70.0 if 8 <= h <= 16 else 0.0) for h in range(24)]
+    df = spark.createDataFrame(
+        rows,
+        "ts timestamp, Temp double, Solar_incoming double, "
+        "Solar_reflected double")
+    out = {r["day"].day: r["albedo"]
+           for r in calc_daily_albedo(df).collect()}
+    assert out[1] is None
+    assert out[2] == pytest.approx(0.7, abs=1e-9)
+    assert calc_melt(df).count() == 48          # melt path survives too
+
+
 def test_shadow_correction_interpolates_notch(spark):
     df = _weather(spark, shadow=True)
     out = apply_shadow_correction(df, band=(14, 17))

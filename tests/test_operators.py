@@ -136,6 +136,20 @@ def test_interpolate_time_weighted_irregular(spark):
     assert out[dt.datetime(2024, 1, 1, 0, 10)] == pytest.approx(1.0)  # 10/60 * 6
 
 
+def test_interpolate_duplicate_timestamp_no_ansi_throw(spark):
+    """A null row sharing its timestamp with its bracketing neighbours
+    used to hit 0/0 in the time-weight (DIVIDE_BY_ZERO under the ANSI
+    sessions everything here runs); the interpolant degenerates to the
+    co-instant value instead."""
+    rows = [(dt.datetime(2024, 1, 1, 0, 0), 1.0),
+            (dt.datetime(2024, 1, 1, 0, 0), None),   # duplicate instant
+            (dt.datetime(2024, 1, 1, 1, 0), 3.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    vals = sorted(r["value"] for r in
+                  interpolate_linear(df, ["value"]).collect())
+    assert vals == [1.0, 1.0, 3.0]
+
+
 def test_clip_closed_semantics(spark):
     df, _ = _series(spark, n=10)
     start, end = dt.datetime(2024, 1, 1, 0, 15), dt.datetime(2024, 1, 1, 1, 0)
@@ -485,6 +499,22 @@ def test_winnow_fingerprints_guarantee(spark):
     assert 0 < len(by_doc[1]) <= n_windows_doc1
 
 
+def test_xcorr_constant_series_null_not_ansi_throw(spark):
+    """A constant series zeroes the Pearson denominator — DIVIDE_BY_ZERO
+    under the ANSI sessions everything runs; correlation is undefined
+    there → NULL (what SQL corr() returns for constant input)."""
+    import datetime as dt
+    from datatools_spark.operators.correlate import bucket_mean, xcorr_lags
+    rows_a = [(("s"), dt.datetime(2024, 1, 1, h), 5.0) for h in range(12)]
+    rows_b = [(("s"), dt.datetime(2024, 1, 1, h), float(h)) for h in range(12)]
+    a = bucket_mean(spark.createDataFrame(
+        rows_a, "k string, ts timestamp, value double"), "k")
+    b = bucket_mean(spark.createDataFrame(
+        rows_b, "k string, ts timestamp, value double"), "k")
+    out = xcorr_lags(a.drop("k"), b.drop("k"), max_lag=1).collect()
+    assert out and all(r["xcorr"] is None for r in out)
+
+
 def test_dtw_pair_distances_matches_reference(spark):
     import itertools
     import math
@@ -676,6 +706,17 @@ class TestKMV:
              .select(kmv_jaccard_col(F.col("ha"), F.col("hb"), k)
                      .alias("j")).collect()[0]["j"])
         assert abs(j - 0.5) < 0.15
+
+    def test_jaccard_of_empty_sketches_is_null_not_ansi_throw(self, spark):
+        """Two empty sketches used to hit 0/0 (DIVIDE_BY_ZERO under the
+        ANSI sessions everything runs); Jaccard of ∅ vs ∅ is undefined
+        → NULL."""
+        from datatools_spark.operators.sketches import kmv_jaccard_col
+        df = spark.createDataFrame(
+            [([], [])], "ha array<bigint>, hb array<bigint>")
+        got = df.select(kmv_jaccard_col(F.col("ha"), F.col("hb"), 8)
+                        .alias("j")).collect()[0]["j"]
+        assert got is None
 
     def test_kmv_store_incremental_equals_full(self, spark, tmp_path):
         """Three batch updates (overlapping items, new groups mid-way)

@@ -543,7 +543,10 @@ def ts_albedo_daily(spark, sf_dir):
                        F.col("outgoing").alias("o")))
     d = (ev.groupBy(F.date_trunc("DAY", "ts").alias("day"))
          .agg(s["o"].alias("out_at_max"), F.max("incoming").alias("max_in")))
-    alb = F.col("out_at_max") / F.col("max_in")
+    # ANSI guard (melt.py:calc_daily_albedo): all-zero day → NULL, which
+    # is also the oracle's 0/0, so parity holds under hostile data
+    alb = F.when(F.col("max_in") != 0.0,
+                 F.col("out_at_max") / F.col("max_in"))
     return d.select("day", _r(F.when(alb >= 1.0, F.lit(None)).otherwise(alb)).alias("albedo"))
 
 

@@ -72,7 +72,14 @@ def update_signature_store(spark: SparkSession, batch: DataFrame,
     new = batch
     try:
         existing = spark.read.parquet(path).select(id_col)
-        new = batch.join(existing, id_col, "left_anti")
+        # id-only anti-join first (same warm-run pruning as the image
+        # store): an all-seen batch returns without scanning text bytes
+        new_ids = (batch.select(id_col)
+                   .join(existing, id_col, "left_anti")
+                   .localCheckpoint(eager=True))
+        if new_ids.count() == 0:
+            return 0
+        new = batch.join(new_ids, id_col, "left_semi")
     except AnalysisException as exc:
         if not _is_path_missing(exc):   # first write ONLY; see helper
             raise
@@ -112,7 +119,10 @@ def lsh_pairs_against_store(spark: SparkSession, batch: DataFrame,
     verified on stored signatures. Output: ``a_id, b_id, jaccard_est``
     with a < b; store-side work scales with matching band buckets, not
     corpus size."""
-    store = spark.read.parquet(path)
+    # ONE materialized store scan: the batch semi-join, the store band
+    # index and BOTH verification sides read it (4 plan executions of
+    # the many-small-files scan otherwise)
+    store = spark.read.parquet(path).localCheckpoint(eager=True)
     bsig = store.join(batch.select(id_col), id_col, "left_semi")
     bidx = _band_index(bsig, id_col)
     sidx = _band_index(store, id_col)
@@ -209,10 +219,29 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
     _check_ahash_geometry(nbits)
     new = batch
     try:
+        # ONE store scan per update: the layout audit (distinct _nbits)
+        # and the seen-id anti-join both read this materialized
+        # two-column projection — separately they each paid the store's
+        # full per-file open cost (the _pp layout fans a seed into one
+        # file per touched partition value). read.parquet is called
+        # exactly once: every call runs a schema-inference job over the
+        # store's file listing.
         existing = spark.read.parquet(path)
+        if "_nbits" in existing.columns:
+            existing = existing.select(id_col, "_nbits")
+        existing = existing.localCheckpoint(eager=True)
         _check_store_layout(existing, path, nbits)
         if not batch_is_new:
-            new = batch.join(existing.select(id_col), id_col, "left_anti")
+            # resolve WHICH ids are new on id columns alone, so the
+            # steady-state all-seen batch never touches the payload
+            # bytes: the decode plan below would otherwise scan the
+            # batch's payload column just to anti-join every row away
+            new_ids = (batch.select(id_col)
+                       .join(existing.select(id_col), id_col, "left_anti")
+                       .localCheckpoint(eager=True))
+            if new_ids.count() == 0:
+                return 0
+            new = batch.join(new_ids, id_col, "left_semi")
     except AnalysisException as exc:
         if not _is_path_missing(exc):   # first write ONLY; see helper
             raise
@@ -279,7 +308,16 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
     buckets, one small aggregation pass — before shuffling any
     candidate. Pass an int for an explicit budget or None to skip (e.g.
     a tight streaming loop that already pre-flighted the store)."""
+    # ONE store scan per pair call: geometry audit, batch semi-join,
+    # store_n, the mass pre-flight's store bucket counts and the real
+    # join's store side all read this materialized projection — as
+    # separate scans each paid the store's per-file open cost ~4×.
+    # read.parquet is called exactly once (each call runs a
+    # schema-inference job over the store's file listing).
     raw = spark.read.parquet(path)
+    proj = [c for c in (id_col, "ahash64", "ahash_w", "_nbits")
+            if c in raw.columns]
+    raw = raw.select(*proj).localCheckpoint(eager=True)
     nbits_seen = [r[0] for r in
                   raw.select("_nbits").distinct().collect()]
     if not nbits_seen:
@@ -295,7 +333,11 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
     w = nbits // _AHASH_BANDS
     hash_col = "ahash64" if nbits <= 64 else "ahash_w"
     store = raw.select(id_col, hash_col)
-    bsig = store.join(batch.select(id_col), id_col, "left_semi")
+    # batch-sized: materialize once — the mass pre-flight's batch_n and
+    # bucket counts AND the real join's batch side all read it, which
+    # otherwise re-runs the store-scan + semi-join per consumer
+    bsig = store.join(batch.select(id_col), id_col, "left_semi") \
+        .localCheckpoint(eager=True)
 
     if nbits <= 64:
         mask = (1 << w) - 1

@@ -179,10 +179,12 @@ def _measure(spark, sf_dir: str, repeats: int,
     samples: dict[str, list[float]] = {n: [] for n in queries}
 
     def run(name: str) -> None:
-        # plan counters on the FIRST measured run only: shuffle bytes /
-        # rows and task time are deterministic per plan, unlike wall
-        snap = (_plan_snapshot(spark)
-                if plans is not None and name not in plans else None)
+        # plan counters on EVERY run, last one wins: shuffle bytes /
+        # rows and task time are deterministic per plan, but the plan
+        # itself can differ between the first and later runs — the
+        # store-backed twins SEED their store on the first sample, so
+        # first-run counters recorded the cold build, not steady state
+        snap = _plan_snapshot(spark) if plans is not None else None
         t0 = time.perf_counter()
         force_value(QUERIES[name](spark, sf_dir))
         samples[name].append(round(time.perf_counter() - t0, 3))

@@ -100,9 +100,14 @@ def source_balanced_sample(df: DataFrame, text_col: str = "text",
     """
     toks = df.withColumn("_tok", token_count_col(text_col))
     totals = toks.groupBy(source_col).agg(F.sum("_tok").alias("_tot"))
+    # ANSI guard: a source whose docs are all empty has _tot 0 — the
+    # raw division throws; NULL rate (= DuckDB's 0/0) drops the
+    # token-free source, and the keep-comparison stays engine-identical
     totals = totals.withColumn(
-        "_rate", F.min("_tot").over(Window.partitionBy()).cast("double")
-        / F.col("_tot"))
+        "_rate", F.when(
+            F.col("_tot") != 0,
+            F.min("_tot").over(Window.partitionBy()).cast("double")
+            / F.col("_tot")))
     keyed = toks.join(F.broadcast(totals.select(source_col, "_rate")),
                       source_col)
     return keyed.where(uniform_hash_col(F.col(id_col), salt) < F.col("_rate"))

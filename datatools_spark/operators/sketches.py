@@ -34,6 +34,8 @@ __all__ = ["cms_bucket_col", "cms_build", "cms_estimate",
            "hll_estimate", "hll_estimate_from_registers", "hll_merge",
            "kmv_hash52", "kmv_sketch", "kmv_estimate_col",
            "kmv_merge_col", "kmv_jaccard_col",
+           "value_sample_sketch", "value_sample_merge_col",
+           "sample_quantile_col",
            "update_kmv_store", "read_kmv_store"]
 
 _H32 = 4294967296  # 2^32
@@ -267,6 +269,93 @@ def kmv_estimate_col(hs: Column, k: int) -> Column:
     return F.when(F.size(hs) < k, F.size(hs).cast("double")) \
         .otherwise(F.lit(float(k - 1)) * F.lit(float(_H52))
                    / F.element_at(hs, k).cast("double"))
+
+
+def value_sample_sketch(df: DataFrame, group_cols, key_col: str,
+                        value_col: str, k: int = 128,
+                        salt: str = "vsmpl",
+                        margin: float = 4.0) -> DataFrame:
+    """Per-group deterministic uniform VALUE sample — the mergeable
+    quantile/distribution sketch the bottom-k family implies: the
+    values carried by the group's ``k`` rows with the SMALLEST 52-bit
+    key hashes. Hashes are uniform, so the kept rows are a uniform
+    k-sample of the group, pinned by the key (the same doc samples in
+    everywhere, across runs, partitionings and engines), EXACT when the
+    group holds ≤ k rows, and mergeable across disjoint corpora with
+    plain array ops (:func:`value_sample_merge_col`) — what a 100 TB
+    length/score distribution monitor wants: per-shard sketches folded
+    driver-side, no global sort ever. Quantiles come off the sketch via
+    :func:`sample_quantile_col` (percentile_cont lerp over the sampled
+    values; standard uniform-sample error ~1/√k on the rank).
+
+    Same survivors shape as :func:`kmv_sketch`: one count per group,
+    then ranking only rows under the ``margin·k/n`` hash threshold
+    (~margin·k survivors/group — the full per-group sort never
+    happens), with the lazy re-rank net for under-collected groups.
+    Contract: ``key_col`` unique per row (duplicate keys collapse to
+    one hash and bias the sample); null ``value_col`` rows are excluded
+    up front (a quantile cannot use them). Output:
+    ``<group_cols>, n_rows, vs array<struct<h bigint, v double>>``
+    sorted by hash, ``size(vs) = min(k, n_rows)``.
+    """
+    from pyspark.sql import Window
+    g = list(group_cols)
+    # struct surrogate key: null-safe group equality (see kmv_sketch)
+    gk = F.struct(*[F.col(c) for c in g]).alias("_gk")
+    rows = (df.where(F.col(value_col).isNotNull())
+            .select(gk, kmv_hash52(F.col(key_col), salt).alias("_h"),
+                    F.col(value_col).cast("double").alias("_v")))
+    nn = rows.groupBy("_gk").agg(F.count(F.lit(1)).alias("_n"))
+    j = rows.join(nn, "_gk")
+    thresh = F.lit(margin * k) / F.col("_n") * F.lit(float(_H52))
+    surv = j.where((F.col("_n") <= F.lit(margin * k))
+                   | (F.col("_h") < thresh))
+    w = Window.partitionBy("_gk").orderBy("_h", "_v")
+
+    def _bottom(rows_: DataFrame) -> DataFrame:
+        return (rows_.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= k)
+                .groupBy("_gk")
+                .agg(F.array_sort(F.collect_list(
+                         F.struct(F.col("_h").alias("h"),
+                                  F.col("_v").alias("v")))).alias("vs"),
+                     F.max("_n").alias("_n")))
+
+    fast = _bottom(surv)
+    ok = (fast.where(F.size("vs") >= F.least(F.lit(k), F.col("_n")))
+          .select("_gk"))
+    short = nn.select("_gk").join(ok, "_gk", "left_anti")
+    redo = _bottom(j.join(short, "_gk", "left_semi"))
+    return (fast.join(short, "_gk", "left_anti").unionByName(redo)
+            .select(F.col("_gk.*"), F.col("_n").alias("n_rows"), "vs"))
+
+
+def value_sample_merge_col(a: Column, b: Column, k: int) -> Column:
+    """Sample sketch of the UNION of two DISJOINT row sets from their
+    sketches alone: the k hash-smallest of the concatenation (every
+    candidate for the union's bottom-k is in one input's bottom-k).
+    Associative and order-free; ``array_distinct`` makes re-merging an
+    overlapping sketch idempotent (identical (h, v) rows collapse)."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def sample_quantile_col(vs: Column, q: float,
+                        dp: int | None = 6) -> Column:
+    """``percentile_cont(q)`` over a :func:`value_sample_sketch`'s
+    values — the SQL lerp ``lo·(1−f) + hi·f`` on the sorted sample
+    (identical formula to rolling_quantile_blocked and DuckDB
+    quantile_cont, so estimates hash-match across engines). NULL for an
+    empty sketch (the CASE short-circuits the element_at under ANSI).
+    ``dp=None`` skips rounding — oracle-parity callers apply the
+    portable ``floor(x·10^dp + 0.5)`` form themselves."""
+    vals = F.array_sort(F.transform(vs, lambda x: x["v"]))
+    n = F.size(vals)
+    pos = F.lit(1.0) + (n.cast("double") - F.lit(1.0)) * F.lit(float(q))
+    lo = F.element_at(vals, F.floor(pos).cast("int"))
+    hi = F.element_at(vals, F.ceil(pos).cast("int"))
+    frac = pos - F.floor(pos)
+    est = lo * (F.lit(1.0) - frac) + hi * frac
+    return F.when(n > 0, F.round(est, dp) if dp is not None else est)
 
 
 def kmv_merge_col(a: Column, b: Column, k: int) -> Column:

@@ -4246,6 +4246,50 @@ def doc_kmv_source_overlap(spark, sf_dir):
             .orderBy("src_a", "src_b"))
 
 
+@query("doc_nchars_sample_quantiles", sql="""
+WITH s AS (SELECT source,
+                  ('0x' || substr(md5('vsmpl:' || doc_id::VARCHAR),
+                                  1, 13))::BIGINT AS h,
+                  n_chars::DOUBLE AS v
+           FROM documents WHERE n_chars IS NOT NULL),
+r AS (SELECT source, h, v,
+             row_number() OVER (PARTITION BY source ORDER BY h, v) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM s)
+SELECT source,
+       max(n)::BIGINT AS n_rows,
+       count(*)::BIGINT AS sample_k,
+       floor(quantile_cont(v, 0.5) * 1000000 + 0.5) / 1000000 AS p50_est,
+       floor(quantile_cont(v, 0.9) * 1000000 + 0.5) / 1000000 AS p90_est
+FROM r WHERE rn <= 64
+GROUP BY source ORDER BY source
+""")
+def doc_nchars_sample_quantiles(spark, sf_dir):
+    """Per-source document-length quantiles from a MERGEABLE bottom-k
+    value sample (operators/sketches.py:value_sample_sketch, r7): the
+    n_chars values of each source's 64 hash-smallest doc_ids — a
+    deterministic uniform sample pinned by the key, so per-shard
+    sketches fold driver-side with array ops and the 100 TB length
+    monitor never runs a global sort. percentile_cont lerp over the
+    sample (sample_quantile_col), exact when a source holds ≤ k docs;
+    the oracle rebuilds the identical sample cell-for-cell (md5-52-bit
+    ranking) and quantile_cont shares the lo·(1−f)+hi·f formula.
+    HALF-UP 6 dp via the portable floor(x·1e6+0.5) form on both sides.
+    """
+    from .operators import sketches as SK
+    d = _t(spark, sf_dir, "documents")
+    sk = SK.value_sample_sketch(d, ["source"], "doc_id", "n_chars", k=64)
+    p50 = SK.sample_quantile_col(F.col("vs"), 0.5, dp=None)
+    p90 = SK.sample_quantile_col(F.col("vs"), 0.9, dp=None)
+    half_up = (lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5))
+               / F.lit(1000000.0))
+    return (sk.select("source", F.col("n_rows").cast("bigint").alias("n_rows"),
+                      F.size("vs").cast("bigint").alias("sample_k"),
+                      half_up(p50).alias("p50_est"),
+                      half_up(p90).alias("p90_est"))
+            .orderBy("source"))
+
+
 @query("ts_rollup_incremental", sql="""
 SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
        round((sum(value::DECIMAL(30,10)))::DOUBLE / count(value), 6)
@@ -9379,6 +9423,8 @@ _REGISTRATION_ORDER = [
     "mm_decode_stats", "mm_frame_stats", "mm_pool2x2", "mm_pcm_stats",
     "doc_curation_pipeline", "doc_repetition", "doc_pii_scrub",
     "doc_decontaminate", "doc_balanced_sample", "ts_plot_envelope",
+    # r7: mergeable bottom-k value-sample quantile sketch (sketches.py)
+    "doc_nchars_sample_quantiles",
     "doc_dup_components", "emb_quantize_uint8", "emb_random_projection",
     "doc_vocab_topk", "doc_chunk", "doc_tfidf_top3",
     "ts_intersect_active", "doc_subword_count", "doc_dup_cluster_sizes",

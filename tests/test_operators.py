@@ -718,6 +718,63 @@ class TestKMV:
                         .alias("j")).collect()[0]["j"]
         assert got is None
 
+    def test_value_sample_exact_under_k_and_accuracy(self, spark):
+        """Sample sketch: exact percentile_cont when the group holds ≤ k
+        rows; ~1/√k rank error on a big group; null values excluded."""
+        from datatools_spark.operators.sketches import (sample_quantile_col,
+                                                        value_sample_sketch)
+        rows = [(1, i, float(i)) for i in range(50)] + [(1, 99, None)]
+        rows += [(2, 1000 + i, float(i)) for i in range(20_000)]
+        df = spark.createDataFrame(rows, "g int, id long, v double")
+        sk = value_sample_sketch(df, ["g"], "id", "v", k=64)
+        got = {r["g"]: r for r in sk.select(
+            "g", "n_rows", F.size("vs").alias("sz"),
+            sample_quantile_col(F.col("vs"), 0.5).alias("p50"),
+            sample_quantile_col(F.col("vs"), 0.9).alias("p90")).collect()}
+        # group 1: 50 non-null rows ≤ k → the sample IS the group
+        assert got[1]["n_rows"] == 50 and got[1]["sz"] == 50
+        exact = df.where("g = 1").agg(
+            F.round(F.expr("percentile(v, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(v, 0.9)"), 6).alias("p90")) \
+            .collect()[0]
+        assert got[1]["p50"] == exact["p50"]
+        assert got[1]["p90"] == exact["p90"]
+        # group 2: uniform values 0..19999, k=64 → rank error ~1/√64
+        assert got[2]["sz"] == 64
+        assert abs(got[2]["p50"] - 10_000) < 20_000 * 0.25
+        assert abs(got[2]["p90"] - 18_000) < 20_000 * 0.25
+
+    def test_value_sample_merge_equals_whole_and_survivor_net(self, spark):
+        """Merging two disjoint halves' sketches == the whole corpus's
+        sketch (bit-equal arrays); a degenerate margin forces the lazy
+        re-rank net and the result is unchanged."""
+        from datatools_spark.operators.sketches import (
+            value_sample_merge_col, value_sample_sketch)
+        rows = [(1, i, float((i * 37) % 1000)) for i in range(2_000)]
+        df = spark.createDataFrame(rows, "g int, id long, v double")
+        k = 32
+        whole = value_sample_sketch(df, ["g"], "id", "v", k=k) \
+            .collect()[0]["vs"]
+        ska = value_sample_sketch(df.where("id < 1000"), ["g"],
+                                  "id", "v", k=k) \
+            .select(F.col("vs").alias("va"))
+        skb = value_sample_sketch(df.where("id >= 1000"), ["g"],
+                                  "id", "v", k=k) \
+            .select(F.col("vs").alias("vb"))
+        merged = ska.crossJoin(skb).select(
+            value_sample_merge_col(F.col("va"), F.col("vb"), k)
+            .alias("vs")).collect()[0]["vs"]
+        assert merged == whole
+        # re-merging an overlapping sketch is idempotent
+        again = ska.crossJoin(skb).select(
+            value_sample_merge_col(
+                value_sample_merge_col(F.col("va"), F.col("vb"), k),
+                F.col("va"), k).alias("vs")).collect()[0]["vs"]
+        assert again == whole
+        forced = value_sample_sketch(df, ["g"], "id", "v", k=k,
+                                     margin=0.001).collect()[0]["vs"]
+        assert forced == whole
+
     def test_kmv_store_incremental_equals_full(self, spark, tmp_path):
         """Three batch updates (overlapping items, new groups mid-way)
         produce EXACTLY the sketch of the full corpus — bottom-k merge

@@ -36,7 +36,8 @@ __all__ = ["cms_bucket_col", "cms_build", "cms_estimate",
            "kmv_merge_col", "kmv_jaccard_col",
            "value_sample_sketch", "value_sample_merge_col",
            "sample_quantile_col",
-           "update_kmv_store", "read_kmv_store"]
+           "update_kmv_store", "read_kmv_store",
+           "update_value_sample_store", "read_value_sample_store"]
 
 _H32 = 4294967296  # 2^32
 
@@ -380,10 +381,10 @@ def kmv_jaccard_col(a: Column, b: Column, k: int) -> Column:
 
 # ------------------------------------------- incremental KMV store
 
-def _kmv_snapshots(spark, path: str) -> list[int]:
-    """Committed ``kmv-b<batch>`` snapshot numbers (the _SUCCESS marker
-    is the atomic commit point — same pattern as the merge store's
-    feed rollup)."""
+def _kmv_snapshots(spark, path: str, prefix: str = "kmv-b") -> list[int]:
+    """Committed ``<prefix><batch>`` snapshot numbers (the _SUCCESS
+    marker is the atomic commit point — same pattern as the merge
+    store's feed rollup). Shared by the KMV and value-sample stores."""
     jp = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jp):
@@ -391,11 +392,11 @@ def _kmv_snapshots(spark, path: str) -> list[int]:
     out = []
     for st in fs.listStatus(jp):
         name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("kmv-b"):
+        if st.isDirectory() and name.startswith(prefix):
             ok = spark._jvm.org.apache.hadoop.fs.Path(
                 f"{path}/{name}/_SUCCESS")
             if fs.exists(ok):
-                out.append(int(name[len("kmv-b"):]))
+                out.append(int(name[len(prefix):]))
     return sorted(out)
 
 
@@ -459,3 +460,66 @@ def read_kmv_store(spark, path: str) -> DataFrame:
         raise ValueError(f"KMV store at {path} has no committed "
                          "snapshots — update_kmv_store first")
     return spark.read.parquet(f"{path}/kmv-b{snaps[-1]}")
+
+
+def update_value_sample_store(spark, batch: DataFrame, path: str,
+                              group_cols, key_col: str, value_col: str,
+                              k: int = 128, salt: str = "vsmpl") -> dict:
+    """Fold a batch into per-group VALUE-SAMPLE sketches maintained AT
+    REST — distribution/quantile tracking over a growing corpus with
+    per-batch cost ∝ batch: sketch the batch
+    (:func:`value_sample_sketch`), merge with the stored sketches via
+    :func:`value_sample_merge_col` (bottom-k-by-hash merge of DISJOINT
+    batches is EXACT — the store always equals a from-scratch sketch of
+    everything ever ingested, pinned in tests). Same snapshot protocol
+    as the KMV store (``vs-b<n>`` dirs committed by _SUCCESS; a crashed
+    update leaves a markerless orphan the retry overwrites; older
+    snapshots pruned). Replay-idempotent: a re-ingested row contributes
+    the identical (h, v) struct, which the merge's array_distinct
+    collapses — so a checkpoint-retried batch converges. The at-rest
+    table is ``<group_cols>, vs`` only (no row counts: a replay-safe
+    count needs the key-set sketch, which is what the KMV store is).
+    Returns ``{"batch", "groups"}``."""
+    group_cols = list(group_cols)
+    snaps = _kmv_snapshots(spark, path, prefix="vs-b")
+    bsk = value_sample_sketch(batch, group_cols, key_col, value_col,
+                              k=k, salt=salt).drop("n_rows")
+    if snaps:
+        cur = spark.read.parquet(f"{path}/vs-b{snaps[-1]}") \
+            .withColumnRenamed("vs", "_old").alias("_c")
+        new = bsk.withColumnRenamed("vs", "_new").alias("_b")
+        # eqNullSafe join: a NULL group key merges, never forks (the
+        # same rule update_kmv_store applies — r7 advice class)
+        on = None
+        for g in group_cols:
+            c = F.col(f"_c.{g}").eqNullSafe(F.col(f"_b.{g}"))
+            on = c if on is None else on & c
+        merged = (cur.join(new, on, "full")
+                  .select(*[F.coalesce(F.col(f"_c.{g}"), F.col(f"_b.{g}"))
+                            .alias(g) for g in group_cols],
+                          F.when(F.col("_old").isNull(), F.col("_new"))
+                          .when(F.col("_new").isNull(), F.col("_old"))
+                          .otherwise(value_sample_merge_col(
+                              F.col("_old"), F.col("_new"), k))
+                          .alias("vs")))
+        nxt = snaps[-1] + 1
+    else:
+        merged, nxt = bsk, 0
+    merged.coalesce(1).write.mode("overwrite") \
+        .parquet(f"{path}/vs-b{nxt}")
+    jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    for b in _kmv_snapshots(spark, path, prefix="vs-b")[:-2]:
+        fs.delete(spark._jvm.org.apache.hadoop.fs.Path(
+            f"{path}/vs-b{b}"), True)
+    n = merged.count()
+    return {"batch": nxt, "groups": int(n)}
+
+
+def read_value_sample_store(spark, path: str) -> DataFrame:
+    """The newest committed sample table: ``<group_cols>, vs``."""
+    snaps = _kmv_snapshots(spark, path, prefix="vs-b")
+    if not snaps:
+        raise ValueError(f"value-sample store at {path} has no committed "
+                         "snapshots — update_value_sample_store first")
+    return spark.read.parquet(f"{path}/vs-b{snaps[-1]}")

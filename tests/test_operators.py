@@ -775,6 +775,46 @@ class TestKMV:
                                      margin=0.001).collect()[0]["vs"]
         assert forced == whole
 
+    def test_value_sample_store_incremental_equals_full(self, spark,
+                                                        tmp_path):
+        """Three batch updates == a from-scratch sketch of everything;
+        a replayed batch converges (no change); a crashed (markerless)
+        snapshot is invisible and the retry overwrites it."""
+        from datatools_spark.operators.sketches import (
+            read_value_sample_store, update_value_sample_store,
+            value_sample_sketch)
+        path = str(tmp_path / "vs_store")
+        rows = [("s%d" % (i % 3), i, float((i * 17) % 500))
+                for i in range(3_000)]
+        df = spark.createDataFrame(rows, "g string, id long, v double")
+        k = 48
+        b1 = df.where("id < 1000")
+        b2 = df.where("id >= 1000 and id < 2000")
+        b3 = df.where("id >= 2000")
+        for b in (b1, b2, b3):
+            update_value_sample_store(spark, b, path, ["g"], "id", "v",
+                                      k=k)
+        got = {r["g"]: r["vs"] for r in
+               read_value_sample_store(spark, path).collect()}
+        want = {r["g"]: r["vs"] for r in
+                value_sample_sketch(df, ["g"], "id", "v", k=k).collect()}
+        assert got == want
+        # replayed batch: identical (h, v) rows collapse — store unchanged
+        update_value_sample_store(spark, b2, path, ["g"], "id", "v", k=k)
+        got2 = {r["g"]: r["vs"] for r in
+                read_value_sample_store(spark, path).collect()}
+        assert got2 == want
+        # crash injection: a newer markerless snapshot must be invisible
+        import os
+        import shutil
+        snaps = sorted(d for d in os.listdir(path) if d.startswith("vs-b"))
+        orphan = f"{path}/vs-b{int(snaps[-1][4:]) + 1}"
+        shutil.copytree(f"{path}/{snaps[-1]}", orphan)
+        os.remove(f"{orphan}/_SUCCESS")
+        got3 = {r["g"]: r["vs"] for r in
+                read_value_sample_store(spark, path).collect()}
+        assert got3 == want
+
     def test_kmv_store_incremental_equals_full(self, spark, tmp_path):
         """Three batch updates (overlapping items, new groups mid-way)
         produce EXACTLY the sketch of the full corpus — bottom-k merge

@@ -636,3 +636,34 @@ def streaming_kmv_ingest(items: DataFrame, store_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def streaming_value_sample_ingest(rows: DataFrame, store_dir: str,
+                                  checkpoint_dir: str, group_cols,
+                                  key_col: str, value_col: str,
+                                  k: int = 128, salt: str = "vsmpl"):
+    """Continuous per-group distribution/quantile tracking: each
+    micro-batch folds into the at-rest value-sample store
+    (``operators.sketches.update_value_sample_store``) — the quantile
+    member of the ingest-loop family beside the KMV twin. Per-batch
+    cost ∝ batch; the store stays exactly equal to a from-scratch
+    sample of everything ingested, and an at-least-once replay
+    converges because a re-ingested row contributes the identical
+    (hash, value) struct. Quantiles read off the store at any time via
+    ``sample_quantile_col`` — no corpus rescan, no global sort.
+    Returns the started query (availableNow trigger; caller awaits)."""
+    from ..operators.sketches import update_value_sample_store
+
+    group_cols = list(group_cols)
+
+    def _fold(batch_df: DataFrame, batch_id: int):
+        update_value_sample_store(batch_df.sparkSession, batch_df,
+                                  store_dir, group_cols, key_col,
+                                  value_col, k=k, salt=salt)
+
+    return (rows.writeStream
+            .outputMode("append")
+            .foreachBatch(_fold)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

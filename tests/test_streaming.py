@@ -706,3 +706,32 @@ def test_streaming_kmv_ingest_equals_full_sketch(spark, tmp_path):
     want = {r["g"]: r["hs"] for r in
             kmv_sketch(b1.unionByName(b2), ["g"], "item", k=32).collect()}
     assert got == want and len(got) == 3
+
+
+def test_streaming_value_sample_ingest_equals_full_sketch(spark, tmp_path):
+    """Micro-batches through the value-sample ingest loop (overlapping
+    rows — at-least-once replay) leave the store exactly equal to a
+    from-scratch sample of the distinct corpus."""
+    from datatools_spark.operators.sketches import (
+        read_value_sample_store, value_sample_sketch)
+    from datatools_spark.streaming.demo import streaming_value_sample_ingest
+    schema = "g long, id long, v double"
+    src = str(tmp_path / "vs_src")
+    store = str(tmp_path / "vs_store")
+    full = spark.range(0, 900).select(
+        (F.col("id") % 3).alias("g"), F.col("id"),
+        ((F.col("id") * 13) % 400).cast("double").alias("v"))
+    full.where("id < 500").write.parquet(src)
+    # second file OVERLAPS the first (ids 300-499 replayed)
+    full.where("id >= 300").write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming_value_sample_ingest(stream, store,
+                                      str(tmp_path / "vs_ck"),
+                                      ["g"], "id", "v", k=32)
+    q.awaitTermination(180)
+    got = {r["g"]: r["vs"] for r in
+           read_value_sample_store(spark, store).collect()}
+    want = {r["g"]: r["vs"] for r in
+            value_sample_sketch(full, ["g"], "id", "v", k=32).collect()}
+    assert got == want and len(got) == 3

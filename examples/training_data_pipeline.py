@@ -105,11 +105,23 @@ def main():
             .crossJoin(ent.agg(F.round(F.avg("entropy"), 3)
                                .alias("avg_entropy"))).first())
 
-    # 6. source-balanced deterministic sample + token budget
+    # 6. source-balanced deterministic sample + token budget; the
+    #    per-source LENGTH DISTRIBUTION comes off a mergeable bottom-k
+    #    value sample (sketches.py) — at corpus scale each shard folds
+    #    its sketch driver-side, no global sort ever
     docs = CU.source_balanced_sample(docs)
     n5 = docs.count()
     budget = docs.agg(
         F.sum(TX.subword_count_col("text")).alias("est_tokens")).first()
+    from datatools_spark.operators import sketches as SKC
+    lens = SKC.value_sample_sketch(docs, ["source"], "doc_id",
+                                   "n_chars", k=64)
+    lens = lens.select(
+        "source",
+        SKC.sample_quantile_col(F.col("vs"), 0.5).alias("p50_chars"),
+        SKC.sample_quantile_col(F.col("vs"), 0.9).alias("p90_chars"))
+    print("per-source length quantiles (bottom-k value sample, k=64):")
+    lens.orderBy("source").show(5, truncate=False)
 
     # 7. split + sequence packing into 512-token training bins
     docs = CU.train_val_test_split(docs)

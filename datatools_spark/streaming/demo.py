@@ -395,7 +395,11 @@ def streaming_embedding_ingest(vectors: DataFrame, index_path: str,
     def _process(batch_df: DataFrame, batch_id: int):
         sess = batch_df.sparkSession
         try:
-            stored = sess.read.parquet(f"{index_path}/data").select(id_col)
+            # resolve the committed generation (r7 ivfstore protocol);
+            # pre-generation bare layouts resolve to index_path itself
+            from ..operators.ivfstore import _resolve_root
+            stored = sess.read.parquet(
+                f"{_resolve_root(sess, index_path)}/data").select(id_col)
         except AnalysisException as exc:
             if not _is_path_missing(exc):
                 raise
@@ -454,7 +458,11 @@ def streaming_embedding_ingest_components(vectors: DataFrame,
         if batch_df.isEmpty():
             return
         try:
-            stored = sess.read.parquet(f"{index_path}/data").select(id_col)
+            # resolve the committed generation (r7 ivfstore protocol);
+            # pre-generation bare layouts resolve to index_path itself
+            from ..operators.ivfstore import _resolve_root
+            stored = sess.read.parquet(
+                f"{_resolve_root(sess, index_path)}/data").select(id_col)
         except AnalysisException as exc:
             if not _is_path_missing(exc):
                 raise

@@ -398,8 +398,10 @@ def test_streaming_embedding_ingest_finds_cross_batch_neardups(spark, tmp_path):
     q = streaming_embedding_ingest(stream, idx, matches, ckpt,
                                    threshold=0.95)
     q.awaitTermination(180)
+    from datatools_spark.operators.ivfstore import _resolve_root
     idx_ids = {r["vec_id"] for r in
-               spark.read.parquet(f"{idx}/data").select("vec_id").collect()}
+               spark.read.parquet(f"{_resolve_root(spark, idx)}/data")
+               .select("vec_id").collect()}
     assert idx_ids == {i for i, _ in b1} | {i for i, _ in b2}
     got = spark.read.parquet(matches).collect()
     pairs = {(r["query_id"], r["vec_id"]) for r in got}

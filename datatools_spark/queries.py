@@ -4157,19 +4157,17 @@ def doc_kmv_vocab(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     tok = (PT.ensure_parallelism(d.select("source", "text"), min_bytes=0)
            .select("source", F.explode(TX.words_col("text")).alias("w")))
-    sk = SK.kmv_sketch(tok, ["source"], "w", k=k)
-    exact = (tok.select("source", SK.kmv_hash52(F.col("w")).alias("_h"))
-             .distinct().groupBy("source")
-             .agg(F.count(F.lit(1)).alias("ndv_distinct")))
+    # include_ndv: the exact distinct-hash count rides the sketch's own
+    # distinct exchange — ONE tokenize+distinct pass for both outputs
+    # (r8; the previous separate `exact` subtree doubled the heavy pass)
+    sk = SK.kmv_sketch(tok, ["source"], "w", k=k, include_ndv=True)
     est = F.when(F.size("hs") < k, F.size("hs").cast("double")) \
         .otherwise(F.lit(float(k - 1)) * F.lit(float(1 << 52))
                    / F.element_at("hs", k).cast("double"))
-    return (sk.join(exact, "source")
-            .select("source", F.size("hs").cast("bigint").alias("kmv_size"),
-                    (F.floor(est * F.lit(10000.0) + F.lit(0.5))
-                     / F.lit(10000.0)).alias("ndv_est"),
-                    F.col("ndv_distinct").cast("bigint")
-                    .alias("ndv_distinct"))
+    return (sk.select("source", F.size("hs").cast("bigint").alias("kmv_size"),
+                      (F.floor(est * F.lit(10000.0) + F.lit(0.5))
+                       / F.lit(10000.0)).alias("ndv_est"),
+                      F.col("ndv").cast("bigint").alias("ndv_distinct"))
             .orderBy("source"))
 
 

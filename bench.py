@@ -114,6 +114,7 @@ EXTENDED_QUERIES = [
     "emb_matryoshka_eval",    # truncated-dim recall eval
     "mm_ahash_pairs",         # perceptual-hash image near-dup pairs
     "mm_ahash_pairs_store",   # r7: steady-state sign-once/pair-vs-store twin
+    "mm_ahash_pairs_store_incr",  # r8: one batch vs warm store (flat-vs-corpus)
     "mm_image_dedup",         # aHash -> components -> retention composite
     "mm_image_dedup_store",   # r7: incremental compstore dedup twin
     "mm_audio_dup_pairs",     # energy-hash audio near-dup pairs
@@ -138,6 +139,7 @@ MM_SF1_QUERIES = [
     # architecture (sign once, pair batch-vs-store, fold components
     # incrementally) tracked at the scale point every round
     "mm_ahash_pairs_store", "mm_image_dedup_store",
+    "mm_ahash_pairs_store_incr",
 ]
 
 
@@ -285,28 +287,51 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(f"full detail -> {full_path}", file=sys.stderr)
+    # compact stdout (r8): wall AND plan counters for BOTH the headline
+    # and extended sections, merged per query as [wall_s, task_s,
+    # shuffle_mb] so names are not repeated — the r7 artifact carried
+    # counters only for headline rows, leaving extended movers
+    # unadjudicable (r7 VERDICT #2). sf1-equiv per-row counters live in
+    # bench/BENCH_full.json (they cannot fit the 2 KB tail capture);
+    # its totals ride here. Values at 1 dp: counters are for direction
+    # adjudication, not sub-100 ms resolution.
+    def _r1(x: float):
+        v = round(x, 1)
+        return int(v) if v == int(v) else v
+
+    def _row(name: str, wall: float):
+        p = plans.get(name)
+        if p:
+            return [_r1(wall), _r1(p["task_ms"] / 1000),
+                    _r1(p["shuffle_bytes"] / 1e6)]
+        return [_r1(wall)]
+
     compact = {
         "metric": "headline_query_wall_time",
         "value": out["value"],
         "unit": "sec",
         "sf": out["sf"],
-        "queries": {n: round(s, 2) for n, s in times.items()},
+        "legend": "[wall_s,task_s,shuffle_mb]",
+        "queries": {n: _row(n, s) for n, s in times.items()},
+        "ext": {n: _row(n, s) for n, s in ext.items()},
         "extended_total": round(sum(ext.values()), 2),
-        # plan counters for the headline set, compacted to fit the
-        # driver's 2 KB tail capture: wall seconds alone proved
-        # unadjudicable (r5/r6 showed ±20-40 % no-code movers), so the
-        # parsed artifact carries the deterministic-per-plan signals
-        # too; full byte/row detail stays in bench/BENCH_full.json
-        "plans_legend": "[task_s, shuffle_mb]",
-        "plans": {q: [round(p["task_ms"] / 1000, 1),
-                      round(p["shuffle_bytes"] / 1e6, 1)]
-                  for q, p in plans.items() if q in times},
     }
     if "sf1_equiv" in out:
         compact["sf1_equiv_total"] = out["sf1_equiv"]["value"]
         compact["sf1_mm_total"] = round(
             sum(out["sf1_equiv"]["extended_mm"].values()), 2)
-    print(json.dumps(compact, separators=(",", ":")))
+    # hard guard for the driver's ~2 KB tail capture: six rounds of
+    # BENCH artifacts were "parsed": null because the line overflowed.
+    # Degrade deterministically, never overflow: drop extended counters
+    # (keep walls), then collapse extended to its total.
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 2000:
+        compact["ext"] = {n: [_r1(s)] for n, s in ext.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 2000:
+        del compact["ext"]
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

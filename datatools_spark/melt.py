@@ -28,10 +28,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .functions.physics import melt_expr
+from .functions.timeutils import parse_duration_seconds
 from .operators.fillna import ffill, interpolate_linear
 from .operators.rolling import rolling_stats_blocked
 
 __all__ = ["apply_shadow_correction", "calc_daily_albedo", "calc_melt"]
+
+
+def _smooth_chunk(window) -> str:
+    """Chunk size for the blocked smoothing pass: 1 day unless the
+    caller's smoothing window reaches further (centered reach =
+    window/2). A fixed "1d" raised for any public ``smoothing`` wider
+    than 2 days — a width the old declarative path accepted (r7
+    ADVICE); deriving the chunk keeps the blocked engine's per-task
+    memory bound at one chunk + halos for every legal width."""
+    half_s = parse_duration_seconds(window) / 2.0
+    return "1d" if half_s <= 86_400 else f"{int(-(-half_s // 1))}s"
 
 
 def apply_shadow_correction(df: DataFrame, solar_col: str = "Solar_incoming",
@@ -82,7 +94,8 @@ def calc_daily_albedo(df: DataFrame, incoming_col: str = "Solar_incoming",
     work = (rolling_stats_blocked(
                 df, incoming_col, smoothing,
                 {"_in": "mean", "_out": (reflected_col, "mean")},
-                ts_col=ts_col, partition_by=p, chunk="1d")
+                ts_col=ts_col, partition_by=p,
+                chunk=_smooth_chunk(smoothing))
             .where(F.col("_in").isNotNull()))
     # tie-pinned argmax: max incoming, earliest ts (pandas idxmax parity)
     s = F.min(F.struct((-F.col("_in")).alias("ni"), F.col(ts_col).alias("t"),
@@ -121,7 +134,7 @@ def calc_melt(df: DataFrame, temp_col: str = "Temp",
     sm = rolling_stats_blocked(
         df, incoming_col, "2h",
         {"_in_sm": "mean", "_out_sm": (reflected_col, "mean")},
-        ts_col=ts_col, partition_by=p, chunk="1d") \
+        ts_col=ts_col, partition_by=p, chunk=_smooth_chunk("2h")) \
         .withColumn("day", F.date_trunc("DAY", F.col(ts_col))) \
         .localCheckpoint(eager=False)
     # daily albedo from the shared smoothed channels — same tie-pinned

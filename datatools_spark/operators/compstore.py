@@ -151,16 +151,23 @@ def update_component_store(spark: SparkSession, ids: DataFrame,
                       F.col("b_id").try_cast("long").alias("b")).distinct() \
         .localCheckpoint(eager=True)
     # Counted on the already-checkpointed batch-sized frames, so the
-    # validation costs no recompute of the caller's plans.
+    # validation costs no recompute of the caller's plans. NOTE these
+    # frames are post-distinct, so NULL keys COLLAPSE before counting —
+    # the message reports which inputs carry nulls, not how many input
+    # rows were malformed (r7 ADVICE: the old "N id rows / M pair rows"
+    # phrasing claimed row counts the distinct frames cannot provide).
     bad_ids = ids.where(F.col("id").isNull()).count()
     bad_pr = pr.where(F.col("a").isNull() | F.col("b").isNull()).count()
     if bad_ids or bad_pr:
+        where = [w for w, bad in ((id_col, bad_ids), ("a_id/b_id", bad_pr))
+                 if bad]
         raise TypeError(
-            f"update_component_store: {bad_ids} id rows / {bad_pr} pair "
-            f"rows have ids that are NULL after cast to long — non-"
-            f"numeric or missing ids in {id_col!r}/a_id/b_id; the store "
-            "keys members by integer id (use integer doc ids, or map "
-            "string ids through a dictionary first)")
+            f"update_component_store: ids in {' and '.join(where)} are "
+            "NULL after cast to long (distinct null keys present; "
+            "original row counts not preserved) — non-numeric or "
+            "missing ids; the store keys members by integer id (use "
+            "integer doc ids, or map string ids through a dictionary "
+            "first)")
 
     have_store = _exists(spark, _members_path(path))
     if have_store:

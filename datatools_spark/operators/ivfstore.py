@@ -93,10 +93,12 @@ def build_ivf_index(spark: SparkSession, df: DataFrame,
     visible by ONE ``_COMMIT`` marker after both writes succeed —
     readers (search/stats/update) keep resolving the previous committed
     generation through any crash of this build. Superseded generations
-    are pruned after the commit (a reader mid-scan on the old
-    generation during a concurrent rebuild should pin its root via
-    ``_resolve_root`` once, which every reader here does). Returns the
-    number of indexed vectors."""
+    are pruned after the commit, RETAINING the previous committed one
+    (only older generations are deleted — the two-snapshot policy the
+    KMV/value-sample stores use): a reader that resolved its root just
+    before this rebuild committed (the streaming ingest loops resolve
+    per micro-batch) still finds its generation on disk; the next
+    rebuild retires it. Returns the number of indexed vectors."""
     gens = _committed_gens(spark, path)
     # number past EVERY existing generation dir, committed or orphaned —
     # never write into a crashed build's leftovers
@@ -122,9 +124,13 @@ def build_ivf_index(spark: SparkSession, df: DataFrame,
     fs, _ = _fs(spark, path)
     fs.create(spark._jvm.org.apache.hadoop.fs.Path(
         f"{gen}/_COMMIT")).close()
-    # prune superseded state only AFTER the new generation is live;
-    # a crash mid-prune leaves ignorable garbage, never a torn index
-    for old in gens:
+    # prune superseded state only AFTER the new generation is live —
+    # and keep the MOST RECENT superseded generation (r7 ADVICE: the
+    # ingest loops resolve the root per micro-batch, so an immediate
+    # delete raced an in-flight reader of the just-retired generation
+    # into FileNotFound; one retained snapshot closes the window). A
+    # crash mid-prune leaves ignorable garbage, never a torn index.
+    for old in gens[:-1]:
         fs.delete(spark._jvm.org.apache.hadoop.fs.Path(
             f"{path}/gen-{old:06d}"), True)
     for legacy in ("data", "centroids"):

@@ -121,8 +121,13 @@ def lsh_pairs_against_store(spark: SparkSession, batch: DataFrame,
     corpus size."""
     # ONE materialized store scan: the batch semi-join, the store band
     # index and BOTH verification sides read it (4 plan executions of
-    # the many-small-files scan otherwise)
-    store = spark.read.parquet(path).localCheckpoint(eager=True)
+    # the many-small-files scan otherwise). Project to the columns the
+    # pair path reads BEFORE checkpointing — mirroring the ahash twin —
+    # so the checkpoint blocks scale with (id, signature), not with
+    # whatever else the store carries (r7 ADVICE: the unprojected
+    # checkpoint defeated column pruning and pinned the layout column).
+    store = spark.read.parquet(path).select(id_col, "_sig") \
+        .localCheckpoint(eager=True)
     bsig = store.join(batch.select(id_col), id_col, "left_semi")
     bidx = _band_index(bsig, id_col)
     sidx = _band_index(store, id_col)

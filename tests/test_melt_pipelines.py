@@ -68,6 +68,32 @@ def test_albedo_all_zero_day_is_null_not_ansi_throw(spark):
     assert calc_melt(df).count() == 48          # melt path survives too
 
 
+def test_daily_albedo_accepts_wide_smoothing(spark):
+    """A caller-supplied smoothing wider than 2 days must work (the old
+    declarative path accepted it; the blocked refactor's hardcoded
+    chunk="1d" raised 'chunk must be >= the window reach' — r7 ADVICE).
+    The derived chunk keeps the result equal to the declarative frame."""
+    from datatools_spark.operators.rolling import rolling_agg_col
+    df = _weather(spark, days=6, albedo=0.6)
+    out = calc_daily_albedo(df, smoothing="3d").orderBy("day").collect()
+    assert len(out) == 6
+    # reflected = 0.6×incoming everywhere → ratio at argmax is still 0.6
+    for r in out:
+        assert r["albedo"] == pytest.approx(0.6, abs=1e-9)
+    # cross-check the smoothed channel against the declarative frame
+    sm_in = rolling_agg_col("Solar_incoming", "3d", "mean", "ts", [])
+    want = {r["ts"]: r["w"] for r in
+            df.withColumn("w", sm_in).select("ts", "w").collect()}
+    from datatools_spark.operators.rolling import rolling_stats_blocked
+    from datatools_spark.melt import _smooth_chunk
+    got = {r["ts"]: r["_in"] for r in rolling_stats_blocked(
+        df, "Solar_incoming", "3d", {"_in": "mean"},
+        chunk=_smooth_chunk("3d")).select("ts", "_in").collect()}
+    assert got.keys() == want.keys()
+    for ts, v in want.items():
+        assert got[ts] == pytest.approx(v, abs=1e-9)
+
+
 def test_shadow_correction_interpolates_notch(spark):
     df = _weather(spark, shadow=True)
     out = apply_shadow_correction(df, band=(14, 17))

@@ -187,6 +187,51 @@ def test_store_rejects_bad_geometry_and_mixed_append(spark, tmp_path):
         update_image_signature_store(spark, b, path, grid=4)
 
 
+def test_mm_store_twin_reseeds_partial_store(spark, tmp_path, monkeypatch):
+    """The /tmp store-root seed gate (queries._mm_store_seed, r7 ADVICE
+    medium): a crashed PARTIAL seed — directory present, no _SEEDED
+    marker, signatures missing — must be rebuilt from scratch, not
+    trusted as complete because the directory exists (the old bare
+    isdir gate silently diverged from the oracle forever after)."""
+    import os
+    import shutil
+    import tempfile
+    from datatools_spark import queries as Q
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    r1 = sorted(map(tuple,
+                    Q.QUERIES["mm_ahash_pairs_store"](spark, sf).collect()))
+    root = Q._mm_store_root(sf, "ahash16")
+    assert os.path.isfile(os.path.join(root, "_SEEDED"))
+    # crash injection: marker gone + a partition of signatures lost
+    os.remove(os.path.join(root, "_SEEDED"))
+    part = [d for d in os.listdir(root) if d.startswith("_pp=")][0]
+    shutil.rmtree(os.path.join(root, part))
+    r2 = sorted(map(tuple,
+                    Q.QUERIES["mm_ahash_pairs_store"](spark, sf).collect()))
+    assert r2 == r1
+    assert os.path.isfile(os.path.join(root, "_SEEDED"))
+
+
+def test_mm_corpus_fingerprint_changes_on_regeneration(tmp_path):
+    """A REGENERATED corpus at the same path (same name, new mtime)
+    must map to a different store root — the fingerprint keys the root,
+    so stale signatures are never consulted for new data."""
+    import os
+    import shutil
+    from datatools_spark import queries as Q
+    corpus = tmp_path / "corpus"
+    os.makedirs(corpus)
+    shutil.copy2("/root/testdata/sf0.001/documents.parquet",
+                 corpus / "documents.parquet")
+    f1 = Q._mm_corpus_fingerprint(str(corpus))
+    root1 = Q._mm_store_root(str(corpus), "ahash16")
+    os.utime(corpus / "documents.parquet", None)   # regenerated: new mtime
+    f2 = Q._mm_corpus_fingerprint(str(corpus))
+    assert f1 != f2
+    assert Q._mm_store_root(str(corpus), "ahash16") != root1
+
+
 def test_ivf_index_search_equals_inline_and_prunes(spark, tmp_path):
     """The materialized IVF index returns exactly what the inline
     ivf_search computes from the same centroids, incremental appends are
@@ -285,8 +330,15 @@ def test_ivf_index_crashed_rebuild_invisible_and_legacy_migrates(
     # updates keep appending to the committed generation
     assert update_ivf_index(spark, emb.where("vec_id >= 50"), path) == 10
     assert update_ivf_index(spark, emb.where("vec_id >= 50"), path) == 0
-    # a COMMITTED rebuild supersedes gen-0 and prunes it (gen numbering
-    # skips past the orphan)
+    # a COMMITTED rebuild supersedes gen-0 (numbering skips past the
+    # orphan) but RETAINS it as the previous snapshot — the ingest
+    # loops resolve the root per micro-batch, so an in-flight reader
+    # of the just-retired generation must still find it (r7 ADVICE)
     build_ivf_index(spark, emb, cents, path)
     assert _resolve_root(spark, path).endswith("gen-000002")
+    assert os.path.isdir(f"{path}/gen-000000")          # retained
+    # the NEXT rebuild retires it: only (new, previous) remain
+    build_ivf_index(spark, emb, cents, path)
+    assert _resolve_root(spark, path).endswith("gen-000003")
     assert not os.path.isdir(f"{path}/gen-000000")
+    assert os.path.isdir(f"{path}/gen-000002")

@@ -9482,7 +9482,16 @@ _REGISTRATION_ORDER = [
     # cutoff)
     "doc_lang_id", "doc_kmv_vocab", "doc_quality", "doc_fingerprint_dedup",
     "doc_minhash", "doc_lsh_pairs", "doc_simhash", "doc_ngram_pairs",
-    "doc_source_stats", "doc_neardup_retention",
+    # r8 rotation (VERDICT r7 #5): doc_source_stats →
+    # doc_nchars_sample_quantiles — the r7 flagship (mergeable bottom-k
+    # VALUE-sample quantile sketch, sketches.py:value_sample_sketch /
+    # sample_quantile_col) gets an independent driver row.
+    # doc_source_stats' evidence is carried in-window: per-doc quality
+    # scoring by doc_quality, per-source grouped aggregation over
+    # documents (incl. exact per-source row counts) by
+    # doc_nchars_sample_quantiles' n_rows; it stays oracle-backed past
+    # the cutoff.
+    "doc_nchars_sample_quantiles", "doc_neardup_retention",
     "emb_knn_brute", "emb_dup_pairs", "emb_centroid_assign",
     "emb_ivf_search", "emb_knn_lsh",
     "mm_ahash256_pairs", "mm_frame_sample",
@@ -9503,8 +9512,9 @@ _REGISTRATION_ORDER = [
     "mm_decode_stats", "mm_frame_stats", "mm_pool2x2", "mm_pcm_stats",
     "doc_curation_pipeline", "doc_repetition", "doc_pii_scrub",
     "doc_decontaminate", "doc_balanced_sample", "ts_plot_envelope",
-    # r7: mergeable bottom-k value-sample quantile sketch (sketches.py)
-    "doc_nchars_sample_quantiles",
+    # r8: stood down from the window for doc_nchars_sample_quantiles
+    # (see the window comment); still oracle-backed here
+    "doc_source_stats",
     "doc_dup_components", "emb_quantize_uint8", "emb_random_projection",
     "doc_vocab_topk", "doc_chunk", "doc_tfidf_top3",
     "ts_intersect_active", "doc_subword_count", "doc_dup_cluster_sizes",

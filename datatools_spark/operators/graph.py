@@ -40,7 +40,8 @@ from .graph_triangle import triangle_stats  # noqa: E402,F401
 
 def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
              iters: int = 3, damping: float = 0.85,
-             round_dp: int = 9, assume_distinct: bool = False) -> DataFrame:
+             round_dp: int = 9, assume_distinct: bool = False,
+             materialize_per_round: bool = True) -> DataFrame:
     """PageRank on a directed edge list where EVERY node has at least
     one out-edge (symmetrize first when that is not guaranteed —
     dangling-mass redistribution is deliberately out of scope so the
@@ -56,17 +57,22 @@ def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
     augmentation that folds the left join into the aggregate was A/B
     tested and is ~1.5× SLOWER at sf0.1 — the left join is
     broadcast-cheap while the widened union+conditional-agg scan is
-    not.) ``localCheckpoint`` per round keeps the logical plan
-    constant-size (same rationale as :func:`connected_components`) —
-    but each eager checkpoint is a full materialization, so for short
-    runs (≤4 iterations) the RANK chain stays lazy: Catalyst handles 4
-    nested join+agg layers easily. (The edge list and the node-degree
-    frame are checkpointed once up front — they feed every iteration,
-    so CONSTRUCTION runs a fixed number of jobs — edge checkpoint,
-    degree checkpoint, the N count, plus the AQE stage-jobs those
-    spawn — INDEPENDENT of ``iters``; pinned by a job-count test. The
-    previous shape also materialized an edges⨝outdegree frame and a
-    separate node list: two more full-width checkpoints per call.)
+    not.) By default every round ends in an EAGER ``localCheckpoint``
+    (``materialize_per_round=True``): each round runs ONCE as its own
+    shallow AQE plan, because executing the nested 3-round tree costs
+    ~1 s of pure AQE re-planning at sf0.1 local[32] (r7 VERDICT #7,
+    A/B'd: per-round 2.4 s vs nested-lazy 3.4 s min-of-3 end-to-end;
+    lazy per-round checkpoints are NOT an option — under AQE,
+    ``toRdd`` materializes query stages, so a "lazy" checkpoint runs
+    the jobs at construction anyway). The trade is that CONSTRUCTION
+    now runs the iteration's jobs; plan-only callers (build, inspect,
+    never execute) pass ``materialize_per_round=False`` for the old
+    contract — zero iteration jobs at construction, iters-independent
+    job count (pinned by a job-count test), one nested plan executed at
+    action time. (The edge list and the node-degree frame are
+    checkpointed once up front either way — they feed every iteration;
+    the previous shape also materialized an edges⨝outdegree frame and
+    a separate node list: two more full-width checkpoints per call.)
 
     Every reduction is rounded at ``round_dp`` BEFORE feeding the next
     step, so the trajectory is bit-reproducible across engines and
@@ -96,8 +102,6 @@ def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
     # edges⨝degree frame is ever materialized.
     deg = (e.groupBy("u").agg(F.count("*").alias("_outdeg"))
            .localCheckpoint(eager=True))
-    checkpoint = iters > 4   # gates only the PER-ITERATION rank
-    # checkpoint (long chains); short rank chains stay lazy
     n = deg.count()
     # (1-d)/n is built from the SAME primitive ops an external SQL twin
     # would use — literal subtraction and division in the engine, never
@@ -118,8 +122,8 @@ def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
                       F.round(base
                               + F.lit(damping) * F.coalesce("_s", F.lit(0.0)),
                               round_dp).alias("pr")))
-        if checkpoint:
-            pr = pr.localCheckpoint()
+        if materialize_per_round:
+            pr = pr.localCheckpoint(eager=True)
     return pr.select("id", "pr")
 
 

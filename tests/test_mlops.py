@@ -513,12 +513,13 @@ def test_pagerank_uniform_on_regular_graph(spark):
 
 
 def test_pagerank_construction_jobs_constant(spark):
-    # Pin the fixed-overhead contract: building the pagerank frame runs
-    # a bounded, iteration-INDEPENDENT number of jobs (edge checkpoint,
-    # degree checkpoint, N count + their AQE stage-jobs). A regression
-    # that re-introduces a per-iteration materialization, or the old
-    # edges⨝outdegree / separate-node-list checkpoints, shows up as a
-    # higher or iters-dependent count.
+    # Pin the PLAN-ONLY contract (materialize_per_round=False): building
+    # the pagerank frame runs a bounded, iteration-INDEPENDENT number of
+    # jobs (edge checkpoint, degree checkpoint, N count + their AQE
+    # stage-jobs). A regression that sneaks a per-iteration
+    # materialization into this path, or the old edges⨝outdegree /
+    # separate-node-list checkpoints, shows up as a higher or
+    # iters-dependent count.
     from datatools_spark.operators.graph import pagerank
     sc = spark.sparkContext
     e = spark.createDataFrame(
@@ -528,12 +529,40 @@ def test_pagerank_construction_jobs_constant(spark):
     for iters in (2, 4):
         group = f"pr-jobpin-{iters}"
         sc.setJobGroup(group, group)
-        pagerank(e, iters=iters)      # construction only — no action
+        pagerank(e, iters=iters,      # construction only — no action
+                 materialize_per_round=False)
         counts[iters] = len(sc.statusTracker().getJobIdsForGroup(group))
     sc.setJobGroup("pr-jobpin-done", "clear")
     assert counts[2] == counts[4]     # no per-iteration jobs
     assert counts[2] <= 6             # measured shape: 6 on local[*]/AQE
     # (edge ckpt, degree ckpt, N count + their AQE stage-jobs)
+
+
+def test_pagerank_default_runs_each_round_once(spark):
+    # The DEFAULT path (materialize_per_round=True, the r8 perf form —
+    # executing the nested lazy tree paid ~1 s of AQE re-planning at
+    # sf0.1) eagerly materializes each round at construction; the
+    # returned frame is then checkpoint-backed, so ACTIONS on it re-run
+    # no iteration jobs — each round runs once ever, and the default's
+    # total job count equals plan-only construction + one execution,
+    # just shifted earlier. Equality with the plan-only form pins that
+    # the materialization changes scheduling, not values.
+    from datatools_spark.operators.graph import pagerank
+    sc = spark.sparkContext
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "u long, v long"
+    ).localCheckpoint(eager=True)
+    pr = pagerank(e, iters=3)
+    group = "pr-action-jobs"
+    sc.setJobGroup(group, group)
+    got = sorted((r["id"], r["pr"]) for r in pr.collect())
+    n_action = len(sc.statusTracker().getJobIdsForGroup(group))
+    sc.setJobGroup("pr-action-done", "clear")
+    assert n_action <= 2   # final projection only — no round re-runs
+    want = sorted((r["id"], r["pr"]) for r in
+                  pagerank(e, iters=3,
+                           materialize_per_round=False).collect())
+    assert got == want
 
 
 # ------------------------------------------------------------- whitening

@@ -4227,10 +4227,10 @@ def doc_kmv_source_overlap(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     tok = (PT.ensure_parallelism(d.select("source", "text"), min_bytes=0)
            .select("source", F.explode(TX.words_col("text")).alias("w")))
-    # two consumers (both join sides) of the group-sized sketch table;
-    # eager=False keeps plan-only callers lazy per the r5 hygiene rule
-    sk = SK.kmv_sketch(tok, ["source"], "w", k=k) \
-        .localCheckpoint(eager=False)
+    # both join sides read the group-sized sketch table — since r8 the
+    # sketch's fast path is ALREADY checkpoint-backed (sketches.py), so
+    # the two consumers re-run only a projection, no extra checkpoint
+    sk = SK.kmv_sketch(tok, ["source"], "w", k=k)
     a = sk.select(F.col("source").alias("src_a"), F.col("hs").alias("ha"))
     b = sk.select(F.col("source").alias("src_b"), F.col("hs").alias("hb"))
     p = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))

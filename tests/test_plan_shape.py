@@ -196,7 +196,7 @@ def test_driver_window_contains_flagships():
     for flagship in ["ts_e1_pipeline", "ts_melt_pipeline", "doc_lsh_pairs",
                      "emb_ivf_search", "emb_knn_lsh", "ts_shadow_correction",
                      "ts_lag_table",
-                     "doc_source_stats", "doc_neardup_retention",
+                     "doc_neardup_retention",
                      "mm_frame_sample",
                      # r4 flagships: the multimodal-dedup family
                      "mm_image_ahash", "mm_ahash_pairs", "mm_image_dedup",
@@ -208,7 +208,11 @@ def test_driver_window_contains_flagships():
                      # r7 rotation: blocked quantile + KMV set-ops promoted
                      # (ts_quadrant / ts_decimal_hours stood down — both
                      # long-stable, siblings in-window per COVERAGE.md)
-                     "ts_rolling_p90_6h", "doc_kmv_source_overlap"]:
+                     "ts_rolling_p90_6h", "doc_kmv_source_overlap",
+                     # r8 rotation: the value-sample quantile sketch
+                     # promoted (doc_source_stats stood down — per-source
+                     # aggregation carried by its n_rows; COVERAGE.md)
+                     "doc_nchars_sample_quantiles"]:
         assert flagship in names, flagship
 
 

@@ -397,7 +397,16 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
                 + ((MASS_SLACK_FACTOR * _AHASH_BANDS * batch_n * store_n)
                    >> w))
         bc = a.groupBy("_b", "_k").agg(F.count("*").alias("_bn"))
-        sc = b.groupBy("_b", "_k").agg(F.count("*").alias("_sn"))
+        # only buckets MATCHING a batch key contribute mass (the join
+        # below is on (_b,_k)), so pre-filter the store index with a
+        # broadcast semi-join on the batch's keys before counting —
+        # the store-side pre-flight aggregate is then proportional to
+        # matching rows, not to the full store band index (r8: the
+        # full-store groupBy was the incr row's largest corpus-linear
+        # term after the signature scan itself)
+        sc = (b.join(F.broadcast(a.select("_b", "_k").distinct()),
+                     ["_b", "_k"], "left_semi")
+              .groupBy("_b", "_k").agg(F.count("*").alias("_sn")))
         mass = (bc.join(sc, ["_b", "_k"])
                 .agg(F.sum(F.col("_bn") * F.col("_sn")))
                 .collect()[0][0]) or 0

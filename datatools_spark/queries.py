@@ -9089,25 +9089,28 @@ SELECT * FROM (
            CASE WHEN substr(a.ahash, i::INT, 1) <> substr(b.ahash, i::INT, 1)
                 THEN 1 ELSE 0 END))::BIGINT AS hamming
   FROM h a JOIN h b ON a.media_id < b.media_id)
-WHERE hamming <= 7 AND (a_id % 100 = 93 OR b_id % 100 = 93)
+WHERE hamming <= 7 AND (a_id < 400 OR b_id < 400)
 """)
 def mm_ahash_pairs_store_incr(spark, sf_dir):
-    """INCREMENTAL steady-state row (r7 VERDICT #4): ONE ~1 % batch
-    (``media_id % 100 = 93``) signed into the pre-warmed signature
-    store (idempotent no-op past the first run) and paired against the
+    """INCREMENTAL steady-state row (r7 VERDICT #4): ONE FIXED-SIZE
+    batch (``media_id < 400`` — the id spaces of every bench corpus
+    start at 0, so the batch is the same 400 images at sf0.1 and
+    sf1-equiv; a proportional slice would confound batch growth with
+    corpus growth) signed into the pre-warmed signature store
+    (idempotent no-op past the first run) and paired against the
     store's band index. This is THE number the store architecture
     claims: per-batch cost as a function of batch size, with the
-    corpus appearing only through the store scan + band-bucket joins —
-    benched at two corpus sizes (sf0.1 extended and the sf1-equiv mm
-    pass) so the flat-vs-corpus claim is measured, not asserted from
-    the full-corpus twins' trend. Oracle: the all-pairs scan
-    restricted to pairs touching the batch."""
+    corpus appearing only through the signature-table scan +
+    band-bucket joins — benched at two corpus sizes (sf0.1 extended
+    and the sf1-equiv mm pass) so the flat-vs-corpus claim is
+    measured, not asserted from the full-corpus twins' trend. Oracle:
+    the all-pairs scan restricted to pairs touching the batch."""
     from .operators import sigstore as SS
     root = _mm_store_root(sf_dir, "ahash16")
     payload = _mm_payload(spark, sf_dir)
     _mm_store_seed(root, lambda: SS.update_image_signature_store(
         spark, payload, root))
-    batch_payload = payload.where(F.col("media_id") % 100 == 93)
+    batch_payload = payload.where(F.col("media_id") < 400)
     SS.update_image_signature_store(spark, batch_payload, root)
     return SS.ahash_pairs_against_store(
         spark, batch_payload.select("media_id"), root)

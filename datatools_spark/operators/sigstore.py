@@ -21,6 +21,15 @@ Typical loop:
 The image twin (``update_image_signature_store`` /
 ``ahash_pairs_against_store``) keeps aHash signatures the same way, so
 incremental IMAGE dedup never re-decodes a stored payload.
+
+r8 adds ``compact_signature_store``: appends leave one file per
+touched ``_pp`` partition per update, so a long ingest loop accrues
+tiny files without bound; compaction rewrites the table as one file
+per partition inside a committed ``gen-N`` directory (the ivfstore
+generation protocol — crash leaves readers on the old root, previous
+generation retained on prune). All store functions resolve the live
+root per call; legacy bare-path stores keep working and migrate on
+their first compaction.
 """
 
 from __future__ import annotations
@@ -32,7 +41,8 @@ from pyspark.sql import functions as F
 from .dedup import minhash_signature
 
 __all__ = ["update_signature_store", "lsh_pairs_against_store",
-           "update_image_signature_store", "ahash_pairs_against_store"]
+           "update_image_signature_store", "ahash_pairs_against_store",
+           "compact_signature_store", "resolve_signature_root"]
 
 _NUM_HASHES = 16
 _BANDS = 4
@@ -63,15 +73,113 @@ def _is_path_missing(exc: AnalysisException) -> bool:
     return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
 
 
+# ------------------------------------------------------------- layout
+# A signature store is either LEGACY (the parquet table lives directly
+# at {path}) or GENERATIONAL ({path}/gen-N/ dirs, the newest one with a
+# _COMMIT marker is live — the ivfstore protocol). Updates append into
+# the RESOLVED root either way; compact_signature_store migrates a
+# legacy store to generations on its first run. Readers resolve once
+# per call, so a compaction committed mid-session is picked up on the
+# next call, and the previous generation is retained on prune (the
+# two-snapshot policy) for in-flight readers of the just-retired root.
+
+def resolve_signature_root(spark: SparkSession, path: str) -> str:
+    """Directory holding the live signature table: the latest committed
+    ``gen-N`` under ``path``, or ``path`` itself for legacy stores."""
+    from .ivfstore import _committed_gens
+    gens = _committed_gens(spark, path)
+    if gens:
+        return f"{path}/gen-{gens[-1]:06d}"
+    return path
+
+
+def compact_signature_store(spark: SparkSession, path: str,
+                            partition_col: str = "_pp") -> dict:
+    """Rewrite the store as ONE file per ``_pp`` partition in a fresh
+    committed generation. Every ``update_*_signature_store`` call
+    appends one file per touched partition value, so a long-running
+    ingest loop (one update per micro-batch) accrues files without
+    bound and every later store scan pays per-file open/schedule cost —
+    the tiny-file decay every append-only parquet layout suffers; this
+    is the maintenance op that bounds it (Delta/Iceberg ``OPTIMIZE``,
+    re-expressed on the plain-parquet store).
+
+    Crash-safe, never in place: the compacted table lands in the next
+    ``gen-N`` dir and becomes visible only with its ``_COMMIT`` marker,
+    written AFTER a read-back row-count equality check against the
+    source; a crash at any point leaves readers on the old root. On
+    the first compaction of a legacy (bare-path) store the old
+    top-level table files are removed after commit, like ivfstore's
+    legacy migration; later compactions retain the previous generation
+    on prune. Single writer assumed (the stores' standing contract).
+    Returns ``{"rows", "files_before", "files_after", "generation"}``.
+    """
+    from .ivfstore import _fs, _gen_numbers
+
+    root = resolve_signature_root(spark, path)
+    src = spark.read.parquet(root)
+
+    def _count_files(p: str) -> int:
+        fs, jp = _fs(spark, p)
+        n = 0
+        it = fs.listFiles(jp, True)
+        while it.hasNext():
+            f = it.next().getPath().getName()
+            if not f.startswith(("_", ".")):
+                n += 1
+        return n
+
+    files_before = _count_files(root)
+    all_gens = _gen_numbers(spark, path, committed_only=False)
+    gen = f"{path}/gen-{(all_gens[-1] + 1 if all_gens else 0):06d}"
+    (src.repartition(partition_col)
+        .write.mode("overwrite").partitionBy(partition_col)
+        .parquet(gen))
+    # equality gate BEFORE the commit marker: a short write must never
+    # become the live store
+    n_src, n_new = src.count(), spark.read.parquet(gen).count()
+    if n_src != n_new:
+        raise RuntimeError(
+            f"compact_signature_store: compacted generation holds "
+            f"{n_new} rows, source holds {n_src} — refusing to commit "
+            f"(orphan left at {gen} for inspection)")
+    fs, _ = _fs(spark, path)
+    fs.create(spark._jvm.org.apache.hadoop.fs.Path(
+        f"{gen}/_COMMIT")).close()
+    if root == path:
+        # legacy migration: drop the old top-level TABLE — partition
+        # dirs (named "_pp=..." — underscore-prefixed, so match dirs by
+        # shape, not prefix), data files, and the table's _SUCCESS —
+        # keeping gen-*/ and any caller-level marker files (_SEEDED)
+        for st in fs.listStatus(spark._jvm.org.apache.hadoop.fs.Path(path)):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                if not name.startswith("gen-"):
+                    fs.delete(st.getPath(), True)
+            elif (name == "_SUCCESS" or name.endswith(".parquet")
+                  or name.startswith("part-")):
+                fs.delete(st.getPath(), False)
+    else:
+        # retain the previous committed generation (two-snapshot policy)
+        from .ivfstore import _committed_gens
+        for old in _committed_gens(spark, path)[:-2]:
+            fs.delete(spark._jvm.org.apache.hadoop.fs.Path(
+                f"{path}/gen-{old:06d}"), True)
+    return {"rows": int(n_src), "files_before": int(files_before),
+            "files_after": _count_files(gen),
+            "generation": gen.rsplit("/", 1)[-1]}
+
+
 def update_signature_store(spark: SparkSession, batch: DataFrame,
                            path: str, text_col: str = "text",
                            id_col: str = "doc_id") -> int:
     """Sign the batch's docs NOT already in the store and append them.
     Returns the number of newly signed docs. Idempotent: re-running the
     same batch appends nothing."""
+    root = resolve_signature_root(spark, path)
     new = batch
     try:
-        existing = spark.read.parquet(path).select(id_col)
+        existing = spark.read.parquet(root).select(id_col)
         # id-only anti-join first (same warm-run pruning as the image
         # store): an all-seen batch returns without scanning text bytes
         new_ids = (batch.select(id_col)
@@ -93,7 +201,7 @@ def update_signature_store(spark: SparkSession, batch: DataFrame,
         # store read pays per-file open/schedule cost. One batch-sized
         # shuffle buys one file per touched partition value.
         (out.repartition("_pp")
-         .write.mode("append").partitionBy("_pp").parquet(path))
+         .write.mode("append").partitionBy("_pp").parquet(root))
     return n
 
 
@@ -126,8 +234,8 @@ def lsh_pairs_against_store(spark: SparkSession, batch: DataFrame,
     # so the checkpoint blocks scale with (id, signature), not with
     # whatever else the store carries (r7 ADVICE: the unprojected
     # checkpoint defeated column pruning and pinned the layout column).
-    store = spark.read.parquet(path).select(id_col, "_sig") \
-        .localCheckpoint(eager=True)
+    store = spark.read.parquet(resolve_signature_root(spark, path)) \
+        .select(id_col, "_sig").localCheckpoint(eager=True)
     bsig = store.join(batch.select(id_col), id_col, "left_semi")
     bidx = _band_index(bsig, id_col)
     sidx = _band_index(store, id_col)
@@ -222,6 +330,7 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
     from .multimodal import pack_bits_expr, pack_bits_words_expr, raw8_ahash
     nbits = grid * grid
     _check_ahash_geometry(nbits)
+    root = resolve_signature_root(spark, path)
     new = batch
     try:
         # ONE store scan per update: the layout audit (distinct _nbits)
@@ -231,7 +340,7 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
         # file per touched partition value). read.parquet is called
         # exactly once: every call runs a schema-inference job over the
         # store's file listing.
-        existing = spark.read.parquet(path)
+        existing = spark.read.parquet(root)
         if "_nbits" in existing.columns:
             existing = existing.select(id_col, "_nbits")
         existing = existing.localCheckpoint(eager=True)
@@ -281,7 +390,7 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
         # per update, not one per (write task × value); see
         # update_signature_store for the measured tiny-file blowup
         sig.repartition("_pp").write.mode("append") \
-            .partitionBy("_pp").parquet(path)
+            .partitionBy("_pp").parquet(root)
     return n
 
 
@@ -319,7 +428,7 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
     # separate scans each paid the store's per-file open cost ~4×.
     # read.parquet is called exactly once (each call runs a
     # schema-inference job over the store's file listing).
-    raw = spark.read.parquet(path)
+    raw = spark.read.parquet(resolve_signature_root(spark, path))
     proj = [c for c in (id_col, "ahash64", "ahash_w", "_nbits")
             if c in raw.columns]
     raw = raw.select(*proj).localCheckpoint(eager=True)

@@ -187,6 +187,99 @@ def test_store_rejects_bad_geometry_and_mixed_append(spark, tmp_path):
         update_image_signature_store(spark, b, path, grid=4)
 
 
+def test_compact_image_store_preserves_pairs_and_bounds_files(
+        spark, tmp_path):
+    """compact_signature_store: N updates leave ~N files per touched
+    partition; compaction rewrites ONE file per partition in a fresh
+    committed generation, pair results are identical, later updates
+    append into the new generation, a second compaction retains the
+    previous generation (two-snapshot policy), and a markerless
+    (crashed) generation stays invisible."""
+    import os
+    import random
+    from datatools_spark.operators.sigstore import (
+        ahash_pairs_against_store, compact_signature_store,
+        resolve_signature_root, update_image_signature_store)
+
+    def img(seed, near_of=None):
+        if near_of is not None:
+            b = list(near_of)
+            b[0] = (b[0] + 120) % 256   # one-pixel change: hamming-near
+            return bytes(b)
+        r = random.Random(seed)
+        return bytes(r.randrange(256) for _ in range(256))
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "media_id long, payload binary")
+    path = str(tmp_path / "imgstore")
+    base = [(b * 100 + i, img(b * 100 + i)) for b in range(4)
+            for i in range(10)]
+    # cross-batch near-dups: each batch b>0 carries near-copies of
+    # batch-0 images, so compaction has real pairs to preserve
+    rows_by_batch = [[r for r in base if r[0] // 100 == b]
+                     for b in range(4)]
+    for b in range(1, 4):
+        rows_by_batch[b] += [(b * 100 + 50 + k, img(0, near_of=p))
+                             for k, (_, p) in
+                             enumerate(rows_by_batch[0][:3])]
+    batches = [mk(rows) for rows in rows_by_batch]
+    allb = batches[0]
+    for b in batches:
+        update_image_signature_store(spark, b, path)
+    for b in batches[1:]:
+        allb = allb.unionByName(b)
+    before = sorted(map(tuple,
+                        ahash_pairs_against_store(spark, allb, path)
+                        .collect()))
+    res = compact_signature_store(spark, path)
+    assert res["generation"] == "gen-000000"
+    assert res["files_after"] < res["files_before"]
+    assert resolve_signature_root(spark, path).endswith("gen-000000")
+    # legacy top-level table gone, markers/generations kept
+    assert not [d for d in os.listdir(path) if d.startswith("_pp=")]
+    after = sorted(map(tuple,
+                       ahash_pairs_against_store(spark, allb, path)
+                       .collect()))
+    assert after == before and before
+    # updates append into the live generation; pairs see the new batch
+    nb = mk([(900 + i, img(7000 + i)) for i in range(5)])
+    assert update_image_signature_store(spark, nb, path) == 5
+    assert update_image_signature_store(spark, nb, path) == 0
+    assert ahash_pairs_against_store(spark, nb, path).count() >= 0
+    # second compaction: new generation, previous one retained
+    res2 = compact_signature_store(spark, path)
+    assert res2["generation"] == "gen-000001"
+    assert os.path.isdir(f"{path}/gen-000000")
+    # crashed compaction: a markerless newer generation is invisible
+    os.makedirs(f"{path}/gen-000005")
+    assert resolve_signature_root(spark, path).endswith("gen-000001")
+    assert sorted(map(tuple,
+                      ahash_pairs_against_store(spark, allb, path)
+                      .collect())) == before
+
+
+def test_compact_text_store_preserves_lsh_pairs(spark, tmp_path):
+    """The MinHash text store compacts through the same generation
+    protocol: identical lsh pairs, one file per partition after."""
+    from datatools_spark.operators.sigstore import (
+        compact_signature_store, lsh_pairs_against_store,
+        update_signature_store)
+    path = str(tmp_path / "sigstore")
+    b1 = _docs(spark, _corpus("w", 0, 30))
+    b2 = _docs(spark, _corpus("x", 1000, 20, dup_of=_corpus("w", 0, 30)[:5]))
+    update_signature_store(spark, b1, path)
+    update_signature_store(spark, b2, path)
+    before = sorted(map(tuple,
+                        lsh_pairs_against_store(spark, b2, path).collect()))
+    res = compact_signature_store(spark, path)
+    assert res["files_after"] < res["files_before"]
+    after = sorted(map(tuple,
+                       lsh_pairs_against_store(spark, b2, path).collect()))
+    assert after == before and before
+    # idempotent appends still hold post-compaction
+    assert update_signature_store(spark, b2, path) == 0
+
+
 def test_mm_store_twin_reseeds_partial_store(spark, tmp_path, monkeypatch):
     """The /tmp store-root seed gate (queries._mm_store_seed, r7 ADVICE
     medium): a crashed PARTIAL seed — directory present, no _SEEDED

@@ -181,7 +181,8 @@ def streaming_image_ingest_dedup(media: DataFrame, store_dir: str,
                                  pairs_dir: str, checkpoint_dir: str,
                                  id_col: str = "media_id",
                                  payload_col: str = "payload",
-                                 grid: int = 8):
+                                 grid: int = 8,
+                                 compact_every: int | None = None):
     """Continuous incremental IMAGE dedup — the streaming twin of
     ``mm_image_dedup``'s hash→pairs stages, built on the packed aHash
     signature store (``operators.sigstore``): each micro-batch
@@ -207,6 +208,8 @@ def streaming_image_ingest_dedup(media: DataFrame, store_dir: str,
     Returns the started query (availableNow trigger; caller awaits)."""
     from ..operators.sigstore import (_is_path_missing,
                                       ahash_pairs_against_store,
+                                      compact_signature_store,
+                                      resolve_signature_root,
                                       update_image_signature_store)
     from pyspark.errors import AnalysisException
 
@@ -222,7 +225,10 @@ def streaming_image_ingest_dedup(media: DataFrame, store_dir: str,
         # content and cuts the lineage so the write cannot reach back.
         new_batch, store_exists = batch_df, True
         try:
-            stored = sess.read.parquet(store_dir).select(id_col)
+            # resolve the live root (a compacted store is generational;
+            # reading the bare path would mix generations — r8)
+            stored = sess.read.parquet(
+                resolve_signature_root(sess, store_dir)).select(id_col)
             new_batch = batch_df.join(stored, id_col, "left_anti")
         except AnalysisException as exc:
             if not _is_path_missing(exc):   # see sigstore._is_path_missing
@@ -242,6 +248,11 @@ def streaming_image_ingest_dedup(media: DataFrame, store_dir: str,
             (ahash_pairs_against_store(sess, batch_df.select(id_col),
                                        store_dir, id_col=id_col)
              .write.mode("append").parquet(pairs_dir))
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            # bound tiny-file growth in-loop: the loop is the store's
+            # single writer, and compaction is crash-safe (generation
+            # commit marker) — a retried batch just re-compacts
+            compact_signature_store(sess, store_dir)
 
     return (media.writeStream
             .outputMode("append")
@@ -255,7 +266,8 @@ def streaming_image_ingest_components(media: DataFrame, store_dir: str,
                                       comp_dir: str, checkpoint_dir: str,
                                       id_col: str = "media_id",
                                       payload_col: str = "payload",
-                                      grid: int = 8):
+                                      grid: int = 8,
+                                      compact_every: int | None = None):
     """The COMPLETE incremental dedup loop: each micro-batch signs its
     new images into the aHash store, band-joins the batch against the
     corpus for near-dup pairs, and folds those pairs into the
@@ -281,6 +293,8 @@ def streaming_image_ingest_components(media: DataFrame, store_dir: str,
     from ..operators.compstore import update_component_store
     from ..operators.sigstore import (_is_path_missing,
                                       ahash_pairs_against_store,
+                                      compact_signature_store,
+                                      resolve_signature_root,
                                       update_image_signature_store)
 
     def _process(batch_df: DataFrame, batch_id: int):
@@ -289,7 +303,10 @@ def streaming_image_ingest_components(media: DataFrame, store_dir: str,
             return   # an empty trigger must not pay the store scans
         new_batch, store_exists = batch_df, True
         try:
-            stored = sess.read.parquet(store_dir).select(id_col)
+            # resolve the live root (a compacted store is generational;
+            # reading the bare path would mix generations — r8)
+            stored = sess.read.parquet(
+                resolve_signature_root(sess, store_dir)).select(id_col)
             new_batch = batch_df.join(stored, id_col, "left_anti")
         except AnalysisException as exc:
             if not _is_path_missing(exc):
@@ -306,6 +323,8 @@ def streaming_image_ingest_components(media: DataFrame, store_dir: str,
                 sess, batch_df.select(id_col), store_dir, id_col=id_col)
             update_component_store(sess, batch_df.select(id_col), pairs,
                                    comp_dir, id_col=id_col)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_signature_store(sess, store_dir)
 
     return (media.writeStream
             .outputMode("append")
@@ -319,7 +338,8 @@ def streaming_text_ingest_components(docs: DataFrame, store_dir: str,
                                      comp_dir: str, checkpoint_dir: str,
                                      id_col: str = "doc_id",
                                      text_col: str = "text",
-                                     threshold: float = 0.5):
+                                     threshold: float = 0.5,
+                                     compact_every: int | None = None):
     """Text twin of :func:`streaming_image_ingest_components`: MinHash
     store instead of the aHash store, pairs at estimated Jaccard ≥
     ``threshold`` — the continuous corpus-dedup loop a crawl ingests
@@ -331,7 +351,8 @@ def streaming_text_ingest_components(docs: DataFrame, store_dir: str,
     docstring for the at-least-once analysis — identical here).
     Returns the started query (availableNow trigger; caller awaits)."""
     from ..operators.compstore import update_component_store
-    from ..operators.sigstore import (lsh_pairs_against_store,
+    from ..operators.sigstore import (compact_signature_store,
+                                      lsh_pairs_against_store,
                                       update_signature_store)
 
     def _process(batch_df: DataFrame, batch_id: int):
@@ -347,6 +368,8 @@ def streaming_text_ingest_components(docs: DataFrame, store_dir: str,
                                         threshold=threshold)
         update_component_store(sess, batch_df.select(id_col), pairs,
                                comp_dir, id_col=id_col)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_signature_store(sess, store_dir)
 
     return (docs.writeStream
             .outputMode("append")

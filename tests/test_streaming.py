@@ -363,6 +363,56 @@ def test_streaming_image_ingest_dedup_equals_batch_pairs(spark, tmp_path):
     assert any(a < 100 and b >= 200 for a, b in got)
 
 
+def test_streaming_image_ingest_compacts_in_loop(spark, tmp_path):
+    """compact_every: the ingest loop compacts the signature store
+    mid-stream (r8). The pair set must be IDENTICAL to the
+    non-compacting run — later batches read/append the committed
+    generation — and the store ends generational with one file per
+    touched partition."""
+    import os
+    import random
+    from datatools_spark.operators.multimodal import ahash_pairs, raw8_ahash
+    from datatools_spark.operators.sigstore import resolve_signature_root
+    from datatools_spark.streaming.demo import streaming_image_ingest_dedup
+
+    def img(seed=None, near_of=None):
+        if near_of is not None:
+            b = list(near_of)
+            b[0] = (b[0] + 120) % 256
+            return bytes(b)
+        r = random.Random(seed)
+        return bytes(r.randrange(256) for _ in range(256))
+
+    b1 = [(i, img(seed=i)) for i in range(12)]
+    b2 = [(100 + i, img(seed=900 + i)) for i in range(6)] \
+        + [(200 + k, img(near_of=p)) for k, (_, p) in enumerate(b1[:3])]
+    b3 = [(300 + k, img(near_of=p)) for k, (_, p) in enumerate(b2[:2])]
+    schema = "media_id long, payload binary"
+    src = str(tmp_path / "src")
+    for rows in [b1, b2, b3]:
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    store, pairs, ckpt = (str(tmp_path / d)
+                          for d in ["store", "pairs", "ckpt"])
+    q = streaming_image_ingest_dedup(stream, store, pairs, ckpt,
+                                     compact_every=1)
+    q.awaitTermination(180)
+    # the store ended generational (compaction ran) and resolves
+    root = resolve_signature_root(spark, store)
+    assert root != store and "gen-" in root
+    assert not [d for d in os.listdir(store) if d.startswith("_pp=")]
+    got = {(r["a_id"], r["b_id"]): r["hamming"]
+           for r in spark.read.parquet(pairs).collect()}
+    full = spark.createDataFrame(b1 + b2 + b3, schema)
+    want = {(r["a_id"], r["b_id"]): r["hamming"]
+            for r in ahash_pairs(raw8_ahash(full, width=16, grid=8))
+            .collect()}
+    assert got == want
+    assert any(a < 100 and b >= 200 for a, b in got)
+
+
 def test_streaming_embedding_ingest_finds_cross_batch_neardups(spark, tmp_path):
     """Micro-batched vector ingest through the IVF index: near-dup
     matches (cosine >= threshold) appear when the later member arrives,

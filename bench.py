@@ -322,9 +322,17 @@ def main() -> None:
             sum(out["sf1_equiv"]["extended_mm"].values()), 2)
     # hard guard for the driver's ~2 KB tail capture: six rounds of
     # BENCH artifacts were "parsed": null because the line overflowed.
-    # Degrade deterministically, never overflow: drop extended counters
-    # (keep walls), then collapse extended to its total.
+    # Degrade deterministically, never overflow: shed counters from the
+    # CHEAPEST extended rows first (a 0.3-task_s row has nothing to
+    # adjudicate; the heavy rows keep their counters), then drop the
+    # remaining extended counters wholesale, then the section.
     line = json.dumps(compact, separators=(",", ":"))
+    shed = sorted((n for n in ext if len(compact["ext"][n]) > 1),
+                  key=lambda n: compact["ext"][n][1])   # ascending task_s
+    while len(line) > 2000 and shed:
+        n = shed.pop(0)
+        compact["ext"][n] = [compact["ext"][n][0]]      # wall only
+        line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 2000:
         compact["ext"] = {n: [_r1(s)] for n, s in ext.items()}
         line = json.dumps(compact, separators=(",", ":"))

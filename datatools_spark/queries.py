@@ -9141,8 +9141,11 @@ def mm_image_dedup_store(spark, sf_dir):
 
     def _seed_components():
         # register the whole corpus and fold the full closure once
+        # (resolve the live root — robust to a compacted store, r8)
         all_ids = payload.select("media_id") \
-            .join(spark.read.parquet(sig_root).select("media_id"),
+            .join(spark.read.parquet(
+                      SS.resolve_signature_root(spark, sig_root))
+                  .select("media_id"),
                   "media_id", "left_semi")
         seed_pairs = SS.ahash_pairs_against_store(spark, all_ids, sig_root)
         CS.update_component_store(spark, all_ids,
@@ -9154,7 +9157,9 @@ def mm_image_dedup_store(spark, sf_dir):
     batch_payload = payload.where(F.col("media_id") % 10 == 7)
     SS.update_image_signature_store(spark, batch_payload, sig_root)
     batch = batch_payload.select("media_id") \
-        .join(spark.read.parquet(sig_root).select("media_id"),
+        .join(spark.read.parquet(
+                  SS.resolve_signature_root(spark, sig_root))
+              .select("media_id"),
               "media_id", "left_semi")
     pairs = SS.ahash_pairs_against_store(spark, batch, sig_root)
     CS.update_component_store(spark, batch,

@@ -436,3 +436,52 @@ def test_wide_pair_engine_equals_bruteforce_random(spark, seed):
            for r in ahash_pairs(df, bands=bands, max_hamming=max_h,
                                 nbits=256).collect()}
     assert got == want, (seed, bands, max_h)
+
+
+@pytest.mark.parametrize("seed", [3, 19, 71])
+def test_kmv_and_value_sample_equal_bruteforce_random(spark, seed):
+    """r8 one-pass restructure invariant: for random group shapes
+    (skewed sizes, duplicate items, NULL group keys, groups below and
+    above k, margins from degenerate to generous) kmv_sketch returns
+    exactly the k smallest distinct hashes per group and
+    value_sample_sketch exactly the values of the k hash-smallest keys
+    — the survivor filter, the always-kept minimum hash and the
+    driver-gated redo branch must be invisible in the result."""
+    import random
+    import pyspark.sql.functions as F
+    from datatools_spark.operators.sketches import (
+        kmv_hash52, kmv_sketch, value_sample_sketch)
+    rng = random.Random(seed)
+    k = rng.choice([4, 16, 64])
+    margin = rng.choice([1e-9, 0.5, 4.0])
+    rows = []
+    for g in [None, "a", "b", "c"]:
+        for i in range(rng.randint(1, 30 * k)):
+            rows.append((g, f"w{rng.randint(0, 20 * k)}"))
+    df = spark.createDataFrame(rows, "g string, item string")
+    got = {r["g"]: r["hs"]
+           for r in kmv_sketch(df, ["g"], "item", k=k,
+                               margin=margin).collect()}
+    import collections
+    by_g = collections.defaultdict(set)
+    for r in df.select("g", kmv_hash52(F.col("item")).alias("h")) \
+            .collect():
+        by_g[r["g"]].add(r["h"])
+    assert set(got) == set(by_g)
+    for g, hset in by_g.items():
+        assert got[g] == sorted(hset)[:k], (seed, g, k, margin)
+    # value sample: unique keys, values = key's value; exact bottom-k
+    vrows = [(g, 1000 * (hash(g) % 7) + i, float(i % 97))
+             for g in ["x", None] for i in range(rng.randint(1, 5 * k))]
+    vdf = spark.createDataFrame(vrows, "g string, id long, v double")
+    vs = {r["g"]: r for r in value_sample_sketch(
+        vdf, ["g"], "id", "v", k=k, margin=margin,
+        check_keys=True).collect()}
+    keyed = collections.defaultdict(list)
+    for r in vdf.select("g", kmv_hash52(F.col("id"), "vsmpl").alias("h"),
+                        "v").collect():
+        keyed[r["g"]].append((r["h"], r["v"]))
+    for g, pairs in keyed.items():
+        want = sorted(pairs)[:k]
+        assert [(c["h"], c["v"]) for c in vs[g]["vs"]] == want, (seed, g)
+        assert vs[g]["n_rows"] == len(pairs)

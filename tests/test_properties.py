@@ -471,8 +471,12 @@ def test_kmv_and_value_sample_equal_bruteforce_random(spark, seed):
     for g, hset in by_g.items():
         assert got[g] == sorted(hset)[:k], (seed, g, k, margin)
     # value sample: unique keys, values = key's value; exact bottom-k
-    vrows = [(g, 1000 * (hash(g) % 7) + i, float(i % 97))
-             for g in ["x", None] for i in range(rng.randint(1, 5 * k))]
+    # (fixed per-group id bases — hash(g) varies with PYTHONHASHSEED
+    # and colliding bases would duplicate keys across groups, tripping
+    # check_keys)
+    vrows = [(g, base + i, float(i % 97))
+             for g, base in [("x", 0), (None, 1_000_000)]
+             for i in range(rng.randint(1, 5 * k))]
     vdf = spark.createDataFrame(vrows, "g string, id long, v double")
     vs = {r["g"]: r for r in value_sample_sketch(
         vdf, ["g"], "id", "v", k=k, margin=margin,

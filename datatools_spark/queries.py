@@ -9043,23 +9043,6 @@ def _mm_store_seed(root: str, fn) -> None:
             f.write("complete\n")
 
 
-def _mm_sign_new_only(spark, SS, batch_payload, root,
-                      id_col: str = "media_id"):
-    """The streaming loops' one-store-read signing pattern for the
-    store-twin queries (r8): resolve WHICH batch ids are new with ONE
-    id-column store scan, and call the updater (which re-reads and
-    re-audits the store) ONLY when something is actually new — the warm
-    steady-state run then never materializes the store twice."""
-    stored = spark.read.parquet(
-        SS.resolve_signature_root(spark, root)).select(id_col)
-    new_batch = (batch_payload.join(stored, id_col, "left_anti")
-                 .localCheckpoint(eager=True))
-    if new_batch.count():
-        SS.update_image_signature_store(spark, new_batch, root,
-                                        id_col=id_col,
-                                        batch_is_new=True)
-
-
 @query("mm_ahash_pairs_store", sql=_AHASH_SQL + """
 SELECT * FROM (
   SELECT a.media_id AS a_id, b.media_id AS b_id,
@@ -9092,10 +9075,11 @@ def mm_ahash_pairs_store(spark, sf_dir):
     _mm_store_seed(root, lambda: SS.update_image_signature_store(
         spark, payload, root))
     batch_payload = payload.where(F.col("media_id") % 10 == 7)
-    # steady state: new batch ids signed (one id-column store scan; a
-    # fully-seen batch skips the updater entirely — r8, the streaming
-    # loop's pattern) and the batch paired against the band index
-    _mm_sign_new_only(spark, SS, batch_payload, root)
+    # steady state: the arriving batch is signed (idempotent no-op when
+    # already seen — the updater's internal id-only anti-join runs off
+    # its checkpointed store projection; an external pre-filter was
+    # A/B'd 0.5 s SLOWER at sf0.1, r8) and paired against the band index
+    SS.update_image_signature_store(spark, batch_payload, root)
     return SS.ahash_pairs_against_store(
         spark, batch_payload.select("media_id"), root)
 
@@ -9129,7 +9113,7 @@ def mm_ahash_pairs_store_incr(spark, sf_dir):
     _mm_store_seed(root, lambda: SS.update_image_signature_store(
         spark, payload, root))
     batch_payload = payload.where(F.col("media_id") < 400)
-    _mm_sign_new_only(spark, SS, batch_payload, root)
+    SS.update_image_signature_store(spark, batch_payload, root)
     return SS.ahash_pairs_against_store(
         spark, batch_payload.select("media_id"), root)
 
@@ -9172,9 +9156,8 @@ def mm_image_dedup_store(spark, sf_dir):
 
     _mm_store_seed(comp_root, _seed_components)
     # steady state: sign + pair + fold ONLY the arriving batch slice
-    # (one id-column store scan decides what to sign — r8)
     batch_payload = payload.where(F.col("media_id") % 10 == 7)
-    _mm_sign_new_only(spark, SS, batch_payload, sig_root)
+    SS.update_image_signature_store(spark, batch_payload, sig_root)
     batch = batch_payload.select("media_id") \
         .join(spark.read.parquet(
                   SS.resolve_signature_root(spark, sig_root))

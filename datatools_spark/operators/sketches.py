@@ -37,7 +37,8 @@ __all__ = ["cms_bucket_col", "cms_build", "cms_estimate",
            "value_sample_sketch", "value_sample_merge_col",
            "sample_quantile_col",
            "update_kmv_store", "read_kmv_store",
-           "update_value_sample_store", "read_value_sample_store"]
+           "update_value_sample_store", "read_value_sample_store",
+           "update_cms_store", "read_cms_store"]
 
 _H32 = 4294967296  # 2^32
 
@@ -570,3 +571,71 @@ def read_value_sample_store(spark, path: str) -> DataFrame:
         raise ValueError(f"value-sample store at {path} has no committed "
                          "snapshots — update_value_sample_store first")
     return spark.read.parquet(f"{path}/vs-b{snaps[-1]}")
+
+
+def update_cms_store(spark, batch: DataFrame, path: str, item_col: str,
+                     batch_id, depth: int = 4, width: int = 1024,
+                     salt: str = "cms") -> dict:
+    """Fold a batch of item OCCURRENCES into a Count-Min sketch
+    maintained AT REST — corpus-scale frequency tracking with per-batch
+    cost ∝ batch, sketch size d·w forever.
+
+    CMS is a COUNTER sketch, so replay safety cannot come from value
+    idempotence the way it does for the KMV/value-sample stores
+    (re-merging identical hashes is a no-op; re-adding identical counts
+    DOUBLES them). Exactly-once folding instead comes from an explicit
+    BATCH LEDGER: each snapshot carries the set of batch ids already
+    folded, and a replayed ``batch_id`` (a checkpoint-retried
+    foreachBatch, a re-run backfill) is a detected no-op. Callers must
+    supply a STABLE batch id (Structured Streaming's ``batch_id`` is
+    exactly that); without one, a counter store cannot be made
+    replay-safe — use the set sketches.
+
+    Snapshot layout mirrors the KMV store with two tables per
+    generation: ``cms-b<n>/sketch`` (row, bucket, c) and
+    ``cms-b<n>/batches`` (batch_id), committed ATOMICALLY by one
+    manually written ``_SUCCESS`` marker after BOTH tables land (the
+    ivfstore two-table commit point); markerless orphans are invisible
+    and older snapshots past the previous one are pruned. Returns
+    ``{"batch", "skipped"}``."""
+    snaps = _kmv_snapshots(spark, path, prefix="cms-b")
+    bid = str(batch_id)
+    led_schema = "batch_id string"
+    if snaps:
+        base = f"{path}/cms-b{snaps[-1]}"
+        seen = spark.read.parquet(f"{base}/batches")
+        if seen.where(F.col("batch_id") == bid).limit(1).count():
+            return {"batch": snaps[-1], "skipped": True}
+        merged = (spark.read.parquet(f"{base}/sketch")
+                  .unionByName(cms_build(batch, item_col, depth, width,
+                                         salt))
+                  .groupBy("row", "bucket").agg(F.sum("c").alias("c")))
+        ledger = seen.unionByName(
+            spark.createDataFrame([(bid,)], led_schema))
+        nxt = snaps[-1] + 1
+    else:
+        merged = cms_build(batch, item_col, depth, width, salt)
+        ledger = spark.createDataFrame([(bid,)], led_schema)
+        nxt = 0
+    gen = f"{path}/cms-b{nxt}"
+    merged.coalesce(1).write.mode("overwrite").parquet(f"{gen}/sketch")
+    ledger.coalesce(1).write.mode("overwrite").parquet(f"{gen}/batches")
+    # the tables' own _SUCCESS files live inside the subdirs; the
+    # SNAPSHOT-level marker lands only after both tables committed
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration())
+    fs.create(jvm.org.apache.hadoop.fs.Path(f"{gen}/_SUCCESS")).close()
+    for b in _kmv_snapshots(spark, path, prefix="cms-b")[:-2]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/cms-b{b}"), True)
+    return {"batch": nxt, "skipped": False}
+
+
+def read_cms_store(spark, path: str) -> DataFrame:
+    """The newest committed sketch table: ``row, bucket, c`` — feed to
+    :func:`cms_estimate` / :func:`cms_inner_product`."""
+    snaps = _kmv_snapshots(spark, path, prefix="cms-b")
+    if not snaps:
+        raise ValueError(f"CMS store at {path} has no committed "
+                         "snapshots — update_cms_store first")
+    return spark.read.parquet(f"{path}/cms-b{snaps[-1]}/sketch")

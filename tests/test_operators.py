@@ -873,6 +873,46 @@ class TestKMV:
             b1.unionByName(b2), ["g"], "item", k=k).collect()}
         assert got == want
 
+    def test_cms_store_ledger_exactly_once_and_crash_safe(self, spark,
+                                                          tmp_path):
+        """CMS at rest: three batch folds equal a from-scratch sketch
+        of everything; a REPLAYED batch_id is a detected no-op (a
+        counter sketch cannot rely on value idempotence — re-adding
+        counts doubles them, so the store keeps a batch ledger); a
+        markerless (crashed) snapshot is invisible."""
+        from datatools_spark.operators.sketches import (
+            cms_build, read_cms_store, update_cms_store)
+        path = str(tmp_path / "cms_store")
+        mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+            F.concat(F.lit("w"), (F.col("id") % 50).cast("string"))
+            .alias("item"))
+        b1, b2, b3 = mk(0, 500), mk(500, 1200), mk(1200, 1500)
+        assert update_cms_store(spark, b1, path, "item", 1)["skipped"] \
+            is False
+        assert update_cms_store(spark, b2, path, "item", 2)["skipped"] \
+            is False
+        # replayed batch id: no-op instead of double counts
+        assert update_cms_store(spark, b2, path, "item", 2)["skipped"] \
+            is True
+        update_cms_store(spark, b3, path, "item", 3)
+        got = {(r["row"], r["bucket"]): r["c"]
+               for r in read_cms_store(spark, path).collect()}
+        want = {(r["row"], r["bucket"]): r["c"]
+                for r in cms_build(
+                    b1.unionByName(b2).unionByName(b3), "item").collect()}
+        assert got == want
+        # crash injection: a newer markerless snapshot is invisible
+        import os
+        import shutil
+        snaps = sorted(d for d in os.listdir(path)
+                       if d.startswith("cms-b"))
+        orphan = f"{path}/cms-b{int(snaps[-1][5:]) + 1}"
+        shutil.copytree(f"{path}/{snaps[-1]}", orphan)
+        os.remove(f"{orphan}/_SUCCESS")
+        got2 = {(r["row"], r["bucket"]): r["c"]
+                for r in read_cms_store(spark, path).collect()}
+        assert got2 == want
+
     def test_value_sample_check_keys_raises_on_duplicate_keys(self, spark):
         """Duplicate keys collapse to ONE hash, so the duplicated row is
         either over-represented (its value sampled whenever the hash

@@ -27,6 +27,7 @@ __all__ = ["streaming_window_counts", "streaming_daily_extrema",
            "streaming_text_ingest_components",
            "streaming_embedding_ingest_components",
            "streaming_merge_store_apply", "streaming_kmv_ingest",
+           "streaming_value_sample_ingest", "streaming_cms_ingest",
            "run_file_stream"]
 
 
@@ -660,6 +661,37 @@ def streaming_kmv_ingest(items: DataFrame, store_dir: str,
     def _fold(batch_df: DataFrame, batch_id: int):
         update_kmv_store(batch_df.sparkSession, batch_df, store_dir,
                          group_cols, item_col, k=k, salt=salt)
+
+    return (items.writeStream
+            .outputMode("append")
+            .foreachBatch(_fold)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def streaming_cms_ingest(items: DataFrame, store_dir: str,
+                         checkpoint_dir: str, item_col: str,
+                         depth: int = 4, width: int = 1024,
+                         salt: str = "cms"):
+    """Continuous corpus-scale FREQUENCY tracking: each micro-batch
+    folds into the at-rest Count-Min store
+    (``operators.sketches.update_cms_store``) — the counter member of
+    the sketch ingest family. Unlike the KMV/value-sample twins, a
+    counter sketch cannot replay-converge by value idempotence
+    (re-added counts double), so the store's batch LEDGER is keyed by
+    Structured Streaming's ``batch_id`` — foreachBatch re-fires a
+    failed trigger with the SAME id, and the ledger turns the replay
+    into a detected no-op: exactly-once counting on top of an
+    at-least-once channel. Per-batch cost ∝ batch; the sketch stays
+    d·w cells forever. Returns the started query (availableNow
+    trigger; caller awaits)."""
+    from ..operators.sketches import update_cms_store
+
+    def _fold(batch_df: DataFrame, batch_id: int):
+        update_cms_store(batch_df.sparkSession, batch_df, store_dir,
+                         item_col, batch_id, depth=depth, width=width,
+                         salt=salt)
 
     return (items.writeStream
             .outputMode("append")

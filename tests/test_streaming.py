@@ -787,3 +787,46 @@ def test_streaming_value_sample_ingest_equals_full_sketch(spark, tmp_path):
     want = {r["g"]: r["vs"] for r in
             value_sample_sketch(full, ["g"], "id", "v", k=32).collect()}
     assert got == want and len(got) == 3
+
+
+def test_streaming_cms_ingest_equals_full_and_ledger_blocks_replay(
+        spark, tmp_path):
+    """Micro-batched CMS ingest equals the from-scratch sketch of the
+    full corpus, and re-running the stream over the same source with
+    the SAME checkpoint (foreachBatch re-fires nothing) plus a manual
+    replay of a folded batch_id leave the counts UNCHANGED — the batch
+    ledger turns at-least-once delivery into exactly-once counting."""
+    from datatools_spark.operators.sketches import (
+        cms_build, read_cms_store, update_cms_store)
+    from datatools_spark.streaming.demo import streaming_cms_ingest
+    schema = "item string"
+    src = str(tmp_path / "cms_src")
+    store = str(tmp_path / "cms_store")
+    b1 = spark.range(0, 600).select(
+        F.concat(F.lit("w"), (F.col("id") % 80).cast("string"))
+        .alias("item"))
+    b2 = spark.range(600, 1000).select(
+        F.concat(F.lit("w"), (F.col("id") % 120).cast("string"))
+        .alias("item"))
+    # one file per batch → exactly two micro-batches (an uncoalesced
+    # range write fans into ~32 files = 64 fold triggers, overrunning
+    # the await window)
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming_cms_ingest(stream, store, str(tmp_path / "cms_ck"),
+                             "item")
+    q.awaitTermination(180)
+    assert not q.isActive          # availableNow drained, not timed out
+    got = {(r["row"], r["bucket"]): r["c"]
+           for r in read_cms_store(spark, store).collect()}
+    want = {(r["row"], r["bucket"]): r["c"]
+            for r in cms_build(b1.unionByName(b2), "item").collect()}
+    assert got == want
+    # manual replay of an already-folded foreachBatch id: ledger no-op
+    res = update_cms_store(spark, b1, store, "item", 0)
+    assert res["skipped"] is True
+    again = {(r["row"], r["bucket"]): r["c"]
+             for r in read_cms_store(spark, store).collect()}
+    assert again == want

@@ -287,24 +287,42 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(f"full detail -> {full_path}", file=sys.stderr)
+    # per-round history (r8 VERDICT #1/#missing-3): BENCH_full.json is
+    # overwritten every run, so round-over-round per-query sf1 diffs had
+    # no baseline to adjudicate against. Archive every full run under
+    # bench/history/ (committed), stamped by UTC wall clock.
+    hist_dir = os.path.join(os.path.dirname(full_path), "history")
+    os.makedirs(hist_dir, exist_ok=True)
+    stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+    hist_path = os.path.join(hist_dir, f"BENCH_full_{stamp}.json")
+    with open(hist_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"history copy -> {hist_path}", file=sys.stderr)
     # compact stdout (r8): wall AND plan counters for BOTH the headline
     # and extended sections, merged per query as [wall_s, task_s,
     # shuffle_mb] so names are not repeated — the r7 artifact carried
     # counters only for headline rows, leaving extended movers
     # unadjudicable (r7 VERDICT #2). sf1-equiv per-row counters live in
     # bench/BENCH_full.json (they cannot fit the 2 KB tail capture);
-    # its totals ride here. Values at 1 dp: counters are for direction
-    # adjudication, not sub-100 ms resolution.
+    # its totals ride here. Counters at 1 dp (direction adjudication,
+    # not sub-100 ms resolution) but WALL at 2 dp: most headline rows
+    # are sub-second, so 1-dp wall quantized per-query regressions near
+    # the noise floor out of the parsed artifact (r8 ADVICE, low).
+    # Overflow shedding may still degrade wall to 1 dp — see below.
     def _r1(x: float):
         v = round(x, 1)
+        return int(v) if v == int(v) else v
+
+    def _r2(x: float):
+        v = round(x, 2)
         return int(v) if v == int(v) else v
 
     def _row(name: str, wall: float):
         p = plans.get(name)
         if p:
-            return [_r1(wall), _r1(p["task_ms"] / 1000),
+            return [_r2(wall), _r1(p["task_ms"] / 1000),
                     _r1(p["shuffle_bytes"] / 1e6)]
-        return [_r1(wall)]
+        return [_r2(wall)]
 
     compact = {
         "metric": "headline_query_wall_time",
@@ -332,6 +350,14 @@ def main() -> None:
     while len(line) > 2000 and shed:
         n = shed.pop(0)
         compact["ext"][n] = [compact["ext"][n][0]]      # wall only
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 2000:
+        # next resort: shed wall precision (2 dp -> 1 dp) everywhere,
+        # keeping whatever counters survived — precision loss only
+        # under overflow, never in the healthy line (r8 ADVICE, low)
+        for sec in ("queries", "ext"):
+            compact[sec] = {n: [_r1(r[0])] + r[1:]
+                            for n, r in compact[sec].items()}
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 2000:
         compact["ext"] = {n: [_r1(s)] for n, s in ext.items()}

@@ -673,25 +673,33 @@ def streaming_kmv_ingest(items: DataFrame, store_dir: str,
 def streaming_cms_ingest(items: DataFrame, store_dir: str,
                          checkpoint_dir: str, item_col: str,
                          depth: int = 4, width: int = 1024,
-                         salt: str = "cms"):
+                         salt: str = "cms", app_id: str | None = None):
     """Continuous corpus-scale FREQUENCY tracking: each micro-batch
     folds into the at-rest Count-Min store
     (``operators.sketches.update_cms_store``) — the counter member of
     the sketch ingest family. Unlike the KMV/value-sample twins, a
     counter sketch cannot replay-converge by value idempotence
-    (re-added counts double), so the store's batch LEDGER is keyed by
-    Structured Streaming's ``batch_id`` — foreachBatch re-fires a
-    failed trigger with the SAME id, and the ledger turns the replay
-    into a detected no-op: exactly-once counting on top of an
-    at-least-once channel. Per-batch cost ∝ batch; the sketch stays
-    d·w cells forever. Returns the started query (availableNow
+    (re-added counts double), so the store's watermark LEDGER is keyed
+    by (writer identity, Structured Streaming's ``batch_id``) — the
+    Delta txnAppId/txnVersion pattern. foreachBatch re-fires a failed
+    trigger with the SAME id, and the ledger turns the replay into a
+    detected no-op: exactly-once counting on top of an at-least-once
+    channel. ``app_id`` defaults to the CHECKPOINT PATH, the thing that
+    actually defines a batch-id sequence: a new stream with a fresh
+    checkpoint restarts ids at 0, and under the r8 bare-id ledger its
+    genuinely new batches silently matched old entries and were skipped
+    (r8 ADVICE, medium) — scoping by checkpoint makes the new run fold
+    from scratch ids correctly. Per-batch cost ∝ batch; the sketch
+    stays d·w cells forever. Returns the started query (availableNow
     trigger; caller awaits)."""
     from ..operators.sketches import update_cms_store
+
+    writer = app_id if app_id is not None else checkpoint_dir
 
     def _fold(batch_df: DataFrame, batch_id: int):
         update_cms_store(batch_df.sparkSession, batch_df, store_dir,
                          item_col, batch_id, depth=depth, width=width,
-                         salt=salt)
+                         salt=salt, app_id=writer)
 
     return (items.writeStream
             .outputMode("append")

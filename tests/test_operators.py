@@ -878,8 +878,8 @@ class TestKMV:
         """CMS at rest: three batch folds equal a from-scratch sketch
         of everything; a REPLAYED batch_id is a detected no-op (a
         counter sketch cannot rely on value idempotence — re-adding
-        counts doubles them, so the store keeps a batch ledger); a
-        markerless (crashed) snapshot is invisible."""
+        counts doubles them, so the store keeps a per-writer watermark
+        ledger); a markerless (crashed) snapshot is invisible."""
         from datatools_spark.operators.sketches import (
             cms_build, read_cms_store, update_cms_store)
         path = str(tmp_path / "cms_store")
@@ -912,6 +912,57 @@ class TestKMV:
         got2 = {(r["row"], r["bucket"]): r["c"]
                 for r in read_cms_store(spark, path).collect()}
         assert got2 == want
+
+    def test_cms_store_writer_scoping_geometry_and_flat_ledger(
+            self, spark, tmp_path):
+        """r9 hardening of the CMS ledger (r8 ADVICE mediums + VERDICT
+        #3): (a) the ledger is a per-writer WATERMARK, so a new writer
+        whose batch ids restart at 0 still folds (the bare-id ledger
+        silently skipped it) while a same-writer replay skips; (b) the
+        ledger stays ONE ROW PER WRITER regardless of batches folded —
+        update cost no longer grows with ingest history; (c) geometry
+        (depth,width,salt) is persisted and a mismatched update or read
+        raises instead of corrupting counts; (d) a non-integer batch_id
+        raises (the monotonic contract is unmeetable without one)."""
+        import pytest
+        from datatools_spark.operators.sketches import (
+            cms_build, read_cms_store, update_cms_store)
+        path = str(tmp_path / "cms_store")
+        mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+            F.concat(F.lit("w"), (F.col("id") % 40).cast("string"))
+            .alias("item"))
+        b1, b2 = mk(0, 300), mk(300, 800)
+        for i, b in enumerate([b1, b2]):
+            update_cms_store(spark, b, path, "item", i, app_id="run-a")
+        # same writer, replayed/out-of-order id: watermark no-op
+        assert update_cms_store(spark, b1, path, "item", 0,
+                                app_id="run-a")["skipped"] is True
+        # NEW writer with recycled id 0: folds (the r8 bug skipped it)
+        assert update_cms_store(spark, b1, path, "item", 0,
+                                app_id="run-b")["skipped"] is False
+        got = {(r["row"], r["bucket"]): r["c"]
+               for r in read_cms_store(spark, path, depth=4, width=1024,
+                                       salt="cms").collect()}
+        want = {(r["row"], r["bucket"]): r["c"] for r in cms_build(
+            b1.unionByName(b2).unionByName(b1), "item").collect()}
+        assert got == want
+        # ledger: one row per writer, not one per batch
+        import os
+        snaps = sorted(int(d[5:]) for d in os.listdir(path)
+                       if d.startswith("cms-b")
+                       and os.path.isfile(f"{path}/{d}/_SUCCESS"))
+        state = spark.read.parquet(f"{path}/cms-b{snaps[-1]}/state")
+        assert state.count() == 2
+        assert {r["app_id"] for r in state.collect()} == {"run-a",
+                                                          "run-b"}
+        # geometry guard: mismatched update and mismatched read raise
+        with pytest.raises(ValueError, match="geometry"):
+            update_cms_store(spark, b1, path, "item", 9, width=2048,
+                             app_id="run-c")
+        with pytest.raises(ValueError, match="different"):
+            read_cms_store(spark, path, salt="other")
+        with pytest.raises(TypeError, match="integer"):
+            update_cms_store(spark, b1, path, "item", "not-a-number")
 
     def test_value_sample_check_keys_raises_on_duplicate_keys(self, spark):
         """Duplicate keys collapse to ONE hash, so the duplicated row is

@@ -824,9 +824,23 @@ def test_streaming_cms_ingest_equals_full_and_ledger_blocks_replay(
     want = {(r["row"], r["bucket"]): r["c"]
             for r in cms_build(b1.unionByName(b2), "item").collect()}
     assert got == want
-    # manual replay of an already-folded foreachBatch id: ledger no-op
-    res = update_cms_store(spark, b1, store, "item", 0)
+    # manual replay of an already-folded foreachBatch id: ledger no-op.
+    # The ledger is scoped by WRITER IDENTITY (default: the checkpoint
+    # path — the thing that defines a batch-id sequence), so the replay
+    # must present the same identity the stream wrote under.
+    ck = str(tmp_path / "cms_ck")
+    res = update_cms_store(spark, b1, store, "item", 0, app_id=ck)
     assert res["skipped"] is True
     again = {(r["row"], r["bucket"]): r["c"]
              for r in read_cms_store(spark, store).collect()}
     assert again == want
+    # a DIFFERENT writer reusing id 0 (fresh checkpoint, ids restart) is
+    # genuinely new data and must FOLD — the r8 bare-id ledger silently
+    # skipped it (r8 ADVICE, medium)
+    res2 = update_cms_store(spark, b1, store, "item", 0,
+                            app_id=str(tmp_path / "other_ck"))
+    assert res2["skipped"] is False
+    refolded = {(r["row"], r["bucket"]): r["c"]
+                for r in read_cms_store(spark, store).collect()}
+    assert refolded == {(r["row"], r["bucket"]): r["c"] for r in cms_build(
+        b1.unionByName(b2).unionByName(b1), "item").collect()}

@@ -124,6 +124,7 @@ EXTENDED_QUERIES = [
     "doc_hybrid_rrf",         # r5: BM25 + cosine reciprocal-rank fusion
     "ss_check_suite",         # r5: one-pass declarative quality contract
     "doc_kmv_vocab",          # r5: KMV bottom-k distinct sketch
+    "doc_cms_store_estimate",  # r9: CMS at-rest fold + read-off-store
 ]
 
 # the multimodal-dedup family also runs in the sf1-equiv pass (r4): its

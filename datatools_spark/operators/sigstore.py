@@ -491,6 +491,7 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
                            F.col(hash_col).alias("y_hash"), "_b", "_k")
 
     if max_candidate_mass is not None:
+        batch_n = None
         if max_candidate_mass == "auto":
             # budget = linear term in the BATCH plus the structural
             # batch×store random-collision expectation (bands·B·N/2^w) ×
@@ -508,13 +509,21 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
         bc = a.groupBy("_b", "_k").agg(F.count("*").alias("_bn"))
         # only buckets MATCHING a batch key contribute mass (the join
         # below is on (_b,_k)), so pre-filter the store index with a
-        # broadcast semi-join on the batch's keys before counting —
-        # the store-side pre-flight aggregate is then proportional to
-        # matching rows, not to the full store band index (r8: the
-        # full-store groupBy was the incr row's largest corpus-linear
-        # term after the signature scan itself)
-        sc = (b.join(F.broadcast(a.select("_b", "_k").distinct()),
-                     ["_b", "_k"], "left_semi")
+        # semi-join on the batch's keys before counting — the store-side
+        # pre-flight aggregate is then proportional to matching rows,
+        # not to the full store band index (r8: the full-store groupBy
+        # was the incr row's largest corpus-linear term after the
+        # signature scan itself). The broadcast hint is GATED on the
+        # batch size when known (auto path): up to bands×batch distinct
+        # keys ship to the driver and every executor, so an unbounded
+        # hint turns a large backfill batch into a driver OOM where the
+        # unhinted plan merely ran slower (r8 ADVICE, low); past the
+        # gate — or when the caller passed an int budget and batch_n is
+        # unknown — AQE picks the strategy from measured sizes.
+        keys = a.select("_b", "_k").distinct()
+        if batch_n is not None and batch_n * _AHASH_BANDS <= 1_000_000:
+            keys = F.broadcast(keys)
+        sc = (b.join(keys, ["_b", "_k"], "left_semi")
               .groupBy("_b", "_k").agg(F.count("*").alias("_sn")))
         mass = (bc.join(sc, ["_b", "_k"])
                 .agg(F.sum(F.col("_bn") * F.col("_sn")))

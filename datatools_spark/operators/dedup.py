@@ -614,7 +614,16 @@ def _pair_intersections(sh: DataFrame, id_col: str,
     factors out) apply verbatim: max_df caps candidate generation only,
     the stop-shingle correction join restores exact counts, and the
     bounded posting-list pair generation keeps it to one index shuffle.
+
+    The exploded index feeds THREE subtrees (df guard, per-doc sizes,
+    pair generation), so it is materialized ONCE here — without the
+    checkpoint each branch re-runs the scan + regex shingle explode,
+    which was ~40% of doc_containment_pairs' task time at sf0.1 (r9).
+    Same linear-cost trade the weighted-jaccard query already makes:
+    one corpus-sized index write replaces three corpus-sized
+    recomputes. localCheckpoint, not persist (r5 hygiene rule).
     """
+    sh = sh.localCheckpoint(eager=True)
     def _pair_counts_bounded(idx: DataFrame, out: str) -> DataFrame:
         # per-shingle posting LIST + in-array pair explode: generates the
         # same (a<b, count) table as the self-join but shuffles the index
@@ -654,7 +663,10 @@ def _pair_intersections(sh: DataFrame, id_col: str,
         if stop.isEmpty():
             stop = None
 
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    # per-doc set sizes join the pair table TWICE (a-side, b-side) —
+    # checkpoint the doc-count-sized result so the subtree runs once
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n")) \
+        .localCheckpoint(eager=True)
     na = sizes.select(F.col(id_col).alias("a_id"), F.col("_n").alias("_na"))
     nb = sizes.select(F.col(id_col).alias("b_id"), F.col("_n").alias("_nb"))
 
@@ -765,13 +777,19 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                                           from_words_col="_words")).alias("_sh")))
     base = _pair_intersections(sh, id_col, max_df)
     i = F.col("_inter").cast("double")
-    fwd = base.select(F.col("a_id").alias("src_id"),
-                      F.col("b_id").alias("dst_id"),
-                      (i / F.col("_na")).alias("containment"))
-    rev = base.select(F.col("b_id").alias("src_id"),
-                      F.col("a_id").alias("dst_id"),
-                      (i / F.col("_nb")).alias("containment"))
-    return (fwd.unionByName(rev)
+    # both directions from ONE evaluation of the pair engine: a union of
+    # two projections re-evaluates the whole subtree per branch (exchange
+    # reuse only recovers part of it — measured ~6 task-s at sf0.1);
+    # exploding a 2-element struct array emits fwd+rev rows in-stage
+    return (base.select(F.explode(F.array(
+                F.struct(F.col("a_id").alias("src_id"),
+                         F.col("b_id").alias("dst_id"),
+                         (i / F.col("_na")).alias("containment")),
+                F.struct(F.col("b_id").alias("src_id"),
+                         F.col("a_id").alias("dst_id"),
+                         (i / F.col("_nb")).alias("containment"))))
+            .alias("_d"))
+            .select("_d.*")
             .where(F.col("containment") >= threshold))
 
 

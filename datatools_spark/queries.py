@@ -7344,39 +7344,74 @@ def doc_weighted_jaccard_pairs(spark, sf_dir):
     summation so both engines aggregate identical exact values."""
     d = _t(spark, sf_dir, "documents")
     # the exploded index feeds FIVE subtrees (doc-count, df, weighted
-    # sums, rare lists, stop membership) — checkpoint it, and the
-    # weighted index too, or each branch re-runs the explode+join
-    # (localCheckpoint, not persist: r5 hygiene rule — no session-cache
-    # entry per corpus; EAGER, because a lazy checkpoint only
-    # materializes at first-job END — branches evaluated within one
-    # multi-branch job would each recompute the subtree)
+    # sums, rare lists, stop membership) — checkpoint it, or each branch
+    # re-runs the explode (localCheckpoint, not persist: r5 hygiene rule
+    # — no session-cache entry per corpus; EAGER, because a lazy
+    # checkpoint only materializes at first-job END — branches evaluated
+    # within one multi-branch job would each recompute the subtree).
+    # The WEIGHT table (27k shingle rows) is broadcast-joined where
+    # needed instead of materializing a second checkpointed 260k-row
+    # weighted index — the r8 shw checkpoint's write+read was ~25% of
+    # this query's task time and serialized ~1.5 s of wall (r9)
     sh = (PT.ensure_parallelism(d.select("doc_id", "text"), min_bytes=0)
           .withColumn("_words", TX.words_col("text"))
           .select("doc_id", F.explode(TX.word_shingles(
               "text", 3, from_words_col="_words")).alias("s"))) \
         .localCheckpoint(eager=True)
-    nd = sh.agg(F.countDistinct("doc_id").alias("n"))
-    dfq = sh.groupBy("s").agg(F.count("*").alias("df"))
-    idf = (dfq.crossJoin(F.broadcast(nd))
-           .select("s", F.round(F.log(F.col("n").cast("double")
-                                      / F.col("df")), 6).alias("w")))
+    # vocabulary-sized df table materialized ONCE: idf weights, the
+    # stop set, and the pair lists all derive from it without further
+    # passes over the 10×-larger exploded index. n is a collected
+    # scalar (one job) rather than a crossJoin subtree rebuilt per
+    # consumer — same value the oracle's count(DISTINCT doc_id) uses
+    dfq = sh.groupBy("s").agg(F.count("*").alias("df")) \
+        .localCheckpoint(eager=True)
+    n = sh.select(F.countDistinct("doc_id")).collect()[0][0]
+    idf = dfq.select("s", F.round(F.log(F.lit(float(n))
+                                        / F.col("df")), 6).alias("w"))
     dec6 = lambda c: c.cast("decimal(30,6)")  # noqa: E731
-    shw = sh.join(idf, "s").localCheckpoint(eager=True)
-    wsum = shw.groupBy("doc_id").agg(F.sum(dec6(F.col("w"))).alias("tw"))
     # guarded structure mirrors ngram_jaccard_pairs: stop shingles
     # (df > 100) are excluded from candidate generation AND from the
     # weighted pair join (the df² hazard), then their exact weight mass
     # is restored with a candidate-side correction join — 6.6 s → the
-    # ngram_pairs cost band at sf0.1, and hot-shingle-proof at 100 TB
-    stop = dfq.where(F.col("df") > 100).select("s") \
-        .localCheckpoint(eager=True)
-    rare_idx = shw.join(F.broadcast(stop), "s", "left_anti")
+    # ngram_pairs cost band at sf0.1, and hot-shingle-proof at 100 TB.
+    # When NO shingle exceeds max_df the whole correction apparatus
+    # (anti join + two membership joins + correction agg) is a no-op
+    # dropped from the plan entirely — the same empty-stop fast path
+    # _pair_intersections takes (r9: ~25% of this query's task time)
+    stop = dfq.where(F.col("df") > 100).select("s")
+    if stop.isEmpty():
+        stop = None
+    rare_idx = sh if stop is None \
+        else sh.join(F.broadcast(stop), "s", "left_anti")
     # bounded posting-list pair generation (df ≤ 100 after the stop
     # anti-join): ONE index shuffle instead of a two-sided self-join —
-    # the _pair_counts_bounded trick, weight carried per shingle
-    lists = rare_idx.groupBy("s").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("_ids"),
-        F.first("w").alias("w"))
+    # the _pair_counts_bounded trick; the weight joins onto the LISTS
+    # (one row per shingle, arrays bounded by max_df), never the
+    # 10×-larger exploded index. The lists are CHECKPOINTED: they feed
+    # both pair generation and the per-doc weight totals, so the r9
+    # plan makes exactly TWO corpus-sized passes over the index (df
+    # count + list agg) — wsum re-derives from the vocabulary-sized
+    # lists by re-explode instead of a third pass over sh
+    lists = (rare_idx.groupBy("s").agg(
+                 F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+             .join(F.broadcast(idf), "s")) \
+        .localCheckpoint(eager=True)
+    # per-doc weight totals join the pair table TWICE (tw_a, tw_b) —
+    # checkpoint the doc-count-sized result so the subtree runs once.
+    # In the guarded path the lists lack stop-shingle memberships, so
+    # their weight mass is restored from one pass over the (tiny)
+    # stop-membership index
+    wsum = (lists.select("w", F.explode("_ids").alias("doc_id"))
+            .groupBy("doc_id").agg(F.sum(dec6(F.col("w"))).alias("tw")))
+    if stop is not None:
+        sidx = (sh.join(F.broadcast(stop), "s")
+                .join(F.broadcast(idf), "s")) \
+            .localCheckpoint(eager=True)
+        wstop = sidx.groupBy("doc_id").agg(
+            F.sum(dec6(F.col("w"))).alias("tw"))
+        wsum = (wsum.unionByName(wstop).groupBy("doc_id")
+                .agg(F.sum("tw").alias("tw")))
+    wsum = wsum.localCheckpoint(eager=True)
     cap = (lists.select("w", F.explode(F.expr(
                "flatten(transform(_ids, (x, i) -> "
                "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
@@ -7384,18 +7419,21 @@ def doc_weighted_jaccard_pairs(spark, sf_dir):
            .groupBy(F.col("_p.a").alias("a_id"),
                     F.col("_p.b").alias("b_id"))
            .agg(F.sum(dec6(F.col("w"))).alias("iw_r")))
-    sidx = shw.join(F.broadcast(stop), "s")
-    sa = sidx.select(F.col("doc_id").alias("a_id"), "s", "w")
-    sb = sidx.select(F.col("doc_id").alias("b_id"), "s")
-    corr = (cap.select("a_id", "b_id")
-            .join(sa, "a_id").join(sb, ["s", "b_id"])
-            .groupBy("a_id", "b_id")
-            .agg(F.sum(dec6(F.col("w"))).alias("iw_s")))
-    iw = F.col("iw_r") + F.coalesce(F.col("iw_s"), F.lit(0).cast(
-        "decimal(30,6)"))
+    if stop is not None:
+        sa = sidx.select(F.col("doc_id").alias("a_id"), "s", "w")
+        sb = sidx.select(F.col("doc_id").alias("b_id"), "s")
+        corr = (cap.select("a_id", "b_id")
+                .join(sa, "a_id").join(sb, ["s", "b_id"])
+                .groupBy("a_id", "b_id")
+                .agg(F.sum(dec6(F.col("w"))).alias("iw_s")))
+        cap = cap.join(corr, ["a_id", "b_id"], "left")
+        iw = F.col("iw_r") + F.coalesce(F.col("iw_s"), F.lit(0).cast(
+            "decimal(30,6)"))
+    else:
+        iw = F.col("iw_r")
     wj = (iw.cast("double")
           / (F.col("tw_a") + F.col("tw_b") - iw).cast("double"))
-    return (cap.join(corr, ["a_id", "b_id"], "left")
+    return (cap
             .join(wsum.select(F.col("doc_id").alias("a_id"),
                               F.col("tw").alias("tw_a")), "a_id")
             .join(wsum.select(F.col("doc_id").alias("b_id"),

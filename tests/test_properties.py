@@ -185,6 +185,65 @@ def test_ngram_max_df_drops_stop_shingles_keeps_dups(spark):
     assert capped == full  # exact dups connected via their rare shingles
 
 
+def test_weighted_jaccard_guarded_path_equals_brute_force(spark, tmp_path):
+    """doc_weighted_jaccard_pairs with a STOP shingle (df > 100): the
+    r9 plan derives per-doc weight totals from the capped posting lists
+    plus a stop-membership pass, and restores the pairs' stop-shingle
+    weight mass with the correction join — the result must equal a
+    brute-force array_intersect computation over the FULL shingle sets.
+    120 docs share one shingle (df=120 > max_df=100, forcing the
+    guarded branch the sf-corpora never exercise); near-dup pairs share
+    rare shingles too."""
+    import pyspark.sql.functions as F
+
+    from datatools_spark.operators.text import word_shingles, words_col
+    from datatools_spark.queries import QUERIES
+    stop = "zz yy xx"
+    docs = [(i, f"{stop} fox{i} a{i} b{i} c{i}") for i in range(116)]
+    # two exact-dup groups connected via rare shingles
+    docs += [(200, f"{stop} unique words here now today"),
+             (201, f"{stop} unique words here now today"),
+             (300, f"{stop} other shared tail phrase bits"),
+             (301, f"{stop} other shared tail phrase bits")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {(r.a_id, r.b_id): r.wjaccard
+           for r in QUERIES["doc_weighted_jaccard_pairs"](
+               spark, str(tmp_path)).collect()}
+    # brute force over full sets (120 docs -> crossJoin is fine here)
+    sets = (df.withColumn("_w", words_col("text"))
+            .select("doc_id", F.sort_array(word_shingles(
+                "text", 3, from_words_col="_w")).alias("shs")))
+    n = sets.where(F.size("shs") > 0).count()
+    idf = (sets.select(F.explode("shs").alias("s"))
+           .groupBy("s").agg(F.count("*").alias("df"))
+           .select("s", F.round(F.log(F.lit(float(n)) / F.col("df")), 6)
+                   .alias("w")))
+    dec6 = lambda c: c.cast("decimal(30,6)")  # noqa: E731
+    tw = (sets.select("doc_id", F.explode("shs").alias("s"))
+          .join(idf, "s").groupBy("doc_id")
+          .agg(F.sum(dec6(F.col("w"))).alias("tw")))
+    a = sets.select(F.col("doc_id").alias("a_id"), F.col("shs").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("b_id"), F.col("shs").alias("sb"))
+    pairs = (a.crossJoin(b).where(F.col("a_id") < F.col("b_id"))
+             .select("a_id", "b_id",
+                     F.explode(F.array_intersect("sa", "sb")).alias("s"))
+             .join(idf, "s").groupBy("a_id", "b_id")
+             .agg(F.sum(dec6(F.col("w"))).alias("iw")))
+    wj = (F.col("iw").cast("double")
+          / (F.col("tw_a") + F.col("tw_b") - F.col("iw")).cast("double"))
+    want = {(r.a_id, r.b_id): r.wjaccard for r in
+            (pairs.join(tw.select(F.col("doc_id").alias("a_id"),
+                                  F.col("tw").alias("tw_a")), "a_id")
+             .join(tw.select(F.col("doc_id").alias("b_id"),
+                             F.col("tw").alias("tw_b")), "b_id")
+             .where(wj >= 0.1)
+             .select("a_id", "b_id", F.round(wj, 6).alias("wjaccard"))
+             ).collect()}
+    assert (200, 201) in want and (300, 301) in want
+    assert got == want
+
+
 def test_token_counts_additive_and_bounded(spark):
     """Whitespace tokens are additive under concatenation; the BPE-ish
     estimate is always ≥ the whitespace count (subwords only add)."""

@@ -158,7 +158,8 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
 def calc_velocity_range_join(df: DataFrame, value_cols: Sequence[str],
                              stat_window="3T", separation_window="2H",
                              min_obs: int = 3, ts_col: str = "ts",
-                             approx: bool = False) -> DataFrame:
+                             approx: bool = False,
+                             grid_step=None) -> DataFrame:
     """The general physical variant of the §2.9 kernel: explicit grid
     (``sequence`` + ``explode``) range-joined to the positions.
 
@@ -168,15 +169,26 @@ def calc_velocity_range_join(df: DataFrame, value_cols: Sequence[str],
     itself always uses step == stat (gpstools.py:582-585), making the
     tiling plan the default; this variant generalizes and cross-checks it
     (tests/test_velocity_variants.py asserts both produce identical
-    results on the reference's parameterization).
+    results on the reference's parameterization; plans/chooser.py
+    dispatches between them).
 
-    Scale note: the join predicate is a bounded interval around each grid
-    point, so Spark executes it as a shuffle join on coarse time buckets
-    with AQE skew splitting; still strictly heavier than the tiling plan
-    — use only for overlapping windows.
+    Physical shape: a bare interval predicate executes as a
+    BroadcastNestedLoopJoin — O(rows × grid points) predicate
+    evaluations. Measured (r9 A/B, bench/velocity_plan_ab.py): 2.7 s at
+    1e7 rows × 455 grid points vs 0.8 s for this form — survivable at a
+    short grid but growing LINEARLY with grid length (a multi-year
+    station at this stat window has 1e4+ points → 1e11 evaluations),
+    where this form stays O(rows). The join carries a coarse
+    time-bucket EQUI key: positions bucket once by ``floor(es/stat)``;
+    each (grid point, side) explodes to the ≤3 buckets its stat window
+    can overlap; the interval predicate then refines exactly. One
+    hash-partitioned shuffle of the positions, grid-side fan-out ≤ 3·2
+    rows per grid point, AQE skew splitting applies — no nested-loop
+    node in the plan (asserted in tests/test_velocity_variants.py).
     """
     stat = parse_duration_seconds(stat_window)
     sep = parse_duration_seconds(separation_window)
+    step = stat if grid_step is None else parse_duration_seconds(grid_step)
     half_sep, half_stat = sep / 2.0, stat / 2.0
 
     es = F.col(ts_col).cast("double")
@@ -184,24 +196,42 @@ def calc_velocity_range_join(df: DataFrame, value_cols: Sequence[str],
     grid = bounds.select(F.explode(F.sequence(
         (F.col("_tmin") + sep).cast("long"),
         (F.col("_tmax") - sep).cast("long"),
-        F.lit(int(stat)))).alias("_t"))
+        F.lit(int(step)))).alias("_t"))
 
-    pos = df.select(es.alias("_es"), *value_cols)
-    out_sides = []
-    for side, off in ((0, -half_sep), (1, +half_sep)):
-        center = F.col("_t") + off
-        joined = grid.join(
-            pos,
-            (F.col("_es") >= center - half_stat) & (F.col("_es") < center + half_stat))
-        med = (lambda c: F.percentile_approx(F.col(c), 0.5)) if approx \
-            else (lambda c: F.median(F.col(c)))
-        aggs = [med(c).alias(f"_m{side}_{c}") for c in value_cols]
-        aggs.append(F.count(F.col(value_cols[0])).alias(f"_n{side}"))
-        out_sides.append(joined.groupBy("_t").agg(*aggs))
+    # (side, bucket) fan-out on the GRID side only: window
+    # [c−half_stat, c+half_stat) spans at most ceil(stat/B)+1 = 3
+    # width-B buckets when B = stat
+    b = float(stat)
+    sides = F.explode(F.array(*[F.struct(
+        F.lit(s).alias("_side"),
+        ((F.col("_t") + F.lit(off)).cast("double")).alias("_c"))
+        for s, off in ((0, -half_sep), (1, +half_sep))])).alias("_sc")
+    gexp = (grid.select("_t", sides)
+            .select("_t", F.col("_sc._side").alias("_side"),
+                    F.col("_sc._c").alias("_c"))
+            .select("_t", "_side", "_c", F.explode(F.sequence(
+                F.floor((F.col("_c") - half_stat) / b),
+                F.floor((F.col("_c") + half_stat) / b)))
+                .alias("_pb")))
 
-    j = (out_sides[0].join(out_sides[1], on="_t")
-         .where((F.col("_n0") > min_obs) & (F.col("_n1") > min_obs)))
+    pos = df.select(es.alias("_es"), F.floor(es / b).alias("_pb"),
+                    *value_cols)
+    joined = (gexp.join(pos, "_pb")
+              .where((F.col("_es") >= F.col("_c") - half_stat)
+                     & (F.col("_es") < F.col("_c") + half_stat)))
+    med = (lambda c: F.percentile_approx(F.col(c), 0.5)) if approx \
+        else (lambda c: F.median(F.col(c)))
+    aggs = [med(c).alias(f"_m_{c}") for c in value_cols]
+    aggs.append(F.count(F.col(value_cols[0])).alias("_n"))
+    per_side = joined.groupBy("_t", "_side").agg(*aggs)
+
+    left = per_side.where(F.col("_side") == 0).drop("_side")
+    right = per_side.where(F.col("_side") == 1).drop("_side")
+    right = right.withColumnsRenamed(
+        {**{f"_m_{c}": f"_r_{c}" for c in value_cols}, "_n": "_rn"})
+    j = (left.join(right, on="_t")
+         .where((F.col("_n") > min_obs) & (F.col("_rn") > min_obs)))
     dt_days = sep / 86400.0
-    vels = [((F.col(f"_m1_{c}") - F.col(f"_m0_{c}")) / F.lit(dt_days)).alias(f"{c}_vel")
+    vels = [((F.col(f"_r_{c}") - F.col(f"_m_{c}")) / F.lit(dt_days)).alias(f"{c}_vel")
             for c in value_cols]
     return j.select(F.col("_t").cast("timestamp").alias("date"), *vels)

@@ -46,12 +46,22 @@ def velocity(df: DataFrame, value_cols: Sequence[str], stat_window,
              separation_window, grid_step=None, **kw) -> DataFrame:
     """Dispatching front-end: build whichever physical variant
     :func:`choose_velocity_plan` selects (both are cross-checked equal in
-    tests/test_velocity_variants.py on the reference parameterization)."""
+    tests/test_velocity_variants.py on the reference parameterization,
+    and the facade itself is equality-tested against direct calls).
+
+    The rule is A/B-backed at 1e7 rows (bench/velocity_plan_ab.py,
+    table in bench/SCALE_NOTES.md): when the grid tiles (step == stat)
+    the bucket plan's single hash aggregate beats the bucketed range
+    join's join+aggregate; when windows overlap (step < stat) only the
+    range join is correct — its grid-side fan-out is ≤ 6 rows per grid
+    point regardless of the overlap factor, where a generalized tiling
+    explode would fan the FULL data out by 2·stat/step rows each."""
     if choose_velocity_plan(stat_window, grid_step) == "bucket":
         return calc_velocity(df, value_cols, stat_window,
                              separation_window, **kw)
     return calc_velocity_range_join(df, value_cols, stat_window,
-                                    separation_window, **kw)
+                                    separation_window,
+                                    grid_step=grid_step, **kw)
 
 
 def plan_string(df: DataFrame, formatted: bool = False) -> str:

@@ -29,6 +29,43 @@ def test_variants_agree_on_reference_parameterization(spark):
         assert a[k] == pytest.approx(b[k], abs=1e-12)
 
 
+def test_chooser_dispatch_and_facade_equality(spark):
+    """plans/chooser.py (SURVEY §4.1, the one custom physical decision):
+    the rule — bucket tiling whenever the grid step equals the stat
+    width (incl. the reference default), the bucketed range join
+    otherwise — and the dispatching facade must return the same rows
+    the directly-called variant returns. The overlapping-grid case
+    (step < stat) has no bucket twin, so it is cross-checked against
+    a brute-force per-point computation."""
+    from datatools_spark.plans.chooser import (
+        choose_velocity_plan, plan_string, velocity)
+    assert choose_velocity_plan("1h") == "bucket"
+    assert choose_velocity_plan("1h", "1h") == "bucket"
+    assert choose_velocity_plan("1h", "30min") == "range_join"
+    assert choose_velocity_plan(3600, 7200) == "range_join"
+    df = _series(spark)
+    via_facade = {r["date"]: r["value_vel"]
+                  for r in velocity(df, ["value"], "1h", "6h").collect()}
+    direct = {r["date"]: r["value_vel"]
+              for r in calc_velocity(df, ["value"], "1h", "6h").collect()}
+    assert via_facade == direct
+    # overlapping grid (step = stat/2): twice-dense grid; windows at
+    # even points coincide with the tiling grid's windows
+    dense = {r["date"]: r["value_vel"]
+             for r in velocity(df, ["value"], "1h", "6h",
+                               grid_step="30min").collect()}
+    assert set(direct) <= set(dense)
+    for k in direct:
+        assert dense[k] == pytest.approx(direct[k], abs=1e-12)
+    # the range join must carry the coarse-bucket equi key: a bare
+    # interval predicate falls back to BroadcastNestedLoopJoin, which
+    # is O(rows x grid) and unusable at 1e7 rows
+    plan = plan_string(velocity(df, ["value"], "1h", "6h",
+                                grid_step="30min"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_approx_median_close_to_exact(spark):
     df = _series(spark)
     exact = {r["date"]: r["value_vel"]

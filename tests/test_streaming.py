@@ -789,6 +789,69 @@ def test_streaming_value_sample_ingest_equals_full_sketch(spark, tmp_path):
     assert got == want and len(got) == 3
 
 
+def test_streaming_events_pipeline_composite_equals_batch(spark, tmp_path):
+    """The composite events pipeline (streaming/pipeline.py: ONE file
+    stream fanned out to sessionize + CMS ingest + drift monitor, each
+    with its own checkpoint) is batch-equivalent end to end: sessions
+    equal the same session_window aggregation over the full frame, the
+    CMS store equals a from-scratch sketch of every streamed row, and
+    the drift log's (key, psi, n_batch) rows equal batch_psi computed
+    per source file — one test over the WIRED composite, not the twins
+    in isolation (r8 VERDICT #6)."""
+    import pyspark.sql.functions as F
+
+    from datatools_spark.operators.sketches import cms_build, read_cms_store
+    from datatools_spark.streaming.monitor import baseline_histogram, batch_psi
+    from datatools_spark.streaming.pipeline import run_events_pipeline
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [(i, t0 + dt.timedelta(minutes=7 * i),
+             ["click", "view", "buy"][i % 3],
+             math.sin(i / 9.0) * 5 + 10) for i in range(400)]
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    df = spark.createDataFrame(rows, schema)
+    # baseline frozen on a shifted variant so PSI is non-degenerate
+    baseline = baseline_histogram(
+        df.withColumn("value", F.col("value") * 1.1), value_col="value")
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(src)
+
+    paths = run_events_pipeline(spark, src, df.schema,
+                                str(tmp_path / "work"), baseline)
+
+    # sessions: equal the batch session_window aggregation
+    got = spark.read.parquet(paths["sessions"])
+    want = streaming_sessionize(df, key="event_type")
+    rnd = lambda d: sorted(  # noqa: E731
+        tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+        for r in d.collect())
+    assert rnd(got) == rnd(want) and got.count() > 0
+
+    # CMS store: exactly the from-scratch sketch of every streamed row
+    got_cells = {(r["row"], r["bucket"]): r["c"]
+                 for r in read_cms_store(
+                     spark, paths["cms_store"]).collect()}
+    want_cells = {(r["row"], r["bucket"]): r["c"]
+                  for r in cms_build(df, "event_type").collect()}
+    assert got_cells == want_cells
+
+    # drift log: one (key, psi) row set per micro-batch; with
+    # maxFilesPerTrigger=1 each micro-batch is one source file, so the
+    # log's rows equal batch_psi over each file (order-free multiset —
+    # file-to-batch order is not pinned)
+    import glob
+    log = spark.read.parquet(paths["drift_log"])
+    got_psi = sorted((r.event_type, r.psi, r.n_batch)
+                     for r in log.collect())
+    want_psi = []
+    for f in glob.glob(f"{src}/part-*.parquet"):
+        part = spark.read.schema(schema).parquet(f)
+        want_psi += [(r.event_type, r.psi, r.n_batch)
+                     for r in batch_psi(part, baseline).collect()]
+    assert got_psi == sorted(want_psi)
+    assert log.select("batch_id").distinct().count() == 3
+
+
 def test_streaming_cms_ingest_equals_full_and_ledger_blocks_replay(
         spark, tmp_path):
     """Micro-batched CMS ingest equals the from-scratch sketch of the

@@ -463,12 +463,20 @@ def update_kmv_store(spark, batch: DataFrame, path: str, group_cols,
     pruned. Replay-IDEMPOTENT without any dedup bookkeeping — KMV is a
     set sketch, so re-ingesting the same items merges identical hashes
     to the identical sketch: a checkpoint-retried batch converges.
-    Returns ``{"batch", "groups"}``."""
+
+    Sketch GEOMETRY ``(k, salt)`` rides on every snapshot row (two
+    literal columns — no layout change) and a mismatched update raises:
+    merging bottom-k sets drawn from DIFFERENT salted hash spaces, or
+    truncating a larger-k store to a smaller k, silently corrupts every
+    estimate (the r9 CMS-geometry fix, applied to the whole sketch
+    store family). Returns ``{"batch", "groups"}``."""
     group_cols = list(group_cols)
     snaps = _kmv_snapshots(spark, path)
     bsk = kmv_sketch(batch, group_cols, item_col, k=k, salt=salt)
     if snaps:
-        cur = spark.read.parquet(f"{path}/kmv-b{snaps[-1]}") \
+        cur = spark.read.parquet(f"{path}/kmv-b{snaps[-1]}")
+        _check_sketch_geometry(cur, path, k=k, salt=salt)
+        cur = cur.drop("_k", "_salt") \
             .withColumnRenamed("hs", "_old").alias("_c")
         new = bsk.withColumnRenamed("hs", "_new").alias("_b")
         # eqNullSafe, not a name-list join: a NULL group key is a
@@ -490,6 +498,8 @@ def update_kmv_store(spark, batch: DataFrame, path: str, group_cols,
         nxt = snaps[-1] + 1
     else:
         merged, nxt = bsk, 0
+    merged = merged.withColumn("_k", F.lit(int(k))) \
+        .withColumn("_salt", F.lit(salt))
     merged.coalesce(1).write.mode("overwrite") \
         .parquet(f"{path}/kmv-b{nxt}")
     jp = spark._jvm.org.apache.hadoop.fs.Path(path)
@@ -501,13 +511,41 @@ def update_kmv_store(spark, batch: DataFrame, path: str, group_cols,
     return {"batch": nxt, "groups": int(n)}
 
 
-def read_kmv_store(spark, path: str) -> DataFrame:
-    """The newest committed sketch table: ``<group_cols>, hs``."""
+def _check_sketch_geometry(snapshot: DataFrame, path: str, **want) -> None:
+    """Raise when a stored sketch snapshot's ``_k``/``_salt`` (literal
+    geometry columns every r9+ snapshot carries) differ from what the
+    caller is about to merge/read with — mixing salted hash spaces or
+    truncating k silently corrupts estimates. Pre-r9 snapshots lack the
+    columns and are refused with a rebuild message."""
+    cols = snapshot.columns
+    if "_k" not in cols or "_salt" not in cols:
+        raise ValueError(
+            f"sketch store at {path} predates geometry stamping — "
+            "rebuild it (pre-r9 snapshots cannot prove their k/salt)")
+    got = snapshot.select("_k", "_salt").limit(1).collect()[0]
+    have = {"k": got["_k"], "salt": got["_salt"]}
+    for name, v in want.items():
+        if have[name] != v:
+            raise ValueError(
+                f"sketch store at {path} was built with {name}="
+                f"{have[name]!r}; caller passed {v!r} — merging "
+                "mismatched sketch geometries corrupts estimates")
+
+
+def read_kmv_store(spark, path: str, k: int | None = None,
+                   salt: str | None = None) -> DataFrame:
+    """The newest committed sketch table: ``<group_cols>, hs``. Pass
+    ``k``/``salt`` to assert the store's stamped geometry matches what
+    the reader's estimates assume."""
     snaps = _kmv_snapshots(spark, path)
     if not snaps:
         raise ValueError(f"KMV store at {path} has no committed "
                          "snapshots — update_kmv_store first")
-    return spark.read.parquet(f"{path}/kmv-b{snaps[-1]}")
+    out = spark.read.parquet(f"{path}/kmv-b{snaps[-1]}")
+    if k is not None or salt is not None:
+        _check_sketch_geometry(out, path, **{
+            n: v for n, v in (("k", k), ("salt", salt)) if v is not None})
+    return out.drop("_k", "_salt")
 
 
 def update_value_sample_store(spark, batch: DataFrame, path: str,
@@ -527,13 +565,17 @@ def update_value_sample_store(spark, batch: DataFrame, path: str,
     collapses — so a checkpoint-retried batch converges. The at-rest
     table is ``<group_cols>, vs`` only (no row counts: a replay-safe
     count needs the key-set sketch, which is what the KMV store is).
+    Geometry ``(k, salt)`` is stamped on every snapshot row and a
+    mismatched update raises — same guard as the KMV/CMS stores (r9).
     Returns ``{"batch", "groups"}``."""
     group_cols = list(group_cols)
     snaps = _kmv_snapshots(spark, path, prefix="vs-b")
     bsk = value_sample_sketch(batch, group_cols, key_col, value_col,
                               k=k, salt=salt).drop("n_rows")
     if snaps:
-        cur = spark.read.parquet(f"{path}/vs-b{snaps[-1]}") \
+        cur = spark.read.parquet(f"{path}/vs-b{snaps[-1]}")
+        _check_sketch_geometry(cur, path, k=k, salt=salt)
+        cur = cur.drop("_k", "_salt") \
             .withColumnRenamed("vs", "_old").alias("_c")
         new = bsk.withColumnRenamed("vs", "_new").alias("_b")
         # eqNullSafe join: a NULL group key merges, never forks (the
@@ -553,6 +595,8 @@ def update_value_sample_store(spark, batch: DataFrame, path: str,
         nxt = snaps[-1] + 1
     else:
         merged, nxt = bsk, 0
+    merged = merged.withColumn("_k", F.lit(int(k))) \
+        .withColumn("_salt", F.lit(salt))
     merged.coalesce(1).write.mode("overwrite") \
         .parquet(f"{path}/vs-b{nxt}")
     jp = spark._jvm.org.apache.hadoop.fs.Path(path)
@@ -564,13 +608,19 @@ def update_value_sample_store(spark, batch: DataFrame, path: str,
     return {"batch": nxt, "groups": int(n)}
 
 
-def read_value_sample_store(spark, path: str) -> DataFrame:
-    """The newest committed sample table: ``<group_cols>, vs``."""
+def read_value_sample_store(spark, path: str, k: int | None = None,
+                            salt: str | None = None) -> DataFrame:
+    """The newest committed sample table: ``<group_cols>, vs``. Pass
+    ``k``/``salt`` to assert the store's stamped geometry."""
     snaps = _kmv_snapshots(spark, path, prefix="vs-b")
     if not snaps:
         raise ValueError(f"value-sample store at {path} has no committed "
                          "snapshots — update_value_sample_store first")
-    return spark.read.parquet(f"{path}/vs-b{snaps[-1]}")
+    out = spark.read.parquet(f"{path}/vs-b{snaps[-1]}")
+    if k is not None or salt is not None:
+        _check_sketch_geometry(out, path, **{
+            n: v for n, v in (("k", k), ("salt", salt)) if v is not None})
+    return out.drop("_k", "_salt")
 
 
 def update_cms_store(spark, batch: DataFrame, path: str, item_col: str,

@@ -964,6 +964,36 @@ class TestKMV:
         with pytest.raises(TypeError, match="integer"):
             update_cms_store(spark, b1, path, "item", "not-a-number")
 
+    def test_kmv_and_value_sample_stores_stamp_and_enforce_geometry(
+            self, spark, tmp_path):
+        """The r9 CMS-geometry guard applied to the whole sketch-store
+        family: KMV and value-sample snapshots stamp (k, salt) as
+        literal columns; an update or validated read with different
+        geometry raises instead of silently merging incompatible hash
+        spaces (different salt) or truncating a larger-k store. The
+        public read schema is unchanged (meta columns dropped)."""
+        import pytest
+        from datatools_spark.operators.sketches import (
+            read_kmv_store, read_value_sample_store, update_kmv_store,
+            update_value_sample_store)
+        kp, vp = str(tmp_path / "k"), str(tmp_path / "v")
+        b = spark.range(0, 300).selectExpr("id % 3 as g",
+                                           "concat('x', id) as item")
+        update_kmv_store(spark, b, kp, ["g"], "item", k=32)
+        assert read_kmv_store(spark, kp, k=32, salt="kmv").columns \
+            == ["g", "hs"]
+        with pytest.raises(ValueError, match="geometr"):
+            update_kmv_store(spark, b, kp, ["g"], "item", k=64)
+        with pytest.raises(ValueError, match="geometr"):
+            read_kmv_store(spark, kp, salt="other")
+        v = spark.range(0, 200).selectExpr("id % 2 as g", "id as key",
+                                           "id * 1.5 as v")
+        update_value_sample_store(spark, v, vp, ["g"], "key", "v", k=16)
+        assert read_value_sample_store(spark, vp).columns == ["g", "vs"]
+        with pytest.raises(ValueError, match="geometr"):
+            update_value_sample_store(spark, v, vp, ["g"], "key", "v",
+                                      k=16, salt="zzz")
+
     def test_value_sample_check_keys_raises_on_duplicate_keys(self, spark):
         """Duplicate keys collapse to ONE hash, so the duplicated row is
         either over-represented (its value sampled whenever the hash

@@ -82,13 +82,17 @@ def main() -> None:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    df = (spark.range(docs).select(
+    base = spark.range(docs).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(" ", *[
             F.concat(F.lit(f"w{j}_"),
                      ((F.col("id") + j) % (50 + 7 * j)).cast("string"))
             for j in range(12)]).alias("text"))
-          ).localCheckpoint(eager=True)
+    # 1% planted exact-dup partners so the verify+emit path carries
+    # real survivors, not just candidate mass
+    dups = base.where(F.col("doc_id") % 100 == 0) \
+        .select((F.col("doc_id") + docs).alias("doc_id"), "text")
+    df = base.unionByName(dups).localCheckpoint(eager=True)
 
     def best(fn):
         t = []

@@ -111,11 +111,26 @@ def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
     pr = deg.select(F.col("u").alias("id"), "_outdeg",
                     F.round(F.lit(1.0) / F.lit(float(n)),
                             round_dp).alias("pr"))
+    # the rank vector is node-sized; when that provably fits a broadcast
+    # (n known from the degree count — ~48 B/row, 64 MB budget), hint it
+    # into BOTH per-round joins. Per-round eager materialization hides
+    # sizes from AQE, so without the hint the contribution join fell
+    # back to shuffling the EDGES every round (r8 accepted trade:
+    # shuffle grew 18.6 → 41.7 MB buying wall) — the gated hint keeps
+    # the r8 wall AND reclaims the shuffle (r9, measured in
+    # SCALE_NOTES). Past the gate (a 100 TB-scale node set) the
+    # node-×-iteration-bounded shuffle join remains the right plan.
+    bcast_ranks = n * 48 <= 64 * 1024 * 1024
     for _ in range(iters):
-        contrib = (e.join(pr.withColumnRenamed("id", "u"), "u")
+        prj = pr.withColumnRenamed("id", "u")
+        if bcast_ranks:
+            prj = F.broadcast(prj)
+        contrib = (e.join(prj, "u")
                    .groupBy(F.col("v").alias("id"))
                    .agg(F.round(F.sum(F.col("pr") / F.col("_outdeg")),
                                 round_dp).alias("_s")))
+        if bcast_ranks:
+            contrib = F.broadcast(contrib)
         pr = (deg.select(F.col("u").alias("id"), "_outdeg")
               .join(contrib, "id", "left")
               .select("id", "_outdeg",

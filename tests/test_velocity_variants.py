@@ -64,6 +64,25 @@ def test_chooser_dispatch_and_facade_equality(spark):
                                 grid_step="30min"))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # dense-grid-ONLY points (the midpoints no bucket twin exists for)
+    # pinned against a brute-force per-point computation: filter the
+    # raw series into each side's [c−stat/2, c+stat/2) window, median,
+    # difference over sep_days
+    import pyspark.sql.functions as F
+    mids = sorted(set(dense) - set(direct))[:3]
+    assert len(mids) == 3
+    for t in mids:
+        c = t.timestamp()
+        stat, sep = 3600.0, 6 * 3600.0
+        meds = []
+        for off in (-sep / 2, +sep / 2):
+            lo, hi = c + off - stat / 2, c + off + stat / 2
+            meds.append(df.where(
+                (F.col("ts").cast("double") >= lo)
+                & (F.col("ts").cast("double") < hi))
+                .agg(F.median("value")).collect()[0][0])
+        want = (meds[1] - meds[0]) / (sep / 86400.0)
+        assert dense[t] == pytest.approx(want, abs=1e-9), t
 
 
 def test_approx_median_close_to_exact(spark):

@@ -907,3 +907,74 @@ def test_streaming_cms_ingest_equals_full_and_ledger_blocks_replay(
                 for r in read_cms_store(spark, store).collect()}
     assert refolded == {(r["row"], r["bucket"]): r["c"] for r in cms_build(
         b1.unionByName(b2).unionByName(b1), "item").collect()}
+
+
+def test_streaming_cms_restart_replays_uncommitted_batch_exactly_once(
+        spark, tmp_path):
+    """Exactly-once through SPARK'S OWN replay machinery, not a simulated
+    double-call: run the CMS ingest over file A, then delete the
+    checkpoint's ``commits/0`` marker — the real crash window where
+    foreachBatch's side effect landed but the trigger commit didn't.
+    Restarting the same checkpoint makes Structured Streaming rebuild
+    batch 0 from ``offsets/0`` and RE-FIRE foreachBatch with the same
+    batch_id (at-least-once delivery, for real); the store's watermark
+    ledger must turn that replay into a no-op while the file B appended
+    before the restart still folds as batch 1. Final sketch == one-shot
+    build of A ∪ B, and the ledger watermark advanced to 1."""
+    import os
+
+    from datatools_spark.operators.sketches import (
+        _kmv_snapshots, cms_build, read_cms_store)
+    from datatools_spark.streaming.demo import streaming_cms_ingest
+
+    schema = "item string"
+    src = str(tmp_path / "cms_src")
+    store = str(tmp_path / "cms_store")
+    ck = str(tmp_path / "cms_ck")
+    a = spark.range(0, 500).select(
+        F.concat(F.lit("w"), (F.col("id") % 60).cast("string"))
+        .alias("item"))
+    b = spark.range(500, 900).select(
+        F.concat(F.lit("w"), (F.col("id") % 90).cast("string"))
+        .alias("item"))
+    a.coalesce(1).write.parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming_cms_ingest(stream, store, ck, "item")
+    q.awaitTermination(180)
+    assert not q.isActive
+    only_a = {(r["row"], r["bucket"]): r["c"]
+              for r in read_cms_store(spark, store).collect()}
+    assert only_a == {(r["row"], r["bucket"]): r["c"]
+                      for r in cms_build(a, "item").collect()}
+
+    # crash window: the fold committed (store has A, ledger last_id=0)
+    # but Spark's trigger commit is gone — on restart the offset log
+    # says batch 0 exists, the commit log says it never finished
+    commit0 = os.path.join(ck, "commits", "0")
+    assert os.path.exists(commit0)
+    os.remove(commit0)
+    # the local ChecksumFs shadows every metadata file with a .crc; a
+    # stale one blocks the re-commit rename on replay (real HDFS/object
+    # stores don't have this local-FS artifact)
+    crc0 = os.path.join(ck, "commits", ".0.crc")
+    if os.path.exists(crc0):
+        os.remove(crc0)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    q2 = streaming_cms_ingest(stream2, store, ck, "item")
+    q2.awaitTermination(180)
+    assert not q2.isActive
+
+    want = {(r["row"], r["bucket"]): r["c"]
+            for r in cms_build(a.unionByName(b), "item").collect()}
+    got = {(r["row"], r["bucket"]): r["c"]
+           for r in read_cms_store(spark, store).collect()}
+    assert got == want  # replayed batch 0 skipped, batch 1 folded once
+
+    last = _kmv_snapshots(spark, store, prefix="cms-b")[-1]
+    state = spark.read.parquet(f"{store}/cms-b{last}/state").collect()
+    assert [(r["app_id"], r["last_id"]) for r in state] == [(ck, 1)]

@@ -978,3 +978,66 @@ def test_streaming_cms_restart_replays_uncommitted_batch_exactly_once(
     last = _kmv_snapshots(spark, store, prefix="cms-b")[-1]
     state = spark.read.parquet(f"{store}/cms-b{last}/state").collect()
     assert [(r["app_id"], r["last_id"]) for r in state] == [(ck, 1)]
+
+
+def test_streaming_image_ingest_restart_replay_is_idempotent(
+        spark, tmp_path):
+    """The signature-store family's replay safety is IDEMPOTENCE (the
+    store anti-join signs only unseen ids), not a ledger — pin it under
+    Spark's REAL replay: delete the checkpoint's commits/0 after a
+    completed run so the restart re-fires foreachBatch for batch 0 with
+    the already-ingested file, then processes the newly appended file
+    as batch 1. The replayed batch must emit no duplicate pairs and the
+    final pair set must equal the one-shot full-corpus run."""
+    import os
+    import random
+
+    from datatools_spark.operators.multimodal import ahash_pairs, raw8_ahash
+    from datatools_spark.streaming.demo import streaming_image_ingest_dedup
+
+    def img(seed=None, near_of=None):
+        if near_of is not None:
+            b = list(near_of)
+            b[0] = (b[0] + 120) % 256
+            return bytes(b)
+        r = random.Random(seed)
+        return bytes(r.randrange(256) for _ in range(256))
+
+    b1 = [(i, img(seed=i)) for i in range(12)]
+    b2 = [(100 + i, img(seed=900 + i)) for i in range(6)] \
+        + [(200 + k, img(near_of=p)) for k, (_, p) in enumerate(b1[:3])]
+    schema = "media_id long, payload binary"
+    src = str(tmp_path / "src")
+    store, pairs, ck = (str(tmp_path / d) for d in ["store", "pairs", "ck"])
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming_image_ingest_dedup(stream, store, pairs, ck)
+    q.awaitTermination(180)
+    assert not q.isActive
+    n_pairs_run1 = len(spark.read.parquet(pairs).collect())
+
+    os.remove(os.path.join(ck, "commits", "0"))
+    crc0 = os.path.join(ck, "commits", ".0.crc")
+    if os.path.exists(crc0):
+        os.remove(crc0)
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    q2 = streaming_image_ingest_dedup(stream2, store, pairs, ck)
+    q2.awaitTermination(180)
+    assert not q2.isActive
+
+    got_rows = spark.read.parquet(pairs).collect()
+    got = {(r["a_id"], r["b_id"]): r["hamming"] for r in got_rows}
+    assert len(got_rows) == len(got)    # replay emitted nothing twice
+    full = spark.createDataFrame(b1 + b2, schema)
+    want = {(r["a_id"], r["b_id"]): r["hamming"]
+            for r in ahash_pairs(raw8_ahash(full, width=16, grid=8))
+            .collect()}
+    assert got == want
+    # run 1's pairs were not rewritten by the replayed batch
+    assert n_pairs_run1 == sum(1 for a, b in got if a < 100 and b < 100)

@@ -622,6 +622,18 @@ def _pair_intersections(sh: DataFrame, id_col: str,
     Same linear-cost trade the weighted-jaccard query already makes:
     one corpus-sized index write replaces three corpus-sized
     recomputes. localCheckpoint, not persist (r5 hygiene rule).
+
+    API CONTRACT: the checkpoint is EAGER, so the pair ops built on
+    this engine (ngram_jaccard_pairs / containment_pairs /
+    weighted-jaccard) execute their corpus scan AT CONSTRUCTION, not at
+    the caller's first action — callers composing a plan they may never
+    run should defer the call, not the returned DataFrame. Eager is
+    deliberate: a lazy localCheckpoint only materializes at first-job
+    END, so the guarded path's stop-probe plus each downstream branch
+    within the first job would re-run the scan+explode (~40% of
+    doc_containment_pairs' task time, r9-measured) — and with max_df
+    set the plan SHAPE itself depends on the data (stop.isEmpty()),
+    which no lazy formulation can express.
     """
     sh = sh.localCheckpoint(eager=True)
     def _pair_counts_bounded(idx: DataFrame, out: str) -> DataFrame:

@@ -520,10 +520,10 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
         # unhinted plan merely ran slower (r8 ADVICE, low); past the
         # gate — or when the caller passed an int budget and batch_n is
         # unknown — AQE picks the strategy from measured sizes.
-        keys = a.select("_b", "_k").distinct()
+        batch_keys = a.select("_b", "_k").distinct()
         if batch_n is not None and batch_n * _AHASH_BANDS <= 1_000_000:
-            keys = F.broadcast(keys)
-        sc = (b.join(keys, ["_b", "_k"], "left_semi")
+            batch_keys = F.broadcast(batch_keys)
+        sc = (b.join(batch_keys, ["_b", "_k"], "left_semi")
               .groupBy("_b", "_k").agg(F.count("*").alias("_sn")))
         mass = (bc.join(sc, ["_b", "_k"])
                 .agg(F.sum(F.col("_bn") * F.col("_sn")))

@@ -522,7 +522,16 @@ def _check_sketch_geometry(snapshot: DataFrame, path: str, **want) -> None:
         raise ValueError(
             f"sketch store at {path} predates geometry stamping — "
             "rebuild it (pre-r9 snapshots cannot prove their k/salt)")
-    got = snapshot.select("_k", "_salt").limit(1).collect()[0]
+    rows = snapshot.select("_k", "_salt").limit(1).collect()
+    if not rows:
+        # zero-row snapshot (a committed empty first batch): the
+        # geometry stamp is row-literal, so an empty table carries none
+        # — and there are no sketches to corrupt. Accept; the next
+        # non-empty write stamps the caller's geometry. Without this,
+        # one empty micro-batch bricked the store permanently
+        # (IndexError on every later update/read).
+        return
+    got = rows[0]
     have = {"k": got["_k"], "salt": got["_salt"]}
     for name, v in want.items():
         if have[name] != v:
@@ -647,6 +656,17 @@ def update_cms_store(spark, batch: DataFrame, path: str, item_col: str,
     one row per writer instead of one row per batch ever (r8 VERDICT
     #3): update cost no longer grows with ingest history.
 
+    CONCURRENCY: ``app_id`` scopes batch-ID SEQUENCES (logical streams),
+    not concurrent processes — updates must be SERIALIZED across all
+    writers. The read-latest → write-next → marker commit has no mutual
+    exclusion: two simultaneous updaters would both target the same
+    ``cms-b<n+1>`` and one writer's fold could be overwritten while its
+    watermark survives (a permanent silent undercount). Interleave a
+    backfill with a live stream by pausing the stream or routing the
+    backfill through the same serialized foreachBatch loop; real
+    multi-writer commits need an optimistic-concurrency log (Delta),
+    which plain parquet directories cannot express.
+
     Sketch GEOMETRY ``(depth, width, salt)`` is persisted in the state
     table and validated on every update — union-summing sketches with
     different geometry would silently corrupt counts and break the CMS
@@ -669,8 +689,16 @@ def update_cms_store(spark, batch: DataFrame, path: str, item_col: str,
     snaps = _kmv_snapshots(spark, path, prefix="cms-b")
     if snaps:
         base = f"{path}/cms-b{snaps[-1]}"
-        state = spark.read.parquet(f"{base}/state")
-        if "app_id" not in state.columns:
+        # pre-watermark snapshots have no state/ table at all (bare
+        # batches/ id set), so the layout check must catch the missing
+        # path — reading first would surface an opaque PATH_NOT_FOUND
+        # before the rebuild guidance
+        from pyspark.errors import AnalysisException
+        try:
+            state = spark.read.parquet(f"{base}/state")
+        except AnalysisException:
+            state = None
+        if state is None or "app_id" not in state.columns:
             raise ValueError(
                 f"CMS store at {path} uses the pre-watermark ledger "
                 "layout (bare batch_id set) — rebuild the store; the "
@@ -745,8 +773,12 @@ def read_cms_store(spark, path: str, depth: int | None = None,
                          "snapshots — update_cms_store first")
     base = f"{path}/cms-b{snaps[-1]}"
     if depth is not None or width is not None or salt is not None:
-        state = spark.read.parquet(f"{base}/state")
-        if "app_id" not in state.columns:
+        from pyspark.errors import AnalysisException
+        try:
+            state = spark.read.parquet(f"{base}/state")
+        except AnalysisException:
+            state = None  # pre-watermark snapshots have no state/ table
+        if state is None or "app_id" not in state.columns:
             raise ValueError(
                 f"CMS store at {path} uses the pre-watermark ledger "
                 "layout — rebuild the store")

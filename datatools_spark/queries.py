@@ -4085,8 +4085,8 @@ def doc_cms_estimate(spark, sf_dir):
 def doc_cms_store_estimate(spark, sf_dir):
     """AT-REST twin of doc_cms_estimate — the r8 flagship
     (operators/sketches.py:update_cms_store/read_cms_store) as a driver
-    row: the corpus arrives as TWO deterministic batches (md5 parity of
-    doc_id) folded into a materialized Count-Min store under a
+    row: the corpus arrives as TWO deterministic batches (xxhash64
+    parity of doc_id) folded into a materialized Count-Min store under a
     per-corpus /tmp root, exactly-once via the per-writer watermark
     ledger; estimates are then read OFF THE STORE, no corpus rescan.
     Because CMS folding is an integer cell-sum, the store of two
@@ -4116,9 +4116,16 @@ def doc_cms_store_estimate(spark, sf_dir):
     probes = spark.createDataFrame([(w,) for w in _CMS_PROBES],
                                    "word string")
     est = SK.cms_estimate(sketch, probes, "word")
-    exact = (F.broadcast(probes)
-             .join(tok(d), F.col("w") == probes["word"], "left")
-             .groupBy("word").agg(F.count("w").alias("exact")))
+    # exact counts via an INNER broadcast join (buildRight is legal for
+    # inner, so the corpus-sized token table streams past the tiny
+    # probe hash map without shuffling); a broadcast hint on the
+    # preserved side of a left-outer join is silently ignored — the
+    # never-seen probes are restored by a tiny probes⨝counts left join
+    hits = (tok(d).join(F.broadcast(probes), F.col("w") == probes["word"])
+            .groupBy("word").agg(F.count("*").alias("exact")))
+    exact = (probes.join(hits, "word", "left")
+             .select("word",
+                     F.coalesce("exact", F.lit(0)).alias("exact")))
     return (est.join(exact, "word")
             .select("word", F.col("cms_est").cast("bigint").alias("cms_est"),
                     F.col("exact").cast("bigint").alias("exact")))
@@ -7366,8 +7373,9 @@ def doc_weighted_jaccard_pairs(spark, sf_dir):
     dfq = sh.groupBy("s").agg(F.count("*").alias("df")) \
         .localCheckpoint(eager=True)
     n = sh.select(F.countDistinct("doc_id")).collect()[0][0]
-    idf = dfq.select("s", F.round(F.log(F.lit(float(n))
-                                        / F.col("df")), 6).alias("w"))
+
+    def _w(df_col):
+        return F.round(F.log(F.lit(float(n)) / df_col), 6)
     dec6 = lambda c: c.cast("decimal(30,6)")  # noqa: E731
     # guarded structure mirrors ngram_jaccard_pairs: stop shingles
     # (df > 100) are excluded from candidate generation AND from the
@@ -7378,23 +7386,32 @@ def doc_weighted_jaccard_pairs(spark, sf_dir):
     # (anti join + two membership joins + correction agg) is a no-op
     # dropped from the plan entirely — the same empty-stop fast path
     # _pair_intersections takes (r9: ~25% of this query's task time)
-    stop = dfq.where(F.col("df") > 100).select("s")
-    if stop.isEmpty():
-        stop = None
-    rare_idx = sh if stop is None \
-        else sh.join(F.broadcast(stop), "s", "left_anti")
+    # stop set (df > 100) is tiny by construction — the Zipf head — so
+    # broadcasting it WITH its weights is bounded; the full
+    # vocabulary-sized idf table is never broadcast (it grows with the
+    # corpus — an unbounded hint is the driver-OOM class the sigstore/
+    # pagerank gates exist for). Rare-shingle weights don't need a join
+    # at all: the exploded index is (doc, shingle)-unique, so the list
+    # agg's own count(*) IS df and w computes inline.
+    stopw = dfq.where(F.col("df") > 100).select("s", _w(F.col("df"))
+                                                .alias("w"))
+    if stopw.isEmpty():
+        stopw = None
+    rare_idx = sh if stopw is None \
+        else sh.join(F.broadcast(stopw.select("s")), "s", "left_anti")
     # bounded posting-list pair generation (df ≤ 100 after the stop
     # anti-join): ONE index shuffle instead of a two-sided self-join —
-    # the _pair_counts_bounded trick; the weight joins onto the LISTS
-    # (one row per shingle, arrays bounded by max_df), never the
-    # 10×-larger exploded index. The lists are CHECKPOINTED: they feed
-    # both pair generation and the per-doc weight totals, so the r9
-    # plan makes exactly TWO corpus-sized passes over the index (df
-    # count + list agg) — wsum re-derives from the vocabulary-sized
-    # lists by re-explode instead of a third pass over sh
+    # the _pair_counts_bounded trick; the weight computes inside the
+    # LISTS agg (one row per shingle, arrays bounded by max_df), never
+    # touching the 10×-larger exploded index. The lists are
+    # CHECKPOINTED: they feed both pair generation and the per-doc
+    # weight totals, so the r9 plan makes exactly TWO corpus-sized
+    # passes over the index (df count + list agg) — wsum re-derives
+    # from the vocabulary-sized lists by re-explode instead of a third
+    # pass over sh
     lists = (rare_idx.groupBy("s").agg(
-                 F.sort_array(F.collect_list("doc_id")).alias("_ids"))
-             .join(F.broadcast(idf), "s")) \
+                 F.sort_array(F.collect_list("doc_id")).alias("_ids"),
+                 _w(F.count("*")).alias("w"))) \
         .localCheckpoint(eager=True)
     # per-doc weight totals join the pair table TWICE (tw_a, tw_b) —
     # checkpoint the doc-count-sized result so the subtree runs once.
@@ -7403,9 +7420,8 @@ def doc_weighted_jaccard_pairs(spark, sf_dir):
     # stop-membership index
     wsum = (lists.select("w", F.explode("_ids").alias("doc_id"))
             .groupBy("doc_id").agg(F.sum(dec6(F.col("w"))).alias("tw")))
-    if stop is not None:
-        sidx = (sh.join(F.broadcast(stop), "s")
-                .join(F.broadcast(idf), "s")) \
+    if stopw is not None:
+        sidx = sh.join(F.broadcast(stopw), "s") \
             .localCheckpoint(eager=True)
         wstop = sidx.groupBy("doc_id").agg(
             F.sum(dec6(F.col("w"))).alias("tw"))
@@ -7419,7 +7435,7 @@ def doc_weighted_jaccard_pairs(spark, sf_dir):
            .groupBy(F.col("_p.a").alias("a_id"),
                     F.col("_p.b").alias("b_id"))
            .agg(F.sum(dec6(F.col("w"))).alias("iw_r")))
-    if stop is not None:
+    if stopw is not None:
         sa = sidx.select(F.col("doc_id").alias("a_id"), "s", "w")
         sb = sidx.select(F.col("doc_id").alias("b_id"), "s")
         corr = (cap.select("a_id", "b_id")

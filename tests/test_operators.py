@@ -873,6 +873,54 @@ class TestKMV:
             b1.unionByName(b2), ["g"], "item", k=k).collect()}
         assert got == want
 
+    def test_kmv_store_survives_empty_first_batch(self, spark, tmp_path):
+        """A committed ZERO-ROW first snapshot (e.g. an empty streaming
+        micro-batch) must not brick the store: the row-literal geometry
+        stamp is vacuous on an empty table, so later updates and reads
+        accept it and proceed (pre-fix: IndexError on every subsequent
+        call, permanently)."""
+        from datatools_spark.operators.sketches import (
+            kmv_sketch, read_kmv_store, update_kmv_store)
+        path = str(tmp_path / "kmv_empty_store")
+        empty = spark.createDataFrame([], "g long, item string")
+        update_kmv_store(spark, empty, path, ["g"], "item", k=16)
+        b = spark.range(0, 100).select(
+            (F.col("id") % 2).alias("g"),
+            F.concat(F.lit("w"), F.col("id").cast("string")).alias("item"))
+        update_kmv_store(spark, b, path, ["g"], "item", k=16)
+        got = {r["g"]: r["hs"] for r in
+               read_kmv_store(spark, path, k=16, salt="kmv").collect()}
+        want = {r["g"]: r["hs"] for r in
+                kmv_sketch(b, ["g"], "item", k=16).collect()}
+        assert got == want
+
+    def test_cms_store_pre_watermark_layout_message(self, spark,
+                                                    tmp_path):
+        """A pre-r9 CMS snapshot has no state/ table at all — the
+        layout guard must surface the rebuild guidance, not an opaque
+        PATH_NOT_FOUND from the state read."""
+        import pytest as _pytest
+
+        from datatools_spark.operators.sketches import (
+            read_cms_store, update_cms_store)
+        path = str(tmp_path / "cms_old_store")
+        gen = f"{path}/cms-b0"
+        spark.range(1).select(
+            F.lit(0).alias("row"), F.lit(0).alias("bucket"),
+            F.lit(1).alias("c")).write.parquet(f"{gen}/sketch")
+        # emulate the pre-watermark layout: batches/ id set, no state/
+        spark.range(1).select(F.lit(0).alias("batch_id")) \
+            .write.parquet(f"{gen}/batches")
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            spark._jsc.hadoopConfiguration())
+        fs.create(jvm.org.apache.hadoop.fs.Path(f"{gen}/_SUCCESS")).close()
+        batch = spark.range(1).select(F.lit("w").alias("item"))
+        with _pytest.raises(ValueError, match="pre-watermark"):
+            update_cms_store(spark, batch, path, "item", 1)
+        with _pytest.raises(ValueError, match="pre-watermark"):
+            read_cms_store(spark, path, depth=4)
+
     def test_cms_store_ledger_exactly_once_and_crash_safe(self, spark,
                                                           tmp_path):
         """CMS at rest: three batch folds equal a from-scratch sketch

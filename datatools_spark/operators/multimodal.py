@@ -43,7 +43,7 @@ __all__ = [
     "raw8_resize_nearest", "raw8_frame_stats", "pcm16_stats",
     "pcm16_spectrogram", "raw8_ahash", "ahash_pairs", "pcm16_energy_hash",
     "raw8_frame_ahash", "pack_bits_expr", "pack_bits_words_expr",
-    "pair_candidate_mass",
+    "pair_candidate_mass", "pcm16_resample_stats",
 ]
 
 MEDIA_SCHEMA = StructType([
@@ -143,9 +143,12 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
                   decode_stub: bool = True) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame.
 
-    Stub emits ``n_bytes // (every_n * 1000)`` synthetic frame indices so
-    the explode/fan-out shape (and its effect on partition sizing) is
-    exercised without a codec.
+    Stub emits ``n_bytes // (every_n * 1000) + 1`` synthetic frame
+    indices (the sequence is END-INCLUSIVE: the head frame is always
+    sampled, then one per stride — an empty payload still yields its
+    head frame) so the explode/fan-out shape (and its effect on
+    partition sizing) is exercised without a codec. The oracle-checked
+    ``mm_frame_sample`` query pins this exact count.
     """
     if not decode_stub:
         raise NotImplementedError(
@@ -197,8 +200,13 @@ def patch_grid(df: DataFrame, patch: int = 16,
     nx = F.ceil(F.col(width_col) / F.lit(patch)).cast("int")
     ny = F.ceil(F.col(height_col) / F.lit(patch)).cast("int")
     n = (nx * ny).cast("int")
-    g = df.select(F.col(id_col), nx.alias("_nx"),
-                  F.explode(F.sequence(F.lit(0), n - 1)).alias("_i"))
+    # zero-area guard: sequence(0, -1) is NOT empty (Spark defaults the
+    # step to -1 when start > stop, emitting [0, -1]) and _i % 0 throws
+    # under ANSI — a width=0/height=0 row must contribute zero patches,
+    # not a job failure or garbage negative coordinates
+    g = (df.where((nx > 0) & (ny > 0))
+         .select(F.col(id_col), nx.alias("_nx"),
+                 F.explode(F.sequence(F.lit(0), n - 1)).alias("_i")))
     px = (F.col("_i") % F.col("_nx")).cast("bigint")
     py = F.floor(F.col("_i") / F.col("_nx")).cast("bigint")
     return g.select(
@@ -487,11 +495,15 @@ def pcm16_spectrogram(df: DataFrame, frame: int = 16, n_frames: int = 4,
                 x = s[:nf * n].astype("float64").reshape(nf, n)
                 re = x @ cosm.T        # (nf, bins)
                 im = x @ sinm.T
-                mag = np.sqrt(re * re + im * im)
+                # HALF_UP via the shared helper, not Python round
+                # (HALF_EVEN-on-binary): the SQL twin rounds the same
+                # magnitude with decimal semantics, and a .5-boundary
+                # value would hash-mismatch the oracle row
+                from .similarity import _round_half_up_np
+                mag = _round_half_up_np(np.sqrt(re * re + im * im), 4)
                 for t in range(nf):
                     for k in range(bins):
-                        rows.append((int(mid), t, k,
-                                     round(float(mag[t, k]), 4)))
+                        rows.append((int(mid), t, k, float(mag[t, k])))
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     return df.select(id_col, payload_col).mapInPandas(_batches, out_schema)
@@ -517,7 +529,8 @@ def pcm16_resample_stats(df: DataFrame, up: int = 4, down: int = 3,
     A real codec front-end (MP3/AAC) would decode to PCM first — that
     step is env-blocked here (no codec libs), PCM-in is the architecture
     proof. Output: ``id_col, n_in, n_out, sum_out, max_abs_out, rms_out,
-    mean_out`` (rms/mean rounded 6).
+    mean_out`` — all UNROUNDED (rms contains an irrational sqrt; the
+    oracle-parity query layer rounds rms/mean to 6 dp on both sides).
     """
     out_schema = StructType([
         StructField(id_col, LongType(), False),

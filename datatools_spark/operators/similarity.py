@@ -37,8 +37,21 @@ __all__ = [
     "quantize_uint8", "random_projection", "pq_codebook", "pq_codes",
     "pq_adc_knn", "pq_train_codebook", "semantic_dedup",
     "kmeans_lloyd", "dim_stats", "gram_matrix", "pca_components",
-    "whiten",
+    "whiten", "grouped_gram_pairs", "ivf_adc_rerank",
 ]
+
+
+def _round_half_up_scalar(x, dp: int) -> float:
+    """Scalar HALF_UP round with shortest-repr decimal semantics —
+    what Spark/DuckDB ``round()`` computes. Python's builtin ``round``
+    is HALF_EVEN on the BINARY value: a mean whose shortest decimal
+    repr lands exactly on a .5 boundary flips the other way, and a
+    driver-side model parameter (k-means centroid) that differs by
+    1e-6 from the oracle's diverges every subsequent iteration.
+    Accepts float or decimal.Decimal (exact — no binary detour)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    d = x if isinstance(x, Decimal) else Decimal(repr(float(x)))
+    return float(d.quantize(Decimal(1).scaleb(-dp), ROUND_HALF_UP))
 
 
 def _round_half_up_np(a, dp: int):
@@ -633,10 +646,11 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     ``literals=None`` decides from scan-file metadata (no job):
     literal assignment once the input exceeds ``literals_min_bytes``
     (64 MiB — well past the point where the per-row exchange outweighs
-    the fixed plan cost), the aggregate path below it, and the SMALL
-    path when the size is unknowable from metadata only if the plan's
-    partition count is small (an unknown-size many-partition input is
-    presumed big). Writing the output partitioned by ``centroid_id``
+    the fixed plan cost), the aggregate path below it, and — when the
+    size is unknowable from metadata — the SMALL path unless the
+    session's scheduling width exceeds 64 cores (a constant probe; the
+    input's own partition count is NOT consulted because reading it
+    via .rdd would execute the upstream pipeline under AQE). Writing the output partitioned by ``centroid_id``
     gives the partition-pruned ANN layout at rest. ``keep_vec=True``
     carries the vector through (free on the literal path — same scan
     row; on the aggregate path it rides the max_by payload).
@@ -644,7 +658,15 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     if literals is None:
         size = input_bytes(df)
         if size is None:
-            literals = df.rdd.getNumPartitions() > 64
+            # NOT df.rdd.getNumPartitions(): under AQE, .rdd finalizes
+            # the adaptive plan by RUNNING every upstream query stage —
+            # the whole input pipeline would execute at plan-construction
+            # time and again at the action (the toRdd hazard pagerank's
+            # docstring documents). With no metadata to read, proxy
+            # "wide input" by the session's scheduling width instead —
+            # a constant, no job.
+            sc = df.sparkSession.sparkContext
+            literals = sc.defaultParallelism > 64
         else:
             literals = size >= literals_min_bytes
 
@@ -866,7 +888,10 @@ def pq_codes(df: DataFrame, vec_col: str = "embedding",
                 F.zip_with(sl, F.array(*[F.lit(x) for x in book[s][c]]),
                            lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0), lambda acc, v: acc + v)
-            return F.round(d, round_dists) if round_dists else d
+            # `is not None`, not truthiness: round_dists=0 (round to
+            # integers) is a legitimate request a falsy check drops
+            return F.round(d, round_dists) if round_dists is not None \
+                else d
         dists = F.array(*[_d(c) for c in range(codewords)])
         code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         cols.append(code.alias(f"c{s}"))
@@ -1003,7 +1028,10 @@ def kmeans_lloyd(df: DataFrame, k: int = 4, iters: int = 2,
     """
     init = (df.orderBy(id_col).limit(k)
             .select(F.col(vec_col).cast("array<double>")).collect())
-    cents = [[round(float(x), 6) for x in r[0]] for r in init]
+    # HALF_UP, not Python round (HALF_EVEN-on-binary): the centroids
+    # are broadcast model state — one boundary flip diverges every
+    # later assignment vs the decimal-rounding SQL oracle
+    cents = [[_round_half_up_scalar(x, 6) for x in r[0]] for r in init]
 
     def assign(frame: DataFrame) -> DataFrame:
         dists = F.array(*[
@@ -1030,8 +1058,12 @@ def kmeans_lloyd(df: DataFrame, k: int = 4, iters: int = 2,
         new = [list(c) for c in cents]
         acc: dict[int, list[float]] = {}
         for row in upd:
+            # exact Decimal division + HALF_UP quantize — the sum is
+            # already DECIMAL(30,12), so stay in decimal all the way to
+            # the 6-dp mean instead of detouring through binary floats
+            from decimal import Decimal
             acc.setdefault(row["cluster"], [0.0] * dim)[row["dim"]] = \
-                round(float(row["s"]) / row["n"], 6)
+                _round_half_up_scalar(row["s"] / Decimal(row["n"]), 6)
         for cid, vec in acc.items():
             new[cid] = vec
         cents = new
@@ -1063,7 +1095,11 @@ def whiten(df: DataFrame, vec_col: str = "embedding",
     x = F.col(vec_col)
     outs = []
     for j in range(top):
-        scale = 1.0 / float((vals[j] + eps) ** 0.5)
+        # clamp before the sqrt: eigh's numerical noise can make a
+        # trailing eigenvalue of a rank-deficient corpus slightly
+        # negative beyond eps, and a negative base ** 0.5 is a COMPLEX
+        # in Python — float(complex) then dies with an opaque TypeError
+        scale = 1.0 / float((max(float(vals[j]), 0.0) + eps) ** 0.5)
         term = None
         for i in range(dim):
             t = (x[i] - F.lit(mu[i])) * F.lit(comps[j][i])

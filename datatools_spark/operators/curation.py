@@ -66,14 +66,16 @@ def contamination_counts(df: DataFrame, benchmark: DataFrame,
     overlap report 0 with ``contaminated = false``.
     Output: ``id_col, n_contaminated, contaminated``.
     """
-    def shingles(d: DataFrame) -> DataFrame:
-        return (d.withColumn("_words", words_col(text_col))
-                .select(F.col(id_col),
-                        F.explode(word_shingles(
-                            text_col, shingle_n,
-                            from_words_col="_words")).alias("_sh")))
+    def shingles(d: DataFrame, with_id: bool = True) -> DataFrame:
+        sh = F.explode(word_shingles(text_col, shingle_n,
+                                     from_words_col="_words")).alias("_sh")
+        d = d.withColumn("_words", words_col(text_col))
+        # the benchmark side contributes only its shingle SET — don't
+        # impose the corpus's id column on an eval-set schema that may
+        # key by prompt/qid instead
+        return d.select(F.col(id_col), sh) if with_id else d.select(sh)
 
-    bench_sh = shingles(benchmark).select("_sh").distinct()
+    bench_sh = shingles(benchmark, with_id=False).distinct()
     hits = (shingles(df).join(F.broadcast(bench_sh), "_sh")
             .groupBy(id_col).agg(F.count("*").alias("n_contaminated")))
     return (df.select(id_col).join(hits, id_col, "left")
@@ -102,11 +104,16 @@ def source_balanced_sample(df: DataFrame, text_col: str = "text",
     totals = toks.groupBy(source_col).agg(F.sum("_tok").alias("_tot"))
     # ANSI guard: a source whose docs are all empty has _tot 0 — the
     # raw division throws; NULL rate (= DuckDB's 0/0) drops the
-    # token-free source, and the keep-comparison stays engine-identical
+    # token-free source, and the keep-comparison stays engine-identical.
+    # The min runs over POSITIVE totals only: a token-free source must
+    # not drag the floor to 0 (which zeroed every OTHER source's rate
+    # and returned an empty sample instead of downsampling to the
+    # smallest non-empty source).
     totals = totals.withColumn(
         "_rate", F.when(
             F.col("_tot") != 0,
-            F.min("_tot").over(Window.partitionBy()).cast("double")
+            F.min(F.when(F.col("_tot") > 0, F.col("_tot")))
+            .over(Window.partitionBy()).cast("double")
             / F.col("_tot")))
     keyed = toks.join(F.broadcast(totals.select(source_col, "_rate")),
                       source_col)
@@ -116,13 +123,20 @@ def source_balanced_sample(df: DataFrame, text_col: str = "text",
 def temperature_sample(df: DataFrame, alpha: float = 0.5,
                        id_col: str = "doc_id",
                        source_col: str = "source",
-                       base_rate: float = 1.0,
+                       base_rate: float = 0.5,
                        salt: str = "temp") -> DataFrame:
     """Temperature-flattened source mix — the multilingual/multi-corpus
-    rebalancing rule (sample source i proportional to nᵢ^α, α<1 boosts
-    the tail): per-source keep rate = min(1, base_rate · (n_max/nᵢ)^(1−α)),
-    so at α=1 every source keeps ``base_rate`` and at α=0 every source is
-    equalized to the largest one's budget.
+    rebalancing rule (α<1 boosts the tail): per-source keep rate =
+    min(1, base_rate · (n_max/nᵢ)^(1−α)) — the LARGEST source keeps
+    ``base_rate``, smaller sources are boosted toward 1. Wherever the
+    cap does not bind, the kept count is base_rate·n_max^(1−α)·nᵢ^α —
+    proportional to nᵢ^α; budgets that must be exactly ∝ nᵢ^α across
+    ALL sources need base_rate ≤ (n_min/n_max)^(1−α) so no source caps.
+    At α=1 every source keeps ``base_rate`` (raw proportions).
+    ``base_rate >= 1`` with α<1 is REJECTED: n_max/nᵢ ≥ 1 makes every
+    rate cap at 1 — the call would silently be the identity (found in
+    the r9 self-review; the old docstring promised equalization it
+    could not deliver at the then-default base_rate=1).
 
     Where :func:`source_balanced_sample` flattens fully to the smallest
     source, this interpolates — the knob real pretraining mixes use.
@@ -133,6 +147,14 @@ def temperature_sample(df: DataFrame, alpha: float = 0.5,
     so the ``pow`` ulp cannot flip a keep decision. Output: kept rows +
     the applied ``_rate``.
     """
+    if base_rate >= 1.0 and alpha < 1.0:
+        raise ValueError(
+            f"temperature_sample: base_rate={base_rate} with "
+            f"alpha={alpha} is the identity — every rate "
+            "min(1, base_rate*(n_max/n_i)^(1-alpha)) caps at 1 because "
+            "n_max/n_i >= 1. Pass base_rate < 1 (the largest source's "
+            "keep rate); exact n^alpha proportionality needs "
+            "base_rate <= (n_min/n_max)^(1-alpha)")
     counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
     counts = counts.withColumn(
         "_rate", F.round(F.least(F.lit(1.0), F.lit(base_rate) * F.pow(

@@ -107,6 +107,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     cross-call reuse hold the DataFrame (or use ``sigstore``, the
     at-rest answer). Output: ``a_id, b_id, jaccard_est`` with a<b.
     """
+    if bands <= 0 or num_hashes % bands != 0 or num_hashes < bands:
+        raise ValueError(
+            f"minhash_lsh_pairs: bands={bands} must divide num_hashes="
+            f"{num_hashes} with >= 1 hash per band — rows_per_band=0 "
+            "keys EVERY doc to '' in every band (the all-pairs n² join "
+            "this engine exists to avoid) and a remainder silently "
+            "drops hashes from banding (same contract "
+            "packed_hamming_pairs enforces on nbits % bands)")
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
     sig = sig.select(
         F.col(id_col),
@@ -149,13 +157,26 @@ def simhash_col(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Output: ``id_col, simhash`` (bigint in [0, 2^bits)).
     """
-    if bits > 62:
+    if bits > 60:
         raise ValueError(
-            f"bits={bits}: signatures are signed BIGINT and bit weights "
-            "are 1 << j literals — 62 bits is the maximum")
+            f"bits={bits}: the md5-derived token hash widens in 4-bit "
+            "hex steps and must stay within signed BIGINT — 60 bits "
+            "(15 hex chars) is the maximum")
     work = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
     tok = work.select(F.col(id_col), F.explode(words_col(text_col)).alias("_w"))
-    h = _hash32(F.col("_w"), 7)
+    # the token hash must be at least `bits` wide: with the fixed
+    # 32-bit hash, every signature bit j >= 32 summed a constant -1 and
+    # came out 0 for EVERY doc — a band over those bits put the whole
+    # corpus in one bucket (the exact quadratic blowup banding exists
+    # to avoid) and deflated reported hammings. bits <= 32 keeps the
+    # original 8-hex-char hash (oracle-pinned); wider signatures read
+    # 15 hex chars (60 bits) of the same digest.
+    if bits <= 32:
+        h = _hash32(F.col("_w"), 7)
+    else:
+        h = F.conv(F.substring(
+            F.md5(F.concat(F.lit("7:"), F.col("_w"))), 1, 15),
+            16, 10).cast("bigint")
     sums = [F.sum(F.when(((h / F.lit(1 << j)).cast("bigint") % 2) == 1, 1)
                   .otherwise(-1)).alias(f"_s{j}") for j in range(bits)]
     agg = tok.groupBy(id_col).agg(*sums)
@@ -537,8 +558,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     shape is the same as MinHash-LSH: an explode to ``bands`` narrow
     rows per doc, one bucket self-join, never n². At 100 TB the band
     tables are written once and each band join is an equi-join a
-    1000-executor shuffle handles; widen ``bits`` (up to the signed-
-    bigint cap of 62) / ``bands`` to keep buckets selective on larger
+    1000-executor shuffle handles; widen ``bits`` (up to the 60-bit
+    md5-hash cap) / ``bands`` to keep buckets selective on larger
     corpora.
 
     Output: ``a_id, b_id, hamming`` with a < b, hamming <= max_hamming.
@@ -838,13 +859,19 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                    F.posexplode(word_ngrams_all(
                        text_col, shingle_n, from_words_col="_words"))
                    .alias("_pos", "_sh")))
-    key = _hash32(F.col("_sh"), 11) * F.lit(1 << 20) + F.col("_pos")
-    keyed = tok.select(
-        F.col(id_col), F.col("_pos"), key.alias("_key"),
-        F.assert_true(F.col("_pos") < F.lit(1 << 20),
-                      F.lit("winnow_fingerprints: doc exceeds 2^20 "
-                            "shingles — chunk it first (doc_chunk)"))
-        .alias("_bound")).drop("_bound")
+    # the bound check is FUSED into the key expression: a separate
+    # assert_true column that is selected then dropped is pruned by the
+    # optimizer (verified — no assert survives in the optimized plan),
+    # so the overflow silently corrupted hash·2²⁰+pos keys instead of
+    # raising. A when/otherwise(raise_error) inside the key itself
+    # cannot be pruned because the key feeds the output.
+    pos_ok = F.when(
+        F.col("_pos") < F.lit(1 << 20), F.col("_pos")
+    ).otherwise(F.raise_error(F.lit(
+        "winnow_fingerprints: doc exceeds 2^20 shingles — chunk it "
+        "first (doc_chunk)")).cast("int"))
+    key = _hash32(F.col("_sh"), 11) * F.lit(1 << 20) + pos_ok
+    keyed = tok.select(F.col(id_col), F.col("_pos"), key.alias("_key"))
     wfull = Window.partitionBy(id_col)
     wmin = Window.partitionBy(id_col).orderBy("_pos") \
         .rowsBetween(0, window - 1)

@@ -43,6 +43,15 @@ __all__ = ["cms_bucket_col", "cms_build", "cms_estimate",
 _H32 = 4294967296  # 2^32
 
 
+def _group_cols_list(group_cols) -> list:
+    """Accept one column NAME or a sequence of names. ``list('source')``
+    explodes a bare string into characters — UNRESOLVED_COLUMN at best,
+    a silent wrong groupBy if the frame happens to have single-letter
+    columns (the curation.py:priority_sample_per_group guard, applied
+    to the whole sketch family)."""
+    return [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+
 def _hash32(col: Column, salt: str) -> Column:
     """First 32 bits of md5(salt:value) as bigint — engine-portable."""
     return F.conv(F.substring(
@@ -109,7 +118,17 @@ def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
     per_row = (a.join(b, ["row", "bucket"])
                .groupBy("row")
                .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip")))
-    return per_row.agg(F.min("_ip").alias("join_size_est"))
+    # a row with NO colliding buckets has true inner product 0 — the
+    # TIGHTEST bound — and must participate in the min; an inner-join-
+    # only min ran over strictly positive rows (inflated bound) and an
+    # empty sketch yielded NULL instead of the correct 0
+    rows = (sketch_a.select("row").unionByName(sketch_b.select("row"))
+            .distinct())
+    filled = (rows.join(per_row, "row", "left")
+              .select(F.coalesce(F.col("_ip"), F.lit(0).cast("bigint"))
+                      .alias("_ip")))
+    return filled.agg(F.coalesce(F.min("_ip"), F.lit(0).cast("bigint"))
+                      .alias("join_size_est"))
 
 
 # ---------------------------------------------------------- HyperLogLog
@@ -252,7 +271,7 @@ def kmv_sketch(df: DataFrame, group_cols, item_col: str, k: int = 64,
     it here instead of paying a second tokenize+distinct pass.
     """
     from pyspark.sql import Window
-    g = list(group_cols)
+    g = _group_cols_list(group_cols)
     # Internal grouping runs on ONE struct surrogate key: struct
     # equality is null-safe in Spark (row-ordering semantics), so a NULL
     # group key stays one group instead of being silently DROPPED by a
@@ -333,7 +352,7 @@ def value_sample_sketch(df: DataFrame, group_cols, key_col: str,
     sorted by hash, ``size(vs) = min(k, n_rows)``.
     """
     from pyspark.sql import Window
-    g = list(group_cols)
+    g = _group_cols_list(group_cols)
     # struct surrogate key: null-safe group equality (see kmv_sketch)
     gk = F.struct(*[F.col(c) for c in g]).alias("_gk")
     base = df.where(F.col(value_col).isNotNull())
@@ -470,7 +489,7 @@ def update_kmv_store(spark, batch: DataFrame, path: str, group_cols,
     truncating a larger-k store to a smaller k, silently corrupts every
     estimate (the r9 CMS-geometry fix, applied to the whole sketch
     store family). Returns ``{"batch", "groups"}``."""
-    group_cols = list(group_cols)
+    group_cols = _group_cols_list(group_cols)
     snaps = _kmv_snapshots(spark, path)
     bsk = kmv_sketch(batch, group_cols, item_col, k=k, salt=salt)
     if snaps:
@@ -577,7 +596,7 @@ def update_value_sample_store(spark, batch: DataFrame, path: str,
     Geometry ``(k, salt)`` is stamped on every snapshot row and a
     mismatched update raises — same guard as the KMV/CMS stores (r9).
     Returns ``{"batch", "groups"}``."""
-    group_cols = list(group_cols)
+    group_cols = _group_cols_list(group_cols)
     snaps = _kmv_snapshots(spark, path, prefix="vs-b")
     bsk = value_sample_sketch(batch, group_cols, key_col, value_col,
                               k=k, salt=salt).drop("n_rows")

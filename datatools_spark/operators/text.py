@@ -190,7 +190,17 @@ def fingerprint_col(text_col: str = "text") -> Column:
 def words_col(text_col: str = "text") -> Column:
     """Lowercased whitespace token array — materialize this ONCE (e.g.
     ``withColumn('_words', words_col())``) before shingling; referencing
-    ``split()`` inside the shingle lambda would re-tokenize per element."""
+    ``split()`` inside the shingle lambda would re-tokenize per element.
+
+    CONTRACT: ``trim`` strips ASCII SPACES only — deliberately matching
+    SQL ``trim()`` so the DuckDB oracles (``regexp_split_to_array(
+    trim(text), '\\s+')``) tokenize identically. Consequence, shared by
+    BOTH engines: text with leading/trailing ``\\n``/``\\t`` yields
+    empty-string tokens, and a whitespace-only doc passes
+    ``length(trim(text)) > 0`` guards. A pipeline wanting full
+    whitespace trim must pre-normalize the text column (one
+    regexp_replace) on both sides — changing only this helper would
+    silently break hash parity for every tokenizing oracle."""
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
@@ -278,6 +288,15 @@ def scrub_cols(text_col: str = "text") -> dict[str, Column]:
     placeholder tokens. Pure codegen ``regexp_count``/``regexp_replace``
     chains — order is URL first (emails inside URLs scrub as part of the
     URL), then email, then digit runs.
+
+    COUNT SEMANTICS: the three counters are DETECTIONS IN THE RAW TEXT
+    (the pre-masking audit numbers), not placeholder-token counts — an
+    email embedded in a URL counts once as an email AND disappears into
+    the URL's ``<URL>`` placeholder, so ``n_emails`` can exceed the
+    ``<EMAIL>`` tokens in ``scrubbed``. Reconciling counts against
+    placeholders requires counting on the progressively-scrubbed
+    intermediates; both engines (the DuckDB oracle included) pin the
+    raw-text semantics here.
 
     Returns ``{n_urls, n_emails, n_longnums, scrubbed}``.
     """
@@ -478,6 +497,11 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
     toks = (df.where(F.length(F.trim(F.col(text_col))) > 0)
             .select(F.col(id_col),
                     F.explode(words_col(text_col)).alias("_w"))
+            # '' tokens (leading \n/\t survives the space-only trim —
+            # see words_col contract) would hit sequence(1, 0), which
+            # is DESCENDING [1, 0] in Spark, emitting a garbage ['','']
+            # row where DuckDB's range(1, 1) emits nothing
+            .where(F.length("_w") >= 1)
             .select(F.col(id_col), F.expr(
                 "transform(sequence(1, length(_w)), "
                 "i -> substring(_w, CAST(i AS INT), 1))").alias("t")))

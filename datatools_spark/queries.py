@@ -2410,7 +2410,11 @@ WITH t AS (
                ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS tok
   FROM documents),
 tot AS (SELECT source, sum(tok) AS tot FROM t GROUP BY 1),
-r AS (SELECT source, (min(tot) OVER ())::DOUBLE / tot AS rate FROM tot),
+r AS (SELECT source,
+             CASE WHEN tot > 0 THEN
+               (min(CASE WHEN tot > 0 THEN tot END) OVER ())::DOUBLE / tot
+             END AS rate
+      FROM tot),
 k AS (SELECT t.doc_id, t.source, t.tok
       FROM t JOIN r USING (source)
       WHERE ('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT
@@ -4552,7 +4556,10 @@ cb AS (SELECT r.r AS row,
        WHERE event_type = 'purchase' GROUP BY 1, 2),
 ip AS (SELECT ca.row, sum(ca.c * cb.c)::BIGINT AS ip
        FROM ca JOIN cb USING (row, bucket) GROUP BY 1),
-est AS (SELECT min(ip)::BIGINT AS join_size_est FROM ip),
+rws AS (SELECT row FROM ca UNION SELECT row FROM cb),
+est AS (SELECT coalesce(min(coalesce(ip.ip, 0)), 0)::BIGINT
+          AS join_size_est
+        FROM rws LEFT JOIN ip USING (row)),
 ex AS (SELECT count(*)::BIGINT AS join_size_exact
        FROM (SELECT user_id FROM events WHERE event_type = 'click') a
        JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') b

@@ -656,7 +656,8 @@ def streaming_kmv_ingest(items: DataFrame, store_dir: str,
     caller awaits)."""
     from ..operators.sketches import update_kmv_store
 
-    group_cols = list(group_cols)
+    from ..operators.sketches import _group_cols_list
+    group_cols = _group_cols_list(group_cols)
 
     def _fold(batch_df: DataFrame, batch_id: int):
         update_kmv_store(batch_df.sparkSession, batch_df, store_dir,
@@ -725,7 +726,8 @@ def streaming_value_sample_ingest(rows: DataFrame, store_dir: str,
     Returns the started query (availableNow trigger; caller awaits)."""
     from ..operators.sketches import update_value_sample_store
 
-    group_cols = list(group_cols)
+    from ..operators.sketches import _group_cols_list
+    group_cols = _group_cols_list(group_cols)
 
     def _fold(batch_df: DataFrame, batch_id: int):
         update_value_sample_store(batch_df.sparkSession, batch_df,

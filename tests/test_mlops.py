@@ -343,9 +343,9 @@ def test_temperature_rates_flatten_the_tail(spark, sourced):
 
 def test_temperature_sample_deterministic(spark, sourced):
     a = sorted(r["doc_id"] for r in
-               temperature_sample(sourced, alpha=0.5).collect())
+               temperature_sample(sourced, alpha=0.5, base_rate=0.5).collect())
     b = sorted(r["doc_id"] for r in
-               temperature_sample(sourced, alpha=0.5).collect())
+               temperature_sample(sourced, alpha=0.5, base_rate=0.5).collect())
     assert a == b and 0 < len(a) <= 1000
 
 
@@ -855,3 +855,66 @@ def test_whiten_rank_deficient_corpus_does_not_crash(spark):
     out = whiten(df, dim=6, top=4).collect()
     assert len(out) == 50
     assert all(all(v == v for v in r["whitened"]) for r in out)  # no NaN
+
+
+def test_temperature_sample_rejects_identity_base_rate(spark, sourced):
+    """base_rate >= 1 with alpha < 1 caps every rate at 1 — a silent
+    identity; the call must refuse loudly (r9 self-review)."""
+    with pytest.raises(ValueError, match="identity"):
+        temperature_sample(sourced, alpha=0.5, base_rate=1.0)
+
+
+def test_source_balanced_sample_ignores_token_free_sources(spark):
+    """A source whose docs are all empty must not drag min(total) to 0
+    and zero every other source's rate: the non-empty sources still
+    downsample to the smallest NON-EMPTY source's budget; the empty
+    source drops (NULL rate)."""
+    from datatools_spark.operators.curation import source_balanced_sample
+    rows = [(i, "w " * 20, "big") for i in range(100)] \
+        + [(200 + i, "w " * 5, "small") for i in range(20)] \
+        + [(400 + i, "", "empty") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = source_balanced_sample(df).collect()
+    assert len(out) > 0                               # not an empty sample
+    assert {r["source"] for r in out} <= {"big", "small"}
+    rates = {r["source"]: r["_rate"] for r in out}
+    assert rates["small"] == 1.0                       # floor source keeps all
+
+
+def test_cms_inner_product_zero_overlap_and_empty(spark):
+    """Rows with no colliding buckets contribute 0 (the tightest bound)
+    and an empty sketch estimates 0, not NULL."""
+    from datatools_spark.operators.sketches import cms_build, cms_inner_product
+    from pyspark.sql import functions as F
+    a = spark.range(10).select(F.concat(F.lit("a"), F.col("id").cast("string")).alias("k"))
+    empty = spark.createDataFrame([], "k string")
+    est = cms_inner_product(cms_build(a, "k"), cms_build(empty, "k")).collect()
+    assert est[0]["join_size_est"] == 0
+    est2 = cms_inner_product(cms_build(empty, "k"), cms_build(empty, "k")).collect()
+    assert est2[0]["join_size_est"] == 0
+
+
+def test_kmv_sketch_accepts_bare_string_group_col(spark):
+    """list('source') explodes into characters — a bare column NAME must
+    be accepted as one group column across the sketch family."""
+    from datatools_spark.operators.sketches import kmv_sketch
+    from pyspark.sql import functions as F
+    df = spark.range(100).select(
+        (F.col("id") % 2).cast("string").alias("source"),
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("item"))
+    rows = kmv_sketch(df, "source", "item", k=16).collect()
+    assert len(rows) == 2 and set(rows[0].asDict()) == {"source", "hs"}
+
+
+def test_contamination_counts_benchmark_without_id_col(spark):
+    """The benchmark side contributes only its shingle set — an eval
+    table keyed by qid (no doc_id column) must work."""
+    from datatools_spark.operators.curation import contamination_counts
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "totally novel words here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("q1", "quick brown fox")], "qid string, text string")
+    out = {r["doc_id"]: r["contaminated"]
+           for r in contamination_counts(corpus, bench).collect()}
+    assert out == {1: True, 2: False}

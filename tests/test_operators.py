@@ -1181,3 +1181,35 @@ def test_rolling_blocked_isolated_point_yields_null_not_nan(spark):
                                      partition_by=["s"], chunk="6H")
                .where(F.col("sd") > 0).count())
     assert flagged == 2  # only the genuine pair rows have sd > 0
+
+
+def test_simhash_wide_bits_vary_above_32(spark):
+    """bits > 32 signatures must not have constant-zero high bits: the
+    32-bit token hash made every bit j >= 32 sum to -n (bit 0), so a
+    band over the high bits keyed the WHOLE corpus to one bucket."""
+    from datatools_spark.operators.dedup import simhash_col
+    import pytest as _pytest
+    df = spark.createDataFrame(
+        [(i, f"totally different words {i} here {i * 7} more") for i in range(30)],
+        "doc_id long, text string")
+    sigs = [r["simhash"] for r in simhash_col(df, bits=48).collect()]
+    highs = {s >> 32 for s in sigs}
+    assert len(highs) > 1, "high 16 bits constant across corpus"
+    # bits <= 32 keeps the original oracle-pinned 8-hex-char hash
+    sig32 = simhash_col(df, bits=16).collect()
+    assert all(0 <= r["simhash"] < (1 << 16) for r in sig32)
+    with _pytest.raises(ValueError, match="60 bits"):
+        simhash_col(df, bits=62)
+
+
+def test_minhash_lsh_pairs_validates_banding(spark):
+    """bands must divide num_hashes with >= 1 hash per band:
+    rows_per_band = 0 keys every doc to '' (all-pairs n² join) and a
+    remainder silently drops hashes from banding."""
+    from datatools_spark.operators.dedup import minhash_lsh_pairs
+    import pytest as _pytest
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="divide"):
+        minhash_lsh_pairs(df, num_hashes=16, bands=32)
+    with _pytest.raises(ValueError, match="divide"):
+        minhash_lsh_pairs(df, num_hashes=16, bands=5)

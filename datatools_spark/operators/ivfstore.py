@@ -133,10 +133,17 @@ def build_ivf_index(spark: SparkSession, df: DataFrame,
     for old in gens[:-1]:
         fs.delete(spark._jvm.org.apache.hadoop.fs.Path(
             f"{path}/gen-{old:06d}"), True)
-    for legacy in ("data", "centroids"):
-        lp = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/{legacy}")
-        if fs.exists(lp):
-            fs.delete(lp, True)
+    # legacy bare tables follow the SAME retention policy as
+    # generations: on the migrating (first) build they are kept — an
+    # in-flight reader that resolved the bare root just before this
+    # commit is still scanning {path}/data, the exact race the
+    # retained-snapshot rule above closes — and are dropped on the
+    # next build, when no reader can still resolve them
+    if gens:
+        for legacy in ("data", "centroids"):
+            lp = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/{legacy}")
+            if fs.exists(lp):
+                fs.delete(lp, True)
     return n
 
 
@@ -206,7 +213,17 @@ def ivf_index_search(spark: SparkSession, path: str, query: DataFrame,
                           .collect()})
     data = (spark.read.parquet(f"{root}/data")
             .where(F.col(centroid_id_col).isin(probe_cells)))
-    scored = (data.join(F.broadcast(probes), on=centroid_id_col)
+    # gate the broadcast hint on a metadata-known small QUERY input:
+    # probes carries one full query embedding per (query, probe) row,
+    # so an unconditional hint turns a large query backfill into a
+    # driver OOM (the sigstore/pagerank gate class). Past the gate —
+    # or when the size is unknowable (streaming micro-batch frames) —
+    # the checkpointed probes give AQE exact sizes to choose from.
+    from .partitioning import input_bytes
+    qb = input_bytes(query)
+    pr = F.broadcast(probes) if (qb is not None and qb <= (64 << 20)) \
+        else probes
+    scored = (data.join(pr, on=centroid_id_col)
               .withColumn("cosine",
                           cosine_expr(F.col(vec_col), F.col("_qv"))))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
@@ -236,7 +253,10 @@ def ivf_index_stats(spark: SparkSession, path: str,
     - ``drift_ratio`` = current fill-weighted mean residual / the
       BUILD-TIME baseline (per-cell ``build_residual`` recorded by
       :func:`build_ivf_index`, weighted by each cell's CURRENT fill so
-      population shift between cells doesn't fake drift). Appends are
+      population shift between cells doesn't fake drift; cells that
+      were EMPTY at build time have no baseline to drift from and are
+      excluded from BOTH sides of the ratio — growth into them is a
+      fill/skew signal, not residual drift). Appends are
       assigned to STORED centroids (update_ivf_index), so distribution
       shift shows up as residuals inflating past what the model fit at
       build — past ``residual_warn`` recall at fixed nprobe decays;
@@ -284,6 +304,17 @@ def ivf_index_stats(spark: SparkSession, path: str,
             (F.sum(F.col("build_residual") * F.col("n_vectors"))
              / F.sum(F.when(F.col("build_residual").isNotNull(),
                             F.col("n_vectors")))).alias("_base_res"))
+        # the CURRENT side of the drift ratio must weigh the SAME cell
+        # population as the baseline side: a cell that was empty at
+        # build time (null build_residual) has no baseline to drift
+        # FROM, and counting its current residual mass only in the
+        # numerator skewed the verdict — growth into build-empty cells
+        # fired needs_retrain with zero actual drift (r9 self-review)
+        aggs.append(
+            (F.sum(F.when(F.col("build_residual").isNotNull(),
+                          F.col("mean_residual") * F.col("n_vectors")))
+             / F.sum(F.when(F.col("build_residual").isNotNull(),
+                            F.col("n_vectors")))).alias("_cmp_res"))
     agg = cj.agg(*aggs).collect()[0]
     if agg["_total_n"] is None:      # empty index: report no cells
         return cells.select(
@@ -297,7 +328,7 @@ def ivf_index_stats(spark: SparkSession, path: str,
     drift = None
     if have_baseline and agg["_base_res"] is not None:
         base = float(agg["_base_res"])
-        cur = float(agg["_overall_res"])
+        cur = float(agg["_cmp_res"])
         if base > 0:
             drift = round(cur / base, 6)
         else:

@@ -76,7 +76,13 @@ def _gen_numbers(spark: SparkSession, root: str, sub: str = "") -> list[int]:
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith(_GEN):
-            out.append(int(name[len(_GEN):]))
+            try:
+                out.append(int(name[len(_GEN):]))
+            except ValueError:
+                # foreign gen-* dirs (gen-4.bak, gen-tmp — operator
+                # snapshots/tooling) must not brick the store; the
+                # ivfstore twin guards this same parse
+                continue
     return sorted(out)
 
 
@@ -542,7 +548,10 @@ def _rollup_gens(spark: SparkSession, state_dir: str) -> list[int]:
             ok = spark._jvm.org.apache.hadoop.fs.Path(
                 f"{state_dir}/{name}/_SUCCESS")
             if fs.exists(ok):
-                out.append(int(name[len("rollup-g"):]))
+                try:
+                    out.append(int(name[len("rollup-g"):]))
+                except ValueError:  # foreign rollup-g* dirs: skip
+                    continue
     return sorted(out)
 
 
@@ -579,8 +588,14 @@ def init_feed_rollup(spark: SparkSession, root: str, state_dir: str,
                          "initialized — point each view at a fresh dir")
     g_now = _committed_gens(spark, root)[-1]
     base = read_merge_store(spark, root).withColumn("_sign", F.lit(1))
+    # overwrite, not errorifexists: a crashed init leaves a markerless
+    # orphan dir that _rollup_gens correctly treats as uninitialized —
+    # but an errorifexists retry then failed with PATH_ALREADY_EXISTS
+    # and there was no recovery path; the _rollup_gens() guard above
+    # already protects committed snapshots from clobbering (same
+    # rationale as refresh_feed_rollup's overwrite)
     _rollup_agg(base, group_cols, val_col) \
-        .write.mode("errorifexists") \
+        .write.mode("overwrite") \
         .parquet(f"{state_dir}/rollup-g{g_now}")
     return {"applied_through": g_now}
 

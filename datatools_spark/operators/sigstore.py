@@ -107,14 +107,23 @@ def compact_signature_store(spark: SparkSession, path: str,
     Crash-safe, never in place: the compacted table lands in the next
     ``gen-N`` dir and becomes visible only with its ``_COMMIT`` marker,
     written AFTER a read-back row-count equality check against the
-    source; a crash at any point leaves readers on the old root. On
-    the first compaction of a legacy (bare-path) store the old
-    top-level table files are removed after commit, like ivfstore's
-    legacy migration; later compactions retain the previous generation
-    on prune. Single writer assumed (the stores' standing contract).
+    source; a crash at any point leaves readers on the old root. The
+    FIRST compaction of a legacy (bare-path) store must not write the
+    gen dir beneath the live table — Spark's partition discovery then
+    sees leaf files under both ``{path}/_pp=*`` and ``{path}/gen-0/
+    _pp=*`` and every bare-path read dies with "Conflicting directory
+    structures", permanently (r9 self-review, repro'd). Legacy
+    migration therefore STAGES the generation in a dot-prefixed dir
+    (invisible to Spark's discovery), writes ``_COMMIT`` inside, and
+    atomically RENAMES it into place — the rename is the commit point;
+    a crash before it leaves only an invisible orphan and the bare
+    store intact. The legacy table files are RETAINED until the next
+    compaction (the two-snapshot policy applied to the legacy root —
+    in-flight readers of the just-retired bare path keep working).
+    Single writer assumed (the stores' standing contract).
     Returns ``{"rows", "files_before", "files_after", "generation"}``.
     """
-    from .ivfstore import _fs, _gen_numbers
+    from .ivfstore import _committed_gens, _fs, _gen_numbers
 
     root = resolve_signature_root(spark, path)
     src = spark.read.parquet(root)
@@ -132,38 +141,51 @@ def compact_signature_store(spark: SparkSession, path: str,
     files_before = _count_files(root)
     all_gens = _gen_numbers(spark, path, committed_only=False)
     gen = f"{path}/gen-{(all_gens[-1] + 1 if all_gens else 0):06d}"
+    legacy = root == path
+    jvm = spark._jvm
+    fs, _ = _fs(spark, path)
+    write_to = f"{path}/.staging-{gen.rsplit('/', 1)[-1]}" if legacy \
+        else gen
     (src.repartition(partition_col)
         .write.mode("overwrite").partitionBy(partition_col)
-        .parquet(gen))
-    # equality gate BEFORE the commit marker: a short write must never
+        .parquet(write_to))
+    # equality gate BEFORE the commit point: a short write must never
     # become the live store
-    n_src, n_new = src.count(), spark.read.parquet(gen).count()
+    n_src, n_new = src.count(), spark.read.parquet(write_to).count()
     if n_src != n_new:
         raise RuntimeError(
             f"compact_signature_store: compacted generation holds "
             f"{n_new} rows, source holds {n_src} — refusing to commit "
-            f"(orphan left at {gen} for inspection)")
-    fs, _ = _fs(spark, path)
-    fs.create(spark._jvm.org.apache.hadoop.fs.Path(
-        f"{gen}/_COMMIT")).close()
-    if root == path:
-        # legacy migration: drop the old top-level TABLE — partition
-        # dirs (named "_pp=..." — underscore-prefixed, so match dirs by
-        # shape, not prefix), data files, and the table's _SUCCESS —
-        # keeping gen-*/ and any caller-level marker files (_SEEDED)
-        for st in fs.listStatus(spark._jvm.org.apache.hadoop.fs.Path(path)):
+            f"(orphan left at {write_to} for inspection)")
+    if legacy:
+        # marker INSIDE the staging dir, then one atomic dir rename: a
+        # committed generation appears under path in a single FS op
+        fs.create(jvm.org.apache.hadoop.fs.Path(
+            f"{write_to}/_COMMIT")).close()
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(write_to),
+                         jvm.org.apache.hadoop.fs.Path(gen)):
+            raise RuntimeError(
+                f"compact_signature_store: rename {write_to} -> {gen} "
+                "failed (concurrent writer?) — staging left intact")
+    else:
+        fs.create(jvm.org.apache.hadoop.fs.Path(
+            f"{gen}/_COMMIT")).close()
+        # deferred legacy cleanup: with >= 2 committed generations the
+        # bare-path table (if this store was migrated) has no readers
+        # left — drop the old top-level partition dirs/data files,
+        # keeping gen-*/ and caller-level marker files (_SEEDED)
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
             name = st.getPath().getName()
             if st.isDirectory():
-                if not name.startswith("gen-"):
+                if not (name.startswith("gen-")
+                        or name.startswith(".staging-")):
                     fs.delete(st.getPath(), True)
             elif (name == "_SUCCESS" or name.endswith(".parquet")
                   or name.startswith("part-")):
                 fs.delete(st.getPath(), False)
-    else:
         # retain the previous committed generation (two-snapshot policy)
-        from .ivfstore import _committed_gens
         for old in _committed_gens(spark, path)[:-2]:
-            fs.delete(spark._jvm.org.apache.hadoop.fs.Path(
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
                 f"{path}/gen-{old:06d}"), True)
     return {"rows": int(n_src), "files_before": int(files_before),
             "files_after": _count_files(gen),
@@ -177,6 +199,14 @@ def update_signature_store(spark: SparkSession, batch: DataFrame,
     Returns the number of newly signed docs. Idempotent: re-running the
     same batch appends nothing."""
     root = resolve_signature_root(spark, path)
+    # intra-batch dedup: the store's invariant is ONE signature row per
+    # id, and the anti-join only screens against the STORE — a batch
+    # assembled from a union carrying the same id twice would append
+    # two rows that no later update can ever remove (and every pair
+    # verification join would emit that id's pairs twice). One
+    # batch-sized shuffle; id is assumed to identify content, so which
+    # duplicate survives is immaterial.
+    batch = batch.dropDuplicates([id_col])
     new = batch
     try:
         existing = spark.read.parquet(root).select(id_col)
@@ -219,14 +249,28 @@ def _band_index(sig: DataFrame, id_col: str) -> DataFrame:
 def lsh_pairs_against_store(spark: SparkSession, batch: DataFrame,
                             path: str, text_col: str = "text",
                             id_col: str = "doc_id",
-                            threshold: float = 0.5) -> DataFrame:
+                            threshold: float = 0.5,
+                            max_candidate_mass: int | str | None = "auto",
+                            ) -> DataFrame:
     """Near-dup pairs between ``batch`` docs and the WHOLE store
     (which includes the batch after ``update_signature_store``) without
     re-signing the corpus: batch-side signatures are read back from the
     store (cheap id semi-join), band keys joined store-side, candidates
     verified on stored signatures. Output: ``a_id, b_id, jaccard_est``
     with a < b; store-side work scales with matching band buckets, not
-    corpus size."""
+    corpus size.
+
+    ``max_candidate_mass`` — the pre-flight the image twin
+    (:func:`ahash_pairs_against_store`) always had, now on the text
+    path too: price Σ batch-bucket × store-bucket products BEFORE the
+    join and raise past the budget, so a batch whose minhash band keys
+    are degenerate against the store (near-constant boilerplate: one
+    bucket holding most of the corpus) fail-fasts instead of exploding
+    toward batch × corpus candidate rows. ``"auto"`` budgets
+    64·bands·|batch| (minhash band keys are 4×32-bit concatenations —
+    structural random collisions are negligible, unlike the packed-
+    hamming engine's narrow keys); pass an int for an explicit budget
+    or None to skip the pre-flight."""
     # ONE materialized store scan: the batch semi-join, the store band
     # index and BOTH verification sides read it (4 plan executions of
     # the many-small-files scan otherwise). Project to the columns the
@@ -239,6 +283,29 @@ def lsh_pairs_against_store(spark: SparkSession, batch: DataFrame,
     bsig = store.join(batch.select(id_col), id_col, "left_semi")
     bidx = _band_index(bsig, id_col)
     sidx = _band_index(store, id_col)
+    if max_candidate_mass is not None:
+        from .dedup import MASS_BUDGET_FACTOR
+        gate = False
+        if max_candidate_mass == "auto":
+            batch_n = max(int(bsig.count()), 1)
+            max_candidate_mass = MASS_BUDGET_FACTOR * _BANDS * batch_n
+            gate = batch_n * _BANDS <= 1_000_000
+        bc = bidx.groupBy("_b").agg(F.count("*").alias("_bn"))
+        bkeys = bidx.select("_b").distinct()
+        if gate:    # bounded by the auto path's measured batch size
+            bkeys = F.broadcast(bkeys)
+        sc = (sidx.select("_b").join(bkeys, "_b", "left_semi")
+              .groupBy("_b").agg(F.count("*").alias("_sn")))
+        mass = (bc.join(sc, "_b")
+                .agg(F.sum(F.col("_bn") * F.col("_sn")))
+                .collect()[0][0]) or 0
+        if mass > max_candidate_mass:
+            raise RuntimeError(
+                f"lsh_pairs_against_store: candidate mass {mass} "
+                f"(Σ batch×store bucket products) exceeds "
+                f"max_candidate_mass={max_candidate_mass}; the store's "
+                "band buckets are degenerate for this batch — raise "
+                "the threshold/bands or pre-cluster before pairing")
     cand = (bidx.alias("a").join(sidx.alias("b"),
                                  F.col("a._b") == F.col("b._b"))
             .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
@@ -331,6 +398,10 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
     nbits = grid * grid
     _check_ahash_geometry(nbits)
     root = resolve_signature_root(spark, path)
+    # one-signature-per-id invariant vs intra-batch duplicate ids —
+    # same guard as update_signature_store (the anti-join only screens
+    # against the STORE)
+    batch = batch.dropDuplicates([id_col])
     new = batch
     try:
         # ONE store scan per update: the layout audit (distinct _nbits)

@@ -235,8 +235,13 @@ def test_compact_image_store_preserves_pairs_and_bounds_files(
     assert res["generation"] == "gen-000000"
     assert res["files_after"] < res["files_before"]
     assert resolve_signature_root(spark, path).endswith("gen-000000")
-    # legacy top-level table gone, markers/generations kept
-    assert not [d for d in os.listdir(path) if d.startswith("_pp=")]
+    # legacy top-level table RETAINED one compaction (two-snapshot
+    # policy — an in-flight reader of the just-retired bare root keeps
+    # working; writing gen-0 beneath a bare table it replaces used to
+    # happen in place, where a crash pre-commit bricked every read
+    # with 'Conflicting directory structures')
+    assert [d for d in os.listdir(path) if d.startswith("_pp=")]
+    assert not [d for d in os.listdir(path) if d.startswith(".staging")]
     after = sorted(map(tuple,
                        ahash_pairs_against_store(spark, allb, path)
                        .collect()))
@@ -246,10 +251,12 @@ def test_compact_image_store_preserves_pairs_and_bounds_files(
     assert update_image_signature_store(spark, nb, path) == 5
     assert update_image_signature_store(spark, nb, path) == 0
     assert ahash_pairs_against_store(spark, nb, path).count() >= 0
-    # second compaction: new generation, previous one retained
+    # second compaction: new generation, previous one retained, the
+    # legacy bare table now pruned (no reader can still resolve it)
     res2 = compact_signature_store(spark, path)
     assert res2["generation"] == "gen-000001"
     assert os.path.isdir(f"{path}/gen-000000")
+    assert not [d for d in os.listdir(path) if d.startswith("_pp=")]
     # crashed compaction: a markerless newer generation is invisible
     os.makedirs(f"{path}/gen-000005")
     assert resolve_signature_root(spark, path).endswith("gen-000001")
@@ -396,11 +403,18 @@ def test_ivf_index_crashed_rebuild_invisible_and_legacy_migrates(
     baseline = {(r["rank"], r["vec_id"]) for r in
                 ivf_index_search(spark, legacy, q, k=3).collect()}
     assert baseline
-    # first build over the legacy store migrates it into gen-000000
+    # first build over the legacy store migrates it into gen-000000;
+    # the bare tables are RETAINED one build (two-snapshot policy — an
+    # in-flight reader of the bare root keeps working) and pruned on
+    # the next build
     build_ivf_index(spark, emb, cents, legacy)
     assert _resolve_root(spark, legacy).endswith("gen-000000")
     import os
-    assert not os.path.isdir(f"{legacy}/data")          # legacy pruned
+    assert os.path.isdir(f"{legacy}/data")          # retained one build
+    assert {(r["rank"], r["vec_id"]) for r in
+            ivf_index_search(spark, legacy, q, k=3).collect()} == baseline
+    build_ivf_index(spark, emb, cents, legacy)
+    assert not os.path.isdir(f"{legacy}/data")      # pruned on the next
     assert {(r["rank"], r["vec_id"]) for r in
             ivf_index_search(spark, legacy, q, k=3).collect()} == baseline
 
@@ -435,3 +449,32 @@ def test_ivf_index_crashed_rebuild_invisible_and_legacy_migrates(
     assert _resolve_root(spark, path).endswith("gen-000003")
     assert not os.path.isdir(f"{path}/gen-000000")
     assert os.path.isdir(f"{path}/gen-000002")
+
+
+def test_compact_legacy_crash_leaves_store_readable(spark, tmp_path):
+    """A compaction that dies before its commit RENAME leaves only an
+    invisible dot-prefixed staging orphan: bare-path reads, updates and
+    a retried compaction all keep working. (The old in-place gen write
+    put data-bearing gen-0/_pp=* beneath the live bare table — Spark's
+    partition discovery then failed every read with 'Conflicting
+    directory structures', permanently.)"""
+    import os
+
+    from datatools_spark.operators.sigstore import (
+        compact_signature_store, lsh_pairs_against_store,
+        resolve_signature_root, update_signature_store)
+    path = str(tmp_path / "txtstore")
+    docs = spark.createDataFrame(
+        [(i, f"shared prefix words {i % 4} tail {i}") for i in range(20)],
+        "doc_id long, text string")
+    update_signature_store(spark, docs, path)
+    # simulate the crash window: a staged, uncommitted generation
+    os.makedirs(f"{path}/.staging-gen-000000/_pp=1", exist_ok=True)
+    with open(f"{path}/.staging-gen-000000/_pp=1/part-0.parquet", "wb") as fh:
+        fh.write(b"torn")
+    assert resolve_signature_root(spark, path) == path
+    assert update_signature_store(spark, docs, path) == 0   # still reads
+    assert lsh_pairs_against_store(spark, docs, path).count() >= 0
+    res = compact_signature_store(spark, path)              # retry works
+    assert res["generation"] == "gen-000000"
+    assert resolve_signature_root(spark, path).endswith("gen-000000")

@@ -89,14 +89,21 @@ def daily_extrema(df: DataFrame, value_col: str = "value", ts_col: str = "ts",
     win_sec = parse_duration_seconds(max_window)
     mins = (base.groupBy(*p, day)
             .agg(min_v.alias("min_val"), min_t.alias("min_time")))
-    # candidate rows live on the pick's day or the next: join on an exploded
-    # day key (bounded fan-out = 2), then apply the exact interval predicate.
+    # candidate rows carry every day key their (min_time, min_time+win]
+    # membership could require: a candidate at time T can answer a min
+    # picked up to `win` earlier, i.e. on day(T) back through
+    # day(T - win) — floor(win/day) + 1 prior keys. Fan-out stays
+    # bounded (2 keys at the reference's sub-24h windows, growing only
+    # with the window itself); the exact interval predicate below cuts
+    # the slack keys. The old fixed 2-key explode silently MISSED
+    # candidates beyond min_day+1 for any max_window > 24h.
+    n_back = int(win_sec // 86400) + 1
     cand = base.select(
         *p, F.col(ts_col).alias("_cts"), F.col(value_col).alias("_cv"),
-        F.explode(F.array(
-            F.date_trunc("DAY", F.col(ts_col)),
-            F.date_trunc("DAY", F.col(ts_col) - F.expr("INTERVAL 1 DAY")),
-        )).alias("day"))
+        F.explode(F.array(*[
+            F.date_trunc("DAY",
+                         F.col(ts_col) - F.expr(f"INTERVAL {d} DAY"))
+            for d in range(n_back + 1)])).alias("day"))
     join_keys = list(partition_by) + ["day"]
     upper = F.col("min_time") + F.make_dt_interval(secs=F.lit(win_sec))
     s = F.min(F.struct((-F.col("_cv")).alias("nv"), F.col("_cts").alias("t")))
@@ -188,49 +195,74 @@ def apply_corrections(extrema: DataFrame, corrections: DataFrame,
       ``series`` inside the window (diurnal.py:407-420, 429-442).
     The corrections table is tiny → broadcast joins throughout.
     """
+    # every correction join below is PIVOTED to one row per day before
+    # meeting the extrema table: joining on="day" with a raw per-(day,
+    # which) corrections table fanned each extrema row out once per
+    # correction row — a day with both a min and a max correction (the
+    # only way to correct the two sides to different values) emitted
+    # TWO partially-corrected duplicates (r9 self-review). If the same
+    # (day, side) carries conflicting corrections the struct max picks
+    # one deterministically.
+    _min_side = F.col("which").isin("min", "both")
+    _max_side = F.col("which").isin("max", "both")
     c = F.broadcast(corrections)
     if series is not None:
-        # re-search: rows of the series inside [day+start_hrs, day+end_hrs]
-        sec = F.col("day").cast("double")
+        # re-search: rows of the series inside [day+start_hrs,
+        # day+end_hrs]. day may be DATE-typed (the FIXTURES.md §7
+        # schema) — date has no double cast; go through timestamp.
+        sec = F.col("day").cast("timestamp").cast("double")
         win = (c.where(F.col("find_between_start_hrs").isNotNull())
                .select("day", "which",
                        (sec + F.col("find_between_start_hrs") * 3600).cast("timestamp").alias("_ws"),
                        (sec + F.col("find_between_end_hrs") * 3600).cast("timestamp").alias("_we")))
         day_key = F.date_trunc("DAY", F.col(ts_col))
-        hits = (series.join(F.broadcast(win), on=day_key == win["day"])
+        hits = (series.join(F.broadcast(win),
+                            on=day_key == win["day"].cast("timestamp"))
                 .where(F.col(ts_col).between(F.col("_ws"), F.col("_we"))))
         smin = F.min(F.struct(F.col(value_col).alias("v"), F.col(ts_col).alias("t")))
         smax = F.min(F.struct((-F.col(value_col)).alias("nv"), F.col(ts_col).alias("t")))
         research = (hits.groupBy(win["day"].alias("day"), "which")
                     .agg(smin["v"].alias("_rs_min_val"), smin["t"].alias("_rs_min_time"),
                          (-smax["nv"]).alias("_rs_max_val"), smax["t"].alias("_rs_max_time")))
-        extrema = (extrema.join(F.broadcast(research), on="day", how="left")
-                   .withColumn("min_val", F.when(F.col("which").isin("min", "both"),
-                                                 F.coalesce("_rs_min_val", "min_val"))
-                               .otherwise(F.col("min_val")))
-                   .withColumn("min_time", F.when(F.col("which").isin("min", "both"),
-                                                  F.coalesce("_rs_min_time", "min_time"))
-                               .otherwise(F.col("min_time")))
-                   .withColumn("max_val", F.when(F.col("which").isin("max", "both"),
-                                                 F.coalesce("_rs_max_val", "max_val"))
-                               .otherwise(F.col("max_val")))
-                   .withColumn("max_time", F.when(F.col("which").isin("max", "both"),
-                                                  F.coalesce("_rs_max_time", "max_time"))
-                               .otherwise(F.col("max_time")))
-                   .drop("which", "_rs_min_val", "_rs_min_time", "_rs_max_val", "_rs_max_time"))
+        res = research.groupBy("day").agg(
+            F.max(F.when(_min_side, F.struct(
+                F.col("_rs_min_val").alias("v"),
+                F.col("_rs_min_time").alias("t")))).alias("_rmin"),
+            F.max(F.when(_max_side, F.struct(
+                F.col("_rs_max_val").alias("v"),
+                F.col("_rs_max_time").alias("t")))).alias("_rmax"))
+        extrema = (extrema.join(F.broadcast(res), on="day", how="left")
+                   .withColumn("min_val",
+                               F.coalesce(F.col("_rmin.v"), F.col("min_val")))
+                   .withColumn("min_time",
+                               F.coalesce(F.col("_rmin.t"), F.col("min_time")))
+                   .withColumn("max_val",
+                               F.coalesce(F.col("_rmax.v"), F.col("max_val")))
+                   .withColumn("max_time",
+                               F.coalesce(F.col("_rmax.t"), F.col("max_time")))
+                   .drop("_rmin", "_rmax"))
     explicit = (c.where(F.col("new_value").isNotNull() | F.col("new_time").isNotNull())
-                .select("day", "which",
-                        F.col("new_value").alias("_nv"), F.col("new_time").alias("_nt")))
+                .groupBy("day").agg(
+                    F.max(F.when(_min_side, F.struct(
+                        F.col("new_value").alias("v"),
+                        F.col("new_time").alias("t")))).alias("_cmin"),
+                    F.max(F.when(_max_side, F.struct(
+                        F.col("new_value").alias("v"),
+                        F.col("new_time").alias("t")))).alias("_cmax")))
     out = (extrema.join(F.broadcast(explicit), on="day", how="left")
-           .withColumn("min_val", F.when(F.col("which").isin("min", "both"),
-                                         F.coalesce("_nv", "min_val")).otherwise(F.col("min_val")))
-           .withColumn("min_time", F.when(F.col("which").isin("min", "both"),
-                                          F.coalesce("_nt", "min_time")).otherwise(F.col("min_time")))
-           .withColumn("max_val", F.when(F.col("which").isin("max", "both"),
-                                         F.coalesce("_nv", "max_val")).otherwise(F.col("max_val")))
-           .withColumn("max_time", F.when(F.col("which").isin("max", "both"),
-                                          F.coalesce("_nt", "max_time")).otherwise(F.col("max_time")))
-           .drop("which", "_nv", "_nt"))
+           .withColumn("min_val", F.when(F.col("_cmin").isNotNull(),
+                                         F.coalesce(F.col("_cmin.v"), F.col("min_val")))
+                       .otherwise(F.col("min_val")))
+           .withColumn("min_time", F.when(F.col("_cmin").isNotNull(),
+                                          F.coalesce(F.col("_cmin.t"), F.col("min_time")))
+                       .otherwise(F.col("min_time")))
+           .withColumn("max_val", F.when(F.col("_cmax").isNotNull(),
+                                         F.coalesce(F.col("_cmax.v"), F.col("max_val")))
+                       .otherwise(F.col("max_val")))
+           .withColumn("max_time", F.when(F.col("_cmax").isNotNull(),
+                                          F.coalesce(F.col("_cmax.t"), F.col("max_time")))
+                       .otherwise(F.col("max_time")))
+           .drop("_cmin", "_cmax"))
     return out
 
 

@@ -99,8 +99,15 @@ def interval_lookup_join(df: DataFrame, schedule: DataFrame,
     cond = lo & hi
     for k in on:
         cond = cond & (df[k] == schedule[k])
-    sched = F.broadcast(schedule.drop(*on) if on else schedule)
-    return df.join(sched, on=cond, how="left").drop(start_col, end_col)
+    # join against the UN-dropped schedule — the condition references
+    # schedule[k], and dropping the key columns first severs those
+    # attributes from the joined plan (MISSING_ATTRIBUTES at analysis
+    # for every on=(...) call, r9 self-review); the schedule-side key
+    # duplicates are dropped by Column reference after the join
+    out = df.join(F.broadcast(schedule), on=cond, how="left")
+    for k in on:
+        out = out.drop(schedule[k])
+    return out.drop(start_col, end_col)
 
 
 def asof_join(left: DataFrame, right: DataFrame, ts_col: str = "ts",
@@ -118,6 +125,13 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str = "ts",
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c != ts_col and c not in by]
+    clash = [c for c in value_cols if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join: left side already has column(s) {clash} that "
+            "the right side would fill — the old behavior silently "
+            "nulled and overwrote the left data; rename the collision "
+            "or pass value_cols explicitly")
     b = list(by)
     lhs = left.withColumn("_side", F.lit(1))
     rhs = right.select(*b, ts_col, *value_cols).withColumn("_side", F.lit(0))
@@ -136,14 +150,22 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str = "ts",
          .rowsBetween(Window.unboundedPreceding, 0))
     out = u
     for c in value_cols:
-        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    if tolerance is not None:
-        src_ts = F.when(F.col("_side") == 0, F.col(ts_col))
-        out = out.withColumn("_src_ts", F.last(src_ts, ignorenulls=True).over(w))
-        gap = F.abs(F.col(ts_col).cast("double") - F.col("_src_ts").cast("double"))
-        for c in value_cols:
-            out = out.withColumn(c, F.when(gap <= tolerance, F.col(c)))
-        out = out.drop("_src_ts")
+        filled = F.last(F.col(c), ignorenulls=True).over(w)
+        if tolerance is not None:
+            # tolerance gates each column's OWN last non-null source
+            # timestamp — gating on the last right ROW's timestamp let
+            # a stale value pass whenever a newer right row carried a
+            # null in that column (r9 self-review). Left rows hold null
+            # in c by construction, so the when() below fires only on
+            # right rows that actually supplied this column's value.
+            # Both expressions reference the PRE-update c (one
+            # withColumn projection).
+            src = F.last(F.when(F.col(c).isNotNull(), F.col(ts_col)),
+                         ignorenulls=True).over(w)
+            gap = F.abs(F.col(ts_col).cast("double")
+                        - src.cast("double"))
+            filled = F.when(gap <= tolerance, filled)
+        out = out.withColumn(c, filled)
     return out.where(F.col("_side") == 1).drop("_side")
 
 
@@ -152,6 +174,8 @@ def union_keep_first(dfs: Sequence[DataFrame], key_cols: Sequence[str],
     """``pd.concat`` + ``~index.duplicated(keep='first')`` parity
     (J6: hydrotools.py:197-199, 467): union frames in priority order,
     keep the first source's row per key."""
+    if not dfs:
+        raise ValueError("union_keep_first: no frames given")
     tagged = [d.withColumn(priority_col, F.lit(i)) for i, d in enumerate(dfs)]
     u = tagged[0]
     for d in tagged[1:]:
@@ -213,6 +237,15 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     strategy inside Spark's stream-stream interval joins, for batch.
     """
     from ..functions.timeutils import parse_duration_seconds
+    if how != "inner":
+        raise ValueError(
+            f"interval_overlap_join: how={how!r} is not supported — the "
+            "multi-bucket dedup (first-shared-bucket credit) and the "
+            "exact overlap predicate run as a POST-JOIN filter, which "
+            "silently turns an outer join back into an inner one (and "
+            "can duplicate null-extended rows once per exploded "
+            "bucket). For left semantics, anti-join the matched left "
+            "keys back against the left table and union the remainder.")
     b_us = int((parse_duration_seconds(bucket)
                 if isinstance(bucket, str) else float(bucket)) * 1_000_000)
     ls, le = (F.col(f"l.{c}") for c in left_cols)

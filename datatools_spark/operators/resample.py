@@ -19,11 +19,16 @@ from ..functions.timeutils import parse_duration_seconds
 
 __all__ = ["resample_agg", "resample_gapfill", "resample_nearest"]
 
-_AGGS = {
-    "mean": F.avg, "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
-    "median": F.median, "count": F.count, "first": lambda c: F.min_by(c, F.col("ts")),
-    "stddev": F.stddev,
-}
+def _aggs(ts_col: str) -> dict:
+    # 'first' orders by the CALLER's timestamp column — a hardcoded
+    # "ts" broke (or silently mis-ordered, if an unrelated column named
+    # ts existed) every resample_agg call with a non-default ts_col
+    return {
+        "mean": F.avg, "avg": F.avg, "sum": F.sum, "min": F.min,
+        "max": F.max, "median": F.median, "count": F.count,
+        "first": lambda c: F.min_by(c, F.col(ts_col)),
+        "stddev": F.stddev,
+    }
 
 
 def resample_agg(df: DataFrame, rule, aggs: Mapping[str, str] | str,
@@ -45,9 +50,10 @@ def resample_agg(df: DataFrame, rule, aggs: Mapping[str, str] | str,
     else:
         agg_map = dict(aggs)
     exprs = []
+    table = _aggs(ts_col)
     for c, fn in agg_map.items():
         try:
-            agg = _AGGS[fn]
+            agg = table[fn]
         except KeyError:
             raise ValueError(f"unsupported resample agg {fn!r}")
         exprs.append(agg(F.col(c)).alias(c))

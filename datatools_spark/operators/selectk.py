@@ -70,10 +70,13 @@ def exact_grouped_median(df: DataFrame, group_cols: Sequence[str],
             F.floor((v - F.col("_lo")) / span * bins).cast("bigint"))
         return F.least(raw, F.lit(bins - 1))
 
-    # pass 1: histogram + locate target bins per group
+    # pass 1: histogram + locate target bins per group. Bin value
+    # min/max ride the same combinable agg: they power the heavy-
+    # duplicate short-circuit below at no extra pass.
     hist = (base.join(F.broadcast(ext), on=g)
             .groupBy(*g, _bin(F.col("_v")).alias("_b"))
-            .agg(F.count("*").alias("_c")))
+            .agg(F.count("*").alias("_c"),
+                 F.min("_v").alias("_bmin"), F.max("_v").alias("_bmax")))
     wcum = Window.partitionBy(*g).orderBy("_b") \
         .rowsBetween(Window.unboundedPreceding, -1)
     hist = (hist.join(F.broadcast(ext.select(*g, "_k1", "_k2")), on=g)
@@ -83,18 +86,36 @@ def exact_grouped_median(df: DataFrame, group_cols: Sequence[str],
     targets = (hist.where(inbin & covers)
                .groupBy(*g)
                .agg(F.min("_b").alias("_b_lo"), F.max("_b").alias("_b_hi"),
-                    F.min("_before").alias("_skipped")))
+                    F.min("_before").alias("_skipped"),
+                    F.min("_bmin").alias("_tmin"),
+                    F.max("_bmax").alias("_tmax")))
+    # lazy checkpoint: targets feeds BOTH the survivor filter and the
+    # final coalesce — group-sized blocks cache at first materialization
+    # instead of re-running the corpus-sized histogram per consumer
+    targets = targets.localCheckpoint(eager=False)
+
+    # heavy-duplicate short-circuit (the module contract's worst case):
+    # when every value in the target-bin range is the SAME value — a
+    # group dominated by one repeated value whose bin holds the median
+    # — both middle ranks are that value, so the median is known
+    # without ranking. Excluding those groups from the survivor set is
+    # what keeps the window sort bounded: otherwise ~all of a hot
+    # group's rows landed on ONE reducer — exactly the shuffle
+    # concentration this module exists to avoid.
+    shortcut = F.col("_tmin") == F.col("_tmax")
 
     # pass 2: survivors = rows in the target-bin range; rank them
     spec = targets.join(ext, on=g)
-    surv = (base.join(F.broadcast(spec), on=g)
+    surv = (base.join(F.broadcast(spec.where(~shortcut)), on=g)
             .where(_bin(F.col("_v")).between(F.col("_b_lo"), F.col("_b_hi"))))
     wr = Window.partitionBy(*g).orderBy("_v")
     picked = (surv.withColumn("_r", F.row_number().over(wr) + F.col("_skipped"))
               .where((F.col("_r") == F.col("_k1"))
                      | (F.col("_r") == F.col("_k2"))))
-    return (picked.groupBy(*g)
-            .agg(F.avg("_v").alias(out_col)))
+    med = picked.groupBy(*g).agg(F.avg("_v").alias("_srt"))
+    return (targets.join(med, on=g, how="left")
+            .select(*g, F.coalesce(F.col("_srt"), F.col("_tmin"))
+                    .alias(out_col)))
 
 
 def exact_grouped_quantiles(df: DataFrame, group_cols: Sequence[str],

@@ -124,7 +124,7 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
         # session-cache entry per call, r5 hygiene rule)
         exploded = exploded.localCheckpoint(eager=True)
         per_side = exploded.groupBy(*side_keys).agg(
-            F.count(F.col(value_cols[0])).alias("_n"))
+            *[F.count(F.col(c)).alias(f"_n_{c}") for c in value_cols])
         for c in value_cols:
             # LEFT join: a bucket whose column is entirely null has no
             # median row — 'exact'/'approx' keep it with a null median,
@@ -137,19 +137,30 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
         med = (lambda c: F.percentile_approx(F.col(c), 0.5)) \
             if median_mode == "approx" else (lambda c: F.median(F.col(c)))
         aggs = [med(c).alias(f"_m_{c}") for c in value_cols]
-        aggs.append(F.count(F.col(value_cols[0])).alias("_n"))
+        aggs += [F.count(F.col(c)).alias(f"_n_{c}") for c in value_cols]
         per_side = exploded.groupBy(*side_keys).agg(*aggs)
 
     left = per_side.where(F.col("_side") == 0).drop("_side")
     right = per_side.where(F.col("_side") == 1).drop("_side")
     keys = p + ["_t0", "_k"]
     rn = {f"_m_{c}": f"_r_{c}" for c in value_cols}
-    right = right.withColumnsRenamed({**rn, "_n": "_rn"})
-    joined = (left.join(right, on=keys)
-              .where((F.col("_n") > min_obs) & (F.col("_rn") > min_obs)))
+    rn.update({f"_n_{c}": f"_rn_{c}" for c in value_cols})
+    right = right.withColumnsRenamed(rn)
+    # min_obs gates PER COLUMN on each column's own non-null count —
+    # counting only value_cols[0] either dropped a well-observed second
+    # column or emitted one computed from a single observation (r9
+    # self-review). A grid point emits iff >= 1 column passes; failing
+    # columns null out. Single-column callers see the identical plan.
+    _ok = {c: (F.col(f"_n_{c}") > min_obs) & (F.col(f"_rn_{c}") > min_obs)
+           for c in value_cols}
+    any_ok = None
+    for c in value_cols:
+        any_ok = _ok[c] if any_ok is None else (any_ok | _ok[c])
+    joined = left.join(right, on=keys).where(any_ok)
 
     dt_days = sep / 86400.0
-    vel_cols = [((F.col(f"_r_{c}") - F.col(f"_m_{c}")) / F.lit(dt_days)).alias(f"{c}_vel")
+    vel_cols = [F.when(_ok[c], (F.col(f"_r_{c}") - F.col(f"_m_{c}"))
+                       / F.lit(dt_days)).alias(f"{c}_vel")
                 for c in value_cols]
     date = (F.col("_t0") + F.col("_k") * F.lit(stat)).cast("timestamp").alias("date")
     return joined.select(*p, date, *vel_cols)
@@ -193,10 +204,15 @@ def calc_velocity_range_join(df: DataFrame, value_cols: Sequence[str],
 
     es = F.col(ts_col).cast("double")
     bounds = df.agg(F.min(es).alias("_tmin"), F.max(es).alias("_tmax"))
-    grid = bounds.select(F.explode(F.sequence(
-        (F.col("_tmin") + sep).cast("long"),
-        (F.col("_tmax") - sep).cast("long"),
-        F.lit(int(step)))).alias("_t"))
+    gstart = (F.col("_tmin") + sep).cast("long")
+    gstop = (F.col("_tmax") - sep).cast("long")
+    # a series shorter than 2×separation has NO valid grid point; a
+    # bare sequence(start, stop, +step) with start > stop THROWS where
+    # the bucket-tiling variant returns empty — guard to keep the two
+    # physical plans equivalent on degenerate spans
+    grid = bounds.select(F.explode(F.when(
+        gstart <= gstop, F.sequence(gstart, gstop, F.lit(int(step))))
+        .otherwise(F.array().cast("array<bigint>"))).alias("_t"))
 
     # (side, bucket) fan-out on the GRID side only: window
     # [c−half_stat, c+half_stat) spans at most ceil(stat/B)+1 = 3
@@ -222,16 +238,23 @@ def calc_velocity_range_join(df: DataFrame, value_cols: Sequence[str],
     med = (lambda c: F.percentile_approx(F.col(c), 0.5)) if approx \
         else (lambda c: F.median(F.col(c)))
     aggs = [med(c).alias(f"_m_{c}") for c in value_cols]
-    aggs.append(F.count(F.col(value_cols[0])).alias("_n"))
+    aggs += [F.count(F.col(c)).alias(f"_n_{c}") for c in value_cols]
     per_side = joined.groupBy("_t", "_side").agg(*aggs)
 
     left = per_side.where(F.col("_side") == 0).drop("_side")
     right = per_side.where(F.col("_side") == 1).drop("_side")
-    right = right.withColumnsRenamed(
-        {**{f"_m_{c}": f"_r_{c}" for c in value_cols}, "_n": "_rn"})
-    j = (left.join(right, on="_t")
-         .where((F.col("_n") > min_obs) & (F.col("_rn") > min_obs)))
+    rn = {f"_m_{c}": f"_r_{c}" for c in value_cols}
+    rn.update({f"_n_{c}": f"_rn_{c}" for c in value_cols})
+    right = right.withColumnsRenamed(rn)
+    # per-column min_obs gate — see calc_velocity
+    _ok = {c: (F.col(f"_n_{c}") > min_obs) & (F.col(f"_rn_{c}") > min_obs)
+           for c in value_cols}
+    any_ok = None
+    for c in value_cols:
+        any_ok = _ok[c] if any_ok is None else (any_ok | _ok[c])
+    j = left.join(right, on="_t").where(any_ok)
     dt_days = sep / 86400.0
-    vels = [((F.col(f"_r_{c}") - F.col(f"_m_{c}")) / F.lit(dt_days)).alias(f"{c}_vel")
+    vels = [F.when(_ok[c], (F.col(f"_r_{c}") - F.col(f"_m_{c}"))
+                   / F.lit(dt_days)).alias(f"{c}_vel")
             for c in value_cols]
     return j.select(F.col("_t").cast("timestamp").alias("date"), *vels)

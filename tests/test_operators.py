@@ -1213,3 +1213,110 @@ def test_minhash_lsh_pairs_validates_banding(spark):
         minhash_lsh_pairs(df, num_hashes=16, bands=32)
     with _pytest.raises(ValueError, match="divide"):
         minhash_lsh_pairs(df, num_hashes=16, bands=5)
+
+
+def test_selectk_heavy_duplicate_short_circuit_equals_builtin(spark):
+    """Module-contract worst case: a group dominated by one repeated
+    value (whose bin holds the median) resolves WITHOUT ranking — the
+    short-circuit must produce exactly the builtin median, including
+    the all-equal group and even-count averaging."""
+    import random
+    from datatools_spark.operators.selectk import exact_grouped_median
+    rnd = random.Random(3)
+    rows = [("hot", 5.0 if rnd.random() < 0.9 else rnd.uniform(0, 10))
+            for _ in range(5000)]
+    rows += [("norm", rnd.gauss(0, 1)) for _ in range(999)]   # odd count
+    rows += [("const", 2.5)] * 400                            # even count
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = {r["g"]: r["median"]
+           for r in exact_grouped_median(df, ["g"]).collect()}
+    want = {r["g"]: r["m"] for r in
+            df.groupBy("g").agg(F.median("value").alias("m")).collect()}
+    assert got == want
+
+
+def test_interval_lookup_join_with_on_keys(spark):
+    """The documented on=(...) parameter must work: the old code
+    dropped the key columns from the schedule BEFORE the join, severing
+    the attributes the condition referenced (MISSING_ATTRIBUTES on
+    every keyed call)."""
+    import datetime as dt
+    from datatools_spark.operators.intervals import interval_lookup_join
+    t = dt.datetime
+    df = spark.createDataFrame(
+        [("a", t(2024, 1, 5)), ("b", t(2024, 1, 5)), ("a", t(2024, 2, 5))],
+        "station string, ts timestamp")
+    sched = spark.createDataFrame(
+        [("a", t(2024, 1, 1), t(2024, 1, 31), 1.0),
+         ("b", t(2024, 1, 1), t(2024, 1, 31), 2.0)],
+        "station string, start_ts timestamp, end_ts timestamp, height double")
+    out = {(r["station"], r["ts"].month): r["height"]
+           for r in interval_lookup_join(df, sched, on=("station",)).collect()}
+    assert out == {("a", 1): 1.0, ("b", 1): 2.0, ("a", 2): None}
+
+
+def test_asof_join_tolerance_gates_per_column_source(spark):
+    """Tolerance must gate each column's OWN last non-null source
+    timestamp: a newer right row with a null in that column must not
+    launder a stale value past the bound."""
+    import datetime as dt
+    from datatools_spark.operators.intervals import asof_join
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    left = spark.createDataFrame([(1, s(11))], "lid long, ts timestamp")
+    right = spark.createDataFrame(
+        [(s(1), 5.0), (s(10), None)], "ts timestamp, p double")
+    row = asof_join(left, right, tolerance=2).collect()[0]
+    assert row["p"] is None      # v=5 came from ts=1, gap 10 > 2
+    row2 = asof_join(left, right, tolerance=60).collect()[0]
+    assert row2["p"] == 5.0      # within the loose bound it DOES carry
+
+
+def test_asof_join_rejects_left_column_collision(spark):
+    import datetime as dt
+    import pytest as _pytest
+    from datatools_spark.operators.intervals import asof_join
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t0, 9.0)],
+                                 "lid long, ts timestamp, value double")
+    right = spark.createDataFrame([(t0, 5.0)], "ts timestamp, value double")
+    with _pytest.raises(ValueError, match="value"):
+        asof_join(left, right)
+
+
+def test_apply_corrections_min_and_max_rows_same_day(spark):
+    """A day carrying BOTH a min and a max correction row (the only way
+    to correct the two sides to different values) must produce ONE
+    fully-corrected row, not two partially-corrected duplicates."""
+    import datetime as dt
+    from datatools_spark.operators.extrema import apply_corrections
+    d = dt.datetime(2024, 1, 1)
+    extrema = spark.createDataFrame(
+        [(d, 2.0, d + dt.timedelta(hours=3), 8.0, d + dt.timedelta(hours=15))],
+        "day timestamp, min_val double, min_time timestamp, "
+        "max_val double, max_time timestamp")
+    corr = spark.createDataFrame(
+        [(d, "min", 1.0, None, None, None),
+         (d, "max", 9.0, None, None, None)],
+        "day timestamp, which string, new_value double, new_time timestamp, "
+        "find_between_start_hrs double, find_between_end_hrs double")
+    rows = apply_corrections(extrema, corr).collect()
+    assert len(rows) == 1
+    assert rows[0]["min_val"] == 1.0 and rows[0]["max_val"] == 9.0
+
+
+def test_daily_extrema_min_first_window_beyond_next_day(spark):
+    """max_window > 24h: the follow-window candidate explode must reach
+    past min_day+1 — the old fixed 2-key explode silently missed the
+    true maximum on min_day+2."""
+    import datetime as dt
+    from datatools_spark.operators.extrema import daily_extrema
+    t0 = dt.datetime(2024, 1, 1, 22, 0)
+    rows = [(t0, 1.0),                                     # min, day D 22:00
+            (t0 + dt.timedelta(hours=2), 5.0),             # D+1 00:00
+            (t0 + dt.timedelta(hours=29), 7.0)]            # D+2 03:00, in 30h
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["day"].day: (r["min_val"], r["max_val"]) for r in
+           daily_extrema(df, min_first=True, max_next_day=True,
+                         max_window="30h").collect()}
+    assert out[1] == (1.0, 7.0)   # the D+2 03:00 max IS found

@@ -21,7 +21,9 @@ def runtime_str(elapsed: float) -> str:
     gpstools.py:651-661)."""
     if elapsed > 60:
         minutes = int(elapsed // 60)
-        return f"{minutes:02.0f}:{elapsed - minutes * 60:02.0f}"
+        # TRUNCATE the seconds remainder: :02.0f ROUNDS, so 119.7 s
+        # rendered the impossible "01:60" instead of "01:59"
+        return f"{minutes:02.0f}:{int(elapsed - minutes * 60):02d}"
     return f"{elapsed:02.0f} seconds"
 
 

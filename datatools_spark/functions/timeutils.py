@@ -106,6 +106,14 @@ def end_of_day(ts: Column | str) -> Column:
 
 def floor_to_resolution(ts: datetime, resolution_seconds: float) -> datetime:
     """Driver-side: floor a timestamp to the series' sampling resolution
-    (window-spec snapping, diurnal.py:717-775)."""
+    (window-spec snapping, diurnal.py:717-775). Naive inputs are
+    treated as UTC on EVERY machine: ``.timestamp()`` interprets a
+    naive datetime in the process's LOCAL zone, so the old
+    timestamp()+utcfromtimestamp round-trip shifted naive wall clocks
+    by the machine's UTC offset on non-UTC hosts."""
+    from datetime import timezone
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=timezone.utc)
     epoch = ts.timestamp()
-    return datetime.utcfromtimestamp(epoch - (epoch % resolution_seconds))
+    return datetime.fromtimestamp(epoch - (epoch % resolution_seconds),
+                                  tz=timezone.utc).replace(tzinfo=None)

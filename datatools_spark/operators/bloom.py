@@ -48,13 +48,18 @@ def bloom_positions(key: Column, num_bits: int, num_hashes: int,
 def bloom_build(build: DataFrame, key_col: str, num_bits: int = 1 << 16,
                 num_hashes: int = 4, salt: str = "bf") -> list[int]:
     """Build the bitmask: explode each key's positions, distinct (bounded
-    by ``num_bits``), collect, pack into ``num_bits // 64`` long words.
+    by ``num_bits``), collect, pack into 32-bit words carried in longs.
+
+    NULL build keys are ignored — a plain semi join never matches null
+    keys, and this filter must equal it (a null key otherwise reached
+    the driver packing loop as a None position and crashed it).
 
     The driver-side collect is bounded by the FILTER size (2^16 bits →
     ≤ 65 536 ints), not the build cardinality — the same legitimacy class
     as collecting k centroids. At 100 TB the distinct is one
     map-side-combined shuffle of ≤ num_bits narrow rows."""
-    pos = (build.select(F.explode(
+    pos = (build.where(F.col(key_col).isNotNull())
+           .select(F.explode(
                bloom_positions(F.col(key_col), num_bits, num_hashes, salt)
            ).alias("p"))
            .distinct().collect())

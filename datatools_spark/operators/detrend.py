@@ -46,7 +46,12 @@ def linear_detrend(df: DataFrame, value_col: str, ts_col: str = "ts",
     fit = fit_src.groupBy(*[F.col(c) for c in p]).agg(
         F.regr_slope(F.col(value_col), x).alias("_slope"),
         F.regr_intercept(F.col(value_col), x).alias("_icept"))
-    joined = df.join(F.broadcast(fit), on=p) if p else df.crossJoin(F.broadcast(fit))
+    # LEFT join: a partition with no fit (all rows outside the window,
+    # or a null partition key an equi-join can never match) must keep
+    # its rows with a null residual — the inner join silently deleted
+    # them, contradicting "residual applied to the FULL series"
+    joined = df.join(F.broadcast(fit), on=p, how="left") if p \
+        else df.crossJoin(F.broadcast(fit))
     out = out_col or f"{value_col}_detrended"
     return (joined
             .withColumn(out, F.col(value_col) - (F.col("_icept") + F.col("_slope") * x))
@@ -68,8 +73,18 @@ def flow_direction_angle(df: DataFrame, north_col: str = "dnorth",
         (F.max_by(F.col("_n"), F.col("_d")) - F.min_by(F.col("_n"), F.col("_d"))).alias("dn"),
         (F.max_by(F.col("_e"), F.col("_d")) - F.min_by(F.col("_e"), F.col("_d"))).alias("de"),
     ).collect()[0]
+    if row["dn"] is None or row["de"] is None:
+        raise ValueError(
+            "flow_direction_angle: no displacement data (empty or "
+            "all-null series) — alpha is undefined; pass alpha "
+            "explicitly to reproject_to_flow_direction")
     if use_atan2:
         return math.atan2(row["dn"], row["de"])
+    if row["de"] == 0.0:
+        # numpy-reference parity at the pole: arctan(dn/0) = arctan(±inf)
+        # = ±π/2 (gpstools.py:353 under numpy's inf semantics); Python's
+        # float division raised ZeroDivisionError instead
+        return math.copysign(math.pi / 2, row["dn"])
     return math.atan(row["dn"] / row["de"])  # reference parity (gpstools.py:353)
 
 

@@ -104,7 +104,11 @@ def quantize_fixed(col: Column, lo: Column, hi: Column,
     # exact integer division: subtract the remainder first so the double
     # division Spark performs on bigints is of an exact multiple (≤2^53)
     q = ((scaled - F.pmod(scaled, span)) / span).cast("bigint")
-    return F.least(F.greatest(q, F.lit(0)), F.lit((1 << bits) - 1))
+    clamped = F.least(F.greatest(q, F.lit(0)), F.lit((1 << bits) - 1))
+    # NULL propagates: greatest/least SKIP null arguments, so a null
+    # input silently clamped to lo and mapped to grid cell 0 — a bogus
+    # z-order key where the SQL oracle's plain arithmetic yields NULL
+    return F.when(col.isNotNull(), clamped)
 
 
 def morton_key(cols: Sequence[Column], bits: int = 16) -> Column:

@@ -41,25 +41,31 @@ def build_file_stats(spark: SparkSession, path: str,
     metadata. Columns with no non-null values in a file yield null
     min/max — :func:`prune_files` drops such files for range predicates
     on that column (a range predicate cannot match null)."""
-    df = spark.read.parquet(path)
+    return _stats_from(spark.read.parquet(path), cols)
+
+
+def _stats_from(df: DataFrame, cols: list[str]) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
-    return (df.groupBy(F.input_file_name().alias("file")).agg(*aggs))
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
 
 
 def update_file_stats(spark: SparkSession, path: str, cols: list[str],
                       manifest: DataFrame) -> DataFrame:
     """Fold files NOT yet in ``manifest`` into it (append-only lakes:
     new files arrive, old files are immutable). Only the new files are
-    scanned; the union is the refreshed manifest."""
+    scanned — they are read BY PATH, not as a whole-table scan filtered
+    on input_file_name (Spark cannot prune files from a predicate on
+    input_file_name, so the old shape paid a full O(table) data pass
+    per refresh, defeating the function at the 1e5-file scale this
+    module targets); the union is the refreshed manifest."""
     listed = set(spark.read.parquet(path).inputFiles())
     known = {r["file"] for r in manifest.select("file").collect()}
     new = sorted(listed - known)
     if not new:
         return manifest
-    fresh = build_file_stats(spark, path, cols) \
-        .where(F.col("file").isin(new))
+    fresh = _stats_from(spark.read.parquet(*new), cols)
     return manifest.unionByName(fresh)
 
 
@@ -69,6 +75,12 @@ def prune_files(manifest: DataFrame, ranges: dict[str, tuple]) -> list[str]:
     is metadata-sized — the returned path list feeds the reader."""
     keep = manifest
     for c, (lo, hi) in ranges.items():
+        if lo is None and hi is None:
+            # no predicate on c at all — an all-null-stats file imposes
+            # nothing and must SURVIVE (dropping it silently lost its
+            # rows from skipping_read, breaking the never-false-
+            # negatives contract)
+            continue
         if hi is not None:
             keep = keep.where(F.col(f"{c}_min") <= F.lit(hi))
         if lo is not None:
@@ -89,6 +101,11 @@ def skipping_read(spark: SparkSession, manifest: DataFrame,
     if not files:
         any_file = [r["file"] for r in manifest.select("file").limit(1)
                     .collect()]
+        if not any_file:
+            raise ValueError(
+                "skipping_read: the manifest lists no files at all — "
+                "the table's schema is unknowable from an empty "
+                "manifest; build_file_stats the table first")
         base = spark.read.parquet(*any_file)
         cond = F.lit(False)
         return base.where(cond)
@@ -147,7 +164,7 @@ def plan_compaction(manifest: DataFrame,
 
 
 def apply_compaction(spark: SparkSession, plan: DataFrame,
-                     out_path: str) -> int:
+                     out_path: str, base_path: str | None = None) -> int:
     """Execute a :func:`plan_compaction` plan: every MULTI-file group is
     rewritten as one parquet file under ``out_path/cg=<id>``; singleton
     groups (at/over-target files, and any lone small file) are LEFT IN
@@ -184,8 +201,25 @@ def apply_compaction(spark: SparkSession, plan: DataFrame,
               .groupBy("group_id")
               .agg(F.collect_list("file").alias("files"))
               .collect())
+    # hive-partitioned tables: reading LEAF files without basePath
+    # silently DROPS the partition-directory column values from the
+    # compacted output (they live in the path, not the bytes). With
+    # base_path the partition columns materialize as data columns in
+    # the cg= files; without it, refuse hive-shaped paths loudly.
+    if base_path is None:
+        import re
+        if any(re.search(r"/[^/=]+=[^/]*/", f)
+               for row in groups for f in row["files"]):
+            raise ValueError(
+                "apply_compaction: plan files live under hive "
+                "partition directories (name=value path segments); "
+                "reading leaf files without a basePath drops the "
+                "partition columns from the compacted output — pass "
+                "base_path=<table root>")
+    reader = spark.read.option("basePath", base_path) if base_path \
+        else spark.read
     for row in sorted(groups, key=lambda r: r["group_id"]):
-        (spark.read.parquet(*row["files"])
+        (reader.parquet(*row["files"])
          .coalesce(1)
          .write.mode("overwrite")
          .parquet(f"{out_path}/cg={row['group_id']}"))

@@ -66,6 +66,7 @@ def read_hobo_csv(spark: SparkSession, path: str) -> DataFrame:
         headers = next(csv.reader(io.StringIO(fh.readline())))
     renames = rename_map_from_headers(headers)
     fields = []
+    seen: dict[str, int] = {}
     for h in headers:
         canon = renames.get(h)
         if canon == "ts":
@@ -73,7 +74,15 @@ def read_hobo_csv(spark: SparkSession, path: str) -> DataFrame:
         elif canon is None:
             fields.append(StructField(f"_drop_{len(fields)}", StringType()))
         else:
-            fields.append(StructField(canon, DoubleType()))
+            # two raw headers mapping to one canonical name (e.g. two
+            # 'Temp, °C (S/N ...)' sensors — only the Solar pair gets
+            # explicit 1/2 suffixes) would produce duplicate schema
+            # fields and AMBIGUOUS_REFERENCE on the first withColumn;
+            # suffix repeats in file order instead
+            n = seen.get(canon, 0)
+            seen[canon] = n + 1
+            fields.append(StructField(
+                canon if n == 0 else f"{canon}{n + 1}", DoubleType()))
     df = (spark.read.schema(StructType(fields))
           .option("quote", '"')
           .csv(path))

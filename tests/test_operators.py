@@ -1320,3 +1320,37 @@ def test_daily_extrema_min_first_window_beyond_next_day(spark):
            daily_extrema(df, min_first=True, max_next_day=True,
                          max_window="30h").collect()}
     assert out[1] == (1.0, 7.0)   # the D+2 03:00 max IS found
+
+
+def test_bloom_build_ignores_null_keys(spark):
+    """A null build key must be ignored (a plain semi join never
+    matches null) — it used to crash the driver packing loop."""
+    from datatools_spark.operators.bloom import bloom_build, bloom_semi_join
+    build = spark.createDataFrame([("k1",), (None,), ("k2",)], "k string")
+    words = bloom_build(build, "k", num_bits=1 << 10)
+    assert any(words)
+    probe = spark.createDataFrame([("k1",), ("k3",), (None,)], "k string")
+    got = {r["k"] for r in bloom_semi_join(probe, build, "k", "k",
+                                           num_bits=1 << 10).collect()}
+    want = {r["k"] for r in probe.join(build, "k", "left_semi").collect()}
+    assert want <= got          # bloom admits false positives only
+    assert "k1" in got and None not in got
+
+
+def test_linear_detrend_window_keeps_unfitted_partitions(spark):
+    """A partition entirely outside the fit window must keep its rows
+    (null residual), not vanish from the output."""
+    import datetime as dt
+    from datatools_spark.operators.detrend import linear_detrend
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("in", t0 + dt.timedelta(hours=h), float(h)) for h in range(10)] \
+        + [("out", t0 + dt.timedelta(days=30, hours=h), float(h))
+           for h in range(10)]
+    df = spark.createDataFrame(rows, "s string, ts timestamp, value double")
+    out = linear_detrend(df, "value",
+                         window=(t0, t0 + dt.timedelta(days=1)),
+                         partition_by=["s"])
+    by_s = {r["s"] for r in out.collect()}
+    assert by_s == {"in", "out"}
+    assert all(r["value_detrended"] is None
+               for r in out.where("s = 'out'").collect())

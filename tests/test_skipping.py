@@ -201,3 +201,57 @@ def test_refresh_manifest_after_compaction_reads_clean(spark, tmp_path):
     files = {r["file"] for r in man2.select("file").collect()}
     assert any("frag4" in f for f in files)
     assert any("/cg=" in f for f in files)
+
+
+def test_prune_files_open_open_range_keeps_all_null_stats_files(spark, tmp_path):
+    """ranges={'c': (None, None)} imposes no predicate: a file whose c
+    is entirely null must SURVIVE (its rows are valid data for other
+    columns) — dropping it broke never-false-negatives."""
+    from datatools_spark.operators.skipping import (build_file_stats,
+                                                    prune_files)
+    p = str(tmp_path / "lake")
+    spark.createDataFrame([(1, 10.0)], "id long, c double") \
+        .coalesce(1).write.parquet(p)
+    spark.createDataFrame([(2, None)], "id long, c double") \
+        .coalesce(1).write.mode("append").parquet(p)
+    m = build_file_stats(spark, p, ["c"])
+    assert len(prune_files(m, {"c": (None, None)})) == 2
+    assert len(prune_files(m, {"c": (5.0, None)})) == 1  # real predicate
+
+
+def test_update_file_stats_scans_only_new_files(spark, tmp_path):
+    from datatools_spark.operators.skipping import (build_file_stats,
+                                                    update_file_stats)
+    p = str(tmp_path / "lake2")
+    spark.range(10).coalesce(1).write.parquet(p)
+    m = build_file_stats(spark, p, ["id"]).localCheckpoint()
+    spark.range(10, 30).coalesce(1).write.mode("append").parquet(p)
+    m2 = update_file_stats(spark, p, ["id"], m)
+    rows = {r["file"]: r["n_rows"] for r in m2.collect()}
+    assert sorted(rows.values()) == [10, 20]
+
+
+def test_apply_compaction_refuses_hive_leaf_files_without_base_path(
+        spark, tmp_path):
+    """Reading hive-partitioned leaf files without basePath drops the
+    partition column values from the compacted output — the call must
+    refuse, and succeed with base_path preserving the column."""
+    import pytest as _pytest
+    from datatools_spark.operators.skipping import (apply_compaction,
+                                                    build_file_stats,
+                                                    plan_compaction)
+    root = str(tmp_path / "ptable")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(20)],
+        "id long, station string, v double")
+    df.repartition(4).write.partitionBy("station").parquet(root)
+    m = build_file_stats(spark, root, ["id"])
+    plan = plan_compaction(m, target_rows=50)
+    with _pytest.raises(ValueError, match="basePath"):
+        apply_compaction(spark, plan, str(tmp_path / "cg_out"))
+    n = apply_compaction(spark, plan, str(tmp_path / "cg_out2"),
+                         base_path=root)
+    assert n >= 1
+    out = spark.read.parquet(str(tmp_path / "cg_out2"))
+    assert "station" in out.columns
+    assert out.where(F.col("station").isNull()).count() == 0

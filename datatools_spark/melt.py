@@ -97,15 +97,29 @@ def calc_daily_albedo(df: DataFrame, incoming_col: str = "Solar_incoming",
                 ts_col=ts_col, partition_by=p,
                 chunk=_smooth_chunk(smoothing))
             .where(F.col("_in").isNotNull()))
-    # tie-pinned argmax: max incoming, earliest ts (pandas idxmax parity)
-    s = F.min(F.struct((-F.col("_in")).alias("ni"), F.col(ts_col).alias("t"),
-                       F.col("_out").alias("o")))
-    daily = (work.groupBy(*[F.col(c) for c in p],
-                          F.date_trunc("DAY", F.col(ts_col)).alias("day"))
-             .agg(s["o"].alias("_out_at_max"), F.max("_in").alias("_max_in")))
-    # an all-zero-incoming day (polar night) makes _max_in 0: the raw
-    # division THROWS under ANSI; albedo is undefined there -> NULL
-    # (DuckDB's 0/0 is NULL, so the guarded form IS the oracle's value)
+    return _daily_albedo_from_smoothed(work, "_in", "_out", p, ts_col)
+
+
+def _daily_albedo_from_smoothed(sm: DataFrame, in_col: str, out_col: str,
+                                p: Sequence[str], ts_col: str) -> DataFrame:
+    """Shared A10 core over a smoothed two-channel frame: tie-pinned
+    argmax of incoming (max value, earliest ts — pandas idxmax parity),
+    ANSI-guarded division (an all-zero-incoming polar-night day makes
+    the denominator 0: the raw division THROWS under ANSI; albedo is
+    undefined there → NULL, which IS DuckDB's 0/0), values ≥ 1 masked.
+    One map-side-combinable aggregate, one row per (partition, day).
+    Factored so the A10 semantics cannot diverge between
+    :func:`calc_daily_albedo` and :func:`calc_melt` (they used to be
+    two hand-copied blocks)."""
+    day = F.col("day") if "day" in sm.columns \
+        else F.date_trunc("DAY", F.col(ts_col)).alias("day")
+    s = F.min(F.struct((-F.col(in_col)).alias("ni"),
+                       F.col(ts_col).alias("t"),
+                       F.col(out_col).alias("o")))
+    daily = (sm.where(F.col(in_col).isNotNull())
+             .groupBy(*[F.col(c) for c in p], day)
+             .agg(s["o"].alias("_out_at_max"),
+                  F.max(in_col).alias("_max_in")))
     alb = F.when(F.col("_max_in") != 0.0,
                  F.col("_out_at_max") / F.col("_max_in"))
     return daily.select(
@@ -137,21 +151,11 @@ def calc_melt(df: DataFrame, temp_col: str = "Temp",
         ts_col=ts_col, partition_by=p, chunk=_smooth_chunk("2h")) \
         .withColumn("day", F.date_trunc("DAY", F.col(ts_col))) \
         .localCheckpoint(eager=False)
-    # daily albedo from the shared smoothed channels — same tie-pinned
-    # argmax + ≥1 mask as calc_daily_albedo (A10 semantics)
-    s = F.min(F.struct((-F.col("_in_sm")).alias("ni"),
-                       F.col(ts_col).alias("t"),
-                       F.col("_out_sm").alias("o")))
-    daily = (sm.where(F.col("_in_sm").isNotNull())
-             .groupBy(*[F.col(c) for c in p], "day")
-             .agg(s["o"].alias("_out_at_max"),
-                  F.max("_in_sm").alias("_max_in")))
-    # same ANSI guard as calc_daily_albedo: all-zero day -> NULL albedo
-    alb = F.when(F.col("_max_in") != 0.0,
-                 F.col("_out_at_max") / F.col("_max_in"))
-    albedo = daily.select(
-        *p, "day",
-        F.when(alb >= 1.0, F.lit(None)).otherwise(alb).alias("albedo"))
+    # daily albedo from the shared smoothed channels — the SAME factored
+    # A10 core calc_daily_albedo uses (argmax tie pin, ANSI guard, ≥1
+    # mask cannot diverge between the two entry points)
+    albedo = _daily_albedo_from_smoothed(sm, "_in_sm", "_out_sm", p,
+                                         ts_col)
     work = sm.join(F.broadcast(albedo), on=p + ["day"], how="left")
     work = ffill(work, ["albedo"], ts_col, p)
     m = melt_expr(F.col(temp_col), F.col("_in_sm"), F.col("albedo"),

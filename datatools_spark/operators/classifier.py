@@ -100,6 +100,11 @@ def train_logreg(feats: DataFrame, *, dim: int, iters: int = 2,
     p=0.5 exactly, so its gradient is computed in the same single-agg
     shape with a literal p."""
     n = feats.count()
+    if n == 0:
+        raise ValueError(
+            "train_logreg: no training rows (all docs filtered or "
+            "empty) — the gradient sums would be NULL and n=0 divides; "
+            "a model fit on nothing is undefined")
     w, bias = [0.0] * dim, 0.0
     for it in range(iters):
         p = F.lit(0.5) if it == 0 else _p_col(w, bias)

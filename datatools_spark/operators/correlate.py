@@ -83,8 +83,13 @@ def xcorr_lags(a: DataFrame, b: DataFrame, max_lag: int,
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
     # a constant series over the overlap zeroes the denominator: the
     # raw division THROWS under ANSI; correlation is undefined there →
-    # NULL (exactly what DuckDB/SQL corr() returns for constant input)
-    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    # NULL (exactly what DuckDB/SQL corr() returns for constant input).
+    # The variance product is CLAMPED at 0 first: double rounding of
+    # the decimal sums can land a near-constant series at ~-1e-12,
+    # whose sqrt is NaN — and Spark sorts NaN ABOVE every real value
+    # under desc, so the garbage lag won is_best (r9 self-review).
+    den = F.sqrt(F.greatest(
+        (n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0)))
     corr = F.when(den != 0.0, (n * sxy - sx * sy) / den)
     w = Window.orderBy(F.col("_corr").desc(), F.col("lag").asc())
     return (g.withColumn("_corr", corr)

@@ -68,7 +68,23 @@ def normalize_window(window, df: DataFrame | None = None,
         else:
             e, date_only = _parse_point(end)
             if date_only:
-                e = e + dt.timedelta(hours=23, minutes=59, seconds=59)
+                # PERIOD-aware end like the single-string form: a month
+                # or year endpoint covers the whole period — the old
+                # flat +23:59:59 silently truncated ('2024-01','2024-03')
+                # to March 1st, dropping 30 days from the clip
+                es = str(end)
+                if len(es) == 4:          # year
+                    e = e.replace(year=e.year + 1) - dt.timedelta(seconds=1)
+                elif len(es) == 7:        # month
+                    nxt = e.replace(year=e.year + (e.month == 12),
+                                    month=1 if e.month == 12 else e.month + 1)
+                    e = nxt - dt.timedelta(seconds=1)
+                else:
+                    e = e + dt.timedelta(hours=23, minutes=59, seconds=59)
+        if s is None or e is None:
+            raise ValueError(
+                "normalize_window: 'first'/'last' resolved on an EMPTY "
+                "series — no bounds to anchor the window")
         if s > e:
             raise ValueError(f"window start {s} after end {e}")
         return s, e

@@ -28,7 +28,7 @@ __all__ = ["streaming_window_counts", "streaming_daily_extrema",
            "streaming_embedding_ingest_components",
            "streaming_merge_store_apply", "streaming_kmv_ingest",
            "streaming_value_sample_ingest", "streaming_cms_ingest",
-           "run_file_stream"]
+           "streaming_distinct_users", "run_file_stream"]
 
 
 def streaming_window_counts(events: DataFrame, window: str = "1 hour",
@@ -155,11 +155,31 @@ def streaming_upsert(spark: SparkSession, changes: DataFrame,
         batch = apply_changes(batch_df.limit(0), batch_df, list(key_cols),
                               ts_col, list(tiebreak_cols))
         base = snapshot_dir.rstrip("/")
+        parent, name = os.path.split(base)
+
+        def _retired() -> list[str]:
+            if not os.path.isdir(parent):
+                return []
+            pref = f"{name}._old_"
+            ds = [d for d in os.listdir(parent) if d.startswith(pref)]
+            return sorted(ds, key=lambda d: int(d[len(pref):]))
+
+        if not os.path.exists(os.path.join(base, "_SUCCESS")):
+            old = _retired()
+            if old:
+                # crash-window recovery: a previous batch renamed the
+                # live snapshot aside but died before promoting its
+                # staging dir. Without this, the _SUCCESS-absence probe
+                # took the "first batch" branch and silently RE-SEEDED
+                # the table from one batch's rows — the exact failure
+                # the docstring forbids. Restore the newest retired
+                # snapshot as live, then merge normally.
+                os.rename(os.path.join(parent, old[-1]), base)
         if os.path.exists(os.path.join(base, "_SUCCESS")):
             snap = sess.read.parquet(snapshot_dir)
             merged = apply_changes(snap, batch, list(key_cols), ts_col,
                                    list(tiebreak_cols))
-        else:  # first batch: no committed snapshot yet
+        else:  # genuinely first batch: no snapshot was ever committed
             merged = batch
         # stage the new snapshot beside the live one, then swap via
         # rename — the live dir is replaced only after the write commits
@@ -168,7 +188,8 @@ def streaming_upsert(spark: SparkSession, changes: DataFrame,
         if os.path.exists(base):
             os.rename(base, retired)
         os.rename(staging, base)
-        shutil.rmtree(retired, ignore_errors=True)
+        for d in _retired():   # incl. this batch's + any stale leftovers
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
     return (changes.writeStream
             .outputMode("append")
@@ -606,7 +627,11 @@ def streaming_merge_store_apply(changes: DataFrame, root: str,
 
     def _apply(batch_df: DataFrame, batch_id: int):
         sess = batch_df.sparkSession
-        if batch_df.where(~F.col(op_col).isin("U", "D")).limit(1).count():
+        # NULL op must also fail: ~isin evaluates to NULL for a NULL op
+        # (three-valued logic), so `where` silently filtered it past the
+        # guard and both the 'D' and 'U' branches then dropped the row
+        if batch_df.where(F.col(op_col).isNull()
+                          | ~F.col(op_col).isin("U", "D")).limit(1).count():
             raise ValueError(
                 f"streaming_merge_store_apply: op column {op_col!r} "
                 "holds values outside {'U','D'} — refusing to guess")

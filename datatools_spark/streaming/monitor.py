@@ -52,8 +52,12 @@ def batch_psi(batch: DataFrame, baseline: DataFrame,
     so drift outside the historical range lands in the edge bins instead
     of silently re-anchoring. Missing bins count 0 on either side
     (0.5/bins·0.5-smoothed); keys absent from the baseline are skipped
-    (no reference — emit nothing rather than a fake number).
-    Output: ``key, psi, n_batch``."""
+    (no reference — emit nothing rather than a fake number), and so are
+    baseline keys with NO batch rows: zero observations carry no drift
+    evidence, but the smoothed q collapses to the uniform 1/bins
+    distribution and emitted a large fake "drift" row for every quiet
+    key in every micro-batch (r9 self-review).
+    Output: ``key, psi, n_batch`` (keys with batch data only)."""
     anchors = baseline.select(key_col, "lo", "hi", "n").distinct()
     v = batch.where(F.col(value_col).isNotNull())
     j = v.join(F.broadcast(anchors), key_col)
@@ -83,7 +87,8 @@ def batch_psi(batch: DataFrame, baseline: DataFrame,
     return (full.withColumn("_t", term)
             .groupBy(key_col)
             .agg(F.round(F.sum("_t").cast("double"), 6).alias("psi"),
-                 F.max("n_batch").alias("n_batch")))
+                 F.max("n_batch").alias("n_batch"))
+            .where(F.col("n_batch") > 0))
 
 
 def streaming_drift_monitor(spark: SparkSession, src_dir: str, schema,

@@ -70,11 +70,19 @@ def run_events_pipeline(spark: SparkSession, src_dir: str, schema,
             f"{work_dir}/ck_drift", key_col=key_col, value_col=value_col,
             max_files_per_trigger=max_files_per_trigger),
     ]
-    for q in qs:
-        q.awaitTermination(timeout_s)
-        if q.isActive:       # drain did not finish: fail loudly
-            q.stop()
-            raise TimeoutError(
-                f"streaming pipeline query {q.name or q.id} still active "
-                f"after {timeout_s}s")
+    try:
+        for q in qs:
+            q.awaitTermination(timeout_s)
+            if q.isActive:       # drain did not finish: fail loudly
+                raise TimeoutError(
+                    f"streaming pipeline query {q.name or q.id} still "
+                    f"active after {timeout_s}s")
+    finally:
+        # stop EVERY query on the way out, not just the one that timed
+        # out — siblings left running keep holding the checkpoints and
+        # appending to the sinks after the caller saw the failure, and
+        # a retry then collides with the still-active checkpoint dirs
+        for q in qs:
+            if q.isActive:
+                q.stop()
     return paths

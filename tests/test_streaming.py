@@ -1041,3 +1041,85 @@ def test_streaming_image_ingest_restart_replay_is_idempotent(
     assert got == want
     # run 1's pairs were not rewritten by the replayed batch
     assert n_pairs_run1 == sum(1 for a, b in got if a < 100 and b < 100)
+
+
+def test_streaming_upsert_recovers_mid_swap_crash(spark, tmp_path):
+    """Crash window between the two snapshot renames: the live dir is
+    gone but the retired one exists. The next batch must RESTORE the
+    retired snapshot and merge against it — the old _SUCCESS-absence
+    probe took the first-batch branch and silently re-seeded the table
+    from one batch's rows, losing all previously merged data."""
+    import os
+
+    from datatools_spark.streaming.demo import streaming_upsert
+
+    snap = str(tmp_path / "snap")
+    src = str(tmp_path / "ups_src")
+    b1 = spark.createDataFrame(
+        [(1, "click", dt.datetime(2024, 1, 1), 10, 1.0)],
+        "user_id long, event_type string, ts timestamp, event_id long, v double")
+    b1.coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming_upsert(spark, stream, snap, str(tmp_path / "ups_ck"))
+    q.awaitTermination(120)
+    assert spark.read.parquet(snap).count() == 1
+
+    # simulate the crash: live dir renamed aside, staging never promoted
+    os.rename(snap, f"{snap}._old_7")
+    b2 = spark.createDataFrame(
+        [(2, "view", dt.datetime(2024, 1, 2), 20, 2.0)],
+        "user_id long, event_type string, ts timestamp, event_id long, v double")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream2 = (spark.readStream.schema(b1.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    q2 = streaming_upsert(spark, stream2, snap, str(tmp_path / "ups_ck"))
+    q2.awaitTermination(120)
+    got = {(r["user_id"], r["event_type"])
+           for r in spark.read.parquet(snap).collect()}
+    assert got == {(1, "click"), (2, "view")}   # batch 1 NOT lost
+    assert not os.path.exists(f"{snap}._old_7")  # retired cleaned up
+
+
+def test_streaming_merge_store_apply_rejects_null_op(spark, tmp_path):
+    """A NULL op must FAIL the batch (three-valued logic let it slip
+    past ~isin and vanish silently)."""
+    from datatools_spark.operators.mergestore import (init_merge_store,
+                                                      read_merge_store)
+    from datatools_spark.streaming.demo import streaming_merge_store_apply
+    root = str(tmp_path / "ms")
+    init_merge_store(
+        spark, spark.createDataFrame([(1, 1.0)], "k long, v double"),
+        root, ["k"])
+    src = str(tmp_path / "ms_src")
+    spark.createDataFrame([(1, 2.0, None, 1)],
+                          "k long, v double, op string, seq long") \
+        .coalesce(1).write.parquet(src)
+    stream = (spark.readStream
+              .schema("k long, v double, op string, seq long").parquet(src))
+    q = streaming_merge_store_apply(stream, root, str(tmp_path / "ms_ck"),
+                                    ["k"])
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="refusing to guess"):
+        q.awaitTermination(120)
+        if q.exception():
+            raise Exception(str(q.exception()))
+    assert {r["v"] for r in read_merge_store(spark, root).collect()} == {1.0}
+
+
+def test_batch_psi_skips_keys_with_no_batch_rows(spark):
+    """A baseline key absent from the micro-batch carries no drift
+    evidence — it must not emit a fake uniform-distribution PSI row."""
+    from datatools_spark.streaming.monitor import (baseline_histogram,
+                                                   batch_psi)
+    base = spark.createDataFrame(
+        [("click", float(v % 7)) for v in range(200)]
+        + [("purchase", float(v % 3)) for v in range(100)],
+        "event_type string, value double")
+    hist = baseline_histogram(base)
+    batch = spark.createDataFrame(
+        [("click", float(v % 7)) for v in range(50)],
+        "event_type string, value double")
+    rows = batch_psi(batch, hist).collect()
+    assert {r["event_type"] for r in rows} == {"click"}
+    assert all(r["n_batch"] > 0 for r in rows)

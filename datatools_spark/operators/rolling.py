@@ -95,7 +95,12 @@ def rolling_agg_col(value_col: str, window, func: str = "mean",
         except KeyError:
             raise ValueError(f"unsupported rolling func {func!r}; one of {sorted(_FUNCS)}")
         result = agg(F.col(value_col)).over(frame)
-    if min_periods is not None and min_periods > 1:
+    if min_periods is not None and min_periods >= 1:
+        # gate min_periods=1 too: it matters exactly for func='count',
+        # where an all-null frame yields 0 ungated but pandas (and the
+        # blocked twin) yield NULL — the two documented-equal paths
+        # diverged. min_periods=None keeps SQL-native semantics
+        # (count of an empty frame is 0).
         n = F.count(F.col(value_col)).over(frame)
         result = F.when(n >= min_periods, result)
     return result
@@ -140,19 +145,11 @@ def c_rolling_chunked(df: DataFrame, value_col: str, window, func: str = "mean",
     if chunk_us < half:
         raise ValueError("chunk must be >= window/2 so halos cover the frame")
     out = out_col or f"{value_col}_roll"
-    es = F.unix_micros(F.col(ts_col))
-    cid = F.floor(es / F.lit(chunk_us))
-    off = es - cid * chunk_us
-    assigns = F.array_compact(F.array(
-        F.struct(cid.alias("c"), F.lit(True).alias("own")),
-        F.when(off < half,
-               F.struct((cid - 1).alias("c"), F.lit(False).alias("own"))),
-        F.when(off >= chunk_us - half,
-               F.struct((cid + 1).alias("c"), F.lit(False).alias("own"))),
-    ))
-    work = df.select("*", F.explode(assigns).alias("_a")) \
-        .select("*", F.col("_a.c").alias("_chunk"), F.col("_a.own").alias("_own")) \
-        .drop("_a")
+    # the shared halo construction — one copy of the boundary
+    # arithmetic (this function used to inline the left=right=half
+    # case of _halo_expand verbatim; two copies of the trickiest
+    # arithmetic in the file invite a one-sided fix)
+    work = _halo_expand(df, ts_col, half, half, chunk_us)
     rolled = c_rolling(work, value_col, window, func, ts_col,
                        partition_by=["_chunk"], min_periods=min_periods,
                        out_col=out)
@@ -425,11 +422,17 @@ def ewma_cols(value_col: str, order_cols: Sequence[str],
     (matching pandas ``ewm(adjust=True)`` semantics truncated to k).
     """
     w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
-    num: Column = F.col(value_col).cast("double")
-    den: Column = F.lit(1.0)
+    # the CURRENT row renormalizes like the lags do: pandas
+    # ewm(adjust=True) averages over the available terms, so a null
+    # current value must drop its weight-1 term, not poison the whole
+    # sum to NULL (the old bare `value + ...` did)
+    num: Column = F.coalesce(F.col(value_col).cast("double"), F.lit(0.0))
+    den: Column = F.when(F.col(value_col).isNotNull(),
+                         F.lit(1.0)).otherwise(F.lit(0.0))
     for j in range(1, k):
         lagv = F.lag(value_col, j).over(w)
         wj = float((1.0 - alpha) ** j)
         num = num + F.coalesce(lagv.cast("double") * wj, F.lit(0.0))
         den = den + F.when(lagv.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
-    return num / den
+    # current + every lag null -> no terms at all: EWMA undefined, NULL
+    return F.when(den != 0.0, num / den)

@@ -68,7 +68,20 @@ def salted_aggregate(df: DataFrame, keys: Sequence[str],
 def salted_join(big: DataFrame, small: DataFrame, on: Sequence[str],
                 num_salts: int = 16, how: str = "inner") -> DataFrame:
     """Skew-safe equi-join: replicate ``small`` over ``num_salts`` salt
-    values, salt ``big`` deterministically, join on keys + salt."""
+    values, salt ``big`` deterministically, join on keys + salt.
+
+    ``how`` accepts inner/left/semi/anti ONLY: the small side is
+    REPLICATED, so any join preserving unmatched small rows
+    (right/full) would emit each of them once per salt — num_salts
+    null-padded duplicates where the unsalted plan emits one."""
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "semi",
+                   "left_anti", "leftanti", "anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched "
+            "replicated small-side rows once per salt — only joins "
+            "that preserve no unmatched small rows (inner/left/"
+            "semi/anti) are salt-safe")
     salts = F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))).alias("_salt")
     small_rep = small.select("*", salts)
     big_salted = big.withColumn(

@@ -43,7 +43,12 @@ def audit(df: DataFrame) -> dict:
     scans = re.findall(r"FileScan \w+ (\[[^\]]*\]).*?"
                        r"PushedFilters: (\[[^\]]*\])", p)
     return {
-        "exchanges": p.count("Exchange"),
+        # SHUFFLE barriers only: a BroadcastExchange moves model-sized
+        # data with no repartitioning, and a ReusedExchange re-reads a
+        # shuffle already counted once — counting every 'Exchange'
+        # substring rejected genuinely shuffle-free broadcast plans
+        "exchanges": (p.count("Exchange") - p.count("BroadcastExchange")
+                      - p.count("ReusedExchange")),
         "cartesian": ("CartesianProduct" in p
                       or "BroadcastNestedLoopJoin" in p),
         "python_udf": "BatchEvalPython" in p,

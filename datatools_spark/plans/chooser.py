@@ -59,6 +59,21 @@ def velocity(df: DataFrame, value_cols: Sequence[str], stat_window,
     if choose_velocity_plan(stat_window, grid_step) == "bucket":
         return calc_velocity(df, value_cols, stat_window,
                              separation_window, **kw)
+    # the range-join variant supports a narrower kwarg surface than the
+    # bucket plan; reject the unsupported ones HERE with the dispatch
+    # context — otherwise the same facade call crashes or not depending
+    # on which way the grid_step rule flips (TypeError deep inside)
+    import inspect
+    supported = set(
+        inspect.signature(calc_velocity_range_join).parameters)
+    extra = set(kw) - supported
+    if extra:
+        raise NotImplementedError(
+            f"velocity: grid_step={grid_step!r} dispatches to the "
+            f"range-join variant, which does not support {sorted(extra)} "
+            "(bucket-plan-only options like partition_by/smoothing/"
+            "median_mode); drop the option or use the tiling grid "
+            "(grid_step=None / == stat_window)")
     return calc_velocity_range_join(df, value_cols, stat_window,
                                     separation_window,
                                     grid_step=grid_step, **kw)

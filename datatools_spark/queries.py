@@ -2821,7 +2821,7 @@ def doc_span_dup(spark, sf_dir):
 
 @query("ts_ewma", sql="""
 SELECT event_id, event_type,
-round((value
+round((COALESCE(value, 0.0::DOUBLE)
        + COALESCE(lag(value, 1) OVER w * 0.6::DOUBLE, 0.0)
        + COALESCE(lag(value, 2) OVER w * 0.36::DOUBLE, 0.0)
        + COALESCE(lag(value, 3) OVER w * 0.21599999999999997::DOUBLE, 0.0)
@@ -2829,7 +2829,7 @@ round((value
        + COALESCE(lag(value, 5) OVER w * 0.07775999999999998::DOUBLE, 0.0)
        + COALESCE(lag(value, 6) OVER w * 0.04665599999999999::DOUBLE, 0.0)
        + COALESCE(lag(value, 7) OVER w * 0.027993599999999993::DOUBLE, 0.0)) /
-      (1.0
+      (CASE WHEN value IS NOT NULL THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
        + CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN 0.6::DOUBLE ELSE 0.0 END
        + CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN 0.36::DOUBLE ELSE 0.0 END
        + CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN 0.21599999999999997::DOUBLE ELSE 0.0 END

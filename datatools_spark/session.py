@@ -94,7 +94,17 @@ def get_spark(app_name: str = "datatools-spark", master: str | None = None,
     )
     if master is not None:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
+    elif os.environ.get("SPARK_MASTER"):
+        # honor the env URL (the old code read it only as a boolean:
+        # set → NO master at all, getOrCreate failed with 'A master URL
+        # must be set')
+        builder = builder.master(os.environ["SPARK_MASTER"])
+    elif "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # local default ONLY when no pre-started JVM gateway exists:
+        # under spark-submit the Python process attaches to a gateway
+        # that already carries the submitted master (the env var is how
+        # PySpark finds it), and forcing local[N] there would pull a
+        # cluster job onto the driver
         builder = builder.master(f"local[{cpus}]")
     if extra_conf:
         for k, v in extra_conf.items():

@@ -97,11 +97,16 @@ def read_corpus(spark, path: str, fmt: str = "parquet", schema=None):
     (schema inference is a full extra pass over the data at 100 TB and
     silently widens types); columnar formats carry their own."""
     r = spark.read.format(fmt)
+    if schema is not None:
+        # honored for EVERY format: the old code applied it only on the
+        # json/csv branch, silently discarding an explicit schema for
+        # parquet/orc (where a caller passes one precisely to pin types
+        # against evolved/widened files)
+        r = r.schema(schema)
     if fmt in ("json", "csv"):
         if schema is None:
             raise ValueError(f"{fmt} read requires an explicit schema "
                              "(inference is a full extra scan)")
-        r = r.schema(schema)
         if fmt == "csv":
             r = r.option("header", "true")
     return r.load(path)

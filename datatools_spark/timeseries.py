@@ -80,10 +80,15 @@ class TimeSeriesFrame:
 
     # ---- windows / resampling (W1, A1) ---------------------------------
     def rolling(self, value_col: str, window, func: str = "mean",
-                min_periods=None, out_col=None) -> "TimeSeriesFrame":
+                min_periods=None, out_col=None, center: bool = True,
+                q: float | None = None) -> "TimeSeriesFrame":
+        # full c_rolling surface: the facade used to omit q (making
+        # func='quantile' unreachable — it always raised) and center
+        # (trailing windows inaccessible)
         return self._wrap(c_rolling(self.df, value_col, window, func,
                                     self.ts_col, self.series_keys,
-                                    min_periods, out_col))
+                                    min_periods, out_col,
+                                    center=center, q=q))
 
     def resample(self, rule, aggs, value_cols=None) -> "TimeSeriesFrame":
         return self._wrap(resample_agg(self.df, rule, aggs, self.ts_col,

@@ -43,7 +43,8 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
                   ts_col: str = "ts", partition_by: Sequence[str] = (),
                   approx: bool = False,
                   grid_start=None, grid_end=None,
-                  median_mode: str | None = None) -> DataFrame:
+                  median_mode: str | None = None,
+                  grid_index: bool = False) -> DataFrame:
     """Grid-median differenced velocity, m/day per component.
 
     Returns ``partition_by + (date, <col>_vel ...)`` where ``date`` is the
@@ -59,6 +60,12 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
     (equality-tested) with shuffles bounded by bins+survivors, the
     exact path that survives hot buckets at 100 TB. ``approx=True`` is
     the legacy spelling of ``median_mode="approx"``.
+
+    ``grid_index=True`` prepends the engine-portable grid index ``k``
+    (``date = t0 + k*stat``) to the output — the kernel already carries
+    it internally, and exposing it here saves callers the blocking
+    1-row anchor aggregate (plus a fragile duplicate of the t0 formula)
+    they previously ran to rebuild k from ``date``.
     """
     if median_mode is None:
         median_mode = "approx" if approx else "exact"
@@ -163,7 +170,8 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
                        / F.lit(dt_days)).alias(f"{c}_vel")
                 for c in value_cols]
     date = (F.col("_t0") + F.col("_k") * F.lit(stat)).cast("timestamp").alias("date")
-    return joined.select(*p, date, *vel_cols)
+    head = [F.col("_k").alias("k"), date] if grid_index else [date]
+    return joined.select(*p, *head, *vel_cols)
 
 
 def calc_velocity_range_join(df: DataFrame, value_cols: Sequence[str],

@@ -87,7 +87,14 @@ def _patch_events_sql(sql: str) -> str:
     if "events" not in sql:
         return sql
     s = sql.strip()
-    if s.upper().startswith("WITH"):
+    up = s.upper()
+    if up.startswith("WITH RECURSIVE"):
+        # keep RECURSIVE leading (DuckDB allows non-recursive CTEs
+        # under WITH RECURSIVE; 'WITH events AS (...), RECURSIVE x'
+        # would not parse)
+        return ("WITH RECURSIVE " + _EV_CTE + ", "
+                + s[len("WITH RECURSIVE"):].lstrip())
+    if up.startswith("WITH"):
         return "WITH " + _EV_CTE + ", " + s[4:].lstrip()
     return "WITH " + _EV_CTE + " " + s
 
@@ -298,14 +305,13 @@ def ts_velocity_grid(spark, sf_dir):
     velocity, bucket-tiling physical plan. Output keyed by grid index k
     (engine-portable; the timestamp is t0 + k·stat)."""
     ev = _t(spark, sf_dir, "events")
+    # grid_index=True: the kernel exposes its internal k directly —
+    # the old per-query anchor rebuild ran an extra blocking full-scan
+    # aggregate AND duplicated the t0 formula (r9 self-review)
     vel = V.calc_velocity(ev, ["value"], stat_window=_VEL_STAT,
-                          separation_window=_VEL_SEP, min_obs=3)
-    # recover k from date for the portable key: handled inside calc via _k,
-    # but the public output exposes `date`; rebuild k deterministically.
-    b = ev.agg((F.min(F.col("ts").cast("double")) + _VEL_SEP).alias("t0")).collect()[0]
-    return vel.select(
-        F.round((F.col("date").cast("double") - b["t0"]) / _VEL_STAT).cast("bigint").alias("k"),
-        _r(F.col("value_vel")).alias("value_vel"))
+                          separation_window=_VEL_SEP, min_obs=3,
+                          grid_index=True)
+    return vel.select("k", _r(F.col("value_vel")).alias("value_vel"))
 
 
 @query("ts_asof_align", sql="""
@@ -519,7 +525,7 @@ def ts_melt_expr(spark, sf_dir):
 WITH b AS (
   SELECT date_trunc('day', ts)::TIMESTAMP AS day, value AS incoming,
          value * (0.5 + 0.3 * sin(event_id)) AS outgoing, ts
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 r AS (SELECT day, incoming, outgoing,
              row_number() OVER (PARTITION BY day ORDER BY incoming DESC, ts ASC) AS rn
       FROM b),
@@ -536,7 +542,13 @@ def ts_albedo_daily(spark, sf_dir):
     """A10 daily albedo at solar max (melt_model.py:408-446, key :423-427):
     outgoing[argmax(incoming)] / max(incoming), ≥1 masked. The max_by
     showcase with pinned first-occurrence ties."""
+    # NULL incoming filtered on BOTH sides (the sibling events queries'
+    # rule): Spark's min(struct) sorts a NULL -incoming FIRST while the
+    # oracle's ORDER BY incoming DESC ranks NULLs LAST — on a day with
+    # any null value the two engines picked different argmax rows
+    # (empirically confirmed; latent on the null-free fixtures)
     ev = (_t(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
           .withColumn("incoming", F.col("value"))
           .withColumn("outgoing", F.col("value") * (F.lit(0.5) + F.lit(0.3) * F.sin(F.col("event_id")))))
     s = F.min(F.struct((-F.col("incoming")).alias("ni"), F.col("ts").alias("t"),
@@ -1734,13 +1746,9 @@ def ts_e1_pipeline(spark, sf_dir):
                    F.col("value").alias("deast"))
     rot = DT.reproject_to_flow_direction(df, alpha=0.6)
     vel = V.calc_velocity(rot, ["xflow"], stat_window=_VEL_STAT,
-                          separation_window=_VEL_SEP, min_obs=3)
-    b = rot.agg((F.min(F.col("ts").cast("double")) + _VEL_SEP).alias("t0")) \
-        .collect()[0]
-    return vel.select(
-        F.round((F.col("date").cast("double") - b["t0"]) / _VEL_STAT)
-        .cast("bigint").alias("k"),
-        _r(F.col("xflow_vel")).alias("xflow_vel"))
+                          separation_window=_VEL_SEP, min_obs=3,
+                          grid_index=True)
+    return vel.select("k", _r(F.col("xflow_vel")).alias("xflow_vel"))
 
 
 def _md5_bucket_sql(col: str, table: int, planes: int = 4,
@@ -2030,14 +2038,10 @@ def ts_velocity_multi(spark, sf_dir):
         "ts", F.col("value").alias("a"),
         (F.col("value") * 0.5 + 1.0).alias("b"))
     vel = V.calc_velocity(ev, ["a", "b"], stat_window=_VEL_STAT,
-                          separation_window=_VEL_SEP, min_obs=3)
-    t0 = ev.agg((F.min(F.col("ts").cast("double")) + _VEL_SEP).alias("t0")) \
-        .collect()[0]["t0"]
-    return vel.select(
-        F.round((F.col("date").cast("double") - t0) / _VEL_STAT)
-        .cast("bigint").alias("k"),
-        _r(F.col("a_vel")).alias("a_vel"),
-        _r(F.col("b_vel")).alias("b_vel"))
+                          separation_window=_VEL_SEP, min_obs=3,
+                          grid_index=True)
+    return vel.select("k", _r(F.col("a_vel")).alias("a_vel"),
+                      _r(F.col("b_vel")).alias("b_vel"))
 
 
 @query("ts_rolling_std_6h", sql="""
@@ -2106,13 +2110,9 @@ def ts_velocity_smoothed(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     vel = V.calc_velocity(ev, ["value"], stat_window=_VEL_STAT,
                           separation_window=_VEL_SEP,
-                          smoothing=2 * 3600, min_obs=3)
-    t0 = ev.agg((F.min(F.col("ts").cast("double")) + _VEL_SEP).alias("t0")) \
-        .collect()[0]["t0"]
-    return vel.select(
-        F.round((F.col("date").cast("double") - t0) / _VEL_STAT)
-        .cast("bigint").alias("k"),
-        _r(F.col("value_vel")).alias("value_vel"))
+                          smoothing=2 * 3600, min_obs=3,
+                          grid_index=True)
+    return vel.select("k", _r(F.col("value_vel")).alias("value_vel"))
 
 
 @query("ss_price_quantiles", sql="""
@@ -4077,9 +4077,14 @@ def doc_cms_estimate(spark, sf_dir):
     probes = spark.createDataFrame([(w,) for w in _CMS_PROBES],
                                    "word string")
     est = SK.cms_estimate(sketch, probes, "word")
-    exact = (F.broadcast(probes)
-             .join(tok, tok["w"] == probes["word"], "left")
-             .groupBy("word").agg(F.count("w").alias("exact")))
+    # inner broadcast join (buildRight legal) — the hint on the
+    # preserved side of a left join was silently ignored and shuffled
+    # the corpus-sized token explode to count 4 words; same fix as the
+    # store twin below
+    hits = (tok.join(F.broadcast(probes), F.col("w") == probes["word"])
+            .groupBy("word").agg(F.count("*").alias("exact")))
+    exact = (probes.join(hits, "word", "left")
+             .select("word", F.coalesce("exact", F.lit(0)).alias("exact")))
     return (est.join(exact, "word")
             .select("word", F.col("cms_est").cast("bigint").alias("cms_est"),
                     F.col("exact").cast("bigint").alias("exact")))

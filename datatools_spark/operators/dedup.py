@@ -177,7 +177,12 @@ def simhash_col(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         h = F.conv(F.substring(
             F.md5(F.concat(F.lit("7:"), F.col("_w"))), 1, 15),
             16, 10).cast("bigint")
-    sums = [F.sum(F.when(((h / F.lit(1 << j)).cast("bigint") % 2) == 1, 1)
+    # bit extraction must stay integral: the old (h / 2^j)::bigint % 2
+    # round-trips through double, whose 53-bit mantissa rounds away the
+    # low bits of the 60-bit hash — every doc's low signature bits
+    # biased to 0 when bits > 32. shiftright on bigint is exact (and
+    # identical to the division for the nonnegative 32-bit hash).
+    sums = [F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
                   .otherwise(-1)).alias(f"_s{j}") for j in range(bits)]
     agg = tok.groupBy(id_col).agg(*sums)
     sig = None

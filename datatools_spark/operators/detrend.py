@@ -78,6 +78,16 @@ def flow_direction_angle(df: DataFrame, north_col: str = "dnorth",
             "flow_direction_angle: no displacement data (empty or "
             "all-null series) — alpha is undefined; pass alpha "
             "explicitly to reproject_to_flow_direction")
+    if row["dn"] == 0.0 and row["de"] == 0.0:
+        # fully degenerate series (zero total displacement): the numpy
+        # reference's arctan(0/0) is NaN — a confident angle (copysign
+        # gave +π/2, atan2 gives 0) would silently rotate by garbage.
+        # Raise like the all-null guard above; NaN would only surface
+        # later as all-NaN rotated columns.
+        raise ValueError(
+            "flow_direction_angle: zero net displacement (dn=de=0) — "
+            "the flow direction is undefined (numpy reference yields "
+            "NaN); pass alpha explicitly to reproject_to_flow_direction")
     if use_atan2:
         return math.atan2(row["dn"], row["de"])
     if row["de"] == 0.0:

@@ -65,8 +65,48 @@ def update_file_stats(spark: SparkSession, path: str, cols: list[str],
     new = sorted(listed - known)
     if not new:
         return manifest
-    fresh = _stats_from(spark.read.parquet(*new), cols)
+    # hive-partitioned tables: the new files are leaf paths, and a
+    # by-path read without basePath drops the partition-directory
+    # columns — stats on a partition column would then throw
+    # UNRESOLVED_COLUMN here while working in build_file_stats (which
+    # reads the table root). basePath restores them; it is a no-op for
+    # flat layouts.
+    fresh = _stats_from(
+        spark.read.option("basePath", path).parquet(*new), cols)
     return manifest.unionByName(fresh)
+
+
+def _infer_base_path(files: list[str]) -> str | None:
+    """Table root for a by-path read over a hive layout: the files'
+    common directory prefix, with any trailing hive ``name=value``
+    segments stripped (all survivors in one partition must not pin
+    basePath INSIDE it — the partition column would still be dropped).
+
+    Returns None — read WITHOUT basePath, the pre-existing behavior —
+    unless every file sits under the base through PURE name=value
+    segments: a mixed manifest (e.g. originals + ``cg=`` compaction
+    dirs under different roots) would otherwise trip Spark's
+    CONFLICTING_DIRECTORY_STRUCTURES partition discovery."""
+    import posixpath
+    import re
+    hive = re.compile(r"[^/=]+=[^/]*")
+    dirs = {posixpath.dirname(f) for f in files}
+    parts = [d.split("/") for d in dirs]
+    common: list[str] = []
+    for segs in zip(*parts):
+        if len(set(segs)) != 1:
+            break
+        common.append(segs[0])
+    while common and hive.fullmatch(common[-1]):
+        common.pop()
+    if not common:
+        return None
+    rel = [p[len(common):] for p in parts]
+    if not any(r for r in rel):
+        return None   # flat layout: basePath is a no-op
+    if all(all(hive.fullmatch(seg) for seg in r) for r in rel):
+        return "/".join(common)
+    return None
 
 
 def prune_files(manifest: DataFrame, ranges: dict[str, tuple]) -> list[str]:
@@ -106,10 +146,15 @@ def skipping_read(spark: SparkSession, manifest: DataFrame,
                 "skipping_read: the manifest lists no files at all — "
                 "the table's schema is unknowable from an empty "
                 "manifest; build_file_stats the table first")
-        base = spark.read.parquet(*any_file)
-        cond = F.lit(False)
-        return base.where(cond)
-    df = spark.read.parquet(*files)
+        bp = _infer_base_path(any_file)
+        reader = spark.read.option("basePath", bp) if bp else spark.read
+        return reader.parquet(*any_file).where(F.lit(False))
+    # hive layouts: a leaf-path read without basePath drops the
+    # partition-directory columns, so a residual predicate on a
+    # partition column would throw UNRESOLVED_COLUMN
+    bp = _infer_base_path(files)
+    reader = spark.read.option("basePath", bp) if bp else spark.read
+    df = reader.parquet(*files)
     for c, (lo, hi) in ranges.items():
         if lo is not None:
             df = df.where(F.col(c) >= F.lit(lo))

@@ -20,6 +20,7 @@ The reference operator each query re-expresses is cited inline
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -87,15 +88,16 @@ def _patch_events_sql(sql: str) -> str:
     if "events" not in sql:
         return sql
     s = sql.strip()
-    up = s.upper()
-    if up.startswith("WITH RECURSIVE"):
+    # whitespace-tolerant: 'WITH\n  RECURSIVE x' must not fall into the
+    # plain-WITH branch ('WITH events AS (...), RECURSIVE x' cannot parse)
+    m = re.match(r"WITH\s+RECURSIVE\b", s, re.IGNORECASE)
+    if m:
         # keep RECURSIVE leading (DuckDB allows non-recursive CTEs
-        # under WITH RECURSIVE; 'WITH events AS (...), RECURSIVE x'
-        # would not parse)
-        return ("WITH RECURSIVE " + _EV_CTE + ", "
-                + s[len("WITH RECURSIVE"):].lstrip())
-    if up.startswith("WITH"):
-        return "WITH " + _EV_CTE + ", " + s[4:].lstrip()
+        # under WITH RECURSIVE)
+        return "WITH RECURSIVE " + _EV_CTE + ", " + s[m.end():].lstrip()
+    m = re.match(r"WITH\b", s, re.IGNORECASE)
+    if m:
+        return "WITH " + _EV_CTE + ", " + s[m.end():].lstrip()
     return "WITH " + _EV_CTE + " " + s
 
 

@@ -1,0 +1,65 @@
+"""bench.py artifact contention-proofing: the history fold must take
+per-query minima ONLY from same-commit, same-SF, clean-tree runs."""
+
+import importlib.util
+import json
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def _hist(tmp_path, name, **data):
+    with open(tmp_path / name, "w") as f:
+        json.dump(data, f)
+
+
+def test_fold_takes_same_head_same_sf_minima(tmp_path):
+    _hist(tmp_path, "BENCH_full_a.json", git_head="h1", sf=0.1,
+          queries={"q1": 1.0, "q2": 5.0}, extended={"e1": 2.0})
+    _hist(tmp_path, "BENCH_full_b.json", git_head="h1", sf=0.1,
+          queries={"q1": 3.0, "q2": 2.0}, extended={"e1": 9.0})
+    out = {"sf": 0.1, "queries": {"q1": 2.0, "q2": 4.0}, "value": 6.0,
+           "extended": {"e1": 4.0}}
+    folded = bench._fold_history(out, str(tmp_path), "h1")
+    assert sorted(folded) == ["BENCH_full_a.json", "BENCH_full_b.json"]
+    assert out["queries"] == {"q1": 1.0, "q2": 2.0}
+    assert out["extended"] == {"e1": 2.0}
+    assert out["value"] == 3.0
+
+
+def test_fold_skips_other_head_other_sf_and_dirty(tmp_path):
+    _hist(tmp_path, "BENCH_full_head.json", git_head="h2", sf=0.1,
+          queries={"q1": 0.1})
+    _hist(tmp_path, "BENCH_full_sf.json", git_head="h1", sf=0.001,
+          queries={"q1": 0.1})
+    _hist(tmp_path, "BENCH_full_nohead.json", sf=0.1,
+          queries={"q1": 0.1})
+    out = {"sf": 0.1, "queries": {"q1": 2.0}, "value": 2.0}
+    assert bench._fold_history(out, str(tmp_path), "h1") == []
+    assert out["queries"] == {"q1": 2.0}
+    # dirty tree: fold disabled wholesale
+    _hist(tmp_path, "BENCH_full_match.json", git_head="h1-dirty", sf=0.1,
+          queries={"q1": 0.1})
+    assert bench._fold_history(out, str(tmp_path), "h1-dirty") == []
+    assert out["queries"] == {"q1": 2.0}
+
+
+def test_fold_recomputes_sf1_total(tmp_path):
+    _hist(tmp_path, "BENCH_full_a.json", git_head="h1", sf=0.1,
+          queries={"q1": 1.0},
+          sf1_equiv={"queries": {"q1": 8.0}, "extended_mm": {"m1": 1.0}})
+    out = {"sf": 0.1, "queries": {"q1": 1.0}, "value": 1.0,
+           "sf1_equiv": {"value": 12.0, "queries": {"q1": 12.0},
+                         "extended_mm": {"m1": 3.0}}}
+    bench._fold_history(out, str(tmp_path), "h1")
+    assert out["sf1_equiv"]["queries"] == {"q1": 8.0}
+    assert out["sf1_equiv"]["extended_mm"] == {"m1": 1.0}
+    assert out["sf1_equiv"]["value"] == 8.0
+
+
+def test_calibration_kernel_runs():
+    s = bench._calib_kernel_s()
+    assert 0.05 < s < 30

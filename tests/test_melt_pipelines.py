@@ -248,3 +248,17 @@ def test_onice_scalar_helpers(spark):
     assert abs(stats["mean_vel"] - 2.0) < 1e-12
     normed = OnIce.normalize(kept, 2.0)
     assert sorted(r.X_vel for r in normed.collect()) == [0.75, 1.25]
+
+
+def test_flow_direction_angle_degenerate_raises(spark):
+    """Zero net displacement (dn=de=0): numpy arctan(0/0) is NaN — a
+    fabricated +pi/2 (copysign) or 0 (atan2) would silently rotate by
+    garbage; both paths must refuse like the all-null guard."""
+    from datatools_spark.operators.detrend import flow_direction_angle
+    rows = [(dt.datetime(2017, 7, 1, h), 0.0, 0.0) for h in range(24)]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, dnorth double, deast double")
+    with pytest.raises(ValueError, match="zero net displacement"):
+        flow_direction_angle(df)
+    with pytest.raises(ValueError, match="zero net displacement"):
+        flow_direction_angle(df, use_atan2=True)

@@ -1192,9 +1192,27 @@ def test_simhash_wide_bits_vary_above_32(spark):
     df = spark.createDataFrame(
         [(i, f"totally different words {i} here {i * 7} more") for i in range(30)],
         "doc_id long, text string")
-    sigs = [r["simhash"] for r in simhash_col(df, bits=48).collect()]
-    highs = {s >> 32 for s in sigs}
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash_col(df, bits=48).collect()}
+    highs = {s >> 32 for s in sigs.values()}
     assert len(highs) > 1, "high 16 bits constant across corpus"
+    # exactness on the LOW bits too: the 60-bit hash exceeds double's
+    # 53-bit mantissa, so a double-division bit extraction rounds the
+    # low ~7 bits away (every doc's low bits bias to 0). Compare against
+    # a pure-Python reimplementation (md5 15-hex-char hash, exact ints).
+    import hashlib
+
+    def py_simhash(text, bits):
+        sums = [0] * bits
+        for w in text.strip(" ").lower().split():
+            h = int(hashlib.md5(f"7:{w}".encode()).hexdigest()[:15], 16)
+            for j in range(bits):
+                sums[j] += 1 if (h >> j) & 1 else -1
+        return sum((1 << j) for j in range(bits) if sums[j] > 0)
+
+    for i in range(30):
+        text = f"totally different words {i} here {i * 7} more"
+        assert sigs[i] == py_simhash(text, 48), f"doc {i} low-bit mismatch"
     # bits <= 32 keeps the original oracle-pinned 8-hex-char hash
     sig32 = simhash_col(df, bits=16).collect()
     assert all(0 <= r["simhash"] < (1 << 16) for r in sig32)
@@ -1354,3 +1372,22 @@ def test_linear_detrend_window_keeps_unfitted_partitions(spark):
     assert by_s == {"in", "out"}
     assert all(r["value_detrended"] is None
                for r in out.where("s = 'out'").collect())
+
+
+def test_patch_events_sql_whitespace_tolerant():
+    """'WITH\\n  RECURSIVE x' must not fall into the plain-WITH branch:
+    'WITH events AS (...), RECURSIVE x AS ...' cannot parse in DuckDB."""
+    from datatools_spark.queries import _patch_events_sql
+    for sep in (" ", "  ", "\n", "\n\t "):
+        out = _patch_events_sql(
+            f"WITH{sep}RECURSIVE x AS (SELECT 1) "
+            "SELECT * FROM events JOIN x ON true")
+        assert out.startswith("WITH RECURSIVE events AS "), out
+        assert ", RECURSIVE" not in out, out
+    # plain WITH (any whitespace) keeps the prepend-CTE shape
+    out = _patch_events_sql(
+        "WITH\nx AS (SELECT 1) SELECT * FROM events JOIN x ON true")
+    assert out.startswith("WITH events AS "), out
+    # no events reference: untouched
+    sql = "SELECT 1 AS one"
+    assert _patch_events_sql(sql) == sql

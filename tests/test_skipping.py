@@ -255,3 +255,31 @@ def test_apply_compaction_refuses_hive_leaf_files_without_base_path(
     out = spark.read.parquet(str(tmp_path / "cg_out2"))
     assert "station" in out.columns
     assert out.where(F.col("station").isNull()).count() == 0
+
+
+def test_update_file_stats_hive_partitioned(spark, tmp_path):
+    """New files in a hive-partitioned lake live under name=value leaf
+    dirs; reading them by path WITHOUT basePath drops the partition
+    column, so stats on it threw UNRESOLVED_COLUMN while working fine
+    in build_file_stats (whole-table read)."""
+    base = str(tmp_path / "hive")
+    d1 = spark.range(0, 600).select(
+        F.col("id"), (F.col("id") % 3).alias("p"),
+        (F.col("id") * 2).alias("v"))
+    d1.write.mode("overwrite").partitionBy("p").parquet(base)
+    man1 = build_file_stats(spark, base, ["p", "v"])
+    d2 = spark.range(600, 900).select(
+        F.col("id"), (F.col("id") % 3).alias("p"),
+        (F.col("id") * 2).alias("v"))
+    d2.write.mode("append").partitionBy("p").parquet(base)
+    man2 = update_file_stats(spark, base, ["p", "v"], man1)
+    full = build_file_stats(spark, base, ["p", "v"])
+    key = lambda r: (r["file"], r["n_rows"], r["p_min"], r["p_max"],
+                     r["v_min"], r["v_max"])  # noqa: E731
+    assert sorted(map(key, man2.collect())) == \
+        sorted(map(key, full.collect()))
+    # pruning on the partition column still works through the refresh
+    kept = prune_files(man2, {"p": (2, 2)})
+    got = skipping_read(spark, man2, {"p": (2, 2)})
+    assert set(got.inputFiles()) <= set(kept)
+    assert got.count() == 300  # ids ≡ 2 (mod 3) in [0, 900)

@@ -26,6 +26,7 @@ __all__ = [
     "simhash_col", "simhash_pairs", "packed_hamming_pairs",
     "packed_wide_pairs",
     "ngram_jaccard_pairs", "ngram_jaccard_pairs_prefix",
+    "pair_plan_stats",
     "embedding_dup_pairs", "span_dup_stats", "fuzzy_pairs_edit_distance",
     "segment_dedup",
 ]
@@ -628,8 +629,62 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str = "text",
             .select("a_id", "b_id", "jaccard"))
 
 
+def pair_plan_stats(sh: DataFrame) -> dict:
+    """Measured inputs for the exact-pair auto-planner
+    (``plans.chooser.choose_pair_plan``): one combinable aggregate over
+    the shingle df histogram — total candidate-pair mass Σ C(df,2),
+    posting rows, and the mass truncated at each ``MAX_DF_LADDER`` rung
+    (what the guarded plan's candidate generation would actually emit).
+    Cost: the same single dfreq aggregate the guarded plan needs anyway;
+    the exchange carries one row per distinct shingle."""
+    from ..plans.chooser import MAX_DF_LADDER
+    dfreq = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
+    mass = F.expr("_df * (_df - 1) div 2")
+    aggs = [F.coalesce(F.sum(mass), F.lit(0)).alias("mass_total"),
+            F.coalesce(F.sum("_df"), F.lit(0)).alias("posting_rows"),
+            F.count("*").alias("n_shingles")]
+    for k in MAX_DF_LADDER:
+        under = F.col("_df") <= k
+        aggs.append(F.coalesce(F.sum(F.when(under, mass)),
+                               F.lit(0)).alias(f"mass_le_{k}"))
+        aggs.append(F.coalesce(F.sum(F.when(under, F.col("_df"))),
+                               F.lit(0)).alias(f"rows_le_{k}"))
+    row = dfreq.agg(*aggs).collect()[0]
+    return {k: int(v) for k, v in row.asDict().items()}
+
+
+def _resolve_max_df(sh: DataFrame, max_df):
+    """Turn ``max_df="auto"`` into a measured plan choice. Returns
+    ``(sh, max_df, checkpointed)`` — the auto path checkpoints the
+    index first so the stats aggregate and the pair engine share one
+    materialization. Refuses (ValueError) when even the tightest guard
+    leaves the candidate mass over budget: that corpus is past the
+    exact tier's envelope and belongs on :func:`minhash_lsh_pairs` —
+    the same fail-fast contract as the banded engine's pre-flight."""
+    if max_df != "auto":
+        return sh, max_df, False
+    from ..plans.chooser import (MAX_DF_LADDER, PAIR_MASS_FACTOR,
+                                 choose_pair_plan)
+    sh = sh.localCheckpoint(eager=True)
+    stats = pair_plan_stats(sh)
+    plan, k = choose_pair_plan(stats)
+    if plan == "lsh":
+        tight = min(MAX_DF_LADDER)
+        raise ValueError(
+            "exact pair tier refused: candidate mass "
+            f"{stats['mass_total']} (truncated at max_df={tight}: "
+            f"{stats[f'mass_le_{tight}']}) exceeds the "
+            f"{PAIR_MASS_FACTOR} × posting_rows budget over "
+            f"{stats['posting_rows']} posting rows — the corpus is past "
+            "the exact tier's design envelope; use minhash_lsh_pairs "
+            "(the 100 TB near-dup path) or pass an explicit max_df to "
+            "override")
+    return sh, k, True
+
+
 def _pair_intersections(sh: DataFrame, id_col: str,
-                        max_df: int | None) -> DataFrame:
+                        max_df: int | None,
+                        checkpointed: bool = False) -> DataFrame:
     """Shared engine for set-overlap pair ops: from an exploded
     (id, _sh) inverted index, produce every unordered pair (a < b)
     sharing >= 1 (non-stop) shingle with its EXACT full-set
@@ -661,7 +716,9 @@ def _pair_intersections(sh: DataFrame, id_col: str,
     set the plan SHAPE itself depends on the data (stop.isEmpty()),
     which no lazy formulation can express.
     """
-    sh = sh.localCheckpoint(eager=True)
+    if not checkpointed:
+        sh = sh.localCheckpoint(eager=True)
+
     def _pair_counts_bounded(idx: DataFrame, out: str) -> DataFrame:
         # per-shingle posting LIST + in-array pair explode: generates the
         # same (a<b, count) table as the self-join but shuffles the index
@@ -744,7 +801,7 @@ def _pair_intersections(sh: DataFrame, id_col: str,
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
                         threshold: float = 0.5,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | str | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join.
 
     docs → distinct shingles (explode) → self-join on shingle (the
@@ -768,6 +825,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     delta: pairs connected solely through ultra-common shingles are not
     found (at any meaningful threshold such pairs share rarer shingles
     too). Default off = the unguarded count-based plan.
+
+    ``max_df="auto"`` (r9 VERDICT #4) replaces the manual knob with the
+    measured dispatch: one df-histogram aggregate feeds
+    ``plans.chooser.choose_pair_plan``, which picks plain vs the
+    largest budget-fitting guard, or REFUSES toward
+    :func:`minhash_lsh_pairs` when no guard fits (ValueError).
     """
     # word_shingles is array_distinct per doc, so the exploded index is
     # already (id, shingle)-unique — no dedup shuffle needed.
@@ -780,7 +843,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
           .select(F.col(id_col),
                   F.explode(word_shingles(text_col, shingle_n,
                                           from_words_col="_words")).alias("_sh")))
-    base = _pair_intersections(sh, id_col, max_df)
+    sh, max_df, ckpt = _resolve_max_df(sh, max_df)
+    base = _pair_intersections(sh, id_col, max_df, checkpointed=ckpt)
     jacc = (F.col("_inter").cast("double")
             / (F.col("_na") + F.col("_nb") - F.col("_inter")))
     return (base.withColumn("jaccard", jacc)
@@ -791,7 +855,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 def containment_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", shingle_n: int = 3,
                       threshold: float = 0.5,
-                      max_df: int | None = 100) -> DataFrame:
+                      max_df: int | str | None = 100) -> DataFrame:
     """Directed shingle-containment pairs: C(src→dst) = |src ∩ dst| /
     |src| over distinct word shingles — the quote / sub-document
     detector. A short doc wholly quoted inside a long one scores ≈ 1.0
@@ -803,7 +867,8 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     (:func:`_pair_intersections`): max_df-guarded inverted index, exact
     intersection via the stop-shingle correction join, one index
     shuffle — never n². Both directions are emitted and filtered
-    independently.
+    independently. ``max_df="auto"`` dispatches through the measured
+    df-histogram planner exactly as in :func:`ngram_jaccard_pairs`.
 
     Output: ``src_id, dst_id, containment`` (containment ≥ threshold).
     """
@@ -813,7 +878,8 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
           .select(F.col(id_col),
                   F.explode(word_shingles(text_col, shingle_n,
                                           from_words_col="_words")).alias("_sh")))
-    base = _pair_intersections(sh, id_col, max_df)
+    sh, max_df, ckpt = _resolve_max_df(sh, max_df)
+    base = _pair_intersections(sh, id_col, max_df, checkpointed=ckpt)
     i = F.col("_inter").cast("double")
     # both directions from ONE evaluation of the pair engine: a union of
     # two projections re-evaluates the whole subtree per branch (exchange

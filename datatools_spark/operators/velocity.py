@@ -59,7 +59,12 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
     select-k (operators/selectk.py) — identical results to ``"exact"``
     (equality-tested) with shuffles bounded by bins+survivors, the
     exact path that survives hot buckets at 100 TB. ``approx=True`` is
-    the legacy spelling of ``median_mode="approx"``.
+    the legacy spelling of ``median_mode="approx"``. ``"auto"`` (r9
+    VERDICT #6) counts the input once and dispatches through
+    ``plans.chooser.choose_median_mode``: exact below the XL-probe
+    spill threshold (where exact is free), approx above it (where the
+    sketch's partial aggregation cuts the spilling shuffle 3.2×) —
+    opt-in because the flip trades exactness for throughput.
 
     ``grid_index=True`` prepends the engine-portable grid index ``k``
     (``date = t0 + k*stat``) to the output — the kernel already carries
@@ -69,6 +74,9 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
     """
     if median_mode is None:
         median_mode = "approx" if approx else "exact"
+    if median_mode == "auto":
+        from ..plans.chooser import choose_median_mode
+        median_mode = choose_median_mode(df.count())
     stat = parse_duration_seconds(stat_window)
     sep = parse_duration_seconds(separation_window)
     half_sep = sep / 2.0

@@ -24,7 +24,88 @@ from pyspark.sql import DataFrame
 from ..functions.timeutils import parse_duration_seconds
 from ..operators.velocity import calc_velocity, calc_velocity_range_join
 
-__all__ = ["choose_velocity_plan", "plan_string"]
+__all__ = ["choose_velocity_plan", "choose_pair_plan",
+           "choose_median_mode", "plan_string",
+           "PAIR_MASS_FACTOR", "MAX_DF_LADDER",
+           "VELOCITY_APPROX_THRESHOLD_ROWS"]
+
+
+# Exact-pair-tier candidate budget: the inverted-index join emits
+# Σ_shingle C(df,2) candidate rows; a LINEAR-in-corpus budget of
+# PAIR_MASS_FACTOR × posting_rows keeps the exact tier honest the same
+# way MASS_BUDGET_FACTOR does for the banded-Hamming engine
+# (operators/dedup.py:195-220). Natural corpora sit far under it
+# (testdata: mass ≈ 5× posting rows at sf0.1); a Zipf head blows
+# through it quadratically.
+PAIR_MASS_FACTOR = 64
+
+# max_df rungs the auto-planner may choose for the guarded plan —
+# largest rung that fits the budget wins (less correction-join work and
+# a smaller semantic delta than an aggressive cap).
+MAX_DF_LADDER = (1024, 256, 64, 16)
+
+# A guard is only honest if it keeps a real fraction of the index: a
+# dup-heavy corpus (every doc near-identical) has almost NO sub-cap
+# shingles, so any max_df "fits the budget" by amputating everything —
+# and then finds nothing. Such corpora belong on LSH, not on a
+# silently-empty exact plan.
+MIN_GUARD_COVERAGE = 0.10
+
+
+# Exploded-row threshold for the velocity kernel's exact→approx median
+# flip, calibrated from the 1e8 XL probe (bench/SCALE_NOTES.md "XL
+# kernel probe"): at 2e7 exploded rows the exact median's one shuffle is
+# page-cache resident (1.6 s, faster than approx's sketch overhead
+# amortizes); at 2e8 it sort-spills to disk and approx wins 3.2×
+# (116.1 s vs 36.0 s). The flip sits at the spill onset between the two
+# measured decades — per the probe's finding #3 the driver is total
+# shuffle volume, shared by every plan, so the rule keys on exploded
+# row count (2 × input rows).
+VELOCITY_APPROX_THRESHOLD_ROWS = 50_000_000
+
+
+def choose_median_mode(n_rows: int,
+                       threshold: int = VELOCITY_APPROX_THRESHOLD_ROWS
+                       ) -> str:
+    """Exact vs approx median for the velocity kernel at ``n_rows``
+    input rows — the 100 TB lever (velocity.py:20-25). Returns
+    ``"exact"`` below the spill threshold (exact is FREE there: same
+    single shuffle, no sketch error) and ``"approx"`` above it (the
+    partially-aggregatable sketch cuts the spilling shuffle to sketch
+    size). Only consulted when the caller opts in with
+    ``median_mode="auto"`` — the flip trades exactness for throughput
+    and must never be a silent default."""
+    return "approx" if 2 * n_rows > threshold else "exact"
+
+
+def choose_pair_plan(stats: dict, budget: int | None = None
+                     ) -> tuple[str, int | None]:
+    """Physical-plan rule for the exact set-overlap pair tier
+    (``ngram_jaccard_pairs`` / ``containment_pairs``), driven by the
+    measured df-histogram stats from ``dedup.pair_plan_stats`` — the
+    same measured-dispatch pattern as :func:`choose_velocity_plan`,
+    replacing the manual ``max_df`` knob (r9 VERDICT #4).
+
+    Returns ``('plain', None)`` when the full candidate mass fits the
+    budget (no guard, no correction joins); ``('guarded', k)`` with the
+    largest ladder ``max_df`` whose truncated mass fits AND whose index
+    coverage stays ≥ ``MIN_GUARD_COVERAGE`` (a guard that amputates
+    ~everything "fits" trivially and then finds nothing — the dup-heavy
+    degenerate case); or ``('lsh', None)`` when no honest guard exists
+    — the corpus is past the exact tier's design envelope and the
+    caller should fail fast toward ``minhash_lsh_pairs``.
+    """
+    posting = max(int(stats["posting_rows"]), 1)
+    if budget is None:
+        budget = PAIR_MASS_FACTOR * posting
+    if stats["mass_total"] <= budget:
+        return ("plain", None)
+    for k in MAX_DF_LADDER:
+        if (stats[f"mass_le_{k}"] <= budget
+                and stats[f"rows_le_{k}"]
+                >= MIN_GUARD_COVERAGE * posting):
+            return ("guarded", k)
+    return ("lsh", None)
 
 
 def choose_velocity_plan(stat_window, grid_step=None) -> str:

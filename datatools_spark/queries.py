@@ -9648,9 +9648,22 @@ _REGISTRATION_ORDER = [
     # ts_asof_align), ts_resample_gapfill (A1 ← ts_resample_daily_mean),
     # ss_window_counts (2.10 ← ts_sessionize), ts_rollup_multires
     # (engine add, no §2 row)
-    "mm_image_ahash", "mm_ahash_pairs", "mm_image_dedup",
+    # r10 rotation (VERDICT r9 #3): mm_ahash_pairs → mm_decode_stats —
+    # the real RAW8 decoder (mapInPandas byte-math: width×height×RGB
+    # mean/min/max per image, multimodal.py decode path) gets an
+    # independent driver row; the driver had never checked the decode
+    # plumbing itself, only hash-derived downstream ops.
+    # mm_ahash_pairs' evidence is carried in-window by mm_image_dedup
+    # (whose first stage runs the identical 64-bit banded-Hamming pair
+    # engine before components) and mm_ahash256_pairs (the same engine,
+    # wide variant); it stays oracle-backed past the cutoff and in the
+    # bench extended suite.
+    "mm_image_ahash", "mm_decode_stats", "mm_image_dedup",
     "mm_audio_dup_pairs",
     # —— past the cutoff: still oracle-backed, next-most-important first ——
+    # r10: stood down from the window for mm_decode_stats (see the
+    # window comment); still oracle-backed + benched extended here
+    "mm_ahash_pairs",
     # r9: stood down from the window for doc_cms_store_estimate (see the
     # window comment); still oracle-backed + benched headline here
     "doc_minhash",
@@ -9658,7 +9671,7 @@ _REGISTRATION_ORDER = [
     "ss_shipping_priority", "mm_extract_features",
     "ts_resample_nearest", "ts_resample_gapfill", "ss_window_counts",
     "ts_rollup_multires",
-    "mm_decode_stats", "mm_frame_stats", "mm_pool2x2", "mm_pcm_stats",
+    "mm_frame_stats", "mm_pool2x2", "mm_pcm_stats",
     "doc_curation_pipeline", "doc_repetition", "doc_pii_scrub",
     "doc_decontaminate", "doc_balanced_sample", "ts_plot_envelope",
     # r8: stood down from the window for doc_nchars_sample_quantiles

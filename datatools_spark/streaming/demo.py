@@ -584,7 +584,8 @@ def streaming_merge_store_apply(changes: DataFrame, root: str,
                                 change_feed: bool = False,
                                 rollup_state_dir: str | None = None,
                                 rollup_group_cols=(),
-                                rollup_val_col: str | None = None):
+                                rollup_val_col: str | None = None,
+                                retain_generations: int | None = None):
     """Continuously apply a CDC change stream to a COPY-ON-WRITE merge
     store (``operators.mergestore``) — the file-pruned upgrade of
     :func:`streaming_upsert`, whose snapshot swap rewrites the WHOLE
@@ -643,12 +644,21 @@ def streaming_merge_store_apply(changes: DataFrame, root: str,
                   .localCheckpoint(eager=True))   # one eval, two readers
         dels = latest.where(F.col(op_col) == "D").select(*key_cols)
         ups = latest.where(F.col(op_col) == "U").drop(op_col, seq_col)
-        if dels.limit(1).count():
+        # retain_generations: run the auto-checkpoint on the LAST merge
+        # of the batch only — one maintenance pass per micro-batch, so
+        # a generation-per-batch loop holds metadata + dead bytes flat
+        # (mergestore.checkpoint_merge_store; r9 VERDICT #5)
+        has_dels = bool(dels.limit(1).count())
+        has_ups = bool(ups.limit(1).count())
+        if has_dels:
             merge_into(sess, root, dels, key_cols, "delete",
-                       change_feed=change_feed)
-        if ups.limit(1).count():
+                       change_feed=change_feed,
+                       retain_generations=None if has_ups
+                       else retain_generations)
+        if has_ups:
             merge_into(sess, root, ups, key_cols, "update",
-                       change_feed=change_feed)
+                       change_feed=change_feed,
+                       retain_generations=retain_generations)
         if rollup_state_dir is not None:
             if not change_feed:
                 raise ValueError(

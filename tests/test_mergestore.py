@@ -573,3 +573,156 @@ def test_merge_ops_leave_no_session_cache(spark, tmp_path):
         refresh_feed_rollup(spark, root, state, ["grp"], "v")
     vacuum_merge_store(spark, root, retain_generations=1)
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def _gen_dirs(store, sub=""):
+    import os
+    base = os.path.join(store, sub) if sub else store
+    if not os.path.isdir(base):
+        return []
+    return sorted(int(d[4:]) for d in os.listdir(base)
+                  if d.startswith("gen-") and d[4:].isdigit())
+
+
+def test_checkpoint_consolidates_and_preserves_reads(spark, store):
+    """checkpoint = vacuum + metadata consolidation: reads in the
+    retained window stay value-exact, the live manifest is byte-equal
+    to the pre-checkpoint one, and consolidated _stats/_log dirs are
+    gone."""
+    from datatools_spark.operators.mergestore import checkpoint_merge_store
+    states = _chain(spark, store)            # latest gen = 3
+    man_key = lambda r: tuple(r[c] for c in sorted(r.asDict()))  # noqa: E731
+    man_before = sorted(map(man_key, merge_store_stats(spark, store)
+                            .collect()))
+    res = checkpoint_merge_store(spark, store, retain_generations=2)
+    assert res["watermark"] == 1 and res["gens_consolidated"] == 2
+    for g in (1, 2, 3):
+        assert _as_dict(read_merge_store(spark, store,
+                                         at_generation=g)) == states[g]
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_merge_store(spark, store, at_generation=0)
+    assert sorted(map(man_key, merge_store_stats(spark, store)
+                      .collect())) == man_before
+    # consolidated metadata is physically gone; the checkpoint exists
+    assert all(g > 1 for g in _gen_dirs(store, "_stats"))
+    assert all(g > 1 for g in _gen_dirs(store, "_log"))
+    assert _gen_dirs(store, "_ckpt") == [1]
+    # idempotent / monotone: same retention again is a no-op
+    assert checkpoint_merge_store(spark, store, retain_generations=2) \
+        == {"watermark": None, "files_deleted": 0, "gens_consolidated": 0}
+    # the next merge numbers PAST the checkpoint and reads stay exact
+    upd = spark.createDataFrame([(7, -7, "after")],
+                                "id long, v long, tag string")
+    r = merge_into(spark, store, upd, KEY, "update")
+    assert r["generation"] == 4
+    got = _as_dict(read_merge_store(spark, store))
+    want = dict(states[3]); want[7] = (-7, "after")
+    assert got == want
+
+
+def test_merge_auto_checkpoint_holds_store_flat(spark, tmp_path):
+    """The r9 VERDICT #5 done-criterion (scaled to test time): a long
+    merge loop with retain_generations set must hold the generation
+    count, metadata dirs, and dead bytes flat — and stay value-exact."""
+    import os
+    root = str(tmp_path / "flat")
+    init_merge_store(spark, _base_df(spark, n=400, files=4), root, KEY)
+    model = _as_dict(read_merge_store(spark, root))
+    sizes = []
+    for i in range(30):
+        k = (i * 37) % 400
+        upd = spark.createDataFrame([(k, -i, f"b{i}")],
+                                    "id long, v long, tag string")
+        merge_into(spark, root, upd, KEY, "update", retain_generations=3)
+        model[k] = (-i, f"b{i}")
+        sizes.append((len(_gen_dirs(root)), len(_gen_dirs(root, "_stats")),
+                      len(_gen_dirs(root, "_log"))))
+    # steady state: metadata dirs bounded by ~2x the retain window
+    # (consolidation amortizes to one pass per retain merges), never by
+    # the number of lifetime batches
+    n_data, n_stats, n_log = sizes[-1]
+    assert n_stats <= 8 and n_log <= 8, sizes[-5:]
+    assert n_data <= 14, sizes[-5:]       # drained dirs get reclaimed
+    assert max(s[1] for s in sizes[10:]) <= 8   # flat, not just final
+    # dead bytes reclaimed: parquet data files on disk stay near the
+    # live count (only the retain window's tombstoned files linger)
+    on_disk = sum(len([f for f in files if f.endswith(".parquet")])
+                  for d, _, files in os.walk(root)
+                  if "_" not in os.path.relpath(d, root).split(os.sep)[0])
+    live = len(merge_store_live_files(spark, root))
+    assert on_disk <= live + 8, (on_disk, live)
+    assert _as_dict(read_merge_store(spark, root)) == model
+    # time travel works across the retained window, refused below it
+    from datatools_spark.operators.mergestore import _latest_gen
+    latest = _latest_gen(spark, root)
+    assert _as_dict(read_merge_store(spark, root,
+                                     at_generation=latest)) == model
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_merge_store(spark, root, at_generation=max(0, latest - 20))
+
+
+def test_change_feed_survives_checkpoint(spark, tmp_path):
+    """Consolidated generations lose their _log but never their
+    _changes: the full feed must still read and reconcile after a
+    checkpoint (the roster preserves committed-ness)."""
+    from datatools_spark.operators.mergestore import (
+        checkpoint_merge_store, read_change_feed)
+    root = str(tmp_path / "cdf")
+    init_merge_store(spark, _base_df(spark, n=200, files=2), root, KEY)
+    for i in range(1, 6):
+        upd = spark.createDataFrame([(i, -i, f"g{i}")],
+                                    "id long, v long, tag string")
+        merge_into(spark, root, upd, KEY, "update", change_feed=True)
+    checkpoint_merge_store(spark, root, retain_generations=2)
+    feed = read_change_feed(spark, root, from_generation=1)
+    gens = sorted(r["_generation"] for r in
+                  feed.select("_generation").distinct().collect())
+    assert gens == [1, 2, 3, 4, 5]
+    # post-images across the feed reconcile to the current table values
+    # for the touched keys
+    from pyspark.sql import Window
+    last = {r["id"]: (r["v"], r["tag"]) for r in
+            feed.where(F.col("_change_type").isin(
+                "insert", "update_postimage"))
+            .withColumn("_rn", F.row_number().over(
+                Window.partitionBy("id").orderBy(F.desc("_generation"))))
+            .where("_rn = 1").collect()}
+    now = _as_dict(read_merge_store(spark, root))
+    assert all(now[k] == v for k, v in last.items())
+
+
+def test_checkpoint_crash_windows_are_safe(spark, store):
+    """(a) leftover consolidated _stats/_log dirs (crash before cleanup)
+    are ignored by readers; (b) an uncommitted checkpoint attempt (no
+    _SUCCESS) is invisible and a re-run completes."""
+    import os
+    import shutil
+    from datatools_spark.operators.mergestore import checkpoint_merge_store
+    states = _chain(spark, store)            # latest gen = 3
+    # stash gen-1 metadata, checkpoint, then restore the stale copies =
+    # crash between snapshot commit and metadata cleanup
+    stash = {}
+    for sub in ("_stats", "_log"):
+        src = os.path.join(store, sub, "gen-1")
+        stash[sub] = os.path.join(str(store), f"stash_{sub}")
+        shutil.copytree(src, stash[sub])
+    checkpoint_merge_store(spark, store, retain_generations=2)
+    for sub in ("_stats", "_log"):
+        shutil.copytree(stash[sub], os.path.join(store, sub, "gen-1"))
+        shutil.rmtree(stash[sub])
+    for g in (1, 2, 3):
+        assert _as_dict(read_merge_store(spark, store,
+                                         at_generation=g)) == states[g]
+    # (b) fake a crashed attempt at a HIGHER watermark: roster written,
+    # manifest has no _SUCCESS
+    u = spark.createDataFrame([(3, -3, "x")], "id long, v long, tag string")
+    merge_into(spark, store, u, KEY, "update")        # latest now 4
+    bogus = os.path.join(store, "_ckpt", "gen-2")
+    os.makedirs(bogus)
+    with open(os.path.join(bogus, "part-x.parquet"), "w") as f:
+        f.write("not a checkpoint")
+    cur = _as_dict(read_merge_store(spark, store))
+    assert cur[3] == (-3, "x")                        # reader unaffected
+    res = checkpoint_merge_store(spark, store, retain_generations=2)
+    assert res["watermark"] == 2
+    assert _as_dict(read_merge_store(spark, store)) == cur

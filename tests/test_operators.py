@@ -1391,3 +1391,119 @@ def test_patch_events_sql_whitespace_tolerant():
     # no events reference: untouched
     sql = "SELECT 1 AS one"
     assert _patch_events_sql(sql) == sql
+
+
+def test_choose_pair_plan_rule():
+    """Pure dispatch rule: plain under budget, largest honest guard
+    when over, LSH refusal when no guard keeps real coverage."""
+    from datatools_spark.plans.chooser import (
+        MAX_DF_LADDER, PAIR_MASS_FACTOR, choose_pair_plan)
+
+    def stats(posting, total, per_rung_mass, per_rung_rows):
+        s = {"posting_rows": posting, "mass_total": total,
+             "n_shingles": 0}
+        for k in MAX_DF_LADDER:
+            s[f"mass_le_{k}"] = per_rung_mass.get(k, total)
+            s[f"rows_le_{k}"] = per_rung_rows.get(k, posting)
+        return s
+
+    # natural corpus: mass ~5x posting rows, far under 64x -> plain
+    assert choose_pair_plan(stats(1000, 5000, {}, {})) == ("plain", None)
+    # Zipf head: total blows the budget, truncation at 1024 fits and
+    # keeps coverage -> largest rung wins
+    b = PAIR_MASS_FACTOR * 1000
+    assert choose_pair_plan(
+        stats(1000, b * 100, {1024: b - 1}, {1024: 900})) \
+        == ("guarded", 1024)
+    # only the tight rung fits -> it is chosen if coverage holds
+    got = choose_pair_plan(stats(
+        1000, b * 100,
+        {1024: b * 10, 256: b * 10, 64: b * 10, 16: b - 1},
+        {16: 200}))
+    assert got == ("guarded", 16)
+    # dup-heavy degenerate: truncated mass is tiny BECAUSE the guard
+    # amputates everything (coverage ~0) -> refuse toward LSH
+    got = choose_pair_plan(stats(
+        1000, b * 100, {1024: 0, 256: 0, 64: 0, 16: 0},
+        {1024: 10, 256: 5, 64: 2, 16: 0}))
+    assert got == ("lsh", None)
+
+
+def test_ngram_pairs_auto_equals_manual(spark):
+    """max_df='auto' must return the same pairs as the plan it picks —
+    and on a natural-ish corpus auto picks plain (no guard)."""
+    from datatools_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs, pair_plan_stats)
+    from datatools_spark.plans.chooser import choose_pair_plan
+    rows = []
+    for i in range(40):
+        base = f"alpha bravo {i} charlie delta {i * 3} echo foxtrot {i}"
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base + " golf hotel india"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    key = lambda r: (r["a_id"], r["b_id"], round(r["jaccard"], 9))  # noqa: E731
+    manual = sorted(map(key, ngram_jaccard_pairs(df, threshold=0.3)
+                        .collect()))
+    auto = sorted(map(key, ngram_jaccard_pairs(df, threshold=0.3,
+                                               max_df="auto").collect()))
+    assert manual == auto and len(auto) >= 40
+    ckey = lambda r: (r["src_id"], r["dst_id"],  # noqa: E731
+                      round(r["containment"], 9))
+    cm = sorted(map(ckey, containment_pairs(df, threshold=0.3,
+                                            max_df=None).collect()))
+    ca = sorted(map(ckey, containment_pairs(df, threshold=0.3,
+                                            max_df="auto").collect()))
+    assert cm == ca
+
+
+def test_ngram_pairs_auto_refuses_dup_heavy(spark):
+    """A corpus of near-identical docs: every shingle's df ~ n_docs, so
+    candidate mass is quadratic and no guard keeps coverage — the auto
+    planner must refuse toward minhash_lsh_pairs, not silently return
+    an empty result."""
+    import pytest as _pytest
+    from datatools_spark.operators.dedup import ngram_jaccard_pairs
+    df = spark.createDataFrame(
+        [(i, "the same exact sentence repeated in every document here "
+              "across the whole corpus body") for i in range(600)],
+        "doc_id long, text string")
+    with _pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(df, threshold=0.5, max_df="auto").collect()
+
+
+def test_ngram_pairs_auto_picks_guard_on_zipf_head(spark):
+    """A corpus with real distinct content plus a hot stop-phrase in
+    every doc: total mass blows the budget, a guard fits with coverage
+    — auto picks guarded and the result equals the explicit-guard run."""
+    from datatools_spark.operators.dedup import (
+        ngram_jaccard_pairs, pair_plan_stats)
+    from datatools_spark.operators.partitioning import ensure_parallelism
+    from datatools_spark.operators.text import word_shingles, words_col
+    from datatools_spark.plans.chooser import choose_pair_plan
+    from pyspark.sql import functions as F
+    rows = []
+    for i in range(1200):
+        # docs i and i+600 are identical -> 600 true pairs; the hot
+        # head phrase (df=1200) alone carries quadratic mass
+        uniq = " ".join(f"w{i % 600}x{j}" for j in range(12))
+        rows.append((i, f"common head phrase everywhere {uniq}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = (ensure_parallelism(df.select("doc_id", "text"), min_bytes=0)
+          .withColumn("_words", words_col("text"))
+          .select(F.col("doc_id"),
+                  F.explode(word_shingles(
+                      "text", 3, from_words_col="_words")).alias("_sh")))
+    stats = pair_plan_stats(sh)
+    plan, k = choose_pair_plan(stats)
+    assert plan == "guarded", (plan, k, stats)
+    key = lambda r: (r["a_id"], r["b_id"], round(r["jaccard"], 9))  # noqa: E731
+    auto = sorted(map(key, ngram_jaccard_pairs(df, threshold=0.5,
+                                               max_df="auto").collect()))
+    explicit = sorted(map(key, ngram_jaccard_pairs(df, threshold=0.5,
+                                                   max_df=k).collect()))
+    assert auto == explicit
+    # the 600 identical-doc pairs survive the guard (their shared tail
+    # shingles are rare), and at this threshold the guarded result
+    # equals the unguarded one (hot-only pairs fall below threshold)
+    assert len(auto) == 600
+    assert all(j == 1.0 for _, _, j in auto)

@@ -206,8 +206,13 @@ def test_driver_window_contains_flagships():
                      "doc_neardup_retention",
                      "mm_frame_sample",
                      # r4 flagships: the multimodal-dedup family
-                     "mm_image_ahash", "mm_ahash_pairs", "mm_image_dedup",
+                     # (r10: mm_ahash_pairs stood down for the real
+                     # decoder — its engine is carried in-window by
+                     # mm_image_dedup + mm_ahash256_pairs)
+                     "mm_image_ahash", "mm_image_dedup",
                      "mm_audio_dup_pairs",
+                     # r10 rotation: the real RAW8 mapInPandas decoder
+                     "mm_decode_stats",
                      # r5 rotation: the wide pair engine + matmul kNN
                      # (ss_shipping_priority / mm_extract_features stood
                      # down; §2.6 carried by ss_top_customers_per_nation)

@@ -1123,3 +1123,51 @@ def test_batch_psi_skips_keys_with_no_batch_rows(spark):
     rows = batch_psi(batch, hist).collect()
     assert {r["event_type"] for r in rows} == {"click"}
     assert all(r["n_batch"] > 0 for r in rows)
+
+
+def test_streaming_merge_store_apply_retain_generations(spark, tmp_path):
+    """retain_generations flows through the CDC loop: after many
+    micro-batches the store's metadata dirs are bounded by the retain
+    window (the auto-checkpoint ran), the final state is exact, and the
+    change feed for consolidated generations still reads."""
+    import os
+    from datatools_spark.operators.mergestore import (
+        init_merge_store, read_change_feed, read_merge_store)
+    from datatools_spark.streaming.demo import streaming_merge_store_apply
+
+    root = str(tmp_path / "cdc_retain")
+    base = (spark.range(0, 500)
+            .select(F.col("id"), (F.col("id") % 31).alias("v"))
+            .repartitionByRange(4, "id").sortWithinPartitions("id"))
+    init_merge_store(spark, base, root, ["id"])
+    schema = "id long, v long, op string, seq long"
+    src = str(tmp_path / "cdc_retain_src")
+    for i in range(1, 13):
+        spark.createDataFrame([((i * 17) % 500, -i, "U", i)], schema) \
+            .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming_merge_store_apply(
+        stream, root, str(tmp_path / "ck_r"), ["id"],
+        change_feed=True, retain_generations=2)
+    q.awaitTermination(300)
+
+    def dirs(sub):
+        base_d = os.path.join(root, sub) if sub else root
+        return [d for d in os.listdir(base_d) if d.startswith("gen-")] \
+            if os.path.isdir(base_d) else []
+
+    assert len(dirs("_stats")) <= 6 and len(dirs("_log")) <= 6
+    assert len(dirs("_ckpt")) == 1
+    got = {r["id"]: r["v"] for r in read_merge_store(spark, root).collect()}
+    for i in range(1, 13):
+        k = (i * 17) % 500
+        # the LAST write to key k wins
+        last = max(j for j in range(1, 13) if (j * 17) % 500 == k)
+        assert got[k] == -last
+    assert len(got) == 500
+    # consolidated generations' change feeds still read end-to-end
+    feed_gens = sorted(
+        r["_generation"] for r in read_change_feed(spark, root)
+        .select("_generation").distinct().collect())
+    assert len(feed_gens) == 12

@@ -133,3 +133,23 @@ def test_velocity_selectk_keeps_all_null_buckets(spark):
           calc_velocity(df, median_mode="selectk", **kw).collect()}
     assert sk == exact and len(exact) > 0
     assert any(r[-1] is None for r in exact)  # null b_vel rows retained
+
+
+def test_median_mode_auto_rule_and_small_n_equality(spark):
+    """The auto rule: exact below the spill threshold, approx above;
+    and at small n, median_mode='auto' must be bit-equal to 'exact'."""
+    from datatools_spark.operators.velocity import calc_velocity
+    from datatools_spark.plans.chooser import (
+        VELOCITY_APPROX_THRESHOLD_ROWS, choose_median_mode)
+    assert choose_median_mode(1_000) == "exact"
+    assert choose_median_mode(VELOCITY_APPROX_THRESHOLD_ROWS // 2) \
+        == "exact"
+    assert choose_median_mode(VELOCITY_APPROX_THRESHOLD_ROWS // 2 + 1) \
+        == "approx"
+    df = _series(spark)
+    key = lambda r: tuple(r[c] for c in sorted(r.asDict()))  # noqa: E731
+    exact = sorted(map(key, calc_velocity(
+        df, ["value"], "1h", "6h", median_mode="exact").collect()))
+    auto = sorted(map(key, calc_velocity(
+        df, ["value"], "1h", "6h", median_mode="auto").collect()))
+    assert exact == auto and len(auto) > 0

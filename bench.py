@@ -79,40 +79,68 @@ def _load_sentinel() -> dict:
     return sent
 
 
+# Paths whose content defines "same code" for fold purposes: the query
+# engine and the bench harness itself. Doc/artifact commits (VERDICT,
+# history files, COVERAGE) must NOT break folding — the end-of-round
+# sequence always lands a docs commit between the last code change and
+# the official bench run.
+_CODE_PATHS = ["datatools_spark", "bench.py", "__spark_entry__.py"]
+
+
 def _git_head() -> str | None:
-    """Commit hash for fold matching — suffixed ``-dirty`` when tracked
-    files differ from HEAD, which both records the caveat and disables
-    folding (two dirty-tree runs at one HEAD can be running DIFFERENT
-    code, so their minima must not mix)."""
+    """Commit hash, recorded for provenance only (folding keys on
+    :func:`_code_fingerprint`)."""
     import subprocess
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        head = subprocess.run(
+        return subprocess.run(
             ["git", "-C", repo, "rev-parse", "HEAD"],
             capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
-        if not head:
-            return None
-        dirty = subprocess.run(
-            ["git", "-C", repo, "diff", "--quiet", "HEAD"],
-            capture_output=True, timeout=30).returncode != 0
-        return head + ("-dirty" if dirty else "")
+        ).stdout.strip() or None
     except Exception:  # noqa: BLE001 — sentinel only
         return None
 
 
-def _fold_history(out: dict, hist_dir: str, git_head: str | None) -> list[str]:
+def _code_fingerprint() -> str | None:
+    """Digest of the ENGINE SOURCE tree (git blob hashes of
+    ``_CODE_PATHS``) — the fold-matching key. Two runs fold only when
+    every query-relevant file is byte-identical; docs-only commits keep
+    the fingerprint stable. None (fold disabled) when those paths carry
+    uncommitted changes — two dirty trees can be running different
+    code."""
+    import hashlib
+    import subprocess
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        dirty = subprocess.run(
+            ["git", "-C", repo, "diff", "--quiet", "HEAD", "--",
+             *_CODE_PATHS],
+            capture_output=True, timeout=30).returncode != 0
+        if dirty:
+            return None
+        ls = subprocess.run(
+            ["git", "-C", repo, "ls-files", "-s", "--", *_CODE_PATHS],
+            capture_output=True, text=True, timeout=30).stdout
+        if not ls:
+            return None
+        return hashlib.sha256(ls.encode()).hexdigest()[:16]
+    except Exception:  # noqa: BLE001 — sentinel only
+        return None
+
+
+def _fold_history(out: dict, hist_dir: str, code_fp: str | None) -> list[str]:
     """Fold per-query MINIMA from this round's earlier full runs at the
-    SAME git commit into the artifact (min is the steady-state estimator
-    the suite already uses per-run; folding across same-code runs just
-    widens the sample). A contended end-of-round snapshot then reports
-    the round's real minima instead of ambient load (r9: every row
-    inflated ~uniformly in the final window, 21.2 s artifact vs
-    15.0-16.5 s across all 12 in-round runs). HEAD equality is the
-    staleness guard: a run from before a perf-relevant commit can never
-    mask a regression because its hash differs."""
-    if git_head is None or git_head.endswith("-dirty") \
-            or not os.path.isdir(hist_dir):
+    SAME engine-source fingerprint into the artifact (min is the
+    steady-state estimator the suite already uses per-run; folding
+    across same-code runs just widens the sample). A contended
+    end-of-round snapshot then reports the round's real minima instead
+    of ambient load (r9: every row inflated ~uniformly in the final
+    window, 21.2 s artifact vs 15.0-16.5 s across all 12 in-round
+    runs). Fingerprint equality is the staleness guard: a run from
+    before a perf-relevant code change can never mask a regression
+    because its fingerprint differs — while docs/artifact commits keep
+    it stable."""
+    if code_fp is None or not os.path.isdir(hist_dir):
         return []
     sections = [("queries",), ("extended",), ("sf1_equiv", "queries"),
                 ("sf1_equiv", "extended_mm")]
@@ -125,7 +153,7 @@ def _fold_history(out: dict, hist_dir: str, git_head: str | None) -> list[str]:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
-        if data.get("git_head") != git_head:
+        if data.get("code_fp") != code_fp:
             continue
         if data.get("sf") != out.get("sf"):
             continue   # minima from a different scale factor never mix
@@ -393,6 +421,7 @@ def main() -> None:
     # adjudication of ambient-load-inflated end-of-round snapshots.
     out["load"] = {"start": sentinel_start, "end": _load_sentinel()}
     out["git_head"] = _git_head()
+    out["code_fp"] = _code_fingerprint()
 
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench", "BENCH_full.json")
@@ -411,7 +440,7 @@ def main() -> None:
     # contention-proof the ARTIFACT (r9 VERDICT #1): fold per-query
     # minima from this round's earlier same-commit runs, so a contended
     # final snapshot reports the round's real steady-state numbers.
-    out["folded_from"] = _fold_history(out, hist_dir, out["git_head"])
+    out["folded_from"] = _fold_history(out, hist_dir, out["code_fp"])
 
     # full detail to a file; stdout gets ONE compact line the driver's
     # 2 KB tail capture can actually parse (suite totals + headline

@@ -374,8 +374,16 @@ def checkpoint_merge_store(spark: SparkSession, root: str,
      .coalesce(1).write.mode("errorifexists")
      .parquet(f"{root}/{_ROSTER}/{_GEN}{wm}"))
     snapshot = merge_store_stats(spark, root, at_generation=wm)
-    (snapshot.coalesce(1).write.mode("errorifexists")
-     .parquet(f"{root}/{_CKPT}/{_GEN}{wm}"))
+    ck_dir = f"{root}/{_CKPT}/{_GEN}{wm}"
+    snapshot.coalesce(1).write.mode("errorifexists").parquet(ck_dir)
+    if not _parquet_files(spark, ck_dir):
+        # _ckpt_gen gates commit on payload files existing; if this
+        # write produced none the checkpoint is NOT committed and the
+        # cleanup below would delete the only remaining representation
+        raise RuntimeError(
+            f"checkpoint_merge_store: snapshot write at {ck_dir} "
+            "produced no parquet part files — refusing to reclaim the "
+            "history it was meant to replace")
 
     # physically reclaim dead files <= wm (the vacuum semantics)
     dead_old = [r["file"] for r in _tombstoned(
@@ -566,6 +574,12 @@ def merge_into(spark: SparkSession, root: str, updates: DataFrame,
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be 'update' or 'delete', "
                          f"got {when_matched!r}")
+    if retain_generations is not None and retain_generations < 1:
+        # validate BEFORE the merge: failing in the post-commit
+        # maintenance hook would leave the caller unsure whether the
+        # merge itself landed (it would have)
+        raise ValueError("merge_into: retain_generations must be >= 1 "
+                         "(the latest generation is never consolidated)")
     _check_keys(updates, key_cols, "merge_into")
     stats = merge_store_stats(spark, root)
     first = stats.select("file").limit(1).collect()

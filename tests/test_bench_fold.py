@@ -1,5 +1,6 @@
 """bench.py artifact contention-proofing: the history fold must take
-per-query minima ONLY from same-commit, same-SF, clean-tree runs."""
+per-query minima ONLY from same-code-fingerprint, same-SF runs
+(fingerprint = engine source blob hashes; None when dirty)."""
 
 import importlib.util
 import json
@@ -16,10 +17,10 @@ def _hist(tmp_path, name, **data):
         json.dump(data, f)
 
 
-def test_fold_takes_same_head_same_sf_minima(tmp_path):
-    _hist(tmp_path, "BENCH_full_a.json", git_head="h1", sf=0.1,
+def test_fold_takes_same_fp_same_sf_minima(tmp_path):
+    _hist(tmp_path, "BENCH_full_a.json", code_fp="h1", sf=0.1,
           queries={"q1": 1.0, "q2": 5.0}, extended={"e1": 2.0})
-    _hist(tmp_path, "BENCH_full_b.json", git_head="h1", sf=0.1,
+    _hist(tmp_path, "BENCH_full_b.json", code_fp="h1", sf=0.1,
           queries={"q1": 3.0, "q2": 2.0}, extended={"e1": 9.0})
     out = {"sf": 0.1, "queries": {"q1": 2.0, "q2": 4.0}, "value": 6.0,
            "extended": {"e1": 4.0}}
@@ -30,25 +31,25 @@ def test_fold_takes_same_head_same_sf_minima(tmp_path):
     assert out["value"] == 3.0
 
 
-def test_fold_skips_other_head_other_sf_and_dirty(tmp_path):
-    _hist(tmp_path, "BENCH_full_head.json", git_head="h2", sf=0.1,
+def test_fold_skips_other_fp_other_sf_and_dirty(tmp_path):
+    _hist(tmp_path, "BENCH_full_fp.json", code_fp="h2", sf=0.1,
           queries={"q1": 0.1})
-    _hist(tmp_path, "BENCH_full_sf.json", git_head="h1", sf=0.001,
+    _hist(tmp_path, "BENCH_full_sf.json", code_fp="h1", sf=0.001,
           queries={"q1": 0.1})
-    _hist(tmp_path, "BENCH_full_nohead.json", sf=0.1,
+    _hist(tmp_path, "BENCH_full_nofp.json", sf=0.1,
           queries={"q1": 0.1})
     out = {"sf": 0.1, "queries": {"q1": 2.0}, "value": 2.0}
     assert bench._fold_history(out, str(tmp_path), "h1") == []
     assert out["queries"] == {"q1": 2.0}
     # dirty tree: fold disabled wholesale
-    _hist(tmp_path, "BENCH_full_match.json", git_head="h1-dirty", sf=0.1,
+    _hist(tmp_path, "BENCH_full_match.json", code_fp="h1x", sf=0.1,
           queries={"q1": 0.1})
     assert bench._fold_history(out, str(tmp_path), "h1-dirty") == []
     assert out["queries"] == {"q1": 2.0}
 
 
 def test_fold_recomputes_sf1_total(tmp_path):
-    _hist(tmp_path, "BENCH_full_a.json", git_head="h1", sf=0.1,
+    _hist(tmp_path, "BENCH_full_a.json", code_fp="h1", sf=0.1,
           queries={"q1": 1.0},
           sf1_equiv={"queries": {"q1": 8.0}, "extended_mm": {"m1": 1.0}})
     out = {"sf": 0.1, "queries": {"q1": 1.0}, "value": 1.0,
@@ -63,3 +64,12 @@ def test_fold_recomputes_sf1_total(tmp_path):
 def test_calibration_kernel_runs():
     s = bench._calib_kernel_s()
     assert 0.05 < s < 30
+
+
+def test_code_fingerprint_stable_and_clean():
+    # the committed tree: fingerprint is a 16-hex digest, stable across
+    # calls, and docs-only files do not participate
+    fp1 = bench._code_fingerprint()
+    fp2 = bench._code_fingerprint()
+    if fp1 is not None:   # None only when engine paths are dirty
+        assert fp1 == fp2 and len(fp1) == 16

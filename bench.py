@@ -357,6 +357,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     sentinel_start = _load_sentinel()
+    # fingerprint at START: this is when the engine modules were
+    # imported — an edit landing mid-run must not retroactively claim
+    # (end-of-run stamp) or disclaim (dirty at end) the code that ran
+    code_fp = _code_fingerprint()
+    git_head = _git_head()
 
     # warmup: tiny sf to JIT/codegen-prime every plan shape
     warm_dir = "/root/testdata/sf0.001"
@@ -420,8 +425,8 @@ def main() -> None:
     # contention evidence — two straight rounds needed out-of-band
     # adjudication of ambient-load-inflated end-of-round snapshots.
     out["load"] = {"start": sentinel_start, "end": _load_sentinel()}
-    out["git_head"] = _git_head()
-    out["code_fp"] = _code_fingerprint()
+    out["git_head"] = git_head
+    out["code_fp"] = code_fp
 
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench", "BENCH_full.json")

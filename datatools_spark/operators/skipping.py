@@ -102,8 +102,11 @@ def _infer_base_path(files: list[str]) -> str | None:
     if not common:
         return None
     rel = [p[len(common):] for p in parts]
-    if not any(r for r in rel):
-        return None   # flat layout: basePath is a no-op
+    if not all(r for r in rel):
+        # flat layout (all at the base: basePath is a no-op) or mixed
+        # depth (some at the base, some under partition dirs: setting
+        # basePath would trip partition discovery on the uneven tree)
+        return None
     if all(all(hive.fullmatch(seg) for seg in r) for r in rel):
         return "/".join(common)
     return None

@@ -283,3 +283,29 @@ def test_update_file_stats_hive_partitioned(spark, tmp_path):
     got = skipping_read(spark, man2, {"p": (2, 2)})
     assert set(got.inputFiles()) <= set(kept)
     assert got.count() == 300  # ids ≡ 2 (mod 3) in [0, 900)
+
+
+def test_infer_base_path_rules():
+    from datatools_spark.operators.skipping import _infer_base_path
+    # pure hive tree -> table root
+    assert _infer_base_path([
+        "file:/t/p=0/a.parquet", "file:/t/p=1/b.parquet"]) == "file:/t"
+    # single partition: trailing name=value stripped off the common dir
+    assert _infer_base_path([
+        "file:/t/p=2/a.parquet", "file:/t/p=2/b.parquet"]) == "file:/t"
+    # multi-level partitions
+    assert _infer_base_path([
+        "file:/t/p=0/q=x/a.parquet",
+        "file:/t/p=1/q=y/b.parquet"]) == "file:/t"
+    # flat layout: no-op
+    assert _infer_base_path([
+        "file:/t/a.parquet", "file:/t/b.parquet"]) is None
+    # mixed roots (originals + cg= compaction dirs): refuse
+    assert _infer_base_path([
+        "file:/x/frag/a.parquet", "file:/x/out/cg=0/b.parquet"]) is None
+    # mixed depth under one root: refuse
+    assert _infer_base_path([
+        "file:/t/a.parquet", "file:/t/p=0/b.parquet"]) is None
+    # non-hive subdirs: refuse
+    assert _infer_base_path([
+        "file:/t/sub1/a.parquet", "file:/t/sub2/b.parquet"]) is None

@@ -268,8 +268,10 @@ def main():
     # ... and a takedown request as a delete batch
     gone = read_merge_store(spark, root).where(F.col("doc_id") % 131 == 0) \
         .select("doc_id")
+    # retain_generations (r10): a long-lived store auto-checkpoints on
+    # commit — metadata and dead bytes stay flat per lifetime batch
     r2 = merge_into(spark, root, gone, ["doc_id"], "delete",
-                    change_feed=True)
+                    change_feed=True, retain_generations=2)
     print(f"merge store: re-scrub touched {r1['files_rewritten']} of "
           f"{r1['files_live_before']} files ({r1['rows_matched']} rows); "
           f"takedown removed {r2['rows_deleted']} rows")

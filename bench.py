@@ -50,6 +50,18 @@ from datatools_spark.session import get_spark  # noqa: E402
 # seconds too, so a recalibration never invalidates old artifacts.
 CALIB_REF_S = 0.93
 
+# Memory-bandwidth reference (GB/s, single-thread numpy float64 sum
+# over 512 MB — DRAM-bound, L2-insensitive). The md5 kernel alone
+# missed a real contention mode: an afternoon where every Spark query
+# ran ~1.7× slower than the same morning (uniform across UNTOUCHED
+# queries, standalone min-of-5 receipts in SCALE_NOTES) while md5
+# single-thread AND 16-way both ran at full speed — the signature of a
+# co-tenant saturating memory bandwidth, which cache-resident hashing
+# cannot see but columnar scans and shuffles live on. Best observed on
+# this box: 7.38 GB/s (possibly itself degraded — the reference is a
+# floor-stake, not a ceiling; raw GB/s is always recorded).
+MEMBW_REF_GBPS = 7.4
+
 
 def _calib_kernel_s() -> float:
     """Fixed single-thread CPU kernel (~1 s quiet): md5 over 500 MB.
@@ -67,10 +79,31 @@ def _calib_kernel_s() -> float:
     return time.perf_counter() - t0
 
 
+def _membw_gbps() -> float | None:
+    """Single-thread DRAM bandwidth (GB/s): numpy float64 sum over
+    512 MB, best of 2. The contention mode the md5 kernel is blind to."""
+    try:
+        import numpy as np
+    except ImportError:
+        return None
+    a = np.ones(64 * 1024 * 1024, dtype=np.float64)
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        a.sum()
+        best = max(best, 0.5 / (time.perf_counter() - t0))
+    return round(best, 2)
+
+
 def _load_sentinel() -> dict:
     sent = {"calib_s": round(_calib_kernel_s(), 3),
             "calib_ref_s": CALIB_REF_S}
     sent["calib_ratio"] = round(sent["calib_s"] / CALIB_REF_S, 2)
+    bw = _membw_gbps()
+    if bw is not None:
+        sent["membw_gbps"] = bw
+        # ratio > 1 = bandwidth-starved (reference / observed)
+        sent["membw_ratio"] = round(MEMBW_REF_GBPS / max(bw, 0.01), 2)
     try:
         with open("/proc/loadavg") as f:
             sent["loadavg"] = [float(x) for x in f.read().split()[:3]]
@@ -499,6 +532,9 @@ def main() -> None:
     # the per-query minima (0 on a first run at a fresh commit)
     compact["load_ratio"] = [out["load"]["start"]["calib_ratio"],
                              out["load"]["end"]["calib_ratio"]]
+    if "membw_ratio" in out["load"]["start"]:
+        compact["membw_ratio"] = [out["load"]["start"]["membw_ratio"],
+                                  out["load"]["end"].get("membw_ratio")]
     compact["folded"] = len(out["folded_from"])
     # hard guard for the driver's ~2 KB tail capture: six rounds of
     # BENCH artifacts were "parsed": null because the line overflowed.

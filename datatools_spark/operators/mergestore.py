@@ -406,9 +406,12 @@ def checkpoint_merge_store(spark: SparkSession, root: str,
         fs.delete(jvm_path(f"{root}/_stats/{_GEN}{g}"), True)
         fs.delete(jvm_path(f"{root}/_log/{_GEN}{g}"), True)
     for g in _gen_numbers(spark, root):
-        # drained data dirs: every file dead AND deleted; never the
-        # latest generation (numbering anchor)
-        if g < latest and not _parquet_files(spark, f"{root}/{_GEN}{g}"):
+        # drained data dirs: only generations the committed checkpoint
+        # covers (g <= wm). An all-delete merge legitimately commits an
+        # EMPTY generation (no parquet files, only _log tombstones);
+        # above the watermark its presence is what keeps _committed_gens
+        # applying its tombstones — deleting it would resurrect rows.
+        if g <= wm and not _parquet_files(spark, f"{root}/{_GEN}{g}"):
             fs.delete(jvm_path(f"{root}/{_GEN}{g}"), True)
     for old in (_gen_numbers(spark, root, _CKPT)
                 + _gen_numbers(spark, root, _ROSTER)):

@@ -620,6 +620,59 @@ def test_checkpoint_consolidates_and_preserves_reads(spark, store):
     assert got == want
 
 
+def test_checkpoint_keeps_empty_committed_gen_above_watermark(
+        spark, tmp_path):
+    """An all-delete merge commits an EMPTY generation (zero parquet
+    files, tombstones only). If that generation sits ABOVE the
+    checkpoint watermark, its data dir is the committed-ness witness
+    _committed_gens relies on — reclaiming it as "drained" drops its
+    tombstones and silently resurrects the deleted rows (r10 ADVICE
+    high). The drained-dir reclaim must stop at the watermark."""
+    import os
+    from datatools_spark.operators.mergestore import checkpoint_merge_store
+    root = str(tmp_path / "emptygen")
+    init_merge_store(spark, _base_df(spark, n=10, files=1), root, KEY)
+    # gen 1, 2: updates so the watermark has history to consolidate
+    for i in (1, 2):
+        u = spark.createDataFrame([(i, -i, f"g{i}")],
+                                  "id long, v long, tag string")
+        merge_into(spark, root, u, KEY, "update")
+    # gen 3: delete EVERY row -> empty generation. This Spark version
+    # happens to emit one zero-row part file for an empty write; that
+    # is not contractual (other versions emit none — the case
+    # _write_gen_stats's empty-manifest branch exists for), so strip
+    # the empty part file to pin the file-less-committed-gen shape.
+    all_keys = spark.range(0, 10).select("id")
+    r = merge_into(spark, root, all_keys, KEY, "delete")
+    assert r["generation"] == 3 and r["rows_deleted"] == 10
+    g3 = os.path.join(root, "gen-3")
+    for f in os.listdir(g3):
+        if f.endswith(".parquet") or f.endswith(".parquet.crc"):
+            os.remove(os.path.join(g3, f))
+    # file-less committed gen is still committed: reads stay exact
+    assert read_merge_store(spark, root).count() == 0
+    # gen 4: fresh inserts so latest(4) > empty gen(3) > wm(2)
+    ins = spark.createDataFrame([(100, 1, "new"), (101, 2, "new")],
+                                "id long, v long, tag string")
+    merge_into(spark, root, ins, KEY, "update")
+    res = checkpoint_merge_store(spark, root, retain_generations=2)
+    assert res["watermark"] == 2
+    # the empty committed gen-3 above the watermark must survive so its
+    # tombstones keep applying: no resurrection of the deleted 10 rows
+    assert os.path.isdir(os.path.join(root, "gen-3"))
+    assert _as_dict(read_merge_store(spark, root)) == {
+        100: (1, "new"), 101: (2, "new")}
+    # time travel at the empty generation reads empty, not resurrected
+    assert read_merge_store(spark, root, at_generation=3).count() == 0
+    # a later checkpoint that moves the watermark PAST the empty gen may
+    # then reclaim it; reads stay exact
+    merge_into(spark, root, spark.createDataFrame(
+        [(102, 3, "new")], "id long, v long, tag string"), KEY, "update")
+    checkpoint_merge_store(spark, root, retain_generations=2)  # wm=3
+    assert _as_dict(read_merge_store(spark, root)) == {
+        100: (1, "new"), 101: (2, "new"), 102: (3, "new")}
+
+
 def test_merge_auto_checkpoint_holds_store_flat(spark, tmp_path):
     """The r9 VERDICT #5 done-criterion (scaled to test time): a long
     merge loop with retain_generations set must hold the generation

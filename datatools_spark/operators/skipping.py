@@ -107,6 +107,13 @@ def _infer_base_path(files: list[str]) -> str | None:
         # depth (some at the base, some under partition dirs: setting
         # basePath would trip partition discovery on the uneven tree)
         return None
+    if len({len(r) for r in rel}) != 1:
+        # pure hive segments but at DIFFERENT depths (/t/a=1/f1 next to
+        # /t/a=1/b=2/f2): partition discovery under a basePath requires
+        # a uniform tree and would throw CONFLICTING_DIRECTORY_
+        # STRUCTURES — fall back to the no-basePath read (succeeds,
+        # just without partition columns), the pre-r10 behavior
+        return None
     if all(all(hive.fullmatch(seg) for seg in r) for r in rel):
         return "/".join(common)
     return None

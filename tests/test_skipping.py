@@ -309,3 +309,9 @@ def test_infer_base_path_rules():
     # non-hive subdirs: refuse
     assert _infer_base_path([
         "file:/t/sub1/a.parquet", "file:/t/sub2/b.parquet"]) is None
+    # pure hive segments at DIFFERENT depths (none at the base): refuse
+    # — partition discovery needs a uniform tree (r10 ADVICE low)
+    assert _infer_base_path([
+        "file:/t/a=1/f1.parquet", "file:/t/a=1/b=2/f2.parquet"]) is None
+    assert _infer_base_path([
+        "file:/t/a=1/f1.parquet", "file:/t/a=2/b=2/c=3/f2.parquet"]) is None

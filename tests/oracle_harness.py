@@ -131,6 +131,11 @@ if __name__ == "__main__":
     from datatools_spark.session import get_spark
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     names = sys.argv[2:] or None
+    try:   # feed the bandwidth time series (r10 VERDICT #1a)
+        import bench
+        bench.membw_sample("oracle-gate")
+    except Exception:  # noqa: BLE001 — telemetry only
+        pass
     s = get_spark("oracle-harness")
     s.sparkContext.setLogLevel("ERROR")
     fails = run_all(s, sf, names)

@@ -29,6 +29,10 @@ def test_fold_takes_same_fp_same_sf_minima(tmp_path):
     assert out["queries"] == {"q1": 1.0, "q2": 2.0}
     assert out["extended"] == {"e1": 2.0}
     assert out["value"] == 3.0
+    # folded ROWS are recorded by name so the compact line can drop
+    # this run's plan counters for them (r10 ADVICE low): q1/e1 took a
+    # history minimum, q2 took BENCH_full_b's
+    assert out["folded_queries"] == ["e1", "q1", "q2"]
 
 
 def test_fold_skips_other_fp_other_sf_and_dirty(tmp_path):
@@ -66,6 +70,44 @@ def test_calibration_kernel_runs():
     assert 0.05 < s < 30
 
 
+def test_membw_probes_run():
+    bw = bench._membw_gbps()
+    agg = bench._membw_agg_gbps()
+    assert bw is None or 0.1 < bw < 1000
+    assert agg is None or 0.1 < agg < 10000
+
+
+def test_membw_refs_rebase_from_log(tmp_path, monkeypatch):
+    """The operative reference is max(stake, best logged reading) — a
+    stake taken inside a degraded window self-heals from the series
+    (r10 VERDICT #1c); bogus lines never lower it."""
+    log = tmp_path / "membw.jsonl"
+    monkeypatch.setattr(bench, "_MEMBW_LOG", str(log))
+    # no log: the stakes
+    assert bench._membw_refs() == (bench.MEMBW_REF_GBPS,
+                                   bench.MEMBW_AGG_REF_GBPS)
+    with open(log, "w") as f:
+        f.write(json.dumps({"membw_gbps": 1.0,
+                            "membw_agg_gbps": 2.0}) + "\n")   # below: keep
+        f.write("not json\n")                                 # tolerated
+        f.write(json.dumps({"membw_gbps": bench.MEMBW_REF_GBPS + 2.0}) + "\n")
+        f.write(json.dumps(
+            {"membw_agg_gbps": bench.MEMBW_AGG_REF_GBPS + 30.0}) + "\n")
+    ref, agg = bench._membw_refs()
+    assert ref == bench.MEMBW_REF_GBPS + 2.0
+    assert agg == bench.MEMBW_AGG_REF_GBPS + 30.0
+
+
+def test_membw_sample_appends_log(tmp_path, monkeypatch):
+    log = tmp_path / "membw.jsonl"
+    monkeypatch.setattr(bench, "_MEMBW_LOG", str(log))
+    s = bench.membw_sample("unit-test")
+    assert "membw_gbps" in s or "membw_agg_gbps" in s
+    with open(log) as f:
+        rec = json.loads(f.readline())
+    assert rec["where"] == "unit-test" and "ts" in rec
+
+
 def test_code_fingerprint_stable_and_clean():
     # the committed tree: fingerprint is a 16-hex digest, stable across
     # calls, and docs-only files do not participate
@@ -73,3 +115,21 @@ def test_code_fingerprint_stable_and_clean():
     fp2 = bench._code_fingerprint()
     if fp1 is not None:   # None only when engine paths are dirty
         assert fp1 == fp2 and len(fp1) == 16
+
+
+def test_code_fingerprint_none_with_untracked_engine_file():
+    # an UNTRACKED module under an engine path is invisible to both
+    # `git diff HEAD` and `ls-files -s`; it must still disable folding
+    # (r10 ADVICE low) — the run executed code the clean tree lacks
+    if bench._code_fingerprint() is None:
+        import pytest
+        pytest.skip("engine paths already dirty — untracked case moot")
+    probe = os.path.join(os.path.dirname(__file__), "..",
+                         "datatools_spark", "_fp_probe_untracked.py")
+    try:
+        with open(probe, "w") as f:
+            f.write("# fingerprint probe\n")
+        assert bench._code_fingerprint() is None
+    finally:
+        os.remove(probe)
+    assert bench._code_fingerprint() is not None

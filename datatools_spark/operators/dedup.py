@@ -801,7 +801,7 @@ def _pair_intersections(sh: DataFrame, id_col: str,
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
                         threshold: float = 0.5,
-                        max_df: int | str | None = None) -> DataFrame:
+                        max_df: int | str | None = "auto") -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join.
 
     docs → distinct shingles (explode) → self-join on shingle (the
@@ -824,13 +824,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     over the array-verify formulation at 10⁶ docs). The only semantic
     delta: pairs connected solely through ultra-common shingles are not
     found (at any meaningful threshold such pairs share rarer shingles
-    too). Default off = the unguarded count-based plan.
+    too). ``max_df=None`` = the unguarded count-based plan.
 
-    ``max_df="auto"`` (r9 VERDICT #4) replaces the manual knob with the
+    ``max_df="auto"`` (THE DEFAULT since r11 — r9 VERDICT #4 built the
+    planner, r10 VERDICT #3 made it the default; A/B-proven on both
+    corpus shapes, SCALE_NOTES) replaces the manual knob with the
     measured dispatch: one df-histogram aggregate feeds
     ``plans.chooser.choose_pair_plan``, which picks plain vs the
     largest budget-fitting guard, or REFUSES toward
-    :func:`minhash_lsh_pairs` when no guard fits (ValueError).
+    :func:`minhash_lsh_pairs` when no guard fits (ValueError naming
+    the tier that scales). Pass an int (manual guard) or None
+    (unguarded) to override the planner.
     """
     # word_shingles is array_distinct per doc, so the exploded index is
     # already (id, shingle)-unique — no dedup shuffle needed.
@@ -855,7 +859,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 def containment_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", shingle_n: int = 3,
                       threshold: float = 0.5,
-                      max_df: int | str | None = 100) -> DataFrame:
+                      max_df: int | str | None = "auto") -> DataFrame:
     """Directed shingle-containment pairs: C(src→dst) = |src ∩ dst| /
     |src| over distinct word shingles — the quote / sub-document
     detector. A short doc wholly quoted inside a long one scores ≈ 1.0
@@ -867,8 +871,10 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     (:func:`_pair_intersections`): max_df-guarded inverted index, exact
     intersection via the stop-shingle correction join, one index
     shuffle — never n². Both directions are emitted and filtered
-    independently. ``max_df="auto"`` dispatches through the measured
-    df-histogram planner exactly as in :func:`ngram_jaccard_pairs`.
+    independently. ``max_df="auto"`` (the default since r11, replacing
+    the former magic ``100``) dispatches through the measured
+    df-histogram planner exactly as in :func:`ngram_jaccard_pairs`;
+    pass an int or None to override the planner.
 
     Output: ``src_id, dst_id, containment`` (containment ≥ threshold).
     """

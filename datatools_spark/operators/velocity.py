@@ -44,7 +44,8 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
                   approx: bool = False,
                   grid_start=None, grid_end=None,
                   median_mode: str | None = None,
-                  grid_index: bool = False) -> DataFrame:
+                  grid_index: bool = False,
+                  n_rows: int | None = None) -> DataFrame:
     """Grid-median differenced velocity, m/day per component.
 
     Returns ``partition_by + (date, <col>_vel ...)`` where ``date`` is the
@@ -60,11 +61,18 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
     (equality-tested) with shuffles bounded by bins+survivors, the
     exact path that survives hot buckets at 100 TB. ``approx=True`` is
     the legacy spelling of ``median_mode="approx"``. ``"auto"`` (r9
-    VERDICT #6) counts the input once and dispatches through
-    ``plans.chooser.choose_median_mode``: exact below the XL-probe
-    spill threshold (where exact is free), approx above it (where the
-    sketch's partial aggregation cuts the spilling shuffle 3.2×) —
-    opt-in because the flip trades exactness for throughput.
+    VERDICT #6) dispatches through ``plans.chooser.choose_median_mode``:
+    exact below the XL-probe spill threshold (where exact is free),
+    approx above it (where the sketch's partial aggregation cuts the
+    spilling shuffle 3.2×) — opt-in because the flip trades exactness
+    for throughput. The row count it keys on comes from (in order) the
+    caller's ``n_rows`` hint, parquet footer metadata when ``df`` is
+    scan-shaped (``plans.chooser.estimate_scan_rows`` — zero jobs),
+    and only as a last resort a ``df.count()`` action (r10 VERDICT #4:
+    the unconditional count was a scan-shaped dispatch cost at 100 TB).
+
+    ``n_rows``: optional input-row-count hint consumed by the ``auto``
+    dispatch (manifest/catalog-known counts); ignored otherwise.
 
     ``grid_index=True`` prepends the engine-portable grid index ``k``
     (``date = t0 + k*stat``) to the output — the kernel already carries
@@ -75,8 +83,12 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
     if median_mode is None:
         median_mode = "approx" if approx else "exact"
     if median_mode == "auto":
-        from ..plans.chooser import choose_median_mode
-        median_mode = choose_median_mode(df.count())
+        from ..plans.chooser import choose_median_mode, estimate_scan_rows
+        if n_rows is None:
+            n_rows = estimate_scan_rows(df)
+        if n_rows is None:
+            n_rows = df.count()   # unestimable plan shape: the fallback
+        median_mode = choose_median_mode(n_rows)
     stat = parse_duration_seconds(stat_window)
     sep = parse_duration_seconds(separation_window)
     half_sep = sep / 2.0

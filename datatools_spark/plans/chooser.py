@@ -25,7 +25,7 @@ from ..functions.timeutils import parse_duration_seconds
 from ..operators.velocity import calc_velocity, calc_velocity_range_join
 
 __all__ = ["choose_velocity_plan", "choose_pair_plan",
-           "choose_median_mode", "plan_string",
+           "choose_median_mode", "estimate_scan_rows", "plan_string",
            "PAIR_MASS_FACTOR", "MAX_DF_LADDER",
            "VELOCITY_APPROX_THRESHOLD_ROWS"]
 
@@ -62,6 +62,73 @@ MIN_GUARD_COVERAGE = 0.10
 # shuffle volume, shared by every plan, so the rule keys on exploded
 # row count (2 × input rows).
 VELOCITY_APPROX_THRESHOLD_ROWS = 50_000_000
+
+
+# Logical nodes that never change cardinality: a frame whose optimized
+# plan is built ONLY of these over parquet relations has exactly as
+# many rows as its files' footers say. Filter/Join/Aggregate/Generate/
+# Sample/Union etc. all disqualify (their output rows are not knowable
+# from metadata).
+_CARDINALITY_PRESERVING = ("Project", "Relation", "SubqueryAlias",
+                           "ResolvedHint", "Sort", "RepartitionByExpression",
+                           "Repartition", "Coalesce")
+
+# Above this many files the driver-side footer sweep stops being
+# "free" dispatch (~1 ms/footer): callers at that scale should pass
+# n_rows or accept the count() fallback, which at least distributes.
+_MAX_FOOTER_FILES = 4096
+
+
+def estimate_scan_rows(df: DataFrame) -> int | None:
+    """Row count of a SCAN-SHAPED frame from parquet footer metadata —
+    zero Spark jobs (r10 VERDICT #4: ``median_mode="auto"`` previously
+    paid a full ``df.count()`` action, a scan-shaped dispatch cost at
+    100 TB).
+
+    A frame qualifies when every node of its optimized logical plan is
+    cardinality-preserving (projections, sorts, repartitions over a
+    parquet relation); then the row count is the sum of the files'
+    footer ``num_rows`` — exact, driver-side, metadata-only (the same
+    trust the skipping manifest places in footer stats). Returns None
+    — caller falls back to a counting job — for any other plan shape,
+    non-local/non-parquet files, or file counts past the footer-sweep
+    budget."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # noqa: BLE001 — estimation is best-effort
+        return None
+    for line in plan.splitlines():
+        node = line.lstrip("+-: ").split(" ", 1)[0].split("[")[0]
+        if not node:
+            continue
+        if not any(node == n or node.endswith(n)
+                   for n in _CARDINALITY_PRESERVING):
+            return None
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001
+        return None
+    if not files or len(files) > _MAX_FOOTER_FILES:
+        return None
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    total = 0
+    for f in files:
+        if not f.endswith(".parquet"):
+            return None
+        if f.startswith("file:"):
+            f = f[5:]
+            while f.startswith("//"):   # file:///x -> /x
+                f = f[1:]
+        elif "://" in f:
+            return None   # non-local FS: footer read would need the FS
+        try:
+            total += pq.ParquetFile(f).metadata.num_rows
+        except Exception:  # noqa: BLE001
+            return None
+    return total
 
 
 def choose_median_mode(n_rows: int,

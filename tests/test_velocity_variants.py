@@ -153,3 +153,49 @@ def test_median_mode_auto_rule_and_small_n_equality(spark):
     auto = sorted(map(key, calc_velocity(
         df, ["value"], "1h", "6h", median_mode="auto").collect()))
     assert exact == auto and len(auto) > 0
+
+
+def test_estimate_scan_rows_metadata_only(spark, tmp_path):
+    """estimate_scan_rows: exact footer count for scan-shaped frames
+    (plain read, column projection), None for any plan whose output
+    cardinality metadata cannot know (filter, aggregate, explode)."""
+    from datatools_spark.plans.chooser import estimate_scan_rows
+    import pyspark.sql.functions as F
+    p = str(tmp_path / "t")
+    spark.range(0, 1234).select(
+        "id", (F.col("id") % 7).alias("v")).repartition(3) \
+        .write.parquet(p)
+    df = spark.read.parquet(p)
+    assert estimate_scan_rows(df) == 1234
+    assert estimate_scan_rows(df.select("v")) == 1234
+    assert estimate_scan_rows(df.repartition(5)) == 1234
+    assert estimate_scan_rows(df.where("v = 3")) is None
+    assert estimate_scan_rows(df.groupBy("v").count()) is None
+    assert estimate_scan_rows(
+        df.select(F.explode(F.array("id", "v")))) is None
+    assert estimate_scan_rows(df.join(df.select("v"), "v")) is None
+    # non-file-backed frames: unestimable, never wrong
+    local = spark.createDataFrame([(1,)], "x int")
+    assert estimate_scan_rows(local) in (None, 1)
+
+
+def test_median_mode_auto_runs_no_job_on_scan_input(spark, tmp_path):
+    """r10 VERDICT #4 done-criterion: on a scan-shaped input the auto
+    dispatch must not launch ANY Spark job (the old path paid a full
+    df.count() — a table scan at 100 TB just to pick a plan)."""
+    from datatools_spark.operators.velocity import calc_velocity
+    p = str(tmp_path / "series")
+    _series(spark).write.parquet(p)
+    df = spark.read.parquet(p)
+    sc = spark.sparkContext
+    before = sc.statusTracker().getJobIdsForGroup(None) or []
+    out = calc_velocity(df, ["value"], "1h", "6h", median_mode="auto")
+    after = sc.statusTracker().getJobIdsForGroup(None) or []
+    assert sorted(after) == sorted(before), \
+        "auto dispatch launched a Spark job on a scan-shaped input"
+    assert out.count() > 0   # the plan itself still executes fine
+    # explicit hint short-circuits estimation for any plan shape
+    out2 = calc_velocity(df.where("value is not null"), ["value"],
+                         "1h", "6h", median_mode="auto",
+                         n_rows=10_000)
+    assert out2.columns == out.columns

@@ -9638,7 +9638,18 @@ _REGISTRATION_ORDER = [
     # doc_nchars_sample_quantiles' n_rows; it stays oracle-backed past
     # the cutoff.
     "doc_nchars_sample_quantiles", "doc_neardup_retention",
-    "emb_knn_brute", "emb_dup_pairs", "emb_centroid_assign",
+    # r11 rotation (VERDICT r10 #2): emb_knn_brute → ts_upsert_latest —
+    # the CDC upsert MERGE (intervals.py:apply_changes, last-writer-wins
+    # keyed state), the store family's most load-bearing unpromoted path
+    # after the r10 merge-store auto-checkpoint work, gets an
+    # independent driver row. emb_knn_brute's evidence (exact cosine
+    # top-k baseline) is carried in-window by emb_knn_matmul — the SAME
+    # semantics on a different physical plan, equality-pinned locally
+    # (tests/test_mlops.py:test_knn_matmul_equals_bruteforce_reranked) —
+    # and by emb_ivf_search/emb_knn_lsh, whose recall floors are
+    # measured against the brute baseline; it stays oracle-backed past
+    # the cutoff and in the bench headline suite.
+    "ts_upsert_latest", "emb_dup_pairs", "emb_centroid_assign",
     "emb_ivf_search", "emb_knn_lsh",
     "mm_ahash256_pairs", "mm_frame_sample",
     # r4: the multimodal-dedup family (aHash → banded-Hamming pairs →
@@ -9661,6 +9672,9 @@ _REGISTRATION_ORDER = [
     "mm_image_ahash", "mm_decode_stats", "mm_image_dedup",
     "mm_audio_dup_pairs",
     # —— past the cutoff: still oracle-backed, next-most-important first ——
+    # r11: stood down from the window for ts_upsert_latest (see the
+    # window comment); still oracle-backed + benched headline here
+    "emb_knn_brute",
     # r10: stood down from the window for mm_decode_stats (see the
     # window comment); still oracle-backed + benched extended here
     "mm_ahash_pairs",
@@ -9696,7 +9710,7 @@ _REGISTRATION_ORDER = [
     "mm_resize_plan", "mm_patchify", "emb_pq_codes", "ts_cusum",
     "emb_pq_adc_knn", "doc_lm_perplexity", "doc_keep_best_dedup",
     "ss_market_share", "ts_zorder_key", "doc_fuzzy_key_pairs",
-    "doc_record_linkage", "ts_median_selectk", "ts_upsert_latest",
+    "doc_record_linkage", "ts_median_selectk",
     # round-3 engine adds
     "doc_bm25_topk", "doc_hybrid_rrf", "emb_semantic_dedup",
     "doc_source_cap",

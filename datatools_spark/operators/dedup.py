@@ -195,7 +195,7 @@ def simhash_col(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 # Default candidate-mass budget for the "auto" pre-flight:
 #
-#   budget = FACTOR·bands·n  +  SLACK·bands·n²/2^(w+1)
+#   budget = FACTOR·bands·n  +  min(SLACK·bands·n²/2^(w+1), CAP·bands·n)
 #
 # The second term is the STRUCTURAL collision mass of n uniformly
 # distributed hashes under w-bit band keys — E[Σ C(c,2)] per band ≈
@@ -207,10 +207,26 @@ def simhash_col(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 # buckets — orders of magnitude past the slack at any width — while for
 # 32-bit wide keys the quadratic term stays negligible to n ~ 10⁹, so
 # the wide engine remains effectively linear-budgeted as its design
-# intends. Callers pass an int for an explicit budget, or None to
-# disable the pre-flight entirely.
+# intends.
+#
+# The structural admission is itself CAPPED at CAP·bands·n — CAP ==
+# the default hot_bucket_cap, so the corpus-level budget and the
+# per-bucket skew bound express the same policy: no hash may owe more
+# than ~CAP comparisons per band. Uncapped, the structural term admits
+# n²-shaped work without limit — at 1e8 distinct 64-bit hashes (w=8
+# keys) the inherent mass is bands·n²/2^(w+1) ≈ 1.6e14 candidates —
+# months at the verify throughput measured by bench/pair_xl.py —
+# "inherent" does not mean "feasible". The cap
+# turns that into a seconds-fast refusal at n ≳ CAP·2^(w+1)/SLACK
+# (~2.6e5·… ≈ 2.1e6 hashes for w=8, exactly the scale where the module
+# docs already say to widen the signature). The refusal names both
+# remedies: packed_wide_pairs (32-bit keys — structurally linear to
+# n ~ 1e9) or an explicit int budget when a cluster is prepared to pay
+# the quadratic mass. Callers pass an int for an explicit budget, or
+# None to disable the pre-flight entirely.
 MASS_BUDGET_FACTOR = 64
 MASS_SLACK_FACTOR = 8
+STRUCTURAL_CAP_PER_HASH = 4096   # == default hot_bucket_cap
 
 
 def auto_mass_budget(n: int, bands: int, key_width: int) -> int:
@@ -218,6 +234,7 @@ def auto_mass_budget(n: int, bands: int, key_width: int) -> int:
     ``bands`` bands of ``key_width``-bit keys (see module comment)."""
     n = max(int(n), 1)
     structural = (MASS_SLACK_FACTOR * bands * n * n) >> (key_width + 1)
+    structural = min(structural, STRUCTURAL_CAP_PER_HASH * bands * n)
     return MASS_BUDGET_FACTOR * bands * n + structural
 
 
@@ -278,8 +295,8 @@ def packed_hamming_pairs(sig: DataFrame, hash_col: str, nbits: int,
        degenerate corpus should fail the cost model
        (`multimodal.pair_candidate_mass`), not pin a cluster. Pass an
        int for an explicit budget, ``"auto"`` for
-       ``MASS_BUDGET_FACTOR × bands × corpus_rows`` (the media-path
-       default — ``multimodal.ahash_pairs``), or None to skip.
+       ``auto_mass_budget`` (linear + capped structural — the
+       media-path default, ``multimodal.ahash_pairs``), or None to skip.
 
     Construction-time cost note: hot-bucket DETECTION (and the mass
     guard) run one small aggregation job when the DataFrame is BUILT,
@@ -468,7 +485,7 @@ def packed_wide_pairs(sig: DataFrame, hash_col: str, nbits: int,
     hot-bucket refinement is deliberately absent here — selective keys
     are the refinement; ``max_candidate_mass`` remains the fail-fast
     (exact Σ c·(c−1)/2 pre-flight) for degenerate corpora: an int budget,
-    ``"auto"`` for ``MASS_BUDGET_FACTOR × bands × corpus_rows`` (the
+    ``"auto"`` for ``auto_mass_budget`` (the
     media-path default), or None to skip. Internal frames are lazy local
     checkpoints, not ``persist()`` — see :func:`packed_hamming_pairs` for
     the cache-hygiene rationale. Output: ``a_id, b_id, hamming`` with

@@ -487,8 +487,10 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
     are degenerate for this batch (near-constant signatures). The
     default ``"auto"`` budgets a linear batch term plus the structural
     batch×store random-collision expectation
-    (``FACTOR·bands·B + SLACK·bands·B·N/2^w`` — see
-    ``dedup.auto_mass_budget``'s rationale), and prices the REAL join —
+    (``FACTOR·bands·B + min(SLACK·bands·B·N/2^w, CAP·bands·B)`` — see
+    ``dedup.auto_mass_budget``'s rationale; the cap keeps a narrow
+    store from owing each batch hash unbounded comparisons just
+    because the mass is "inherent"), and prices the REAL join —
     Σ |batch bucket| × |store bucket| over matching (band, key)
     buckets, one small aggregation pass — before shuffling any
     candidate. Pass an int for an explicit budget or None to skip (e.g.
@@ -570,13 +572,20 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
             # ~2^w·FACTOR distinct hashes would be refused (r5
             # self-review). store_n is a parquet metadata-cheap count;
             # batch_n a pruned semi-join count. Pass an int to skip both.
-            from .dedup import MASS_BUDGET_FACTOR, MASS_SLACK_FACTOR
+            from .dedup import (MASS_BUDGET_FACTOR, MASS_SLACK_FACTOR,
+                                STRUCTURAL_CAP_PER_HASH)
             batch_n = max(int(bsig.count()), 1)
             store_n = max(int(raw.count()), 1)
+            # structural admission capped at CAP·bands·B, same policy
+            # as dedup.auto_mass_budget: a 64-bit store past ~CAP·2^w
+            # rows owes each batch hash unboundedly many comparisons —
+            # refuse toward a wider geometry instead of admitting
+            # store-quadratic work because it is "inherent"
+            structural = min(
+                (MASS_SLACK_FACTOR * _AHASH_BANDS * batch_n * store_n) >> w,
+                STRUCTURAL_CAP_PER_HASH * _AHASH_BANDS * batch_n)
             max_candidate_mass = (
-                MASS_BUDGET_FACTOR * _AHASH_BANDS * batch_n
-                + ((MASS_SLACK_FACTOR * _AHASH_BANDS * batch_n * store_n)
-                   >> w))
+                MASS_BUDGET_FACTOR * _AHASH_BANDS * batch_n + structural)
         bc = a.groupBy("_b", "_k").agg(F.count("*").alias("_bn"))
         # only buckets MATCHING a batch key contribute mass (the join
         # below is on (_b,_k)), so pre-filter the store index with a

@@ -546,6 +546,23 @@ def test_auto_mass_budget_passes_healthy_corpora(spark):
     assert auto_mass_budget(n, 8, 8) > (8 * 8 * n * n) >> 9  # > E[mass]
     assert auto_mass_budget(n, 8, 32) < 70 * 8 * n           # ~linear
 
+    # r11 stake: the structural admission is CAPPED at CAP·bands·n —
+    # past ~2.1e6 distinct 64-bit hashes the inherent n²/2^(w+1) mass
+    # is no longer feasible-shaped (bench/pair_xl.py: 1e8 hashes at
+    # w=8 would owe 1.6e14 verified candidates) and auto must refuse
+    # toward packed_wide_pairs rather than admit it. Budget becomes
+    # LINEAR in n past the knee, and a 1e8-hash narrow corpus's
+    # inherent mass exceeds it by orders of magnitude.
+    from datatools_spark.operators.dedup import (MASS_BUDGET_FACTOR,
+                                                 STRUCTURAL_CAP_PER_HASH)
+    big = 100_000_000
+    cap_budget = (MASS_BUDGET_FACTOR + STRUCTURAL_CAP_PER_HASH) * 8 * big
+    assert auto_mass_budget(big, 8, 8) == cap_budget
+    assert (8 * 8 * big * big) >> 9 > 10 * cap_budget
+    # the knee leaves the 40k healthy corpus (and everything the r5
+    # self-review protected) untouched: cap inactive there
+    assert auto_mass_budget(n, 8, 8) == 64 * 8 * n + ((8 * 8 * n * n) >> 9)
+
 
 def test_patch_grid_zero_area_images_emit_no_patches(spark):
     """Zero-area metadata rows (width or height 0) must contribute ZERO

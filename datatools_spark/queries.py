@@ -9669,12 +9669,25 @@ _REGISTRATION_ORDER = [
     # engine before components) and mm_ahash256_pairs (the same engine,
     # wide variant); it stays oracle-backed past the cutoff and in the
     # bench extended suite.
-    "mm_image_ahash", "mm_decode_stats", "mm_image_dedup",
+    # r11 rotation #2 (VERDICT r10 #2 named both candidates):
+    # mm_image_ahash → mm_pcm_stats — the PCM16-LE audio decode twin
+    # (np.frombuffer int16 in mapInPandas, multimodal.py:pcm16_stats):
+    # r10 promoted the RAW8 IMAGE decoder; the audio decode path itself
+    # had still never been driver-checked. mm_image_ahash's evidence
+    # (RAW8 aHash signature) is carried in-window by mm_image_dedup,
+    # whose first stage computes the identical raw8_ahash before the
+    # pair engine, and by mm_ahash256_pairs (same signature, wide
+    # grid); it stays oracle-backed past the cutoff and in the bench
+    # extended suite.
+    "mm_pcm_stats", "mm_decode_stats", "mm_image_dedup",
     "mm_audio_dup_pairs",
     # —— past the cutoff: still oracle-backed, next-most-important first ——
     # r11: stood down from the window for ts_upsert_latest (see the
     # window comment); still oracle-backed + benched headline here
     "emb_knn_brute",
+    # r11: stood down from the window for mm_pcm_stats (see the window
+    # comment); still oracle-backed + benched extended here
+    "mm_image_ahash",
     # r10: stood down from the window for mm_decode_stats (see the
     # window comment); still oracle-backed + benched extended here
     "mm_ahash_pairs",
@@ -9685,7 +9698,7 @@ _REGISTRATION_ORDER = [
     "ss_shipping_priority", "mm_extract_features",
     "ts_resample_nearest", "ts_resample_gapfill", "ss_window_counts",
     "ts_rollup_multires",
-    "mm_frame_stats", "mm_pool2x2", "mm_pcm_stats",
+    "mm_frame_stats", "mm_pool2x2",
     "doc_curation_pipeline", "doc_repetition", "doc_pii_scrub",
     "doc_decontaminate", "doc_balanced_sample", "ts_plot_envelope",
     # r8: stood down from the window for doc_nchars_sample_quantiles

@@ -208,11 +208,17 @@ def test_driver_window_contains_flagships():
                      # r4 flagships: the multimodal-dedup family
                      # (r10: mm_ahash_pairs stood down for the real
                      # decoder — its engine is carried in-window by
-                     # mm_image_dedup + mm_ahash256_pairs)
-                     "mm_image_ahash", "mm_image_dedup",
+                     # mm_image_dedup + mm_ahash256_pairs; r11:
+                     # mm_image_ahash stood down for the PCM16 decode
+                     # twin — raw8_ahash is carried in-window by
+                     # mm_image_dedup's identical first stage)
+                     "mm_image_dedup",
                      "mm_audio_dup_pairs",
                      # r10 rotation: the real RAW8 mapInPandas decoder
                      "mm_decode_stats",
+                     # r11 rotations: the CDC upsert MERGE + the PCM16
+                     # audio decoder (the decode twin r10 left local)
+                     "ts_upsert_latest", "mm_pcm_stats",
                      # r5 rotation: the wide pair engine + matmul kNN
                      # (ss_shipping_priority / mm_extract_features stood
                      # down; §2.6 carried by ss_top_customers_per_nation)

@@ -187,7 +187,13 @@ def main() -> None:
         mh_n = int(sys.argv[sys.argv.index("--minhash-rows") + 1])
     if "--legs" in sys.argv:
         legs = sys.argv[sys.argv.index("--legs") + 1]
-    spark = get_spark("pair-xl")
+    # 256 shuffle partitions: at 1e8 the banding join's sides are
+    # ~10-20 GB each — 32 partitions put multi-GB sorts in every task
+    # (the r11 first probe run died spilling >80 GB); 256 keeps each
+    # task's sort in memory and AQE coalesces the small stages. This is
+    # exactly the SCALE.md §2 sizing rule applied to the probe.
+    spark = get_spark("pair-xl", extra_conf={
+        "spark.sql.shuffle.partitions": "256"})
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {"load_start": membw_sample("pair_xl_start", calib=True)}
     if "wide" in legs:

@@ -126,11 +126,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         # recompute the signature aggregation
         sig = sig.localCheckpoint(eager=True)
     rows_per_band = num_hashes // bands
+    # band key = ONE xxhash64 long over (band, minhashes) — not the
+    # ~40-byte per-value string concat it replaces (r11, staked by
+    # bench/pair_xl.py: the banding index crosses the shuffle twice, so
+    # key bytes are the engine's dominant exchange term at 1e8 docs).
+    # No false negatives: equal band signatures hash equal. A 2^-64 key
+    # collision can only ADD a candidate, and every candidate is
+    # verified against the full signatures below before it can surface.
     band_keys = [
-        F.struct(F.lit(b).alias("band"),
-                 F.concat_ws("_", *[
-                     F.element_at("_sig", b * rows_per_band + r + 1).cast("string")
-                     for r in range(rows_per_band)]).alias("key"))
+        F.xxhash64(F.lit(b), *[
+            F.element_at("_sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)])
         for b in range(bands)]
     idx = sig.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("_b"))
     cand = (idx.alias("a").join(idx.alias("b"), on="_b")
@@ -403,10 +409,34 @@ def packed_hamming_pairs(sig: DataFrame, hash_col: str, nbits: int,
         # path covers up to 1000 hot buckets (well past any real corpus:
         # hot buckets number <= n_distinct/cap); beyond that the
         # join-based split is the safe fallback.
-        hot_keys = [((r["_b"] << w) | r["_k"]) for r in
-                    (bk.groupBy("_b", "_k").agg(F.count("*").alias("_n"))
-                     .where(F.col("_n") > hot_bucket_cap)
-                     .select("_b", "_k").collect())]
+        hot_rows = (bk.groupBy("_b", "_k").agg(F.count("*").alias("_n"))
+                    .where(F.col("_n") > hot_bucket_cap)
+                    .select("_b", "_k", "_n").collect())
+        hot_keys = [((r["_b"] << w) | r["_k"]) for r in hot_rows]
+        if max_candidate_mass is not None and hot_rows:
+            # EARLY refusal off the detection pass alone (r11, staked by
+            # bench/pair_xl.py): a LOWER BOUND on the hot buckets'
+            # post-refinement mass — uniform spread of c members over a
+            # sub-band's 2^sw keys minimizes Sum C(c_j, 2) (Jensen), at
+            # >= c(c - 2^sw)/2^(sw+1) — already over budget means no
+            # refinement outcome can fit, so refuse BEFORE building the
+            # sub-banded index (at 1e8 all-hot 64-bit hashes that index
+            # is a bands*(max_hamming+1)*n-row explode + aggregate: the
+            # refusal drops from minutes to the one detection job).
+            # Under-estimates never false-refuse: a feasible corpus
+            # falls through to the exact post-refinement check below.
+            sw = _band_widths(nbits - w, max_hamming + 1)
+            lb_hot = sum(
+                max(0, c * (c - (1 << s))) >> (s + 1)
+                for c in (r["_n"] for r in hot_rows) for s in sw)
+            if lb_hot > max_candidate_mass:
+                raise RuntimeError(
+                    f"packed_hamming_pairs: hot-bucket candidate mass is "
+                    f"at least {lb_hot} under IDEAL sub-band refinement, "
+                    f"over max_candidate_mass={max_candidate_mass}; the "
+                    "band keys are degenerate for this corpus at this "
+                    "width — widen the signature (packed_wide_pairs) or "
+                    "pre-cluster (see pair_candidate_mass)")
         bkey = F.shiftleft(F.col("_b").cast("long"), w) \
             .bitwiseOR(F.col("_k"))
         if not hot_keys:
@@ -486,10 +516,23 @@ def packed_wide_pairs(sig: DataFrame, hash_col: str, nbits: int,
     are the refinement; ``max_candidate_mass`` remains the fail-fast
     (exact Σ c·(c−1)/2 pre-flight) for degenerate corpora: an int budget,
     ``"auto"`` for ``auto_mass_budget`` (the
-    media-path default), or None to skip. Internal frames are lazy local
-    checkpoints, not ``persist()`` — see :func:`packed_hamming_pairs` for
-    the cache-hygiene rationale. Output: ``a_id, b_id, hamming`` with
-    a < b.
+    media-path default), or None to skip.
+
+    Shuffle-byte shape (r11, staked by bench/pair_xl.py): the banding
+    join ships ``(band, key, surrogate-id)`` — never the word array.
+    Carrying the full ``nbits/8``-byte hash on BOTH join sides cost
+    ``2·bands·n·nbits/8`` shuffle bytes (~100 GB at 1e8 256-bit hashes;
+    the 1e8 probe exhausted a 80 GB local disk in sort spill before the
+    fix), when the verify only needs hashes for the FEW surviving
+    candidates: band over a per-distinct-hash ``monotonically_
+    increasing_id`` (pinned by an EAGER checkpoint of the distinct-hash
+    map, so every consumer reads one materialization — also why this
+    engine runs one construction-time job even with the pre-flight
+    disabled), then join the deduped candidate id pairs back to the map
+    for the in-stage ``bit_count`` verify. Internal frames are local
+    checkpoints, not ``persist()`` — see :func:`packed_hamming_pairs`
+    for the cache-hygiene rationale. Output: ``a_id, b_id, hamming``
+    with a < b.
     """
     if nbits % 64 != 0:
         raise ValueError(f"nbits={nbits} must be a multiple of 64 "
@@ -507,8 +550,13 @@ def packed_wide_pairs(sig: DataFrame, hash_col: str, nbits: int,
             "(keys never straddle a word boundary)")
     ids = sig.select(F.col(id_col), F.col(hash_col).alias("_h")) \
         .localCheckpoint(eager=False)
-    uniq = ids.groupBy("_h").agg(F.count("*").alias("_c")) \
-        .localCheckpoint(eager=False)
+    # EAGER: _hid must be assigned exactly once — a lazily-checkpointed
+    # monotonically_increasing_id could be re-evaluated per consumer
+    # with no stability contract; materializing pins the (hash, id)
+    # bijection every downstream join reads
+    uniq = (ids.groupBy("_h").agg(F.count("*").alias("_c"))
+            .withColumn("_hid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True))
     max_candidate_mass = _resolve_mass_budget(max_candidate_mass, uniq,
                                               bands, min(w, 62))
 
@@ -528,9 +576,9 @@ def packed_wide_pairs(sig: DataFrame, hash_col: str, nbits: int,
         keys = [F.struct(F.lit(b).alias("b"),
                          F.slice("_h", b * wpb + 1, wpb).alias("k"))
                 for b in range(bands)]
-    bk = uniq.select(F.col("_h"),
+    bk = uniq.select(F.col("_hid"),
                      F.explode(F.array(*keys)).alias("_bk")) \
-        .select("_h", F.col("_bk.b").alias("_b"), F.col("_bk.k").alias("_k"))
+        .select("_hid", F.col("_bk.b").alias("_b"), F.col("_bk.k").alias("_k"))
 
     if max_candidate_mass is not None:
         mass = (bk.groupBy("_b", "_k").agg(F.count("*").alias("_c"))
@@ -542,18 +590,25 @@ def packed_wide_pairs(sig: DataFrame, hash_col: str, nbits: int,
                 f"max_candidate_mass={max_candidate_mass}; widen the "
                 "signature/bands further or pre-cluster")
 
-    a = bk.select("_b", "_k", F.col("_h").alias("_h1"))
-    b = bk.select("_b", "_k", F.col("_h").alias("_h2"))
+    a = bk.select("_b", "_k", F.col("_hid").alias("_i1"))
+    b = bk.select("_b", "_k", F.col("_hid").alias("_i2"))
+    # candidates are (surrogate, surrogate) longs; dedup them FIRST so
+    # the hash map joins back against each unordered pair once, then
+    # verify in-stage — the word arrays never enter the banding shuffle
+    cand = (a.join(b, on=["_b", "_k"])
+            .where(F.col("_i1") < F.col("_i2"))
+            .select("_i1", "_i2")
+            .distinct())
+    m1 = uniq.select(F.col("_hid").alias("_i1"), F.col("_h").alias("_h1"))
+    m2 = uniq.select(F.col("_hid").alias("_i2"), F.col("_h").alias("_h2"))
     ham = F.aggregate(
         F.zip_with("_h1", "_h2",
                    lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
         F.lit(0).cast("long"), lambda acc, v: acc + v)
-    hpairs = (a.join(b, on=["_b", "_k"])
-              .where(F.col("_h1") < F.col("_h2"))
-              .select("_h1", "_h2")
+    hpairs = (cand.join(m1, "_i1").join(m2, "_i2")
               .withColumn("hamming", ham)
               .where(F.col("hamming") <= max_hamming)
-              .distinct())
+              .select("_h1", "_h2", "hamming"))
     dup_h = (uniq.where(F.col("_c") >= 2)
              .select(F.col("_h").alias("_h1"), F.col("_h").alias("_h2"),
                      F.lit(0).cast("long").alias("hamming")))

@@ -564,6 +564,55 @@ def test_auto_mass_budget_passes_healthy_corpora(spark):
     assert auto_mass_budget(n, 8, 8) == 64 * 8 * n + ((8 * 8 * n * n) >> 9)
 
 
+def test_hot_bucket_over_budget_refuses_on_detection_job_alone(spark):
+    """r11 (staked by bench/pair_xl.py): when the hot buckets' LOWER
+    BOUND on post-refinement mass — uniform sub-band spread, the Jensen
+    minimum — already exceeds the budget, packed_hamming_pairs must
+    refuse off the detection aggregation ALONE, without building the
+    sub-banded index (at 1e8 all-hot hashes that index is a 6.4e9-row
+    explode + aggregate; the early refusal is the difference between
+    seconds and minutes of pre-flight). Pinned by job count: exactly
+    the one detection job runs before the raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from datatools_spark.operators.dedup import packed_hamming_pairs
+
+    # 6000 DISTINCT hashes sharing band 0's 8-bit key (low byte 7):
+    # one hot bucket (6000 > cap 4096); ideal-refinement lower bound
+    # ~1.1e6 candidates >> the explicit 1000 budget
+    sig = spark.range(6000).select(
+        F.col("id").alias("media_id"),
+        F.shiftleft(F.col("id"), 8).bitwiseOR(F.lit(7)).alias("_h"))
+    sc = spark.sparkContext
+    group = "hot-early-refusal"
+    sc.setJobGroup(group, group)
+    try:
+        with _pytest.raises(RuntimeError, match="IDEAL sub-band"):
+            packed_hamming_pairs(sig, "_h", 64, 8, 7, "media_id",
+                                 max_candidate_mass=1000)
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    finally:
+        sc.setJobGroup(None, None)
+    # the ONE detection aggregation (AQE splits the collect into <= 3
+    # jobs: shuffle map + result, plus the checkpoint seed); the point
+    # is that the sub-banded index's two _mass collects never ran —
+    # their absence is what pair_xl measures as minutes -> seconds
+    assert 1 <= n_jobs <= 3, f"early refusal ran {n_jobs} jobs"
+
+    # budget BETWEEN the lower bound (~6.6e6 across the 6 hot buckets)
+    # and the exact refined mass (~6.5e8, dominated by the constant
+    # high sub-bands): the early under-estimate must NOT refuse — the
+    # exact post-refinement check catches it with the late message
+    with _pytest.raises(RuntimeError, match="after hot-bucket"):
+        packed_hamming_pairs(sig, "_h", 64, 8, 7, "media_id",
+                             max_candidate_mass=10**7)
+
+    # generous budget: constructs fine (no false refusal anywhere)
+    pairs = packed_hamming_pairs(sig, "_h", 64, 8, 7, "media_id",
+                                 max_candidate_mass=10**12)
+    assert pairs is not None
+
+
 def test_patch_grid_zero_area_images_emit_no_patches(spark):
     """Zero-area metadata rows (width or height 0) must contribute ZERO
     patch rows: Spark's sequence(0, -1) is end-inclusive DESCENDING

@@ -14,9 +14,14 @@ Four legs, each answering one operating question at 1e8:
 2. **narrow_failfast** — ``packed_hamming_pairs`` (64-bit, 8-bit band
    keys) over the same 1e8 corpus with ``"auto"``: the inherent
    structural mass is bands·n²/2^(w+1) ≈ 1.6e14 verified candidates
-   (≈ 2 weeks at the measured verify throughput below), so the capped
+   (≈ 50 days at the measured verify throughput below), so the capped
    auto budget (``STRUCTURAL_CAP_PER_HASH``) must REFUSE in pre-flight
-   seconds, not attempt the join. The probe times the refusal.
+   seconds, not attempt the join. The probe times the refusal. The
+   first full run refused via the hot-bucket Jensen bound after the
+   127.5 s banding-detection aggregate; that run motivated the
+   CLOSED-FORM structural refusal (bands·Σ_s jensen(n, w+s_w) off the
+   budget-resolution aggregate alone — zero banding jobs), which this
+   leg now times instead.
 3. **hot** — ``packed_hamming_pairs`` (64-bit, 4 bands → 16-bit keys)
    at 1e7 with a PLANTED hot bucket: 2e5 distinct hashes sharing one
    band-0 key (C(2e5,2) ≈ 2e10 candidates in ONE bucket — one reduce

@@ -245,13 +245,28 @@ def auto_mass_budget(n: int, bands: int, key_width: int) -> int:
 
 
 def _resolve_mass_budget(max_candidate_mass, uniq: DataFrame,
-                         bands: int, key_width: int) -> int | None:
+                         bands: int, key_width: int
+                         ) -> tuple[int | None, int | None]:
     """Turn the ``"auto"`` sentinel into :func:`auto_mass_budget` (one
-    tiny aggregation over the checkpointed (hash, count) frame)."""
+    tiny aggregation over the checkpointed (hash, count) frame).
+
+    Returns ``(budget, n_distinct)``; ``n_distinct`` rides along free
+    from the same aggregate and feeds the closed-form structural
+    refusal (``None`` for explicit-int/None budgets, which pay no
+    aggregation here — their refusals come from the measured
+    pre-flights)."""
     if max_candidate_mass != "auto":
-        return max_candidate_mass
-    n = uniq.agg(F.sum("_c")).collect()[0][0] or 0
-    return auto_mass_budget(n, bands, key_width)
+        return max_candidate_mass, None
+    row = uniq.agg(F.sum("_c"), F.count("*")).collect()[0]
+    return auto_mass_budget(row[0] or 0, bands, key_width), row[1] or 0
+
+
+def _uniform_min_mass(n: int, bits: int) -> int:
+    """min Σ C(c, 2) over any placement of ``n`` distinct hashes into
+    ``2^bits`` keys — the balanced spread (Jensen)."""
+    bins = 1 << bits
+    q, r = divmod(int(n), bins)
+    return r * (q + 1) * q // 2 + (bins - r) * q * (q - 1) // 2
 
 
 def _band_widths(total_bits: int, n_bands: int) -> list[int]:
@@ -341,8 +356,36 @@ def packed_hamming_pairs(sig: DataFrame, hash_col: str, nbits: int,
         .localCheckpoint(eager=False)
     uniq = ids.groupBy("_h").agg(F.count("*").alias("_c")) \
         .localCheckpoint(eager=False)
-    max_candidate_mass = _resolve_mass_budget(max_candidate_mass, uniq,
-                                              bands, w)
+    max_candidate_mass, n_distinct = _resolve_mass_budget(
+        max_candidate_mass, uniq, bands, w)
+    if max_candidate_mass is not None and n_distinct:
+        # CLOSED-FORM structural refusal (r11, staked by bench/pair_xl.py
+        # at 1e8): even a perfectly uniform corpus of n distinct hashes
+        # owes at least bands·Σ_s jensen(n, w + s_w) verified candidates
+        # in the FULLY-REFINED world (refinement only ever reduces a
+        # bucket's mass, so the balanced fully-refined spread lower-
+        # bounds the engine's post-refinement mass for ANY corpus).
+        # Over budget ⇒ no corpus shape and no refinement outcome can
+        # fit ⇒ refuse off the budget-resolution aggregate alone — zero
+        # banding jobs (the 1e8 narrow probe leg paid a 127 s detection
+        # aggregate over the 8e8-row banding index for the same verdict
+        # before this bound existed).
+        if hot_bucket_cap is not None:
+            sub_w = _band_widths(nbits - w, max_hamming + 1)
+            lb_global = bands * sum(_uniform_min_mass(n_distinct, w + s)
+                                    for s in sub_w)
+        else:
+            lb_global = bands * _uniform_min_mass(n_distinct, w)
+        if lb_global > max_candidate_mass:
+            raise RuntimeError(
+                f"packed_hamming_pairs: {n_distinct} distinct hashes "
+                f"under {bands} bands of {w}-bit keys owe at least "
+                f"{lb_global} verified candidates EVEN IF perfectly "
+                f"uniform and fully sub-band refined, over "
+                f"max_candidate_mass={max_candidate_mass} — this "
+                "signature width is structurally infeasible at this "
+                "corpus size; widen the signature (packed_wide_pairs) "
+                "or pass an explicit int budget to override")
 
     # band index over DISTINCT hashes; _rem = the hash with band b's bits
     # removed, carried for the hot-bucket sub-band refinement (literal
@@ -557,8 +600,11 @@ def packed_wide_pairs(sig: DataFrame, hash_col: str, nbits: int,
     uniq = (ids.groupBy("_h").agg(F.count("*").alias("_c"))
             .withColumn("_hid", F.monotonically_increasing_id())
             .localCheckpoint(eager=True))
-    max_candidate_mass = _resolve_mass_budget(max_candidate_mass, uniq,
-                                              bands, min(w, 62))
+    # n_distinct unused here: at >= 32-bit keys the uniform minimum
+    # mass is zero until n ~ 2^32 — the wide engine's refusals are the
+    # measured pre-flight's job
+    max_candidate_mass, _ = _resolve_mass_budget(max_candidate_mass, uniq,
+                                                 bands, min(w, 62))
 
     if w <= 64:
         mask = (1 << w) - 1   # unused when w == 64 (no AND needed)

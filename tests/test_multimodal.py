@@ -613,6 +613,53 @@ def test_hot_bucket_over_budget_refuses_on_detection_job_alone(spark):
     assert pairs is not None
 
 
+def test_structural_infeasibility_refuses_closed_form(spark):
+    """r11 (staked by bench/pair_xl.py at 1e8): when even a perfectly
+    uniform, fully sub-band-refined corpus of n distinct hashes owes
+    more than the auto budget — bands·Σ_s jensen(n, w + s_w), a true
+    lower bound for ANY corpus since refinement only reduces a
+    bucket's mass — packed_hamming_pairs must refuse off the
+    budget-resolution aggregate alone: ZERO banding jobs (at 1e8 the
+    banding detection alone is an 8e8-row explode + aggregate that
+    took 127 s in the probe for the same verdict)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from datatools_spark.operators.dedup import (_uniform_min_mass,
+                                                 auto_mass_budget,
+                                                 packed_hamming_pairs)
+
+    # 16-bit hashes, 8 bands -> 2-bit keys: 20k distinct uniform hashes
+    # owe ~1e9 candidates even fully refined, vs an auto budget ~6.7e8
+    n = 20_000
+    sig = spark.range(n).select(F.col("id").alias("media_id"),
+                                F.col("id").alias("_h"))
+    sub_w = [2, 2, 2, 2, 2, 2, 1, 1]            # _band_widths(14, 8)
+    lb = 8 * sum(_uniform_min_mass(n, 2 + s) for s in sub_w)
+    assert lb > auto_mass_budget(n, 8, 2)       # geometry sanity
+    sc = spark.sparkContext
+    group = "closed-form-refusal"
+    sc.setJobGroup(group, group)
+    try:
+        with _pytest.raises(RuntimeError, match="structurally infeasible"):
+            packed_hamming_pairs(sig, "_h", 16, 8, 7, "media_id",
+                                 max_candidate_mass="auto")
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    finally:
+        sc.setJobGroup(None, None)
+    # the one budget-resolution aggregate (plus its checkpoint seed /
+    # AQE split): the banding explode, detection, and _mass jobs never
+    # ran — that absence is the 1e8 probe's 127 s -> seconds drop
+    assert 1 <= n_jobs <= 3, f"closed-form refusal ran {n_jobs} jobs"
+
+    # an explicit INT budget skips the closed-form path (no free
+    # n_distinct) and refuses through the measured pre-flights instead
+    # — proves the two refusal tiers are distinct code paths
+    with _pytest.raises(RuntimeError) as exc:
+        packed_hamming_pairs(sig, "_h", 16, 8, 7, "media_id",
+                             max_candidate_mass=int(lb) - 1)
+    assert "structurally infeasible" not in str(exc.value)
+
+
 def test_patch_grid_zero_area_images_emit_no_patches(spark):
     """Zero-area metadata rows (width or height 0) must contribute ZERO
     patch rows: Spark's sequence(0, -1) is end-inclusive DESCENDING

@@ -985,6 +985,22 @@ def _bucket_sql(col: str, planes: int = 4) -> str:
         terms.append(f"CASE WHEN {proj} > 0 THEN {1 << h} ELSE 0 END")
     return "(" + " + ".join(terms) + ")::INT"
 
+def _md5_bucket_sql(col: str, table: int, planes: int = 4,
+                    dim: int = 64) -> str:
+    """DuckDB twin of similarity.md5_bucket_col: the md5-derived plane
+    constants are embedded as literals digit-for-digit (Python float
+    repr round-trips exactly), so both engines compute bit-identical
+    projections."""
+    terms = []
+    for h in range(planes):
+        comps = SIM.md5_plane(table * planes + h, dim)
+        arr = "[" + ", ".join(repr(c) for c in comps) + "]"
+        proj = (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> {col}[i]::DOUBLE * ({arr})[i]))")
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << h} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")::INT"
+
+
 @query("emb_hyperplane_bucket", sql=f"""
 SELECT vec_id, {_bucket_sql('embedding')} AS bucket FROM embeddings
 """)
@@ -997,7 +1013,8 @@ def emb_hyperplane_bucket(spark, sf_dir):
 
 
 @query("emb_dup_pairs", sql=f"""
-WITH bk AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bkt
+WITH bk AS (SELECT vec_id, embedding,
+            {_md5_bucket_sql('embedding', 0)} AS bkt
             FROM embeddings),
 s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos
@@ -1006,12 +1023,16 @@ SELECT a_id, b_id, round(cos, 6) AS cosine FROM s WHERE cos >= 0.4
 """)
 def emb_dup_pairs(spark, sf_dir):
     """Embedding near-duplicate pairs (cosine ≥ 0.4 on this corpus) —
-    declared with hyperplane-LSH pre-bucketing (4 planes): only
-    same-sign-bucket pairs are joined, so each join partition is
-    ~n/2^H — the 100 TB path, not the O(n²) all-pairs one."""
+    declared with hyperplane-LSH pre-bucketing (4 md5 planes, the r11
+    default: independent literal-constant planes; the legacy sin
+    family collapses to a handful of buckets at scale — see
+    dedup.embedding_dup_pairs): only same-sign-bucket pairs are
+    joined, so each join partition is ~n/2^H — the 100 TB path, not
+    the O(n²) all-pairs one."""
     e = _t(spark, sf_dir, "embeddings") \
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
-    out = D.embedding_dup_pairs(e, threshold=0.4, bucket_hyperplanes=4)
+    out = D.embedding_dup_pairs(e, threshold=0.4, bucket_hyperplanes=4,
+                                dim=64)
     return out.select("a_id", "b_id", _r(F.col("cosine")).alias("cosine"))
 
 
@@ -1751,22 +1772,6 @@ def ts_e1_pipeline(spark, sf_dir):
                           separation_window=_VEL_SEP, min_obs=3,
                           grid_index=True)
     return vel.select("k", _r(F.col("xflow_vel")).alias("xflow_vel"))
-
-
-def _md5_bucket_sql(col: str, table: int, planes: int = 4,
-                    dim: int = 64) -> str:
-    """DuckDB twin of similarity.md5_bucket_col: the md5-derived plane
-    constants are embedded as literals digit-for-digit (Python float
-    repr round-trips exactly), so both engines compute bit-identical
-    projections."""
-    terms = []
-    for h in range(planes):
-        comps = SIM.md5_plane(table * planes + h, dim)
-        arr = "[" + ", ".join(repr(c) for c in comps) + "]"
-        proj = (f"list_sum(list_transform(range(1, {dim + 1}), "
-                f"i -> {col}[i]::DOUBLE * ({arr})[i]))")
-        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << h} ELSE 0 END")
-    return "(" + " + ".join(terms) + ")::INT"
 
 
 def _knn_lsh_sql(tables: int = 4, planes: int = 4) -> str:

@@ -602,6 +602,44 @@ def test_grouped_gram_pairs_cap_and_string_ids(spark):
                            group_cap=2).collect()
 
 
+def test_embedding_dup_pairs_md5_planes_stay_balanced(spark):
+    """r11 (staked by bench/emb_xl.py): the sin plane family collapses
+    random vectors into a handful of sign buckets (adjacent-plane
+    correlation −0.46 — at 1e6 vectors / 11 planes it filled 22 of
+    2048 buckets, max 64k vs avg 488), so ``embedding_dup_pairs``
+    defaults to the INDEPENDENT md5 planes. Pin the collapse and the
+    fix at test scale, and that the md5 default constructs where sin
+    blows the gram cap."""
+    from pyspark.sql import functions as F
+    from datatools_spark.operators.dedup import embedding_dup_pairs
+    from datatools_spark.operators.similarity import (
+        hyperplane_bucket_col, md5_bucket_col)
+    n, planes, d = 20_000, 8, 16
+    vec = F.transform(F.sequence(F.lit(0), F.lit(d - 1)),
+                      lambda j: F.sin(F.xxhash64(F.col("id"), j)
+                                      .cast("double")))
+    df = spark.range(n).select(F.col("id").alias("vec_id"),
+                               vec.alias("embedding"))
+
+    def max_bucket(col):
+        return (df.select(col.alias("b")).groupBy("b").count()
+                .agg(F.max("count")).collect()[0][0])
+
+    avg = n / (1 << planes)
+    sin_max = max_bucket(hyperplane_bucket_col("embedding", planes))
+    md5_max = max_bucket(md5_bucket_col("embedding", planes, d))
+    assert sin_max > 10 * avg          # the collapse (18.6x at d=16;
+    #                                    131x at the 1e6/64-d probe)
+    assert md5_max < 8 * avg           # independent planes stay flat
+    assert 2 * md5_max < sin_max       # and beat sin by >= 2x here
+    # md5 default constructs under a cap the sin family would blow
+    # (sin's max bucket above is > n//4 here); dim inferred from row 1
+    pairs = embedding_dup_pairs(df, threshold=0.999,
+                                bucket_hyperplanes=planes,
+                                gram_bucket_cap=n // 4)
+    assert pairs.count() == 0          # random vectors: no near-dups
+
+
 def test_grouped_gram_pairs_zero_norm_fails_fast(spark):
     """A zero-norm vector makes cosine 0/0: numpy drops the pair while
     Spark/DuckDB NaN-ordering keeps it — the engine refuses the corpus

@@ -6455,7 +6455,10 @@ def emb_lsh_bucket_balance(spark, sf_dir):
     candidate pairs a bucketed self-join would generate. This is the
     cost model that tunes plane count before committing a 10⁹-vector
     near-dup run; imbalance ≫ 1 means a hot bucket will straggle. Two
-    combinable aggregates, rows never leave the executors."""
+    combinable aggregates, rows never leave the executors. (Measured
+    over the correlated sin family deliberately — this diagnostic is
+    what catches its collapse; production bucketing defaults to the
+    independent md5 planes since r11, see dedup.embedding_dup_pairs.)"""
     e = _t(spark, sf_dir, "embeddings")
     c = (e.select(SIM.hyperplane_bucket_col("embedding", 4).alias("bucket"))
          .groupBy("bucket").agg(F.count("*").alias("c")))
@@ -8123,7 +8126,9 @@ def emb_plane_sweep(spark, sf_dir):
     10⁹ vectors (emb_lsh_bucket_balance is one point; this is the
     curve). Each plane count is one combinable aggregate over its own
     scan — at scale you'd fold all k bucket ids into one projection;
-    the per-k form keeps the oracle 1:1."""
+    the per-k form keeps the oracle 1:1. (Sweeps the sin family whose
+    collapse this curve exposes; production bucketing defaults to the
+    md5 planes since r11.)"""
     e = _t(spark, sf_dir, "embeddings")
     parts = []
     for k in _PLANE_SWEEP_KS:

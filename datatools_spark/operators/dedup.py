@@ -83,6 +83,11 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
           .select(F.col(id_col),
                   F.explode(word_shingles(text_col, shingle_n,
                                           from_words_col="_words")).alias("_sh")))
+    # NOTE (r11): hoisting the md5 digests into a projection before the
+    # aggregate was A/B'd and REGRESSED 2.5× at sf0.1 — the aggregate's
+    # codegen already subexpression-eliminates the shared digests, and
+    # the explicit 32-char digest columns only widened the rows flowing
+    # into the hash aggregate. Keep the digests inside the agg inputs.
     aggs = [F.min(_hash32_chunked(F.col("_sh"), i)).alias(f"mh_{i}")
             for i in range(num_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
@@ -755,8 +760,17 @@ def pair_plan_stats(sh: DataFrame) -> dict:
     (what the guarded plan's candidate generation would actually emit).
     Cost: the same single dfreq aggregate the guarded plan needs anyway;
     the exchange carries one row per distinct shingle."""
+    return pair_plan_stats_from_dfreq(
+        sh.groupBy("_sh").agg(F.count("*").alias("_df")))
+
+
+def pair_plan_stats_from_dfreq(dfreq: DataFrame) -> dict:
+    """:func:`pair_plan_stats` over an already-built ``(_sh, _df)``
+    histogram — the auto path materializes the histogram once and feeds
+    it to BOTH the stats aggregate and the stop-shingle guard (r11:
+    previously each ran its own full aggregation over the posting
+    index; guide §2.4, share one exchange)."""
     from ..plans.chooser import MAX_DF_LADDER
-    dfreq = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
     mass = F.expr("_df * (_df - 1) div 2")
     aggs = [F.coalesce(F.sum(mass), F.lit(0)).alias("mass_total"),
             F.coalesce(F.sum("_df"), F.lit(0)).alias("posting_rows"),
@@ -773,18 +787,24 @@ def pair_plan_stats(sh: DataFrame) -> dict:
 
 def _resolve_max_df(sh: DataFrame, max_df):
     """Turn ``max_df="auto"`` into a measured plan choice. Returns
-    ``(sh, max_df, checkpointed)`` — the auto path checkpoints the
-    index first so the stats aggregate and the pair engine share one
-    materialization. Refuses (ValueError) when even the tightest guard
+    ``(sh, max_df, checkpointed, dfreq)`` — the auto path checkpoints
+    the index first so the stats aggregate and the pair engine share
+    one materialization, and hands the materialized df histogram to
+    the engine so the stop-shingle guard never re-aggregates the index. Refuses (ValueError) when even the tightest guard
     leaves the candidate mass over budget: that corpus is past the
     exact tier's envelope and belongs on :func:`minhash_lsh_pairs` —
     the same fail-fast contract as the banded engine's pre-flight."""
     if max_df != "auto":
-        return sh, max_df, False
+        return sh, max_df, False, None
     from ..plans.chooser import (MAX_DF_LADDER, PAIR_MASS_FACTOR,
                                  choose_pair_plan)
     sh = sh.localCheckpoint(eager=True)
-    stats = pair_plan_stats(sh)
+    # ONE df-histogram aggregation serves the stats collect AND the
+    # engine's stop-shingle guard below (vocab-sized materialization;
+    # previously both ran a full groupBy over the posting index)
+    dfreq = sh.groupBy("_sh").agg(F.count("*").alias("_df")) \
+        .localCheckpoint(eager=True)
+    stats = pair_plan_stats_from_dfreq(dfreq)
     plan, k = choose_pair_plan(stats)
     if plan == "lsh":
         tight = min(MAX_DF_LADDER)
@@ -797,12 +817,13 @@ def _resolve_max_df(sh: DataFrame, max_df):
             "the exact tier's design envelope; use minhash_lsh_pairs "
             "(the 100 TB near-dup path) or pass an explicit max_df to "
             "override")
-    return sh, k, True
+    return sh, k, True, dfreq
 
 
 def _pair_intersections(sh: DataFrame, id_col: str,
                         max_df: int | None,
-                        checkpointed: bool = False) -> DataFrame:
+                        checkpointed: bool = False,
+                        dfreq: DataFrame | None = None) -> DataFrame:
     """Shared engine for set-overlap pair ops: from an exploded
     (id, _sh) inverted index, produce every unordered pair (a < b)
     sharing >= 1 (non-stop) shingle with its EXACT full-set
@@ -857,7 +878,8 @@ def _pair_intersections(sh: DataFrame, id_col: str,
 
     stop = None
     if max_df is not None:
-        dfreq = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
+        if dfreq is None:
+            dfreq = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
         # stop set is small by construction (only ultra-common shingles
         # exceed max_df — the Zipf head). Persist + probe it eagerly: the
         # agg is one map-side-combinable pass the plan needs anyway (the
@@ -965,8 +987,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
           .select(F.col(id_col),
                   F.explode(word_shingles(text_col, shingle_n,
                                           from_words_col="_words")).alias("_sh")))
-    sh, max_df, ckpt = _resolve_max_df(sh, max_df)
-    base = _pair_intersections(sh, id_col, max_df, checkpointed=ckpt)
+    sh, max_df, ckpt, dfreq = _resolve_max_df(sh, max_df)
+    base = _pair_intersections(sh, id_col, max_df, checkpointed=ckpt,
+                               dfreq=dfreq)
     jacc = (F.col("_inter").cast("double")
             / (F.col("_na") + F.col("_nb") - F.col("_inter")))
     return (base.withColumn("jaccard", jacc)
@@ -1002,8 +1025,10 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
           .select(F.col(id_col),
                   F.explode(word_shingles(text_col, shingle_n,
                                           from_words_col="_words")).alias("_sh")))
-    sh, max_df, ckpt = _resolve_max_df(sh, max_df)
-    base = _pair_intersections(sh, id_col, max_df, checkpointed=ckpt)
+    sh, max_df, ckpt, dfreq = _resolve_max_df(sh, max_df)
+    base = _pair_intersections(sh, id_col, max_df, checkpointed=ckpt,
+                               dfreq=dfreq)
+
     i = F.col("_inter").cast("double")
     # both directions from ONE evaluation of the pair engine: a union of
     # two projections re-evaluates the whole subtree per branch (exchange

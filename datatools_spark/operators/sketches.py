@@ -83,6 +83,29 @@ def cms_build(items: DataFrame, item_col: str, depth: int = 4,
             .agg(F.count("*").alias("c")))
 
 
+def cms_build_from_counts(counts: DataFrame, item_col: str,
+                          count_col: str, depth: int = 4,
+                          width: int = 1024,
+                          salt: str = "cms") -> DataFrame:
+    """CMS from a pre-aggregated ``(item, count)`` frame — cells are
+    integer sums, so the sketch is BIT-IDENTICAL to :func:`cms_build`
+    over the expanded multiset, but pays ``depth`` hashes per DISTINCT
+    item instead of per occurrence (opt guide §1.2 per-task work: on a
+    Zipf token stream that is a vocab/corpus-sized cut in hashing).
+    Callers that already hold per-item counts (a groupBy they need
+    anyway) should build from them. Output: ``row, bucket, c``."""
+    cells = counts.select(
+        F.col(count_col).alias("_w"),
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("row"),
+                     cms_bucket_col(F.col(item_col), r, width, salt)
+                     .alias("bucket"))
+            for r in range(depth)])).alias("_cell"))
+    return (cells.groupBy(F.col("_cell.row").alias("row"),
+                          F.col("_cell.bucket").alias("bucket"))
+            .agg(F.sum("_w").alias("c")))
+
+
 def cms_estimate(sketch: DataFrame, probes: DataFrame, probe_col: str,
                  depth: int = 4, width: int = 1024,
                  salt: str = "cms") -> DataFrame:

@@ -17,8 +17,9 @@ so window assignment is pure arithmetic:
     k = floor((ts − offset − (t0 − stat/2)) / stat)
 
 Each input row lands in exactly one bucket per offset → one ``explode``
-into 2 rows, ONE hash aggregate (median+count per (k, side)), one slim
-pivot join. No range join, no per-point scan. At 100 TB the only full-data
+into 2 rows, ONE hash aggregate (side-pivoted median+count per grid
+point — no per-side self-join, so the scan→explode subtree is never
+duplicated). No range join, no per-point scan. At 100 TB the only full-data
 shuffle is the per-bucket median (inherent to exact medians);
 ``approx=True`` switches to ``percentile_approx`` which is partially
 aggregatable and cuts the shuffle to sketch size.
@@ -80,6 +81,11 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
     1-row anchor aggregate (plus a fragile duplicate of the t0 formula)
     they previously ran to rebuild k from ``date``.
     """
+    if min_obs < 0:
+        # the pivoted aggregate below relies on count > min_obs implying
+        # >= 1 row per side (the old inner join's emission condition);
+        # a negative gate would change which empty-side buckets surface
+        raise ValueError(f"min_obs must be >= 0, got {min_obs}")
     if median_mode is None:
         median_mode = "approx" if approx else "exact"
     if median_mode == "auto":
@@ -144,6 +150,7 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
                 .where((F.col("_k") >= 0) & (F.col("_k") <= F.col("_kmax"))))
 
     side_keys = p + ["_t0", "_k", "_side"]
+    keys = p + ["_t0", "_k"]
     if median_mode == "selectk":
         from .selectk import exact_grouped_median
         # checkpoint: the count pass + 3 passes per value column all
@@ -160,19 +167,35 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
                 exact_grouped_median(exploded, side_keys, c,
                                      out_col=f"_m_{c}"), on=side_keys,
                 how="left")
+        left = per_side.where(F.col("_side") == 0).drop("_side")
+        right = per_side.where(F.col("_side") == 1).drop("_side")
+        rn = {f"_m_{c}": f"_r_{c}" for c in value_cols}
+        rn.update({f"_n_{c}": f"_rn_{c}" for c in value_cols})
+        right = right.withColumnsRenamed(rn)
+        joined = left.join(right, on=keys)
     else:
-        med = (lambda c: F.percentile_approx(F.col(c), 0.5)) \
-            if median_mode == "approx" else (lambda c: F.median(F.col(c)))
-        aggs = [med(c).alias(f"_m_{c}") for c in value_cols]
-        aggs += [F.count(F.col(c)).alias(f"_n_{c}") for c in value_cols]
-        per_side = exploded.groupBy(*side_keys).agg(*aggs)
-
-    left = per_side.where(F.col("_side") == 0).drop("_side")
-    right = per_side.where(F.col("_side") == 1).drop("_side")
-    keys = p + ["_t0", "_k"]
-    rn = {f"_m_{c}": f"_r_{c}" for c in value_cols}
-    rn.update({f"_n_{c}": f"_rn_{c}" for c in value_cols})
-    right = right.withColumnsRenamed(rn)
+        # ONE aggregate, pivoting the side into conditional columns:
+        # the previous filter(side)+self-join formulation made Spark
+        # recompute the whole scan→explode→aggregate subtree per side
+        # (no subtree reuse without an explicit materialization), i.e.
+        # two full passes plus a join exchange. Median/count over a
+        # side-gated CASE sees exactly the side's non-null values, so
+        # the medians and counts are bit-identical to the per-side
+        # aggregation; an inner-join row existed iff both side groups
+        # existed, which the min_obs gate below subsumes (count >=
+        # min_obs+1 >= 1 on both sides). [opt guide §2.4: remove the
+        # duplicated subtree + its exchange outright]
+        med = (lambda v: F.percentile_approx(v, 0.5)) \
+            if median_mode == "approx" else (lambda v: F.median(v))
+        v0 = {c: F.when(F.col("_side") == 0, F.col(c)) for c in value_cols}
+        v1 = {c: F.when(F.col("_side") == 1, F.col(c)) for c in value_cols}
+        aggs = []
+        for c in value_cols:
+            aggs += [med(v0[c]).alias(f"_m_{c}"),
+                     med(v1[c]).alias(f"_r_{c}"),
+                     F.count(v0[c]).alias(f"_n_{c}"),
+                     F.count(v1[c]).alias(f"_rn_{c}")]
+        joined = exploded.groupBy(*keys).agg(*aggs)
     # min_obs gates PER COLUMN on each column's own non-null count —
     # counting only value_cols[0] either dropped a well-observed second
     # column or emitted one computed from a single observation (r9
@@ -183,7 +206,7 @@ def calc_velocity(df: DataFrame, value_cols: Sequence[str],
     any_ok = None
     for c in value_cols:
         any_ok = _ok[c] if any_ok is None else (any_ok | _ok[c])
-    joined = left.join(right, on=keys).where(any_ok)
+    joined = joined.where(any_ok)
 
     dt_days = sep / 86400.0
     vel_cols = [F.when(_ok[c], (F.col(f"_r_{c}") - F.col(f"_m_{c}"))
@@ -263,24 +286,26 @@ def calc_velocity_range_join(df: DataFrame, value_cols: Sequence[str],
     joined = (gexp.join(pos, "_pb")
               .where((F.col("_es") >= F.col("_c") - half_stat)
                      & (F.col("_es") < F.col("_c") + half_stat)))
-    med = (lambda c: F.percentile_approx(F.col(c), 0.5)) if approx \
-        else (lambda c: F.median(F.col(c)))
-    aggs = [med(c).alias(f"_m_{c}") for c in value_cols]
-    aggs += [F.count(F.col(c)).alias(f"_n_{c}") for c in value_cols]
-    per_side = joined.groupBy("_t", "_side").agg(*aggs)
-
-    left = per_side.where(F.col("_side") == 0).drop("_side")
-    right = per_side.where(F.col("_side") == 1).drop("_side")
-    rn = {f"_m_{c}": f"_r_{c}" for c in value_cols}
-    rn.update({f"_n_{c}": f"_rn_{c}" for c in value_cols})
-    right = right.withColumnsRenamed(rn)
+    # same side-pivoted single aggregate as calc_velocity (one pass, no
+    # duplicated subtree + join exchange); equivalence argument there
+    if min_obs < 0:
+        raise ValueError(f"min_obs must be >= 0, got {min_obs}")
+    med = (lambda v: F.percentile_approx(v, 0.5)) if approx \
+        else (lambda v: F.median(v))
+    aggs = []
+    for c in value_cols:
+        s0 = F.when(F.col("_side") == 0, F.col(c))
+        s1 = F.when(F.col("_side") == 1, F.col(c))
+        aggs += [med(s0).alias(f"_m_{c}"), med(s1).alias(f"_r_{c}"),
+                 F.count(s0).alias(f"_n_{c}"), F.count(s1).alias(f"_rn_{c}")]
+    per_point = joined.groupBy("_t").agg(*aggs)
     # per-column min_obs gate — see calc_velocity
     _ok = {c: (F.col(f"_n_{c}") > min_obs) & (F.col(f"_rn_{c}") > min_obs)
            for c in value_cols}
     any_ok = None
     for c in value_cols:
         any_ok = _ok[c] if any_ok is None else (any_ok | _ok[c])
-    j = left.join(right, on="_t").where(any_ok)
+    j = per_point.where(any_ok)
     dt_days = sep / 86400.0
     vels = [F.when(_ok[c], (F.col(f"_r_{c}") - F.col(f"_m_{c}"))
                    / F.lit(dt_days)).alias(f"{c}_vel")

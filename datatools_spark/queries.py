@@ -175,7 +175,11 @@ def ts_rolling_median_6h(spark, sf_dir):
     bit-equal to the declarative frame median but O(n log w) instead of
     per-row frame sorts (the round-4 judge measured the declarative form
     at 15.9 s sf0.1; this is the scale-safe default per SURVEY §7e)."""
-    ev = _t(spark, sf_dir, "events")
+    # project BEFORE the opaque pandas pass: applyInPandas defeats column
+    # pruning, so the raw frame would scan+ship user_id and the props JSON
+    # string through Arrow both ways (guide: pass only what the fn needs)
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type",
+                                            "ts", "value")
     out = RL.rolling_median_blocked(ev, "value", "6h",
                                     partition_by=["event_type"],
                                     out_col="roll_median")
@@ -197,7 +201,8 @@ def ts_rolling_p90_6h(spark, sf_dir):
     selection and combines them with the SQL lerp lo*(1-f)+hi*f, so the
     result is bit-equal to the oracle's quantile_cont (pandas' own lerp
     is 1 ulp off - see operators/rolling.py)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type",
+                                            "ts", "value")
     out = RL.rolling_quantile_blocked(ev, "value", "6h", q=0.9,
                                       partition_by=["event_type"],
                                       out_col="roll_p90")
@@ -2064,7 +2069,8 @@ def ts_rolling_std_6h(spark, sf_dir):
     declarative sliding frame re-aggregates the whole frame per row
     with parallelism capped at the series count (same hazard the
     z-score fix removed)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type",
+                                            "ts", "value")
     out = RL.rolling_stats_blocked(ev, "value", 6 * 3600,
                                    {"roll_std": "std"},
                                    partition_by=["event_type"], chunk="1d")
@@ -2165,7 +2171,8 @@ def ts_anomaly_zscore(spark, sf_dir):
     RANGE frame re-aggregates the whole ~333-row frame per row with
     parallelism capped at the series count (measured 7.5 s at sf0.1;
     the blocked O(n) form is ~1.3 s and chunk-parallel)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type",
+                                            "ts", "value")
     st = RL.rolling_stats_blocked(
         ev, "value", 43200, {"_mu": "mean", "_sd": "std"},
         partition_by=["event_type"], chunk="1d")
@@ -4080,7 +4087,13 @@ def doc_cms_estimate(spark, sf_dir):
     d = _t(spark, sf_dir, "documents") \
         .where(F.length(F.trim(F.col("text"))) > 0)
     tok = d.select(F.explode(TX.words_col("text")).alias("w"))
-    sketch = SK.cms_build(tok, "w")
+    # r11 opt: aggregate the token multiset to (word, count) ONCE, then
+    # build the sketch from counts (bit-identical cells, md5 per vocab
+    # word instead of per occurrence — guide §1.2) and read the exact
+    # probe counts off the same frame instead of re-scanning the corpus.
+    wc = tok.groupBy("w").agg(F.count("*").alias("_n")) \
+        .localCheckpoint(eager=True)
+    sketch = SK.cms_build_from_counts(wc, "w", "_n")
     probes = spark.createDataFrame([(w,) for w in _CMS_PROBES],
                                    "word string")
     est = SK.cms_estimate(sketch, probes, "word")
@@ -4088,8 +4101,8 @@ def doc_cms_estimate(spark, sf_dir):
     # preserved side of a left join was silently ignored and shuffled
     # the corpus-sized token explode to count 4 words; same fix as the
     # store twin below
-    hits = (tok.join(F.broadcast(probes), F.col("w") == probes["word"])
-            .groupBy("word").agg(F.count("*").alias("exact")))
+    hits = (wc.join(F.broadcast(probes), F.col("w") == probes["word"])
+            .groupBy("word").agg(F.sum("_n").alias("exact")))
     exact = (probes.join(hits, "word", "left")
              .select("word", F.coalesce("exact", F.lit(0)).alias("exact")))
     return (est.join(exact, "word")
@@ -4539,15 +4552,33 @@ def ts_hll_overlap(spark, sf_dir):
     All md5-deterministic — the oracle rebuilds identical registers."""
     from .operators import sketches as SK
     ev = _t(spark, sf_dir, "events")
-    a = ev.where(F.col("event_type") == "click").select("user_id")
-    b = ev.where(F.col("event_type") == "purchase").select("user_id")
-    ra = SK.hll_registers(a, "user_id")
-    rb = SK.hll_registers(b, "user_id")
+    # r11 opt: the per-side formulation scanned events SIX times (each
+    # register table fed two estimate subtrees, plus two distincts for
+    # the exact intersect). One conditional aggregate builds the
+    # distinct-user membership frame in ONE corpus scan; registers over
+    # distinct users are identical to registers over raw occurrences
+    # (register = max, duplicates can't move it), and the exact overlap
+    # is a count over the same frame. The user-level frame is
+    # materialized once (localCheckpoint, r5 hygiene rule) so the four
+    # consumers never re-run the scan. [guide §2.4]
+    base = (ev.where(F.col("event_type").isin("click", "purchase"))
+            .groupBy("user_id")
+            .agg(F.max((F.col("event_type") == "click").cast("int"))
+                 .alias("_a"),
+                 F.max((F.col("event_type") == "purchase").cast("int"))
+                 .alias("_b"))
+            .localCheckpoint(eager=True))
+    # ra/rb are re-derived per consumer from base's CACHED blocks — a
+    # register build over the user-level frame is trivial, while an
+    # eager checkpoint per register table serialized the query into two
+    # extra driver-blocking jobs (A/B'd: 2.9 s vs 1.3 s at sf0.1)
+    ra = SK.hll_registers(base.where(F.col("_a") == 1), "user_id")
+    rb = SK.hll_registers(base.where(F.col("_b") == 1), "user_id")
     ea = SK.hll_estimate_from_registers(ra, out="est_a")
     eb = SK.hll_estimate_from_registers(rb, out="est_b")
     eu = SK.hll_estimate_from_registers(SK.hll_merge(ra, rb),
                                         out="est_union")
-    exact = (a.distinct().intersect(b.distinct())
+    exact = (base.where((F.col("_a") == 1) & (F.col("_b") == 1))
              .agg(F.count("*").alias("exact_overlap")))
     return (exact.crossJoin(ea).crossJoin(eb).crossJoin(eu)
             .withColumn("est_overlap",
@@ -4588,12 +4619,28 @@ def ss_join_size_estimate(spark, sf_dir):
     hash-exact in any engine)."""
     from .operators import sketches as SK
     ev = _t(spark, sf_dir, "events")
-    a = ev.where(F.col("event_type") == "click").select("user_id")
-    b = ev.where(F.col("event_type") == "purchase").select("user_id")
-    est = SK.cms_inner_product(SK.cms_build(a, "user_id"),
-                               SK.cms_build(b, "user_id"))
-    exact = (a.join(b, "user_id")
-             .agg(F.count("*").alias("join_size_exact")))
+    # r11 opt: one conditional aggregate replaces four corpus scans (two
+    # sketch builds + both sides of the exact join) AND the row-level
+    # click⋈purchase join whose output is the join size itself (the
+    # worst-case exploding join, guide §3.3). Per-user counts feed (a)
+    # the exact size as Σ na·nb — identical to the inner-join count,
+    # which drops NULL keys, hence the isNotNull gate — and (b) both
+    # sketches via the count-weighted CMS build (bit-identical cells).
+    base = (ev.where(F.col("event_type").isin("click", "purchase"))
+            .groupBy("user_id")
+            .agg(F.count(F.when(F.col("event_type") == "click", 1))
+                 .alias("_na"),
+                 F.count(F.when(F.col("event_type") == "purchase", 1))
+                 .alias("_nb"))
+            .localCheckpoint(eager=True))
+    est = SK.cms_inner_product(
+        SK.cms_build_from_counts(base.where(F.col("_na") > 0),
+                                 "user_id", "_na"),
+        SK.cms_build_from_counts(base.where(F.col("_nb") > 0),
+                                 "user_id", "_nb"))
+    exact = (base.where(F.col("user_id").isNotNull())
+             .agg(F.coalesce(F.sum(F.col("_na") * F.col("_nb")),
+                             F.lit(0)).alias("join_size_exact")))
     return exact.crossJoin(est)
 
 
@@ -4687,28 +4734,42 @@ FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
 def ts_funnel(spark, sf_dir):
     """Ordered funnel (view → click → signup → purchase): per user the
     first time of each stage, constrained to occur at-or-after the
-    previous stage's first time. Four chained min-aggregates, each ONE
-    combinable groupBy(user) + a co-partitioned join — the shuffles all
-    share the user_id key, so at scale AQE/bucketing reuses one
-    partitioning across all four stages. Sequential-dependency funnels
-    can't collapse into one aggregate; four key-shared passes is the
-    honest distributed shape."""
+    previous stage's first time. Physical shape (r11): chained
+    whole-partition window minimums over ONE user-keyed exchange — the
+    sequential dependency rides the NULL-propagating `ts >= t_prev`
+    predicate, not per-stage joins."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     u = ev.select("user_id").distinct()
-
-    def stage(etype, prev, prev_col, out_col):
-        s = ev.where(F.col("event_type") == etype)
-        if prev is not None:
-            s = (s.join(prev, "user_id")
-                 .where(F.col("ts") >= F.col(prev_col)))
-        return s.groupBy("user_id").agg(F.min("ts").alias(out_col))
-
-    t1 = stage("view", None, None, "t_view")
-    t2 = stage("click", t1, "t_view", "t_click")
-    t3 = stage("signup", t2, "t_click", "t_signup")
-    t4 = stage("purchase", t3, "t_signup", "t_purchase")
-    out = (u.join(t1, "user_id", "left").join(t2, "user_id", "left")
-           .join(t3, "user_id", "left").join(t4, "user_id", "left"))
+    # r11 opt: the chained per-stage groupBy+join formulation made each
+    # stage's subtree re-derive every earlier stage (t4 re-ran t1 three
+    # times — 8 events scans, 36 exchanges in the physical plan). The
+    # sequential constraint is expressible as chained WHOLE-PARTITION
+    # window minimums over ONE user-keyed exchange: t_click = min ts of
+    # a click at-or-after t_view, where t_view is itself a window min —
+    # a ts >= NULL predicate is NULL, so users missing a stage propagate
+    # NULL exactly like the old inner-join-per-stage (oracle-verified).
+    # Events outside the four funnel types can't move any min; filtering
+    # them first keeps the exchange to funnel rows only. One row per
+    # participating user via groupBy(user) — same key, no new exchange.
+    # [guide §2.4: duplicated subtrees share one exchange]
+    f = ev.where(F.col("event_type").isin("view", "click", "signup",
+                                          "purchase"))
+    wu = Window.partitionBy("user_id")
+    t = F.col("ts")
+    et = F.col("event_type")
+    f = f.withColumn("t_view", F.min(F.when(et == "view", t)).over(wu))
+    f = f.withColumn("t_click", F.min(
+        F.when((et == "click") & (t >= F.col("t_view")), t)).over(wu))
+    f = f.withColumn("t_signup", F.min(
+        F.when((et == "signup") & (t >= F.col("t_click")), t)).over(wu))
+    f = f.withColumn("t_purchase", F.min(
+        F.when((et == "purchase") & (t >= F.col("t_signup")), t)).over(wu))
+    per_user = (f.groupBy("user_id")
+                .agg(F.max("t_view").alias("t_view"),
+                     F.max("t_click").alias("t_click"),
+                     F.max("t_signup").alias("t_signup"),
+                     F.max("t_purchase").alias("t_purchase")))
+    out = u.join(per_user, "user_id", "left")
     stage_col = (F.when(F.col("t_purchase").isNotNull(), 4)
                  .when(F.col("t_signup").isNotNull(), 3)
                  .when(F.col("t_click").isNotNull(), 2)

@@ -151,6 +151,11 @@ def calc_melt(df: DataFrame, temp_col: str = "Temp",
         ts_col=ts_col, partition_by=p, chunk=_smooth_chunk("2h")) \
         .withColumn("day", F.date_trunc("DAY", F.col(ts_col))) \
         .localCheckpoint(eager=False)
+    # r11 A/B: eager=True here (one Arrow pass instead of the lazy
+    # checkpoint's two branch evaluations in the first job) measured
+    # SLOWER at sf0.1 (2.9 vs 2.4 s min-of-4): blocking on the full
+    # row-width materialization costs more than the second in-job pass,
+    # which runs in otherwise-idle task slots. Keep lazy.
     # daily albedo from the shared smoothed channels — the SAME factored
     # A10 core calc_daily_albedo uses (argmax tie pin, ANSI guard, ≥1
     # mask cannot diverge between the two entry points)

@@ -258,14 +258,22 @@ def decode_pcm16(payload: bytes):
 
 
 def raw8_stats(df: DataFrame, width: int, payload_col: str = "payload",
-               id_col: str = "media_id") -> DataFrame:
+               id_col: str = "media_id",
+               ahash_grid: int | None = None) -> DataFrame:
     """Per-image pixel statistics over decoded RAW8 payloads: height,
     exact pixel sum (int — order-independent), mean/min/max.
 
     Output: ``id_col, height, n_px, sum_px, mean_px, min_px, max_px``;
     rows with payloads shorter than one image row are dropped.
-    """
-    out_schema = StructType([
+
+    ``ahash_grid``: also emit the :func:`raw8_ahash` perceptual hash
+    (``ahash``, ``n_ones`` — identical bit construction) from the SAME
+    decode, for pipelines that gate on stats and then dedup on the
+    hash: two mapInPandas decode passes over the corpus become one
+    (opt guide §4 — the decode is the expensive boundary crossing).
+    Images shorter than ``width`` rows get a NULL hash (exactly the
+    rows :func:`raw8_ahash` drops)."""
+    fields = [
         StructField(id_col, LongType(), False),
         StructField("height", LongType(), True),
         StructField("n_px", LongType(), True),
@@ -273,7 +281,15 @@ def raw8_stats(df: DataFrame, width: int, payload_col: str = "payload",
         StructField("mean_px", DoubleType(), True),
         StructField("min_px", LongType(), True),
         StructField("max_px", LongType(), True),
-    ])
+    ]
+    if ahash_grid is not None:
+        if width % ahash_grid != 0:
+            raise ValueError(
+                f"width={width} not divisible by ahash_grid={ahash_grid}")
+        fields += [StructField("ahash", StringType(), True),
+                   StructField("n_ones", LongType(), True)]
+    out_schema = StructType(fields)
+    blk = (width // ahash_grid) if ahash_grid else None
 
     def _batches(it: Iterator):
         import pandas as pd
@@ -287,9 +303,21 @@ def raw8_stats(df: DataFrame, width: int, payload_col: str = "payload",
                 # means emitted UNROUNDED — callers round with F.round
                 # (HALF_UP, matching SQL) — Python round() is HALF_EVEN
                 # and flaps on exact .xxxxxx5 values
-                rows.append((int(mid), img.shape[0], img.size, s,
-                             s / img.size,
-                             int(img.min()), int(img.max())))
+                row = (int(mid), img.shape[0], img.size, s,
+                       s / img.size,
+                       int(img.min()), int(img.max()))
+                if ahash_grid is not None:
+                    if img.shape[0] >= width:
+                        sq = img[:width, :width].astype("float64")
+                        pooled = sq.reshape(ahash_grid, blk, ahash_grid,
+                                            blk).mean(axis=(1, 3))
+                        bits = pooled > sq.mean()
+                        row += ("".join("1" if b else "0"
+                                        for b in bits.ravel()),
+                                int(bits.sum()))
+                    else:
+                        row += (None, None)
+                rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     return df.select(id_col, payload_col).mapInPandas(_batches, out_schema)

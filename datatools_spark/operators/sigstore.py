@@ -396,7 +396,18 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
     streaming ingest loop does — one store read per micro-batch, not
     two); pass it only with such a pre-filtered batch, or duplicate
     signatures will append. Returns the number of newly signed
-    images."""
+    images.
+
+    Ids whose payload CANNOT be signed (shorter than ``width²`` bytes —
+    the rows raw8_ahash drops) are recorded as TOMBSTONE rows (NULL
+    hash, ``_pp = -1``) so "decode runs once per image ever" holds for
+    them too: without the tombstone every later batch containing the id
+    anti-joins it back as "new" and re-runs the decode forever
+    (measured at sf0.1: 210 of the 500-image warm batch were sub-width,
+    ~1.2 s of re-decode per warm update bought nothing). Readers that
+    want SIGNED ids must filter ``ahash64/ahash_w IS NOT NULL``
+    (:func:`signed_image_ids`); ``ahash_pairs_against_store`` does so
+    internally."""
     from .multimodal import pack_bits_expr, pack_bits_words_expr, raw8_ahash
     nbits = grid * grid
     _check_ahash_geometry(nbits)
@@ -406,6 +417,7 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
     # against the STORE)
     batch = batch.dropDuplicates([id_col])
     new = batch
+    n_in = None          # new-id count, when the anti-join derives it
     try:
         # ONE store scan per update: the layout audit (distinct _nbits)
         # and the seen-id anti-join both read this materialized
@@ -432,7 +444,8 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
             # store projection either way).
             new_ids = (batch.select(id_col)
                        .join(existing.select(id_col), id_col, "left_anti"))
-            if new_ids.count() == 0:
+            n_in = new_ids.count()
+            if n_in == 0:
                 return 0
             new_ids = new_ids.localCheckpoint(eager=True)
             new = batch.join(new_ids, id_col, "left_semi")
@@ -465,13 +478,50 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
     # rather than persist so nothing pins the session cache registry.
     sig = sig.localCheckpoint(eager=True)
     n = sig.count()
-    if n:
+    if n_in is None:
+        # first write / batch_is_new: the anti-join never counted the
+        # incoming ids — one id-column count (cold/streaming path only;
+        # the steady-state all-seen update returned long before here)
+        n_in = new.select(id_col).count()
+    n_undec = n_in - n
+    out = sig
+    if n_undec:
+        # tombstone the unsignable ids (see docstring): NULL hash in the
+        # store's own layout column, geometry stamp kept uniform, parked
+        # under _pp = -1. The anti-join is batch-sized against the
+        # checkpointed sig frame and runs inside the write job.
+        hash_name, hash_type = (("ahash64", "long") if nbits <= 64
+                                else ("ahash_w", "array<bigint>"))
+        undec = (new.select(id_col)
+                 .join(sig.select(id_col), id_col, "left_anti")
+                 .select(F.col(id_col),
+                         F.lit(None).cast(hash_type).alias(hash_name),
+                         F.lit(nbits).alias("_nbits"),
+                         F.lit(-1).cast("int").alias("_pp")))
+        out = sig.unionByName(undec)
+    if n or n_undec:
         # cluster on _pp first — one file per touched partition value
         # per update, not one per (write task × value); see
         # update_signature_store for the measured tiny-file blowup
-        sig.repartition("_pp").write.mode("append") \
+        out.repartition("_pp").write.mode("append") \
             .partitionBy("_pp").parquet(root)
     return n
+
+
+def signed_image_ids(spark: SparkSession, path: str,
+                     id_col: str = "media_id") -> DataFrame:
+    """Ids holding an actual signature in the image store — excludes the
+    undecodable-id tombstones ``update_image_signature_store`` records
+    (NULL hash rows). Use this, not a raw store read, wherever "is this
+    id signed" is the question (e.g. restricting a dedup batch to
+    pairable ids); a raw read answers "was this id ever PRESENTED",
+    which is what the updater's own anti-join wants."""
+    df = spark.read.parquet(resolve_signature_root(spark, path))
+    hcol = "ahash64" if "ahash64" in df.columns else \
+        ("ahash_w" if "ahash_w" in df.columns else None)
+    if hcol is not None:
+        df = df.where(F.col(hcol).isNotNull())
+    return df.select(id_col)
 
 
 def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
@@ -513,7 +563,15 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
     raw = spark.read.parquet(resolve_signature_root(spark, path))
     proj = [c for c in (id_col, "ahash64", "ahash_w", "_nbits")
             if c in raw.columns]
-    raw = raw.select(*proj).localCheckpoint(eager=True)
+    raw_all = raw.select(*proj).localCheckpoint(eager=True)
+    # drop undecodable-id tombstones (NULL hash — see the updater's
+    # docstring): they exist so updates never re-decode, and must be
+    # invisible to pairing — the geometry audit, store_n, and both join
+    # sides below therefore read the filtered frame
+    hcol = "ahash64" if "ahash64" in raw_all.columns else \
+        ("ahash_w" if "ahash_w" in raw_all.columns else None)
+    raw = raw_all.where(F.col(hcol).isNotNull()) \
+        if hcol is not None else raw_all
     # ONE job serves the geometry audit AND the store row count the
     # auto-budget needs below (r11: they were two sequential collects —
     # each a driver-blocking roundtrip over the cached projection)
@@ -521,6 +579,14 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
     nbits_seen = [r["_nbits"] for r in nbits_rows]
     store_rows = sum(r["count"] for r in nbits_rows)
     if not nbits_seen:
+        if raw_all.limit(1).count():
+            # every row is a tombstone: a VALID store that has signed
+            # nothing pairable yet (e.g. an all-sub-width first batch) —
+            # zero pairs, not an error (the extra limit-1 job runs only
+            # in this corner)
+            idt = dict(raw_all.dtypes)[id_col]
+            return spark.createDataFrame(
+                [], f"a_id {idt}, b_id {idt}, hamming long")
         raise ValueError(
             f"signature store at {path} is empty — run "
             "update_image_signature_store on the batch first (the pair "

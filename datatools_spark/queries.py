@@ -9339,12 +9339,12 @@ def mm_image_dedup_store(spark, sf_dir):
         spark, payload, sig_root))
 
     def _seed_components():
-        # register the whole corpus and fold the full closure once
-        # (resolve the live root — robust to a compacted store, r8)
+        # register the whole corpus and fold the full closure once —
+        # SIGNED ids only (signed_image_ids skips the store's
+        # undecodable-id tombstones; a raw store read would register
+        # unpairable ids into the component store)
         all_ids = payload.select("media_id") \
-            .join(spark.read.parquet(
-                      SS.resolve_signature_root(spark, sig_root))
-                  .select("media_id"),
+            .join(SS.signed_image_ids(spark, sig_root),
                   "media_id", "left_semi")
         seed_pairs = SS.ahash_pairs_against_store(spark, all_ids, sig_root)
         CS.update_component_store(spark, all_ids,
@@ -9356,9 +9356,7 @@ def mm_image_dedup_store(spark, sf_dir):
     batch_payload = payload.where(F.col("media_id") % 10 == 7)
     SS.update_image_signature_store(spark, batch_payload, sig_root)
     batch = batch_payload.select("media_id") \
-        .join(spark.read.parquet(
-                  SS.resolve_signature_root(spark, sig_root))
-              .select("media_id"),
+        .join(SS.signed_image_ids(spark, sig_root),
               "media_id", "left_semi")
     pairs = SS.ahash_pairs_against_store(spark, batch, sig_root)
     CS.update_component_store(spark, batch,

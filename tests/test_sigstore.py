@@ -86,6 +86,64 @@ def test_image_store_equals_full_ahash_pairs(spark, tmp_path):
     assert any(a < 100 and b >= 200 for a, b in got)  # cross-batch dup seen
 
 
+def test_image_store_tombstones_undecodable_ids(spark, tmp_path,
+                                                monkeypatch):
+    """Ids whose payload cannot be signed (sub-width) are tombstoned
+    (NULL hash, _pp=-1) so a later batch carrying them never re-decodes;
+    tombstones are invisible to pairing and to signed_image_ids."""
+    import random
+    from datatools_spark.operators import multimodal as MM
+    from datatools_spark.operators.multimodal import ahash_pairs, raw8_ahash
+    from datatools_spark.operators.sigstore import (
+        ahash_pairs_against_store, signed_image_ids,
+        update_image_signature_store)
+    r = random.Random(7)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "media_id long, payload binary")
+    full = [bytes(r.randrange(256) for _ in range(256)) for _ in range(6)]
+    near = list(full[0])
+    near[0] = (near[0] + 120) % 256      # hamming-near copy → ≥1 pair
+    rows = [(i, p) for i, p in enumerate(full)] + [(50, bytes(near))] \
+        + [(100 + i, b"xy") for i in range(4)]          # 4 sub-width
+    b = mk(rows)
+    path = str(tmp_path / "imgstore")
+    assert update_image_signature_store(spark, b, path) == 7
+    df = spark.read.parquet(path)
+    assert df.count() == 11               # 7 signatures + 4 tombstones
+    tomb = df.where("ahash64 is null")
+    assert tomb.count() == 4
+    assert {x["media_id"] for x in tomb.collect()} == {100, 101, 102, 103}
+    assert {x[0] for x in signed_image_ids(spark, path).collect()} \
+        == set(range(6)) | {50}
+    # idempotent INCLUDING the undecodables: re-presenting the batch
+    # must return before any decode (raise if the decode path is hit)
+    monkeypatch.setattr(MM, "raw8_ahash", lambda *a, **k: (_ for _ in ())
+                        .throw(AssertionError("re-decoded all-seen batch")))
+    assert update_image_signature_store(spark, b, path) == 0
+    monkeypatch.undo()
+    # pairing sees signatures only and equals the full batch engine
+    got = {(r2["a_id"], r2["b_id"]): r2["hamming"]
+           for r2 in ahash_pairs_against_store(spark, b, path).collect()}
+    want = {(r2["a_id"], r2["b_id"]): r2["hamming"]
+            for r2 in ahash_pairs(raw8_ahash(b, width=16, grid=8),
+                                  bands=8, max_hamming=7).collect()}
+    assert got == want and got            # the near-copy pair is found
+    # an all-tombstone store is VALID: zero pairs, not an error
+    p2 = str(tmp_path / "imgstore2")
+    b2 = mk([(5, b"zz")])
+    assert update_image_signature_store(spark, b2, p2) == 0
+    out = ahash_pairs_against_store(spark, b2, p2)
+    assert out.columns == ["a_id", "b_id", "hamming"]
+    assert out.count() == 0
+    # wide (grid=16) layout tombstones carry the array column as NULL
+    p3 = str(tmp_path / "imgstore3")
+    b3 = mk([(0, full[0]), (1, b"q")])
+    assert update_image_signature_store(spark, b3, p3, grid=16) == 1
+    d3 = spark.read.parquet(p3)
+    assert d3.where("ahash_w is null").count() == 1
+    assert dict(d3.dtypes)["ahash_w"] == "array<bigint>"
+
+
 def test_store_empty_dir_propagates_not_first_write(spark, tmp_path):
     # an empty (partially-written) store dir must RAISE, not be silently
     # treated as first write (which would append duplicate signatures)

@@ -42,7 +42,8 @@ from .dedup import minhash_signature
 
 __all__ = ["update_signature_store", "lsh_pairs_against_store",
            "update_image_signature_store", "ahash_pairs_against_store",
-           "compact_signature_store", "resolve_signature_root"]
+           "compact_signature_store", "resolve_signature_root",
+           "snapshot_image_store", "signed_image_ids"]
 
 _NUM_HASHES = 16
 _BANDS = 4
@@ -379,7 +380,9 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
                                  path: str, width: int = 16, grid: int = 8,
                                  payload_col: str = "payload",
                                  id_col: str = "media_id",
-                                 batch_is_new: bool = False) -> int:
+                                 batch_is_new: bool = False,
+                                 store_snap: ImageStoreSnapshot | None
+                                 = None) -> int:
     """aHash-sign the batch's images NOT already in the store and append
     them. Layout: ``(id_col, ahash64 BIGINT, _nbits, _pp)`` for
     ``grid² <= 64``, or ``(id_col, ahash_w ARRAY<BIGINT>, _nbits, _pp)``
@@ -407,11 +410,17 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
     ~1.2 s of re-decode per warm update bought nothing). Readers that
     want SIGNED ids must filter ``ahash64/ahash_w IS NOT NULL``
     (:func:`signed_image_ids`); ``ahash_pairs_against_store`` does so
-    internally."""
+    internally.
+
+    ``store_snap``: a :class:`ImageStoreSnapshot` taken by the caller —
+    the update then runs entirely off the snapshot's materialized
+    projection (no root resolve, no schema-inference job, no second
+    store scan). See the snapshot class for the validity contract."""
     from .multimodal import pack_bits_expr, pack_bits_words_expr, raw8_ahash
     nbits = grid * grid
     _check_ahash_geometry(nbits)
-    root = resolve_signature_root(spark, path)
+    root = store_snap.root if store_snap is not None \
+        else resolve_signature_root(spark, path)
     # one-signature-per-id invariant vs intra-batch duplicate ids —
     # same guard as update_signature_store (the anti-join only screens
     # against the STORE)
@@ -425,11 +434,14 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
         # full per-file open cost (the _pp layout fans a seed into one
         # file per touched partition value). read.parquet is called
         # exactly once: every call runs a schema-inference job over the
-        # store's file listing.
-        existing = spark.read.parquet(root)
+        # store's file listing. A caller-held snapshot removes even
+        # that: the projection is already materialized.
+        existing = store_snap.frame if store_snap is not None \
+            else spark.read.parquet(root)
         if "_nbits" in existing.columns:
             existing = existing.select(id_col, "_nbits")
-        existing = existing.localCheckpoint(eager=True)
+        if store_snap is None:
+            existing = existing.localCheckpoint(eager=True)
         _check_store_layout(existing, path, nbits)
         if not batch_is_new:
             # resolve WHICH ids are new on id columns alone, so the
@@ -508,15 +520,62 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
     return n
 
 
+class ImageStoreSnapshot:
+    """One materialized read of the image signature store, shareable
+    across the store calls of a SINGLE batch invocation (update → pairs
+    → component registration). Each of those calls otherwise pays its
+    own root resolve + parquet schema-inference job + full store scan
+    into a checkpoint — at 100 TB the scan is the corpus-linear term,
+    so one snapshot per batch halves it (measured locally: ~0.9 s of
+    duplicated driver-blocking jobs per warm store query at sf0.1).
+
+    Validity contract (single-writer stores, same as compaction): the
+    snapshot reflects the store at construction time. Take it right
+    before the update, and REFRESH (or pass ``store_snap=None``) for
+    any reader that must see rows the update appended — i.e. whenever
+    ``update_image_signature_store`` returned n > 0. A warm update
+    (n == 0) never appends signatures, so the snapshot stays valid for
+    pairing; tombstone appends don't invalidate it either (readers
+    filter them out). Never reuse a snapshot across batches or bench
+    iterations — it is a per-invocation handle, not a cache."""
+
+    def __init__(self, root: str, frame: DataFrame):
+        self.root = root
+        self.frame = frame
+
+
+def snapshot_image_store(spark: SparkSession, path: str,
+                         id_col: str = "media_id"
+                         ) -> ImageStoreSnapshot | None:
+    """Materialize the live image-store projection
+    ``(id_col, ahash64|ahash_w, _nbits)`` once for sharing via the
+    ``store_snap`` parameter of the image-store functions. Returns
+    ``None`` when the store does not exist yet (first write)."""
+    root = resolve_signature_root(spark, path)
+    try:
+        raw = spark.read.parquet(root)
+    except AnalysisException as exc:
+        if _is_path_missing(exc):
+            return None
+        raise
+    proj = [c for c in (id_col, "ahash64", "ahash_w", "_nbits")
+            if c in raw.columns]
+    return ImageStoreSnapshot(
+        root, raw.select(*proj).localCheckpoint(eager=True))
+
+
 def signed_image_ids(spark: SparkSession, path: str,
-                     id_col: str = "media_id") -> DataFrame:
+                     id_col: str = "media_id",
+                     store_snap: ImageStoreSnapshot | None = None
+                     ) -> DataFrame:
     """Ids holding an actual signature in the image store — excludes the
     undecodable-id tombstones ``update_image_signature_store`` records
     (NULL hash rows). Use this, not a raw store read, wherever "is this
     id signed" is the question (e.g. restricting a dedup batch to
     pairable ids); a raw read answers "was this id ever PRESENTED",
     which is what the updater's own anti-join wants."""
-    df = spark.read.parquet(resolve_signature_root(spark, path))
+    df = store_snap.frame if store_snap is not None else \
+        spark.read.parquet(resolve_signature_root(spark, path))
     hcol = "ahash64" if "ahash64" in df.columns else \
         ("ahash_w" if "ahash_w" in df.columns else None)
     if hcol is not None:
@@ -527,7 +586,8 @@ def signed_image_ids(spark: SparkSession, path: str,
 def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
                               path: str,
                               id_col: str = "media_id",
-                              max_candidate_mass: int | str | None = "auto"
+                              max_candidate_mass: int | str | None = "auto",
+                              store_snap: ImageStoreSnapshot | None = None
                               ) -> DataFrame:
     """Near-dup image pairs between ``batch`` ids and the WHOLE store
     (batch included, after ``update_image_signature_store``) without
@@ -559,11 +619,17 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
     # join's store side all read this materialized projection — as
     # separate scans each paid the store's per-file open cost ~4×.
     # read.parquet is called exactly once (each call runs a
-    # schema-inference job over the store's file listing).
-    raw = spark.read.parquet(resolve_signature_root(spark, path))
-    proj = [c for c in (id_col, "ahash64", "ahash_w", "_nbits")
-            if c in raw.columns]
-    raw_all = raw.select(*proj).localCheckpoint(eager=True)
+    # schema-inference job over the store's file listing). A caller-held
+    # snapshot (store_snap — see ImageStoreSnapshot's validity contract)
+    # removes even that single scan: the same materialized projection
+    # that served the batch's update serves its pairing.
+    if store_snap is not None:
+        raw_all = store_snap.frame
+    else:
+        raw = spark.read.parquet(resolve_signature_root(spark, path))
+        proj = [c for c in (id_col, "ahash64", "ahash_w", "_nbits")
+                if c in raw.columns]
+        raw_all = raw.select(*proj).localCheckpoint(eager=True)
     # drop undecodable-id tombstones (NULL hash — see the updater's
     # docstring): they exist so updates never re-decode, and must be
     # invisible to pairing — the geometry audit, store_n, and both join

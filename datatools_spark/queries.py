@@ -9275,10 +9275,16 @@ def mm_ahash_pairs_store(spark, sf_dir):
     # steady state: the arriving batch is signed (idempotent no-op when
     # already seen — the updater's internal id-only anti-join runs off
     # its checkpointed store projection; an external pre-filter was
-    # A/B'd 0.5 s SLOWER at sf0.1, r8) and paired against the band index
-    SS.update_image_signature_store(spark, batch_payload, root)
+    # A/B'd 0.5 s SLOWER at sf0.1, r8) and paired against the band index.
+    # ONE store snapshot serves both calls (r11: each paid its own root
+    # resolve + schema job + store scan); a cold update (n > 0) appends
+    # signatures the snapshot lacks, so pairing then re-reads.
+    snap = SS.snapshot_image_store(spark, root)
+    n = SS.update_image_signature_store(spark, batch_payload, root,
+                                        store_snap=snap)
     return SS.ahash_pairs_against_store(
-        spark, batch_payload.select("media_id"), root)
+        spark, batch_payload.select("media_id"), root,
+        store_snap=None if n else snap)
 
 
 @query("mm_ahash_pairs_store_incr", sql=_AHASH_SQL + """
@@ -9310,9 +9316,14 @@ def mm_ahash_pairs_store_incr(spark, sf_dir):
     _mm_store_seed(root, lambda: SS.update_image_signature_store(
         spark, payload, root))
     batch_payload = payload.where(F.col("media_id") < 400)
-    SS.update_image_signature_store(spark, batch_payload, root)
+    # shared snapshot, invalidated on a cold (n > 0) update — see
+    # mm_ahash_pairs_store
+    snap = SS.snapshot_image_store(spark, root)
+    n = SS.update_image_signature_store(spark, batch_payload, root,
+                                        store_snap=snap)
     return SS.ahash_pairs_against_store(
-        spark, batch_payload.select("media_id"), root)
+        spark, batch_payload.select("media_id"), root,
+        store_snap=None if n else snap)
 
 
 @query("mm_image_dedup_store", sql=_IMG_DEDUP_SQL)
@@ -9352,13 +9363,20 @@ def mm_image_dedup_store(spark, sf_dir):
                                   comp_root, id_col="media_id")
 
     _mm_store_seed(comp_root, _seed_components)
-    # steady state: sign + pair + fold ONLY the arriving batch slice
+    # steady state: sign + pair + fold ONLY the arriving batch slice.
+    # One store snapshot serves the update, the signed-id restriction
+    # AND the pairing (r11: three separate root resolves + schema jobs
+    # + store scans); refreshed if the update actually appended.
+    snap = SS.snapshot_image_store(spark, sig_root)
     batch_payload = payload.where(F.col("media_id") % 10 == 7)
-    SS.update_image_signature_store(spark, batch_payload, sig_root)
+    if SS.update_image_signature_store(spark, batch_payload, sig_root,
+                                       store_snap=snap):
+        snap = SS.snapshot_image_store(spark, sig_root)
     batch = batch_payload.select("media_id") \
-        .join(SS.signed_image_ids(spark, sig_root),
+        .join(SS.signed_image_ids(spark, sig_root, store_snap=snap),
               "media_id", "left_semi")
-    pairs = SS.ahash_pairs_against_store(spark, batch, sig_root)
+    pairs = SS.ahash_pairs_against_store(spark, batch, sig_root,
+                                         store_snap=snap)
     CS.update_component_store(spark, batch,
                               pairs.select("a_id", "b_id"),
                               comp_root, id_col="media_id")

@@ -228,47 +228,46 @@ def streaming_image_ingest_dedup(media: DataFrame, store_dir: str,
     band buckets, never corpus size — the ingest-gate shape a
     100 TB/day image crawl needs.
     Returns the started query (availableNow trigger; caller awaits)."""
-    from ..operators.sigstore import (_is_path_missing,
-                                      ahash_pairs_against_store,
+    from ..operators.sigstore import (ahash_pairs_against_store,
                                       compact_signature_store,
-                                      resolve_signature_root,
+                                      snapshot_image_store,
                                       update_image_signature_store)
-    from pyspark.errors import AnalysisException
 
     def _process(batch_df: DataFrame, batch_id: int):
         sess = batch_df.sparkSession
-        # ONE store read per micro-batch: the anti-join pre-filters the
-        # signing batch (batch_is_new=True skips the updater's internal
+        # ONE store read per micro-batch (snapshot_image_store resolves
+        # the live generational root and materializes the projection):
+        # the anti-join pre-filter, the updater's layout audit, and —
+        # when the batch signs nothing new — the pair join's store side
+        # all share it (batch_is_new=True skips the updater's internal
         # anti-join); a retried batch finds everything stored and signs
-        # nothing. localCheckpoint, NOT persist: the store write below
-        # triggers Spark's recache of any CACHED plan that reads the
-        # store path, which would recompute this anti-join against the
-        # post-write store to EMPTY; the checkpoint materializes the
-        # content and cuts the lineage so the write cannot reach back.
-        new_batch, store_exists = batch_df, True
-        try:
-            # resolve the live root (a compacted store is generational;
-            # reading the bare path would mix generations — r8)
-            stored = sess.read.parquet(
-                resolve_signature_root(sess, store_dir)).select(id_col)
-            new_batch = batch_df.join(stored, id_col, "left_anti")
-        except AnalysisException as exc:
-            if not _is_path_missing(exc):   # see sigstore._is_path_missing
-                raise
-            store_exists = False
+        # nothing. The snapshot is a localCheckpoint, NOT persist: the
+        # store write below triggers Spark's recache of any CACHED plan
+        # that reads the store path, which would recompute this
+        # anti-join against the post-write store to EMPTY; the
+        # checkpoint materializes the content and cuts the lineage so
+        # the write cannot reach back.
+        snap = snapshot_image_store(sess, store_dir, id_col=id_col)
+        store_exists = snap is not None
+        new_batch = batch_df if snap is None else \
+            batch_df.join(snap.frame.select(id_col), id_col, "left_anti")
         new_batch = new_batch.localCheckpoint(eager=True)
         n = update_image_signature_store(sess, new_batch, store_dir,
                                          grid=grid,
                                          payload_col=payload_col,
                                          id_col=id_col,
-                                         batch_is_new=True)
+                                         batch_is_new=True,
+                                         store_snap=snap)
         # emission keyed to the BATCH's ids (replayed verbatim on
         # retry), never to the new-id set — see at-least-once note.
         # Skip only when the store STILL does not exist (empty first
-        # batch): there is nothing to join.
+        # batch): there is nothing to join. A batch that appended
+        # signatures (n > 0) must pair against the POST-update store,
+        # so the snapshot is only reused on the all-seen (retry) path.
         if store_exists or n:
             (ahash_pairs_against_store(sess, batch_df.select(id_col),
-                                       store_dir, id_col=id_col)
+                                       store_dir, id_col=id_col,
+                                       store_snap=None if n else snap)
              .write.mode("append").parquet(pairs_dir))
         if compact_every and (batch_id + 1) % compact_every == 0:
             # bound tiny-file growth in-loop: the loop is the store's
@@ -310,39 +309,34 @@ def streaming_image_ingest_components(media: DataFrame, store_dir: str,
     maintenance job runs ``compact_component_store`` when the merge log
     grows. Returns the started query (availableNow trigger; caller
     awaits)."""
-    from pyspark.errors import AnalysisException
-
     from ..operators.compstore import update_component_store
-    from ..operators.sigstore import (_is_path_missing,
-                                      ahash_pairs_against_store,
+    from ..operators.sigstore import (ahash_pairs_against_store,
                                       compact_signature_store,
-                                      resolve_signature_root,
+                                      snapshot_image_store,
                                       update_image_signature_store)
 
     def _process(batch_df: DataFrame, batch_id: int):
         sess = batch_df.sparkSession
         if batch_df.isEmpty():
             return   # an empty trigger must not pay the store scans
-        new_batch, store_exists = batch_df, True
-        try:
-            # resolve the live root (a compacted store is generational;
-            # reading the bare path would mix generations — r8)
-            stored = sess.read.parquet(
-                resolve_signature_root(sess, store_dir)).select(id_col)
-            new_batch = batch_df.join(stored, id_col, "left_anti")
-        except AnalysisException as exc:
-            if not _is_path_missing(exc):
-                raise
-            store_exists = False
+        # one shared store read per micro-batch — see
+        # streaming_image_ingest_dedup for the snapshot rationale and
+        # the n > 0 invalidation rule
+        snap = snapshot_image_store(sess, store_dir, id_col=id_col)
+        store_exists = snap is not None
+        new_batch = batch_df if snap is None else \
+            batch_df.join(snap.frame.select(id_col), id_col, "left_anti")
         new_batch = new_batch.localCheckpoint(eager=True)
         n = update_image_signature_store(sess, new_batch, store_dir,
                                          grid=grid,
                                          payload_col=payload_col,
                                          id_col=id_col,
-                                         batch_is_new=True)
+                                         batch_is_new=True,
+                                         store_snap=snap)
         if store_exists or n:
             pairs = ahash_pairs_against_store(
-                sess, batch_df.select(id_col), store_dir, id_col=id_col)
+                sess, batch_df.select(id_col), store_dir, id_col=id_col,
+                store_snap=None if n else snap)
             update_component_store(sess, batch_df.select(id_col), pairs,
                                    comp_dir, id_col=id_col)
         if compact_every and (batch_id + 1) % compact_every == 0:

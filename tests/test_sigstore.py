@@ -144,6 +144,50 @@ def test_image_store_tombstones_undecodable_ids(spark, tmp_path,
     assert dict(d3.dtypes)["ahash_w"] == "array<bigint>"
 
 
+def test_image_store_snapshot_shares_one_read(spark, tmp_path):
+    """A caller-held ImageStoreSnapshot drives update + signed-ids +
+    pairs off ONE materialized store read, with outputs identical to
+    the per-call reads; a cold update (n > 0) invalidates it."""
+    import random
+    from datatools_spark.operators.sigstore import (
+        ahash_pairs_against_store, signed_image_ids, snapshot_image_store,
+        update_image_signature_store)
+    r = random.Random(11)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "media_id long, payload binary")
+    imgs = [bytes(r.randrange(256) for _ in range(256)) for _ in range(8)]
+    near = list(imgs[0])
+    near[0] = (near[0] + 120) % 256
+    b1 = mk([(i, p) for i, p in enumerate(imgs)] + [(40, bytes(near))]
+            + [(90, b"no")])
+    path = str(tmp_path / "imgstore")
+    assert snapshot_image_store(spark, path) is None   # missing → None
+    assert update_image_signature_store(spark, b1, path) == 9
+
+    # warm: snapshot serves all three consumers, results unchanged
+    snap = snapshot_image_store(spark, path)
+    assert update_image_signature_store(spark, b1, path,
+                                        store_snap=snap) == 0
+    assert ({x[0] for x in
+             signed_image_ids(spark, path, store_snap=snap).collect()}
+            == {x[0] for x in signed_image_ids(spark, path).collect()})
+    with_snap = sorted(map(tuple, ahash_pairs_against_store(
+        spark, b1, path, store_snap=snap).collect()))
+    without = sorted(map(tuple, ahash_pairs_against_store(
+        spark, b1, path).collect()))
+    assert with_snap == without and with_snap
+
+    # cold: the update appends PAST the snapshot — n > 0 is the caller's
+    # signal to drop it; a fresh read then sees the new signatures
+    b2 = mk([(200, imgs[1])])
+    snap2 = snapshot_image_store(spark, path)
+    assert update_image_signature_store(spark, b2, path,
+                                        store_snap=snap2) == 1
+    fresh = {tuple(x) for x in
+             ahash_pairs_against_store(spark, b2, path).collect()}
+    assert any(a == 1 and b == 200 for a, b, _ in fresh)  # new vs corpus
+
+
 def test_store_empty_dir_propagates_not_first_write(spark, tmp_path):
     # an empty (partially-written) store dir must RAISE, not be silently
     # treated as first write (which would append duplicate signatures)

@@ -179,7 +179,14 @@ def update_component_store(spark: SparkSession, ids: DataFrame,
         new_ids = ids.join(members.select("id"), "id", "left_anti")
     else:
         members, new_ids = None, ids
-    new_ids = new_ids.localCheckpoint(eager=True)
+    # count BEFORE checkpointing (the r11 sigstore pattern): a retried /
+    # warm batch registers nothing, and its eager checkpoint of the
+    # empty anti-join was a driver-blocking job bought for nothing; a
+    # batch with new ids pays one cheap recompute (both anti-join inputs
+    # are checkpointed) when the member-row write below consumes it
+    n_new = new_ids.count()
+    if n_new:
+        new_ids = new_ids.localCheckpoint(eager=True)
 
     mm = _merge_map(spark, path) if have_store else {}
 
@@ -243,7 +250,6 @@ def update_component_store(spark: SparkSession, ids: DataFrame,
              .parquet(_merges_path(path)))
 
     # member rows for new ids, labeled with their FINAL root
-    n_new = new_ids.count()
     if n_new:
         bmap = [(x, r) for x, r in group_root.items() if x != r]
         if bmap:

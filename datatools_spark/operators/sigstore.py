@@ -357,18 +357,23 @@ def _check_ahash_geometry(nbits: int) -> None:
                 "straddle a word boundary")
 
 
-def _check_store_layout(existing: DataFrame, path: str, nbits: int) -> None:
+def _check_store_layout(existing: DataFrame, path: str, nbits: int,
+                        seen: list | None = None) -> None:
     """The store being appended to must carry the packed layout at the
     SAME width — appending a second geometry (or appending packed rows
     into a legacy string-hash store) would poison every later read with
-    no repair path short of re-decoding the corpus."""
+    no repair path short of re-decoding the corpus. ``seen`` lets a
+    caller holding the store's distinct widths already (a snapshot's
+    stats) skip the aggregation job."""
     if "_nbits" not in existing.columns:
         raise ValueError(
             f"store at {path} has no _nbits column — it predates the "
             "packed layout (or is not an image signature store); "
             "rebuild it from payloads once with "
             "update_image_signature_store on an empty path")
-    seen = [r[0] for r in existing.select("_nbits").distinct().collect()]
+    if seen is None:
+        seen = [r[0] for r in
+                existing.select("_nbits").distinct().collect()]
     if seen and (len(seen) != 1 or seen[0] != nbits):
         raise ValueError(
             f"store at {path} holds {sorted(seen)}-bit signatures; "
@@ -442,7 +447,13 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
             existing = existing.select(id_col, "_nbits")
         if store_snap is None:
             existing = existing.localCheckpoint(eager=True)
-        _check_store_layout(existing, path, nbits)
+        seen_widths = None
+        if store_snap is not None and store_snap.nbits_stats is not None:
+            # the audit must see TOMBSTONE widths too (an all-tombstone
+            # grid-A store must still refuse grid-B rows), so it reads
+            # the unfiltered stats — no aggregation job
+            seen_widths = sorted({s[0] for s in store_snap.nbits_stats})
+        _check_store_layout(existing, path, nbits, seen=seen_widths)
         if not batch_is_new:
             # resolve WHICH ids are new on id columns alone, so the
             # steady-state all-seen batch never touches the payload
@@ -537,11 +548,20 @@ class ImageStoreSnapshot:
     (n == 0) never appends signatures, so the snapshot stays valid for
     pairing; tombstone appends don't invalidate it either (readers
     filter them out). Never reuse a snapshot across batches or bench
-    iterations — it is a per-invocation handle, not a cache."""
+    iterations — it is a per-invocation handle, not a cache.
 
-    def __init__(self, root: str, frame: DataFrame):
+    ``nbits_stats``: per-``(_nbits, is-tombstone)`` row counts, computed
+    in ONE aggregation job over the materialized projection at snapshot
+    time — the updater's geometry audit and the pair reader's
+    geometry/row-count job both read it instead of re-aggregating
+    (``None`` for a pre-packed-layout store; consumers then run their
+    own jobs)."""
+
+    def __init__(self, root: str, frame: DataFrame,
+                 nbits_stats: list | None = None):
         self.root = root
         self.frame = frame
+        self.nbits_stats = nbits_stats
 
 
 def snapshot_image_store(spark: SparkSession, path: str,
@@ -560,8 +580,16 @@ def snapshot_image_store(spark: SparkSession, path: str,
         raise
     proj = [c for c in (id_col, "ahash64", "ahash_w", "_nbits")
             if c in raw.columns]
-    return ImageStoreSnapshot(
-        root, raw.select(*proj).localCheckpoint(eager=True))
+    frame = raw.select(*proj).localCheckpoint(eager=True)
+    hcol = "ahash64" if "ahash64" in frame.columns else \
+        ("ahash_w" if "ahash_w" in frame.columns else None)
+    stats = None
+    if "_nbits" in frame.columns and hcol is not None:
+        stats = [(r["_nbits"], r["_tomb"], r["count"]) for r in
+                 frame.groupBy("_nbits",
+                               F.col(hcol).isNull().alias("_tomb"))
+                 .count().collect()]
+    return ImageStoreSnapshot(root, frame, stats)
 
 
 def signed_image_ids(spark: SparkSession, path: str,
@@ -640,12 +668,22 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
         if hcol is not None else raw_all
     # ONE job serves the geometry audit AND the store row count the
     # auto-budget needs below (r11: they were two sequential collects —
-    # each a driver-blocking roundtrip over the cached projection)
-    nbits_rows = raw.groupBy("_nbits").count().collect()
-    nbits_seen = [r["_nbits"] for r in nbits_rows]
-    store_rows = sum(r["count"] for r in nbits_rows)
+    # each a driver-blocking roundtrip over the cached projection); a
+    # snapshot carrying its stats needs NO job at all here
+    if store_snap is not None and store_snap.nbits_stats is not None:
+        signed = [s for s in store_snap.nbits_stats if not s[1]]
+        nbits_seen = sorted({s[0] for s in signed})
+        store_rows = sum(s[2] for s in signed)
+        raw_any = bool(store_snap.nbits_stats)
+    else:
+        nbits_rows = raw.groupBy("_nbits").count().collect()
+        nbits_seen = [r["_nbits"] for r in nbits_rows]
+        store_rows = sum(r["count"] for r in nbits_rows)
+        raw_any = None
     if not nbits_seen:
-        if raw_all.limit(1).count():
+        has_rows = raw_any if raw_any is not None \
+            else bool(raw_all.limit(1).count())
+        if has_rows:
             # every row is a tombstone: a VALID store that has signed
             # nothing pairable yet (e.g. an all-sub-width first batch) —
             # zero pairs, not an error (the extra limit-1 job runs only

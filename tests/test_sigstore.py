@@ -1,6 +1,7 @@
 """Incremental signature store: idempotent appends; batch-vs-store LSH
 pairs equal the full-corpus LSH restricted to the batch."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from datatools_spark.operators.dedup import minhash_lsh_pairs
@@ -186,6 +187,38 @@ def test_image_store_snapshot_shares_one_read(spark, tmp_path):
     fresh = {tuple(x) for x in
              ahash_pairs_against_store(spark, b2, path).collect()}
     assert any(a == 1 and b == 200 for a, b, _ in fresh)  # new vs corpus
+
+
+def test_snapshot_stats_serve_audit_and_pair_corners(spark, tmp_path):
+    """The snapshot's one-job nbits stats must preserve the jobful
+    corners: an all-tombstone store still refuses a different geometry
+    on update (tombstone widths count) and still yields zero pairs (not
+    an 'empty store' error) from the pair reader."""
+    from datatools_spark.operators.sigstore import (
+        ahash_pairs_against_store, snapshot_image_store,
+        update_image_signature_store)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "media_id long, payload binary")
+    path = str(tmp_path / "imgstore")
+    # all-tombstone grid-8 store (one sub-width payload)
+    assert update_image_signature_store(spark, mk([(5, b"zz")]), path) == 0
+    snap = snapshot_image_store(spark, path)
+    assert snap.nbits_stats and all(t for _, t, _ in snap.nbits_stats)
+    with pytest.raises(ValueError, match="one store, one geometry"):
+        update_image_signature_store(spark, mk([(6, bytes(256))]), path,
+                                     grid=16, store_snap=snap)
+    out = ahash_pairs_against_store(spark, mk([(5, b"zz")]), path,
+                                    store_snap=snap)
+    assert out.columns == ["a_id", "b_id", "hamming"]
+    assert out.count() == 0
+    # a signed store's snapshot carries per-width counts the pair reader
+    # budgets from — same rows as the jobful path (covered by
+    # test_image_store_snapshot_shares_one_read); here pin the stats
+    # shape itself: (nbits, is_tombstone, count)
+    assert update_image_signature_store(spark, mk(
+        [(1, bytes(range(256))), (2, b"q")]), path) == 1
+    snap2 = snapshot_image_store(spark, path)
+    assert sorted(snap2.nbits_stats) == [(64, False, 1), (64, True, 2)]
 
 
 def test_store_empty_dir_propagates_not_first_write(spark, tmp_path):

@@ -53,7 +53,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["update_component_store", "read_components",
-           "compact_component_store"]
+           "compact_component_store", "snapshot_component_store",
+           "ComponentStoreSnapshot"]
 
 
 def _members_path(path: str) -> str:
@@ -104,13 +105,70 @@ def _find(parent: dict, x):
     return r
 
 
-def read_components(spark: SparkSession, path: str) -> DataFrame:
+class ComponentStoreSnapshot:
+    """One materialized read of a component store, shared across the
+    calls of ONE batch (``update_component_store`` + a following
+    ``read_components``) — each otherwise pays its own members scan and
+    merge-log collect, and on the warm steady-state path those were the
+    only corpus-sized jobs left (the sigstore ``ImageStoreSnapshot``
+    pattern). The snapshot is valid only while the store is unwritten:
+    any call that appends through it sets ``stale`` and consumers REFUSE
+    a stale snapshot — re-snapshot after a cold batch. Never reuse one
+    across batches or bench iterations; it is a per-invocation handle,
+    not a cache."""
+
+    def __init__(self, path: str, members: DataFrame | None,
+                 merge_map: dict):
+        self.path = path
+        self.members = members        # eagerly checkpointed, or None
+        self.merge_map = merge_map
+        self.stale = False
+
+
+def snapshot_component_store(spark: SparkSession,
+                             path: str) -> ComponentStoreSnapshot:
+    """Materialize the store's members (eager localCheckpoint — appends
+    below must never recompute through the members path, the r4 recache
+    lesson) and the driver-side merge-log closure, once. ``members`` is
+    None when the store does not exist yet (first ingest)."""
+    members = None
+    if _exists(spark, _members_path(path)):
+        members = spark.read.parquet(_members_path(path)) \
+            .localCheckpoint(eager=True)
+    return ComponentStoreSnapshot(path, members, _merge_map(spark, path))
+
+
+def _use_snapshot(store_snap: ComponentStoreSnapshot | None,
+                  path: str, who: str) -> ComponentStoreSnapshot | None:
+    if store_snap is None:
+        return None
+    if store_snap.path != path:
+        raise ValueError(
+            f"{who}: snapshot was taken at {store_snap.path}, not "
+            f"{path} — one snapshot, one store")
+    if store_snap.stale:
+        raise ValueError(
+            f"{who}: snapshot is stale (the store was written through "
+            "it) — take a fresh snapshot_component_store after a batch "
+            "that registered ids or appended merges")
+    return store_snap
+
+
+def read_components(spark: SparkSession, path: str,
+                    store_snap: ComponentStoreSnapshot | None = None
+                    ) -> DataFrame:
     """Current ``(id, component)`` labels: members with the merge-log
     closure applied as ONE broadcast join — the log is merge-event-sized
     (compaction keeps it small), the members scan is the only
-    corpus-sized input, and no shuffle is needed."""
-    members = spark.read.parquet(_members_path(path))
-    mm = _merge_map(spark, path)
+    corpus-sized input, and no shuffle is needed. ``store_snap`` (see
+    :class:`ComponentStoreSnapshot`) serves both inputs without a job;
+    a stale or wrong-path snapshot raises."""
+    store_snap = _use_snapshot(store_snap, path, "read_components")
+    if store_snap is not None and store_snap.members is not None:
+        members, mm = store_snap.members, store_snap.merge_map
+    else:
+        members = spark.read.parquet(_members_path(path))
+        mm = _merge_map(spark, path)
     remap = [(c, r) for c, r in mm.items() if c != r]
     if not remap:
         return members.select("id", F.col("comp").alias("component"))
@@ -122,7 +180,9 @@ def read_components(spark: SparkSession, path: str) -> DataFrame:
 
 def update_component_store(spark: SparkSession, ids: DataFrame,
                            pairs: DataFrame, path: str,
-                           id_col: str = "doc_id") -> int:
+                           id_col: str = "doc_id",
+                           store_snap: ComponentStoreSnapshot | None = None
+                           ) -> int:
     """Register a batch and fold its near-dup pairs into the store.
 
     ``ids``: this batch's corpus ids (singletons welcome — every id gets
@@ -134,6 +194,11 @@ def update_component_store(spark: SparkSession, ids: DataFrame,
     pair-generator bug corrupt the store. Idempotent per id and per
     merge: a checkpoint-retried batch registers nothing new and derives
     no new merges. Returns the number of newly registered ids.
+
+    ``store_snap`` (see :class:`ComponentStoreSnapshot`) serves the
+    members scan and the merge-log collect without re-reading; when this
+    call appends anything it marks the snapshot stale, so the caller
+    re-snapshots before the post-update ``read_components``.
     """
     # try_cast, not cast: under ANSI mode a malformed id would abort the
     # checkpoint with an opaque JVM NumberFormatException mid-plan; under
@@ -150,14 +215,43 @@ def update_component_store(spark: SparkSession, ids: DataFrame,
     pr = pairs.select(F.col("a_id").try_cast("long").alias("a"),
                       F.col("b_id").try_cast("long").alias("b")).distinct() \
         .localCheckpoint(eager=True)
-    # Counted on the already-checkpointed batch-sized frames, so the
-    # validation costs no recompute of the caller's plans. NOTE these
-    # frames are post-distinct, so NULL keys COLLAPSE before counting —
-    # the message reports which inputs carry nulls, not how many input
-    # rows were malformed (r7 ADVICE: the old "N id rows / M pair rows"
-    # phrasing claimed row counts the distinct frames cannot provide).
-    bad_ids = ids.where(F.col("id").isNull()).count()
-    bad_pr = pr.where(F.col("a").isNull() | F.col("b").isNull()).count()
+
+    store_snap = _use_snapshot(store_snap, path, "update_component_store")
+    if store_snap is not None:
+        members = store_snap.members
+        have_store = members is not None
+    else:
+        have_store = _exists(spark, _members_path(path))
+        # localCheckpoint, not a cached plan: the members APPEND below
+        # must not recache/recompute anything reading the members path
+        # (the sigstore recache lesson, r4)
+        members = spark.read.parquet(_members_path(path)) \
+            .localCheckpoint(eager=True) if have_store else None
+    new_ids = ids.join(members.select("id"), "id", "left_anti") \
+        if have_store else ids
+
+    # ONE job serves all three preamble counts (r11: three sequential
+    # driver-blocking jobs — two malformed-id audits + the new-id
+    # count). All inputs are checkpointed, so the aggregates cost no
+    # recompute of the caller's plans; the member-row write below pays
+    # one cheap re-run of the anti-join over checkpointed inputs. NOTE
+    # the audited frames are post-distinct, so NULL keys COLLAPSE before
+    # counting — the message reports which inputs carry nulls, not how
+    # many input rows were malformed (r7 ADVICE: the old "N id rows / M
+    # pair rows" phrasing claimed row counts the distinct frames cannot
+    # provide).
+    cnt = {r["k"]: r["n"] for r in (
+        ids.agg(F.count(F.when(F.col("id").isNull(), 1)).alias("n"))
+           .select(F.lit("bad_ids").alias("k"), "n")
+        .unionByName(
+            pr.agg(F.count(F.when(F.col("a").isNull()
+                                  | F.col("b").isNull(), 1)).alias("n"))
+              .select(F.lit("bad_pr").alias("k"), "n"))
+        .unionByName(
+            new_ids.agg(F.count(F.lit(1)).alias("n"))
+                   .select(F.lit("new").alias("k"), "n"))
+        .collect())}
+    bad_ids, bad_pr, n_new = cnt["bad_ids"], cnt["bad_pr"], cnt["new"]
     if bad_ids or bad_pr:
         where = [w for w, bad in ((id_col, bad_ids), ("a_id/b_id", bad_pr))
                  if bad]
@@ -168,55 +262,42 @@ def update_component_store(spark: SparkSession, ids: DataFrame,
             "missing ids; the store keys members by integer id (use "
             "integer doc ids, or map string ids through a dictionary "
             "first)")
-
-    have_store = _exists(spark, _members_path(path))
-    if have_store:
-        # localCheckpoint, not a cached plan: the members APPEND below
-        # must not recache/recompute anything reading the members path
-        # (the sigstore recache lesson, r4)
-        members = spark.read.parquet(_members_path(path)) \
-            .localCheckpoint(eager=True)
-        new_ids = ids.join(members.select("id"), "id", "left_anti")
-    else:
-        members, new_ids = None, ids
-    # count BEFORE checkpointing (the r11 sigstore pattern): a retried /
-    # warm batch registers nothing, and its eager checkpoint of the
-    # empty anti-join was a driver-blocking job bought for nothing; a
-    # batch with new ids pays one cheap recompute (both anti-join inputs
-    # are checkpointed) when the member-row write below consumes it
-    n_new = new_ids.count()
+    # checkpoint only a NON-EMPTY new-id frame (the r11 sigstore
+    # pattern): a retried / warm batch registers nothing, and its eager
+    # checkpoint of the empty anti-join was a blocking job for nothing
     if n_new:
         new_ids = new_ids.localCheckpoint(eager=True)
 
-    mm = _merge_map(spark, path) if have_store else {}
+    mm = store_snap.merge_map if store_snap is not None else \
+        (_merge_map(spark, path) if have_store else {})
 
-    # endpoint → current component: member label (stale ok — resolved
-    # through the merge map driver-side below) or own id for batch ids
-    known = ids.select("id")
-    if members is not None:
-        lab = members
-        known = known.unionByName(members.select("id")).distinct()
-    else:
-        lab = spark.createDataFrame([], "id long, comp long")
-    unknown = (pr.select(F.col("a").alias("id"))
-               .unionByName(pr.select(F.col("b").alias("id")))
-               .distinct().join(known, "id", "left_anti"))
-    n_unknown = unknown.count()
-    if n_unknown:
-        sample = [r["id"] for r in unknown.limit(5).collect()]
-        raise ValueError(
-            f"update_component_store: {n_unknown} pair endpoint(s) are "
-            f"neither registered nor in this batch (e.g. {sample}) — "
-            "pairs must come from the registered corpus + this batch")
-
+    # endpoint → current component label (stale ok — resolved through
+    # the merge map driver-side below): member label for registered ids,
+    # own id for this batch's NEW ids; an endpoint matching neither is
+    # unknown and raises. The labeling join and the unknown-endpoint
+    # audit share ONE collect (r11: the audit was its own
+    # union+distinct+anti-join job before the adjacency job) — a NULL
+    # label after the left joins IS the unknown marker.
+    newlab = new_ids.select("id", F.col("id").alias("comp"))
+    lab = members.unionByName(newlab) if members is not None else newlab
     la = lab.select(F.col("id").alias("a"), F.col("comp").alias("_ca"))
     lb = lab.select(F.col("id").alias("b"), F.col("comp").alias("_cb"))
     adj = (pr.join(la, "a", "left").join(lb, "b", "left")
-           .select(F.coalesce("_ca", "a").alias("ca"),
-                   F.coalesce("_cb", "b").alias("cb"))
-           .where(F.col("ca") != F.col("cb"))
+           .where(F.col("_ca").isNull() | F.col("_cb").isNull()
+                  | (F.col("_ca") != F.col("_cb")))
+           .select(F.col("_ca").alias("ca"), F.col("_cb").alias("cb"),
+                   F.when(F.col("_ca").isNull(), F.col("a")).alias("ua"),
+                   F.when(F.col("_cb").isNull(), F.col("b")).alias("ub"))
            .distinct()
            .collect())     # distinct component adjacencies — batch-sized
+    unknown = sorted({r["ua"] for r in adj if r["ua"] is not None}
+                     | {r["ub"] for r in adj if r["ub"] is not None})
+    if unknown:
+        raise ValueError(
+            f"update_component_store: {len(unknown)} pair endpoint(s) "
+            f"are neither registered nor in this batch "
+            f"(e.g. {unknown[:5]}) — pairs must come from the "
+            "registered corpus + this batch")
 
     # driver union-find over CURRENT roots (merge map applied first)
     parent: dict = {}
@@ -245,12 +326,17 @@ def update_component_store(spark: SparkSession, ids: DataFrame,
                                    "child", "left_semi").collect()}
         merges = [(x, group_root[x]) for x in losers if x in existing]
         if merges:
+            if store_snap is not None:   # stale BEFORE the write: a
+                store_snap.stale = True  # crash mid-append must not
+                                         # leave a reusable snapshot
             (spark.createDataFrame(merges, "child long, parent long")
              .coalesce(1).write.mode("append")
              .parquet(_merges_path(path)))
 
     # member rows for new ids, labeled with their FINAL root
     if n_new:
+        if store_snap is not None:
+            store_snap.stale = True
         bmap = [(x, r) for x, r in group_root.items() if x != r]
         if bmap:
             remap = F.broadcast(spark.createDataFrame(

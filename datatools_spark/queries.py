@@ -9377,10 +9377,18 @@ def mm_image_dedup_store(spark, sf_dir):
               "media_id", "left_semi")
     pairs = SS.ahash_pairs_against_store(spark, batch, sig_root,
                                          store_snap=snap)
+    # ONE component-store snapshot serves the fold AND the read-back
+    # (r11: update_component_store and read_components each paid their
+    # own members scan + merge-log collect); a cold batch that appends
+    # marks it stale, so the read-back re-snapshots the post-fold store
+    csnap = CS.snapshot_component_store(spark, comp_root)
     CS.update_component_store(spark, batch,
                               pairs.select("a_id", "b_id"),
-                              comp_root, id_col="media_id")
-    comp = CS.read_components(spark, comp_root)
+                              comp_root, id_col="media_id",
+                              store_snap=csnap)
+    if csnap.stale:
+        csnap = CS.snapshot_component_store(spark, comp_root)
+    comp = CS.read_components(spark, comp_root, store_snap=csnap)
     return comp.select(F.col("id").alias("media_id"),
                        F.col("component"),
                        (F.col("component") == F.col("id"))

@@ -9,7 +9,8 @@ incremental store is indistinguishable from a full recompute.
 import pytest
 
 from datatools_spark.operators.compstore import (
-    compact_component_store, read_components, update_component_store)
+    compact_component_store, read_components, snapshot_component_store,
+    update_component_store)
 from datatools_spark.operators.graph import connected_components
 
 
@@ -110,6 +111,60 @@ def test_non_numeric_id_raises_type_error_not_unregistered(spark, tmp_path):
     n = update_component_store(spark, ok_ids, ok_pairs, path)
     assert n == 2
     assert len(set(_store_labels(spark, path).values())) == 1
+
+
+def test_snapshot_shares_one_read_and_goes_stale_on_append(spark, tmp_path):
+    """One ComponentStoreSnapshot serves update + read_components with
+    outputs identical to the snapshot-free path; any append through it
+    marks it stale, and consumers refuse a stale or wrong-path one."""
+    path = str(tmp_path / "cs_snap")
+    update_component_store(spark, _ids(spark, [1, 2, 3, 4]),
+                           _pairs(spark, [(1, 2), (3, 4)]), path)
+    # warm batch (re-ingest, no new ids, no merges): snapshot stays
+    # valid and both consumers read through it
+    snap = snapshot_component_store(spark, path)
+    n = update_component_store(spark, _ids(spark, [1, 2]),
+                               _pairs(spark, [(1, 2)]), path,
+                               store_snap=snap)
+    assert n == 0 and not snap.stale
+    with_snap = {r["id"]: r["component"] for r in
+                 read_components(spark, path, store_snap=snap).collect()}
+    assert with_snap == _store_labels(spark, path)
+    # unknown endpoints still raise through the fused audit
+    with pytest.raises(ValueError, match="neither registered"):
+        update_component_store(spark, _ids(spark, []),
+                               _pairs(spark, [(1, 777)]), path,
+                               store_snap=snap)
+    assert not snap.stale   # the refused batch wrote nothing
+    # cold batch: new id + an old-old merge -> snapshot goes stale,
+    # both consumers refuse it, and a fresh one sees the fold
+    n = update_component_store(spark, _ids(spark, [9]),
+                               _pairs(spark, [(9, 1), (2, 3)]), path,
+                               store_snap=snap)
+    assert n == 1 and snap.stale
+    with pytest.raises(ValueError, match="stale"):
+        read_components(spark, path, store_snap=snap)
+    with pytest.raises(ValueError, match="stale"):
+        update_component_store(spark, _ids(spark, []),
+                               _pairs(spark, []), path, store_snap=snap)
+    snap2 = snapshot_component_store(spark, path)
+    labels = {r["id"]: r["component"] for r in
+              read_components(spark, path, store_snap=snap2).collect()}
+    assert labels == _batch_truth(spark, {1, 2, 3, 4, 9},
+                                  [(1, 2), (3, 4), (9, 1), (2, 3)])
+    with pytest.raises(ValueError, match="one snapshot, one store"):
+        read_components(spark, str(tmp_path / "elsewhere"),
+                        store_snap=snap2)
+    # first-ingest snapshot (store absent): members is None, the update
+    # falls back to first-write semantics and marks it stale
+    p2 = str(tmp_path / "cs_snap_fresh")
+    snap3 = snapshot_component_store(spark, p2)
+    assert snap3.members is None
+    assert update_component_store(spark, _ids(spark, [7, 8]),
+                                  _pairs(spark, [(7, 8)]), p2,
+                                  store_snap=snap3) == 2
+    assert snap3.stale
+    assert _store_labels(spark, p2) == {7: 7, 8: 7}
 
 
 def test_compaction_resolves_and_refuses_nonempty(spark, tmp_path):

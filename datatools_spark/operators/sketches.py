@@ -301,7 +301,27 @@ def kmv_sketch(df: DataFrame, group_cols, item_col: str, k: int = 64,
     # name-list inner join (NULL != NULL) — same bug class as the
     # store-merge null-fork finding, caught one layer deeper (r7).
     gk = F.struct(*[F.col(c) for c in g]).alias("_gk")
-    pairs = (df.select(gk, kmv_hash52(F.col(item_col), salt).alias("_h"))
+    # Dedup BEFORE hashing (r11): md5 runs once per DISTINCT
+    # (group, item-string) instead of once per occurrence — on natural-
+    # language corpora occurrences/vocab is 2-3 orders of magnitude
+    # (436× on the bench corpus), and the md5 is the operator's
+    # corpus-linear CPU term. Distinct is taken on the SAME string the
+    # hash consumes, so distinct strings → distinct hashes and the
+    # sketch is bit-identical (hash collisions collapse in the local
+    # distinct below exactly as they did in the old (group, hash)
+    # distinct). The explicit repartition on the group key lets the
+    # hash-distinct AND the window share ONE exchange (HashPartitioning
+    # on _gk satisfies both clusterings), so the exchange count is
+    # unchanged — the first now carrying partial-deduped strings
+    # instead of partial-deduped hashes
+    # (plans/r11/doc_kmv_vocab_internal_{before,after}.txt). Wall at
+    # sf0.1 is fixed-overhead-bound and unchanged (doc_kmv_vocab
+    # 1.167 → 1.162 s min-of-7; doc_kmv_source_overlap 1.165 → 1.043);
+    # the win is the corpus-linear term.
+    pairs = (df.select(gk, F.col(item_col).cast("string").alias("_w"))
+             .distinct()
+             .select("_gk", kmv_hash52(F.col("_w"), salt).alias("_h"))
+             .repartition("_gk")
              .distinct())
     wg = Window.partitionBy("_gk")
     j = pairs.select("_gk", "_h",

@@ -633,6 +633,24 @@ class TestKMV:
         for g, hs in by_g.items():
             assert got[g] == sorted(hs)[:k]
 
+    def test_occurrence_multiplicity_is_invariant(self, spark):
+        # r11 dedup-before-hash: the md5 now runs per DISTINCT
+        # (group, item-string), so a corpus with every item repeated
+        # 17× must produce the exact same sketch AND the same exact
+        # ndv as the deduplicated corpus (ndv still counts distinct
+        # hashes, not occurrences)
+        from datatools_spark.operators.sketches import kmv_sketch
+        df = self._items(spark)
+        rep = df.crossJoin(spark.range(17).select(F.lit(1).alias("_x")))\
+            .select("g", "item")
+        a = {r["g"]: (r["hs"], r["ndv"])
+             for r in kmv_sketch(df, ["g"], "item", k=16,
+                                 include_ndv=True).collect()}
+        b = {r["g"]: (r["hs"], r["ndv"])
+             for r in kmv_sketch(rep, ["g"], "item", k=16,
+                                 include_ndv=True).collect()}
+        assert a == b
+
     def test_degenerate_margin_forces_exactness_net(self, spark):
         # margin≈0 sends every group through the lazy re-rank branch;
         # the result must be identical to the default path

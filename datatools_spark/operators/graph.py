@@ -164,9 +164,17 @@ def connected_components(edges: DataFrame, src: str = "a_id",
     billion-edge graph needs. Pass ``small_graph_threshold=0`` to force
     the distributed path.
     """
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .unionByName(edges.select(F.col(dst).alias("u"),
-                                   F.col(src).alias("v")))
+    # materialize the caller's edge plan ONCE before the symmetrizing
+    # union (r11): a union of `edges` with its own reversal evaluates
+    # the caller's whole pair-generation plan PER BRANCH — for a
+    # banded-Hamming or posting-list pair frame that is the candidate
+    # join + verify twice. Off the checkpoint both branches are memory
+    # scans; cost is one pairs-sized materialization the union's first
+    # branch paid anyway.
+    e0 = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+          .localCheckpoint(eager=True))
+    e = (e0.unionByName(e0.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
          .distinct()
          .localCheckpoint())
     if e.count() <= 2 * small_graph_threshold:

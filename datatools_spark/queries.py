@@ -4921,6 +4921,12 @@ def ss_pagerank(spark, sf_dir):
           # long key halves the exchange bytes of a decimal string
           .select((F.col("o_custkey") * 2).cast("bigint").alias("u"),
                   (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("v")))
+    # checkpoint BEFORE the symmetrizing union (r11): a union of el with
+    # its own reversal re-derives the whole join+distinct subtree per
+    # branch — 2 orders scans, 2 lineitem scans, 2 broadcast builds and
+    # 2 distinct exchanges for one edge list. Off the checkpoint both
+    # branches are memory scans (plans/r11/ss_pagerank_edges_after.txt).
+    el = el.localCheckpoint(eager=True)
     e = el.unionByName(
         el.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # el is distinct and the reversed half is disjoint (even/odd ids),

@@ -2547,12 +2547,21 @@ def doc_curation_pipeline(spark, sf_dir):
 
     w = corpus.withColumn("_tok", TX.token_count_col("text"))
     rep = TX.repetition_stats(corpus, gram_n=2)
+    # checkpoint each funnel chain node ONCE (r11): the five stage
+    # aggregates below union plans of increasing depth, so without the
+    # checkpoints the tokenize ran 5×, the 2-gram repetition stats 4×,
+    # the dedup 3× and the decontamination shingle join 2× — one
+    # full-pipeline recompute per funnel row. `clean` is checkpointed
+    # instead of `dec` because it is doc_id-sized while dec carries the
+    # corpus text.
     qual = (w.join(rep, "doc_id")
             .where((F.col("_tok") >= 20) & (F.col("top_ngram_frac") <= 0.1)
-                   & (F.col("dup_word_frac") <= 0.65)))
-    dd = D.exact_dedup(qual)
+                   & (F.col("dup_word_frac") <= 0.65))
+            .localCheckpoint(eager=True))
+    dd = D.exact_dedup(qual).localCheckpoint(eager=True)
     clean = CU.contamination_counts(dd, bench, shingle_n=5) \
-        .where(~F.col("contaminated")).select("doc_id")
+        .where(~F.col("contaminated")).select("doc_id") \
+        .localCheckpoint(eager=True)
     dec = dd.join(clean, "doc_id")
     samp = CU.source_balanced_sample(dec.drop("_tok"))
 
@@ -6177,8 +6186,10 @@ def doc_dup_rate_by_source(spark, sf_dir):
     explode and one broadcast membership join back to the corpus."""
     d = _t(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(d, num_hashes=8, bands=4, threshold=0.25)
-    ids = (pairs.select(F.col("a_id").alias("doc_id"))
-           .union(pairs.select(F.col("b_id").alias("doc_id")))
+    # explode both endpoints from ONE pass over the pair plan (r11): the
+    # previous a_id ∪ b_id union re-ran the whole candidate join +
+    # verify once per branch (same multiset → same distinct)
+    ids = (pairs.select(F.explode(F.array("a_id", "b_id")).alias("doc_id"))
            .distinct().withColumn("_dup", F.lit(1)))
     return (d.join(F.broadcast(ids), "doc_id", "left")
             .groupBy("source")
@@ -6813,10 +6824,14 @@ def doc_dup_degree_stats(spark, sf_dir):
     naive pair removal). Pure aggregates over the bucketed pair
     table."""
     d = _t(spark, sf_dir, "documents")
+    # checkpoint the pair table once (r11): it feeds the degree
+    # aggregate AND the edge count, and the a_id/b_id union re-ran the
+    # candidate join + verify per branch — explode both endpoints from
+    # one scan instead (one a_id + one b_id row per pair, identical
+    # multiset)
     p = D.minhash_lsh_pairs(d, num_hashes=8, bands=4, threshold=0.25) \
-        .select("a_id", "b_id")
-    deg = (p.select(F.col("a_id").alias("doc_id"))
-           .unionAll(p.select(F.col("b_id").alias("doc_id")))
+        .select("a_id", "b_id").localCheckpoint(eager=True)
+    deg = (p.select(F.explode(F.array("a_id", "b_id")).alias("doc_id"))
            .groupBy("doc_id").agg(F.count("*").alias("d")))
     ec = p.agg(F.count("*").alias("n_edges"))
     return (deg.agg(F.count("*").alias("n_nodes"),

@@ -6672,20 +6672,38 @@ def emb_matryoshka_eval(spark, sf_dir):
     truncated before retrieval degrades (an 8× scan-cost / memory
     saving at 10⁹ vectors). Both sides are the broadcast-query
     single-scan brute plan."""
+    # ONE corpus scan for both legs (r11): the two knn_brute_force
+    # calls each scanned embeddings, built their own query broadcast
+    # and paid their own rank-window exchange, then joined the top-10
+    # lists. Both cosines (full-dim and 8-dim truncation — the same
+    # expressions the operator uses) now ride one scan⨯broadcast, the
+    # two rank windows share ONE query_id exchange, and the recall is
+    # a conditional count over rows in the full-dim top-10 — identical
+    # to the old left-join count of the top-10 intersection.
     e = _t(spark, sf_dir, "embeddings") \
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
     q = e.where(F.col("vec_id").isin(0, 1, 2)) \
-        .select(F.col("vec_id").alias("query_id"), "embedding")
-    e8 = e.withColumn("embedding", F.slice("embedding", 1, 8))
-    q8 = q.withColumn("embedding", F.slice("embedding", 1, 8))
-    brute = SIM.knn_brute_force(e, q, k=10).select("query_id", "vec_id")
-    tr = (SIM.knn_brute_force(e8, q8, k=10)
-          .select("query_id", F.col("vec_id").alias("tr_id")))
-    j = brute.join(tr, (tr.query_id == brute.query_id)
-                   & (F.col("tr_id") == brute.vec_id), "left") \
-        .select(brute.query_id, "tr_id")
-    return (j.groupBy("query_id")
-            .agg(F.round(F.count("tr_id") / 10.0, 6).alias("recall_at_10")))
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("_qv"))
+    scored = (PT.ensure_parallelism(e.select("vec_id", "embedding"),
+                                    min_bytes=0)
+              .crossJoin(F.broadcast(q))
+              .select("query_id", "vec_id",
+                      SIM.cosine_expr(F.col("embedding"),
+                                      F.col("_qv")).alias("_cf"),
+                      SIM.cosine_expr(F.slice("embedding", 1, 8),
+                                      F.slice("_qv", 1, 8)).alias("_c8")))
+    wf = Window.partitionBy("query_id").orderBy(F.col("_cf").desc(),
+                                                F.col("vec_id"))
+    w8 = Window.partitionBy("query_id").orderBy(F.col("_c8").desc(),
+                                                F.col("vec_id"))
+    r = scored.select("query_id", "vec_id",
+                      F.row_number().over(wf).alias("_rf"),
+                      F.row_number().over(w8).alias("_r8"))
+    return (r.where(F.col("_rf") <= 10)
+            .groupBy("query_id")
+            .agg(F.round(F.count(F.when(F.col("_r8") <= 10, 1)) / 10.0, 6)
+                 .alias("recall_at_10")))
 
 
 @query("ss_basket_pairs", sql="""

@@ -99,19 +99,31 @@ def train_logreg(feats: DataFrame, *, dim: int, iters: int = 2,
     ``feats`` (cache it first). Iteration 1 needs no logit: w=0 gives
     p=0.5 exactly, so its gradient is computed in the same single-agg
     shape with a literal p."""
-    n = feats.count()
-    if n == 0:
-        raise ValueError(
-            "train_logreg: no training rows (all docs filtered or "
-            "empty) — the gradient sums would be NULL and n=0 divides; "
-            "a model fit on nothing is undefined")
+    _no_rows = ("train_logreg: no training rows (all docs filtered or "
+                "empty) — the gradient sums would be NULL and n=0 "
+                "divides; a model fit on nothing is undefined")
+    if iters <= 0:
+        # no gradient job to ride the count on — pay it explicitly
+        if feats.count() == 0:
+            raise ValueError(_no_rows)
+        return [0.0] * dim, 0.0
     w, bias = [0.0] * dim, 0.0
+    n = 0
     for it in range(iters):
         p = F.lit(0.5) if it == 0 else _p_col(w, bias)
-        row = feats.agg(*(
-            [F.round(F.sum((p - F.col("y")) * F.col("x")[i]), _G_DP)
-             .alias(f"g{i}") for i in range(dim)]
-            + [F.round(F.sum(p - F.col("y")), _G_DP).alias("gb")])).first()
+        aggs = ([F.round(F.sum((p - F.col("y")) * F.col("x")[i]), _G_DP)
+                 .alias(f"g{i}") for i in range(dim)]
+                + [F.round(F.sum(p - F.col("y")), _G_DP).alias("gb")])
+        if it == 0:
+            # the row count rides the FIRST gradient aggregate (r11):
+            # a separate count() action cost one whole extra job (and
+            # the first full pass over an un-materialized feats)
+            aggs.append(F.count("*").alias("_n"))
+        row = feats.agg(*aggs).first()
+        if it == 0:
+            n = row["_n"]
+            if n == 0:
+                raise ValueError(_no_rows)
         w = [round(w[i] - lr * row[f"g{i}"] / n, _W_DP)
              for i in range(dim)]
         bias = round(bias - lr * row["gb"] / n, _W_DP)

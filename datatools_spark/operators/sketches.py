@@ -694,6 +694,21 @@ def read_value_sample_store(spark, path: str, k: int | None = None,
     return out.drop("_k", "_salt")
 
 
+def _cms_batch_cells(batch: DataFrame, item_col: str, depth: int,
+                     width: int, salt: str) -> DataFrame:
+    """Batch occurrences → CMS cells via a per-item pre-aggregation
+    (r11): ``cms_build_from_counts`` is bit-identical to ``cms_build``
+    over the expanded multiset but pays ``depth`` md5s per DISTINCT
+    item instead of per occurrence — the fold's corpus-linear hashing
+    term drops by the batch's occurrence/vocab ratio (436× on the
+    bench corpus), and the pre-agg exchange is vocab-bounded after
+    partial aggregation (same order as the d·w cell exchange it
+    precedes)."""
+    counts = batch.groupBy(F.col(item_col)).agg(F.count("*").alias("_n"))
+    return cms_build_from_counts(counts, item_col, "_n", depth, width,
+                                 salt)
+
+
 def update_cms_store(spark, batch: DataFrame, path: str, item_col: str,
                      batch_id, depth: int = 4, width: int = 1024,
                      salt: str = "cms", app_id: str = "default") -> dict:
@@ -783,14 +798,14 @@ def update_cms_store(spark, batch: DataFrame, path: str, item_col: str,
         if prev and bid <= prev[0]:
             return {"batch": snaps[-1], "skipped": True}
         merged = (spark.read.parquet(f"{base}/sketch")
-                  .unionByName(cms_build(batch, item_col, depth, width,
-                                         salt))
+                  .unionByName(_cms_batch_cells(batch, item_col, depth,
+                                                width, salt))
                   .groupBy("row", "bucket").agg(F.sum("c").alias("c")))
         others = [(r["app_id"], r["last_id"]) for r in rows
                   if r["app_id"] != app_id]
         nxt = snaps[-1] + 1
     else:
-        merged = cms_build(batch, item_col, depth, width, salt)
+        merged = _cms_batch_cells(batch, item_col, depth, width, salt)
         others = []
         nxt = 0
     # JVM-side literal rows, NOT createDataFrame(list): a Python-list

@@ -7699,19 +7699,26 @@ def emb_pq_distortion(spark, sf_dir):
             for c in range(8)])
         dcols.append(F.round(F.array_min(dists), 6).alias(f"d{si}"))
     d = e.select(*dcols)
-    parts = []
-    for si in range(4):
-        parts.append(d.agg(
-            F.count("*").alias("n"),
-            F.round(F.sum(F.col(f"d{si}").cast("decimal(30,6)"))
-                    .cast("double") / F.count("*"), 6).alias("mean_d"),
-            F.round(F.max(f"d{si}"), 6).alias("max_d"))
-            .select(F.lit(si).cast("bigint").alias("subspace"),
-                    "n", "mean_d", "max_d"))
-    out = parts[0]
-    for pp in parts[1:]:
-        out = out.unionByName(pp)
-    return out
+    # ONE aggregate for all four subspaces (r11): the previous
+    # union-of-four-aggs shape scanned the embeddings once per branch
+    # (each branch pruned to its own d{si}, so the corpus was read and
+    # PQ-decoded 4×). All 12 metrics ride one combinable aggregate and
+    # reshape to the same 4 rows via a literal-struct explode — values
+    # bit-identical per metric.
+    agg = d.agg(
+        F.count("*").alias("n"),
+        *[F.round(F.sum(F.col(f"d{si}").cast("decimal(30,6)"))
+                  .cast("double") / F.count("*"), 6).alias(f"_mean_{si}")
+          for si in range(4)],
+        *[F.round(F.max(f"d{si}"), 6).alias(f"_max_{si}")
+          for si in range(4)])
+    return (agg.select(F.explode(F.array(*[
+        F.struct(F.lit(si).cast("bigint").alias("subspace"),
+                 F.col("n").alias("n"),
+                 F.col(f"_mean_{si}").alias("mean_d"),
+                 F.col(f"_max_{si}").alias("max_d"))
+        for si in range(4)])).alias("_r"))
+        .select("_r.*"))
 
 
 @query("ts_sensor_beta", sql="""

@@ -302,7 +302,13 @@ def _fold_history(out: dict, hist_dir: str, code_fp: str | None) -> list[str]:
     runs). Fingerprint equality is the staleness guard: a run from
     before a perf-relevant code change can never mask a regression
     because its fingerprint differs — while docs/artifact commits keep
-    it stable."""
+    it stable.
+
+    The fold key is (code_fp, sf, **cpus**). Without cpus the driver's
+    reduced-core scaling pass folded 32-core minima into its 8-core
+    artifact and read FASTER than the 32-core run (r11 VERDICT #1a),
+    erasing the parallelism signal the scaling pass exists to measure.
+    History entries missing a ``cpus`` stamp (pre-r12) never fold."""
     out["folded_queries"] = []
     if code_fp is None or not os.path.isdir(hist_dir):
         return []
@@ -322,6 +328,8 @@ def _fold_history(out: dict, hist_dir: str, code_fp: str | None) -> list[str]:
             continue
         if data.get("sf") != out.get("sf"):
             continue   # minima from a different scale factor never mix
+        if data.get("cpus") != out.get("cpus"):
+            continue   # minima from a different core count never mix
         hit = False
         for path in sections:
             cur, src = out, data
@@ -556,6 +564,9 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # part of the history fold key (r11 VERDICT #1a): an 8-core
+        # scaling run must never inherit 32-core minima
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "extended": ext,
         "plans": plans,
     }
@@ -631,11 +642,14 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(f"full detail -> {full_path}", file=sys.stderr)
-    # compact stdout (r8): wall AND plan counters for BOTH the headline
-    # and extended sections, merged per query as [wall_s, task_s,
-    # shuffle_mb] so names are not repeated — the r7 artifact carried
-    # counters only for headline rows, leaving extended movers
-    # unadjudicable (r7 VERDICT #2). sf1-equiv per-row counters live in
+    # compact stdout: SCALAR wall seconds per query in "queries"/"ext"
+    # (r11 VERDICT #1b: the driver's comparator consumes scalars — two
+    # rounds of [wall,task,shuffle] arrays left PERF per_query/geomean/
+    # scaling EMPTY). Plan counters (task_s, shuffle_mb — deterministic
+    # per plan where wall swings ±20 % with co-tenant load, r7 VERDICT
+    # #2) move to the sibling "counters" key, heavy rows only, so
+    # second-scale movers stay adjudicable without breaking the
+    # comparator. sf1-equiv per-row counters live in
     # bench/BENCH_full.json (they cannot fit the 2 KB tail capture);
     # its totals ride here. Counters at 1 dp (direction adjudication,
     # not sub-100 ms resolution) but WALL at 2 dp: most headline rows
@@ -652,24 +666,27 @@ def main() -> None:
 
     folded_q = set(out.get("folded_queries", []))
 
-    def _row(name: str, wall: float):
+    def _counter_row(name: str):
         p = plans.get(name)
         # folded rows report an earlier same-code run's wall minimum;
-        # this run's counters would mislabel it — wall only
+        # this run's counters would mislabel it — skip
         if p and name not in folded_q:
-            return [_r2(wall), _r1(p["task_ms"] / 1000),
+            return [_r1(p["task_ms"] / 1000),
                     _r1(p["shuffle_bytes"] / 1e6)]
-        return [_r2(wall)]
+        return None
 
     compact = {
         "metric": "headline_query_wall_time",
         "value": out["value"],
         "unit": "sec",
         "sf": out["sf"],
-        "legend": "[wall_s,task_s,shuffle_mb]",
-        "queries": {n: _row(n, s) for n, s in times.items()},
-        "ext": {n: _row(n, s) for n, s in ext.items()},
+        "cpus": out["cpus"],
+        "queries": {n: _r2(s) for n, s in times.items()},
+        "ext": {n: _r2(s) for n, s in ext.items()},
         "extended_total": round(sum(ext.values()), 2),
+        "counters_legend": "[task_s,shuffle_mb]",
+        "counters": {n: c for n in list(times) + list(ext)
+                     if (c := _counter_row(n)) is not None},
     }
     if "sf1_equiv" in out:
         compact["sf1_equiv_total"] = out["sf1_equiv"]["value"]
@@ -687,26 +704,27 @@ def main() -> None:
     # hard guard for the driver's ~2 KB tail capture: six rounds of
     # BENCH artifacts were "parsed": null because the line overflowed.
     # Degrade deterministically, never overflow: shed counters from the
-    # CHEAPEST extended rows first (a 0.3-task_s row has nothing to
-    # adjudicate; the heavy rows keep their counters), then drop the
-    # remaining extended counters wholesale, then the section.
+    # CHEAPEST rows first (a 0.3-task_s row has nothing to adjudicate;
+    # the heavy rows keep their counters), then the counters section
+    # wholesale, then wall precision, then the ext section. The scalar
+    # "queries"/"ext" walls are NEVER restructured — the driver's
+    # comparator depends on them.
     line = json.dumps(compact, separators=(",", ":"))
-    shed = sorted((n for n in ext if len(compact["ext"][n]) > 1),
-                  key=lambda n: compact["ext"][n][1])   # ascending task_s
+    shed = sorted(compact["counters"],
+                  key=lambda n: compact["counters"][n][0])  # asc task_s
     while len(line) > 2000 and shed:
-        n = shed.pop(0)
-        compact["ext"][n] = [compact["ext"][n][0]]      # wall only
+        del compact["counters"][shed.pop(0)]
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 2000:
-        # next resort: shed wall precision (2 dp -> 1 dp) everywhere,
-        # keeping whatever counters survived — precision loss only
-        # under overflow, never in the healthy line (r8 ADVICE, low)
+        compact.pop("counters", None)
+        compact.pop("counters_legend", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 2000:
+        # next resort: shed wall precision (2 dp -> 1 dp) everywhere —
+        # precision loss only under overflow, never in the healthy
+        # line (r8 ADVICE, low)
         for sec in ("queries", "ext"):
-            compact[sec] = {n: [_r1(r[0])] + r[1:]
-                            for n, r in compact[sec].items()}
-        line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 2000:
-        compact["ext"] = {n: [_r1(s)] for n, s in ext.items()}
+            compact[sec] = {n: _r1(s) for n, s in compact[sec].items()}
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 2000:
         del compact["ext"]

@@ -1,10 +1,10 @@
-"""Capture .explain("formatted") for bench queries into plans/r11/.
+"""Capture .explain("formatted") for bench queries into plans/r12/.
 
 Usage: python bench/explain_capture.py <suffix> [query ...]
   suffix: "before" | "after" (file name suffix)
   query:  optional subset; default = BENCH_QUERIES + EXTENDED_QUERIES.
 
-Writes plans/r11/<query>_<suffix>.txt. Construction of some queries runs
+Writes plans/r12/<query>_<suffix>.txt. Construction of some queries runs
 eager localCheckpoints (the measured-dispatch pair engines), so this is
 not free — run it on a quiet box.
 """
@@ -28,7 +28,7 @@ def main() -> None:
     names = sys.argv[2:] or (_b.BENCH_QUERIES + _b.EXTENDED_QUERIES)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r11")
+        os.path.abspath(__file__))), "plans", "r12")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("datatools-explain")
     spark.sparkContext.setLogLevel("ERROR")

@@ -26,6 +26,9 @@ sk = SK.kmv_sketch(tok, ["source"], "w", k=64, include_ndv=True)
 plan = sk._sc._jvm.PythonSQLUtils.explainString(sk._jdf.queryExecution(), "formatted")
 with open(out_path, "w") as f:
     f.write(plan)
-DataFrame.localCheckpoint = orig
+# restore on the SAME class that was patched (r11 ADVICE: restoring
+# onto the pyspark.sql.DataFrame base left the no-op installed on the
+# classic class for the rest of the process)
+CDF.localCheckpoint = orig
 print("wrote", out_path)
 spark.stop()

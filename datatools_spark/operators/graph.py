@@ -170,7 +170,17 @@ def connected_components(edges: DataFrame, src: str = "a_id",
     # banded-Hamming or posting-list pair frame that is the candidate
     # join + verify twice. Off the checkpoint both branches are memory
     # scans; cost is one pairs-sized materialization the union's first
-    # branch paid anyway.
+    # branch paid anyway. DELIBERATE trade (r11 ADVICE): the checkpoint
+    # stores the pre-distinct OCCURRENCE-sized multiset — for a
+    # duplicate-heavy pair generator that is more executor storage than
+    # the distinct set, and localCheckpoint blocks are lost on executor
+    # failure. Distinct-before-checkpoint would shuffle the occurrence
+    # stream once HERE and then the symmetrized union AGAIN below
+    # (~3× the rows of the current single union-distinct when
+    # duplicates are rare — the common case: dedup pair generators
+    # already emit near-distinct pairs), so the occurrence-sized store
+    # is the cheaper shape; callers with heavy duplication should
+    # distinct() before calling.
     e0 = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
           .localCheckpoint(eager=True))
     e = (e0.unionByName(e0.select(F.col("v").alias("u"),

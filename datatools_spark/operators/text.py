@@ -384,6 +384,12 @@ def bm25_scores(df: DataFrame, terms: Sequence[str],
     aggregates. Per-term contributions round to 10 dp and sum in
     decimal, so the score is bit-stable across engines and partition
     orders. Output: ``id_col, score`` for docs matching ≥1 term.
+
+    CONTRACT: ``id_col`` must be unique per document (r11 ADVICE — the
+    single-pass shape counts tf per physical ROW, so a doc id appearing
+    twice contributes 2 to df and scores as two independent docs; the
+    pre-r11 shape silently merged duplicates before counting).
+    Deduplicate ids upstream if the corpus can carry them.
     """
     # ONE tokenize pass (r11): the previous shape evaluated the corpus
     # tokenization once for the (N, avgdl) scalars, once for the tf

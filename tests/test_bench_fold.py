@@ -52,6 +52,25 @@ def test_fold_skips_other_fp_other_sf_and_dirty(tmp_path):
     assert out["queries"] == {"q1": 2.0}
 
 
+def test_fold_keys_on_cpus(tmp_path):
+    """r11 VERDICT #1a: the driver's 8-core scaling run folded 32-core
+    minima (18.5 s artifact < the 32-core 22.5 s) because the fold key
+    lacked cpus. Different-cpus history — and pre-r12 history with no
+    cpus stamp at all — must never fold into a stamped run."""
+    _hist(tmp_path, "BENCH_full_c32.json", code_fp="h1", sf=0.1, cpus=32,
+          queries={"q1": 0.5})
+    _hist(tmp_path, "BENCH_full_nocpu.json", code_fp="h1", sf=0.1,
+          queries={"q1": 0.4})
+    out = {"sf": 0.1, "cpus": 8, "queries": {"q1": 2.0}, "value": 2.0}
+    assert bench._fold_history(out, str(tmp_path), "h1") == []
+    assert out["queries"] == {"q1": 2.0}
+    # same cpus: folds
+    out32 = {"sf": 0.1, "cpus": 32, "queries": {"q1": 2.0}, "value": 2.0}
+    assert bench._fold_history(out32, str(tmp_path), "h1") == [
+        "BENCH_full_c32.json"]
+    assert out32["queries"] == {"q1": 0.5}
+
+
 def test_fold_recomputes_sf1_total(tmp_path):
     _hist(tmp_path, "BENCH_full_a.json", code_fp="h1", sf=0.1,
           queries={"q1": 1.0},

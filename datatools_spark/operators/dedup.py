@@ -15,6 +15,8 @@ cross join anywhere; Python never touches row data (JVM expressions only).
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -26,10 +28,98 @@ __all__ = [
     "simhash_col", "simhash_pairs", "packed_hamming_pairs",
     "packed_wide_pairs",
     "ngram_jaccard_pairs", "ngram_jaccard_pairs_prefix",
-    "pair_plan_stats",
+    "pair_plan_stats", "shingle_index", "clear_shingle_index_cache",
     "embedding_dup_pairs", "span_dup_stats", "fuzzy_pairs_edit_distance",
     "segment_dedup",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Session-scoped shared shingle posting index (r11 VERDICT #2).
+#
+# The exact-pair family (ngram Jaccard, containment, weighted Jaccard)
+# all start from the SAME corpus-sized materialization: tokenize →
+# distinct word shingles → explode to an (id, shingle) posting index,
+# plus its df histogram. Run in one analysis session — the normal way a
+# curation pipeline uses them — each operator used to re-run that
+# tokenize+explode from parquet (3 corpus passes for the trio; the two
+# heaviest benched rows by task-seconds). The index is a pure function
+# of (corpus, text_col, id_col, shingle_n), so the first consumer in a
+# session builds and eagerly localCheckpoints it and later consumers
+# reuse the blocks: ONE explode feeds all three.
+#
+# Scope and invalidation — deliberately narrow:
+# - keyed on the Spark application id: checkpoint blocks die with the
+#   session, so nothing ever persists across bench/oracle invocations
+#   (every run still computes the index from the parquet inputs);
+# - keyed on the SEMANTIC HASH of the input plan (Spark's canonicalized
+#   plan equality, the same notion CacheManager uses), so two reads of
+#   different corpora or different projections never collide;
+# - LRU-capped: entries beyond the cap drop their reference and the
+#   localCheckpoint blocks free on GC.
+# ---------------------------------------------------------------------------
+
+_SHINGLE_INDEX_CACHE: OrderedDict = OrderedDict()
+_SHINGLE_INDEX_CAP = 4
+
+
+def clear_shingle_index_cache() -> None:
+    """Drop every cached posting index (tests; or to force a rebuild
+    after overwriting a corpus path in-session)."""
+    _SHINGLE_INDEX_CACHE.clear()
+
+
+def _shingle_index_key(work: DataFrame, shingle_n: int):
+    """(app_id, semantic plan hash, shingle_n) — None disables sharing
+    (the builder then materializes an unshared index, the pre-r12
+    behavior)."""
+    try:
+        app = work.sparkSession.sparkContext.applicationId
+        h = work._jdf.queryExecution().analyzed().semanticHash()
+        return (app, h, shingle_n)
+    except Exception:  # noqa: BLE001 — sharing is an optimization only
+        return None
+
+
+def shingle_index(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 3,
+                  ) -> tuple[DataFrame, DataFrame]:
+    """Shared (id, shingle) posting index + df histogram, both eagerly
+    localCheckpointed and cached per (session, corpus plan, shingle_n).
+
+    Returns ``(sh, dfreq)``: ``sh`` has columns ``(id_col, _sh)`` —
+    distinct word shingles per doc, exploded; ``dfreq`` has
+    ``(_sh, _df)`` — the document frequency per shingle. The first call
+    per corpus in a session pays the corpus scan + tokenize + explode
+    (+ one vocab-sized aggregate); subsequent calls for the same corpus
+    read the checkpoint blocks. EAGER for the same reason
+    :func:`_pair_intersections` is: the consumers evaluate the index in
+    multiple branches of one job, and the guarded plan's SHAPE depends
+    on data (stop-set emptiness), which no lazy form can express.
+    """
+    work = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)),
+                              min_bytes=0)
+    key = _shingle_index_key(work, shingle_n)
+    if key is not None and key in _SHINGLE_INDEX_CACHE:
+        _SHINGLE_INDEX_CACHE.move_to_end(key)
+        sh, dfreq = _SHINGLE_INDEX_CACHE[key]
+        return sh, dfreq
+    sh = (work.withColumn("_words", words_col(text_col))
+          .select(F.col(id_col),
+                  F.explode(word_shingles(text_col, shingle_n,
+                                          from_words_col="_words"))
+                  .alias("_sh"))
+          .localCheckpoint(eager=True))
+    # the histogram is vocabulary-sized and every consumer needs it
+    # (stop-shingle guard, auto planner stats, idf weights) — one
+    # aggregate over the cached blocks, materialized alongside
+    dfreq = sh.groupBy("_sh").agg(F.count("*").alias("_df")) \
+        .localCheckpoint(eager=True)
+    if key is not None:
+        _SHINGLE_INDEX_CACHE[key] = (sh, dfreq)
+        while len(_SHINGLE_INDEX_CACHE) > _SHINGLE_INDEX_CAP:
+            _SHINGLE_INDEX_CACHE.popitem(last=False)
+    return sh, dfreq
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -785,25 +875,32 @@ def pair_plan_stats_from_dfreq(dfreq: DataFrame) -> dict:
     return {k: int(v) for k, v in row.asDict().items()}
 
 
-def _resolve_max_df(sh: DataFrame, max_df):
+def _resolve_max_df(sh: DataFrame, max_df,
+                    checkpointed: bool = False,
+                    dfreq: DataFrame | None = None):
     """Turn ``max_df="auto"`` into a measured plan choice. Returns
     ``(sh, max_df, checkpointed, dfreq)`` — the auto path checkpoints
     the index first so the stats aggregate and the pair engine share
     one materialization, and hands the materialized df histogram to
-    the engine so the stop-shingle guard never re-aggregates the index. Refuses (ValueError) when even the tightest guard
+    the engine so the stop-shingle guard never re-aggregates the index.
+    Callers holding a :func:`shingle_index` materialization pass it
+    through ``checkpointed``/``dfreq`` and no extra pass runs. Refuses
+    (ValueError) when even the tightest guard
     leaves the candidate mass over budget: that corpus is past the
     exact tier's envelope and belongs on :func:`minhash_lsh_pairs` —
     the same fail-fast contract as the banded engine's pre-flight."""
     if max_df != "auto":
-        return sh, max_df, False, None
+        return sh, max_df, checkpointed, dfreq
     from ..plans.chooser import (MAX_DF_LADDER, PAIR_MASS_FACTOR,
                                  choose_pair_plan)
-    sh = sh.localCheckpoint(eager=True)
+    if not checkpointed:
+        sh = sh.localCheckpoint(eager=True)
     # ONE df-histogram aggregation serves the stats collect AND the
     # engine's stop-shingle guard below (vocab-sized materialization;
     # previously both ran a full groupBy over the posting index)
-    dfreq = sh.groupBy("_sh").agg(F.count("*").alias("_df")) \
-        .localCheckpoint(eager=True)
+    if dfreq is None:
+        dfreq = sh.groupBy("_sh").agg(F.count("*").alias("_df")) \
+            .localCheckpoint(eager=True)
     stats = pair_plan_stats_from_dfreq(dfreq)
     plan, k = choose_pair_plan(stats)
     if plan == "lsh":
@@ -978,16 +1075,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """
     # word_shingles is array_distinct per doc, so the exploded index is
     # already (id, shingle)-unique — no dedup shuffle needed.
-    # min_bytes=0: the inverted index's shuffle WRITE happens in the scan
-    # task — single-task at sf0.1 doubles the query (2.8 → 5.6 s), so
-    # spread regardless of input bytes.
-    sh = (ensure_parallelism(df.select(F.col(id_col), F.col(text_col)),
-                             min_bytes=0)
-          .withColumn("_words", words_col(text_col))
-          .select(F.col(id_col),
-                  F.explode(word_shingles(text_col, shingle_n,
-                                          from_words_col="_words")).alias("_sh")))
-    sh, max_df, ckpt, dfreq = _resolve_max_df(sh, max_df)
+    # shingle_index: session-shared materialization (one explode feeds
+    # every pair operator on this corpus — r11 VERDICT #2); its
+    # ensure_parallelism(min_bytes=0) spread is the r9-measured guard
+    # (single-task shuffle write doubled the query: 2.8 → 5.6 s).
+    sh, dfreq = shingle_index(df, text_col, id_col, shingle_n)
+    sh, max_df, ckpt, dfreq = _resolve_max_df(sh, max_df,
+                                              checkpointed=True,
+                                              dfreq=dfreq)
     base = _pair_intersections(sh, id_col, max_df, checkpointed=ckpt,
                                dfreq=dfreq)
     jacc = (F.col("_inter").cast("double")
@@ -1019,13 +1114,13 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
 
     Output: ``src_id, dst_id, containment`` (containment ≥ threshold).
     """
-    sh = (ensure_parallelism(df.select(F.col(id_col), F.col(text_col)),
-                             min_bytes=0)
-          .withColumn("_words", words_col(text_col))
-          .select(F.col(id_col),
-                  F.explode(word_shingles(text_col, shingle_n,
-                                          from_words_col="_words")).alias("_sh")))
-    sh, max_df, ckpt, dfreq = _resolve_max_df(sh, max_df)
+    # session-shared posting index (r11 VERDICT #2): the same corpus
+    # explode doc_ngram_pairs / weighted-jaccard consumers already paid
+    # for is reused here instead of re-run
+    sh, dfreq = shingle_index(df, text_col, id_col, shingle_n)
+    sh, max_df, ckpt, dfreq = _resolve_max_df(sh, max_df,
+                                              checkpointed=True,
+                                              dfreq=dfreq)
     base = _pair_intersections(sh, id_col, max_df, checkpointed=ckpt,
                                dfreq=dfreq)
 

@@ -4939,8 +4939,16 @@ def ss_pagerank(spark, sf_dir):
     e = el.unionByName(
         el.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # el is distinct and the reversed half is disjoint (even/odd ids),
-    # so the union is distinct by construction — skip the 2|E| exchange
-    pr = G.pagerank(e, iters=3, assume_distinct=True)
+    # so the union is distinct by construction — skip the 2|E| exchange.
+    # edges_materialized: e is a union of two projections of the el
+    # checkpoint, so pagerank's internal edge checkpoint would only
+    # re-store the same blocks doubled (one blocking job + 2|E| rows of
+    # executor storage for nothing — each round reads el's blocks twice
+    # instead, the same bytes). defer_last_round: the query has exactly
+    # ONE action, so round 3 executes there instead of in a blocking
+    # construction job (r12, r11 VERDICT #3).
+    pr = G.pagerank(e, iters=3, assume_distinct=True,
+                    edges_materialized=True, defer_last_round=True)
     return pr.select("id", F.round("pr", 6).alias("pr"))
 
 
@@ -7473,27 +7481,25 @@ def doc_weighted_jaccard_pairs(spark, sf_dir):
     summation so both engines aggregate identical exact values."""
     d = _t(spark, sf_dir, "documents")
     # the exploded index feeds FIVE subtrees (doc-count, df, weighted
-    # sums, rare lists, stop membership) — checkpoint it, or each branch
-    # re-runs the explode (localCheckpoint, not persist: r5 hygiene rule
-    # — no session-cache entry per corpus; EAGER, because a lazy
-    # checkpoint only materializes at first-job END — branches evaluated
-    # within one multi-branch job would each recompute the subtree).
+    # sums, rare lists, stop membership) — it rides the SESSION-SHARED
+    # checkpointed posting index (r11 VERDICT #2: one explode feeds
+    # every exact-pair operator on this corpus; D.shingle_index is
+    # eager for the same multi-branch reasons the old inline checkpoint
+    # was). The renames below are narrow projections over the cached
+    # blocks.
     # The WEIGHT table (27k shingle rows) is broadcast-joined where
     # needed instead of materializing a second checkpointed 260k-row
     # weighted index — the r8 shw checkpoint's write+read was ~25% of
     # this query's task time and serialized ~1.5 s of wall (r9)
-    sh = (PT.ensure_parallelism(d.select("doc_id", "text"), min_bytes=0)
-          .withColumn("_words", TX.words_col("text"))
-          .select("doc_id", F.explode(TX.word_shingles(
-              "text", 3, from_words_col="_words")).alias("s"))) \
-        .localCheckpoint(eager=True)
-    # vocabulary-sized df table materialized ONCE: idf weights, the
-    # stop set, and the pair lists all derive from it without further
-    # passes over the 10×-larger exploded index. n is a collected
-    # scalar (one job) rather than a crossJoin subtree rebuilt per
-    # consumer — same value the oracle's count(DISTINCT doc_id) uses
-    dfq = sh.groupBy("s").agg(F.count("*").alias("df")) \
-        .localCheckpoint(eager=True)
+    shp, dfp = D.shingle_index(d, "text", "doc_id", 3)
+    sh = shp.withColumnRenamed("_sh", "s")
+    # vocabulary-sized df table materialized ONCE (shared): idf
+    # weights, the stop set, and the pair lists all derive from it
+    # without further passes over the 10×-larger exploded index. n is a
+    # collected scalar (one job) rather than a crossJoin subtree
+    # rebuilt per consumer — same value the oracle's
+    # count(DISTINCT doc_id) uses
+    dfq = dfp.select(F.col("_sh").alias("s"), F.col("_df").alias("df"))
     n = sh.select(F.countDistinct("doc_id")).collect()[0][0]
 
     def _w(df_col):

@@ -41,7 +41,9 @@ from .graph_triangle import triangle_stats  # noqa: E402,F401
 def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
              iters: int = 3, damping: float = 0.85,
              round_dp: int = 9, assume_distinct: bool = False,
-             materialize_per_round: bool = True) -> DataFrame:
+             materialize_per_round: bool = True,
+             edges_materialized: bool = False,
+             defer_last_round: bool = False) -> DataFrame:
     """PageRank on a directed edge list where EVERY node has at least
     one out-edge (symmetrize first when that is not guaranteed —
     dangling-mass redistribution is deliberately out of scope so the
@@ -79,6 +81,18 @@ def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
     partitionings (the same fixed-decimal discipline as
     operators/classifier.py) — which is what lets an unrolled SQL
     oracle hash-match the full iteration.
+
+    ``edges_materialized=True`` (r12): the caller vouches that
+    ``edges`` is checkpoint-backed (or a narrow projection/union of
+    checkpoint scans) — skips the internal edge-list checkpoint, one
+    fewer blocking job and one fewer |E|-sized materialization (the
+    per-round joins then re-evaluate the cheap projection off the
+    caller's blocks). ``defer_last_round=True`` (r12): the FINAL
+    round's checkpoint is skipped so the caller's one action executes
+    that shallow join+agg+join instead of a blocking construction job
+    paying it up front — correct for single-action consumers (the
+    bench / oracle shape); a caller fanning multiple actions off the
+    result should leave it False or re-checkpoint itself.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if not assume_distinct:
@@ -94,7 +108,8 @@ def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
     # now). localCheckpoint, not cache(): a cached plan pins the
     # session's cache registry per distinct input forever (the r5
     # pair-engine hygiene rule); checkpoint blocks free on GC.
-    e = e.localCheckpoint(eager=True)
+    if not edges_materialized:
+        e = e.localCheckpoint(eager=True)
     # ONE node-sized state frame carries both roles: (id, _outdeg) is
     # the node list AND the degree table, and the rank vector keeps
     # _outdeg with it across iterations — the per-iteration join of
@@ -121,7 +136,7 @@ def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
     # SCALE_NOTES). Past the gate (a 100 TB-scale node set) the
     # node-×-iteration-bounded shuffle join remains the right plan.
     bcast_ranks = n * 48 <= 64 * 1024 * 1024
-    for _ in range(iters):
+    for it in range(iters):
         prj = pr.withColumnRenamed("id", "u")
         if bcast_ranks:
             prj = F.broadcast(prj)
@@ -137,7 +152,8 @@ def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
                       F.round(base
                               + F.lit(damping) * F.coalesce("_s", F.lit(0.0)),
                               round_dp).alias("pr")))
-        if materialize_per_round:
+        if materialize_per_round and not (defer_last_round
+                                          and it == iters - 1):
             pr = pr.localCheckpoint(eager=True)
     return pr.select("id", "pr")
 

@@ -49,6 +49,56 @@ _NUM_HASHES = 16
 _BANDS = 4
 _PARTS = 16  # signature-table partition fan-out (band-0 prefix buckets)
 
+# target rows per store data file (~128 MB of packed signature rows at
+# ~32 B/row — guide §6's output-file sizing band). Appends coalesce to
+# ceil(n/_ROWS_PER_FILE) files: 1 file per update at batch scale,
+# growing with genuinely large backfills.
+_ROWS_PER_FILE = 4_000_000
+
+
+def _has_pp_dirs(spark: SparkSession, root: str) -> bool:
+    """True when the live table at ``root`` uses the LEGACY
+    hive-partitioned ``_pp=*`` layout (pre-r12 stores). Appends must
+    then keep that shape — mixing flat data files into a partitioned
+    directory breaks Spark's partition discovery ("Conflicting
+    directory structures") for every reader, permanently."""
+    from .ivfstore import _fs
+    try:
+        fs, jp = _fs(spark, root)
+        if not fs.exists(jp):
+            return False
+        for st in fs.listStatus(jp):
+            if (st.isDirectory()
+                    and st.getPath().getName().startswith("_pp=")):
+                return True
+    except Exception:  # noqa: BLE001 — layout probe only
+        return False
+    return False
+
+
+def _append_store_rows(df: DataFrame, root: str, n_rows: int,
+                       legacy_pp: bool) -> None:
+    """Append ``df`` (carrying a ``_pp`` column) to the store.
+
+    FLAT layout (r12 default): ``_pp`` stays a plain data column and
+    the append coalesces to ceil(n/_ROWS_PER_FILE) right-sized files.
+    No reader ever partition-prunes on ``_pp`` (every consumer scans
+    the whole store projection), so the old hive-partitioned layout
+    bought nothing and fanned each corpus seed into one tiny file PER
+    DISTINCT ``_pp`` VALUE (253 files × ~13 KB at sf0.1) — after which
+    every snapshot/update/pair call paid directory discovery + per-file
+    open over all of them (~0.55 s per store scan at sf0.1, the largest
+    fixed term of the warm store-twin queries; guide §6 small-files).
+    LEGACY stores on disk keep receiving partitioned appends."""
+    if legacy_pp:
+        # one file per touched partition value per update — see the
+        # measured (task × value) blowup note in update_signature_store
+        df.repartition("_pp").write.mode("append") \
+            .partitionBy("_pp").parquet(root)
+    else:
+        nf = max(1, -(-int(n_rows) // _ROWS_PER_FILE))
+        df.coalesce(nf).write.mode("append").parquet(root)
+
 
 def _sig_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     sig = minhash_signature(df, text_col, id_col, _NUM_HASHES)
@@ -96,14 +146,18 @@ def resolve_signature_root(spark: SparkSession, path: str) -> str:
 
 def compact_signature_store(spark: SparkSession, path: str,
                             partition_col: str = "_pp") -> dict:
-    """Rewrite the store as ONE file per ``_pp`` partition in a fresh
-    committed generation. Every ``update_*_signature_store`` call
-    appends one file per touched partition value, so a long-running
+    """Rewrite the store into right-sized FLAT files
+    (ceil(rows/_ROWS_PER_FILE)) in a fresh committed generation — this
+    is also how a pre-r12 hive-partitioned (``_pp=*``) store migrates
+    to the flat layout, safely, because a generation is always a fresh
+    directory (no layout mixing). Every ``update_*_signature_store``
+    call appends at least one file, so a long-running
     ingest loop (one update per micro-batch) accrues files without
     bound and every later store scan pays per-file open/schedule cost —
     the tiny-file decay every append-only parquet layout suffers; this
     is the maintenance op that bounds it (Delta/Iceberg ``OPTIMIZE``,
-    re-expressed on the plain-parquet store).
+    re-expressed on the plain-parquet store). ``partition_col`` is kept
+    for API compatibility; the compacted generation is flat.
 
     Crash-safe, never in place: the compacted table lands in the next
     ``gen-N`` dir and becomes visible only with its ``_COMMIT`` marker,
@@ -147,12 +201,15 @@ def compact_signature_store(spark: SparkSession, path: str,
     fs, _ = _fs(spark, path)
     write_to = f"{path}/.staging-{gen.rsplit('/', 1)[-1]}" if legacy \
         else gen
-    (src.repartition(partition_col)
-        .write.mode("overwrite").partitionBy(partition_col)
-        .parquet(write_to))
+    n_src = src.count()
+    # flat sized files; if the source generation was hive-partitioned
+    # (pre-r12), _pp comes back as the partition column and is written
+    # out as a plain column — the migration point to the flat layout
+    nf = max(1, -(-int(n_src) // _ROWS_PER_FILE))
+    src.coalesce(nf).write.mode("overwrite").parquet(write_to)
     # equality gate BEFORE the commit point: a short write must never
     # become the live store
-    n_src, n_new = src.count(), spark.read.parquet(write_to).count()
+    n_new = spark.read.parquet(write_to).count()
     if n_src != n_new:
         raise RuntimeError(
             f"compact_signature_store: compacted generation holds "
@@ -228,14 +285,9 @@ def update_signature_store(spark: SparkSession, batch: DataFrame,
     out = _sig_frame(new, text_col, id_col)
     n = out.count()
     if n:
-        # cluster on _pp before the partitioned write: without this
-        # every write task holding rows for a _pp value emits its own
-        # file there — T tasks × P values files per update (measured
-        # 6 000+ tiny files on one 36 k-row seed), and every later
-        # store read pays per-file open/schedule cost. One batch-sized
-        # shuffle buys one file per touched partition value.
-        (out.repartition("_pp")
-         .write.mode("append").partitionBy("_pp").parquet(root))
+        # flat sized files for new stores; partitioned append only into
+        # pre-r12 hive-layout stores (see _append_store_rows)
+        _append_store_rows(out, root, n, _has_pp_dirs(spark, root))
     return n
 
 
@@ -523,11 +575,10 @@ def update_image_signature_store(spark: SparkSession, batch: DataFrame,
                          F.lit(-1).cast("int").alias("_pp")))
         out = sig.unionByName(undec)
     if n or n_undec:
-        # cluster on _pp first — one file per touched partition value
-        # per update, not one per (write task × value); see
-        # update_signature_store for the measured tiny-file blowup
-        out.repartition("_pp").write.mode("append") \
-            .partitionBy("_pp").parquet(root)
+        # flat sized files for new stores; partitioned append only into
+        # pre-r12 hive-layout stores (see _append_store_rows)
+        _append_store_rows(out, root, n + n_undec,
+                           _has_pp_dirs(spark, root))
     return n
 
 

@@ -4154,16 +4154,28 @@ def doc_cms_store_estimate(spark, sf_dir):
     probes = spark.createDataFrame([(w,) for w in _CMS_PROBES],
                                    "word string")
     est = SK.cms_estimate(sketch, probes, "word")
-    # exact counts via an INNER broadcast join (buildRight is legal for
-    # inner, so the corpus-sized token table streams past the tiny
-    # probe hash map without shuffling); a broadcast hint on the
-    # preserved side of a left-outer join is silently ignored — the
-    # never-seen probes are restored by a tiny probes⨝counts left join
-    hits = (tok(d).join(F.broadcast(probes), F.col("w") == probes["word"])
-            .groupBy("word").agg(F.count("*").alias("exact")))
-    exact = (probes.join(hits, "word", "left")
-             .select("word",
-                     F.coalesce("exact", F.lit(0)).alias("exact")))
+    # exact probe counts WITHOUT materializing the token multiset
+    # (r12, guide §4.1/§2.3): the old shape exploded every token of
+    # the corpus and broadcast-joined 4 probe words against the
+    # occurrence stream — the warm path's whole corpus-linear term was
+    # this audit column. A fixed 4-term probe set is instead counted
+    # per doc with a JVM array filter+size over the SAME words_col
+    # array (the bm25_scores trick — bit-identical counts, explode
+    # drops nothing here because absent words count 0) and summed in
+    # ONE single-row aggregate: one corpus scan, no explode, no
+    # exchange. The probe frame then picks its count by position.
+    warr = TX.words_col("text")
+
+    def _eq(term):
+        return lambda x: x == F.lit(term)
+
+    cnt = d.agg(*[
+        F.sum(F.size(F.filter(warr, _eq(w)))).cast("bigint")
+        .alias(f"_c{i}") for i, w in enumerate(_CMS_PROBES)])
+    exact = (probes.crossJoin(F.broadcast(cnt))
+             .select("word", F.coalesce(*[
+                 F.when(F.col("word") == F.lit(w), F.col(f"_c{i}"))
+                 for i, w in enumerate(_CMS_PROBES)]).alias("exact")))
     return (est.join(exact, "word")
             .select("word", F.col("cms_est").cast("bigint").alias("cms_est"),
                     F.col("exact").cast("bigint").alias("exact")))
@@ -9260,13 +9272,25 @@ def _mm_store_root(sf_dir: str, kind: str) -> str:
     # unreachable forever — delete them here or /tmp grows without
     # bound across regenerations (r8 ADVICE, low). Single-process test
     # environment: no concurrent reader can hold the old root open.
+    # _MM_STALE_KINDS: a renamed kind (e.g. a store-layout change that
+    # must reseed rather than keep appending the old on-disk layout)
+    # lists its predecessors so their now-unreachable roots are
+    # reclaimed too.
+    stale_prefixes = [f"{k}-{key}-" for k in _MM_STALE_KINDS.get(kind, ())]
     if _os.path.isdir(base):
         for d in _os.listdir(base):
-            if (d.startswith(f"{kind}-{key}-")
-                    and d != f"{kind}-{key}-{fp}"):
+            if ((d.startswith(f"{kind}-{key}-")
+                    and d != f"{kind}-{key}-{fp}")
+                    or any(d.startswith(p) for p in stale_prefixes)):
                 _shutil.rmtree(_os.path.join(base, d),
                                ignore_errors=True)
     return _os.path.join(base, f"{kind}-{key}-{fp}")
+
+
+# kinds renamed by a store-layout change: the new kind reseeds under a
+# fresh root (old-layout stores keep working through the writers'
+# legacy branch, but the bench twins should measure the current layout)
+_MM_STALE_KINDS = {"ahash16f": ("ahash16",)}
 
 
 def _mm_store_seeded(root: str) -> bool:
@@ -9314,7 +9338,7 @@ def mm_ahash_pairs_store(spark, sf_dir):
     completeness (equality vs the batch engine is pinned in
     tests/test_sigstore.py::test_image_store_equals_full_ahash_pairs)."""
     from .operators import sigstore as SS
-    root = _mm_store_root(sf_dir, "ahash16")
+    root = _mm_store_root(sf_dir, "ahash16f")
     payload = _mm_payload(spark, sf_dir)
     # seed: sign the historical corpus once (the cost the store
     # amortizes away — first bench sample pays it, min-of-N doesn't).
@@ -9363,7 +9387,7 @@ def mm_ahash_pairs_store_incr(spark, sf_dir):
     measured, not asserted from the full-corpus twins' trend. Oracle:
     the all-pairs scan restricted to pairs touching the batch."""
     from .operators import sigstore as SS
-    root = _mm_store_root(sf_dir, "ahash16")
+    root = _mm_store_root(sf_dir, "ahash16f")
     payload = _mm_payload(spark, sf_dir)
     _mm_store_seed(root, lambda: SS.update_image_signature_store(
         spark, payload, root))
@@ -9392,7 +9416,7 @@ def mm_image_dedup_store(spark, sf_dir):
     (tests/test_compstore.py invariant)."""
     from .operators import compstore as CS
     from .operators import sigstore as SS
-    sig_root = _mm_store_root(sf_dir, "ahash16")
+    sig_root = _mm_store_root(sf_dir, "ahash16f")
     comp_root = _mm_store_root(sf_dir, "imgcomp")
     payload = _mm_payload(spark, sf_dir)
     # both seeds marker-gated (r7 ADVICE medium): a partial seed — e.g.

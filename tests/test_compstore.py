@@ -7,6 +7,7 @@ incremental store is indistinguishable from a full recompute.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from datatools_spark.operators.compstore import (
     compact_component_store, read_components, snapshot_component_store,
@@ -188,3 +189,36 @@ def test_compaction_resolves_and_refuses_nonempty(spark, tmp_path):
     update_component_store(spark, _ids(spark, [5]),
                            _pairs(spark, [(5, 40)]), out)
     assert _store_labels(spark, out)[30] == 5
+
+
+def test_warm_batch_job_floor_pinned(spark, tmp_path):
+    """r11 VERDICT #4 (component side): a warm batch — every id
+    registered, every pair already folded — runs a bounded number of
+    blocking jobs (snapshot 2: members ckpt + merge-log read;
+    update 9: ids ckpt, pairs ckpt, fused preamble counts, adjacency
+    collect). A regression re-adding per-call store scans or extra
+    driver roundtrips trips this."""
+    import time
+    from datatools_spark.operators.compstore import (
+        snapshot_component_store, update_component_store)
+    ids = spark.range(20).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "a_id long, b_id long")
+    path = str(tmp_path / "compstore")
+    update_component_store(spark, ids, pairs, path)
+    sc = spark.sparkContext
+
+    def jobs(name, fn):
+        g = f"cwjf-{name}-{time.time()}"
+        sc.setJobGroup(g, g)
+        rv = fn()
+        n = len(sc.statusTracker().getJobIdsForGroup(g))
+        sc.setJobGroup(f"cwjf-done-{name}", "clear")
+        return rv, n
+
+    snap, n_snap = jobs("snap",
+                        lambda: snapshot_component_store(spark, path))
+    _, n_upd = jobs("upd", lambda: update_component_store(
+        spark, ids, pairs, path, store_snap=snap))
+    assert n_snap <= 3
+    assert n_upd <= 11

@@ -374,8 +374,9 @@ def test_compact_image_store_preserves_pairs_and_bounds_files(
     # policy — an in-flight reader of the just-retired bare root keeps
     # working; writing gen-0 beneath a bare table it replaces used to
     # happen in place, where a crash pre-commit bricked every read
-    # with 'Conflicting directory structures')
-    assert [d for d in os.listdir(path) if d.startswith("_pp=")]
+    # with 'Conflicting directory structures'). r12 flat layout: the
+    # retired bare table is flat part- files, not _pp=* dirs
+    assert [f for f in os.listdir(path) if f.startswith("part-")]
     assert not [d for d in os.listdir(path) if d.startswith(".staging")]
     after = sorted(map(tuple,
                        ahash_pairs_against_store(spark, allb, path)
@@ -391,7 +392,8 @@ def test_compact_image_store_preserves_pairs_and_bounds_files(
     res2 = compact_signature_store(spark, path)
     assert res2["generation"] == "gen-000001"
     assert os.path.isdir(f"{path}/gen-000000")
-    assert not [d for d in os.listdir(path) if d.startswith("_pp=")]
+    assert not [f for f in os.listdir(path) if f.startswith("part-")
+                or f.startswith("_pp=")]
     # crashed compaction: a markerless newer generation is invisible
     os.makedirs(f"{path}/gen-000005")
     assert resolve_signature_root(spark, path).endswith("gen-000001")
@@ -436,12 +438,13 @@ def test_mm_store_twin_reseeds_partial_store(spark, tmp_path, monkeypatch):
     sf = "/root/testdata/sf0.001"
     r1 = sorted(map(tuple,
                     Q.QUERIES["mm_ahash_pairs_store"](spark, sf).collect()))
-    root = Q._mm_store_root(sf, "ahash16")
+    root = Q._mm_store_root(sf, "ahash16f")
     assert os.path.isfile(os.path.join(root, "_SEEDED"))
-    # crash injection: marker gone + a partition of signatures lost
+    # crash injection: marker gone + a signature data file lost
+    # (r12 flat layout: data files live at the root, no _pp=* dirs)
     os.remove(os.path.join(root, "_SEEDED"))
-    part = [d for d in os.listdir(root) if d.startswith("_pp=")][0]
-    shutil.rmtree(os.path.join(root, part))
+    part = [f for f in os.listdir(root) if f.startswith("part-")][0]
+    os.remove(os.path.join(root, part))
     r2 = sorted(map(tuple,
                     Q.QUERIES["mm_ahash_pairs_store"](spark, sf).collect()))
     assert r2 == r1
@@ -460,11 +463,11 @@ def test_mm_corpus_fingerprint_changes_on_regeneration(tmp_path):
     shutil.copy2("/root/testdata/sf0.001/documents.parquet",
                  corpus / "documents.parquet")
     f1 = Q._mm_corpus_fingerprint(str(corpus))
-    root1 = Q._mm_store_root(str(corpus), "ahash16")
+    root1 = Q._mm_store_root(str(corpus), "ahash16f")
     os.utime(corpus / "documents.parquet", None)   # regenerated: new mtime
     f2 = Q._mm_corpus_fingerprint(str(corpus))
     assert f1 != f2
-    assert Q._mm_store_root(str(corpus), "ahash16") != root1
+    assert Q._mm_store_root(str(corpus), "ahash16f") != root1
 
 
 def test_ivf_index_search_equals_inline_and_prunes(spark, tmp_path):
@@ -613,3 +616,94 @@ def test_compact_legacy_crash_leaves_store_readable(spark, tmp_path):
     res = compact_signature_store(spark, path)              # retry works
     assert res["generation"] == "gen-000000"
     assert resolve_signature_root(spark, path).endswith("gen-000000")
+
+
+def test_image_store_flat_layout_and_legacy_append(spark, tmp_path):
+    """r12 store layout: new image stores write FLAT right-sized files
+    (_pp as a plain column — no reader ever partition-prunes on it, and
+    the hive fan-out cost every scan ~0.55 s of per-file opens at
+    sf0.1); a pre-r12 hive-partitioned store keeps receiving
+    partitioned appends (mixing layouts breaks partition discovery)."""
+    import os
+    import random
+    from pyspark.sql import functions as F
+    from datatools_spark.operators.sigstore import (
+        ahash_pairs_against_store, update_image_signature_store)
+
+    def img(seed):
+        r = random.Random(seed)
+        return bytes(r.randrange(256) for _ in range(256))
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "media_id long, payload binary")
+
+    # NEW store: flat — one data file per small update, no _pp= dirs,
+    # _pp present as a data column
+    flat = str(tmp_path / "flatstore")
+    assert update_image_signature_store(
+        spark, mk([(i, img(i)) for i in range(8)]), flat) == 8
+    assert not [d for d in os.listdir(flat) if d.startswith("_pp=")]
+    assert len([f for f in os.listdir(flat)
+                if f.startswith("part-")]) == 1
+    assert "_pp" in spark.read.parquet(flat).columns
+    assert update_image_signature_store(
+        spark, mk([(8, img(8))]), flat) == 1
+    assert len([f for f in os.listdir(flat)
+                if f.startswith("part-")]) == 2
+    assert ahash_pairs_against_store(
+        spark, mk([(8, img(8))]).select("media_id"), flat).count() >= 0
+
+    # LEGACY store: simulate the pre-r12 hive layout, then append — the
+    # update must keep the partitioned shape
+    leg = str(tmp_path / "legacystore")
+    (spark.range(4).select(
+        F.col("id").alias("media_id"),
+        (F.col("id") * 7 + 1).alias("ahash64"),
+        F.lit(64).alias("_nbits"),
+        (F.col("id") % 3).cast("int").alias("_pp"))
+     .write.partitionBy("_pp").parquet(leg))
+    assert update_image_signature_store(
+        spark, mk([(100, img(100))]), leg) == 1
+    assert [d for d in os.listdir(leg) if d.startswith("_pp=")]
+    assert not [f for f in os.listdir(leg) if f.startswith("part-")]
+
+
+def test_warm_batch_job_floor_pinned(spark, tmp_path):
+    """r11 VERDICT #4: pin the store twins' per-warm-batch blocking-job
+    floor so it is measured, not re-argued. Counts are AQE
+    stage-jobs + driver collects on a warm (all-seen) batch; a
+    regression that adds a store re-scan or an extra driver roundtrip
+    trips these bounds."""
+    import random
+    import time
+    from datatools_spark.operators.sigstore import (
+        ahash_pairs_against_store, snapshot_image_store,
+        update_image_signature_store)
+    r = random.Random(3)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "media_id long, payload binary")
+    imgs = [bytes(r.randrange(256) for _ in range(256)) for _ in range(30)]
+    path = str(tmp_path / "imgstore")
+    update_image_signature_store(spark, mk(list(enumerate(imgs))), path)
+    batch = mk([(i, imgs[i]) for i in range(10)])
+    sc = spark.sparkContext
+
+    def jobs(name, fn):
+        g = f"wjf-{name}-{time.time()}"
+        sc.setJobGroup(g, g)
+        rv = fn()
+        n = len(sc.statusTracker().getJobIdsForGroup(g))
+        sc.setJobGroup(f"wjf-done-{name}", "clear")
+        return rv, n
+
+    snap, n_snap = jobs("snap", lambda: snapshot_image_store(spark, path))
+    _, n_upd = jobs("upd", lambda: update_image_signature_store(
+        spark, batch, path, store_snap=snap))
+    _, n_pairs = jobs("pairs", lambda: ahash_pairs_against_store(
+        spark, batch.select("media_id"), path, store_snap=snap))
+    # measured shape (local[*]/AQE): snapshot 4 (schema job + ckpt +
+    # stats agg), warm update 3 (anti-join count), pairs construction
+    # 13 (bsig ckpt + batch_n count + mass pre-flight)
+    assert n_snap <= 5
+    assert n_upd <= 4
+    assert n_pairs <= 15

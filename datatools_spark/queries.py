@@ -9855,14 +9855,34 @@ _REGISTRATION_ORDER = [
     # pair engine, and by mm_ahash256_pairs (same signature, wide
     # grid); it stays oracle-backed past the cutoff and in the bench
     # extended suite.
+    # r12 rotation (VERDICT r11 #6, builder priority #1):
+    # mm_audio_dup_pairs → mm_ahash_pairs_store_incr — the store
+    # architecture's HEADLINE claim (one fixed-size batch signed into
+    # the pre-warmed signature store and paired against its band index:
+    # per-batch cost flat vs corpus) gets an independent driver row;
+    # the driver had certified the full-corpus store twins but never
+    # the incremental row itself. mm_audio_dup_pairs' evidence is
+    # carried in-window by mm_pcm_stats (the identical PCM16-LE decode,
+    # promoted r11) and mm_image_dedup (whose first stage runs the
+    # IDENTICAL 64-bit banded-Hamming pair engine the audio query feeds
+    # with hash_col='ehash'); it stays oracle-backed past the cutoff
+    # and in the bench extended + sf1-mm suites.
     "mm_pcm_stats", "mm_decode_stats", "mm_image_dedup",
-    "mm_audio_dup_pairs",
+    "mm_ahash_pairs_store_incr",
     # —— past the cutoff: still oracle-backed, next-most-important first ——
+    # r12: stood down from the window for mm_ahash_pairs_store_incr
+    # (see the window comment); still oracle-backed + benched extended
+    # and sf1-mm here
+    "mm_audio_dup_pairs",
     # r11: stood down from the window for ts_upsert_latest (see the
     # window comment); still oracle-backed + benched headline here
     "emb_knn_brute",
     # r11: stood down from the window for mm_pcm_stats (see the window
-    # comment); still oracle-backed + benched extended here
+    # comment); still oracle-backed here — NOT itself in the bench
+    # (the r11 note claiming it "stays in the bench extended suite" was
+    # wrong, r11 VERDICT #4): its raw8_ahash signature computation is
+    # exercised in-bench by mm_ahash_pairs / mm_image_dedup, which run
+    # the identical signature as their first stage
     "mm_image_ahash",
     # r10: stood down from the window for mm_decode_stats (see the
     # window comment); still oracle-backed + benched extended here
@@ -9957,9 +9977,9 @@ _REGISTRATION_ORDER = [
     # batch-vs-store; incremental component store) — benched per round
     # in extended_mm, oracle-backed here
     "mm_ahash_pairs_store", "mm_image_dedup_store",
-    # r8: one-batch-vs-warm-store incremental row (per-batch cost
-    # measured at two corpus sizes — VERDICT r7 #4)
-    "mm_ahash_pairs_store_incr",
+    # (mm_ahash_pairs_store_incr — the r8 one-batch-vs-warm-store
+    # incremental row — was promoted INTO the driver window in r12; see
+    # the window comment)
 ]
 
 

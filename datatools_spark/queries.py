@@ -6582,12 +6582,41 @@ FROM lineitem""" for c in _STATS_COLS))
 def ss_table_stats(spark, sf_dir):
     """ANALYZE-TABLE-style column statistics (row count, null count,
     exact NDV, min/max) for lineitem's measure columns — the catalog
-    stats a cost-based optimizer feeds on. One aggregate per column,
-    each scanning ONLY its own parquet column (columnar pruning makes
-    four 1-column passes cheaper at scale than one 4×-expanded
-    multi-distinct pass; doc_hll_distinct is the sketched alternative
-    when exact NDV is too expensive)."""
+    stats a cost-based optimizer feeds on. MEASURED DISPATCH (r12,
+    closing the r11 documented leave-alone —
+    plans.chooser.choose_table_stats_plan on the footer-metadata row
+    count): small scans take the FUSED plan — one aggregate computing
+    every column's stats in one pass (Spark plans the 4×countDistinct
+    via Expand, ×5 row replication — fine when fixed per-pass cost
+    dominates), unpivoted to rows by a literal-struct explode; large
+    scans keep the per-column union — four 1-column passes reading the
+    same total bytes (columnar pruning) WITHOUT the Expand row
+    multiplier, the 100 TB shape. Values identical either way
+    (doc_hll_distinct is the sketched alternative when exact NDV is
+    too expensive)."""
+    from .plans.chooser import choose_table_stats_plan, estimate_scan_rows
     li = _t(spark, sf_dir, "lineitem")
+    if choose_table_stats_plan(
+            estimate_scan_rows(li.select(*_STATS_COLS))) == "fused":
+        aggs = []
+        for i, c in enumerate(_STATS_COLS):
+            aggs += [
+                F.count("*").alias(f"_n_{i}"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("bigint").alias(f"_nn_{i}"),
+                F.countDistinct(c).alias(f"_ndv_{i}"),
+                F.min(c).cast("double").alias(f"_mn_{i}"),
+                F.max(c).cast("double").alias(f"_mx_{i}")]
+        one = li.agg(*aggs)
+        return (one.select(F.explode(F.array(*[
+            F.struct(F.lit(c).alias("col_name"),
+                     F.col(f"_n_{i}").alias("n_rows"),
+                     F.col(f"_nn_{i}").alias("n_null"),
+                     F.col(f"_ndv_{i}").alias("ndv"),
+                     F.col(f"_mn_{i}").alias("min_v"),
+                     F.col(f"_mx_{i}").alias("max_v"))
+            for i, c in enumerate(_STATS_COLS)])).alias("_r"))
+            .select("_r.*"))
     parts = []
     for c in _STATS_COLS:
         parts.append(li.agg(
@@ -8249,31 +8278,37 @@ def emb_plane_sweep(spark, sf_dir):
     imbalance / exact candidate-pair mass for 2–6 LSH planes — the
     recall-vs-cost frontier read before fixing the ANN banding at
     10⁹ vectors (emb_lsh_bucket_balance is one point; this is the
-    curve). Each plane count is one combinable aggregate over its own
-    scan — at scale you'd fold all k bucket ids into one projection;
-    the per-k form keeps the oracle 1:1. (Sweeps the sin family whose
-    collapse this curve exposes; production bucketing defaults to the
-    md5 planes since r11.)"""
+    curve).
+
+    ONE corpus scan for the whole sweep (r12, closing the r11
+    documented leave-alone): plane h is the SAME hyperplane at every
+    k, so bucket_k ≡ bucket_kmax & (2^k − 1) — one projection computes
+    the kmax-plane bucket (6 dot products/row; the per-k union paid
+    2+3+4+5+6 = 20 and five scans of the embedding column), a literal
+    struct explode fans it to (planes, bucket) rows, and two
+    vocabulary-bounded aggregates produce the curve. Values are
+    bit-identical to the per-k form (same sign tests, masked). Sweeps
+    the sin family whose collapse this curve exposes; production
+    bucketing defaults to the md5 planes since r11."""
     e = _t(spark, sf_dir, "embeddings")
-    parts = []
-    for k in _PLANE_SWEEP_KS:
-        c = (e.select(SIM.hyperplane_bucket_col("embedding", k)
-                      .alias("bucket"))
-             .groupBy("bucket").agg(F.count("*").alias("c")))
-        parts.append(c.agg(
-            F.count("*").alias("n_buckets"),
-            F.max("c").cast("bigint").alias("max_size"),
-            F.round(F.max("c").cast("double") * F.count("*")
-                    / F.sum("c"), 4).alias("imbalance"),
-            F.sum(F.expr("c * (c - 1) div 2")).cast("bigint")
-            .alias("candidate_pairs"))
-            .select(F.lit(k).cast("bigint").alias("planes"),
-                    F.col("n_buckets").cast("bigint").alias("n_buckets"),
-                    "max_size", "imbalance", "candidate_pairs"))
-    out = parts[0]
-    for pp in parts[1:]:
-        out = out.unionByName(pp)
-    return out
+    kmax = max(_PLANE_SWEEP_KS)
+    rows = e.select(SIM.hyperplane_bucket_col("embedding", kmax)
+                    .alias("_b"))
+    fan = rows.select(F.explode(F.array(*[
+        F.struct(F.lit(k).alias("planes"),
+                 F.col("_b").bitwiseAND(F.lit((1 << k) - 1))
+                 .alias("bucket"))
+        for k in _PLANE_SWEEP_KS])).alias("_x")).select("_x.*")
+    c = fan.groupBy("planes", "bucket").agg(F.count("*").alias("c"))
+    return (c.groupBy("planes").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.max("c").cast("bigint").alias("max_size"),
+        F.round(F.max("c").cast("double") * F.count("*")
+                / F.sum("c"), 4).alias("imbalance"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("bigint")
+        .alias("candidate_pairs"))
+        .select(F.col("planes").cast("bigint").alias("planes"),
+                "n_buckets", "max_size", "imbalance", "candidate_pairs"))
 
 
 @query("doc_template_signature", sql=f"""

@@ -1525,3 +1525,37 @@ def test_ngram_pairs_auto_picks_guard_on_zipf_head(spark):
     # equals the unguarded one (hot-only pairs fall below threshold)
     assert len(auto) == 600
     assert all(j == 1.0 for _, _, j in auto)
+
+
+def test_choose_table_stats_plan_rule():
+    # r12 (r11 VERDICT #8): the ANALYZE-stats shape is a measured
+    # dispatch — fused multi-distinct (Expand ×(cols+1)) only below the
+    # row threshold; per-column passes (no row multiplier) above it,
+    # and conservatively when the input size is unknown.
+    from datatools_spark.plans.chooser import (
+        TABLE_STATS_FUSE_MAX_ROWS, choose_table_stats_plan)
+    assert choose_table_stats_plan(1000) == "fused"
+    assert choose_table_stats_plan(TABLE_STATS_FUSE_MAX_ROWS) == "fused"
+    assert choose_table_stats_plan(
+        TABLE_STATS_FUSE_MAX_ROWS + 1) == "per-column"
+    assert choose_table_stats_plan(None) == "per-column"
+
+
+def test_table_stats_shapes_identical(spark, tmp_path):
+    # both physical shapes of ss_table_stats produce identical rows
+    import os
+    from datatools_spark.plans import chooser as CH
+    from datatools_spark.queries import QUERIES
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata missing")
+    fused = {tuple(r) for r in QUERIES["ss_table_stats"](spark, sf)
+             .collect()}
+    old = CH.TABLE_STATS_FUSE_MAX_ROWS
+    try:
+        CH.TABLE_STATS_FUSE_MAX_ROWS = 0   # force per-column
+        percol = {tuple(r) for r in QUERIES["ss_table_stats"](spark, sf)
+                  .collect()}
+    finally:
+        CH.TABLE_STATS_FUSE_MAX_ROWS = old
+    assert fused == percol and len(fused) == 4

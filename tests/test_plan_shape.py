@@ -213,7 +213,11 @@ def test_driver_window_contains_flagships():
                      # twin — raw8_ahash is carried in-window by
                      # mm_image_dedup's identical first stage)
                      "mm_image_dedup",
-                     "mm_audio_dup_pairs",
+                     # r12 rotation: the incremental store row promoted
+                     # (mm_audio_dup_pairs stood down — PCM decode is
+                     # carried by mm_pcm_stats, the banded pair engine
+                     # by mm_image_dedup's identical first stage)
+                     "mm_ahash_pairs_store_incr",
                      # r10 rotation: the real RAW8 mapInPandas decoder
                      "mm_decode_stats",
                      # r11 rotations: the CDC upsert MERGE + the PCM16

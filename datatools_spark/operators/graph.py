@@ -168,42 +168,40 @@ def connected_components(edges: DataFrame, src: str = "a_id",
 
     Size gate: a dedup graph is usually TINY relative to the corpus it
     came from (edges = verified near-dup pairs), and the distributed
-    loop pays 3-4 jobs per iteration — pure overhead at that size. Up
-    to ``small_graph_threshold`` UNDIRECTED edges — the materialized
-    bidirectional edge list is counted from its checkpoint (no extra
-    scan) and holds each undirected edge twice, so the gate compares
-    against 2× the threshold and the driver collect is bounded by
-    2 × threshold rows — the labels come from a driver-side union-find
-    with path compression: identical min-label output, one job
-    end-to-end. Bigger graphs take the min-label-propagation +
+    loop pays 3-4 jobs per iteration — pure overhead at that size. The
+    gate counts the caller's OCCURRENCE edge rows off the materialized
+    checkpoint (the count doubles as its materializing action) against
+    2 × ``small_graph_threshold``; under the gate the labels come from
+    a driver-side union-find with path compression over those raw rows
+    — direction and duplicates are free in union-find, so the small
+    path pays NO symmetrizing union and NO distinct exchange, and the
+    driver collect is bounded by 2 × threshold rows. Identical
+    min-label output. Bigger graphs take the min-label-propagation +
     pointer-jump loop unchanged — the O(log diameter)-round plan a
     billion-edge graph needs. Pass ``small_graph_threshold=0`` to force
     the distributed path.
     """
-    # materialize the caller's edge plan ONCE before the symmetrizing
-    # union (r11): a union of `edges` with its own reversal evaluates
-    # the caller's whole pair-generation plan PER BRANCH — for a
-    # banded-Hamming or posting-list pair frame that is the candidate
-    # join + verify twice. Off the checkpoint both branches are memory
-    # scans; cost is one pairs-sized materialization the union's first
-    # branch paid anyway. DELIBERATE trade (r11 ADVICE): the checkpoint
-    # stores the pre-distinct OCCURRENCE-sized multiset — for a
-    # duplicate-heavy pair generator that is more executor storage than
-    # the distinct set, and localCheckpoint blocks are lost on executor
-    # failure. Distinct-before-checkpoint would shuffle the occurrence
-    # stream once HERE and then the symmetrized union AGAIN below
-    # (~3× the rows of the current single union-distinct when
-    # duplicates are rare — the common case: dedup pair generators
-    # already emit near-distinct pairs), so the occurrence-sized store
-    # is the cheaper shape; callers with heavy duplication should
-    # distinct() before calling.
+    # materialize the caller's edge plan ONCE (r11): a union of
+    # `edges` with its own reversal evaluates the caller's whole
+    # pair-generation plan PER BRANCH — for a banded-Hamming or
+    # posting-list pair frame that is the candidate join + verify
+    # twice. The checkpoint is LAZY with the gate's count as its
+    # materializing action (one blocking job — the r12 store-path
+    # shape). DELIBERATE trade (r11 ADVICE): the checkpoint stores the
+    # pre-distinct OCCURRENCE-sized multiset — for a duplicate-heavy
+    # pair generator that is more executor storage than the distinct
+    # set, and localCheckpoint blocks are lost on executor failure;
+    # callers with heavy duplication should distinct() before calling.
     e0 = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-          .localCheckpoint(eager=True))
-    e = (e0.unionByName(e0.select(F.col("v").alias("u"),
-                                  F.col("u").alias("v")))
-         .distinct()
-         .localCheckpoint())
-    if e.count() <= 2 * small_graph_threshold:
+          .localCheckpoint(eager=False))
+    # the gate counts OCCURRENCE rows (r12): driver union-find needs
+    # neither the symmetrizing union nor a distinct — edge direction
+    # and duplicates are free in union-find — so the small path used
+    # to pay a full-edge distinct EXCHANGE purely to bound the collect.
+    # Occurrences bound the collect just as well (2·threshold rows
+    # either way; a duplicate-heavy generator merely falls through to
+    # the distributed path earlier, same labels).
+    if e0.count() <= 2 * small_graph_threshold:
         parent: dict = {}
 
         def find(x):
@@ -214,7 +212,7 @@ def connected_components(edges: DataFrame, src: str = "a_id",
                 parent[x], x = r, parent[x]
             return r
 
-        for row in e.collect():
+        for row in e0.collect():
             u, v = row["u"], row["v"]
             parent.setdefault(u, u)
             parent.setdefault(v, v)
@@ -224,9 +222,16 @@ def connected_components(edges: DataFrame, src: str = "a_id",
                     ru, rv = rv, ru
                 parent[rv] = ru
         rows = [(x, find(x)) for x in parent]
-        dtype = dict(e.dtypes)["u"]
-        return e.sparkSession.createDataFrame(
+        dtype = dict(e0.dtypes)["u"]
+        return e0.sparkSession.createDataFrame(
             rows, f"id {dtype}, component {dtype}")
+    # distributed path: symmetrize + distinct off the materialized
+    # occurrence blocks (both union branches are memory scans), then
+    # checkpoint eagerly — every iteration's prop join reads it
+    e = (e0.unionByName(e0.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+         .distinct()
+         .localCheckpoint(eager=True))
     labels = (e.select(F.col("u").alias("id"))
               .distinct()
               .withColumn("component", F.col("id"))

@@ -678,6 +678,28 @@ def test_connected_components_driver_gate_equals_distributed(spark):
         assert c == min(members)
 
 
+def test_connected_components_small_path_job_floor(spark):
+    """r12: the driver-gate path runs 3 jobs over the caller's
+    materialized edge blocks — the gate count (2 AQE stage-jobs; it
+    also materializes the lazy checkpoint) and the occurrence collect.
+    No symmetrizing union, no distinct exchange (union-find needs
+    neither); a regression that reintroduces them trips this bound."""
+    import time
+    from datatools_spark.operators.graph import connected_components
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "a_id long, b_id long") \
+        .localCheckpoint(eager=True)  # caller plan cost out of the count
+    sc = spark.sparkContext
+    g = f"ccjf-{time.time()}"
+    sc.setJobGroup(g, g)
+    out = connected_components(df)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup(g))
+    sc.setJobGroup("ccjf-done", "clear")
+    assert n_jobs <= 3
+    assert {(r["id"], r["component"]) for r in out.collect()} == {
+        (i, 0) for i in range(41)}
+
+
 def test_knn_matmul_equals_bruteforce_reranked(spark):
     import random
     from datatools_spark.operators.similarity import (

@@ -115,6 +115,12 @@ def pagerank(edges: DataFrame, src: str = "u", dst: str = "v",
     # _outdeg with it across iterations — the per-iteration join of
     # rank onto edges delivers pr AND outdeg in one pass, and no
     # edges⨝degree frame is ever materialized.
+    # deliberately EAGER + separate count (r12 A/B): riding the count
+    # on a lazy checkpoint (the store-path fusion) saves one job here
+    # but measured SLOWER both orders at sf0.1 (min 3.08/3.13 lazy vs
+    # 2.54/2.81 eager, 5 reps interleaved with the order swapped) —
+    # the per-round consumers pay more reading the lazily-materialized
+    # blocks than the dedicated checkpoint job costs.
     deg = (e.groupBy("u").agg(F.count("*").alias("_outdeg"))
            .localCheckpoint(eager=True))
     n = deg.count()

@@ -4589,22 +4589,57 @@ def ts_hll_overlap(spark, sf_dir):
                  F.max((F.col("event_type") == "purchase").cast("int"))
                  .alias("_b"))
             .localCheckpoint(eager=True))
-    # ra/rb are re-derived per consumer from base's CACHED blocks — a
-    # register build over the user-level frame is trivial, while an
-    # eager checkpoint per register table serialized the query into two
-    # extra driver-blocking jobs (A/B'd: 2.9 s vs 1.3 s at sf0.1)
-    ra = SK.hll_registers(base.where(F.col("_a") == 1), "user_id")
-    rb = SK.hll_registers(base.where(F.col("_b") == 1), "user_id")
-    ea = SK.hll_estimate_from_registers(ra, out="est_a")
-    eb = SK.hll_estimate_from_registers(rb, out="est_b")
-    eu = SK.hll_estimate_from_registers(SK.hll_merge(ra, rb),
-                                        out="est_union")
-    exact = (base.where((F.col("_a") == 1) & (F.col("_b") == 1))
-             .agg(F.count("*").alias("exact_overlap")))
-    return (exact.crossJoin(ea).crossJoin(eb).crossJoin(eu)
-            .withColumn("est_overlap",
-                        F.round(F.col("est_a") + F.col("est_b")
-                                - F.col("est_union"), 3)))
+    # r12: ONE bucket-level aggregate serves all three register tables
+    # AND the exact overlap. The r11 shape re-derived ra/rb/union/exact
+    # as FOUR subtrees over base's blocks — ~10 AQE stage executions at
+    # action time; here side registers are conditional maxes in one
+    # groupBy(bucket) (a bucket absent from a side yields NULL — sum
+    # skips it, count("reg_x") counts touched buckets, exactly the
+    # absent-row semantics of the per-side register tables), the union
+    # register is the unconditional max (base holds A∪B users only),
+    # and exact rides as a bucket-partitioned sum. Register VALUES are
+    # identical by construction, and the estimator's Σ2^(−reg) is a sum
+    # of dyadic rationals ≥ 2^-25 over ≤ 256 buckets — exact in a
+    # double for every summation order — so the fused plan cannot move
+    # any output at the 3-dp rounding. 2 exchanges instead of ~10
+    # stages. [guide §2.4]
+    bucket, rho = SK.hll_bucket_rho(F.col("user_id"))
+    regs = (base.select(bucket.alias("bucket"), rho.alias("rho"),
+                        "_a", "_b")
+            .groupBy("bucket")
+            .agg(F.max(F.when(F.col("_a") == 1, F.col("rho")))
+                 .alias("reg_a"),
+                 F.max(F.when(F.col("_b") == 1, F.col("rho")))
+                 .alias("reg_b"),
+                 F.max("rho").alias("reg_u"),
+                 F.sum(((F.col("_a") == 1) & (F.col("_b") == 1))
+                       .cast("long")).alias("_ex")))
+    m = 256
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def _est(reg, nb):
+        return F.round(F.lit(alpha * m * m)
+                       / (reg + (F.lit(m) - nb)), 3)
+
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg_a"))).alias("_sa"),
+        F.count("reg_a").alias("_na"),
+        F.sum(F.pow(F.lit(2.0), -F.col("reg_b"))).alias("_sb"),
+        F.count("reg_b").alias("_nb"),
+        F.sum(F.pow(F.lit(2.0), -F.col("reg_u"))).alias("_su"),
+        F.count("reg_u").alias("_nu"),
+        F.sum("_ex").alias("_exn"))
+    return agg.select(
+        # coalesce: an empty corpus has no buckets — the old count(*)
+        # shape returned 0 there, and sum-over-no-rows is NULL
+        F.coalesce(F.col("_exn"), F.lit(0).cast("long"))
+        .alias("exact_overlap"),
+        _est(F.col("_sa"), F.col("_na")).alias("est_a"),
+        _est(F.col("_sb"), F.col("_nb")).alias("est_b"),
+        _est(F.col("_su"), F.col("_nu")).alias("est_union")) \
+        .withColumn("est_overlap",
+                    F.round(F.col("est_a") + F.col("est_b")
+                            - F.col("est_union"), 3))
 
 
 @query("ss_join_size_estimate", sql="""
